@@ -1,0 +1,424 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Gold-layer relational surface (SURVEY.md §2.3-§2.8, §7.2 M1).
+  *
+  * The reference itself has no joins/groupBys (SURVEY §2.3/§2.4) — its
+  * union+key design implies a queryable silver table, and these are the
+  * gold queries over it, expressed on the driver's TPC-H-ish tables.
+  *
+  * Oracle-determinism rules (SURVEY §7.4): every query ends in a total
+  * ORDER BY; float sums go through exact DECIMAL accumulation and are cast
+  * to double only at the end (identical decimal in both engines → identical
+  * double); ratios are computed in double from exact inputs (IEEE division
+  * is deterministic); timestamps cross the boundary as formatted strings.
+  *
+  * Scale notes (100 TB): dimension joins are broadcast explicitly; fact-fact
+  * joins shuffle on their join keys and rely on AQE for skew; every scan
+  * projects only needed columns so parquet pushdown/pruning engages.
+  */
+object Relational {
+
+  /** Exact decimal sum of a 2-decimal double column, surfaced as double. */
+  private def dsum(c: Column, p: Int = 18): Column =
+    sum(c.cast(DecimalType(p, 2))).cast("double")
+
+  /** Exact revenue term: price * (1 - discount) in decimal. */
+  private def revTerm(price: Column, disc: Column): Column =
+    price.cast(DecimalType(18, 2)) * (lit(1) - disc.cast(DecimalType(4, 2)))
+
+  private val revSql =
+    "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // S1/P-series: scan + filter + projection, pushed to parquet.
+    QueryDef(
+      "q01_scan_filter_project",
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+          col("l_discount") > 0.05)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+          "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // A-series: TPC-H Q1-style grouped aggregation (map-side partials).
+    QueryDef(
+      "q02_agg_group",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+         |  CAST(SUM($revSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base"),
+          sum(revTerm(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("sum_disc_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Broadcast join: small dim (part) to fact (lineitem).
+    QueryDef(
+      "q03_join_broadcast",
+      """SELECT p_brand, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select("l_partkey", "l_quantity")
+      val p = Tables(s, dir, "part").select("p_partkey", "p_brand")
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("p_brand")
+    },
+
+    // Multi-way join: fact-fact shuffle join + broadcast dims (Q5-style).
+    QueryDef(
+      "q04_join_multi",
+      s"""SELECT n_name, r_name, COUNT(*) AS n_lines,
+         |  CAST(SUM($revSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON o_orderkey = l_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY n_name, r_name
+         |ORDER BY n_name, r_name""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val o = Tables(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = Tables(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+      val n = Tables(s, dir, "nation")
+        .select("n_nationkey", "n_name", "n_regionkey")
+      val r = Tables(s, dir, "region")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name", "r_name")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(revTerm(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+        .orderBy("n_name", "r_name")
+    },
+
+    // Left-semi join (EXISTS).
+    QueryDef(
+      "q05_semi_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      val big = Tables(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000).select("o_custkey")
+      c.join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .orderBy("c_custkey")
+    },
+
+    // Left-anti join (NOT EXISTS).
+    QueryDef(
+      "q06_anti_join",
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_name")
+      val p = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P").select("o_custkey")
+      c.join(p, col("c_custkey") === col("o_custkey"), "left_anti")
+        .orderBy("c_custkey")
+    },
+
+    // Window ranking: top-3 orders per customer.
+    QueryDef(
+      "q07_window_rank",
+      """SELECT * FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    },
+
+    // Window frames: running sum + lag per supplier, deterministic total order.
+    QueryDef(
+      "q08_window_running",
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_rev,
+        |  LAG(l_extendedprice) OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_price
+        |FROM lineitem
+        |WHERE l_suppkey < 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      val w = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "lineitem")
+        .filter(col("l_suppkey") < 3)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).over(wf)
+            .cast("double").as("running_rev"),
+          lag(col("l_extendedprice"), 1).over(w).as("prev_price"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    },
+
+    // Sort + limit (top-K) with unique tiebreaker.
+    QueryDef(
+      "q09_topk",
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // Distinct.
+    QueryDef(
+      "q10_distinct",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Set operations: intersect then except.
+    QueryDef(
+      "q11_setops",
+      """SELECT nk FROM (
+        |  (SELECT n_nationkey AS nk FROM nation
+        |   INTERSECT SELECT c_nationkey FROM customer)
+        |  EXCEPT SELECT s_nationkey FROM supplier WHERE s_acctbal > 8000)
+        |ORDER BY nk""".stripMargin) { (s, dir) =>
+      val n = Tables(s, dir, "nation").select(col("n_nationkey").as("nk"))
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val su = Tables(s, dir, "supplier")
+        .filter(col("s_acctbal") > 8000).select(col("s_nationkey").as("nk"))
+      n.intersect(c).except(su).orderBy("nk")
+    },
+
+    // Union-by-name across heterogeneous sources (SURVEY §2.7 U1 shape).
+    QueryDef(
+      "q12_union_by_name",
+      """SELECT 'customer' AS src, c_name AS name, c_nationkey AS nationkey,
+        |       c_acctbal AS acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT 'supplier' AS src, s_name AS name, s_nationkey AS nationkey,
+        |       s_acctbal AS acctbal
+        |FROM supplier
+        |ORDER BY src, name""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(
+        lit("customer").as("src"), col("c_name").as("name"),
+        col("c_nationkey").as("nationkey"), col("c_acctbal").as("acctbal"))
+      val su = Tables(s, dir, "supplier").select(
+        lit("supplier").as("src"), col("s_name").as("name"),
+        col("s_nationkey").as("nationkey"), col("s_acctbal").as("acctbal"))
+      c.unionByName(su).orderBy("src", "name")
+    },
+
+    // ROLLUP grouping sets (grouping nulls coalesced → no null-order skew).
+    QueryDef(
+      "q13_rollup",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"), col("n"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // CUBE grouping sets.
+    QueryDef(
+      "q14_cube",
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n"), col("total"))
+        .orderBy("status", "priority")
+    },
+
+    // Exact distinct-count aggregation.
+    QueryDef(
+      "q15_count_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS n_parts,
+        |  COUNT(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // Scalar functions: CASE, string ops (SURVEY §2.8 family).
+    QueryDef(
+      "q16_case_string",
+      """SELECT o_orderkey,
+        |  CASE WHEN o_totalprice > 300000 THEN 'big'
+        |       WHEN o_totalprice > 150000 THEN 'mid'
+        |       ELSE 'small' END AS bucket,
+        |  UPPER(SUBSTRING(o_orderpriority, 1, 5)) AS pri5,
+        |  CONCAT_WS('-', o_orderstatus, o_orderpriority) AS tag,
+        |  LENGTH(o_orderpriority) AS prilen
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders").select(
+        col("o_orderkey"),
+        when(col("o_totalprice") > 300000, "big")
+          .when(col("o_totalprice") > 150000, "mid")
+          .otherwise("small").as("bucket"),
+        upper(substring(col("o_orderpriority"), 1, 5)).as("pri5"),
+        concat_ws("-", col("o_orderstatus"), col("o_orderpriority")).as("tag"),
+        length(col("o_orderpriority")).as("prilen"))
+        .orderBy("o_orderkey")
+    },
+
+    // Date/time extraction + grouping.
+    QueryDef(
+      "q17_datetime",
+      """SELECT CAST(YEAR(o_orderdate) AS INTEGER) AS y,
+        |       CAST(MONTH(o_orderdate) AS INTEGER) AS m,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("y", "m")
+    },
+
+    // JSON extraction from the events.props payload (schema-on-read).
+    QueryDef(
+      "q18_json",
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"))
+        .orderBy("event_type")
+    },
+
+    // Event-time tumbling window, batch shape (streaming analog in specs).
+    QueryDef(
+      "q19_event_hourly",
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+            .as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    // Range (non-equi) join: equi key + date-band condition.
+    QueryDef(
+      "q20_range_join",
+      """SELECT o_orderstatus, COUNT(*) AS n_in_window
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+      val o = Tables(s, dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+      li.join(o, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_in_window"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Scalar subquery: customers above mean balance (exact-decimal mean).
+    QueryDef(
+      "q21_above_avg",
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_acctbal > (
+        |  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        |  FROM customer)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").select("c_custkey", "c_acctbal")
+      val avgDf = c.agg(
+        (dsum(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+      c.join(broadcast(avgDf), col("c_acctbal") > col("avg_bal"))
+        .select("c_custkey", "c_acctbal")
+        .orderBy("c_custkey")
+    },
+
+    // Deterministic surrogate key: sha2 ⊕ concat_ws ⊕ lower ⊕ trim
+    // (reference F4-F6, bronze_assets_to_silver_assets.py:138-149).
+    QueryDef(
+      "q22_uid_hash",
+      """SELECT c_custkey,
+        |  sha256(concat_ws('|', lower(trim(c_name)), CAST(c_nationkey AS VARCHAR),
+        |                   c_mktsegment)) AS uid
+        |FROM customer ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "customer").select(
+        col("c_custkey"),
+        sha2(concat_ws("|", lower(trim(col("c_name"))),
+          col("c_nationkey").cast("string"), col("c_mktsegment")), 256)
+          .as("uid"))
+        .orderBy("c_custkey")
+    })
+}
