@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.Relational
+import graft.ops.{DedupOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -10,7 +10,8 @@ object SparkEntry {
   /** All registered queries, each a Spark build + (where SQL-expressible) a
     * DuckDB oracle. Modules: SURVEY §7.1.
     */
-  def all: Seq[QueryDef] = Relational.defs
+  def all: Seq[QueryDef] =
+    Relational.defs ++ TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

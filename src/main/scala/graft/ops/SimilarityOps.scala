@@ -1,0 +1,159 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]` column).
+  *
+  * Brute-force cosine top-k is the exactness baseline: the query set is
+  * broadcast, so the candidate side streams with no shuffle and the only
+  * exchange is the final per-query top-k (a tiny window over q×k rows
+  * after local pre-ranking by AQE). The scale paths are IVF (q52: assign
+  * to nearest centroid, then search only same-cell vectors) and
+  * sign-random-hyperplane LSH (q53: 16-bit bucket join).
+  *
+  * All float math happens in double after an explicit element cast, as a
+  * sequential left fold (`aggregate`), and crosses the oracle boundary
+  * rounded to 6 decimals.
+  */
+object SimilarityOps {
+
+  /** Double-cast embedding + L2 norm, shared by the queries below. */
+  private def vectors(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings").select(
+      col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("v"),
+      expr("sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
+        "cast(x as double)), 0D, (acc, x) -> acc + x))").as("nv"))
+
+  private val dot =
+    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Vector norms — array-HOF parity check.
+    QueryDef(
+      "q50_vector_norms",
+      """SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+        |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
+        |    x -> x * x))), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings").select(
+        col("vec_id"),
+        expr("size(embedding)").as("dim"),
+        expr("round(sqrt(aggregate(transform(embedding, " +
+          "x -> cast(x as double) * cast(x as double)), 0D, " +
+          "(acc, x) -> acc + x)), 6)").as("l2"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-10 for a small query set (vec_id < 5).
+    QueryDef(
+      "q51_cosine_topk",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) AS nv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nv AS nq FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q_id, vec_id,
+        |    round(list_dot_product(qv, v) / (nq * nv), 6) AS cos_r
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos_r, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rn
+        |  FROM sc)
+        |SELECT q_id, vec_id, cos_r, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir)
+      val q = e.filter(col("vec_id") < 5).toDF("q_id", "qv", "nq")
+      val w = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("vec_id"))
+      e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          expr(s"round($dot / (nq * nv), 6)").as("cos_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("q_id", "vec_id", "cos_r", "rn")
+        .orderBy("q_id", "rn")
+    },
+
+    // IVF building block: assign every vector to its nearest centroid
+    // (deterministic "trained" centroids = vec_id < 8, broadcast).
+    QueryDef(
+      "q52_ivf_assign",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN c),
+        |r AS (SELECT vec_id, c_id, dist_r, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d)
+        |SELECT vec_id, c_id AS centroid_id, dist_r FROM r WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir).select("vec_id", "v")
+      val c = e.filter(col("vec_id") < 8).toDF("c_id", "cv")
+      val w = Window.partitionBy("vec_id").orderBy(col("dist_r"), col("c_id"))
+      e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("c_id"),
+          expr("round(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y))," +
+            " 0D, (acc, x) -> acc + x), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("centroid_id"), col("dist_r"))
+        .orderBy("vec_id")
+    },
+
+    // Sign-random-hyperplane LSH ANN — the bucketed scale path. Weights are
+    // a deterministic pseudo-random matrix derived from xxhash64(table, bit,
+    // dim) (no RNG → resumable / reproducible). Multiple small tables, not
+    // one wide signature: P[candidate] = 1 - (1 - 2^-bits)^tables, so
+    // 4×8-bit tables recall near neighbours that a single 16-bit bucket
+    // would miss almost surely. Not SQL-portable → rows-only.
+    QueryDef.rowsOnly("q53_ann_lsh")((s, dir) =>
+      annLsh(vectors(s, dir), numTables = 4, bitsPerTable = 8,
+        queryIds = 0 until 5, topK = 10))
+  )
+
+  /** LSH-bucketed approximate nearest neighbours.
+    *
+    * 1. project: bit b of table t = sign(Σ_d v[d] * w(t, b, d)) where
+    *    w(t, b, d) = xxhash64(t*64+b, d) mod 2001 / 1000 − 1 — deterministic.
+    * 2. bucket(t) = the bitsPerTable-bit signature of table t.
+    * 3. candidates = vectors sharing ANY table's bucket with a query
+    *    (explode over tables → equi-join on (table, bucket) → distinct).
+    * 4. exact cosine re-rank of candidates only.
+    */
+  def annLsh(vecs: DataFrame, numTables: Int, bitsPerTable: Int,
+      queryIds: Seq[Int], topK: Int): DataFrame = {
+    val tableBuckets = (0 until numTables).map { t =>
+      val bits = (0 until bitsPerTable).map { b =>
+        val proj = s"aggregate(zip_with(v, transform(sequence(0, size(v) - 1)," +
+          s" d -> cast(xxhash64(${t * 64 + b}, d) % 2001 as double) / 1000.0)," +
+          s" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
+        expr(s"case when $proj >= 0 then shiftleft(1L, $b) else 0L end")
+      }
+      struct(lit(t).as("t"), bits.reduce(_ + _).as("bkt"))
+    }
+    val bucketed = vecs
+      .withColumn("tb", explode(array(tableBuckets: _*)))
+      .select(col("vec_id"), col("v"), col("nv"),
+        col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+    val qSide = bucketed
+      .filter(col("vec_id").isin(queryIds.map(Int.box): _*))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nv").as("nq"), col("t"), col("bkt"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("vec_id"))
+    bucketed.join(broadcast(qSide), Seq("t", "bkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("qv"), col("nq"),
+        col("v"), col("nv"))
+      .distinct() // a pair may collide in several tables
+      .select(col("q_id"), col("vec_id"),
+        expr(s"round($dot / (nq * nv), 6)").as("cos_r"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= topK)
+      .orderBy("q_id", "rn")
+  }
+}

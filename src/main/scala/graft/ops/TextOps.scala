@@ -1,0 +1,140 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Text-analysis operators for a training-data pipeline (builder brief:
+  * language-ID heuristic, quality scoring, token counting, document
+  * fingerprinting) over the `documents` table.
+  *
+  * All are pure column expressions (codegen'd higher-order functions; no
+  * UDFs), so they scale linearly with no shuffle except the grouped
+  * rollups — the per-document ops are embarrassingly parallel at 100 TB.
+  *
+  * Determinism: integer/string results are exact; ratios are computed as
+  * double divisions of exact integers (IEEE-identical in DuckDB).
+  */
+object TextOps {
+
+  private val words = "split(text, ' ')"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Per-document quality stats: lengths, tokens, stopword ratio, score.
+    QueryDef(
+      "q30_text_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS n_chars_c,
+        |  CAST(len(string_split(text,' ')) AS INTEGER) AS n_tokens,
+        |  CAST(length(replace(text,' ','')) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS INTEGER) AS avg_word_len,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a'))) AS INTEGER) AS stop_hits,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a'))) AS DOUBLE)
+        |    / CAST(len(string_split(text,' ')) AS INTEGER) AS stop_ratio,
+        |  least(1.0, CAST(len(string_split(text,' ')) AS INTEGER) / 100.0)
+        |    * (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |         w -> w IN ('the','a'))) AS DOUBLE)
+        |       / CAST(len(string_split(text,' ')) AS INTEGER)) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_c"),
+        expr(s"size($words)").as("n_tokens"),
+        expr(s"cast(length(replace(text,' ','')) as double) / size($words)")
+          .as("avg_word_len"),
+        expr(s"size(filter($words, w -> w in ('the','a')))").as("stop_hits"),
+        expr(s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+          s" / size($words)").as("stop_ratio"),
+        expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
+          s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+          s" / size($words))").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Corpus rollup by language tag.
+    QueryDef(
+      "q31_lang_rollup",
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CAST(len(string_split(text,' ')) AS BIGINT)) AS BIGINT)
+        |    AS total_tokens,
+        |  COUNT(DISTINCT source) AS n_sources
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(expr(s"cast(size($words) as bigint)")).cast("long")
+            .as("total_tokens"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+    },
+
+    // Token counting: regex word tokens + a BPE-ish subword-unit estimate
+    // (ceil(len/4) units per word), both as codegen'd HOFs.
+    QueryDef(
+      "q32_token_count",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER)
+        |    AS alpha_tokens,
+        |  CAST(list_sum(list_transform(string_split(text,' '),
+        |       w -> (length(w)+3)//4)) AS BIGINT) AS bpe_units
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr("size(regexp_extract_all(text, '[a-z]+', 0))").as("alpha_tokens"),
+        expr(s"aggregate($words, cast(0 as bigint), " +
+          "(acc, w) -> acc + (length(w)+3) div 4)").as("bpe_units"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprint: hash of the sorted distinct word bag.
+    QueryDef(
+      "q33_fingerprint",
+      """SELECT doc_id,
+        |  sha256(array_to_string(list_sort(list_distinct(
+        |    string_split(text,' '))), ' ')) AS fp,
+        |  CAST(len(list_distinct(string_split(text,' '))) AS INTEGER)
+        |    AS n_distinct_words
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"sha2(array_join(array_sort(array_distinct($words)), ' '), 256)")
+          .as("fp"),
+        expr(s"size(array_distinct($words))").as("n_distinct_words"))
+        .orderBy("doc_id")
+    },
+
+    // N-gram-heuristic language ID via stopword hit counts.
+    QueryDef(
+      "q34_lang_id",
+      """SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','of'))) AS INTEGER) AS en_hits,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('der','die','das'))) AS INTEGER) AS de_hits,
+        |  CASE WHEN len(list_filter(string_split(text,' '),
+        |              w -> w IN ('the','a','of'))) >= 1
+        |            AND len(list_filter(string_split(text,' '),
+        |              w -> w IN ('the','a','of')))
+        |             >= len(list_filter(string_split(text,' '),
+        |              w -> w IN ('der','die','das'))) THEN 'en'
+        |       WHEN len(list_filter(string_split(text,' '),
+        |              w -> w IN ('der','die','das'))) >= 1 THEN 'de'
+        |       ELSE 'und' END AS pred_lang
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val en = s"size(filter($words, w -> w in ('the','a','of')))"
+      val de = s"size(filter($words, w -> w in ('der','die','das')))"
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(en).as("en_hits"),
+        expr(de).as("de_hits"),
+        expr(s"case when $en >= 1 and $en >= $de then 'en' " +
+          s"when $de >= 1 then 'de' else 'und' end").as("pred_lang"))
+        .orderBy("doc_id")
+    })
+}
