@@ -13,9 +13,24 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    queries("q04_join_multi")(spark, "/root/testdata/sf0.001")
+  /** Flagship: the reference's entire hot path (SURVEY §7.3) — permissive
+    * JSON read with corrupt capture → declarative normalization into the
+    * 32-column canonical model (uid, raw_json, typed null-padding) →
+    * union-by-name of both sources. Driver smoke-checks rows>0.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import graft.engine.{Fixtures, Normalize, SourceSpec}
+    import org.apache.spark.sql.functions.{lit, to_timestamp}
+    val ts = to_timestamp(lit("2026-01-01 00:00:00"))
+    val r7 = Normalize(
+      Normalize.readRecords(spark, SourceSpec.rapid7, Fixtures.rapid7Records),
+      SourceSpec.rapid7, ts)
+    val forti = Normalize(
+      Normalize.readRecords(spark, SourceSpec.fortisiem,
+        Fixtures.fortisiemRecords),
+      SourceSpec.fortisiem, ts)
+    r7.unionByName(forti)
+  }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,61 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming bronze→silver runner (reference T1-T5 semantics:
+  * micro-batch file source, append mode, checkpointed exactly-once file
+  * progress, foreachBatch sink, multi-query coordination).
+  *
+  * Mirrors `/root/reference/scripts/bronze_assets_to_silver_assets.py:
+  * 280-299`: one streaming query per source, all appending to one silver
+  * store, driver parks on awaitAnyTermination.
+  */
+object StreamRunner {
+
+  /** Start one bronze→silver query.
+    *
+    * @param trigger `Trigger.ProcessingTime("30 seconds")` in production
+    *                (reference `:34`); `Trigger.AvailableNow()` in tests so
+    *                a run drains the directory and terminates.
+    */
+  def start(
+      spark: SparkSession,
+      spec: SourceSpec,
+      sourceDir: String,
+      checkpointDir: String,
+      store: TableStore,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val raw = {
+      val base = spark.readStream.format("json").schema(spec.schema)
+        .options(spec.jsonOptions)
+      // Backpressure at scale: bound files per micro-batch (unset in the
+      // reference; exposed here because a 100 TB backlog would otherwise
+      // land in one giant first batch).
+      maxFilesPerTrigger.fold(base)(n =>
+        base.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
+    }
+    Normalize(raw, spec).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        store.append(batch, id)
+      }
+      .start()
+  }
+
+  /** Run a set of sources to completion (AvailableNow) — the test/backfill
+    * entry. Returns after every query drains its directory.
+    */
+  def runAvailableNow(
+      spark: SparkSession,
+      sources: Seq[(SourceSpec, String, String)], // (spec, srcDir, ckptDir)
+      store: TableStore): Unit = {
+    val queries = sources.map { case (spec, src, ckpt) =>
+      start(spark, spec, src, ckpt, store, Trigger.AvailableNow())
+    }
+    queries.foreach(_.awaitTermination())
+  }
+}

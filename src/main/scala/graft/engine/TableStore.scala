@@ -1,0 +1,39 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Silver-table sink. The reference appends micro-batches to an Iceberg
+  * table (`bronze_assets_to_silver_assets.py:275-277`); Iceberg/Delta jars
+  * are unavailable offline, so the stand-in is a parquet directory append —
+  * same append-only medallion semantics, minus snapshot isolation.
+  *
+  * Exactly-once caveat (SURVEY §7.4): the streaming checkpoint prevents
+  * re-reads, but a crash between the parquet write and checkpoint commit
+  * can duplicate a batch. `batch_id` is stamped on every row so a later
+  * dedup (max batch_id per key, or drop repeated batch ids) can restore
+  * exactly-once — the same recovery contract Iceberg gives via snapshot
+  * rollback.
+  */
+trait TableStore {
+  def append(df: DataFrame, batchId: Long): Unit
+  def read(spark: SparkSession): DataFrame
+}
+
+final class ParquetTableStore(path: String) extends TableStore {
+  import org.apache.spark.sql.functions._
+
+  /** Appends are serialized per store: concurrent writers into one parquet
+    * directory race on the Hadoop committer's shared `_temporary/` staging
+    * dir. With a real table format the snapshot commit provides this
+    * coordination; the parquet stand-in must do it itself. (Lock is
+    * per-JVM — matching local[] mode, where all streaming query threads
+    * share this process.)
+    */
+  override def append(df: DataFrame, batchId: Long): Unit = synchronized {
+    df.withColumn("batch_id", lit(batchId))
+      .write.mode("append").parquet(path)
+  }
+
+  override def read(spark: SparkSession): DataFrame =
+    spark.read.parquet(path)
+}
