@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupOps, Relational, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, EventOps, Relational, SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -11,7 +11,8 @@ object SparkEntry {
     * DuckDB oracle. Modules: SURVEY §7.1.
     */
   def all: Seq[QueryDef] =
-    Relational.defs ++ TextOps.defs ++ DedupOps.defs ++ SimilarityOps.defs
+    Relational.defs ++ EventOps.defs ++ TextOps.defs ++ DedupOps.defs ++
+      SimilarityOps.defs
 
   /** Flagship: the reference's entire hot path (SURVEY §7.3) — permissive
     * JSON read with corrupt capture → declarative normalization into the

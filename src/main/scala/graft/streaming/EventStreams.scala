@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Beyond-reference stateful streaming surface (SURVEY §2.9 "not present"
+  * list, §7.2 M4): event-time windows + watermarks, session windows,
+  * bounded-state dedup, and custom per-key state. The reference pipeline is
+  * insert-only ELT with processing time only; these are the event-time
+  * operators a gold layer needs.
+  *
+  * All functions take a streaming OR batch DataFrame shaped like the
+  * `events` table (`ts timestamp, user_id long, event_type string,
+  * value double`) — same code plans both ways, which is how Structured
+  * Streaming is meant to be used.
+  *
+  * Scale: every aggregation here is keyed on (window/session, key), so
+  * state is hash-partitioned across executors; watermarks bound state
+  * size — without them a 100 TB stream would accumulate state forever.
+  */
+object EventStreams {
+
+  /** Tumbling event-time counts with a watermark bounding late data. */
+  def tumblingCounts(events: DataFrame, window: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), window),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Sliding windows (overlapping): each event lands in
+    * duration/slide windows.
+    */
+  def slidingCounts(events: DataFrame, duration: String = "2 hours",
+      slide: String = "1 hour", watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), duration, slide))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("n"))
+
+  /** Session windows: events within `gap` of each other merge into one
+    * session per user.
+    */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once-per-key semantics with bounded state: duplicates of
+    * `event_id` arriving within the watermark horizon are dropped.
+    */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  // --- custom state: per-user running aggregate via GroupState ---
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+      user_id: Long, event_type: String, value: Double)
+  final case class UserAgg(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state (mapGroupsWithState): running per-user totals,
+    * updated every micro-batch. The GroupState hook is the escape hatch
+    * for semantics window/session aggregates can't express.
+    */
+  def userRunningTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+          val updated = batch.foldLeft(prev) { (acc, e) =>
+            UserAgg(userId, acc.n_events + 1, acc.total_value + e.value)
+          }
+          state.update(updated)
+          updated
+      }
+  }
+
+  /** Output mode for the windowed aggregations when run as streams:
+    * append emits only finalized (watermark-passed) windows.
+    */
+  val AppendMode: OutputMode = OutputMode.Append()
+}

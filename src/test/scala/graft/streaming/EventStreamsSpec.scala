@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.streaming.EventStreams.Event
+
+class EventStreamsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val fixture = Seq(
+    Event(1L, ts("2024-01-01 10:05:00"), 1L, "click", 1.0),
+    Event(2L, ts("2024-01-01 10:20:00"), 1L, "click", 2.0),
+    Event(3L, ts("2024-01-01 11:10:00"), 1L, "view", 3.0), // >30min gap → new session
+    Event(4L, ts("2024-01-01 10:30:00"), 2L, "click", 4.0),
+    Event(5L, ts("2024-01-01 12:00:00"), 2L, "view", 5.0))
+
+  /** Run a streaming transform of a MemoryStream to completion. */
+  private def runStream(transform: DataFrame => DataFrame,
+      mode: OutputMode, name: String,
+      batches: Seq[Seq[Event]]): DataFrame = {
+    val input = MemoryStream[Event](spark)
+    val q = transform(input.toDF())
+      .writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling windows aggregate by event-time hour (streaming)") {
+    val out = runStream(EventStreams.tumblingCounts(_, "1 hour", "10 minutes"),
+      OutputMode.Complete(), "tumbling", Seq(fixture))
+    val got = out.orderBy("window_start", "event_type")
+      .select(date_format(col("window_start"), "HH:mm").as("w"),
+        col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(("10:00", "click", 3L), ("11:00", "view", 1L),
+      ("12:00", "view", 1L)))
+  }
+
+  test("session windows merge events within the gap per user (streaming)") {
+    val out = runStream(EventStreams.sessionCounts(_, "30 minutes", "5 minutes"),
+      OutputMode.Complete(), "sessions", Seq(fixture))
+    val got = out.orderBy("user_id", "session_start")
+      .select("user_id", "n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // user 1: (10:05,10:20) merge; 11:10 separate. user 2: two singletons.
+    assert(got == Seq((1L, 2L), (1L, 1L), (2L, 1L), (2L, 1L)))
+  }
+
+  test("dropDuplicatesWithinWatermark drops replayed event_ids (streaming)") {
+    val dup = fixture.head.copy(value = 99.0) // same event_id, later replay
+    val out = runStream(EventStreams.dedupWithinWatermark(_, "2 hours"),
+      OutputMode.Append(), "dedup", Seq(fixture, Seq(dup)))
+    assert(out.count() == fixture.size) // replay suppressed
+  }
+
+  test("mapGroupsWithState keeps running per-user totals across batches") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.userRunningTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update()).start()
+    input.addData(fixture.take(3)) // user1: 3 events
+    q.processAllAvailable()
+    input.addData(fixture.drop(3)) // user2: 2 events
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("totals")
+      .groupBy("user_id").agg(max("n_events").as("n"),
+        max("total_value").as("v"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(last == Seq((1L, 3L, 6.0), (2L, 2L, 9.0)))
+  }
+
+  test("same code plans as a batch query (unified API)") {
+    val batch = fixture.toDF()
+    val got = EventStreams.tumblingCounts(batch)
+      .orderBy("window_start", "event_type")
+      .select("event_type", "n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("click", 3L), ("view", 1L), ("view", 1L)))
+  }
+}
