@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Multimodal columns: image/audio/video treated as opaque `binary`
+  * payloads with typed metadata, exactly as a 100 TB training-data lake
+  * stores them. The Spark-side plumbing — schema, per-partition batch
+  * processing, explode of frame samples — is real and tested; the actual
+  * media decode is STUBBED with a deterministic fake (`StubCodec`) because
+  * no image/audio libraries exist in this environment. Swapping in a real
+  * codec changes one function, not the pipeline.
+  *
+  * Scale notes: decode runs in `mapPartitions` so a real codec would amortize
+  * per-partition init (model load, JNI handles) across rows — the Scala
+  * analog of a Pandas-UDF batch. Payloads stay off the driver; frame
+  * sampling is a generator-style explode, so output size is controlled by
+  * `fps`-like parameters rather than input size.
+  */
+object MultimodalOps {
+
+  /** Canonical media-table schema. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("payload", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("n_bytes", LongType))))))
+
+  /** Deterministic synthetic media table derived from `documents` (the
+    * driver ships no binary fixtures): payload = utf8 text bytes, kind
+    * cycles by id. Deterministic → oracle-checkable plumbing.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(col("source").as("source"),
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .as("meta"))
+
+  // ---- STUB CODEC ----------------------------------------------------
+  // Stands in for image/audio decoding (???-equivalent): produces
+  // deterministic pseudo-features from payload bytes. A real
+  // implementation would decode pixels/samples here.
+  object StubCodec {
+    /** Fake "decode": (width, height, channels) derived from byte stats. */
+    def imageDims(payload: Array[Byte]): (Int, Int, Int) = {
+      val n = payload.length
+      (32 + n % 224, 32 + (n / 7) % 224, 3)
+    }
+    /** Fake feature vector: 8 byte-histogram buckets, L1-normalized. */
+    def features(payload: Array[Byte]): Array[Double] = {
+      val hist = new Array[Double](8)
+      payload.foreach(b => hist((b & 0xff) / 32) += 1.0)
+      val total = math.max(1.0, hist.sum)
+      hist.map(_ / total)
+    }
+    /** Fake frame timestamps: one per 64 bytes, up to `maxFrames`. */
+    def frameOffsetsMs(payload: Array[Byte], maxFrames: Int): Seq[Long] =
+      (0 until math.min(maxFrames, math.max(1, payload.length / 64)))
+        .map(_ * 1000L)
+  }
+  // --------------------------------------------------------------------
+
+  final case class MediaFeatures(media_id: Long, kind: String, width: Int,
+      height: Int, channels: Int, n_bytes: Long, features: Array[Double])
+
+  /** Per-partition batch decode → typed features. The partition iterator
+    * is the batch boundary (init-once-per-partition for a real codec).
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload").as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec: open decoder context here, once per partition
+        rows.map { case (id, kind, payload) =>
+          val (w, h, c) = StubCodec.imageDims(payload)
+          MediaFeatures(id, kind, w, h, c, payload.length.toLong,
+            StubCodec.features(payload))
+        }
+      }
+  }
+
+  /** Frame sampling for video rows: one output row per sampled frame. */
+  def sampleFrames(media: DataFrame, maxFrames: Int = 4): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val frames = media.filter(col("kind") === "video")
+      .select("media_id", "payload").as[(Long, Array[Byte])]
+      .flatMap { case (id, payload) =>
+        StubCodec.frameOffsetsMs(payload, maxFrames).zipWithIndex.map {
+          case (off, i) => (id, i, off, payload.length.toLong)
+        }
+      }
+    frames.toDF("media_id", "frame_idx", "offset_ms", "n_bytes")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Binary-column plumbing parity: byte lengths + content hash over the
+    // binary payload (sha2 over utf8 bytes ≡ DuckDB's string sha256).
+    QueryDef(
+      "q60_multimodal_meta",
+      """SELECT doc_id AS media_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS payload_sha,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |       WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents ORDER BY media_id""".stripMargin) { (s, dir) =>
+      mediaTable(s, dir).select(
+        col("media_id"),
+        col("meta.n_bytes").as("n_bytes"),
+        sha2(col("payload"), 256).as("payload_sha"),
+        col("kind"))
+        .orderBy("media_id")
+    },
+
+    // Decode + aggregate: typed feature pipeline exercised end-to-end
+    // (mapPartitions decode is not SQL-expressible → rows-only).
+    QueryDef.rowsOnly("q61_multimodal_features") { (s, dir) =>
+      decodeFeatures(mediaTable(s, dir))
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_width"),
+          sum(col("n_bytes")).as("total_bytes"))
+        .orderBy("kind")
+    },
+
+    // Frame sampling explode (generator shape) — rows-only.
+    QueryDef.rowsOnly("q62_multimodal_frames") { (s, dir) =>
+      sampleFrames(mediaTable(s, dir))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"), max(col("offset_ms")).as("last_ms"))
+        .orderBy("media_id")
+    })
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalOpsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("media table has the canonical multimodal schema") {
+    val m = MultimodalOps.mediaTable(spark, dir)
+    assert(m.schema("payload").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(m.schema("meta").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    assert(m.select("kind").distinct().count() == 3)
+  }
+
+  test("payload bytes round-trip (binary column carries exact content)") {
+    val row = MultimodalOps.mediaTable(spark, dir)
+      .filter(col("media_id") === 0).select("payload").head()
+    val text = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    assert(new String(row.getAs[Array[Byte]](0), "UTF-8") == text)
+  }
+
+  test("decodeFeatures is deterministic and schema-stable") {
+    val f1 = MultimodalOps.decodeFeatures(
+      MultimodalOps.mediaTable(spark, dir)).collect()
+      .map(f => (f.media_id, f.width, f.features.toSeq)).sortBy(_._1)
+    val f2 = MultimodalOps.decodeFeatures(
+      MultimodalOps.mediaTable(spark, dir)).collect()
+      .map(f => (f.media_id, f.width, f.features.toSeq)).sortBy(_._1)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.forall { case (_, w, feats) =>
+      w >= 32 && feats.length == 8 && math.abs(feats.sum - 1.0) < 1e-9 })
+  }
+
+  test("frame sampling explodes only video rows, bounded by maxFrames") {
+    val frames = MultimodalOps.sampleFrames(
+      MultimodalOps.mediaTable(spark, dir), maxFrames = 4)
+    val n = MultimodalOps.mediaTable(spark, dir)
+      .filter(col("kind") === "video").count()
+    assert(frames.select("media_id").distinct().count() == n)
+    val perDoc = frames.groupBy("media_id").count()
+    assert(perDoc.agg(max("count")).head().getLong(0) <= 4)
+  }
+}
