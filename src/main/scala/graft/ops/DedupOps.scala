@@ -23,17 +23,22 @@ object DedupOps {
 
   private val words = "split(text, ' ')"
 
-  /** Word 3-gram shingles, 1-based slices; requires >= 3 words. */
-  private val shingles =
-    s"transform(sequence(1, size($words) - 2), i -> " +
-      s"concat_ws(' ', element_at($words, i), element_at($words, i + 1), " +
-      s"element_at($words, i + 2)))"
+  /** Word 3-gram shingles over a pre-split `w` array column. Splitting
+    * FIRST matters: inlining split() inside the transform lambda would
+    * re-tokenize the document for every element_at — O(words²) string
+    * splits per row, which dominated the whole benchmark before staging.
+    */
+  private val shinglesOverW =
+    "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
+      "concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
+      "element_at(w, i + 2))))"
 
   /** doc_id + distinct shingle set for docs with >= 3 words. */
-  private def shingleSets(s: SparkSession, dir: String, maxId: Long): DataFrame =
-    Tables(s, dir, "documents")
-      .filter(col("doc_id") < maxId && expr(s"size($words)") >= 3)
-      .select(col("doc_id"), expr(s"array_distinct($shingles)").as("sh"))
+  private def shingleSets(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), expr(shinglesOverW).as("sh"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -106,7 +111,8 @@ object DedupOps {
         |JOIN c ca ON ca.doc_id = a_id
         |JOIN c cb ON cb.doc_id = b_id
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val d = shingleSets(s, dir, 30).cache()
+      val d = shingleSets(
+        Tables(s, dir, "documents").filter(col("doc_id") < 30)).cache()
       val sh = d.select(col("doc_id"), explode(col("sh")).as("sh"))
       val cnt = d.select(col("doc_id"), size(col("sh")).as("n"))
       val pairs = sh.as("a")
@@ -126,38 +132,86 @@ object DedupOps {
     // MinHash + LSH near-dup candidates — the scale path. 16 xxhash64
     // permutations over word 3-gram shingles, banded 4×4; pairs are
     // generated only within (band, bandHash) buckets, then scored by
-    // signature agreement. Not ANSI-SQL-expressible (xxhash64) → rows-only.
+    // signature agreement. Exact-dedup runs FIRST (standard pipeline
+    // order): clusters of byte-identical documents would otherwise
+    // produce quadratic candidate pairs that near-dup detection cannot
+    // use — one representative per exact-duplicate class suffices.
+    // Not ANSI-SQL-expressible (xxhash64) → rows-only.
     QueryDef.rowsOnly("q44_minhash_lsh_candidates") { (s, dir) =>
-      minhashLshCandidates(shingleSets(s, dir, Long.MaxValue),
-        numPerms = 16, bands = 4)
+      // groupBy(text) not groupBy(sha(text))+first(text): a string-buffered
+      // aggregate (first) forces SortAggregate; grouping directly on the
+      // text keeps the dedup a HashAggregate with a fixed-width buffer.
+      val reps = Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      minhashLshCandidates(shingleHashes(reps), numPerms = 16, bands = 4)
     })
 
-  /** MinHash-LSH candidate pairs: input (doc_id, sh: array<string>). */
-  def minhashLshCandidates(docs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+  /** One row per word-3-gram occurrence: (doc_id, h = xxhash64 of the three
+    * words). Built with posexplode + window leads — every operator is
+    * whole-stage-codegen'd. The HOF formulation (transform over a split
+    * array) evaluates interpreted lambdas AND invites CollapseProject to
+    * inline the tokenization into every downstream reference — measured at
+    * 4,300 CPU-seconds for 5k docs versus ~2s for this shape. The window
+    * shuffle on doc_id is the deliberate price; it doubles as the partial
+    * dedup/minhash partitioning downstream.
+    */
+  def shingleHashes(docs: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("i")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "i", "w")
+      .select(col("doc_id"), col("w"),
+        lead(col("w"), 1).over(byDoc).as("w1"),
+        lead(col("w"), 2).over(byDoc).as("w2"))
+      .filter(col("w2").isNotNull)
+      .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("h"))
+  }
+
+  /** MinHash-LSH candidate pairs: input (doc_id, h) shingle-hash rows
+    * (one per shingle occurrence, e.g. from [[shingleHashes]]).
+    *
+    * Signatures are a hash-aggregate of numPerms `min(xxhash64(p, h))`
+    * columns — fully whole-stage-codegen'd (the HOF formulation
+    * `transform(sequence(...), p -> array_min(...))` evaluates interpreted
+    * lambdas at ~µs/step: measured in the tens of seconds at sf0.1).
+    * Pair generation does NOT self-join: docs are grouped per
+    * (band, bucketHash) — LSH's guarantee is precisely that these groups
+    * are small — and pairs expand locally inside each group, so the
+    * quadratic work is bounded by the bucket size.
+    */
+  def minhashLshCandidates(shingles: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms % bands == 0)
     val rows = numPerms / bands
-    val sigCols = (0 until numPerms).map { p =>
-      expr(s"array_min(transform(sh, x -> xxhash64($p, x)))").as(s"s$p")
-    }
-    val sigs = docs.select(col("doc_id") +: sigCols: _*)
-    // One row per (doc, band): bucket key = hash of the band's row slice.
-    val bandCols = (0 until bands).map { b =>
-      val slice = (0 until rows).map(r => s"s${b * rows + r}").mkString(", ")
-      struct(lit(b).as("band"), xxhash64(expr(s"array($slice)")).as("bh"))
-    }
+    val sigs = shingles
+      .groupBy("doc_id")
+      .agg(array((0 until numPerms).map(p =>
+        min(xxhash64(lit(p), col("h")))): _*).as("sig"))
+    // One row per (doc, band): bucket key = hash of the band's sig slice.
     val buckets = sigs
-      .select(col("doc_id") +: (0 until numPerms).map(p => col(s"s$p")): _*)
-      .withColumn("bk", explode(array(bandCols: _*)))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bh").as("bh"),
-        array((0 until numPerms).map(p => col(s"s$p")): _*).as("sig"))
-    // Pairs only inside a bucket; distinct across bands.
-    val a = buckets.as("a")
-    val b = buckets.as("b")
-    a.join(b, col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .distinct()
+      .select(col("doc_id"), col("sig"), posexplode(
+        expr(s"transform(sequence(0, ${bands - 1}), " +
+          s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
+      .toDF("doc_id", "sig", "band", "bh")
+    // members sorted by doc_id → i<j enumeration yields a_id < b_id.
+    // Only PRIMITIVE doc_ids are collected (collect_list over structs with
+    // nested arrays hits a pathologically slow aggregate path — measured
+    // 10x+ on identical data); signatures join back per pair afterwards,
+    // against the persisted (tiny: one row per unique doc) sig frame.
+    val sigsP = sigs.persist()
+    val pairIds = buckets
+      .groupBy("band", "bh")
+      .agg(array_sort(collect_list(col("doc_id"))).as("m"))
+      .filter(size(col("m")) > 1)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(m) - 1), i -> " +
+          "transform(sequence(i + 1, size(m)), j -> " +
+          "struct(m[i-1] AS a_id, m[j-1] AS b_id))))")).as("p"))
+      .select(col("p.a_id"), col("p.b_id"))
+      .distinct() // a pair may collide in several bands
+    pairIds
+      .join(sigsP.toDF("a_id", "sig_a"), "a_id")
+      .join(sigsP.toDF("b_id", "sig_b"), "b_id")
       .withColumn("est_jaccard",
         expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
           "e -> e)) as double) / size(sig_a)"))

@@ -22,16 +22,21 @@ import graft.engine.Tables
   */
 object SimilarityOps {
 
-  /** Double-cast embedding + L2 norm, shared by the queries below. */
-  private def vectors(s: SparkSession, dir: String): DataFrame =
+  /** Embedding (raw float array — vec_dot handles the widening) + L2 norm,
+    * shared by the queries below. vec_dot/vec_sqdist are custom codegen'd
+    * expressions (graft.functions.VectorExpressions): a tight primitive
+    * loop instead of interpreted HOF lambdas, same left-fold double
+    * accumulation → bit-identical to the DuckDB oracle.
+    */
+  private def vectors(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
     Tables(s, dir, "embeddings").select(
       col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("v"),
-      expr("sqrt(aggregate(transform(embedding, x -> cast(x as double) * " +
-        "cast(x as double)), 0D, (acc, x) -> acc + x))").as("nv"))
+      col("embedding").as("v"),
+      expr("sqrt(vec_dot(embedding, embedding))").as("nv"))
+  }
 
-  private val dot =
-    "aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val dot = "vec_dot(qv, v)"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -42,12 +47,11 @@ object SimilarityOps {
         |  round(sqrt(list_sum(list_transform(embedding::DOUBLE[],
         |    x -> x * x))), 6) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
       Tables(s, dir, "embeddings").select(
         col("vec_id"),
         expr("size(embedding)").as("dim"),
-        expr("round(sqrt(aggregate(transform(embedding, " +
-          "x -> cast(x as double) * cast(x as double)), 0D, " +
-          "(acc, x) -> acc + x)), 6)").as("l2"))
+        expr("round(sqrt(vec_dot(embedding, embedding)), 6)").as("l2"))
         .orderBy("vec_id")
     },
 
@@ -97,20 +101,20 @@ object SimilarityOps {
       val w = Window.partitionBy("vec_id").orderBy(col("dist_r"), col("c_id"))
       e.crossJoin(broadcast(c))
         .select(col("vec_id"), col("c_id"),
-          expr("round(aggregate(zip_with(v, cv, (x, y) -> (x - y) * (x - y))," +
-            " 0D, (acc, x) -> acc + x), 6)").as("dist_r"))
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_id").as("centroid_id"), col("dist_r"))
         .orderBy("vec_id")
     },
 
-    // Sign-random-hyperplane LSH ANN — the bucketed scale path. Weights are
-    // a deterministic pseudo-random matrix derived from xxhash64(table, bit,
-    // dim) (no RNG → resumable / reproducible). Multiple small tables, not
-    // one wide signature: P[candidate] = 1 - (1 - 2^-bits)^tables, so
-    // 4×8-bit tables recall near neighbours that a single 16-bit bucket
-    // would miss almost surely. Not SQL-portable → rows-only.
+    // Sign-random-hyperplane LSH ANN — the bucketed scale path. All
+    // buckets come from ONE custom codegen'd expression
+    // (HyperplaneBuckets): a tight loop with the deterministic splitmix64
+    // weight matrix inlined. Multiple small tables, not one wide
+    // signature: P[candidate] = 1 - (1 - 2^-bits)^tables, so 4×8-bit
+    // tables recall near neighbours that a single 16-bit bucket would
+    // miss almost surely. Not SQL-portable → rows-only.
     QueryDef.rowsOnly("q53_ann_lsh")((s, dir) =>
       annLsh(vectors(s, dir), numTables = 4, bitsPerTable = 8,
         queryIds = 0 until 5, topK = 10))
@@ -118,28 +122,18 @@ object SimilarityOps {
 
   /** LSH-bucketed approximate nearest neighbours.
     *
-    * 1. project: bit b of table t = sign(Σ_d v[d] * w(t, b, d)) where
-    *    w(t, b, d) = xxhash64(t*64+b, d) mod 2001 / 1000 − 1 — deterministic.
-    * 2. bucket(t) = the bitsPerTable-bit signature of table t.
-    * 3. candidates = vectors sharing ANY table's bucket with a query
+    * 1. project: buckets = vec_hp_buckets(v, tables, bits) — one codegen'd
+    *    pass computing every table's sign-bit signature.
+    * 2. candidates = vectors sharing ANY table's bucket with a query
     *    (explode over tables → equi-join on (table, bucket) → distinct).
-    * 4. exact cosine re-rank of candidates only.
+    * 3. exact cosine re-rank of candidates only.
     */
   def annLsh(vecs: DataFrame, numTables: Int, bitsPerTable: Int,
       queryIds: Seq[Int], topK: Int): DataFrame = {
-    val tableBuckets = (0 until numTables).map { t =>
-      val bits = (0 until bitsPerTable).map { b =>
-        val proj = s"aggregate(zip_with(v, transform(sequence(0, size(v) - 1)," +
-          s" d -> cast(xxhash64(${t * 64 + b}, d) % 2001 as double) / 1000.0)," +
-          s" (x, w) -> x * w), 0D, (acc, x) -> acc + x)"
-        expr(s"case when $proj >= 0 then shiftleft(1L, $b) else 0L end")
-      }
-      struct(lit(t).as("t"), bits.reduce(_ + _).as("bkt"))
-    }
     val bucketed = vecs
-      .withColumn("tb", explode(array(tableBuckets: _*)))
-      .select(col("vec_id"), col("v"), col("nv"),
-        col("tb.t").as("t"), col("tb.bkt").as("bkt"))
+      .select(col("vec_id"), col("v"), col("nv"), posexplode(
+        expr(s"vec_hp_buckets(v, $numTables, $bitsPerTable)")))
+      .toDF("vec_id", "v", "nv", "t", "bkt")
     val qSide = bucketed
       .filter(col("vec_id").isin(queryIds.map(Int.box): _*))
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
