@@ -34,6 +34,11 @@ final class ParquetTableStore(path: String) extends TableStore {
       .write.mode("append").parquet(path)
   }
 
+  /** Read with schema merge across appended batches — the offline
+    * stand-in for governed schema evolution (the reference delegates this
+    * to Iceberg; SURVEY §2.11 M5): a batch appended with a new column is
+    * visible on read-back, older rows null-padded.
+    */
   override def read(spark: SparkSession): DataFrame =
-    spark.read.parquet(path)
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

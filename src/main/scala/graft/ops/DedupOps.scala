@@ -129,6 +129,43 @@ object DedupOps {
         .orderBy("a_id", "b_id")
     },
 
+    // SimHash document fingerprints: per word-occurrence hash, each of 16
+    // bit positions votes +1/-1 by its bit value; the sign vector packs
+    // into a 16-bit fingerprint. Near-dup docs differ in few bits.
+    // Bit k = high bit of hex digit k of sha256(word) — lowercase hex
+    // compares lexicographically like its numeric value, so `digit >= '8'`
+    // is portable to the DuckDB oracle. Fully codegen'd: explode + 16
+    // sum(CASE) aggregates.
+    QueryDef(
+      "q45_simhash", {
+        val sums = (0 until 16).map(k =>
+          s"SUM(CASE WHEN substr(h, ${k + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$k")
+          .mkString(",\n        |    ")
+        val pack = (0 until 16).map(k =>
+          s"CASE WHEN s$k > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |h AS (SELECT doc_id, sha256(w) AS h FROM w),
+           |b AS (SELECT doc_id,
+           |    $sums
+           |  FROM h GROUP BY doc_id)
+           |SELECT doc_id, CAST($pack AS INTEGER) AS simhash
+           |FROM b ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      val bitSums = (0 until 16).map(k =>
+        sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1))
+          .as(s"s$k"))
+      val pack = (0 until 16).map(k =>
+        when(col(s"s$k") > 0, 1 << k).otherwise(0)).reduce(_ + _)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), sha2(col("w"), 256).as("h"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), pack.cast("int").as("simhash"))
+        .orderBy("doc_id")
+    },
+
     // MinHash + LSH near-dup candidates — the scale path. 16 xxhash64
     // permutations over word 3-gram shingles, banded 4×4; pairs are
     // generated only within (band, bandHash) buckets, then scored by

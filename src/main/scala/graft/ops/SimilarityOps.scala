@@ -108,6 +108,29 @@ object SimilarityOps {
         .orderBy("vec_id")
     },
 
+    // Embedding-cosine near-duplicate pairs over a bounded id range —
+    // the exactness oracle for near-dup detection (the LSH bucket path in
+    // q53 is the scale variant of exactly this predicate).
+    QueryDef(
+      "q46_cosine_neardup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nv
+        |  FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) AS cos_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6) >= 0.3
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir).filter(col("vec_id") < 200)
+      val a = e.toDF("a_id", "va", "na")
+      val b = e.toDF("b_id", "vb", "nb")
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("round(vec_dot(va, vb) / (na * nb), 6)").as("cos_r"))
+        .filter(col("cos_r") >= 0.3)
+        .orderBy("a_id", "b_id")
+    },
+
     // Sign-random-hyperplane LSH ANN — the bucketed scale path. All
     // buckets come from ONE custom codegen'd expression
     // (HyperplaneBuckets): a tight loop with the deterministic splitmix64
