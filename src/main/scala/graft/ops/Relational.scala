@@ -406,6 +406,31 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // Record re-serialization to JSON (reference F7/F8 raw_json pattern,
+    // bronze_assets_to_silver_assets.py:133-136) as a gold query.
+    // Null-free columns only: Spark drops null fields, DuckDB emits them.
+    QueryDef(
+      "q25_to_json",
+      """SELECT n_nationkey,
+        |  to_json(struct_pack(n_nationkey := n_nationkey, n_name := n_name))
+        |    AS rec
+        |FROM nation ORDER BY n_nationkey""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "nation").select(
+        col("n_nationkey"),
+        to_json(struct(col("n_nationkey"), col("n_name"))).as("rec"))
+        .orderBy("n_nationkey")
+    },
+
+    // Approximate distinct counting (HLL). Sketch implementations differ
+    // across engines → rows-only; the exact q15 is the oracle-checked twin.
+    QueryDef.rowsOnly("q26_approx_distinct") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .orderBy("l_returnflag")
+    },
+
     // Deterministic surrogate key: sha2 ⊕ concat_ws ⊕ lower ⊕ trim
     // (reference F4-F6, bronze_assets_to_silver_assets.py:138-149).
     QueryDef(

@@ -109,6 +109,27 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Polynomial rolling-hash document fingerprint (Rabin-Karp family):
+    // left fold over words, modular accumulator. The accumulator crosses
+    // the fold as a string because DuckDB's list_reduce requires
+    // accumulator type = element type; arithmetic is BIGINT mod 1e9+7 in
+    // both engines, so results are exact.
+    QueryDef(
+      "q35_rolling_fingerprint",
+      """SELECT doc_id,
+        |  CAST(list_reduce(list_prepend('0', string_split(text, ' ')),
+        |    (acc, w) -> CAST((CAST(acc AS BIGINT) * 131
+        |      + ord(substr(w, 1, 1)) * 7 + length(w)) % 1000000007
+        |      AS VARCHAR)) AS BIGINT) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        expr(s"cast(aggregate($words, '0', (acc, w) -> " +
+          "cast((cast(acc as bigint) * 131 + ascii(substr(w, 1, 1)) * 7 " +
+          "+ length(w)) % 1000000007 as string)) as bigint)").as("fp"))
+        .orderBy("doc_id")
+    },
+
     // N-gram-heuristic language ID via stopword hit counts.
     QueryDef(
       "q34_lang_id",
