@@ -60,6 +60,34 @@ object EventOps {
         .orderBy("user_id")
     },
 
+    // As-of join: each event matched to the same user's most recent
+    // purchase at-or-before it. Spark lacks a native ASOF operator;
+    // the composition is equi+range join → per-left-row top-1 window —
+    // exactly the (a)-tier "compose built-ins" strategy. DuckDB's native
+    // ASOF JOIN is the oracle.
+    QueryDef(
+      "q27_asof_join",
+      """SELECT a.event_id, b.event_id AS prev_purchase_id
+        |FROM events a ASOF LEFT JOIN (
+        |  SELECT * FROM events WHERE event_type = 'purchase') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin) { (s, dir) =>
+      val a = Tables(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("ts"))
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+          col("ts").as("p_ts"))
+      val w = Window.partitionBy("event_id")
+        .orderBy(col("p_ts").desc, col("p_id").desc)
+      a.join(p, col("user_id") === col("p_user") && col("p_ts") <= col("ts"),
+          "left")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("p_id").as("prev_purchase_id"))
+        .orderBy("event_id")
+    },
+
     // Sliding event-time windows (2h duration, 1h slide): every event lands
     // in exactly two epoch-aligned windows.
     QueryDef(
