@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes the engine's codegen'd
+  * functions available in ANY session — including pure-SQL users — via
+  *
+  * {{{
+  * spark.sql.extensions=graft.functions.GraftExtensions
+  * }}}
+  *
+  * (the `SparkSessionExtensions` registration path; programmatic sessions
+  * can equally call `VectorExpressions.register`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float/double arrays"),
+      (exprs: Seq[Expression]) => DotProduct(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("vec_sqdist"),
+      info("vec_sqdist", "vec_sqdist(a, b) - squared L2 distance"),
+      (exprs: Seq[Expression]) => SquaredDistance(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("vec_hp_buckets"),
+      info("vec_hp_buckets",
+        "vec_hp_buckets(v, tables, bits) - sign-hyperplane LSH buckets"),
+      (exprs: Seq[Expression]) => HyperplaneBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+  }
+}

@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions wires vec_* into a pure-SQL session") {
+    // getOrCreate would silently reuse another suite's default session
+    // (ignoring the extensions conf) — detach first, restore after, and
+    // never stop() the possibly-shared context.
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // withExtensions applies even when a SparkContext already exists;
+      // the spark.sql.extensions conf form is equivalent but only takes
+      // effect on a fresh context (i.e. spark-submit), so tests use the
+      // programmatic path.
+      val spark = SparkSession.builder()
+        .master("local[2]")
+        .appName("ext-test")
+        .withExtensions(new GraftExtensions)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      val r = spark.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
+          "vec_sqdist(array(0.0D), array(3.0D)) AS q, " +
+          "size(vec_hp_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS n")
+        .head()
+      assert(r.getDouble(0) == 11.0)
+      assert(r.getDouble(1) == 9.0)
+      assert(r.getInt(2) == 4)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
