@@ -218,5 +218,9 @@ object VectorExpressions {
       exprs => HyperplaneBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int]),
       "built-in")
+    reg.createOrReplaceTempFunction("minhash_sig",
+      exprs => MinHashAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
   }
 }

@@ -208,10 +208,12 @@ object DedupOps {
   /** MinHash-LSH candidate pairs: input (doc_id, h) shingle-hash rows
     * (one per shingle occurrence, e.g. from [[shingleHashes]]).
     *
-    * Signatures are a hash-aggregate of numPerms `min(xxhash64(p, h))`
-    * columns — fully whole-stage-codegen'd (the HOF formulation
-    * `transform(sequence(...), p -> array_min(...))` evaluates interpreted
-    * lambdas at ~µs/step: measured in the tens of seconds at sf0.1).
+    * Signatures come from ONE custom TypedImperativeAggregate
+    * (graft.functions.MinHashAgg): the shingle hash is evaluated once per
+    * row and folded into a single numPerms-wide min buffer, with map-side
+    * partial aggregation like any built-in. (History: the HOF formulation
+    * cost tens of seconds in interpreted lambdas; numPerms separate
+    * min(xxhash64(p, h)) columns were codegen'd but numPerms-wide.)
     * Pair generation does NOT self-join: docs are grouped per
     * (band, bucketHash) — LSH's guarantee is precisely that these groups
     * are small — and pairs expand locally inside each group, so the
@@ -220,10 +222,10 @@ object DedupOps {
   def minhashLshCandidates(shingles: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms % bands == 0)
     val rows = numPerms / bands
+    graft.functions.VectorExpressions.register(shingles.sparkSession)
     val sigs = shingles
       .groupBy("doc_id")
-      .agg(array((0 until numPerms).map(p =>
-        min(xxhash64(lit(p), col("h")))): _*).as("sig"))
+      .agg(expr(s"minhash_sig(h, $numPerms)").as("sig"))
     // One row per (doc, band): bucket key = hash of the band's sig slice.
     val buckets = sigs
       .select(col("doc_id"), col("sig"), posexplode(
