@@ -63,6 +63,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("schema inference is monotone under adding a field") {
+    import java.nio.file.Files
+    val reg = (dir: java.nio.file.Path) => new SchemaRegistry(spark,
+      dir.toString, Files.createTempDirectory("wh-").toString,
+      SchemaRegistry.Config(multiLine = false, samplingRatio = 1.0))
+    val d1 = Files.createTempDirectory("mono-")
+    Files.writeString(d1.resolve("a.json"), """{"x": 1, "y": "s"}""")
+    val base = reg(d1).inferSchema(Seq(d1.resolve("a.json").toString)).get._1
+    Files.writeString(d1.resolve("b.json"), """{"x": 2, "z": true}""")
+    val extended = reg(d1).inferSchema(Seq(
+      d1.resolve("a.json").toString, d1.resolve("b.json").toString)).get._1
+    val baseFields = org.apache.spark.sql.types.DataType.fromJson(base)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    val extFields = org.apache.spark.sql.types.DataType.fromJson(extended)
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSet
+    assert(baseFields.subsetOf(extFields) && extFields.contains("z"))
+  }
+
   test("schema hash is stable for identical schemas, sensitive to drift") {
     val j1 = """{"type":"struct","fields":[{"name":"a","type":"long","nullable":true,"metadata":{}}]}"""
     assert(SchemaRegistry.hashSchema(j1) == SchemaRegistry.hashSchema(j1))
