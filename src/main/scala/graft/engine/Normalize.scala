@@ -72,6 +72,26 @@ object Normalize {
     spark.readStream.format("json").schema(spec.schema)
       .options(spec.jsonOptions).load(path)
 
+  /** Batch read of a CSV bronze directory under the same hardening
+    * contract as JSON (PERMISSIVE + corrupt-record capture): widens the
+    * engine's bronze surface beyond the reference's JSON-only sources.
+    * The spec's schema must be flat for CSV; nested specs should stay on
+    * JSON.
+    *
+    * Caveat (Spark limitation, enforced for CSV after column pruning): an
+    * action that references ONLY the corrupt column — e.g. a bare
+    * `count()` immediately after the corrupt filter — is rejected
+    * ([UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN]). Any real
+    * consumer (write, aggregate, select of data columns) is fine.
+    */
+  def readBatchCsv(spark: SparkSession, spec: SourceSpec, path: String,
+      header: Boolean = true): DataFrame =
+    spark.read.schema(spec.schema)
+      .option("header", header.toString)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .csv(path)
+
   /** In-memory read for fixtures/smoke: one JSON document per string.
     * (multiLine does not apply to in-memory datasets — line-based parse.)
     */
