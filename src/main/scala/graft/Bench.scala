@@ -25,15 +25,35 @@ object Bench {
     if (warmDir.isDirectory) SparkEntry.queries.values.foreach { fn =>
       try fn(spark, warmDir.toString).count() catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Best-of-N timing per query: a single-shot sample on a shared VM is
+    // noise-dominated (observed 5-8x swings on identical plans), and the
+    // minimum of N runs is the standard estimator for "how fast does this
+    // plan actually execute". Failures are recorded explicitly — a broken
+    // query must surface as a failure, never as a fast timing.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val samples = (1 to runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
+      }
+      val best = samples.collect { case Right(t) => t }.minOption
+      name -> best.toRight(samples.collectFirst { case Left(m) => m }.get)
+    }
+    val ok = outcomes.collect { case (n, Right(t)) => n -> t }
+    val failed = outcomes.collect { case (n, Left(m)) => n -> m }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = ok.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"n_ok":${ok.size},"n_failed":${failed.size},"runs":$runs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      failed.foreach { case (n, m) => System.err.println(s"BENCH FAILURE $n: $m") }
+      sys.exit(1)
+    }
   }
 }

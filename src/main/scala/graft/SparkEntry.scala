@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** Flagship: the reference's entire hot path (SURVEY §7.3) — permissive
     * JSON read with corrupt capture → declarative normalization into the
-    * 32-column canonical model (uid, raw_json, typed null-padding) →
+    * 33-column canonical model (uid, raw_json, typed null-padding) →
     * union-by-name of both sources. Driver smoke-checks rows>0.
     */
   def entry(spark: SparkSession): DataFrame = {

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.types._
 
-/** The canonical ("silver") asset model: 32 governed columns that every
+/** The canonical ("silver") asset model: 33 governed columns that every
   * bronze source is normalized into.
   *
   * Column list and types mirror the reference's select contract

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Bronze → silver normalization: corrupt-record filter, declarative
   * mapping, typed null-padding, deterministic surrogate key, raw-payload
-  * preservation, fixed 32-column projection.
+  * preservation, fixed 33-column projection.
   *
   * Semantics follow `/root/reference/scripts/bronze_assets_to_silver_assets
   * .py:87-163` (Rapid7) / `:196-269` (FortiSIEM) but the whole pipeline is

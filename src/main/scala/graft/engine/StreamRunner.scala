@@ -58,4 +58,29 @@ object StreamRunner {
     }
     queries.foreach(_.awaitTermination())
   }
+
+  /** The production deployment shape (reference
+    * `bronze_assets_to_silver_assets.py:280-299`): start one
+    * ProcessingTime query per source, all appending into one silver
+    * store, then park the driver on `awaitAnyTermination` — returning
+    * (or rethrowing) as soon as ANY query stops or fails, so a supervisor
+    * can restart the job rather than limping along with a dead source.
+    *
+    * BLOCKS until a query terminates. Queries keep each other company on
+    * the session's StreamingQueryManager; tests drive this from a
+    * dedicated `spark.newSession()` so a foreign query can't wake the
+    * park.
+    */
+  def runForever(
+      spark: SparkSession,
+      sources: Seq[(SourceSpec, String, String)], // (spec, srcDir, ckptDir)
+      store: TableStore,
+      trigger: Trigger = Trigger.ProcessingTime("30 seconds"),
+      maxFilesPerTrigger: Option[Int] = None): Unit = {
+    spark.streams.resetTerminated()
+    sources.foreach { case (spec, src, ckpt) =>
+      start(spark, spec, src, ckpt, store, trigger, maxFilesPerTrigger)
+    }
+    spark.streams.awaitAnyTermination()
+  }
 }

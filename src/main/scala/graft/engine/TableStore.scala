@@ -17,6 +17,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 trait TableStore {
   def append(df: DataFrame, batchId: Long): Unit
   def read(spark: SparkSession): DataFrame
+
+  /** Exactly-once read-back over a store that may contain a replayed
+    * micro-batch (crash between parquet write and checkpoint commit → the
+    * restarted query re-runs the same batch id with recomputed rows, e.g.
+    * a fresh `ingest_ts`). One row survives per (batch_id, key): replays
+    * collapse because they share the batch id, while identical content
+    * legitimately arriving in different batches keeps distinct batch ids.
+    * This is the recovery contract `batch_id` is stamped for — the
+    * parquet-dir analogue of an Iceberg snapshot rollback.
+    */
+  def readExactlyOnce(spark: SparkSession,
+      keys: Seq[String] = Seq("asset_uid")): DataFrame = {
+    val df = read(spark)
+    df.dropDuplicates("batch_id" +: keys)
+  }
 }
 
 final class ParquetTableStore(path: String) extends TableStore {

@@ -31,5 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "vec_hp_buckets(v, tables, bits) - sign-hyperplane LSH buckets"),
       (exprs: Seq[Expression]) => HyperplaneBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig",
+        "minhash_sig(h, numPerms) - minhash signature aggregate over " +
+          "shingle hashes"),
+      (exprs: Seq[Expression]) => MinHashAgg(exprs.head,
+        exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes",
+        "shingle_hashes(text, n) - generator emitting one xxhash64 per " +
+          "word n-gram"),
+      (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
   }
 }

@@ -27,8 +27,11 @@ abstract class VectorFold extends BinaryExpression {
 
   /** scala step: acc += step(x, y) */
   protected def step(x: Double, y: Double): Double
-  /** java source for the step with element vars `x` and `y`. */
-  protected def stepCode: String
+  /** java source for the step, parameterized on the generated (fresh)
+    * element variable names so fused whole-stage codegen can never
+    * shadow/collide with an outer-scope variable.
+    */
+  protected def stepCode(x: String, y: String): String
 
   override def checkInputDataTypes():
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
@@ -69,9 +72,9 @@ abstract class VectorFold extends BinaryExpression {
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  double x = (double) $a.$aGet($i);
-         |  double y = (double) $b.$bGet($i);
-         |  $acc += $stepCode;
+         |  double $x = (double) $a.$aGet($i);
+         |  double $y = (double) $b.$bGet($i);
+         |  $acc += ${stepCode(x, y)};
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -83,7 +86,7 @@ abstract class VectorFold extends BinaryExpression {
 case class DotProduct(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "vec_dot"
   override protected def step(x: Double, y: Double): Double = x * y
-  override protected def stepCode: String = "x * y"
+  override protected def stepCode(x: String, y: String): String = s"$x * $y"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -92,7 +95,8 @@ case class DotProduct(left: Expression, right: Expression) extends VectorFold {
 case class SquaredDistance(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "vec_sqdist"
   override protected def step(x: Double, y: Double): Double = (x - y) * (x - y)
-  override protected def stepCode: String = "(x - y) * (x - y)"
+  override protected def stepCode(x: String, y: String): String =
+    s"($x - $y) * ($x - $y)"
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
 }
@@ -221,6 +225,10 @@ object VectorExpressions {
     reg.createOrReplaceTempFunction("minhash_sig",
       exprs => MinHashAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression(),
+      "built-in")
+    reg.createOrReplaceTempFunction("shingle_hashes",
+      exprs => ShingleHashes(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
   }
 }

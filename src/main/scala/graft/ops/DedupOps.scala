@@ -23,23 +23,6 @@ object DedupOps {
 
   private val words = "split(text, ' ')"
 
-  /** Word 3-gram shingles over a pre-split `w` array column. Splitting
-    * FIRST matters: inlining split() inside the transform lambda would
-    * re-tokenize the document for every element_at — O(words²) string
-    * splits per row, which dominated the whole benchmark before staging.
-    */
-  private val shinglesOverW =
-    "array_distinct(transform(sequence(1, size(w) - 2), i -> " +
-      "concat_ws(' ', element_at(w, i), element_at(w, i + 1), " +
-      "element_at(w, i + 2))))"
-
-  /** doc_id + distinct shingle set for docs with >= 3 words. */
-  private def shingleSets(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), expr(shinglesOverW).as("sh"))
-
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on normalized content.
@@ -110,24 +93,7 @@ object DedupOps {
         |FROM p
         |JOIN c ca ON ca.doc_id = a_id
         |JOIN c cb ON cb.doc_id = b_id
-        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val d = shingleSets(
-        Tables(s, dir, "documents").filter(col("doc_id") < 30)).cache()
-      val sh = d.select(col("doc_id"), explode(col("sh")).as("sh"))
-      val cnt = d.select(col("doc_id"), size(col("sh")).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"),
-          col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(cnt.as("ca"), col("a_id") === col("ca.doc_id"))
-        .join(cnt.as("cb"), col("b_id") === col("cb.doc_id"))
-        .select(col("a_id"), col("b_id"), col("inter"),
-          (col("inter").cast("double") /
-            (col("ca.n") + col("cb.n") - col("inter"))).as("jaccard"))
-        .orderBy("a_id", "b_id")
-    },
+        |ORDER BY a_id, b_id""".stripMargin)(jaccardPairs),
 
     // SimHash document fingerprints: per word-occurrence hash, each of 16
     // bit positions votes +1/-1 by its bit value; the sign vector packs
@@ -174,35 +140,116 @@ object DedupOps {
     // produce quadratic candidate pairs that near-dup detection cannot
     // use — one representative per exact-duplicate class suffices.
     // Not ANSI-SQL-expressible (xxhash64) → rows-only.
-    QueryDef.rowsOnly("q44_minhash_lsh_candidates") { (s, dir) =>
-      // groupBy(text) not groupBy(sha(text))+first(text): a string-buffered
-      // aggregate (first) forces SortAggregate; grouping directly on the
-      // text keeps the dedup a HashAggregate with a fixed-width buffer.
-      val reps = Tables(s, dir, "documents")
-        .groupBy(col("text"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      minhashLshCandidates(shingleHashes(reps), numPerms = 16, bands = 4)
+    QueryDef.rowsOnly("q44_minhash_lsh_candidates")(lshCandidates),
+
+    // LSH containment audit: does the q44 candidate set cover every
+    // ground-truth near-dup? One row per exact-Jaccard pair (>= 0.7, the
+    // q43 verifier), `covered` true iff LSH surfaced it (directly, or
+    // collapsed earlier by exact dedup). The quality bound CI asserts
+    // (DedupQualitySpec) — registered so the metric itself ships in the
+    // correctness artifact. Not ANSI-SQL-expressible (xxhash64) →
+    // rows-only.
+    QueryDef.rowsOnly("q47_lsh_containment") { (s, dir) =>
+      lshContainment(s, dir, minJaccard = 0.7)
     })
 
+  /** q43 build: exact n-gram Jaccard over a capped id range — the ground
+    * truth the LSH candidate path is audited against.
+    *
+    * Built on the [[graft.functions.ShingleHashes]] generator, comparing
+    * 64-bit shingle hashes instead of shingle strings: word triples map
+    * 1:1 to the oracle's `concat_ws(' ', w1, w2, w3)` strings (words
+    * cannot contain the separator), so distinct/intersection counts are
+    * identical modulo xxhash64 collisions (~10^-9 at any realistic doc
+    * size — and the oracle hash-compare would catch one). History: the
+    * string formulation needed a `.cache()` to be viable — its distinct
+    * shingle sets came from an interpreted `transform` lambda that
+    * CollapseProject re-inlined into all four consumers (explode ×2 via
+    * the self-join, size ×2), which without the cache recomputed the
+    * lambda per reference: 308 s at sf0.1 for THIRTY documents. The
+    * generator shape needs no cache (nothing pinned across queries in a
+    * long-lived session) and no HOF: one row-local Generate feeding a
+    * distinct whose Exchange is shared by every consumer via reuse.
+    */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingleHashes(
+      Tables(s, dir, "documents").filter(col("doc_id") < 30)).distinct()
+    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.toDF("a_id", "ha").as("a")
+      .join(sh.toDF("b_id", "hb").as("b"),
+        col("ha") === col("hb") && col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(cnt.toDF("a_id", "na"), "a_id")
+      .join(cnt.toDF("b_id", "nb"), "b_id")
+      .select(col("a_id"), col("b_id"), col("inter"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+      .orderBy("a_id", "b_id")
+  }
+
+  /** q44 build: exact-dedup representatives first, then MinHash-LSH
+    * candidates over 16 perms × 4 bands.
+    *
+    * groupBy(text) not groupBy(sha(text))+first(text): a string-buffered
+    * aggregate (first) forces SortAggregate; grouping directly on the
+    * text keeps the dedup a HashAggregate with a fixed-width buffer.
+    */
+  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val reps = Tables(s, dir, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    minhashLshCandidates(shingleHashes(reps), numPerms = 16, bands = 4)
+  }
+
+  /** Containment audit of the LSH scale path against exact ground truth:
+    * every q43 pair with jaccard >= minJaccard, with `covered` = the LSH
+    * pipeline would deduplicate it. A truth pair is covered when (a) both
+    * docs collapse to the same exact-dedup representative (jaccard 1.0
+    * pairs never reach LSH — byte-identical text is deduped exactly,
+    * which is the pipeline's intent), or (b) the representatives' pair is
+    * in the q44 candidate set.
+    */
+  def lshContainment(s: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
+    val truth = jaccardPairs(s, dir).filter(col("jaccard") >= minJaccard)
+    // doc -> exact-dedup representative (min doc_id of its text class)
+    val repOf = Tables(s, dir, "documents")
+      .select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy("text")).as("rep"))
+    val cand = lshCandidates(s, dir)
+      .select(col("a_id").as("c_a"), col("b_id").as("c_b"), lit(true).as("hit"))
+    truth
+      .join(repOf.select(col("doc_id").as("a_id"), col("rep").as("rep_a")),
+        "a_id")
+      .join(repOf.select(col("doc_id").as("b_id"), col("rep").as("rep_b")),
+        "b_id")
+      .withColumn("c_a", least(col("rep_a"), col("rep_b")))
+      .withColumn("c_b", greatest(col("rep_a"), col("rep_b")))
+      .join(cand, Seq("c_a", "c_b"), "left")
+      .select(col("a_id"), col("b_id"), col("jaccard"),
+        (col("rep_a") === col("rep_b") ||
+          coalesce(col("hit"), lit(false))).as("covered"))
+      .orderBy("a_id", "b_id")
+  }
+
   /** One row per word-3-gram occurrence: (doc_id, h = xxhash64 of the three
-    * words). Built with posexplode + window leads — every operator is
-    * whole-stage-codegen'd. The HOF formulation (transform over a split
-    * array) evaluates interpreted lambdas AND invites CollapseProject to
-    * inline the tokenization into every downstream reference — measured at
-    * 4,300 CPU-seconds for 5k docs versus ~2s for this shape. The window
-    * shuffle on doc_id is the deliberate price; it doubles as the partial
-    * dedup/minhash partitioning downstream.
+    * words), via the custom [[graft.functions.ShingleHashes]] generator —
+    * entirely row-local, so shingle hashes stream into the downstream
+    * (map-side partial) MinHash aggregate with NO shuffle before the
+    * per-doc groupBy. History: the HOF formulation (transform over a split
+    * array) evaluated interpreted lambdas AND invited CollapseProject to
+    * inline the tokenization into every downstream reference (measured
+    * 4,300 CPU-seconds for 5k docs); the posexplode + window-lead shape
+    * fixed that but paid a full-corpus Exchange + sort on doc_id for every
+    * shingle occurrence — the largest data movement in the pipeline at
+    * scale. The generator keeps the codegen'd aggregate and deletes the
+    * shuffle.
     */
   def shingleHashes(docs: DataFrame): DataFrame = {
-    val byDoc = Window.partitionBy("doc_id").orderBy("i")
-    docs
-      .select(col("doc_id"), posexplode(split(col("text"), " ")))
-      .toDF("doc_id", "i", "w")
-      .select(col("doc_id"), col("w"),
-        lead(col("w"), 1).over(byDoc).as("w1"),
-        lead(col("w"), 2).over(byDoc).as("w2"))
-      .filter(col("w2").isNotNull)
-      .select(col("doc_id"), xxhash64(col("w"), col("w1"), col("w2")).as("h"))
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("shingle_hashes(text, 3)"))
   }
 
   /** MinHash-LSH candidate pairs: input (doc_id, h) shingle-hash rows
@@ -235,9 +282,17 @@ object DedupOps {
     // members sorted by doc_id → i<j enumeration yields a_id < b_id.
     // Only PRIMITIVE doc_ids are collected (collect_list over structs with
     // nested arrays hits a pathologically slow aggregate path — measured
-    // 10x+ on identical data); signatures join back per pair afterwards,
-    // against the persisted (tiny: one row per unique doc) sig frame.
-    val sigsP = sigs.persist()
+    // 10x+ on identical data); signatures join back per pair afterwards.
+    // The sig subtree appears three times in this plan (buckets + the two
+    // pair joins) but is computed ONCE: its shuffle (the Exchange feeding
+    // the per-doc aggregate) is deduplicated by Spark's exchange reuse, so
+    // the scan/generate/partial-agg run a single time and the reread is
+    // shuffle files on local disk. That is the at-scale answer a persist()
+    // would get wrong — a cache pins one sig copy per invocation in
+    // executor memory for the life of the session (and 100 TB of
+    // signatures would not fit anyway), while reused shuffle output is
+    // freed with the job.
+    val sigsP = sigs
     val pairIds = buckets
       .groupBy("band", "bh")
       .agg(array_sort(collect_list(col("doc_id"))).as("m"))

@@ -75,19 +75,42 @@ object EventStreams {
   /** Custom per-key state (mapGroupsWithState): running per-user totals,
     * updated every micro-batch. The GroupState hook is the escape hatch
     * for semantics window/session aggregates can't express.
+    *
+    * State is BOUNDED: a key idle for `idleTimeout` past the event-time
+    * watermark is expired — the final snapshot is emitted once more and the
+    * state removed, so a later event for the same user starts a fresh
+    * total. Without this, per-user state on an unbounded user population
+    * grows forever (the 100 TB failure mode of keyed state).
     */
-  def userRunningTotals(events: Dataset[Event]): Dataset[UserAgg] = {
+  def userRunningTotals(events: Dataset[Event],
+      watermark: String = "10 minutes",
+      idleTimeout: String = "1 hour"): Dataset[UserAgg] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+      .mapGroupsWithState(GroupStateTimeout.EventTimeTimeout()) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserAgg]) =>
-          val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
-          val updated = batch.foldLeft(prev) { (acc, e) =>
-            UserAgg(userId, acc.n_events + 1, acc.total_value + e.value)
+          if (state.hasTimedOut) {
+            val last = state.get
+            state.remove()
+            last
+          } else {
+            val prev = state.getOption.getOrElse(UserAgg(userId, 0L, 0.0))
+            var maxTs = Long.MinValue
+            val updated = batch.foldLeft(prev) { (acc, e) =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              UserAgg(userId, acc.n_events + 1, acc.total_value + e.value)
+            }
+            state.update(updated)
+            // Idle = no events for idleTimeout in EVENT time: deadline is
+            // anchored on this key's newest event (floored at the watermark,
+            // which Spark requires deadlines to exceed), so the key expires
+            // once the watermark passes last-seen + idleTimeout.
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), idleTimeout)
+            updated
           }
-          state.update(updated)
-          updated
       }
   }
 

@@ -20,7 +20,7 @@ class NormalizeSpec extends SparkSpec {
       SourceSpec.fortisiem,
       to_timestamp(lit("2026-01-01 00:00:00"))).cache()
 
-  test("output schema is exactly the canonical 32-column contract") {
+  test("output schema is exactly the canonical 33-column contract") {
     assert(r7.schema.map(f => (f.name, f.dataType)) ==
       CanonicalSchema.columns.map(f => (f.name, f.dataType)))
     assert(forti.schema.map(f => (f.name, f.dataType)) ==

@@ -58,6 +58,85 @@ class StreamRunnerSpec extends SparkSpec {
       .toSeq == Seq("1", "2"))
   }
 
+  test("runForever: two ProcessingTime queries run continuously; the park " +
+      "wakes when a query stops") {
+    // Dedicated session: runForever parks on the session-wide
+    // StreamingQueryManager, so it must not share one with other suites'
+    // streaming tests.
+    val s = spark.newSession()
+    val srcA = tmp("forever-a-"); val srcB = tmp("forever-b-")
+    val ckptA = tmp("forever-ckpt-a-"); val ckptB = tmp("forever-ckpt-b-")
+    val out = tmp("forever-silver-")
+    writeFile(srcA, "r7.json",
+      """{"id": 1, "ip": "10.0.0.1", "hostName": "h1"}""")
+    writeFile(srcB, "fg.json",
+      """{"_id": {"$oid": "aaa"}, "accessIp": "1.2.3.4", "name": "fg"}""")
+    val store = new ParquetTableStore(out.toString)
+    @volatile var parkExited = false
+    val runner = new Thread(() => {
+      StreamRunner.runForever(s, Seq(
+        (SourceSpec.rapid7, srcA.toString, ckptA.toString),
+        (SourceSpec.fortisiem, srcB.toString, ckptB.toString)),
+        store, org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "200 milliseconds"))
+      parkExited = true
+    }, "runForever-spec")
+    runner.setDaemon(true)
+    runner.start()
+    def rowsBySource(): Map[String, Long] =
+      if (!out.resolve("_SUCCESS").toFile.exists()) Map.empty
+      else store.read(spark).groupBy("source_system").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def awaitUntil(deadlineMs: Long)(cond: => Boolean): Unit = {
+      val t0 = System.currentTimeMillis()
+      while (!cond) {
+        assert(System.currentTimeMillis() - t0 < deadlineMs,
+          "timed out waiting for streaming progress")
+        Thread.sleep(200)
+      }
+    }
+    // both sources land their first micro-batch
+    awaitUntil(60000)(rowsBySource().size == 2)
+    // the job is CONTINUOUS: a file arriving later is picked up by a
+    // subsequent micro-batch with no restart
+    writeFile(srcA, "r7_late.json",
+      """{"id": 2, "ip": "10.0.0.2", "hostName": "h2"}""")
+    awaitUntil(60000)(rowsBySource().getOrElse("rapid7", 0L) == 2L)
+    assert(!parkExited, "awaitAnyTermination returned while queries run")
+    // stopping ONE query wakes the park (supervisor-restart semantics)
+    s.streams.active.head.stop()
+    runner.join(30000)
+    assert(parkExited, "awaitAnyTermination did not return on query stop")
+    s.streams.active.foreach(_.stop())
+  }
+
+  test("batch_id recovery: a replayed micro-batch collapses on " +
+      "readExactlyOnce; identical content in different batches survives") {
+    import spark.implicits._
+    val out = tmp("recovery-")
+    val store = new ParquetTableStore(out.toString)
+    val batch0 = Seq(("u1", "h1", "2026-01-01T00:00:01"),
+      ("u2", "h2", "2026-01-01T00:00:01"))
+      .toDF("asset_uid", "hostname", "ingest_ts")
+    store.append(batch0, 0L)
+    // crash between write and checkpoint commit → restart re-runs batch 0;
+    // the recomputation stamps a NEW ingest_ts, so rows are not
+    // byte-identical — only (batch_id, key) identifies the replay.
+    val replay0 = Seq(("u1", "h1", "2026-01-01T00:05:09"),
+      ("u2", "h2", "2026-01-01T00:05:09"))
+      .toDF("asset_uid", "hostname", "ingest_ts")
+    store.append(replay0, 0L)
+    // the same asset legitimately re-observed in a later batch
+    val batch1 = Seq(("u1", "h1", "2026-01-01T00:10:00"))
+      .toDF("asset_uid", "hostname", "ingest_ts")
+    store.append(batch1, 1L)
+    assert(store.read(spark).count() == 5) // raw: replay visible
+    val exact = store.readExactlyOnce(spark)
+    assert(exact.count() == 3) // u1+u2 once for batch 0, u1 for batch 1
+    assert(exact.groupBy("asset_uid", "batch_id").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
   test("two concurrent sources append into one silver store") {
     val srcA = tmp("bronze-a-"); val srcB = tmp("bronze-b-")
     val ckptA = tmp("ckpt-a-"); val ckptB = tmp("ckpt-b-")

@@ -66,7 +66,10 @@ class EventStreamsSpec extends SparkSpec {
 
   test("mapGroupsWithState keeps running per-user totals across batches") {
     val input = MemoryStream[Event](spark)
-    val q = EventStreams.userRunningTotals(input.toDS())
+    // Wide watermark/idle so nothing in the fixture is late or expired —
+    // this test is about accumulation; expiry has its own test below.
+    val q = EventStreams.userRunningTotals(input.toDS(),
+        watermark = "24 hours", idleTimeout = "48 hours")
       .writeStream.format("memory").queryName("totals")
       .outputMode(OutputMode.Update()).start()
     input.addData(fixture.take(3)) // user1: 3 events
@@ -80,6 +83,37 @@ class EventStreamsSpec extends SparkSpec {
       .orderBy("user_id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(last == Seq((1L, 3L, 6.0), (2L, 2L, 9.0)))
+  }
+
+  test("idle user state expires via event-time timeout and restarts fresh") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.userRunningTotals(input.toDS(),
+        watermark = "0 seconds", idleTimeout = "1 hour")
+      .writeStream.format("memory").queryName("totals_expire")
+      .outputMode(OutputMode.Update()).start()
+    // user1 active at 10:00-10:10 → timeout deadline 11:10.
+    input.addData(Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "click", 1.0),
+      Event(2L, ts("2024-01-01 10:10:00"), 1L, "click", 2.0)))
+    q.processAllAvailable()
+    // advance the watermark to 12:00 (> deadline)...
+    input.addData(Seq(Event(3L, ts("2024-01-01 12:00:00"), 2L, "view", 4.0)))
+    q.processAllAvailable()
+    // ...timeouts are evaluated against the PREVIOUS batch's watermark, so
+    // one more batch actually fires user1's expiry and removes its state.
+    input.addData(Seq(Event(4L, ts("2024-01-01 12:30:00"), 2L, "view", 4.0)))
+    q.processAllAvailable()
+    // user1 returns: state was removed, so the total restarts from zero.
+    input.addData(Seq(Event(5L, ts("2024-01-01 13:00:00"), 1L, "click", 5.0)))
+    q.processAllAvailable()
+    q.stop()
+    val u1 = spark.table("totals_expire").filter(col("user_id") === 1L)
+      .select("n_events", "total_value").collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // (2,3.0) from accumulation (re-emitted once at expiry), then a FRESH
+    // (1,5.0) — never (3,8.0), which is what unexpired state would emit.
+    assert(u1.contains((1L, 5.0)), s"fresh restart row missing: $u1")
+    assert(!u1.contains((3L, 8.0)), s"state survived past expiry: $u1")
   }
 
   test("same code plans as a batch query (unified API)") {
