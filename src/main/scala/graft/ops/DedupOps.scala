@@ -142,6 +142,78 @@ object DedupOps {
     // Not ANSI-SQL-expressible (xxhash64) → rows-only.
     QueryDef.rowsOnly("q44_minhash_lsh_candidates")(lshCandidates),
 
+    // Near-dup CLUSTER resolution: candidate pairs are only half a dedup
+    // pipeline — the corpus is clean only after connected components of
+    // the near-dup graph resolve into groups with one representative
+    // each (A~B, B~C must collapse to ONE doc even when A~C was never
+    // scored). Verified against a DuckDB recursive-CTE transitive
+    // closure on the capped q43 range.
+    QueryDef(
+      "q48_dedup_clusters",
+      """WITH RECURSIVE
+        |d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS sh
+        |  FROM documents
+        |  WHERE doc_id < 30 AND len(string_split(text,' ')) >= 3),
+        |s AS (SELECT doc_id, unnest(sh) AS sh FROM d),
+        |c AS (SELECT doc_id, len(sh) AS n FROM d),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, COUNT(*) AS inter
+        |      FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2),
+        |j AS (SELECT a_id, b_id FROM p
+        |      JOIN c ca ON ca.doc_id = a_id
+        |      JOIN c cb ON cb.doc_id = b_id
+        |      WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.7),
+        |e AS (SELECT a_id AS src, b_id AS dst FROM j
+        |      UNION SELECT b_id, a_id FROM j),
+        |r AS (
+        |  SELECT doc_id AS node, doc_id AS lbl FROM documents
+        |  WHERE doc_id < 30
+        |  UNION
+        |  SELECT e.src AS node, r.lbl FROM r JOIN e ON e.dst = r.node)
+        |SELECT node AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster
+        |FROM r GROUP BY node ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val edges = jaccardPairs(s, dir)
+        .filter(col("jaccard") >= 0.7).select("a_id", "b_id")
+      val nodes = Tables(s, dir, "documents")
+        .filter(col("doc_id") < 30).select("doc_id")
+      connectedComponents(edges, nodes)
+        .toDF("doc_id", "cluster").orderBy("doc_id")
+    },
+
+    // The full dedup pipeline end-to-end AT SCALE, over the whole corpus:
+    // exact dedup reps → MinHash-LSH candidates → signature-estimated
+    // jaccard filter → connected components → one representative per
+    // near-dup cluster. Output: the keep-list with its cluster sizes
+    // (exact-dup multiplicity folded back in). Not ANSI-SQL-expressible
+    // (xxhash64 in the candidate path) → rows-only; correctness of every
+    // stage is pinned by q40 (exact), q43/q47 (candidates vs truth), q48
+    // (clustering vs transitive closure).
+    QueryDef.rowsOnly("q49_neardup_reps") { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      // exact-dup classes: representative + multiplicity
+      val classes = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+      val edges = minhashLshCandidates(
+          shingleHashes(classes.select("doc_id", "text")),
+          numPerms = 16, bands = 4)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+      val clusters = connectedComponents(
+        edges, classes.select("doc_id"))
+      // the component label IS the representative (min reachable doc_id)
+      clusters.toDF("doc_id", "cluster")
+        .join(classes.select("doc_id", "n_exact"), "doc_id")
+        .groupBy(col("cluster").as("keep_id"))
+        .agg(count(lit(1)).as("n_near_dup_classes"),
+          sum(col("n_exact")).as("n_docs_total"))
+        .orderBy("keep_id")
+    },
+
     // LSH containment audit: does the q44 candidate set cover every
     // ground-truth near-dup? One row per exact-Jaccard pair (>= 0.7, the
     // q43 verifier), `covered` true iff LSH surfaced it (directly, or
@@ -187,6 +259,56 @@ object DedupOps {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter"))).as("jaccard"))
       .orderBy("a_id", "b_id")
+  }
+
+  /** Connected components by iterative min-label propagation: every node's
+    * label converges to the smallest doc_id reachable from it, so the
+    * label IS the component's canonical representative.
+    *
+    * @param edges undirected edges, two numeric columns (any names)
+    * @param nodes one numeric column — every node needing a label,
+    *              including isolated ones (they keep their own id)
+    * @return (node, label) — one row per input node
+    *
+    * Scale shape: each round is two hash-partitioned shuffles (neighbor
+    * min + label update), and the round count is the graph DIAMETER —
+    * near-dup clusters are dense blobs of the same underlying document,
+    * so diameters stay in low single digits (an adversarial long-chain
+    * graph would want the alternating large-star/small-star contraction
+    * instead, which contracts in O(log n) rounds; not needed for dedup
+    * workloads). `localCheckpoint` after each round truncates the plan —
+    * without it the lineage doubles per iteration and analysis cost
+    * explodes; checkpoint blocks of superseded iterations are released
+    * by the ContextCleaner once unreferenced.
+    */
+  def connectedComponents(edges: DataFrame, nodes: DataFrame,
+      maxIter: Int = 25): DataFrame = {
+    val Seq(ea, eb) = edges.columns.toSeq
+    val sym = edges.select(col(ea).as("u"), col(eb).as("v"))
+      .union(edges.select(col(eb).as("u"), col(ea).as("v")))
+    var labels = nodes.toDF("node")
+      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      require(iter <= maxIter,
+        s"connectedComponents did not converge in $maxIter rounds")
+      val neighborMin = sym
+        .join(labels, sym("u") === labels("node"))
+        .groupBy(col("v").as("node"))
+        .agg(min(col("lbl")).as("nlbl"))
+      val next = labels
+        .join(neighborMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("lbl", "prev"), "node")
+        .filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next
+    }
+    labels
   }
 
   /** q44 build: exact-dedup representatives first, then MinHash-LSH

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
@@ -140,6 +141,54 @@ object SimilarityOps {
     QueryDef.rowsOnly("q53_ann_lsh")((s, dir) =>
       annLsh(vectors(s, dir), numTables = 16, bitsPerTable = 4,
         queryIds = 0 until 5, topK = 10)),
+
+    // One Lloyd iteration of k-means — IVF "training" as a query: assign
+    // every vector to its nearest centroid (exactly q52's logic), then
+    // recompute each centroid as the per-dimension mean of its members.
+    // Long output shape (centroid, dimension, mean) rather than
+    // re-assembled arrays: the mean is decimal-accumulated (float sums
+    // across shuffle partitions are order-nondeterministic in double;
+    // decimal addition is exact and commutative), divided and rounded
+    // once at the boundary. Iterating this query to a fixpoint IS k-means
+    // training; each iteration is one broadcast crossjoin + one
+    // hash-partitioned aggregate — no driver-side math.
+    QueryDef(
+      "q55_kmeans_step",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, c_id, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d),
+        |m AS (SELECT vec_id, c_id FROM a WHERE rn = 1),
+        |x0 AS (SELECT m.c_id, unnest(list_transform(range(1, len(e.v) + 1),
+        |    i -> {'dim_i': i, 'x': e.v[i]})) AS u
+        |  FROM m JOIN e ON e.vec_id = m.vec_id),
+        |x AS (SELECT c_id, u.dim_i AS dim_i, u.x AS x FROM x0)
+        |SELECT c_id, CAST(dim_i AS INTEGER) AS dim_i,
+        |  round(CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+        |    / COUNT(*), 6) AS m
+        |FROM x GROUP BY c_id, dim_i ORDER BY c_id, dim_i""".stripMargin) {
+      (s, dir) =>
+      val e = vectors(s, dir).select("vec_id", "v")
+      val c = e.filter(col("vec_id") < 8).toDF("c_id", "cv")
+      val w = Window.partitionBy("vec_id").orderBy(col("dist_r"), col("c_id"))
+      val assigned = e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("c_id", "v")
+      assigned
+        .select(col("c_id"), posexplode(col("v")))
+        .toDF("c_id", "p", "x")
+        .groupBy(col("c_id"), (col("p") + 1).cast("int").as("dim_i"))
+        .agg(round(sum(col("x").cast(DecimalType(38, 20))).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .orderBy("c_id", "dim_i")
+    },
 
     // ANN quality audit: recall@10 of the LSH path (q53) against the
     // exact top-k (q51), one row per query vector. The quality bound CI
