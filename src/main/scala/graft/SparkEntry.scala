@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ops.{DedupOps, EventOps, MultimodalOps, Relational,
+import graft.ops.{CorpusOps, DedupOps, EventOps, MultimodalOps, Relational,
   SimilarityOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
@@ -13,7 +13,7 @@ object SparkEntry {
     */
   def all: Seq[QueryDef] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ DedupOps.defs ++
-      SimilarityOps.defs ++ MultimodalOps.defs
+      SimilarityOps.defs ++ MultimodalOps.defs ++ CorpusOps.defs
 
   /** Flagship: the reference's entire hot path (SURVEY §7.3) — permissive
     * JSON read with corrupt capture → declarative normalization into the

@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Corpus-management operators for a training-data pipeline: deterministic
+  * dataset splitting, stratified sampling, and benchmark decontamination.
+  *
+  * All splits/samples are CONTENT-ADDRESSED (sha256 of a salted key), not
+  * `rand()`-based: the same document lands in the same split on every
+  * run, any cluster size, any partitioning — reproducibility that random
+  * sampling cannot give, and the property that makes held-out sets stable
+  * as the corpus grows. Bucket comparison happens on the hash's hex
+  * PREFIX (lowercase hex compares lexicographically like its numeric
+  * value — same trick as q45's SimHash bits), which keeps the predicate
+  * portable ANSI SQL.
+  *
+  * Scale: split/sample are per-row expressions (no shuffle at all —
+  * they fuse into the scan); decontamination is one shuffle on the
+  * shingle hash, with the benchmark side orders of magnitude smaller
+  * than the corpus.
+  */
+object CorpusOps {
+
+  /** 256 hex-prefix buckets: '00'..'ff'. 'cd' = 205/256 ≈ 80 %,
+    * 'e6' = 230/256 ≈ 90 % — a standard 80/10/10 split.
+    */
+  private val splitCase =
+    "CASE WHEN substr(h, 1, 2) < 'cd' THEN 'train' " +
+      "WHEN substr(h, 1, 2) < 'e6' THEN 'val' ELSE 'test' END"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Deterministic 80/10/10 train/val/test assignment + per-split sizes.
+    QueryDef(
+      "q36_hash_split",
+      s"""WITH h AS (SELECT doc_id,
+         |    sha256('split-v1|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |s AS (SELECT doc_id, $splitCase AS split FROM h)
+         |SELECT split, COUNT(*) AS n,
+         |  CAST(MIN(doc_id) AS BIGINT) AS min_id
+         |FROM s GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          sha2(concat(lit("split-v1|"), col("doc_id").cast("string")), 256)
+            .as("h"))
+        .select(col("doc_id"), expr(splitCase).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).cast("long").as("min_id"))
+        .orderBy("split")
+    },
+
+    // Stratified sampling: per-language keep-rates (here: downsample the
+    // majority 'en' class to 20 %, keep the rest), content-addressed so
+    // the sample is stable run-over-run. Output: per-language kept counts.
+    QueryDef(
+      "q38_stratified_sample",
+      """WITH k AS (SELECT doc_id, lang,
+        |    substr(sha256('sample-v1|' || CAST(doc_id AS VARCHAR)), 1, 2)
+        |      AS b
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang FROM k
+        |  WHERE lang <> 'en' OR b < '33')
+        |SELECT lang, COUNT(*) AS n_kept,
+        |  CAST(MIN(doc_id) AS BIGINT) AS min_kept_id
+        |FROM s GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          substring(sha2(concat(lit("sample-v1|"),
+            col("doc_id").cast("string")), 256), 1, 2).as("b"))
+        .filter(col("lang") =!= "en" || col("b") < "33")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("doc_id")).cast("long").as("min_kept_id"))
+        .orderBy("lang")
+    },
+
+    // Benchmark decontamination: training docs that share any word-3-gram
+    // with a "benchmark" set (stand-in: the last 10 doc_ids) must be
+    // flagged before training. Output: per contaminated train doc, how
+    // many distinct benchmark shingles it contains and the worst overlap
+    // ratio. The shuffle key is the shingle string; the benchmark side is
+    // tiny (broadcast at scale).
+    QueryDef(
+      "q37_decontaminate",
+      """WITH d AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |b AS (SELECT doc_id, unnest(sh) AS sh FROM d, mx
+        |      WHERE doc_id > m - 10),
+        |t AS (SELECT doc_id, unnest(sh) AS sh FROM d, mx
+        |      WHERE doc_id <= m - 10),
+        |hits AS (
+        |  SELECT t.doc_id, COUNT(DISTINCT t.sh) AS n_shared
+        |  FROM t JOIN (SELECT DISTINCT sh FROM b) bb ON t.sh = bb.sh
+        |  GROUP BY t.doc_id)
+        |SELECT h.doc_id, h.n_shared,
+        |  CAST(h.n_shared AS DOUBLE) / len(d.sh) AS overlap
+        |FROM hits h JOIN d ON d.doc_id = h.doc_id
+        |ORDER BY h.doc_id""".stripMargin) { (s, dir) =>
+      // Shingles compare as 64-bit hashes (the ShingleHashes generator),
+      // not strings — identical counts modulo xxhash64 collisions, same
+      // reasoning as q43. The benchmark id boundary comes from a
+      // broadcast scalar subquery (no driver-side action).
+      val docs = Tables(s, dir, "documents")
+      val sh = DedupOps.shingleHashes(docs).distinct()
+      val mx = broadcast(docs.agg(max(col("doc_id")).as("m")))
+      val bench = sh.crossJoin(mx).filter(col("doc_id") > col("m") - 10)
+        .select("h").distinct()
+      val train = sh.crossJoin(mx).filter(col("doc_id") <= col("m") - 10)
+        .select("doc_id", "h")
+      val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      train
+        .join(broadcast(bench), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .join(counts, "doc_id")
+        .select(col("doc_id"), col("n_shared"),
+          (col("n_shared").cast("double") / col("n_sh")).as("overlap"))
+        .orderBy("doc_id")
+    })
+}

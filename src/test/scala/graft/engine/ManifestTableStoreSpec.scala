@@ -1,0 +1,67 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The atomic-commit contract of the manifest store: visibility only at
+  * the manifest rename, write-time idempotence for replayed batch ids,
+  * and governed schema evolution on read.
+  */
+class ManifestTableStoreSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit(); p
+  }
+
+  test("replayed micro-batch (same batch id) is a write-time no-op") {
+    val store = new ManifestTableStore(tmp("manifest-replay-").toString)
+    store.append(Seq(("u1", 1.0), ("u2", 2.0)).toDF("uid", "v"), 0L)
+    // restart after crash-before-checkpoint: the batch recomputes with
+    // DIFFERENT values (e.g. a fresh ingest_ts) but the same batch id
+    store.append(Seq(("u1", 99.0), ("u2", 99.0)).toDF("uid", "v"), 0L)
+    val rows = store.read(spark).select("uid", "v", "batch_id").collect()
+    assert(rows.length == 2) // not 4: replay was refused at write time
+    assert(rows.map(_.getDouble(1)).toSet == Set(1.0, 2.0)) // first write won
+  }
+
+  test("unmanifested data is invisible to readers (crash mid-write)") {
+    val root = tmp("manifest-crash-")
+    val store = new ManifestTableStore(root.toString)
+    store.append(Seq(("a", 1)).toDF("k", "n"), 0L)
+    // simulate a writer that died after data files but before the commit
+    // rename: a data dir with no manifest entry
+    Seq(("ghost", 666)).toDF("k", "n")
+      .write.parquet(s"$root/data/batch-1-dead-writer")
+    val got = store.read(spark).select("k").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("a")) // the orphan never surfaces
+  }
+
+  test("schema evolution: later batch with a new column merges, older " +
+      "rows null-padded") {
+    val store = new ManifestTableStore(tmp("manifest-evolve-").toString)
+    store.append(Seq(("a", 1)).toDF("k", "n"), 0L)
+    store.append(Seq(("b", 2, "fresh")).toDF("k", "n", "extra"), 1L)
+    val df = store.read(spark)
+    assert(df.columns.toSet == Set("k", "n", "extra", "batch_id"))
+    assert(df.filter(col("k") === "a").head().getAs[String]("extra") == null)
+    assert(df.filter(col("k") === "b").head().getAs[String]("extra") == "fresh")
+  }
+
+  test("drives the streaming bronze→silver path as a drop-in TableStore") {
+    val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
+    Files.writeString(src.resolve("a.json"),
+      """{"id": 7, "ip": "10.0.0.7", "hostName": "h7"}""")
+    val store = new ManifestTableStore(tmp("manifest-silver-").toString)
+    StreamRunner.runAvailableNow(spark,
+      Seq((SourceSpec.rapid7, src.toString, ckpt.toString)), store)
+    val silver = store.read(spark)
+    assert(silver.count() == 1)
+    assert(silver.select("rapid7_id").head().getString(0) == "7")
+  }
+}
