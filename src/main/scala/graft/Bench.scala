@@ -30,7 +30,7 @@ object Bench {
     // minimum of N runs is the standard estimator for "how fast does this
     // plan actually execute". Failures are recorded explicitly — a broken
     // query must surface as a failure, never as a fast timing.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val outcomes = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val samples = (1 to runs).map { _ =>
         val t0 = System.nanoTime()

@@ -13,13 +13,24 @@ class DedupQualitySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  test("MinHash-LSH candidates (q44) cover every exact-Jaccard >= 0.7 " +
-      "ground-truth pair (q43)") {
+  test("MinHash-LSH candidates (q44) cover the full-corpus exact-Jaccard " +
+      "ground truth (uncapped q43): 100% at j >= 0.9, >= 90% overall") {
+    // Truth is the WHOLE corpus, not the capped q43 range. The assertion
+    // is stratified by the 16x4 LSH s-curve (P(candidate|j) = 1-(1-j^4)^4,
+    // 50% point j ~ 0.707): demanding 100% containment at j = 0.7 would
+    // assert something the parameterization doesn't promise. All hashes
+    // are seeded, so measured coverage is deterministic.
     val rows = DedupOps.lshContainment(spark, dir, minJaccard = 0.7).collect()
     assert(rows.nonEmpty, "ground truth empty — the audit proves nothing")
-    val missed = rows.filterNot(_.getAs[Boolean]("covered"))
+    val high = rows.filter(_.getAs[Double]("jaccard") >= 0.9)
+    assert(high.nonEmpty, "no j >= 0.9 truth pairs — the audit proves nothing")
+    val missedHigh = high.filterNot(_.getAs[Boolean]("covered"))
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(missed.isEmpty, s"LSH missed near-dup pairs: ${missed.toSeq}")
+    assert(missedHigh.isEmpty,
+      s"LSH missed high-certainty near-dup pairs: ${missedHigh.toSeq}")
+    val covered = rows.count(_.getAs[Boolean]("covered"))
+    assert(covered.toDouble / rows.length >= 0.9,
+      s"overall containment $covered/${rows.length} below 0.9")
   }
 
   test("ANN LSH (q53) recall@10 >= 0.8 on average vs exact top-k (q51)") {

@@ -1,0 +1,52 @@
+package graft.ops
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch: time named queries at a given SF dir. args: sfDir q1 q2 ... */
+object TimeQDrive {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq else Seq("q17_datetime", "q18_json")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1L << 22).selectExpr("sum(id)").collect()
+    def t[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"TIMEQ phase $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+    }
+    if (names == Seq("phases")) {
+      (1 to 2).foreach { round =>
+        println(s"TIMEQ round $round")
+        val docs = graft.engine.Tables(spark, sfDir, "documents")
+        val classes = docs.groupBy(col("text"))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+        val sh = t("shingles+classes")(
+          DedupOps.shingleHashes(classes.select("doc_id", "text")).localCheckpoint(true))
+        val cand = t("lsh_candidates")(
+          DedupOps.minhashLshCandidates(sh, 16, 4).localCheckpoint(true))
+        val edges = cand.filter(col("est_jaccard") >= 0.5).select("a_id", "b_id")
+        val clusters = t("connected_components")(
+          DedupOps.connectedComponents(edges, classes.select("doc_id")))
+        t("final_agg")(clusters.toDF("doc_id", "cluster")
+          .join(classes.select("doc_id", "n_exact"), "doc_id")
+          .groupBy(col("cluster").as("keep_id"))
+          .agg(count(lit(1)).as("n"), sum(col("n_exact")).as("nd")).count())
+      }
+    } else names.foreach { n =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val c = SparkEntry.queries(n)(spark, sfDir).count()
+        println(f"TIMEQ $n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$c")
+      }
+    }
+    spark.stop()
+  }
+}
