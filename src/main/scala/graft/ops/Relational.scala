@@ -445,5 +445,130 @@ object Relational {
           col("c_nationkey").cast("string"), col("c_mktsegment")), 256)
           .as("uid"))
         .orderBy("c_custkey")
+    },
+
+    // Pivot: long → wide on a FIXED value list (explicit values keep the
+    // output schema static, which is what makes the plan one pass — Spark
+    // without the list runs an extra distinct job to discover columns,
+    // a scan you don't want at 100 TB). Absent cells coalesce to 0 so the
+    // contract matches the oracle's FILTERed counts.
+    QueryDef(
+      "q28_pivot", {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val cols = types.map(t =>
+          s"COUNT(*) FILTER (event_type = '$t') AS $t").mkString(",\n        |  ")
+        s"""SELECT CAST(ts AS DATE) AS day,
+           |  $cols
+           |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+      }) { (s, dir) =>
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables(s, dir, "events")
+        .select(to_date(col("ts")).as("day"), col("event_type"))
+        .groupBy("day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .select(col("day") +: types.map(t =>
+          coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("day")
+    },
+
+    // Grouping sets — the general form rollup/cube (q13/q14) specialize:
+    // per-status totals, per-priority totals, and the grand total in ONE
+    // pass (Expand + single shuffle, not three scans unioned). NULLS
+    // FIRST pinned in the oracle: Spark's asc default is nulls-first,
+    // DuckDB's is nulls-last.
+    QueryDef(
+      "q29_grouping_sets",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST"""
+        .stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first)
+    },
+
+    // Moment-based statistics: variance / stddev / covariance / Pearson
+    // correlation from EXACT decimal power sums (sum x, x², y, y², xy).
+    // The built-in stddev/corr aggregates stream Welford updates whose
+    // double rounding depends on partition merge order — fine numerically,
+    // but not reproducible bit-for-bit across engines or even across two
+    // runs with different partitioning. Decimal moments are exact and
+    // commutative, so the derived doubles are deterministic at any scale
+    // and any partition count; the classic cancellation caveat of the
+    // power-sum formula doesn't bite because the inputs are exact.
+    QueryDef(
+      "q39_stats",
+      """WITH m AS (SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sx,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_quantity AS DECIMAL(18,2))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,2))
+        |      * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_qty,
+        |  round((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |    / (n - 1), 6) AS var_qty,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |    / (n - 1)), 6) AS std_qty,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |    / (n - 1), 6) AS covar_qty_price,
+        |  round(((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))
+        |    / (sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n) / (n - 1))
+        |     * sqrt((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n) / (n - 1))),
+        |    6) AS corr_qty_price
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val dec = (c: String) => col(c).cast(DecimalType(18, 2))
+      val m = Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).as("sx"),
+          sum(dec("l_quantity") * dec("l_quantity")).as("sxx"),
+          sum(dec("l_extendedprice")).as("sy"),
+          sum(dec("l_extendedprice") * dec("l_extendedprice")).as("syy"),
+          sum(dec("l_quantity") * dec("l_extendedprice")).as("sxy"))
+      val n = col("n")
+      val dbl = (c: String) => col(c).cast("double")
+      val varX = (dbl("sxx") - dbl("sx") * dbl("sx") / n) / (n - 1)
+      val varY = (dbl("syy") - dbl("sy") * dbl("sy") / n) / (n - 1)
+      val covar = (dbl("sxy") - dbl("sx") * dbl("sy") / n) / (n - 1)
+      m.select(col("l_returnflag"), n,
+        round(dbl("sx") / n, 6).as("mean_qty"),
+        round(varX, 6).as("var_qty"),
+        round(sqrt(varX), 6).as("std_qty"),
+        round(covar, 6).as("covar_qty_price"),
+        round(covar / (sqrt(varX) * sqrt(varY)), 6).as("corr_qty_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Unpivot (wide → long melt), the inverse of q28: fixed metric columns
+    // become (metric, val) rows — a per-row Expand, no shuffle at all.
+    QueryDef(
+      "q58_unpivot",
+      """SELECT o_orderkey, metric, val FROM (
+        |  SELECT o_orderkey, 'custkey' AS metric,
+        |    CAST(o_custkey AS DOUBLE) AS val FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 'totalprice',
+        |    CAST(o_totalprice AS DOUBLE) FROM orders) t
+        |ORDER BY o_orderkey, metric""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").cast("double").as("custkey"),
+          col("o_totalprice").cast("double").as("totalprice"))
+        .unpivot(Array(col("o_orderkey")),
+          Array(col("custkey"), col("totalprice")), "metric", "val")
+        .orderBy("o_orderkey", "metric")
     })
 }

@@ -194,7 +194,58 @@ object SimilarityOps {
     // exact top-k (q51), one row per query vector. The quality bound CI
     // asserts (DedupQualitySpec); registered so the metric itself ships
     // in the correctness artifact. Not SQL-portable → rows-only.
-    QueryDef.rowsOnly("q54_ann_recall")(annRecall)
+    QueryDef.rowsOnly("q54_ann_recall")(annRecall),
+
+    // IVF probe SEARCH — the other standard ANN scale path (q52 is the
+    // index build; this is the query side): per query, rank the 8
+    // centroids, probe the nearest 4 cells, exact-cosine re-rank ONLY
+    // vectors assigned to those cells. At scale the assignment is the
+    // partition key of the stored index, so probing = partition pruning:
+    // the scan touches nProbe/nCells of the corpus. Fully deterministic
+    // (seeded centroids = vec_id < 8, rounded doubles) → oracle-verified,
+    // unlike most ANN implementations.
+    QueryDef(
+      "q56_ivf_search",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nv
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN c),
+        |m AS (SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d) t
+        |  WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, c_id FROM (
+        |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d
+        |    WHERE vec_id < 5) t
+        |  WHERE rn <= 4),
+        |cand AS (SELECT p.q_id, m.vec_id FROM probes p
+        |  JOIN m ON m.c_id = p.c_id WHERE m.vec_id <> p.q_id),
+        |q AS (SELECT vec_id AS q_id, v AS qv, nv AS nq FROM e
+        |  WHERE vec_id < 5),
+        |sc AS (SELECT cand.q_id, cand.vec_id,
+        |    round(list_dot_product(qv, v) / (nq * nv), 6) AS cos_r
+        |  FROM cand JOIN e ON e.vec_id = cand.vec_id
+        |  JOIN q ON q.q_id = cand.q_id),
+        |r AS (SELECT q_id, vec_id, cos_r, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rn
+        |  FROM sc)
+        |SELECT q_id, vec_id, cos_r, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      ivfSearch(s, dir, nProbe = 4, topK = 10)
+    },
+
+    // IVF quality audit: recall@10 of the probe search (q56) against the
+    // exact top-k (q51) — same acceptance metric as q54 gives the LSH
+    // path, so the two ANN variants are comparable like-for-like.
+    // Not SQL-portable only because q56's build is reused directly; the
+    // metric ships rows-only and DedupQualitySpec asserts the bound.
+    QueryDef.rowsOnly("q57_ivf_recall")(ivfRecall)
   )
 
   /** q51 build: brute-force cosine top-10 for the vec_id < 5 query set —
@@ -226,6 +277,57 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exact
       .join(ann, Seq("q_id", "vec_id"), "left")
+      .groupBy("q_id")
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("q_id"), col("n_exact"), col("n_hit"),
+        (col("n_hit").cast("double") / col("n_exact")).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** q56 build: IVF probe search. Centroid ranking happens once for ALL
+    * vectors (one broadcast crossjoin over the 8 centroids); the same
+    * ranked frame yields both the corpus assignment (rn = 1) and the
+    * query probes (rn <= nProbe), so the expensive pass is shared and
+    * exchange-reused. Candidates = equi-join on the cell id — at scale
+    * this is the partition-pruned scan of an index laid out by
+    * `Layout.partitionByCell`-style bucketing.
+    */
+  def ivfSearch(s: SparkSession, dir: String, nProbe: Int,
+      topK: Int): DataFrame = {
+    val e = vectors(s, dir)
+    val c = e.select("vec_id", "v").filter(col("vec_id") < 8).toDF("c_id", "cv")
+    val wRank = Window.partitionBy("vec_id").orderBy(col("dist_r"), col("c_id"))
+    val ranked = e.select("vec_id", "v").crossJoin(broadcast(c))
+      .select(col("vec_id"), col("c_id"),
+        expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+      .withColumn("rn", row_number().over(wRank))
+    val assign = ranked.filter(col("rn") === 1).select("vec_id", "c_id")
+    val probes = ranked.filter(col("vec_id") < 5 && col("rn") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("c_id"))
+    val cand = assign.join(broadcast(probes), "c_id")
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    val q = e.filter(col("vec_id") < 5).toDF("q_id", "qv", "nq")
+    val wTop = Window.partitionBy("q_id").orderBy(col("cos_r").desc, col("vec_id"))
+    cand
+      .join(e, "vec_id")
+      .join(broadcast(q), "q_id")
+      .select(col("q_id"), col("vec_id"),
+        expr(s"round($dot / (nq * nv), 6)").as("cos_r"))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= topK)
+      .select("q_id", "vec_id", "cos_r", "rn")
+      .orderBy("q_id", "rn")
+  }
+
+  /** Recall@10 of IVF probe search vs exact top-k — q57 build. */
+  def ivfRecall(s: SparkSession, dir: String): DataFrame = {
+    val exact = cosineTopK(s, dir).select(col("q_id"), col("vec_id"))
+    val ivf = ivfSearch(s, dir, nProbe = 4, topK = 10)
+      .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
+    exact
+      .join(ivf, Seq("q_id", "vec_id"), "left")
       .groupBy("q_id")
       .agg(count(lit(1)).as("n_exact"),
         sum(coalesce(col("hit"), lit(0L))).as("n_hit"))

@@ -114,6 +114,35 @@ object EventStreams {
       }
   }
 
+  /** Stream-stream inner join with an event-time interval bound: each
+    * `view` pairs with `purchase`s by the same user within
+    * [view.ts, view.ts + horizon]. Both sides carry watermarks and the
+    * join condition bounds event time in BOTH directions — that pair of
+    * constraints is what lets Spark evict buffered rows once the
+    * watermark passes (unbounded join state is the stream-stream failure
+    * mode at 100 TB; with the bounds, state per side is
+    * watermark + horizon wide and hash-partitioned by user_id).
+    *
+    * Same code plans batch (both inputs static) and streaming — the spec
+    * drives both and asserts they agree.
+    */
+  def viewToPurchase(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"))
+      .select("user_id", "view_id", "purchase_id", "view_ts", "purchase_ts",
+        "value")
+  }
+
   /** Output mode for the windowed aggregations when run as streams:
     * append emits only finalized (watermark-passed) windows.
     */

@@ -33,6 +33,15 @@ class DedupQualitySpec extends SparkSpec {
       s"overall containment $covered/${rows.length} below 0.9")
   }
 
+  test("IVF probe search (q56) recall@10 >= 0.8 on average vs exact " +
+      "top-k (q51)") {
+    val rows = SimilarityOps.ivfRecall(spark, dir).collect()
+    assert(rows.length == 5)
+    val recalls = rows.map(_.getAs[Double]("recall")).toSeq
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.8, s"avg IVF recall@10 $avg (per-query: $recalls)")
+  }
+
   test("ANN LSH (q53) recall@10 >= 0.8 on average vs exact top-k (q51)") {
     val rows = SimilarityOps.annRecall(spark, dir).collect()
     assert(rows.length == 5) // one row per query vector

@@ -116,6 +116,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(!u1.contains((3L, 8.0)), s"state survived past expiry: $u1")
   }
 
+  test("stream-stream interval join pairs views with purchases and agrees " +
+      "with the batch plan") {
+    val views = Seq(
+      Event(10L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(11L, ts("2024-01-01 10:30:00"), 2L, "view", 0.0),
+      Event(12L, ts("2024-01-01 09:00:00"), 3L, "view", 0.0))
+    val purchases = Seq(
+      // user1: within the 1h horizon of view 10 → joins
+      Event(20L, ts("2024-01-01 10:40:00"), 1L, "purchase", 9.99),
+      // user2: 2h after the view → outside horizon, no pair
+      Event(21L, ts("2024-01-01 12:30:00"), 2L, "purchase", 5.0),
+      // user3: BEFORE the view → no pair
+      Event(22L, ts("2024-01-01 08:30:00"), 3L, "purchase", 1.0))
+    // streaming × streaming
+    val vIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val q = EventStreams.viewToPurchase(vIn.toDF(), pIn.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append()).start()
+    vIn.addData(views); pIn.addData(purchases)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("ss_join")
+      .select("user_id", "view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(streamed == Seq((1L, 10L, 20L)), s"got $streamed")
+    // identical code over static frames must agree
+    val batch = EventStreams.viewToPurchase(views.toDF(), purchases.toDF(),
+        "1 hour")
+      .select("user_id", "view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(batch == streamed, s"batch $batch != streamed $streamed")
+  }
+
   test("same code plans as a batch query (unified API)") {
     val batch = fixture.toDF()
     val got = EventStreams.tumblingCounts(batch)
