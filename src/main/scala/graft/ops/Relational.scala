@@ -570,5 +570,99 @@ object Relational {
         .unpivot(Array(col("o_orderkey")),
           Array(col("custkey"), col("totalprice")), "metric", "val")
         .orderBy("o_orderkey", "metric")
+    },
+
+    // Exact percentiles (median / p90 with linear interpolation — the
+    // same definition as SQL PERCENTILE_CONT, DuckDB quantile_cont).
+    // Exact percentile needs a per-group sort; the approximate twin for
+    // 100 TB is approx_percentile (t-digest-family sketch, mergeable
+    // map-side like any aggregate) — registered rows-only as q26 is for
+    // HLL, with THIS query as its exactness oracle.
+    QueryDef(
+      "q59_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 6) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin) { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 6).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Sketch-based percentiles — the at-scale path (mergeable partial
+    // aggregation, no per-group sort). Sketch internals differ across
+    // engines → rows-only; q59 is the exact oracle-checked twin.
+    QueryDef.rowsOnly("q66_approx_percentiles") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
+          .as("approx_qty"))
+        .orderBy("l_returnflag")
+    },
+
+    // Edit-distance near-dup: Levenshtein over document prefixes on a
+    // capped id range — the character-level fuzzy-match primitive
+    // (MinHash/SimHash are token-level; OCR-noise and small-edit dups
+    // need character granularity). The all-pairs form is the exactness
+    // oracle; the scale path blocks by SimHash/LSH bucket first and runs
+    // this only within buckets.
+    QueryDef(
+      "q63_edit_distance",
+      """WITH d AS (SELECT doc_id, substr(text, 1, 80) AS p
+        |  FROM documents WHERE doc_id < 300)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(levenshtein(a.p, b.p) AS INTEGER) AS dist
+        |FROM d a JOIN d b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.p, b.p) <= 40
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("p"))
+      d.toDF("a_id", "pa")
+        .join(d.toDF("b_id", "pb"), col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
+        .filter(col("dist") <= 40)
+        .orderBy("a_id", "b_id")
+    },
+
+    // Time-series gap fill: dense hourly spine (sequence + explode; the
+    // spine generator is one row per bound pair, so no data shuffle) left
+    // joined to observed per-hour aggregates — missing hours surface as
+    // explicit zero rows, the shape every downstream window/trend
+    // computation needs. Restricted to one event_type to keep a visible
+    // gap rate.
+    QueryDef(
+      "q64_gapfill",
+      """WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS lo,
+        |    date_trunc('hour', MAX(ts)) AS hi
+        |  FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi,
+        |    INTERVAL 1 HOUR)) AS hour_start FROM b),
+        |obs AS (SELECT date_trunc('hour', ts) AS hour_start,
+        |    COUNT(*) AS n
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT strftime(s.hour_start, '%Y-%m-%d %H:%M:%S') AS hour_s,
+        |  COALESCE(o.n, 0) AS n
+        |FROM spine s LEFT JOIN obs o ON o.hour_start = s.hour_start
+        |ORDER BY hour_s""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val spine = ev
+        .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+          date_trunc("hour", max(col("ts"))).as("hi"))
+        .select(explode(expr("sequence(lo, hi, INTERVAL 1 HOUR)"))
+          .as("hour_start"))
+      val obs = ev.filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("hour", col("ts")).as("hour_start"))
+        .agg(count(lit(1)).as("n"))
+      spine.join(obs, Seq("hour_start"), "left")
+        .select(date_format(col("hour_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("hour_s"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("hour_s")
     })
 }

@@ -285,13 +285,17 @@ object SimilarityOps {
       .orderBy("q_id")
   }
 
-  /** q56 build: IVF probe search. Centroid ranking happens once for ALL
-    * vectors (one broadcast crossjoin over the 8 centroids); the same
-    * ranked frame yields both the corpus assignment (rn = 1) and the
-    * query probes (rn <= nProbe), so the expensive pass is shared and
-    * exchange-reused. Candidates = equi-join on the cell id — at scale
-    * this is the partition-pruned scan of an index laid out by
-    * `Layout.partitionByCell`-style bucketing.
+  /** q56 build: IVF probe search. One `ranked` definition serves both the
+    * corpus assignment (rn = 1) and the query probes (rn <= nProbe);
+    * Catalyst then does the right thing with each consumer — the probe
+    * side's `vec_id < 5` pushes below its window into the scan (8 rows
+    * ranked), while the corpus side pre-ranks LOCALLY via
+    * WindowGroupLimit before its exchange, so the assignment shuffle
+    * moves one skinny (vec_id, c_id, dist) row per vector, never the
+    * vector payload. Candidates = equi-join on the cell id — at scale
+    * this is the partition-pruned scan of an index laid out with the
+    * cell as partition key (probing nProbe of nCells ≈ scanning
+    * nProbe/nCells of the corpus).
     */
   def ivfSearch(s: SparkSession, dir: String, nProbe: Int,
       topK: Int): DataFrame = {
