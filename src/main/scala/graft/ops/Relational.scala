@@ -622,7 +622,11 @@ object Relational {
         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val d = Tables(s, dir, "documents").filter(col("doc_id") < 300)
         .select(col("doc_id"), substring(col("text"), 1, 80).as("p"))
-      d.toDF("a_id", "pa")
+      // The non-equi pair join is a BroadcastNestedLoopJoin whose output
+      // parallelism is the STREAM side's partitioning — and a 300-row
+      // filtered scan arrives as one partition, which would run every
+      // Levenshtein on a single core. Spread the stream side first.
+      d.toDF("a_id", "pa").repartition(32, col("a_id"))
         .join(d.toDF("b_id", "pb"), col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
