@@ -43,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word n-gram"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("minhash_text"),
+      info("minhash_text",
+        "minhash_text(text, n, numPerms) - row-local minhash signature " +
+          "over word n-grams"),
+      (exprs: Seq[Expression]) => MinHashText(exprs.head,
+        exprs(1).eval().asInstanceOf[Int],
+        exprs(2).eval().asInstanceOf[Int])))
   }
 }

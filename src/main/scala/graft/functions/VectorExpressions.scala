@@ -230,5 +230,10 @@ object VectorExpressions {
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("minhash_text",
+      exprs => MinHashText(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue()),
+      "built-in")
   }
 }

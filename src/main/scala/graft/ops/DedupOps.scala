@@ -199,7 +199,7 @@ object DedupOps {
       val classes = docs.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
       val edges = minhashLshCandidates(
-          shingleHashes(classes.select("doc_id", "text")),
+          minhashSigs(classes.select("doc_id", "text")),
           numPerms = 16, bands = 4)
         .filter(col("est_jaccard") >= 0.5)
         .select("a_id", "b_id")
@@ -354,7 +354,21 @@ object DedupOps {
     val reps = Tables(s, dir, "documents")
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
-    minhashLshCandidates(shingleHashes(reps), numPerms = 16, bands = 4)
+    minhashLshCandidates(minhashSigs(reps), numPerms = 16, bands = 4)
+  }
+
+  /** (doc_id, sig) via the row-local [[graft.functions.MinHashText]]
+    * expression — the signature stage with ZERO shuffle: it evaluates
+    * inside the scan's project, so nothing moves until LSH banding.
+    * Bit-identical to shingle_hashes → minhash_sig (MinHashTextSpec);
+    * docs with fewer than n words surface as null sigs and are dropped,
+    * matching the aggregate path's no-shingle-rows contract.
+    */
+  def minhashSigs(docs: DataFrame, numPerms: Int = 16): DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+        expr(s"minhash_text(text, 3, $numPerms)").as("sig"))
+      .filter(col("sig").isNotNull)
   }
 
   /** Containment audit of the LSH scale path against exact ground truth:
@@ -417,47 +431,58 @@ object DedupOps {
     docs.select(col("doc_id"), expr("shingle_hashes(text, 3)"))
   }
 
-  /** MinHash-LSH candidate pairs: input (doc_id, h) shingle-hash rows
-    * (one per shingle occurrence, e.g. from [[shingleHashes]]).
+  /** MinHash-LSH candidate pairs: input (doc_id, sig) signature rows
+    * (e.g. from [[minhashSigs]]; any source whose sig arrays are
+    * numPerms wide works — streaming selects included).
     *
-    * Signatures come from ONE custom TypedImperativeAggregate
-    * (graft.functions.MinHashAgg): the shingle hash is evaluated once per
-    * row and folded into a single numPerms-wide min buffer, with map-side
-    * partial aggregation like any built-in. (History: the HOF formulation
-    * cost tens of seconds in interpreted lambdas; numPerms separate
-    * min(xxhash64(p, h)) columns were codegen'd but numPerms-wide.)
+    * History of the signature stage this consumes: HOF lambdas cost tens
+    * of interpreted seconds; numPerms separate min(xxhash64(p, h))
+    * columns were codegen'd but numPerms-wide; the MinHashAgg
+    * TypedImperativeAggregate folded shingle rows map-side but still
+    * shuffled one sig row per doc into the groupBy; the row-local
+    * MinHashText expression deleted that exchange too.
     * Pair generation does NOT self-join: docs are grouped per
     * (band, bucketHash) — LSH's guarantee is precisely that these groups
     * are small — and pairs expand locally inside each group, so the
     * quadratic work is bounded by the bucket size.
     */
-  def minhashLshCandidates(shingles: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+  /** One row per (doc, band): bucket key = xxhash64 of the band's sig
+    * slice. Row-local (posexplode of a per-row transform) — works on
+    * batch and streaming frames alike.
+    */
+  def bandBuckets(sigs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms % bands == 0)
     val rows = numPerms / bands
-    graft.functions.VectorExpressions.register(shingles.sparkSession)
-    val sigs = shingles
-      .groupBy("doc_id")
-      .agg(expr(s"minhash_sig(h, $numPerms)").as("sig"))
-    // One row per (doc, band): bucket key = hash of the band's sig slice.
-    val buckets = sigs
-      .select(col("doc_id"), col("sig"), posexplode(
+    sigs
+      .select(col("*"), posexplode(
         expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))")))
-      .toDF("doc_id", "sig", "band", "bh")
+          s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+        .as(Seq("band", "bh")))
+  }
+
+  def minhashLshCandidates(sigs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
+    graft.functions.VectorExpressions.register(sigs.sparkSession)
+    // The sig subtree has THREE consumers (buckets + both pair joins).
+    // Left bare, each would rescan the corpus and re-evaluate every
+    // signature — at 100 TB that is three full text scans. The explicit
+    // repartition inserts one Exchange of tiny (id, 128B sig) rows that
+    // ReuseExchange dedups across all three consumers: one scan, one
+    // signature pass, shuffle-file rereads for the rest. (A persist()
+    // would pin a corpus-sized sig copy in executor memory per
+    // invocation for the session's life — reused shuffle output is freed
+    // with the job.)
+    val sigsX = sigs.select("doc_id", "sig").repartition(col("doc_id"))
+    val buckets = bandBuckets(sigsX, numPerms, bands)
     // members sorted by doc_id → i<j enumeration yields a_id < b_id.
     // Only PRIMITIVE doc_ids are collected (collect_list over structs with
     // nested arrays hits a pathologically slow aggregate path — measured
     // 10x+ on identical data); signatures join back per pair afterwards.
     // The sig subtree appears three times in this plan (buckets + the two
-    // pair joins) but is computed ONCE: its shuffle (the Exchange feeding
-    // the per-doc aggregate) is deduplicated by Spark's exchange reuse, so
-    // the scan/generate/partial-agg run a single time and the reread is
-    // shuffle files on local disk. That is the at-scale answer a persist()
-    // would get wrong — a cache pins one sig copy per invocation in
-    // executor memory for the life of the session (and 100 TB of
-    // signatures would not fit anyway), while reused shuffle output is
-    // freed with the job.
-    val sigsP = sigs
+    // pair joins); with the row-local MinHashText signature that is three
+    // shuffle-free re-evaluations fused into their consumers' scans — no
+    // exchange, no persist() (a cache would pin a corpus-sized sig copy
+    // per invocation for the life of the session; re-evaluating a tight
+    // per-row loop is cheaper than rereading a cached block at scale).
     val pairIds = buckets
       .groupBy("band", "bh")
       .agg(array_sort(collect_list(col("doc_id"))).as("m"))
@@ -469,8 +494,8 @@ object DedupOps {
       .select(col("p.a_id"), col("p.b_id"))
       .distinct() // a pair may collide in several bands
     pairIds
-      .join(sigsP.toDF("a_id", "sig_a"), "a_id")
-      .join(sigsP.toDF("b_id", "sig_b"), "b_id")
+      .join(sigsX.toDF("a_id", "sig_a"), "a_id")
+      .join(sigsX.toDF("b_id", "sig_b"), "b_id")
       .withColumn("est_jaccard",
         expr("cast(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
           "e -> e)) as double) / size(sig_a)"))

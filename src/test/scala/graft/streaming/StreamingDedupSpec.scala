@@ -1,0 +1,69 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+
+class StreamingDedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private case class Doc(doc_id: Long, ts: Timestamp, text: String)
+
+  private def runStream(input: MemoryStream[(Long, Timestamp, String)],
+      transform: DataFrame => DataFrame, name: String,
+      batches: Seq[Seq[(Long, Timestamp, String)]]): DataFrame = {
+    val q = transform(input.toDF().toDF("doc_id", "ts", "text"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    spark.table(name)
+  }
+
+  test("streaming exact dedup drops byte-identical replays within the " +
+      "watermark horizon") {
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = runStream(input, StreamingDedup.exactDedup(_, "2 hours"),
+      "sdedup", Seq(
+        Seq((1L, ts("2024-01-01 10:00:00"), "alpha beta gamma delta"),
+          (2L, ts("2024-01-01 10:01:00"), "epsilon zeta eta theta")),
+        // replay of doc 1's text (different id, later ts) + one new doc
+        Seq((3L, ts("2024-01-01 10:30:00"), "alpha beta gamma delta"),
+          (4L, ts("2024-01-01 10:31:00"), "iota kappa lambda mu"))))
+    val kept = out.select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(kept == Seq(1L, 2L, 4L), s"kept $kept")
+  }
+
+  test("stream-static near-dup flags: arriving copies of corpus docs are " +
+      "flagged, novel text is not") {
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val index = StreamingDedup.bucketIndex(corpus)
+    // a verbatim copy of corpus doc 7 must collide in EVERY band;
+    // gibberish shares no shingles with anything.
+    val copied = corpus.filter(col("doc_id") === 7).select("text")
+      .collect().head.getString(0)
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = runStream(input,
+      StreamingDedup.nearDupFlags(_, index), "sneardup", Seq(Seq(
+        (9001L, ts("2024-01-01 10:00:00"), copied),
+        (9002L, ts("2024-01-01 10:01:00"),
+          "zzqx vvwy qqpr mmnk ttlj rrgh zzqx vvwy"))))
+    val flagged = out.select("doc_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(flagged.nonEmpty && flagged.forall(_._1 == 9001L),
+      s"flags: $flagged")
+    assert(flagged.exists(_._2 == 7L), s"copy of doc 7 not matched: $flagged")
+  }
+}
