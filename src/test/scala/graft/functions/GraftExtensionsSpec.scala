@@ -27,11 +27,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val r = spark.sql(
         "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, " +
           "vec_sqdist(array(0.0D), array(3.0D)) AS q, " +
-          "size(vec_hp_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS n")
+          "size(vec_hp_buckets(array(CAST(1.0 AS FLOAT)), 4, 8)) AS n, " +
+          "size(minhash_text('a b c d', 3, 16)) AS m")
         .head()
       assert(r.getDouble(0) == 11.0)
       assert(r.getDouble(1) == 9.0)
       assert(r.getInt(2) == 4)
+      assert(r.getInt(3) == 16)
+      val agg = spark.sql(
+        "SELECT minhash_sig(h, 4) AS sig FROM " +
+          "(SELECT explode(array(1L, 2L, 3L)) AS h)")
+      assert(agg.head().getSeq[Long](0).length == 4)
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
