@@ -43,6 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "word n-gram"),
       (exprs: Seq[Expression]) => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("shingle_strings"),
+      info("shingle_strings",
+        "shingle_strings(text, n) - generator emitting one word n-gram " +
+          "string per position"),
+      (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("minhash_text"),
       info("minhash_text",
         "minhash_text(text, n, numPerms) - row-local minhash signature " +

@@ -230,6 +230,10 @@ object VectorExpressions {
       exprs => ShingleHashes(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("shingle_strings",
+      exprs => ShingleStrings(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     reg.createOrReplaceTempFunction("minhash_text",
       exprs => MinHashText(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),

@@ -130,6 +130,36 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Frequent n-grams (heavy hitters): top word-3-grams by DOCUMENT
+    // frequency — the boilerplate / template detector of a training-data
+    // pipeline (a shingle appearing in many distinct documents is
+    // header/footer/license text to strip before dedup). The shingle
+    // STRINGS come from the row-local ShingleStrings generator (the HOF
+    // `transform(sequence(...))` formulation measured 3.7 s at sf0.1 from
+    // interpreted lambdas — PERF.md finding #2); COUNT(DISTINCT doc_id)
+    // makes within-doc repeats irrelevant, so no distinct pre-pass. Ties
+    // broken by the shingle string for a total order.
+    QueryDef(
+      "q65_frequent_ngrams",
+      """WITH s AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3)
+        |SELECT sh, COUNT(DISTINCT doc_id) AS df FROM s
+        |GROUP BY sh ORDER BY df DESC, sh LIMIT 100""".stripMargin) {
+      (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
+        .groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("df").desc, col("sh"))
+        .limit(100)
+    },
+
     // N-gram-heuristic language ID via stopword hit counts.
     QueryDef(
       "q34_lang_id",

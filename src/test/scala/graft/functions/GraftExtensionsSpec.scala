@@ -38,6 +38,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT minhash_sig(h, 4) AS sig FROM " +
           "(SELECT explode(array(1L, 2L, 3L)) AS h)")
       assert(agg.head().getSeq[Long](0).length == 4)
+      val sh = spark.sql(
+        "SELECT sh FROM (SELECT 'a b c d' AS t) " +
+          "LATERAL VIEW shingle_strings(t, 3) AS sh")
+        .collect().map(_.getString(0)).toSeq
+      assert(sh == Seq("a b c", "b c d"))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
