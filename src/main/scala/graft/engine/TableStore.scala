@@ -39,24 +39,39 @@ trait TableStore {
   * `bronze_assets_to_silver_assets.py:275-277`), built from nothing but
   * Hadoop FS primitives:
   *
-  *   - data files land under `data/batch-<id>-<uuid>/` — INVISIBLE to
+  *   - data files land under `data/<name>-<uuid>/` — INVISIBLE to
   *     readers until published (a crash mid-write leaves an orphan dir,
   *     never a partial table);
-  *   - publishing is ONE atomic rename of a manifest file naming the data
-  *     dir — the same commit point a table format's metadata swap gives;
-  *   - a replayed micro-batch (crash between write and checkpoint commit,
-  *     then restart) finds its batch id already manifested and becomes a
-  *     NO-OP: exactly-once lands at WRITE time, with no read-side dedup
-  *     needed;
-  *   - readers see exactly the manifested dirs, read with mergeSchema for
-  *     governed evolution.
+  *   - table state is a VERSIONED manifest (`manifest/v<N>`, highest N
+  *     wins — Iceberg's metadata-versioning shape): each version lists
+  *     every (batchId, dataDir) pair, and EVERY state change — append or
+  *     compaction — is one tmp-write + one atomic rename of the next
+  *     version file. Readers always see a complete, consistent version;
+  *   - a replayed micro-batch (crash between write and checkpoint
+  *     commit, then restart) finds its batch id in the current version
+  *     and becomes a NO-OP: exactly-once lands at WRITE time, with no
+  *     read-side dedup needed — and because versions carry batch ids
+  *     forward, that guarantee SURVIVES compaction;
+  *   - [[compact]] rewrites all committed data as one dir (the
+  *     small-files maintenance every streaming parquet table needs — a
+  *     30 s trigger writes ~3k dirs/day) and commits it as the next
+  *     version. Superseded dirs stay on disk for in-flight readers;
+  *     vacuuming them after a grace period is a trivial dir diff;
+  *   - optional `partitionBy` lays data out hive-style so reader
+  *     predicates on partition columns prune directories — the same scan
+  *     reduction a table format's partition spec gives (asserted against
+  *     the executed plan's PartitionFilters in the spec);
+  *   - readers see exactly the current version's dirs, with mergeSchema
+  *     for governed evolution.
   *
   * What a real Iceberg commit adds beyond this: concurrent-writer
   * conflict detection (here serialized per-JVM), file-level statistics
-  * pruning, and time travel. The commit/visibility/idempotence semantics
-  * — the parts the reference pipeline actually relies on — are faithful.
+  * pruning, and time travel across versions. The
+  * commit/visibility/idempotence semantics — the parts the reference
+  * pipeline actually relies on — are faithful.
   */
-final class ManifestTableStore(path: String) extends TableStore {
+final class ManifestTableStore(path: String,
+    partitionBy: Seq[String] = Nil) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
 
@@ -64,40 +79,88 @@ final class ManifestTableStore(path: String) extends TableStore {
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir = new HPath(s"$path/manifest")
-  private def manifest(batchId: Long) =
-    new HPath(manifestDir, s"batch-$batchId")
 
-  override def append(df: DataFrame, batchId: Long): Unit = synchronized {
-    val spark = df.sparkSession
-    val f = fs(spark)
-    if (f.exists(manifest(batchId))) return // replay → idempotent no-op
-    val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    df.withColumn("batch_id", lit(batchId))
-      .write.mode("overwrite").parquet(dataDir)
-    // two-step publish: invisible tmp write, then the atomic rename that
-    // IS the commit point
-    val tmp = new HPath(manifestDir, s".batch-$batchId.tmp")
-    f.mkdirs(manifestDir)
-    val out = f.create(tmp, true)
-    try out.write(dataDir.getBytes("UTF-8")) finally out.close()
-    if (!f.rename(tmp, manifest(batchId)))
-      throw new IllegalStateException(s"commit rename failed for batch $batchId")
+  /** (version, lines) of the current manifest; (0, empty) for a new table. */
+  private def current(f: FileSystem): (Long, Seq[(Long, String)]) = {
+    if (!f.exists(manifestDir)) return (0L, Nil)
+    val versions = f.listStatus(manifestDir)
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toLong }
+    if (versions.isEmpty) return (0L, Nil)
+    val v = versions.max
+    val st = f.getFileStatus(new HPath(manifestDir, s"v$v"))
+    val in = f.open(st.getPath)
+    val text = try {
+      val buf = new Array[Byte](st.getLen.toInt)
+      in.readFully(buf); new String(buf, "UTF-8")
+    } finally in.close()
+    val lines = text.linesIterator.filter(_.nonEmpty).map { l =>
+      val Array(id, dir) = l.split("\t", 2)
+      (id.toLong, dir)
+    }.toSeq
+    (v, lines)
   }
 
-  /** Exactly the manifested data dirs, mergeSchema for evolution. */
-  override def read(spark: SparkSession): DataFrame = {
+  /** Tmp-write + atomic rename of `manifest/v<next>` — THE commit point
+    * for every state change.
+    */
+  private def commit(f: FileSystem, next: Long,
+      lines: Seq[(Long, String)]): Unit = {
+    val tmp = new HPath(manifestDir, s".v$next.tmp")
+    f.mkdirs(manifestDir)
+    val out = f.create(tmp, true)
+    try out.write(lines.map { case (id, d) => s"$id\t$d" }
+      .mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (!f.rename(tmp, new HPath(manifestDir, s"v$next")))
+      throw new IllegalStateException(s"commit rename failed for v$next")
+  }
+
+  private def write(df: DataFrame, dir: String): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(dir)
+  }
+
+  override def append(df: DataFrame, batchId: Long): Unit = synchronized {
+    val f = fs(df.sparkSession)
+    val (v, lines) = current(f)
+    if (lines.exists(_._1 == batchId)) return // replay → idempotent no-op
+    val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+    write(df.withColumn("batch_id", lit(batchId)), dataDir)
+    commit(f, v + 1, lines :+ (batchId -> dataDir))
+  }
+
+  /** Rewrite every committed row into ONE data dir and commit it as the
+    * next version, carrying all batch ids forward (replay detection and
+    * `readExactlyOnce` survive: batch_id is a data column). No-op on a
+    * table that is already one dir.
+    */
+  def compact(spark: SparkSession): Unit = synchronized {
     val f = fs(spark)
-    val dirs = f.listStatus(manifestDir)
-      .filterNot(_.getPath.getName.startsWith("."))
-      .map { st =>
-        val in = f.open(st.getPath)
-        try {
-          val buf = new Array[Byte](st.getLen.toInt)
-          in.readFully(buf); new String(buf, "UTF-8")
-        } finally in.close()
-      }
-    require(dirs.nonEmpty, s"no committed batches under $path")
-    spark.read.option("mergeSchema", "true").parquet(dirs.toIndexedSeq: _*)
+    val (v, lines) = current(f)
+    if (lines.map(_._2).distinct.size <= 1) return
+    val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
+    write(spark.read.option("mergeSchema", "true")
+      .parquet(lines.map(_._2).distinct: _*), dataDir)
+    commit(f, v + 1, lines.map { case (id, _) => (id, dataDir) })
+  }
+
+  /** Exactly the current version's data dirs, unioned by name with
+    * missing-column padding (governed evolution across batches). Each dir
+    * is read separately: hive-style partition discovery only accepts
+    * `k=v` segments directly under one root, so a multi-root read of
+    * partitioned batch dirs is structurally "conflicting" — per-dir scans
+    * sidestep that, and predicate/partition pruning pushes into every
+    * scan of the union. Many tiny batch dirs widen the plan linearly;
+    * that is exactly the pressure [[compact]] relieves.
+    */
+  override def read(spark: SparkSession): DataFrame = {
+    val (_, lines) = current(fs(spark))
+    require(lines.nonEmpty, s"no committed batches under $path")
+    lines.map(_._2).distinct
+      .map(d => spark.read.option("mergeSchema", "true").parquet(d))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }
 

@@ -53,6 +53,47 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(df.filter(col("k") === "b").head().getAs[String]("extra") == "fresh")
   }
 
+  test("compaction folds many batch dirs into one version atomically, " +
+      "preserving rows, batch ids, and replay idempotence") {
+    val root = tmp("manifest-compact-")
+    val store = new ManifestTableStore(root.toString)
+    (0L to 4L).foreach { b =>
+      store.append(Seq((s"u$b", b.toDouble)).toDF("uid", "v"), b)
+    }
+    store.compact(spark)
+    val df = store.read(spark)
+    assert(df.count() == 5)
+    assert(df.select("batch_id").distinct().count() == 5)
+    // one data dir now backs the table
+    assert(df.inputFiles.map(_.replaceAll("/[^/]+$", "")).distinct.length == 1)
+    // replaying an already-compacted batch id is still a no-op
+    store.append(Seq(("ghost", 99.0)).toDF("uid", "v"), 3L)
+    assert(store.read(spark).count() == 5)
+    // and fresh batches keep appending after compaction
+    store.append(Seq(("u5", 5.0)).toDF("uid", "v"), 5L)
+    assert(store.read(spark).count() == 6)
+  }
+
+  test("partitionBy lays data out hive-style and reader predicates prune " +
+      "partitions in the executed plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val store = new ManifestTableStore(tmp("manifest-part-").toString,
+      partitionBy = Seq("source"))
+    store.append(Seq(("a", "rapid7", 1), ("b", "fortisiem", 2))
+      .toDF("uid", "source", "n"), 0L)
+    store.append(Seq(("c", "rapid7", 3)).toDF("uid", "source", "n"), 1L)
+    val filtered = store.read(spark).filter(col("source") === "rapid7")
+    assert(filtered.count() == 2)
+    val scan = filtered.queryExecution.executedPlan.collectFirst {
+      case f: FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty,
+      s"no partition filters in: ${scan.metadata}")
+    // the scan only touches source=rapid7 directories
+    assert(filtered.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("source=rapid7")))
+  }
+
   test("drives the streaming bronze→silver path as a drop-in TableStore") {
     val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
     Files.writeString(src.resolve("a.json"),
