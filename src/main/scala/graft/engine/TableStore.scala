@@ -64,11 +64,12 @@ trait TableStore {
   *   - readers see exactly the current version's dirs, with mergeSchema
   *     for governed evolution.
   *
-  * What a real Iceberg commit adds beyond this: concurrent-writer
-  * conflict detection (here serialized per-JVM), file-level statistics
-  * pruning, and time travel across versions. The
-  * commit/visibility/idempotence semantics — the parts the reference
-  * pipeline actually relies on — are faithful.
+  * Time travel ([[readVersion]]) and garbage collection ([[vacuum]])
+  * fall out of the versioned design. What a real Iceberg commit still
+  * adds: concurrent-writer conflict detection (here serialized per-JVM)
+  * and file-level statistics pruning. The commit/visibility/idempotence
+  * semantics — the parts the reference pipeline actually relies on —
+  * are faithful.
   */
 final class ManifestTableStore(path: String,
     partitionBy: Seq[String] = Nil) extends TableStore {
@@ -88,17 +89,20 @@ final class ManifestTableStore(path: String,
       .collect { case n if n.startsWith("v") => n.drop(1).toLong }
     if (versions.isEmpty) return (0L, Nil)
     val v = versions.max
-    val st = f.getFileStatus(new HPath(manifestDir, s"v$v"))
+    (v, readManifest(f, v))
+  }
+
+  private def readManifest(f: FileSystem, version: Long): Seq[(Long, String)] = {
+    val st = f.getFileStatus(new HPath(manifestDir, s"v$version"))
     val in = f.open(st.getPath)
     val text = try {
       val buf = new Array[Byte](st.getLen.toInt)
       in.readFully(buf); new String(buf, "UTF-8")
     } finally in.close()
-    val lines = text.linesIterator.filter(_.nonEmpty).map { l =>
+    text.linesIterator.filter(_.nonEmpty).map { l =>
       val Array(id, dir) = l.split("\t", 2)
       (id.toLong, dir)
     }.toSeq
-    (v, lines)
   }
 
   /** Tmp-write + atomic rename of `manifest/v<next>` — THE commit point
@@ -141,10 +145,55 @@ final class ManifestTableStore(path: String,
     val (v, lines) = current(f)
     if (lines.map(_._2).distinct.size <= 1) return
     val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
-    write(spark.read.option("mergeSchema", "true")
-      .parquet(lines.map(_._2).distinct: _*), dataDir)
+    write(read(spark), dataDir) // per-dir union: partition-layout safe
     commit(f, v + 1, lines.map { case (id, _) => (id, dataDir) })
   }
+
+  /** Read the table AS OF a specific manifest version — time travel,
+    * which the versioned manifest gives for free (version files are
+    * immutable once renamed in; superseded data dirs remain until
+    * [[vacuum]]).
+    */
+  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+    val dirs = readManifest(fs(spark), version).map(_._2).distinct
+    require(dirs.nonEmpty, s"version $version of $path is empty")
+    dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Current manifest version (0 = no commits yet). */
+  def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
+
+  /** Delete data dirs referenced by NO manifest version up to and
+    * including `retainBefore` versions back from current, plus all
+    * superseded manifest versions older than that horizon. Keeping a
+    * horizon > 0 protects in-flight readers of recent versions; 0
+    * retains only the current version's dirs. Returns deleted paths.
+    */
+  def vacuum(spark: SparkSession, retainLast: Int = 1): Seq[String] =
+    synchronized {
+      val f = fs(spark)
+      val (v, _) = current(f)
+      if (v == 0) return Nil
+      val keepVersions = math.max(1L, v - retainLast) to v
+      // data dir NAMES are unique (uuid-suffixed), so retention compares
+      // the last path segment — robust to qualified-URI vs raw-path forms
+      val referenced = keepVersions.flatMap(kv =>
+        readManifest(f, kv).map(_._2.split('/').last)).toSet
+      val dataRoot = new HPath(s"$path/data")
+      val deleted = Seq.newBuilder[String]
+      if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
+        if (!referenced.contains(st.getPath.getName)) {
+          f.delete(st.getPath, true); deleted += st.getPath.toString
+        }
+      }
+      f.listStatus(manifestDir).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("v") && n.drop(1).toLong < keepVersions.min)
+          f.delete(st.getPath, false)
+      }
+      deleted.result()
+    }
 
   /** Exactly the current version's data dirs, unioned by name with
     * missing-column padding (governed evolution across batches). Each dir

@@ -94,6 +94,42 @@ class ManifestTableStoreSpec extends SparkSpec {
       .forall(_.getString(0).contains("source=rapid7")))
   }
 
+  test("time travel: readVersion sees the table as of each commit; " +
+      "vacuum removes dirs unreferenced by the retention horizon") {
+    val root = tmp("manifest-tt-")
+    val store = new ManifestTableStore(root.toString)
+    store.append(Seq(("a", 1)).toDF("k", "n"), 0L)
+    store.append(Seq(("b", 2)).toDF("k", "n"), 1L)
+    store.compact(spark)
+    store.append(Seq(("c", 3)).toDF("k", "n"), 2L)
+    assert(store.currentVersion(spark) == 4L)
+    assert(store.readVersion(spark, 1L).count() == 1) // just batch 0
+    assert(store.readVersion(spark, 2L).count() == 2)
+    assert(store.readVersion(spark, 4L).count() == 3)
+    // retainLast=0: only the current version's dirs survive — the two
+    // pre-compaction batch dirs go, the compacted dir + batch 2 stay
+    val deleted = store.vacuum(spark, retainLast = 0)
+    assert(deleted.length == 2, s"deleted: $deleted")
+    assert(store.read(spark).count() == 3) // current read unaffected
+    // vacuumed history is gone; current version still time-travels
+    intercept[Exception] { store.readVersion(spark, 1L).count() }
+    assert(store.readVersion(spark, 4L).count() == 3)
+  }
+
+  test("compaction preserves a partitioned layout (per-dir union write)") {
+    val store = new ManifestTableStore(tmp("manifest-cpart-").toString,
+      partitionBy = Seq("source"))
+    store.append(Seq(("a", "rapid7", 1), ("b", "fortisiem", 2))
+      .toDF("uid", "source", "n"), 0L)
+    store.append(Seq(("c", "rapid7", 3)).toDF("uid", "source", "n"), 1L)
+    store.compact(spark)
+    val df = store.read(spark)
+    assert(df.count() == 3)
+    assert(df.filter(col("source") === "rapid7").count() == 2)
+    // compacted dir is still hive-partitioned
+    assert(df.inputFiles.forall(_.contains("source=")))
+  }
+
   test("drives the streaming bronze→silver path as a drop-in TableStore") {
     val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
     Files.writeString(src.resolve("a.json"),
