@@ -67,6 +67,15 @@ object MultimodalOps {
     def frameOffsetsMs(payload: Array[Byte], maxFrames: Int): Seq[Long] =
       (0 until math.min(maxFrames, math.max(1, payload.length / 64)))
         .map(_ * 1000L)
+    /** Fake "resize" to a byte budget: deterministic stride subsample —
+      * a real codec would decode, scale, re-encode here.
+      */
+    def resize(payload: Array[Byte], targetBytes: Int): Array[Byte] = {
+      if (payload.length <= targetBytes) return payload
+      val stride = math.max(1, payload.length / targetBytes)
+      payload.indices.by(stride).take(targetBytes)
+        .map(payload).toArray
+    }
   }
   // --------------------------------------------------------------------
 
@@ -88,6 +97,27 @@ object MultimodalOps {
             StubCodec.features(payload))
         }
       }
+  }
+
+  /** Resize every payload to a byte budget, keeping schema + metadata
+    * shape (n_bytes updated): the thumbnail/downsample pass a training
+    * pipeline runs before feature extraction. Same mapPartitions batch
+    * boundary as [[decodeFeatures]] for per-partition codec init.
+    */
+  def resizePayloads(media: DataFrame, targetBytes: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "kind", "payload", "meta.source")
+      .as[(Long, String, Array[Byte], String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, payload, source) =>
+          val resized = StubCodec.resize(payload, targetBytes)
+          (id, kind, resized, source, resized.length.toLong)
+        }
+      }
+      .toDF("media_id", "kind", "payload", "source", "n_bytes")
+      .select(col("media_id"), col("kind"), col("payload"),
+        struct(col("source"), col("n_bytes")).as("meta"))
   }
 
   /** Frame sampling for video rows: one output row per sampled frame. */

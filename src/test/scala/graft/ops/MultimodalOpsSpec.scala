@@ -25,6 +25,27 @@ class MultimodalOpsSpec extends SparkSpec {
     assert(new String(row.getAs[Array[Byte]](0), "UTF-8") == text)
   }
 
+  test("resizePayloads bounds every payload to the byte budget, keeps " +
+      "schema shape, and is deterministic") {
+    val m = MultimodalOps.mediaTable(spark, dir)
+    val r = MultimodalOps.resizePayloads(m, targetBytes = 64)
+    assert(r.schema.fieldNames.toSeq == Seq("media_id", "kind", "payload",
+      "meta"))
+    val rows = r.select(col("payload"), col("meta.n_bytes")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val p = row.getAs[Array[Byte]](0)
+      assert(p.length <= 64)
+      assert(row.getLong(1) == p.length.toLong) // meta tracks resized size
+    }
+    // deterministic: same input → same bytes
+    val again = MultimodalOps.resizePayloads(m, 64)
+      .filter(col("media_id") === 0).select("payload").head().getAs[Array[Byte]](0)
+    val first = r.filter(col("media_id") === 0)
+      .select("payload").head().getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(again, first))
+  }
+
   test("decodeFeatures is deterministic and schema-stable") {
     val f1 = MultimodalOps.decodeFeatures(
       MultimodalOps.mediaTable(spark, dir)).collect()
