@@ -224,6 +224,26 @@ object DedupOps {
     // ANSI-SQL-expressible (xxhash64) → rows-only.
     QueryDef.rowsOnly("q47_lsh_containment") { (s, dir) =>
       lshContainment(s, dir, minJaccard = 0.7)
+    },
+
+    // THE composed product: the full training-data preparation pipeline
+    // in one plan — quality filter (q30's score) → exact dedup (q40) →
+    // MinHash-LSH near-dup resolution to one representative per cluster
+    // (q44/q48/q49) → content-addressed train/val/test split (q36) —
+    // reported as per-split corpus accounting. Every stage is
+    // individually oracle- or audit-pinned; this query pins their
+    // COMPOSITION (PipelineInvariantsSpec asserts the end-to-end
+    // invariants). Not ANSI-SQL-expressible (xxhash64 in the near-dup
+    // stage) → rows-only.
+    QueryDef.rowsOnly("q67_training_pipeline") { (s, dir) =>
+      val kept = trainingKeepList(Tables(s, dir, "documents"),
+        minQuality = 0.2)
+      kept
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).cast("long").as("min_doc_id"),
+          sum(col("n_exact")).as("n_source_docs"))
+        .orderBy("split")
     })
 
   /** q43 build: exact n-gram Jaccard over a capped id range — the ground
@@ -355,6 +375,46 @@ object DedupOps {
       .groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id"))
     minhashLshCandidates(minhashSigs(reps), numPerms = 16, bands = 4)
+  }
+
+  /** Keep-list of the composed training pipeline (q67): per surviving
+    * document, its id, exact-dup multiplicity, and split assignment.
+    *
+    *  1. quality floor — q30's score (length saturation × non-stopword
+    *     mass), row-local;
+    *  2. exact dedup — one representative per byte-identical class;
+    *  3. near-dup resolution — LSH candidates → signature-jaccard filter
+    *     → connected components; the keeper is the min reachable doc_id
+    *     (label == own id);
+    *  4. content-addressed 80/10/10 split on the keeper's id — stable
+    *     under corpus growth, any partitioning.
+    */
+  def trainingKeepList(docs: DataFrame, minQuality: Double): DataFrame = {
+    val words = "split(text, ' ')"
+    val quality = expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
+      s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+      s" / size($words))")
+    val classes = docs.filter(quality >= minQuality)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+    val edges = minhashLshCandidates(
+        minhashSigs(classes.select("doc_id", "text")),
+        numPerms = 16, bands = 4)
+      .filter(col("est_jaccard") >= 0.5)
+      .select("a_id", "b_id")
+    val keepIds = connectedComponents(edges, classes.select("doc_id"))
+      .toDF("doc_id", "cluster")
+      .filter(col("doc_id") === col("cluster"))
+      .select("doc_id")
+    val split =
+      "CASE WHEN substr(h, 1, 2) < 'cd' THEN 'train' " +
+        "WHEN substr(h, 1, 2) < 'e6' THEN 'val' ELSE 'test' END"
+    keepIds
+      .join(classes.select("doc_id", "n_exact"), "doc_id")
+      .withColumn("h",
+        sha2(concat(lit("split-v1|"), col("doc_id").cast("string")), 256))
+      .withColumn("split", expr(split))
+      .select("doc_id", "n_exact", "split")
   }
 
   /** (doc_id, sig) via the row-local [[graft.functions.MinHashText]]

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.engine.Tables
+
+/** End-to-end invariants of the composed training pipeline (q67). Each
+  * stage is pinned by its own oracle/audit; these assertions pin the
+  * COMPOSITION — the properties a downstream training run relies on.
+  */
+class PipelineInvariantsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val docs = Tables(spark, dir, "documents")
+  private lazy val kept = DedupOps.trainingKeepList(docs, minQuality = 0.2)
+
+  test("kept ids are a subset of the corpus, with no exact-dup text " +
+      "among them") {
+    val keptDocs = kept.join(docs, "doc_id")
+    assert(keptDocs.count() == kept.count(), "kept id not in corpus")
+    assert(keptDocs.select("text").distinct().count() == kept.count(),
+      "two kept docs share identical text")
+  }
+
+  test("near-dup clusters contribute exactly one representative") {
+    // every kept pair that LSH would flag as >= 0.9-similar must not
+    // exist: high-certainty near-dups were collapsed
+    val sigs = DedupOps.minhashSigs(
+      kept.join(docs, "doc_id").select("doc_id", "text"))
+    val residual = DedupOps.minhashLshCandidates(sigs, 16, 4)
+      .filter(col("est_jaccard") >= 0.9)
+    assert(residual.isEmpty,
+      s"near-dup pair survived: ${residual.take(3).toSeq}")
+  }
+
+  test("split assignment is exhaustive, deterministic, and accounts for " +
+      "every source document once") {
+    val splits = kept.select("split").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")))
+    // multiplicity conservation: each source doc is either dropped by the
+    // quality floor or counted in exactly one keeper's n_exact
+    val words = "split(text, ' ')"
+    val quality = expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
+      s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+      s" / size($words))")
+    // conservation, computed independently of trainingKeepList's
+    // internals: exact classes partition the quality-filtered corpus, so
+    // class multiplicities must sum to the quality-doc count ...
+    val qualityDocs = docs.filter(quality >= 0.2)
+    val classes = qualityDocs.groupBy("text")
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+    assert(classes.agg(sum("n_exact")).head().getLong(0)
+      == qualityDocs.count())
+    // ... keepers are class representatives carrying their class's exact
+    // multiplicity verbatim ...
+    val mismatched = kept
+      .join(classes.select("doc_id", "n_exact").toDF("doc_id", "class_n"),
+        "doc_id", "left")
+      .filter(col("class_n").isNull || col("class_n") =!= col("n_exact"))
+    assert(mismatched.isEmpty,
+      s"keeper not a class rep or multiplicity drifted: " +
+        s"${mismatched.take(3).toSeq}")
+    // ... and near-dup resolution only ever DROPS whole classes
+    val nAccounted = kept.agg(sum("n_exact")).head().getLong(0)
+    assert(nAccounted <= qualityDocs.count())
+    assert(kept.count() <= classes.count())
+    // deterministic: second evaluation is identical
+    val again = DedupOps.trainingKeepList(docs, 0.2)
+      .orderBy("doc_id").collect().toSeq
+    assert(kept.orderBy("doc_id").collect().toSeq == again)
+  }
+}
