@@ -8,16 +8,20 @@ import graft.QueryDef
 import graft.engine.Tables
 
 /** Deduplication operators for a training-data pipeline: exact hashing,
-  * minhash signatures, LSH banding for near-dup candidate generation, and
-  * n-gram Jaccard verification.
+  * minhash signatures, LSH banding for near-dup candidate generation,
+  * n-gram Jaccard verification, cluster resolution, and the composed
+  * end-to-end keep-list.
   *
-  * Scale design (100 TB): exact dedup is one hash-partitioned groupBy on a
-  * 32-byte key; minhash signatures are per-row HOFs (no shuffle); LSH
+  * Scale design (100 TB): exact dedup is one hash-partitioned groupBy on
+  * a 32-byte key; minhash signatures are computed row-locally by the
+  * MinHashText expression (zero shuffle; one skinny (id, sig) exchange
+  * is inserted only where the sig subtree fans out — PERF.md #13); LSH
   * banding turns the O(n²) pair space into a groupBy on (band, bandHash)
   * buckets — pairs are only generated inside a bucket, which is the
   * standard MinHash-LSH bound on candidate count. The all-pairs Jaccard
-  * (q43) is deliberately capped to a small id range: it is the *verifier*
-  * for LSH candidates, not the scale path.
+  * (q43) is capped to a small id range as the per-pair *verifier*; the
+  * full-corpus audit (q47) stays affordable because the exact pair space
+  * is itself shingle-equi-join-bounded.
   */
 object DedupOps {
 
