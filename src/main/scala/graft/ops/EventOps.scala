@@ -86,6 +86,108 @@ object EventOps {
         .orderBy("event_id")
     },
 
+    // Conversion funnel: users who viewed, then clicked AFTER their first
+    // view, then purchased AFTER that first qualifying click — the
+    // event-ordering analytics a gold layer exists for. Three
+    // aggregate-then-join stages, each a hash-partitioned min per user;
+    // stage frames shrink monotonically so the joins get cheaper down
+    // the funnel.
+    QueryDef(
+      "q68_funnel",
+      """WITH v AS (SELECT user_id, MIN(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN v ON v.user_id = e.user_id AND e.ts > v.t
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+        |  JOIN c ON c.user_id = e.user_id AND e.ts > c.t
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT stage, n_users FROM (
+        |  SELECT '1_view' AS stage, COUNT(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_view_click', COUNT(*) FROM c
+        |  UNION ALL SELECT '3_view_click_purchase', COUNT(*) FROM p) t
+        |ORDER BY stage""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events").select("user_id", "event_type", "ts")
+      def firstAfter(of: String, prev: DataFrame): DataFrame = {
+        val base = ev.filter(col("event_type") === of)
+        prev.toDF("user_id", "prev_t")
+          .join(base, "user_id")
+          .filter(col("ts") > col("prev_t"))
+          .groupBy("user_id").agg(min(col("ts")).as("t"))
+      }
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t"))
+      val c = firstAfter("click", v)
+      val p = firstAfter("purchase", c)
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"),
+          col("n_users"))
+      stage("1_view", v)
+        .unionByName(stage("2_view_click", c))
+        .unionByName(stage("3_view_click_purchase", p))
+        .orderBy("stage")
+    },
+
+    // Cohort retention: users grouped by first-activity week, activity
+    // counted per weeks-since-cohort — the standard retention matrix in
+    // long form. Two shuffles: first-event min per user (broadcast back)
+    // and the (cohort, week) distinct count.
+    QueryDef(
+      "q69_cohorts",
+      """WITH f AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cw
+        |  FROM events GROUP BY user_id),
+        |a AS (SELECT e.user_id, f.cw,
+        |    date_diff('week', f.cw, date_trunc('week', e.ts)) AS wk
+        |  FROM events e JOIN f ON f.user_id = e.user_id)
+        |SELECT strftime(cw, '%Y-%m-%d') AS cohort_week,
+        |  CAST(wk AS INTEGER) AS weeks_since,
+        |  COUNT(DISTINCT user_id) AS active_users
+        |FROM a GROUP BY cw, wk ORDER BY cohort_week, weeks_since"""
+        .stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events").select("user_id", "ts")
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      ev.join(broadcast(f), "user_id")
+        .select(col("user_id"), col("cw"),
+          (datediff(date_trunc("week", col("ts")), col("cw")) / 7)
+            .cast("int").as("wk"))
+        .groupBy("cw", "wk")
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .select(date_format(col("cw"), "yyyy-MM-dd").as("cohort_week"),
+          col("wk").as("weeks_since"), col("active_users"))
+        .orderBy("cohort_week", "weeks_since")
+    },
+
+    // Distribution window functions: ntile / percent_rank / cume_dist /
+    // nth_value — the ranking-family completion of q07/q08. All are
+    // exact rationals computed in double (identical across engines);
+    // total tiebreak order keeps them deterministic.
+    QueryDef(
+      "q70_window_suite",
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd,
+        |  nth_value(o_orderkey, 2) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_best
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wRows = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .select(col("o_custkey"), col("o_orderkey"),
+          ntile(4).over(w).cast("int").as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          nth_value(col("o_orderkey"), 2).over(wRows).as("second_best"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     // Sliding event-time windows (2h duration, 1h slide): every event lands
     // in exactly two epoch-aligned windows.
     QueryDef(
