@@ -114,6 +114,59 @@ object EventStreams {
       }
   }
 
+  final case class FunnelState(stage: Int, sinceTs: java.sql.Timestamp)
+  final case class StageEvent(user_id: Long, stage: String,
+      at: java.sql.Timestamp)
+
+  /** Streaming conversion funnel via `flatMapGroupsWithState` — the
+    * flatMap variant of custom state (zero-or-more outputs per group per
+    * batch, where mapGroups must emit exactly one): per user, track
+    * progress through view → click → purchase in event order and emit a
+    * StageEvent each time a NEW stage is reached; batches that advance
+    * nothing emit nothing. The batch analog is q68; state is one (int,
+    * timestamp) per user, expired after `idleTimeout` past the watermark
+    * like userRunningTotals.
+    */
+  def streamingFunnel(events: Dataset[Event],
+      watermark: String = "10 minutes",
+      idleTimeout: String = "1 hour"): Dataset[StageEvent] = {
+    import events.sparkSession.implicits._
+    val order = Map("view" -> 1, "click" -> 2, "purchase" -> 3)
+    val names = Map(1 -> "1_view", 2 -> "2_view_click",
+      3 -> "3_view_click_purchase")
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(
+              FunnelState(0, new java.sql.Timestamp(0L)))
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[StageEvent]
+            // event-time order within the batch; the funnel is ordered
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              val stage = order.getOrElse(e.event_type, 0)
+              // advance only to the IMMEDIATE next stage, strictly after
+              // the previous stage's event (same contract as q68)
+              if (stage == st.stage + 1 &&
+                  (st.stage == 0 || e.ts.getTime > st.sinceTs.getTime)) {
+                st = FunnelState(stage, e.ts)
+                out += StageEvent(userId, names(stage), e.ts)
+              }
+            }
+            state.update(st)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), idleTimeout)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream inner join with an event-time interval bound: each
     * `view` pairs with `purchase`s by the same user within
     * [view.ts, view.ts + horizon]. Both sides carry watermarks and the

@@ -150,6 +150,34 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == streamed, s"batch $batch != streamed $streamed")
   }
 
+  test("flatMapGroupsWithState funnel emits a StageEvent only when a user " +
+      "reaches a NEW stage, in event order") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.streamingFunnel(input.toDS(),
+        watermark = "24 hours", idleTimeout = "48 hours")
+      .writeStream.format("memory").queryName("funnel")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 completes the funnel; the click BEFORE the view must not
+    // count; user 2 stalls at view.
+    input.addData(Seq(
+      Event(1L, ts("2024-01-01 09:00:00"), 1L, "click", 0.0), // pre-view
+      Event(2L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(3L, ts("2024-01-01 10:05:00"), 1L, "click", 0.0),
+      Event(4L, ts("2024-01-01 10:30:00"), 2L, "view", 0.0)))
+    q.processAllAvailable()
+    // next batch: user 1 purchases; a REPEAT click emits nothing
+    input.addData(Seq(
+      Event(5L, ts("2024-01-01 11:00:00"), 1L, "click", 0.0),
+      Event(6L, ts("2024-01-01 11:10:00"), 1L, "purchase", 9.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("funnel")
+      .select("user_id", "stage").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted
+    assert(got == Seq((1L, "1_view"), (1L, "2_view_click"),
+      (1L, "3_view_click_purchase"), (2L, "1_view")), s"got $got")
+  }
+
   test("same code plans as a batch query (unified API)") {
     val batch = fixture.toDF()
     val got = EventStreams.tumblingCounts(batch)
