@@ -65,24 +65,33 @@ trait TableStore {
   *     for governed evolution.
   *
   * Time travel ([[readVersion]]) and garbage collection ([[vacuum]])
-  * fall out of the versioned design. What a real Iceberg commit still
-  * adds: concurrent-writer conflict detection (here serialized per-JVM)
-  * and file-level statistics pruning. The commit/visibility/idempotence
-  * semantics — the parts the reference pipeline actually relies on —
-  * are faithful.
+  * fall out of the versioned design, and `statsColumns` adds the third
+  * leg of a table format's scan-reduction stack: per-data-dir min/max
+  * column statistics recorded in the manifest at commit time, consulted
+  * by [[readWhere]] to skip whole dirs a predicate provably cannot match
+  * (Iceberg's manifest-level file pruning / parquet's zone maps, lifted
+  * to the commit layer — at 100 TB this is the difference between
+  * scanning a day and scanning the table). What a real Iceberg commit
+  * still adds: concurrent-writer conflict detection (here serialized
+  * per-JVM). The commit/visibility/idempotence semantics — the parts
+  * the reference pipeline actually relies on — are faithful.
   */
 final class ManifestTableStore(path: String,
-    partitionBy: Seq[String] = Nil) extends TableStore {
+    partitionBy: Seq[String] = Nil,
+    statsColumns: Seq[String] = Nil) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
+  import ManifestTableStore.{Entry, NumV, StrV, SVal}
 
   private def fs(spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir = new HPath(s"$path/manifest")
 
-  /** (version, lines) of the current manifest; (0, empty) for a new table. */
-  private def current(f: FileSystem): (Long, Seq[(Long, String)]) = {
+  /** (version, entries) of the current manifest; (0, empty) for a new
+    * table.
+    */
+  private def current(f: FileSystem): (Long, Seq[Entry]) = {
     if (!f.exists(manifestDir)) return (0L, Nil)
     val versions = f.listStatus(manifestDir)
       .map(_.getPath.getName)
@@ -92,7 +101,7 @@ final class ManifestTableStore(path: String,
     (v, readManifest(f, v))
   }
 
-  private def readManifest(f: FileSystem, version: Long): Seq[(Long, String)] = {
+  private def readManifest(f: FileSystem, version: Long): Seq[Entry] = {
     val st = f.getFileStatus(new HPath(manifestDir, s"v$version"))
     val in = f.open(st.getPath)
     val text = try {
@@ -100,24 +109,77 @@ final class ManifestTableStore(path: String,
       in.readFully(buf); new String(buf, "UTF-8")
     } finally in.close()
     text.linesIterator.filter(_.nonEmpty).map { l =>
-      val Array(id, dir) = l.split("\t", 2)
-      (id.toLong, dir)
+      l.split("\t", 3) match {
+        case Array(id, dir) => Entry(id.toLong, dir, "")
+        case Array(id, dir, stats) => Entry(id.toLong, dir, stats)
+      }
     }.toSeq
   }
 
   /** Tmp-write + atomic rename of `manifest/v<next>` — THE commit point
     * for every state change.
     */
-  private def commit(f: FileSystem, next: Long,
-      lines: Seq[(Long, String)]): Unit = {
+  private def commit(f: FileSystem, next: Long, lines: Seq[Entry]): Unit = {
     val tmp = new HPath(manifestDir, s".v$next.tmp")
     f.mkdirs(manifestDir)
     val out = f.create(tmp, true)
-    try out.write(lines.map { case (id, d) => s"$id\t$d" }
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write(lines.map { e =>
+      if (e.statsJson.isEmpty) s"${e.batchId}\t${e.dir}"
+      else s"${e.batchId}\t${e.dir}\t${e.statsJson}"
+    }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     if (!f.rename(tmp, new HPath(manifestDir, s"v$next")))
       throw new IllegalStateException(s"commit rename failed for v$next")
+  }
+
+  /** Min/max per requested stats column over one freshly-written data
+    * dir, as the manifest's JSON stats field ("" when none apply). One
+    * columnar scan of JUST these columns per commit — footer-cheap, and
+    * the read-back (rather than re-running the upstream batch plan)
+    * guarantees stats describe exactly the bytes committed. Numeric and
+    * string columns only; anything else (or an all-null dir) simply
+    * yields no stats — pruning stays conservative.
+    */
+  private def collectStats(spark: SparkSession, dir: String): String = {
+    if (statsColumns.isEmpty) return ""
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    val df = spark.read.parquet(dir)
+    val present = statsColumns.filter(c => df.schema.fields.exists(f =>
+      f.name == c && (f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType)))
+    if (present.isEmpty) return ""
+    val aggs = present.flatMap(c =>
+      Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    present.zipWithIndex.foreach { case (c, i) =>
+      val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
+      if (mn != null && mx != null) {
+        val node = root.putObject(c)
+        val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
+        if (numeric) {
+          node.put("min", new java.math.BigDecimal(mn))
+          node.put("max", new java.math.BigDecimal(mx))
+        } else { node.put("min", mn); node.put("max", mx) }
+      }
+    }
+    if (root.isEmpty) "" else mapper.writeValueAsString(root)
+  }
+
+  private def parseStats(json: String): Map[String, (SVal, SVal)] = {
+    if (json.isEmpty) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.readTree(json)
+    val b = Map.newBuilder[String, (SVal, SVal)]
+    root.properties().forEach { e =>
+      val (mn, mx) = (e.getValue.get("min"), e.getValue.get("max"))
+      if (mn.isNumber && mx.isNumber)
+        b += e.getKey -> (NumV(mn.decimalValue()), NumV(mx.decimalValue()))
+      else if (mn.isTextual && mx.isTextual)
+        b += e.getKey -> (StrV(mn.asText()), StrV(mx.asText()))
+    }
+    b.result()
   }
 
   private def write(df: DataFrame, dir: String): Unit = {
@@ -129,10 +191,11 @@ final class ManifestTableStore(path: String,
   override def append(df: DataFrame, batchId: Long): Unit = synchronized {
     val f = fs(df.sparkSession)
     val (v, lines) = current(f)
-    if (lines.exists(_._1 == batchId)) return // replay → idempotent no-op
+    if (lines.exists(_.batchId == batchId)) return // replay → idempotent no-op
     val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
     write(df.withColumn("batch_id", lit(batchId)), dataDir)
-    commit(f, v + 1, lines :+ (batchId -> dataDir))
+    commit(f, v + 1,
+      lines :+ Entry(batchId, dataDir, collectStats(df.sparkSession, dataDir)))
   }
 
   /** Rewrite every committed row into ONE data dir and commit it as the
@@ -143,10 +206,11 @@ final class ManifestTableStore(path: String,
   def compact(spark: SparkSession): Unit = synchronized {
     val f = fs(spark)
     val (v, lines) = current(f)
-    if (lines.map(_._2).distinct.size <= 1) return
+    if (lines.map(_.dir).distinct.size <= 1) return
     val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
     write(read(spark), dataDir) // per-dir union: partition-layout safe
-    commit(f, v + 1, lines.map { case (id, _) => (id, dataDir) })
+    val stats = collectStats(spark, dataDir) // stats follow the rewrite
+    commit(f, v + 1, lines.map(e => Entry(e.batchId, dataDir, stats)))
   }
 
   /** Read the table AS OF a specific manifest version — time travel,
@@ -155,7 +219,7 @@ final class ManifestTableStore(path: String,
     * [[vacuum]]).
     */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    val dirs = readManifest(fs(spark), version).map(_._2).distinct
+    val dirs = readManifest(fs(spark), version).map(_.dir).distinct
     require(dirs.nonEmpty, s"version $version of $path is empty")
     dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -179,7 +243,7 @@ final class ManifestTableStore(path: String,
       // data dir NAMES are unique (uuid-suffixed), so retention compares
       // the last path segment — robust to qualified-URI vs raw-path forms
       val referenced = keepVersions.flatMap(kv =>
-        readManifest(f, kv).map(_._2.split('/').last)).toSet
+        readManifest(f, kv).map(_.dir.split('/').last)).toSet
       val dataRoot = new HPath(s"$path/data")
       val deleted = Seq.newBuilder[String]
       if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
@@ -207,9 +271,121 @@ final class ManifestTableStore(path: String,
   override def read(spark: SparkSession): DataFrame = {
     val (_, lines) = current(fs(spark))
     require(lines.nonEmpty, s"no committed batches under $path")
-    lines.map(_._2).distinct
+    lines.map(_.dir).distinct
       .map(d => spark.read.option("mergeSchema", "true").parquet(d))
       .reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  /** Read with manifest-stats data skipping: data dirs whose recorded
+    * min/max prove `predicateSql` cannot match are never opened — their
+    * files don't even reach the scan's file listing (assert via
+    * `inputFiles` in the spec). The predicate is then still applied in
+    * full, so results are EXACTLY `read(spark).filter(predicateSql)`;
+    * stats only ever remove provably-empty work. Dirs with no stats for
+    * a referenced column (all-null, unsupported type, column added later
+    * by evolution, or pre-stats manifest lines) are conservatively kept.
+    */
+  def readWhere(spark: SparkSession, predicateSql: String): DataFrame = {
+    val (kept, _) = pruneDirs(spark, predicateSql)
+    val base =
+      if (kept.isEmpty) read(spark) // all pruned: parquet footers skip rest
+      else kept
+        .map(d => spark.read.option("mergeSchema", "true").parquet(d))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
+    base.filter(expr(predicateSql))
+  }
+
+  /** (kept, skipped) data dirs for a predicate — the pruning decision
+    * [[readWhere]] acts on, exposed for tests/inspection. Only top-level
+    * AND-ed comparisons of a bare column to a literal participate; any
+    * other conjunct shape is ignored (conservative).
+    */
+  private[engine] def pruneDirs(spark: SparkSession,
+      predicateSql: String): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
+      Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+      LessThanOrEqual, Literal}
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def sval(l: Literal): Option[SVal] = l.value match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(StrV(s.toString))
+      case n @ (_: java.lang.Number | _: org.apache.spark.sql.types.Decimal) =>
+        Some(NumV(new java.math.BigDecimal(n.toString)))
+      case _ => None
+    }
+    // (column, op, value) with reversed literal-first forms normalized
+    val bounds: Seq[(String, String, SVal)] =
+      conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
+        .flatMap {
+          case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+            sval(l).map((a.name, "=", _))
+          case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+            sval(l).map((a.name, "=", _))
+          case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
+            sval(l).map((a.name, ">", _))
+          case LessThan(l: Literal, a: UnresolvedAttribute) =>
+            sval(l).map((a.name, ">", _))
+          case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+            sval(l).map((a.name, ">=", _))
+          case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+            sval(l).map((a.name, ">=", _))
+          case LessThan(a: UnresolvedAttribute, l: Literal) =>
+            sval(l).map((a.name, "<", _))
+          case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
+            sval(l).map((a.name, "<", _))
+          case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
+            sval(l).map((a.name, "<=", _))
+          case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
+            sval(l).map((a.name, "<=", _))
+          case _ => None
+        }
+
+    val (_, lines) = current(fs(spark))
+    val perDir = lines.map(e => e.dir -> e.statsJson).distinct
+    val (kept, skipped) = perDir.partition { case (_, json) =>
+      val stats = parseStats(json)
+      !bounds.exists { case (c, op, v) =>
+        stats.get(c).exists { case (mn, mx) =>
+          ManifestTableStore.disjoint(op, v, mn, mx) }
+      }
+    }
+    (kept.map(_._1), skipped.map(_._1))
+  }
+}
+
+object ManifestTableStore {
+  /** One manifest line: a committed (batchId, dataDir) plus optional
+    * per-column min/max stats JSON for the dir ("" = none recorded).
+    */
+  private[engine] final case class Entry(batchId: Long, dir: String,
+      statsJson: String)
+
+  private[engine] sealed trait SVal
+  private[engine] final case class NumV(v: java.math.BigDecimal) extends SVal
+  private[engine] final case class StrV(v: String) extends SVal
+
+  /** True iff `col <op> v` is impossible for every row of a dir whose
+    * column range is [mn, mx]. Mixed value kinds (string literal vs
+    * numeric stats) never prune.
+    */
+  private[engine] def disjoint(op: String, v: SVal, mn: SVal,
+      mx: SVal): Boolean = {
+    def cmp(a: SVal, b: SVal): Option[Int] = (a, b) match {
+      case (NumV(x), NumV(y)) => Some(x.compareTo(y))
+      case (StrV(x), StrV(y)) => Some(x.compareTo(y))
+      case _ => None
+    }
+    (for { loCmp <- cmp(mn, v); hiCmp <- cmp(mx, v) } yield op match {
+      case "=" => loCmp > 0 || hiCmp < 0
+      case ">" => hiCmp <= 0
+      case ">=" => hiCmp < 0
+      case "<" => loCmp >= 0
+      case "<=" => loCmp > 0
+    }).getOrElse(false)
   }
 }
 

@@ -130,6 +130,54 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(df.inputFiles.forall(_.contains("source=")))
   }
 
+  test("manifest column stats skip data dirs a predicate cannot match, " +
+      "without changing results") {
+    val store = new ManifestTableStore(tmp("manifest-stats-").toString,
+      statsColumns = Seq("n", "h"))
+    store.append(Seq((1, "a"), (10, "b")).toDF("n", "h"), 0L)
+    store.append(Seq((100, "m"), (200, "q")).toDF("n", "h"), 1L)
+    store.append(Seq((1000, "x"), (2000, "z")).toDF("n", "h"), 2L)
+
+    val (kept, skipped) = store.pruneDirs(spark, "n >= 100 AND n < 1000")
+    assert(kept.length == 1 && skipped.length == 2, s"kept=$kept")
+    // the skipped dirs' files never reach the scan
+    val df = store.readWhere(spark, "n >= 100 AND n < 1000")
+    val keptNames = kept.map(_.split('/').last).toSet
+    assert(df.inputFiles.nonEmpty &&
+      df.inputFiles.forall(f => keptNames.exists(f.contains)))
+    // and the result is exactly the full-scan filter
+    assert(df.select("n").collect().map(_.getInt(0)).sorted.toSeq ==
+      Seq(100, 200))
+
+    // string stats prune equality predicates
+    val (k2, s2) = store.pruneDirs(spark, "h = 'm'")
+    assert(k2.length == 1 && s2.length == 2)
+    // a conjunct shape stats can't reason about prunes NOTHING
+    assert(store.pruneDirs(spark, "n % 2 = 0")._2.isEmpty)
+    // boundary values stay kept: max of dir 0 is exactly 10
+    assert(store.pruneDirs(spark, "n >= 10")._1.length == 3)
+    assert(store.pruneDirs(spark, "n > 10")._1.length == 2)
+  }
+
+  test("stats pruning survives compaction; evolution-added columns prune " +
+      "conservatively") {
+    val store = new ManifestTableStore(tmp("manifest-statsc-").toString,
+      statsColumns = Seq("n", "extra"))
+    store.append(Seq((1, "a")).toDF("n", "h"), 0L) // no `extra` column yet
+    store.append(Seq((100, "m", "v1")).toDF("n", "h", "extra"), 1L)
+    // old dir has no stats for `extra` → must be KEPT for extra-predicates
+    val (k0, s0) = store.pruneDirs(spark, "extra = 'zzz'")
+    assert(k0.length == 1 && s0.length == 1) // new dir skipped, old kept
+    assert(store.readWhere(spark, "extra = 'v1'").count() == 1)
+
+    store.compact(spark)
+    // compacted dir's stats are recomputed over the union
+    val (k1, s1) = store.pruneDirs(spark, "n > 100")
+    assert(k1.isEmpty && s1.length == 1) // max(n)=100 proves n>100 empty
+    assert(store.readWhere(spark, "n > 100").count() == 0)
+    assert(store.readWhere(spark, "n <= 100").count() == 2)
+  }
+
   test("drives the streaming bronze→silver path as a drop-in TableStore") {
     val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
     Files.writeString(src.resolve("a.json"),
