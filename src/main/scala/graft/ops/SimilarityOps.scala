@@ -245,7 +245,39 @@ object SimilarityOps {
     // path, so the two ANN variants are comparable like-for-like.
     // Not SQL-portable only because q56's build is reused directly; the
     // metric ships rows-only and DedupQualitySpec asserts the bound.
-    QueryDef.rowsOnly("q57_ivf_recall")(ivfRecall)
+    QueryDef.rowsOnly("q57_ivf_recall")(ivfRecall),
+
+    // Scalar quantization: int8 codes (corpus-symmetric scale) + per-
+    // vector reconstruction error. The memory-bandwidth lever for ANN at
+    // scale — codes are 4× smaller than float32, so a cell/bucket scan
+    // moves a quarter of the bytes; recon_err is the quality the engine
+    // trades for it. The scale factor is a 1-row broadcast (no driver
+    // collect, no second pass over the corpus per vector).
+    QueryDef(
+      "q71_quantize",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
+        |  AS scale FROM e)
+        |SELECT vec_id,
+        |  list_transform(v, x -> CAST(round(x / scale * 127) AS TINYINT))
+        |    AS code,
+        |  round(sqrt(list_sum(list_transform(v,
+        |    x -> pow(x - round(x / scale * 127) * scale / 127, 2)))), 6)
+        |    AS recon_err
+        |FROM e, s ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val scale = e.agg(
+        max(expr("array_max(transform(v, x -> abs(x)))")).as("scale"))
+      e.crossJoin(broadcast(scale)).select(
+        col("vec_id"),
+        expr("transform(v, x -> cast(round(x / scale * 127) as tinyint))")
+          .as("code"),
+        expr("round(sqrt(aggregate(transform(v, " +
+          "x -> pow(x - round(x / scale * 127) * scale / 127, 2)), " +
+          "cast(0 as double), (a, b) -> a + b)), 6)").as("recon_err"))
+        .orderBy("vec_id")
+    }
   )
 
   /** q51 build: brute-force cosine top-10 for the vec_id < 5 query set —

@@ -187,5 +187,35 @@ object TextOps {
         expr(s"case when $en >= 1 and $en >= $de then 'en' " +
           s"when $de >= 1 then 'de' else 'und' end").as("pred_lang"))
         .orderBy("doc_id")
+    },
+
+    // Word-repetition quality signals (the Gopher-style repetition
+    // filters): duplicate-word fraction and most-frequent-word fraction
+    // per document. Plan shape: explode → ONE (doc_id, word) hash
+    // aggregate with map-side partial counts (the corpus-sized shuffle
+    // moves one row per distinct (doc, word), not per token), then a
+    // skinny per-doc re-aggregate. No per-doc O(n²) HOF scan.
+    QueryDef(
+      "q72_word_repetition",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |f AS (SELECT doc_id, word, count(*) AS c FROM w
+        |  WHERE word <> '' GROUP BY doc_id, word)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+        |  CAST(count(*) AS INTEGER) AS n_distinct,
+        |  round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 6) AS dup_ratio,
+        |  round(max(c) / CAST(sum(c) AS DOUBLE), 6) AS top_frac
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(words)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum("c").as("n_words"),
+          count(lit(1)).cast("int").as("n_distinct"),
+          round(lit(1.0) - count(lit(1)) / sum("c").cast("double"), 6)
+            .as("dup_ratio"),
+          round(max("c") / sum("c").cast("double"), 6).as("top_frac"))
+        .orderBy("doc_id")
     })
 }

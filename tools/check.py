@@ -36,6 +36,10 @@ def main():
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()
             for i, (x, y) in enumerate(zip(a, b)):
+                # list columns may materialize as numpy arrays on either
+                # side; normalize so == yields one bool, not elementwise
+                if hasattr(x, "tolist"): x = x.tolist()
+                if hasattr(y, "tolist"): y = y.tolist()
                 if x is None and y is None: continue
                 xnan = isinstance(x, float) and math.isnan(x)
                 ynan = isinstance(y, float) and math.isnan(y)
