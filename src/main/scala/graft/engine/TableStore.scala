@@ -213,6 +213,44 @@ final class ManifestTableStore(path: String,
     commit(f, v + 1, lines.map(e => Entry(e.batchId, dataDir, stats)))
   }
 
+  /** Cluster-compact: rewrite the whole table as up to `buckets`
+    * range-disjoint data dirs ordered by `clusterBy`, each committed
+    * with its own stats. Streaming appends interleave key ranges, so
+    * per-batch stats degrade toward "every dir overlaps every
+    * predicate"; range-clustering restores them — after this,
+    * [[readWhere]] on a `clusterBy` range touches ~1/buckets of the
+    * data (Delta's OPTIMIZE ZORDER / Iceberg's sort-order rewrite, in
+    * one dimension). One shuffle (range repartition by the sampled key
+    * distribution) + one write; each hive `__cluster=k` output dir is
+    * registered as an independent manifest dir, so pruning operates at
+    * dir granularity exactly like fresh appends. Batch ids all carry
+    * forward (replay refusal and `readExactlyOnce` survive; the
+    * id→dir association is void post-compaction, as with [[compact]]).
+    */
+  def compactClustered(spark: SparkSession, clusterBy: String,
+      buckets: Int): Unit = synchronized {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    if (lines.isEmpty) return
+    val base = s"$path/data/cluster-${java.util.UUID.randomUUID()}"
+    val clustered = read(spark)
+      .repartitionByRange(buckets, col(clusterBy))
+      .withColumn("__cluster", spark_partition_id())
+    val w = clustered.write.mode("overwrite")
+    w.partitionBy("__cluster" +: partitionBy: _*).parquet(base)
+    val dirs = f.listStatus(new HPath(base)).map(_.getPath)
+      .collect { case p if p.getName.startsWith("__cluster=") => p.toString }
+      .sorted.toSeq
+    val ids = lines.map(_.batchId).distinct
+    val stats = dirs.map(d => d -> collectStats(spark, d)).toMap
+    // register every dir; keep every batch id present for replay checks
+    val entries = dirs.zipWithIndex.map { case (d, i) =>
+      Entry(ids(i % ids.size), d, stats(d)) }
+    val carried = ids.filterNot(id => entries.exists(_.batchId == id))
+      .map(id => Entry(id, dirs.head, stats(dirs.head)))
+    commit(f, v + 1, entries ++ carried)
+  }
+
   /** Read the table AS OF a specific manifest version — time travel,
     * which the versioned manifest gives for free (version files are
     * immutable once renamed in; superseded data dirs remain until
@@ -240,10 +278,14 @@ final class ManifestTableStore(path: String,
       val (v, _) = current(f)
       if (v == 0) return Nil
       val keepVersions = math.max(1L, v - retainLast) to v
-      // data dir NAMES are unique (uuid-suffixed), so retention compares
-      // the last path segment — robust to qualified-URI vs raw-path forms
+      // the deletable unit is the dir DIRECTLY under data/ (clustered
+      // compaction nests __cluster=k dirs one level deeper); top-level
+      // names are unique (uuid-suffixed), so retention compares the
+      // first segment after "/data/" — robust to qualified-URI vs
+      // raw-path forms
       val referenced = keepVersions.flatMap(kv =>
-        readManifest(f, kv).map(_.dir.split('/').last)).toSet
+        readManifest(f, kv).map(
+          _.dir.split("/data/").last.split('/').head)).toSet
       val dataRoot = new HPath(s"$path/data")
       val deleted = Seq.newBuilder[String]
       if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>

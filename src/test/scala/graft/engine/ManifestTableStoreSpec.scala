@@ -178,6 +178,35 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(store.readWhere(spark, "n <= 100").count() == 2)
   }
 
+  test("clustered compaction rewrites interleaved appends into range-" +
+      "disjoint dirs that stats-prune; ids, replay, and vacuum survive") {
+    val store = new ManifestTableStore(tmp("manifest-cluster-").toString,
+      statsColumns = Seq("n"))
+    // streaming-shaped appends: every batch spans the whole key range,
+    // so per-batch stats cannot prune a range predicate at all
+    store.append(Seq((1, "a"), (500, "b"), (999, "c")).toDF("n", "h"), 0L)
+    store.append(Seq((2, "d"), (501, "e"), (998, "f")).toDF("n", "h"), 1L)
+    assert(store.pruneDirs(spark, "n < 10")._2.isEmpty) // nothing skippable
+
+    store.compactClustered(spark, "n", buckets = 3)
+    val (kept, skipped) = store.pruneDirs(spark, "n < 10")
+    assert(kept.length == 1 && skipped.length == 2,
+      s"kept=$kept skipped=$skipped")
+    assert(store.readWhere(spark, "n < 10").select("n").collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(1, 2))
+    // full table intact, batch ids carried forward
+    assert(store.read(spark).count() == 6)
+    assert(store.read(spark).select("batch_id").distinct().count() == 2)
+    // replaying a pre-clustering batch id is still refused
+    store.append(Seq((7, "x")).toDF("n", "h"), 1L)
+    assert(store.read(spark).count() == 6)
+    // vacuum deletes the superseded flat batch dirs, keeps cluster dirs
+    val deleted = store.vacuum(spark, retainLast = 0)
+    assert(deleted.length == 2, s"deleted: $deleted")
+    assert(store.read(spark).count() == 6)
+    assert(store.readWhere(spark, "n < 10").count() == 2)
+  }
+
   test("drives the streaming bronze→silver path as a drop-in TableStore") {
     val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
     Files.writeString(src.resolve("a.json"),
