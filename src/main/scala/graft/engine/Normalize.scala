@@ -54,10 +54,36 @@ object Normalize {
     *
     * @param ingestTs audit timestamp; `current_timestamp()` in production,
     *                 a fixed literal in oracle-facing/deterministic runs.
+    * @param observeAs when set, attach observed metrics (`rows_in`,
+    *                  `corrupt_dropped`) under this name — computed inline
+    *                  by the running plan (zero extra actions or scans) and
+    *                  surfaced per micro-batch in streaming
+    *                  `QueryProgress.observedMetrics`. The engine-side
+    *                  analog of the reference's state accounting
+    *                  (`schema_inferer.py:223,240-241`): data-quality
+    *                  drift is INSPECTABLE, per batch, for free.
     */
   def apply(raw: DataFrame, spec: SourceSpec,
+      ingestTs: Column = current_timestamp(),
+      observeAs: Option[String] = None): DataFrame = {
+    val observed = observeAs.fold(raw)(name => raw.observe(name,
+      count(lit(1)).as("rows_in"),
+      count(col(CorruptCol)).as("corrupt_dropped")))
+    val clean = observed.filter(col(CorruptCol).isNull)
+    clean.select(canonicalColumns(spec, raw.columns.toSeq, ingestTs): _*)
+  }
+
+  /** Batch variant of the observed pipeline: metrics land on the
+    * [[org.apache.spark.sql.Observation]] handle after the first action
+    * (`obs.get("rows_in")`), with the same zero-extra-pass guarantee.
+    */
+  def observed(raw: DataFrame, spec: SourceSpec,
+      obs: org.apache.spark.sql.Observation,
       ingestTs: Column = current_timestamp()): DataFrame = {
-    val clean = raw.filter(col(CorruptCol).isNull)
+    val o = raw.observe(obs,
+      count(lit(1)).as("rows_in"),
+      count(col(CorruptCol)).as("corrupt_dropped"))
+    val clean = o.filter(col(CorruptCol).isNull)
     clean.select(canonicalColumns(spec, raw.columns.toSeq, ingestTs): _*)
   }
 

@@ -36,7 +36,11 @@ object StreamRunner {
       maxFilesPerTrigger.fold(base)(n =>
         base.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
     }
-    Normalize(raw, spec).writeStream
+    // observed per-batch data-quality metrics, named per source: readable
+    // from every progress event / StreamingQueryListener with no extra
+    // pass over the data
+    Normalize(raw, spec, observeAs = Some(s"normalize_${spec.name}"))
+      .writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)

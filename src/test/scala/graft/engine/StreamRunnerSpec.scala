@@ -153,4 +153,40 @@ class StreamRunnerSpec extends SparkSpec {
     assert(silver.count() == 2)
     assert(silver.select("source_system").distinct().count() == 2)
   }
+
+  test("observed metrics: streaming progress reports rows_in and " +
+      "corrupt_dropped with no extra pass") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp("bronze-obs-"); val ckpt = tmp("ckpt-obs-")
+    val out = tmp("silver-obs-")
+    writeFile(src, "a.json", """{"id": 1, "ip": "10.0.0.1", "hostName": "h1"}""")
+    writeFile(src, "b.json", """{"id": 2, "ip": "10.0.0.2", "hostName": "h2"}""")
+    writeFile(src, "bad.json", """{nope""")
+    val store = new ParquetTableStore(out.toString)
+    val q = StreamRunner.start(spark, SourceSpec.rapid7, src.toString,
+      ckpt.toString, store, Trigger.AvailableNow())
+    q.awaitTermination()
+    val metrics = q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get("normalize_rapid7")))
+    assert(metrics.nonEmpty, "no observed metrics in any progress event")
+    val rowsIn = metrics.map(_.getAs[Long]("rows_in")).sum
+    val dropped = metrics.map(_.getAs[Long]("corrupt_dropped")).sum
+    assert(rowsIn == 3 && dropped == 1, s"rows_in=$rowsIn dropped=$dropped")
+    assert(store.read(spark).count() == 2) // only the clean rows landed
+  }
+
+  test("observed metrics: batch Observation handle resolves after the " +
+      "first action") {
+    val obs = org.apache.spark.sql.Observation("normalize_batch_obs")
+    // the fixture set itself carries 1 corrupt record; add a second
+    val recs = Fixtures.rapid7Records :+ "{broken"
+    val df = Normalize.observed(
+      Normalize.readRecords(spark, SourceSpec.rapid7, recs),
+      SourceSpec.rapid7, obs)
+    val landed = df.count()
+    val m = obs.get
+    assert(m("rows_in") == recs.size.toLong)
+    assert(m("corrupt_dropped") == 2L)
+    assert(landed == recs.size.toLong - 2)
+  }
 }
