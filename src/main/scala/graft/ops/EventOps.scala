@@ -204,6 +204,44 @@ object EventOps {
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"), col("n"))
         .orderBy("window_start")
+    },
+
+    // SCD2 change history: collapse each user's event stream to its
+    // state-CHANGE points and build [valid_from, valid_to) validity
+    // intervals (open interval = current state) — the temporal-
+    // versioning view a lakehouse dimension table needs. Plan: ONE hash
+    // partition on user_id reused by both windows (lag to find changes,
+    // lead to close intervals) — no join, intermediate = |events|.
+    QueryDef(
+      "q73_scd2",
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |c AS (SELECT user_id, event_id, ts, event_type FROM o
+        |  WHERE prev IS NULL OR event_type <> prev),
+        |v AS (SELECT user_id, event_type AS state, ts,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS valid_to_ts
+        |  FROM c)
+        |SELECT user_id, state,
+        |  strftime(ts, '%Y-%m-%d %H:%M:%S') AS valid_from,
+        |  strftime(valid_to_ts, '%Y-%m-%d %H:%M:%S') AS valid_to,
+        |  valid_to_ts IS NULL AS is_current
+        |FROM v ORDER BY user_id, valid_from, state""".stripMargin) {
+      (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables(s, dir, "events")
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("event_type") =!= col("prev"))
+        .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+        .select(col("user_id"),
+          col("event_type").as("state"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("valid_from"),
+          date_format(col("valid_to_ts"), "yyyy-MM-dd HH:mm:ss")
+            .as("valid_to"),
+          col("valid_to_ts").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from", "state")
     })
 
   /** Sort-merge LEFT as-of join: every left row gains `outCol` = the
