@@ -207,6 +207,32 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(store.readWhere(spark, "n < 10").count() == 2)
   }
 
+  test("property: readWhere equals read.filter for random batches and " +
+      "range/equality predicates") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val batchesGen = Gen.listOfN(2, Gen.listOfN(4, Gen.choose(-50, 50)))
+    val predGen = for {
+      a <- Gen.choose(-60, 60); b <- Gen.choose(-60, 60)
+      p <- Gen.oneOf(s"n >= $a AND n < $b", s"n = $a", s"n <= $b",
+        s"n > $a AND n <= $b", s"$a < n")
+    } yield p
+    (0 until 6).foreach { i =>
+      val (batches, pred) = Gen.zip(batchesGen, predGen)
+        .apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val store = new ManifestTableStore(tmp(s"manifest-prop$i-").toString,
+        statsColumns = Seq("n"))
+      batches.zipWithIndex.foreach { case (vals, b) =>
+        store.append(vals.toDF("n"), b.toLong)
+      }
+      val expect = store.read(spark).filter(expr(pred))
+        .select("n").collect().map(_.getInt(0)).sorted.toSeq
+      val got = store.readWhere(spark, pred)
+        .select("n").collect().map(_.getInt(0)).sorted.toSeq
+      assert(got == expect, s"seed=$i pred=$pred batches=$batches")
+    }
+  }
+
   test("drives the streaming bronze→silver path as a drop-in TableStore") {
     val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
     Files.writeString(src.resolve("a.json"),
