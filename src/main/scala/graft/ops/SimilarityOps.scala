@@ -277,6 +277,71 @@ object SimilarityOps {
           "x -> pow(x - round(x / scale * 127) * scale / 127, 2)), " +
           "cast(0 as double), (a, b) -> a + b)), 6)").as("recon_err"))
         .orderBy("vec_id")
+    },
+
+    // Quantized ANN: candidate scan on q71's int8 codes (EXACT integer
+    // dot products — ¼ the scan bytes of float32, deterministic across
+    // engines), top-20 per query by quantized score, then exact cosine
+    // re-rank to top-10. The candidate window's exchange moves
+    // (q_id, vec_id, int score) — never a vector payload; float vectors
+    // re-attach only for the ≤20-per-query re-rank (finding 10/13).
+    QueryDef(
+      "q74_quantized_search",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+        |      AS nv
+        |  FROM embeddings),
+        |s AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
+        |  AS scale FROM e),
+        |c AS (SELECT vec_id,
+        |    list_transform(v, x -> CAST(round(x / scale * 127) AS INTEGER))
+        |      AS code
+        |  FROM e, s),
+        |q AS (SELECT vec_id AS q_id, code AS qc FROM c WHERE vec_id < 5),
+        |sc AS (SELECT q.q_id, c.vec_id,
+        |    CAST(list_dot_product(c.code, q.qc) AS BIGINT) AS qdot
+        |  FROM c JOIN q ON c.vec_id <> q.q_id),
+        |top AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY qdot DESC, vec_id) AS crn FROM sc) WHERE crn <= 20),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec, nv AS nq FROM e
+        |  WHERE vec_id < 5),
+        |r AS (SELECT t.q_id, t.vec_id,
+        |    round(list_dot_product(qvec, v) / (nq * nv), 6) AS cos_r
+        |  FROM top t JOIN e ON e.vec_id = t.vec_id
+        |  JOIN qv ON qv.q_id = t.q_id)
+        |SELECT q_id, vec_id, cos_r, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT q_id, vec_id, cos_r, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM r)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir)
+      val scale = e.agg(max(
+        expr("array_max(transform(v, x -> abs(cast(x as double))))"))
+        .as("scale"))
+      val coded = e.crossJoin(broadcast(scale)).select(col("vec_id"),
+        expr("transform(v, x -> cast(round(cast(x as double) / scale " +
+          "* 127) as int))").as("code"))
+      val qCodes = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("code").as("qc"))
+      val scored = coded.crossJoin(broadcast(qCodes))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          expr("aggregate(zip_with(code, qc, (x, y) -> " +
+            "cast(x as bigint) * y), cast(0 as bigint), (a, b) -> a + b)")
+            .as("qdot"))
+      val wCand = Window.partitionBy("q_id")
+        .orderBy(col("qdot").desc, col("vec_id"))
+      val top = scored.withColumn("crn", row_number().over(wCand))
+        .filter(col("crn") <= 20).select("q_id", "vec_id")
+      val queries = e.filter(col("vec_id") < 5).toDF("q_id", "qv", "nq")
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      top.join(e, "vec_id").join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          expr(s"round($dot / (nq * nv), 6)").as("cos_r"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 10)
+        .orderBy("q_id", "rn")
     }
   )
 

@@ -32,6 +32,21 @@ class ApproxQualitySpec extends SparkSpec {
     }
   }
 
+  test("quantized search (q74) keeps recall@10 >= 0.9 against the exact " +
+      "top-k (q51) per query") {
+    import graft.SparkEntry
+    def pairs(name: String) = SparkEntry.queries(name)(spark, dir)
+      .select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs("q51_cosine_topk")
+    val quant = pairs("q74_quantized_search")
+    val perQuery = exact.groupBy(_._1).map { case (q, ps) =>
+      q -> ps.count(quant.contains).toDouble / ps.size }
+    perQuery.foreach { case (q, recall) =>
+      assert(recall >= 0.9, s"recall@10 for query $q: $recall")
+    }
+  }
+
   test("approx_percentile (q66) within 1% of exact percentile (q59) " +
       "per group and quantile") {
     val li = Tables(spark, dir, "lineitem")
