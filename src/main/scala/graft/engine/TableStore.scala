@@ -81,7 +81,7 @@ final class ManifestTableStore(path: String,
     statsColumns: Seq[String] = Nil) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
-  import ManifestTableStore.{Entry, NumV, StrV, SVal}
+  import ManifestTableStore.{Entry, NumV, StrV, SVal, TsV}
 
   private def fs(spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -142,14 +142,23 @@ final class ManifestTableStore(path: String,
     */
   private def collectStats(spark: SparkSession, dir: String): String = {
     if (statsColumns.isEmpty) return ""
-    import org.apache.spark.sql.types.{NumericType, StringType}
+    import org.apache.spark.sql.types.{NumericType, StringType,
+      TimestampType}
     val df = spark.read.parquet(dir)
     val present = statsColumns.filter(c => df.schema.fields.exists(f =>
       f.name == c && (f.dataType.isInstanceOf[NumericType] ||
-        f.dataType == StringType)))
+        f.dataType == StringType || f.dataType == TimestampType)))
     if (present.isEmpty) return ""
-    val aggs = present.flatMap(c =>
-      Seq(min(col(c)).cast("string"), max(col(c)).cast("string")))
+    // timestamps travel as epoch micros so prune-time comparison is
+    // representation-free (no lexical date-string edge cases)
+    def norm(c: org.apache.spark.sql.Column,
+        dt: org.apache.spark.sql.types.DataType) =
+      if (dt == TimestampType) unix_micros(c).cast("string")
+      else c.cast("string")
+    val aggs = present.flatMap { c =>
+      val dt = df.schema(c).dataType
+      Seq(norm(min(col(c)), dt), norm(max(col(c)), dt))
+    }
     val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
@@ -157,11 +166,15 @@ final class ManifestTableStore(path: String,
       val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
       if (mn != null && mx != null) {
         val node = root.putObject(c)
-        val numeric = df.schema(c).dataType.isInstanceOf[NumericType]
-        if (numeric) {
-          node.put("min", new java.math.BigDecimal(mn))
-          node.put("max", new java.math.BigDecimal(mx))
-        } else { node.put("min", mn); node.put("max", mx) }
+        df.schema(c).dataType match {
+          case TimestampType =>
+            node.put("t", "ts")
+            node.put("min", mn.toLong); node.put("max", mx.toLong)
+          case _: NumericType =>
+            node.put("min", new java.math.BigDecimal(mn))
+            node.put("max", new java.math.BigDecimal(mx))
+          case _ => node.put("min", mn); node.put("max", mx)
+        }
       }
     }
     if (root.isEmpty) "" else mapper.writeValueAsString(root)
@@ -174,7 +187,10 @@ final class ManifestTableStore(path: String,
     val b = Map.newBuilder[String, (SVal, SVal)]
     root.properties().forEach { e =>
       val (mn, mx) = (e.getValue.get("min"), e.getValue.get("max"))
-      if (mn.isNumber && mx.isNumber)
+      val isTs = e.getValue.has("t") && e.getValue.get("t").asText == "ts"
+      if (isTs && mn.isNumber && mx.isNumber)
+        b += e.getKey -> (TsV(mn.asLong()), TsV(mx.asLong()))
+      else if (mn.isNumber && mx.isNumber)
         b += e.getKey -> (NumV(mn.decimalValue()), NumV(mx.decimalValue()))
       else if (mn.isTextual && mx.isTextual)
         b += e.getKey -> (StrV(mn.asText()), StrV(mx.asText()))
@@ -353,11 +369,18 @@ final class ManifestTableStore(path: String,
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)
     }
-    def sval(l: Literal): Option[SVal] = l.value match {
-      case s: org.apache.spark.unsafe.types.UTF8String => Some(StrV(s.toString))
-      case n @ (_: java.lang.Number | _: org.apache.spark.sql.types.Decimal) =>
-        Some(NumV(new java.math.BigDecimal(n.toString)))
-      case _ => None
+    def sval(l: Literal): Option[SVal] = l match {
+      case _ if l.dataType ==
+          org.apache.spark.sql.types.TimestampType =>
+        Some(TsV(l.value.asInstanceOf[Long]))
+      case _ => l.value match {
+        case s: org.apache.spark.unsafe.types.UTF8String =>
+          Some(StrV(s.toString))
+        case n @ (_: java.lang.Number |
+            _: org.apache.spark.sql.types.Decimal) =>
+          Some(NumV(new java.math.BigDecimal(n.toString)))
+        case _ => None
+      }
     }
     // (column, op, value) with reversed literal-first forms normalized
     val bounds: Seq[(String, String, SVal)] =
@@ -409,6 +432,20 @@ object ManifestTableStore {
   private[engine] sealed trait SVal
   private[engine] final case class NumV(v: java.math.BigDecimal) extends SVal
   private[engine] final case class StrV(v: String) extends SVal
+  private[engine] final case class TsV(micros: Long) extends SVal
+
+  /** Parse a SQL timestamp/date literal string as UTC epoch micros
+    * (sessions pin UTC); None → the conjunct can't prune (conservative).
+    */
+  private[engine] def parseTsMicros(s: String): Option[Long] = {
+    import java.time.{LocalDate, LocalDateTime, ZoneOffset}
+    scala.util.Try(LocalDateTime.parse(s.trim.replace(' ', 'T'))).toOption
+      .orElse(scala.util.Try(LocalDate.parse(s.trim).atStartOfDay).toOption)
+      .map { d =>
+        val inst = d.toInstant(ZoneOffset.UTC)
+        inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+      }
+  }
 
   /** True iff `col <op> v` is impossible for every row of a dir whose
     * column range is [mn, mx]. Mixed value kinds (string literal vs
@@ -419,6 +456,13 @@ object ManifestTableStore {
     def cmp(a: SVal, b: SVal): Option[Int] = (a, b) match {
       case (NumV(x), NumV(y)) => Some(x.compareTo(y))
       case (StrV(x), StrV(y)) => Some(x.compareTo(y))
+      case (TsV(x), TsV(y)) => Some(java.lang.Long.compare(x, y))
+      // timestamp stats vs a string date/timestamp literal: compare in
+      // epoch micros, never lexically
+      case (TsV(x), StrV(y)) =>
+        parseTsMicros(y).map(m => java.lang.Long.compare(x, m))
+      case (StrV(x), TsV(y)) =>
+        parseTsMicros(x).map(m => java.lang.Long.compare(m, y))
       case _ => None
     }
     (for { loCmp <- cmp(mn, v); hiCmp <- cmp(mx, v) } yield op match {

@@ -207,6 +207,38 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(store.readWhere(spark, "n < 10").count() == 2)
   }
 
+  test("timestamp stats prune time-range predicates in epoch micros, " +
+      "including the bare-date midnight boundary") {
+    import java.sql.Timestamp
+    val store = new ManifestTableStore(tmp("manifest-ts-").toString,
+      statsColumns = Seq("ts"))
+    def day(s: String) = Timestamp.valueOf(s)
+    store.append(Seq((1, day("2026-01-01 08:00:00")),
+      (2, day("2026-01-01 23:59:59"))).toDF("k", "ts"), 0L)
+    store.append(Seq((3, day("2026-01-02 00:00:00")),
+      (4, day("2026-01-02 12:00:00"))).toDF("k", "ts"), 1L)
+    store.append(Seq((5, day("2026-03-15 09:00:00"))).toDF("k", "ts"), 2L)
+
+    // range predicate with bare-date literals
+    val (k1, s1) =
+      store.pruneDirs(spark, "ts >= '2026-01-02' AND ts < '2026-01-03'")
+    assert(k1.length == 1 && s1.length == 2, s"kept=$k1")
+    assert(store.readWhere(spark,
+      "ts >= '2026-01-02' AND ts < '2026-01-03'")
+      .select("k").collect().map(_.getInt(0)).sorted.toSeq == Seq(3, 4))
+    // midnight equality: dir 1 STARTS at exactly 2026-01-02 00:00:00 —
+    // a lexical string compare would wrongly prune it
+    val (k2, _) = store.pruneDirs(spark, "ts = '2026-01-02'")
+    assert(k2.length == 1)
+    assert(store.readWhere(spark, "ts = '2026-01-02'").count() == 1)
+    // full-timestamp literals prune too
+    assert(store.pruneDirs(spark, "ts > '2026-02-01 00:00:00'")
+      ._1.length == 1)
+    // results always match the unpruned filter
+    assert(store.readWhere(spark, "ts < '2026-01-02'").count() ==
+      store.read(spark).filter(col("ts") < "2026-01-02").count())
+  }
+
   test("property: readWhere equals read.filter for random batches and " +
       "range/equality predicates") {
     import org.scalacheck.Gen
