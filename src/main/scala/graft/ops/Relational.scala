@@ -668,5 +668,30 @@ object Relational {
           .as("hour_s"),
           coalesce(col("n"), lit(0L)).as("n"))
         .orderBy("hour_s")
+    },
+
+    // Semi-structured columns via Spark 4 VARIANT: parse_json ONCE into
+    // the shredded binary encoding, then typed variant_get extraction —
+    // at 100 TB this replaces a full JSON string re-parse per accessed
+    // field (get_json_object, q18's shape) with one decode feeding any
+    // number of typed reads. The oracle is the string-JSON computation:
+    // both paths must agree exactly.
+    QueryDef(
+      "q75_variant",
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(CAST(json_extract_string(props, '$.k')
+        |    AS INTEGER) AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(MAX(CAST(json_extract_string(props, '$.k') AS INTEGER))
+        |    AS INTEGER) AS max_k
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
+          max(col("k")).as("max_k"))
+        .orderBy("event_type")
     })
 }
