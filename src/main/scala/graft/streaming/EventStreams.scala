@@ -167,6 +167,59 @@ object EventStreams {
       }
   }
 
+  final case class ScdState(state: String, sinceMs: Long)
+  final case class ScdInterval(user_id: Long, state: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp)
+
+  /** Streaming SCD2 (batch analog: q73): per user, track the current
+    * state and emit a CLOSED [valid_from, valid_to) interval whenever a
+    * state CHANGE arrives — append-mode-safe because closed intervals
+    * are final. The still-open interval lives in state (one small tuple
+    * per key) and is emitted with a null `valid_to` when the key expires
+    * `idleTimeout` past the watermark — so the full interval history,
+    * open tail included, reaches the sink with bounded state.
+    *
+    * Events are processed in event-time order within a batch; cross-batch
+    * order is the watermark's contract (same assumption as
+    * [[streamingFunnel]]).
+    */
+  def streamingScd2(events: Dataset[Event],
+      watermark: String = "10 minutes",
+      idleTimeout: String = "1 hour"): Dataset[ScdInterval] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event],
+            state: GroupState[ScdState]) =>
+          if (state.hasTimedOut) {
+            val openTail = state.getOption.map(s => ScdInterval(userId,
+              s.state, new java.sql.Timestamp(s.sinceMs), null))
+            state.remove()
+            openTail.iterator
+          } else {
+            var cur = state.getOption.orNull
+            var maxTs = Long.MinValue
+            val out = Seq.newBuilder[ScdInterval]
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              maxTs = math.max(maxTs, e.ts.getTime)
+              if (cur == null) cur = ScdState(e.event_type, e.ts.getTime)
+              else if (e.event_type != cur.state) {
+                out += ScdInterval(userId, cur.state,
+                  new java.sql.Timestamp(cur.sinceMs), e.ts)
+                cur = ScdState(e.event_type, e.ts.getTime)
+              }
+            }
+            state.update(cur)
+            state.setTimeoutTimestamp(
+              math.max(maxTs, state.getCurrentWatermarkMs() + 1), idleTimeout)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Stream-stream inner join with an event-time interval bound: each
     * `view` pairs with `purchase`s by the same user within
     * [view.ts, view.ts + horizon]. Both sides carry watermarks and the

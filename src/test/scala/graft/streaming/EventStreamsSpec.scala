@@ -178,6 +178,41 @@ class EventStreamsSpec extends SparkSpec {
       (1L, "3_view_click_purchase"), (2L, "1_view")), s"got $got")
   }
 
+  test("streaming SCD2 emits closed intervals on state change and the " +
+      "open tail at expiry") {
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.streamingScd2(input.toDS(),
+        watermark = "0 seconds", idleTimeout = "1 hour")
+      .writeStream.format("memory").queryName("scd2")
+      .outputMode(OutputMode.Append()).start()
+    // user1: view → view (no change) → click closes the view interval
+    input.addData(Seq(
+      Event(1L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(2L, ts("2024-01-01 10:05:00"), 1L, "view", 0.0),
+      Event(3L, ts("2024-01-01 10:10:00"), 1L, "click", 0.0)))
+    q.processAllAvailable()
+    // a change arriving in a LATER batch closes across batches
+    input.addData(Seq(Event(4L, ts("2024-01-01 10:30:00"), 1L, "view", 0.0)))
+    q.processAllAvailable()
+    // advance the watermark far past user1's deadline (two batches: the
+    // timeout fires against the previous batch's watermark)
+    input.addData(Seq(Event(5L, ts("2024-01-01 13:00:00"), 2L, "view", 0.0)))
+    q.processAllAvailable()
+    input.addData(Seq(Event(6L, ts("2024-01-01 13:30:00"), 2L, "view", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("scd2").filter(col("user_id") === 1L)
+      .select("state", "valid_from", "valid_to").collect()
+      .map(r => (r.getString(0),
+        Option(r.getTimestamp(1)).map(_.toString).orNull,
+        Option(r.getTimestamp(2)).map(_.toString).orNull)).toSeq
+      .sortBy(t => Option(t._2).getOrElse(""))
+    assert(got == Seq(
+      ("view", "2024-01-01 10:00:00.0", "2024-01-01 10:10:00.0"),
+      ("click", "2024-01-01 10:10:00.0", "2024-01-01 10:30:00.0"),
+      ("view", "2024-01-01 10:30:00.0", null)), s"got $got")
+  }
+
   test("same code plans as a batch query (unified API)") {
     val batch = fixture.toDF()
     val got = EventStreams.tumblingCounts(batch)
