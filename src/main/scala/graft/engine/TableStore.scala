@@ -42,11 +42,21 @@ trait TableStore {
   *   - data files land under `data/<name>-<uuid>/` — INVISIBLE to
   *     readers until published (a crash mid-write leaves an orphan dir,
   *     never a partial table);
-  *   - table state is a VERSIONED manifest (`manifest/v<N>`, highest N
-  *     wins — Iceberg's metadata-versioning shape): each version lists
-  *     every (batchId, dataDir) pair, and EVERY state change — append or
-  *     compaction — is one tmp-write + one atomic rename of the next
-  *     version file. Readers always see a complete, consistent version;
+  *   - table state is a VERSIONED manifest (`manifest/v<N>`, highest
+  *     COMPLETE version wins — Iceberg's metadata-versioning shape):
+  *     each version lists every (batchId, dataDir) pair, and EVERY
+  *     state change — append or compaction — is one atomic
+  *     EXCLUSIVE-CREATE of the next version file (content is state only
+  *     once its end marker lands, so readers skip in-flight writers);
+  *   - CONCURRENT WRITERS are safe without any lock: the version number
+  *     is the optimistic-concurrency token. A writer that loses the
+  *     exclusive-create race re-reads the winner's state, REBASES its
+  *     change (appends keep both batches; maintenance rewrites carry
+  *     fresh appends forward and abort against competing rewrites), and
+  *     retries at a higher version — the Iceberg/Delta commit protocol.
+  *     (Needs atomic create-if-absent from the store: true on HDFS and
+  *     local FS; bare S3 needs an external coordinator, Delta's
+  *     documented caveat too.);
   *   - a replayed micro-batch (crash between write and checkpoint
   *     commit, then restart) finds its batch id in the current version
   *     and becomes a NO-OP: exactly-once lands at WRITE time, with no
@@ -71,65 +81,104 @@ trait TableStore {
   * by [[readWhere]] to skip whole dirs a predicate provably cannot match
   * (Iceberg's manifest-level file pruning / parquet's zone maps, lifted
   * to the commit layer — at 100 TB this is the difference between
-  * scanning a day and scanning the table). What a real Iceberg commit
-  * still adds: concurrent-writer conflict detection (here serialized
-  * per-JVM). The commit/visibility/idempotence semantics — the parts
-  * the reference pipeline actually relies on — are faithful.
+  * scanning a day and scanning the table). The commit/visibility/
+  * idempotence/concurrency semantics — the parts the reference pipeline
+  * actually relies on from Iceberg — are faithful.
   */
 final class ManifestTableStore(path: String,
     partitionBy: Seq[String] = Nil,
-    statsColumns: Seq[String] = Nil) extends TableStore {
+    statsColumns: Seq[String] = Nil,
+    commitGraceMs: Long = 10000L) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
-  import ManifestTableStore.{Entry, NumV, StrV, SVal, TsV}
+  import ManifestTableStore.{EndMarker, Entry, NumV, StrV, SVal, TsV}
 
   private def fs(spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestDir = new HPath(s"$path/manifest")
 
-  /** (version, entries) of the current manifest; (0, empty) for a new
-    * table.
+  /** (version, entries) of the newest COMPLETE manifest — versions whose
+    * content lacks the end marker are in-flight (or dead) writers and are
+    * skipped; (0, empty) for a new table.
     */
   private def current(f: FileSystem): (Long, Seq[Entry]) = {
     if (!f.exists(manifestDir)) return (0L, Nil)
     val versions = f.listStatus(manifestDir)
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") => n.drop(1).toLong }
-    if (versions.isEmpty) return (0L, Nil)
-    val v = versions.max
-    (v, readManifest(f, v))
+      .sorted.reverse
+    versions.iterator
+      .map(v => v -> readManifest(f, v))
+      .collectFirst { case (v, Some(entries)) => (v, entries) }
+      .getOrElse((0L, Nil))
   }
 
-  private def readManifest(f: FileSystem, version: Long): Seq[Entry] = {
+  /** None ⇔ the version file exists but is incomplete (no end marker):
+    * a concurrent writer mid-commit, or a writer that died — either way
+    * not table state.
+    */
+  private def readManifest(f: FileSystem,
+      version: Long): Option[Seq[Entry]] = {
     val st = f.getFileStatus(new HPath(manifestDir, s"v$version"))
     val in = f.open(st.getPath)
     val text = try {
       val buf = new Array[Byte](st.getLen.toInt)
       in.readFully(buf); new String(buf, "UTF-8")
     } finally in.close()
-    text.linesIterator.filter(_.nonEmpty).map { l =>
-      l.split("\t", 3) match {
-        case Array(id, dir) => Entry(id.toLong, dir, "")
-        case Array(id, dir, stats) => Entry(id.toLong, dir, stats)
-      }
-    }.toSeq
+    if (!text.endsWith(EndMarker)) return None
+    Some(text.linesIterator.filter(l => l.nonEmpty && l != EndMarker).map {
+      l =>
+        l.split("\t", 3) match {
+          case Array(id, dir) => Entry(id.toLong, dir, "")
+          case Array(id, dir, stats) => Entry(id.toLong, dir, stats)
+        }
+    }.toSeq)
   }
 
-  /** Tmp-write + atomic rename of `manifest/v<next>` — THE commit point
-    * for every state change.
+  /** One optimistic-concurrency commit attempt: the version file is
+    * created with ATOMIC EXCLUSIVE CREATE, so the version number itself
+    * is the conflict token — two writers racing to `v<next>` cannot both
+    * win (Iceberg/Delta's commit protocol; on stores without atomic
+    * create-if-absent, e.g. bare S3, this needs an external coordinator,
+    * the same caveat Delta documents). Returns false on a lost race; the
+    * caller re-reads table state, REBASES its change, and retries at a
+    * higher version. Readers never see the half-written winner: content
+    * is only table state once the end marker is in place.
     */
-  private def commit(f: FileSystem, next: Long, lines: Seq[Entry]): Unit = {
-    val tmp = new HPath(manifestDir, s".v$next.tmp")
+  private def tryCommit(f: FileSystem, next: Long,
+      lines: Seq[Entry]): Boolean = {
     f.mkdirs(manifestDir)
-    val out = f.create(tmp, true)
-    try out.write(lines.map { e =>
+    val out =
+      try f.create(new HPath(manifestDir, s"v$next"), false)
+      catch { case _: java.io.IOException => return false }
+    try out.write((lines.map { e =>
       if (e.statsJson.isEmpty) s"${e.batchId}\t${e.dir}"
       else s"${e.batchId}\t${e.dir}\t${e.statsJson}"
-    }.mkString("\n").getBytes("UTF-8"))
+    } :+ EndMarker).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    if (!f.rename(tmp, new HPath(manifestDir, s"v$next")))
-      throw new IllegalStateException(s"commit rename failed for v$next")
+    true
+  }
+
+  /** A lost race leaves the slot occupied by either a complete
+    * competitor (normal: its content joins our rebase basis) or an
+    * in-flight writer. Wait up to `commitGraceMs` for the latter to
+    * finish — committing past a still-running writer would BURY its
+    * eventual commit (max-complete-version would skip it) — then evict
+    * the corpse so a writer dead between create and close can never
+    * resurface as state after we commit beyond it. The grace period is
+    * the liveness/consistency trade every optimistic commit protocol
+    * makes; a writer slower than the grace loses its commit and must
+    * retry (here: the streaming checkpoint replays the batch).
+    */
+  private def awaitOrEvict(f: FileSystem, version: Long): Unit = {
+    val p = new HPath(manifestDir, s"v$version")
+    val deadline = System.currentTimeMillis() + commitGraceMs
+    while (System.currentTimeMillis() < deadline) {
+      if (!f.exists(p) || readManifest(f, version).isDefined) return
+      Thread.sleep(50)
+    }
+    f.delete(p, false)
   }
 
   /** Min/max per requested stats column over one freshly-written data
@@ -206,12 +255,23 @@ final class ManifestTableStore(path: String,
 
   override def append(df: DataFrame, batchId: Long): Unit = synchronized {
     val f = fs(df.sparkSession)
-    val (v, lines) = current(f)
+    var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return // replay → idempotent no-op
     val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
     write(df.withColumn("batch_id", lit(batchId)), dataDir)
-    commit(f, v + 1,
-      lines :+ Entry(batchId, dataDir, collectStats(df.sparkSession, dataDir)))
+    val entry = Entry(batchId, dataDir,
+      collectStats(df.sparkSession, dataDir))
+    var next = v + 1
+    while (!tryCommit(f, next, lines :+ entry)) {
+      // lost the race: wait out / evict the occupant, rebase on the
+      // winner's state, and try a higher version (versions need not be
+      // contiguous — an evicted dead writer just burns a number)
+      awaitOrEvict(f, next)
+      val (nv, nlines) = current(f)
+      if (nlines.exists(_.batchId == batchId)) return // competitor replayed it
+      lines = nlines; v = nv
+      next = math.max(nv + 1, next + 1)
+    }
   }
 
   /** Rewrite every committed row into ONE data dir and commit it as the
@@ -224,9 +284,40 @@ final class ManifestTableStore(path: String,
     val (v, lines) = current(f)
     if (lines.map(_.dir).distinct.size <= 1) return
     val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
-    write(read(spark), dataDir) // per-dir union: partition-layout safe
+    // rewrite the SNAPSHOT's dirs (not a re-listed current) so a
+    // conflict rebase knows exactly which batches the new dir holds
+    write(readDirs(spark, lines.map(_.dir).distinct), dataDir)
     val stats = collectStats(spark, dataDir) // stats follow the rewrite
-    commit(f, v + 1, lines.map(e => Entry(e.batchId, dataDir, stats)))
+    commitRewrite(f, v + 1, lines,
+      _.map(e => Entry(e.batchId, dataDir, stats)))
+  }
+
+  /** Commit a maintenance rewrite (compact / cluster) with optimistic
+    * retry: on a lost race, appends committed since the snapshot keep
+    * their own dirs (the rewrite rebases around them); if a CONCURRENT
+    * MAINTENANCE op moved any snapshot batch to a new dir, abort —
+    * nothing was committed, our freshly-written dir stays an invisible
+    * orphan, and retrying the whole rewrite is the caller's choice
+    * (rebasing across two rewrites would double-count snapshot rows).
+    */
+  private def commitRewrite(f: FileSystem, firstTry: Long,
+      snapshot: Seq[Entry],
+      rewrite: Seq[Entry] => Seq[Entry]): Unit = {
+    val snapDirOf = snapshot.groupBy(_.batchId)
+      .view.mapValues(_.map(_.dir).toSet).toMap
+    var next = firstTry
+    var committed = tryCommit(f, next, rewrite(snapshot))
+    while (!committed) {
+      awaitOrEvict(f, next)
+      val (nv, nlines) = current(f)
+      val movedByOther = nlines.exists(e =>
+        snapDirOf.get(e.batchId).exists(dirs => !dirs.contains(e.dir)))
+      if (movedByOther) return
+      val (snap, fresh) =
+        nlines.partition(e => snapDirOf.contains(e.batchId))
+      next = math.max(nv + 1, next + 1)
+      committed = tryCommit(f, next, rewrite(snap) ++ fresh)
+    }
   }
 
   /** Cluster-compact: rewrite the whole table as up to `buckets`
@@ -249,7 +340,7 @@ final class ManifestTableStore(path: String,
     val (v, lines) = current(f)
     if (lines.isEmpty) return
     val base = s"$path/data/cluster-${java.util.UUID.randomUUID()}"
-    val clustered = read(spark)
+    val clustered = readDirs(spark, lines.map(_.dir).distinct)
       .repartitionByRange(buckets, col(clusterBy))
       .withColumn("__cluster", spark_partition_id())
     val w = clustered.write.mode("overwrite")
@@ -257,14 +348,16 @@ final class ManifestTableStore(path: String,
     val dirs = f.listStatus(new HPath(base)).map(_.getPath)
       .collect { case p if p.getName.startsWith("__cluster=") => p.toString }
       .sorted.toSeq
-    val ids = lines.map(_.batchId).distinct
     val stats = dirs.map(d => d -> collectStats(spark, d)).toMap
     // register every dir; keep every batch id present for replay checks
-    val entries = dirs.zipWithIndex.map { case (d, i) =>
-      Entry(ids(i % ids.size), d, stats(d)) }
-    val carried = ids.filterNot(id => entries.exists(_.batchId == id))
-      .map(id => Entry(id, dirs.head, stats(dirs.head)))
-    commit(f, v + 1, entries ++ carried)
+    commitRewrite(f, v + 1, lines, { snap =>
+      val ids = snap.map(_.batchId).distinct
+      val entries = dirs.zipWithIndex.map { case (d, i) =>
+        Entry(ids(i % ids.size), d, stats(d)) }
+      val carried = ids.filterNot(id => entries.exists(_.batchId == id))
+        .map(id => Entry(id, dirs.head, stats(dirs.head)))
+      entries ++ carried
+    })
   }
 
   /** Read the table AS OF a specific manifest version — time travel,
@@ -273,7 +366,10 @@ final class ManifestTableStore(path: String,
     * [[vacuum]]).
     */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    val dirs = readManifest(fs(spark), version).map(_.dir).distinct
+    val dirs = readManifest(fs(spark), version)
+      .getOrElse(throw new IllegalArgumentException(
+        s"version $version of $path is incomplete (writer died mid-commit)"))
+      .map(_.dir).distinct
     require(dirs.nonEmpty, s"version $version of $path is empty")
     dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
       .reduce(_.unionByName(_, allowMissingColumns = true))
@@ -300,7 +396,7 @@ final class ManifestTableStore(path: String,
       // first segment after "/data/" — robust to qualified-URI vs
       // raw-path forms
       val referenced = keepVersions.flatMap(kv =>
-        readManifest(f, kv).map(
+        readManifest(f, kv).toSeq.flatten.map(
           _.dir.split("/data/").last.split('/').head)).toSet
       val dataRoot = new HPath(s"$path/data")
       val deleted = Seq.newBuilder[String]
@@ -329,10 +425,12 @@ final class ManifestTableStore(path: String,
   override def read(spark: SparkSession): DataFrame = {
     val (_, lines) = current(fs(spark))
     require(lines.nonEmpty, s"no committed batches under $path")
-    lines.map(_.dir).distinct
-      .map(d => spark.read.option("mergeSchema", "true").parquet(d))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    readDirs(spark, lines.map(_.dir).distinct)
   }
+
+  private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
+      .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Read with manifest-stats data skipping: data dirs whose recorded
     * min/max prove `predicateSql` cannot match are never opened — their
@@ -428,6 +526,11 @@ object ManifestTableStore {
     */
   private[engine] final case class Entry(batchId: Long, dir: String,
       statsJson: String)
+
+  /** Last line of every complete manifest version — content without it
+    * is an in-flight or dead writer, never table state.
+    */
+  private[engine] val EndMarker = "#END"
 
   private[engine] sealed trait SVal
   private[engine] final case class NumV(v: java.math.BigDecimal) extends SVal

@@ -265,6 +265,46 @@ class ManifestTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("optimistic concurrency: a writer losing the version race rebases " +
+      "onto the winner's state; in-flight versions are invisible") {
+    val root = tmp("manifest-occ-")
+    // two INDEPENDENT store handles on one table (≈ two writer
+    // processes); short grace so the dead-writer eviction path is fast
+    val a = new ManifestTableStore(root.toString, commitGraceMs = 200L)
+    val b = new ManifestTableStore(root.toString, commitGraceMs = 200L)
+    a.append(Seq(("a", 1)).toDF("k", "n"), 0L) // commits v1
+    // simulate a competitor that claimed v2 and died mid-commit: an
+    // incomplete version file (no end marker)
+    java.nio.file.Files.writeString(
+      root.resolve("manifest").resolve("v2"), "999\t/nowhere")
+    // readers skip the corpse...
+    assert(a.read(spark).count() == 1)
+    assert(a.currentVersion(spark) == 1L)
+    // ...and the next writer detects the occupied slot, probes past it
+    b.append(Seq(("b", 2)).toDF("k", "n"), 1L) // waits grace, evicts, lands
+    assert(b.currentVersion(spark) == 3L)
+    assert(b.read(spark).select("k").collect().map(_.getString(0)).sorted
+      .toSeq == Seq("a", "b")) // NOTHING lost: rebase carried v1 forward
+    // the corpse was EVICTED — it can never resurface as table state
+    assert(!java.nio.file.Files.exists(
+      root.resolve("manifest").resolve("v2")))
+    intercept[Exception] { b.readVersion(spark, 2L) }
+
+    // true two-writer race: interleaved appends from two handles on two
+    // threads — every batch must survive, versions strictly advance
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future { (10L to 14L).foreach(i =>
+      a.append(Seq((s"a$i", i.toInt)).toDF("k", "n"), i)) }
+    val fb = Future { (20L to 24L).foreach(i =>
+      b.append(Seq((s"b$i", i.toInt)).toDF("k", "n"), i)) }
+    Await.result(fa, 120.seconds); Await.result(fb, 120.seconds)
+    val all = a.read(spark)
+    assert(all.count() == 12, s"lost updates: ${all.count()}")
+    assert(all.select("batch_id").distinct().count() == 12)
+  }
+
   test("drives the streaming bronze→silver path as a drop-in TableStore") {
     val src = tmp("manifest-src-"); val ckpt = tmp("manifest-ckpt-")
     Files.writeString(src.resolve("a.json"),
