@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -126,5 +127,59 @@ object CorpusOps {
         .select(col("doc_id"), col("n_shared"),
           (col("n_shared").cast("double") / col("n_sh")).as("overlap"))
         .orderBy("doc_id")
+    },
+
+    // Balanced per-class downsampling: cap every language at N docs,
+    // chosen by CONTENT-HASH order — like q36's splits, the selection is
+    // a pure function of the data (no RNG, no partition-count
+    // dependence), so the same corpus downsamples identically on any
+    // cluster. One window per class partition; no shuffle beyond it.
+    QueryDef(
+      "q76_balanced_downsample",
+      """SELECT lang, doc_id, CAST(rn AS INTEGER) AS rn FROM (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY sha256(text), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 50 ORDER BY lang, doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(sha2(col("text"), 256), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), row_number().over(w).as("rn"))
+        .filter(col("rn") <= 50)
+        .orderBy("lang", "doc_id")
+    },
+
+    // Sequence packing: concatenate each shard's documents in
+    // deterministic order and assign every document its token offset,
+    // context-window id (budget 2048), and offset within the window —
+    // the pack-assignment step of LLM pretraining, as ONE running-sum
+    // window per shard (linear, no join; the 100 TB shape is a single
+    // ordered pass per shard partition).
+    QueryDef(
+      "q77_pack_assignment",
+      """WITH t AS (SELECT source, doc_id,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |o AS (SELECT source, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS tok_offset
+        |  FROM t)
+        |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(tok_offset AS BIGINT) AS tok_offset,
+        |  CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+        |  CAST(tok_offset % 2048 AS BIGINT) AS pack_offset
+        |FROM o ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+        .withColumn("tok_offset",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("tok_offset"),
+          expr("tok_offset div 2048").as("pack_id"),
+          expr("tok_offset % 2048").as("pack_offset"))
+        .orderBy("source", "doc_id")
     })
 }
