@@ -43,20 +43,23 @@ trait TableStore {
   *     readers until published (a crash mid-write leaves an orphan dir,
   *     never a partial table);
   *   - table state is a VERSIONED manifest (`manifest/v<N>`, highest
-  *     COMPLETE version wins — Iceberg's metadata-versioning shape):
-  *     each version lists every (batchId, dataDir) pair, and EVERY
-  *     state change — append or compaction — is one atomic
-  *     EXCLUSIVE-CREATE of the next version file (content is state only
-  *     once its end marker lands, so readers skip in-flight writers);
+  *     version wins — Iceberg's metadata-versioning shape): each
+  *     version lists every (batchId, dataDir) pair, and EVERY state
+  *     change — append or compaction — is one SINGLE-STEP atomic
+  *     publish of the next version file (full content staged to a
+  *     hidden temp file first, then made visible by one atomic
+  *     create-if-absent: a hard link on local FS, `FileContext.rename`
+  *     with `Rename.NONE` on HDFS), so existence == completeness and a
+  *     visible version is never half-written;
   *   - CONCURRENT WRITERS are safe without any lock: the version number
   *     is the optimistic-concurrency token. A writer that loses the
-  *     exclusive-create race re-reads the winner's state, REBASES its
+  *     atomic-publish race re-reads the winner's state, REBASES its
   *     change (appends keep both batches; maintenance rewrites carry
   *     fresh appends forward and abort against competing rewrites), and
   *     retries at a higher version — the Iceberg/Delta commit protocol.
-  *     (Needs atomic create-if-absent from the store: true on HDFS and
-  *     local FS; bare S3 needs an external coordinator, Delta's
-  *     documented caveat too.);
+  *     (Needs atomic create-if-absent from the store — hard link /
+  *     namenode rename here; bare S3 needs an external coordinator,
+  *     Delta's documented caveat too.);
   *   - a replayed micro-batch (crash between write and checkpoint
   *     commit, then restart) finds its batch id in the current version
   *     and becomes a NO-OP: exactly-once lands at WRITE time, with no
@@ -87,8 +90,7 @@ trait TableStore {
   */
 final class ManifestTableStore(path: String,
     partitionBy: Seq[String] = Nil,
-    statsColumns: Seq[String] = Nil,
-    commitGraceMs: Long = 10000L) extends TableStore {
+    statsColumns: Seq[String] = Nil) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
   import ManifestTableStore.{EndMarker, Entry, NumV, StrV, SVal, TsV}
@@ -136,49 +138,58 @@ final class ManifestTableStore(path: String,
     }.toSeq)
   }
 
-  /** One optimistic-concurrency commit attempt: the version file is
-    * created with ATOMIC EXCLUSIVE CREATE, so the version number itself
-    * is the conflict token — two writers racing to `v<next>` cannot both
-    * win (Iceberg/Delta's commit protocol; on stores without atomic
-    * create-if-absent, e.g. bare S3, this needs an external coordinator,
-    * the same caveat Delta documents). Returns false on a lost race; the
-    * caller re-reads table state, REBASES its change, and retries at a
-    * higher version. Readers never see the half-written winner: content
-    * is only table state once the end marker is in place.
+  /** One optimistic-concurrency commit attempt, SINGLE-STEP: the full
+    * manifest content is written to a hidden temp file first, then
+    * published to `v<next>` with one atomic create-if-absent operation —
+    * so a version file either does not exist or is complete table state,
+    * and the version number itself is the conflict token (Iceberg/
+    * Delta's commit protocol). There is no window where a visible
+    * version is still being written, hence no eviction and no way for a
+    * writer to be evicted while believing its commit succeeded.
+    *
+    * The atomic publish primitive is store-specific:
+    *   - local FS: `link(2)` via `Files.createLink` — the one POSIX
+    *     operation that is create-if-absent AND carries full content in
+    *     a single syscall (`rename(2)` silently REPLACES an existing
+    *     destination, and Hadoop's local `create(overwrite=false)` is a
+    *     non-atomic exists-then-open);
+    *   - HDFS-like stores: `FileContext.rename(tmp, dst, Rename.NONE)`,
+    *     an atomic namenode transaction that fails if dst exists;
+    *   - bare object stores without atomic create-if-absent need an
+    *     external coordinator — the same caveat Delta documents.
+    *
+    * Returns false on a lost race; the caller re-reads table state,
+    * REBASES its change, and retries at a higher version.
     */
   private def tryCommit(f: FileSystem, next: Long,
       lines: Seq[Entry]): Boolean = {
     f.mkdirs(manifestDir)
-    val out =
-      try f.create(new HPath(manifestDir, s"v$next"), false)
-      catch { case _: java.io.IOException => return false }
+    val tmp = new HPath(manifestDir,
+      s".tmp-v$next-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, true)
     try out.write((lines.map { e =>
       if (e.statsJson.isEmpty) s"${e.batchId}\t${e.dir}"
       else s"${e.batchId}\t${e.dir}\t${e.statsJson}"
     } :+ EndMarker).mkString("\n").getBytes("UTF-8"))
     finally out.close()
-    true
-  }
-
-  /** A lost race leaves the slot occupied by either a complete
-    * competitor (normal: its content joins our rebase basis) or an
-    * in-flight writer. Wait up to `commitGraceMs` for the latter to
-    * finish — committing past a still-running writer would BURY its
-    * eventual commit (max-complete-version would skip it) — then evict
-    * the corpse so a writer dead between create and close can never
-    * resurface as state after we commit beyond it. The grace period is
-    * the liveness/consistency trade every optimistic commit protocol
-    * makes; a writer slower than the grace loses its commit and must
-    * retry (here: the streaming checkpoint replays the batch).
-    */
-  private def awaitOrEvict(f: FileSystem, version: Long): Unit = {
-    val p = new HPath(manifestDir, s"v$version")
-    val deadline = System.currentTimeMillis() + commitGraceMs
-    while (System.currentTimeMillis() < deadline) {
-      if (!f.exists(p) || readManifest(f, version).isDefined) return
-      Thread.sleep(50)
-    }
-    f.delete(p, false)
+    val dst = new HPath(manifestDir, s"v$next")
+    val won =
+      if (f.getScheme == "file") {
+        def local(p: HPath) =
+          java.nio.file.Paths.get(p.toUri.getPath)
+        try { java.nio.file.Files.createLink(local(dst), local(tmp)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        import org.apache.hadoop.fs.Options
+        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+          f.getUri, f.getConf)
+        try { fc.rename(tmp, dst, Options.Rename.NONE); true }
+        catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        }
+      }
+    f.delete(tmp, false) // local: dst hard-links the same inode; HDFS: moved
+    won
   }
 
   /** Min/max per requested stats column over one freshly-written data
@@ -214,15 +225,24 @@ final class ManifestTableStore(path: String,
     present.zipWithIndex.foreach { case (c, i) =>
       val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
       if (mn != null && mx != null) {
-        val node = root.putObject(c)
         df.schema(c).dataType match {
           case TimestampType =>
+            val node = root.putObject(c)
             node.put("t", "ts")
             node.put("min", mn.toLong); node.put("max", mx.toLong)
           case _: NumericType =>
-            node.put("min", new java.math.BigDecimal(mn))
-            node.put("max", new java.math.BigDecimal(mx))
-          case _ => node.put("min", mn); node.put("max", mx)
+            // NaN/Infinity in a float/double column stringify to values
+            // BigDecimal rejects — record no stats for the column (it is
+            // never pruned) rather than failing the whole commit
+            try {
+              val (lo, hi) =
+                (new java.math.BigDecimal(mn), new java.math.BigDecimal(mx))
+              val node = root.putObject(c)
+              node.put("min", lo); node.put("max", hi)
+            } catch { case _: NumberFormatException => () }
+          case _ =>
+            val node = root.putObject(c)
+            node.put("min", mn); node.put("max", mx)
         }
       }
     }
@@ -263,10 +283,9 @@ final class ManifestTableStore(path: String,
       collectStats(df.sparkSession, dataDir))
     var next = v + 1
     while (!tryCommit(f, next, lines :+ entry)) {
-      // lost the race: wait out / evict the occupant, rebase on the
-      // winner's state, and try a higher version (versions need not be
-      // contiguous — an evicted dead writer just burns a number)
-      awaitOrEvict(f, next)
+      // lost the race: the occupant is complete by construction
+      // (single-step publish), so rebase on the winner's state and try
+      // a higher version
       val (nv, nlines) = current(f)
       if (nlines.exists(_.batchId == batchId)) return // competitor replayed it
       lines = nlines; v = nv
@@ -308,7 +327,6 @@ final class ManifestTableStore(path: String,
     var next = firstTry
     var committed = tryCommit(f, next, rewrite(snapshot))
     while (!committed) {
-      awaitOrEvict(f, next)
       val (nv, nlines) = current(f)
       val movedByOther = nlines.exists(e =>
         snapDirOf.get(e.batchId).exists(dirs => !dirs.contains(e.dir)))
@@ -379,16 +397,26 @@ final class ManifestTableStore(path: String,
   def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
 
   /** Delete data dirs referenced by NO manifest version up to and
-    * including `retainBefore` versions back from current, plus all
+    * including `retainLast` versions back from current, plus all
     * superseded manifest versions older than that horizon. Keeping a
     * horizon > 0 protects in-flight readers of recent versions; 0
     * retains only the current version's dirs. Returns deleted paths.
+    *
+    * `minAgeMs` is the modification-time retention horizon (Delta-style):
+    * an append writes its data dir BEFORE committing the manifest, so an
+    * unreferenced-but-recent dir may be an IN-FLIGHT writer's batch —
+    * deleting it would lose the batch while its commit succeeds. Only
+    * dirs untouched for at least `minAgeMs` are eligible; a writer whose
+    * data write outlives the horizon should use a larger one (the same
+    * contract as `delta.deletedFileRetentionDuration`).
     */
-  def vacuum(spark: SparkSession, retainLast: Int = 1): Seq[String] =
+  def vacuum(spark: SparkSession, retainLast: Int = 1,
+      minAgeMs: Long = 600000L): Seq[String] =
     synchronized {
       val f = fs(spark)
       val (v, _) = current(f)
       if (v == 0) return Nil
+      val cutoff = System.currentTimeMillis() - minAgeMs
       val keepVersions = math.max(1L, v - retainLast) to v
       // the deletable unit is the dir DIRECTLY under data/ (clustered
       // compaction nests __cluster=k dirs one level deeper); top-level
@@ -401,7 +429,8 @@ final class ManifestTableStore(path: String,
       val dataRoot = new HPath(s"$path/data")
       val deleted = Seq.newBuilder[String]
       if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
-        if (!referenced.contains(st.getPath.getName)) {
+        if (!referenced.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff) {
           f.delete(st.getPath, true); deleted += st.getPath.toString
         }
       }
@@ -558,7 +587,14 @@ object ManifestTableStore {
       mx: SVal): Boolean = {
     def cmp(a: SVal, b: SVal): Option[Int] = (a, b) match {
       case (NumV(x), NumV(y)) => Some(x.compareTo(y))
-      case (StrV(x), StrV(y)) => Some(x.compareTo(y))
+      // string stats were computed by Spark min/max in UTF8String binary
+      // (UTF-8 byte / code-point) order; java.lang.String.compareTo is
+      // UTF-16 code-unit order, and the two DISAGREE for supplementary-
+      // plane characters vs U+E000..U+FFFF — comparing bounds in the
+      // stats' own order keeps pruning sound
+      case (StrV(x), StrV(y)) =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
       case (TsV(x), TsV(y)) => Some(java.lang.Long.compare(x, y))
       // timestamp stats vs a string date/timestamp literal: compare in
       // epoch micros, never lexically

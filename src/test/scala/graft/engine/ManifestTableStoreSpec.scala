@@ -106,9 +106,13 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(store.readVersion(spark, 1L).count() == 1) // just batch 0
     assert(store.readVersion(spark, 2L).count() == 2)
     assert(store.readVersion(spark, 4L).count() == 3)
-    // retainLast=0: only the current version's dirs survive — the two
-    // pre-compaction batch dirs go, the compacted dir + batch 2 stay
-    val deleted = store.vacuum(spark, retainLast = 0)
+    // the default modification-time horizon protects freshly-written
+    // dirs (they could be an in-flight writer's batch): nothing deleted
+    assert(store.vacuum(spark, retainLast = 0).isEmpty)
+    // retainLast=0, no age horizon: only the current version's dirs
+    // survive — the two pre-compaction batch dirs go, the compacted dir
+    // + batch 2 stay
+    val deleted = store.vacuum(spark, retainLast = 0, minAgeMs = 0L)
     assert(deleted.length == 2, s"deleted: $deleted")
     assert(store.read(spark).count() == 3) // current read unaffected
     // vacuumed history is gone; current version still time-travels
@@ -201,7 +205,7 @@ class ManifestTableStoreSpec extends SparkSpec {
     store.append(Seq((7, "x")).toDF("n", "h"), 1L)
     assert(store.read(spark).count() == 6)
     // vacuum deletes the superseded flat batch dirs, keeps cluster dirs
-    val deleted = store.vacuum(spark, retainLast = 0)
+    val deleted = store.vacuum(spark, retainLast = 0, minAgeMs = 0L)
     assert(deleted.length == 2, s"deleted: $deleted")
     assert(store.read(spark).count() == 6)
     assert(store.readWhere(spark, "n < 10").count() == 2)
@@ -265,29 +269,66 @@ class ManifestTableStoreSpec extends SparkSpec {
     }
   }
 
+  test("NaN/Infinity in a stats column: commit succeeds, the column " +
+      "records no stats and is never pruned") {
+    val store = new ManifestTableStore(tmp("manifest-nan-").toString,
+      statsColumns = Seq("score", "n"))
+    // quality-score column with a NaN and an Infinity — must not fail
+    // the append commit
+    store.append(Seq((1, 0.5), (2, Double.NaN)).toDF("n", "score"), 0L)
+    store.append(Seq((3, 7.5), (4, Double.PositiveInfinity))
+      .toDF("n", "score"), 1L)
+    store.append(Seq((5, 0.1), (6, 0.2)).toDF("n", "score"), 2L)
+    // score stats exist only for the all-finite dir; non-finite dirs are
+    // conservatively kept for score predicates (NaN > any double in
+    // Spark ordering, so a finite-only max could wrongly prune them)
+    val (kept, skipped) = store.pruneDirs(spark, "score > 1.0")
+    assert(skipped.length == 1 && kept.length == 2, s"kept=$kept")
+    assert(store.readWhere(spark, "score > 1.0").count() ==
+      store.read(spark).filter(col("score") > 1.0).count())
+    // the integer column's stats are unaffected by its neighbor
+    assert(store.pruneDirs(spark, "n >= 5")._1.length == 1)
+  }
+
+  test("string stats bounds compare in UTF8 (code-point) order: a " +
+      "supplementary-plane value is not wrongly pruned") {
+    val store = new ManifestTableStore(tmp("manifest-utf8-").toString,
+      statsColumns = Seq("h"))
+    // U+E000 (BMP private use) vs U+1F600 (emoji, supplementary plane):
+    // UTF-8/code-point order has E000 < 1F600, UTF-16 code-unit order
+    // has the surrogate D83D < E000 — the orders disagree, so a
+    // java.lang.String comparison would prove 'h = 😀' disjoint from
+    // [min=, max=😀] and silently drop the matching row
+    store.append(Seq(("\uE000", 1), ("😀", 2)).toDF("h", "n"), 0L)
+    store.append(Seq(("aaa", 3), ("zzz", 4)).toDF("h", "n"), 1L)
+    val pred = "h = '😀'"
+    val (kept, skipped) = store.pruneDirs(spark, pred)
+    assert(kept.length == 1 && skipped.length == 1, s"kept=$kept")
+    assert(store.readWhere(spark, pred)
+      .select("n").collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("optimistic concurrency: a writer losing the version race rebases " +
-      "onto the winner's state; in-flight versions are invisible") {
+      "onto the winner's state; incomplete versions are never state") {
     val root = tmp("manifest-occ-")
-    // two INDEPENDENT store handles on one table (≈ two writer
-    // processes); short grace so the dead-writer eviction path is fast
-    val a = new ManifestTableStore(root.toString, commitGraceMs = 200L)
-    val b = new ManifestTableStore(root.toString, commitGraceMs = 200L)
+    // two INDEPENDENT store handles on one table (≈ two writer processes)
+    val a = new ManifestTableStore(root.toString)
+    val b = new ManifestTableStore(root.toString)
     a.append(Seq(("a", 1)).toDF("k", "n"), 0L) // commits v1
-    // simulate a competitor that claimed v2 and died mid-commit: an
-    // incomplete version file (no end marker)
+    // our own writers can never leave a half-written version (single-
+    // step publish), but an externally-corrupted / foreign-tool file
+    // without the end marker must still be refused as table state
     java.nio.file.Files.writeString(
       root.resolve("manifest").resolve("v2"), "999\t/nowhere")
     // readers skip the corpse...
     assert(a.read(spark).count() == 1)
     assert(a.currentVersion(spark) == 1L)
-    // ...and the next writer detects the occupied slot, probes past it
-    b.append(Seq(("b", 2)).toDF("k", "n"), 1L) // waits grace, evicts, lands
+    // ...and the next writer loses the v2 publish race to it, rebases,
+    // and lands at a higher version — the corpse stays buried forever
+    b.append(Seq(("b", 2)).toDF("k", "n"), 1L)
     assert(b.currentVersion(spark) == 3L)
     assert(b.read(spark).select("k").collect().map(_.getString(0)).sorted
       .toSeq == Seq("a", "b")) // NOTHING lost: rebase carried v1 forward
-    // the corpse was EVICTED — it can never resurface as table state
-    assert(!java.nio.file.Files.exists(
-      root.resolve("manifest").resolve("v2")))
     intercept[Exception] { b.readVersion(spark, 2L) }
 
     // true two-writer race: interleaved appends from two handles on two
