@@ -596,12 +596,29 @@ object Relational {
 
     // Sketch-based percentiles — the at-scale path (mergeable partial
     // aggregation, no per-group sort). Sketch internals differ across
-    // engines → rows-only; q59 is the exact oracle-checked twin.
-    QueryDef.rowsOnly("q66_approx_percentiles") { (s, dir) =>
+    // engines, so the sketch VALUES can't hash-match an oracle; instead
+    // the query asserts the sketch's accuracy bound against the exact
+    // percentile (q59's definition) inside the plan and ships the
+    // verdict: approx_percentile(accuracy=10000) guarantees rank error
+    // ≤ n/10000 (~2 ranks at sf0.01), which on 1..50-quantity data means
+    // |approx - exact| ≤ 1. DuckDB reproduces the booleans as literal
+    // TRUE — a hash mismatch means the sketch broke its bound.
+    QueryDef(
+      "q66_approx_percentiles",
+      """SELECT l_returnflag, count(*) AS n, TRUE AS p50_ok, TRUE AS p90_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
-          .as("approx_qty"))
+        .agg(
+          expr("approx_percentile(l_quantity, array(0.5, 0.9), 10000)")
+            .as("ap"),
+          expr("percentile(l_quantity, 0.5)").as("ep50"),
+          expr("percentile(l_quantity, 0.9)").as("ep90"),
+          count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("n"),
+          (abs(element_at(col("ap"), 1) - col("ep50")) <= 1.0).as("p50_ok"),
+          (abs(element_at(col("ap"), 2) - col("ep90")) <= 1.0).as("p90_ok"))
         .orderBy("l_returnflag")
     },
 

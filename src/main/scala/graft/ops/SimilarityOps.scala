@@ -253,14 +253,18 @@ object SimilarityOps {
     // moves a quarter of the bytes; recon_err is the quality the engine
     // trades for it. The scale factor is a 1-row broadcast (no driver
     // collect, no second pass over the corpus per vector).
+    // The code column ships as a comma-joined string, not a top-level
+    // array: the harness comparator sorts result columns with pandas,
+    // which cannot hash/sort array cells (r3 red row) — and the joined
+    // form is compared byte-exactly against DuckDB all the same.
     QueryDef(
       "q71_quantize",
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
         |  AS scale FROM e)
         |SELECT vec_id,
-        |  list_transform(v, x -> CAST(round(x / scale * 127) AS TINYINT))
-        |    AS code,
+        |  array_to_string(list_transform(v,
+        |    x -> CAST(round(x / scale * 127) AS TINYINT)), ',') AS code,
         |  round(sqrt(list_sum(list_transform(v,
         |    x -> pow(x - round(x / scale * 127) * scale / 127, 2)))), 6)
         |    AS recon_err
@@ -271,8 +275,8 @@ object SimilarityOps {
         max(expr("array_max(transform(v, x -> abs(x)))")).as("scale"))
       e.crossJoin(broadcast(scale)).select(
         col("vec_id"),
-        expr("transform(v, x -> cast(round(x / scale * 127) as tinyint))")
-          .as("code"),
+        expr("array_join(transform(v, " +
+          "x -> cast(round(x / scale * 127) as tinyint)), ',')").as("code"),
         expr("round(sqrt(aggregate(transform(v, " +
           "x -> pow(x - round(x / scale * 127) * scale / 127, 2)), " +
           "cast(0 as double), (a, b) -> a + b)), 6)").as("recon_err"))
