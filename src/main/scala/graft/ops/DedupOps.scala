@@ -144,7 +144,9 @@ object DedupOps {
     // produce quadratic candidate pairs that near-dup detection cannot
     // use — one representative per exact-duplicate class suffices.
     // Not ANSI-SQL-expressible (xxhash64) → rows-only.
-    QueryDef.rowsOnly("q44_minhash_lsh_candidates")(lshCandidates),
+    QueryDef.rowsOnly("q44_minhash_lsh_candidates") { (s, dir) =>
+      lshCandidates(s, dir).orderBy("a_id", "b_id")
+    },
 
     // Near-dup CLUSTER resolution: candidate pairs are only half a dedup
     // pipeline — the corpus is clean only after connected components of
@@ -373,13 +375,21 @@ object DedupOps {
     * groupBy(text) not groupBy(sha(text))+first(text): a string-buffered
     * aggregate (first) forces SortAggregate; grouping directly on the
     * text keeps the dedup a HashAggregate with a fixed-width buffer.
+    *
+    * The candidate set is a session-materialized index artifact
+    * ([[graft.engine.Materialize]]): a dedup system builds it once per
+    * corpus and serves every consumer — the q44 listing, the q47
+    * containment audit — from the artifact. Round 3 recomputed the whole
+    * signature+banding pipeline inside each consumer (two extra corpus
+    * scans per q47 run); now the corpus is scanned once per session.
     */
-  def lshCandidates(s: SparkSession, dir: String): DataFrame = {
-    val reps = Tables(s, dir, "documents")
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"))
-    minhashLshCandidates(minhashSigs(reps), numPerms = 16, bands = 4)
-  }
+  def lshCandidates(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "lsh_candidates", dir) {
+      val reps = Tables(s, dir, "documents")
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      minhashLshCandidates(minhashSigs(reps), numPerms = 16, bands = 4)
+    }
 
   /** Keep-list of the composed training pipeline (q67): per surviving
     * document, its id, exact-dup multiplicity, and split assignment.
