@@ -1,42 +1,170 @@
 package graft.engine
 
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-/** Session-scoped materialized derived layouts (index artifacts).
+/** Materialized derived layouts (index artifacts), cluster-grade.
   *
   * A production engine builds expensive corpus-derived artifacts — LSH
-  * candidate sets, quantization code tables — ONCE at index-build time
-  * and serves every downstream query from the artifact; recomputing them
-  * per query re-scans the corpus each time (the round-3 bench shape for
-  * q47/q74). [[table]] runs the build the first time a (name, corpus)
-  * pair is requested in this JVM, persists the result as parquet under a
-  * session-unique temp root, and returns a reader over it; later calls
-  * reuse the files. Content is deterministic in (name, corpus dir), so
-  * reuse never changes results — it only removes repeated corpus passes.
+  * candidate sets, quantization code tables, distinct shingle sets — ONCE
+  * at index-build time and serves every downstream query from the
+  * artifact; recomputing them per query re-scans the corpus each time.
+  * [[table]] builds the artifact the first time a (name, corpus,
+  * corpus-version) triple is requested, persists it as parquet under the
+  * shared artifact root, and returns a reader over it; later calls — from
+  * this JVM or any other process sharing the store — reuse the files.
+  * Content is deterministic in (name, corpus), so reuse never changes
+  * results — it only removes repeated corpus passes.
+  *
+  * Cluster-grade in three specific ways (each a round-4 finding):
+  *
+  *  - **Shared root, not driver-local temp**: artifacts live under
+  *    `graft.materialize.root` (default: `_graft_materialize/` under
+  *    `spark.sql.warehouse.dir`) — the same shared filesystem the tables
+  *    live on, so executors can write and every session can read, exactly
+  *    like an Iceberg index/MV table. A `file:` temp dir on the driver
+  *    would break on any real cluster.
+  *  - **Version-keyed, so a corpus changed in place is never served
+  *    stale**: the artifact key hashes the corpus dir's direct children's
+  *    (name, length, mtime) — any append/rewrite/delete in the corpus
+  *    yields a new key and a fresh build. (A ManifestTableStore-backed
+  *    corpus would use its manifest version; this FS fingerprint is the
+  *    format-agnostic equivalent.)
+  *  - **Built outside any global lock**: a per-key lock dedups concurrent
+  *    builders of the SAME artifact inside one JVM; unrelated artifacts
+  *    build in parallel. Cross-process, each builder stages its data to a
+  *    private dir and publishes a pointer file via atomic
+  *    create-if-absent ([[AtomicCreate]]) — the loser deletes its staging
+  *    dir and reads the winner's. Pointer existence == artifact
+  *    completeness; there is no window where a half-written artifact is
+  *    visible.
+  *
+  * Superseded versions (older fingerprints of the same name+corpus) are
+  * garbage-collected opportunistically after a publish, behind the same
+  * modification-time retention horizon [[ManifestTableStore.vacuum]]
+  * uses, so in-flight readers of a just-replaced artifact never lose
+  * their files mid-scan.
   *
   * Deliberately NOT `persist()`/`cache()`: a pinned cache holds
   * corpus-sized blocks in executor memory for the session's life,
   * per-session; a parquet artifact is columnar, compressed, predicate-
-  * pushdown-able, and on a real cluster shareable across sessions via
-  * its path (the same role Iceberg gives an index/MV table).
+  * pushdown-able, and shared across sessions and processes via its path
+  * (the same role Iceberg gives an index/MV table).
   */
 object Materialize {
-  private lazy val root =
-    java.nio.file.Files.createTempDirectory("graft-mat-")
-  private val built = scala.collection.mutable.HashMap.empty[String, String]
 
-  /** Read the materialized artifact `name` for `corpusDir`, building and
-    * persisting it first if this JVM has not yet done so.
+  /** Per-key build locks: concurrent same-key builders in this JVM wait
+    * for one build; different keys proceed in parallel.
+    */
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Artifact root — `graft.materialize.root` if set, else
+    * `_graft_materialize/` under the session's warehouse dir (a shared
+    * path on any real deployment).
+    */
+  def root(s: SparkSession): String =
+    s.conf.getOption("graft.materialize.root").getOrElse(
+      s.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+        "/_graft_materialize")
+
+  private def fs(s: SparkSession, p: String): FileSystem =
+    new HPath(p).getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  private def sha8(text: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(text.getBytes(UTF_8))
+      .take(4).map(b => f"$b%02x").mkString
+
+  /** Fingerprint of the corpus dir's current content: its direct
+    * children's (name, length, mtime), sorted. A file appended inside a
+    * child directory bumps that directory's mtime, so nested growth is
+    * caught too. Changes in place → new fingerprint → fresh artifact.
+    */
+  private def corpusFingerprint(s: SparkSession, corpusDir: String): String = {
+    val f = fs(s, corpusDir)
+    val kids = f.listStatus(new HPath(corpusDir))
+      .map(st => s"${st.getPath.getName}|${st.getLen}|${st.getModificationTime}")
+      .sorted
+    sha8(kids.mkString("\n"))
+  }
+
+  /** Read the materialized artifact `name` for `corpusDir` at its CURRENT
+    * version, building and publishing it first if no process has yet done
+    * so.
     */
   def table(s: SparkSession, name: String, corpusDir: String)(
-      build: => DataFrame): DataFrame = {
-    val path = synchronized {
-      built.getOrElseUpdate(s"$name|$corpusDir", {
-        val p = root.resolve(s"${built.size}-$name").toString
-        build.write.mode("overwrite").parquet(p)
-        p
-      })
+      build: => DataFrame): DataFrame =
+    s.read.parquet(path(s, name, corpusDir)(build))
+
+  /** The published artifact's data path (building it if needed) — exposed
+    * so stores layered on artifacts (e.g. a ManifestTableStore whose
+    * content derives from a corpus) can root themselves version-keyed.
+    */
+  def path(s: SparkSession, name: String, corpusDir: String)(
+      build: => DataFrame): String = {
+    val dirH = sha8(corpusDir)
+    val verH = corpusFingerprint(s, corpusDir)
+    val rootDir = root(s)
+    val ptr = new HPath(rootDir, s"$name-$dirH-$verH.ptr")
+    val key = ptr.toString
+    val f = fs(s, rootDir)
+
+    def readPtr(): String = {
+      val st = f.getFileStatus(ptr)
+      val in = f.open(ptr)
+      try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(buf); new String(buf, UTF_8)
+      } finally in.close()
     }
-    s.read.parquet(path)
+
+    if (f.exists(ptr)) return readPtr()
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      if (f.exists(ptr)) return readPtr()
+      val stage = new HPath(rootDir,
+        s".stage-$name-$dirH-$verH-${java.util.UUID.randomUUID()}")
+      build.write.mode("overwrite").parquet(stage.toString)
+      if (AtomicCreate.publish(f, ptr, stage.toString.getBytes(UTF_8))) {
+        gc(f, rootDir, name, dirH, keepVerH = verH)
+        stage.toString
+      } else {
+        f.delete(stage, true) // lost the cross-process race — winner's
+        readPtr() //            pointer is complete by construction
+      }
+    }
   }
+
+  /** Best-effort removal of SUPERSEDED versions of (name, corpus): same
+    * name+dirHash, different version hash, untouched for at least the
+    * retention horizon (protects in-flight readers — the vacuum
+    * contract). Failures are ignored; GC re-runs at every publish.
+    */
+  private def gc(f: FileSystem, rootDir: String, name: String,
+      dirH: String, keepVerH: String, minAgeMs: Long = 3600000L): Unit =
+    try {
+      val cutoff = System.currentTimeMillis() - minAgeMs
+      val prefix = s"$name-$dirH-"
+      f.listStatus(new HPath(rootDir)).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) && !n.contains(keepVerH) &&
+            n.endsWith(".ptr") && st.getModificationTime < cutoff) {
+          val st2 = f.getFileStatus(st.getPath)
+          val in = f.open(st.getPath)
+          val data = try {
+            val buf = new Array[Byte](st2.getLen.toInt)
+            in.readFully(buf); new String(buf, UTF_8)
+          } finally in.close()
+          f.delete(new HPath(data), true)
+          f.delete(st.getPath, false)
+        }
+        // orphaned staging dirs of dead builders (never published)
+        if (n.startsWith(s".stage-$name-$dirH-") &&
+            st.getModificationTime < cutoff)
+          f.delete(st.getPath, true)
+      }
+    } catch { case _: Exception => () }
 }

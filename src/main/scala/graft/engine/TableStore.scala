@@ -147,50 +147,20 @@ final class ManifestTableStore(path: String,
     * version is still being written, hence no eviction and no way for a
     * writer to be evicted while believing its commit succeeded.
     *
-    * The atomic publish primitive is store-specific:
-    *   - local FS: `link(2)` via `Files.createLink` — the one POSIX
-    *     operation that is create-if-absent AND carries full content in
-    *     a single syscall (`rename(2)` silently REPLACES an existing
-    *     destination, and Hadoop's local `create(overwrite=false)` is a
-    *     non-atomic exists-then-open);
-    *   - HDFS-like stores: `FileContext.rename(tmp, dst, Rename.NONE)`,
-    *     an atomic namenode transaction that fails if dst exists;
-    *   - bare object stores without atomic create-if-absent need an
-    *     external coordinator — the same caveat Delta documents.
+    * The atomic publish primitive is [[AtomicCreate]] (hard link on
+    * local FS, namenode rename(NONE) on HDFS; bare object stores need an
+    * external coordinator — the same caveat Delta documents).
     *
     * Returns false on a lost race; the caller re-reads table state,
     * REBASES its change, and retries at a higher version.
     */
   private def tryCommit(f: FileSystem, next: Long,
-      lines: Seq[Entry]): Boolean = {
-    f.mkdirs(manifestDir)
-    val tmp = new HPath(manifestDir,
-      s".tmp-v$next-${java.util.UUID.randomUUID()}")
-    val out = f.create(tmp, true)
-    try out.write((lines.map { e =>
-      if (e.statsJson.isEmpty) s"${e.batchId}\t${e.dir}"
-      else s"${e.batchId}\t${e.dir}\t${e.statsJson}"
-    } :+ EndMarker).mkString("\n").getBytes("UTF-8"))
-    finally out.close()
-    val dst = new HPath(manifestDir, s"v$next")
-    val won =
-      if (f.getScheme == "file") {
-        def local(p: HPath) =
-          java.nio.file.Paths.get(p.toUri.getPath)
-        try { java.nio.file.Files.createLink(local(dst), local(tmp)); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        import org.apache.hadoop.fs.Options
-        val fc = org.apache.hadoop.fs.FileContext.getFileContext(
-          f.getUri, f.getConf)
-        try { fc.rename(tmp, dst, Options.Rename.NONE); true }
-        catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        }
-      }
-    f.delete(tmp, false) // local: dst hard-links the same inode; HDFS: moved
-    won
-  }
+      lines: Seq[Entry]): Boolean =
+    AtomicCreate.publish(f, new HPath(manifestDir, s"v$next"),
+      (lines.map { e =>
+        if (e.statsJson.isEmpty) s"${e.batchId}\t${e.dir}"
+        else s"${e.batchId}\t${e.dir}\t${e.statsJson}"
+      } :+ EndMarker).mkString("\n").getBytes("UTF-8"))
 
   /** Min/max per requested stats column over one freshly-written data
     * dir, as the manifest's JSON stats field ("" when none apply). One

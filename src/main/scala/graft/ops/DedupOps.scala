@@ -280,21 +280,30 @@ object DedupOps {
     */
   def jaccardPairs(s: SparkSession, dir: String,
       cap: Option[Int] = Some(30)): DataFrame = {
-    val docs = cap.foldLeft(Tables(s, dir, "documents"))(
-      (d, c) => d.filter(col("doc_id") < c))
-    val sh = shingleHashes(docs).distinct()
-    val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.toDF("a_id", "ha").as("a")
-      .join(sh.toDF("b_id", "hb").as("b"),
-        col("ha") === col("hb") && col("a_id") < col("b_id"))
-      .groupBy("a_id", "b_id")
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(cnt.toDF("a_id", "na"), "a_id")
-      .join(cnt.toDF("b_id", "nb"), "b_id")
-      .select(col("a_id"), col("b_id"), col("inter"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    // The FULL-CORPUS exact pair-similarity table is itself a
+    // materialized index artifact (the classic similarity-join
+    // materialization): built once per corpus version from the shared
+    // shingle artifact, then every consumer — q43's capped verifier,
+    // q48's clustering edges, q47's uncapped truth side — is an artifact
+    // read. A capped request filters BOTH pair sides: a pair with both
+    // ids under the cap has the same shingle sets either way, so this is
+    // exactly the capped-docs computation.
+    val pairs = graft.engine.Materialize.table(s, "jaccard_pairs", dir) {
+      val sh = distinctShingles(s, dir)
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      sh.toDF("a_id", "ha").as("a")
+        .join(sh.toDF("b_id", "hb").as("b"),
+          col("ha") === col("hb") && col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("inter"))
+        .join(cnt.toDF("a_id", "na"), "a_id")
+        .join(cnt.toDF("b_id", "nb"), "b_id")
+        .select(col("a_id"), col("b_id"), col("inter"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter"))).as("jaccard"))
+    }
+    cap.foldLeft(pairs)((p, c) =>
+        p.filter(col("a_id") < c && col("b_id") < c))
       .orderBy("a_id", "b_id")
   }
 
@@ -383,6 +392,28 @@ object DedupOps {
     * signature+banding pipeline inside each consumer (two extra corpus
     * scans per q47 run); now the corpus is scanned once per session.
     */
+  /** Materialized distinct word-3-gram hash set (doc_id, h) for the WHOLE
+    * corpus — the shared base of every exact-Jaccard consumer (q43's
+    * capped verifier, q48's clustering edges, q47's uncapped truth side).
+    * One corpus scan per corpus version; each consumer then reads a
+    * columnar artifact with doc_id pushdown instead of re-shingling.
+    */
+  def distinctShingles(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "shingles3_distinct", dir) {
+      shingleHashes(Tables(s, dir, "documents")).distinct()
+    }
+
+  /** Materialized doc → exact-dedup representative mapping (doc_id, rep):
+    * rep = min doc_id sharing the same text. q47's audit joins this twice
+    * (both pair sides); materialized, that is artifact reads, not two
+    * more corpus scans + window sorts.
+    */
+  def docReps(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "doc_rep", dir) {
+      Tables(s, dir, "documents").select(col("doc_id"),
+        min(col("doc_id")).over(Window.partitionBy("text")).as("rep"))
+    }
+
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
     graft.engine.Materialize.table(s, "lsh_candidates", dir) {
       val reps = Tables(s, dir, "documents")
@@ -467,10 +498,10 @@ object DedupOps {
       minJaccard: Double): DataFrame = {
     val truth = jaccardPairs(s, dir, cap = None)
       .filter(col("jaccard") >= minJaccard)
-    // doc -> exact-dedup representative (min doc_id of its text class)
-    val repOf = Tables(s, dir, "documents")
-      .select(col("doc_id"),
-        min(col("doc_id")).over(Window.partitionBy("text")).as("rep"))
+    // doc -> exact-dedup representative, from the materialized artifact:
+    // steady-state q47 touches ONLY artifacts (shingles, reps,
+    // candidates) — zero corpus scans
+    val repOf = docReps(s, dir)
     val cand = lshCandidates(s, dir)
       .select(col("a_id").as("c_a"), col("b_id").as("c_b"), lit(true).as("hit"))
     truth

@@ -39,6 +39,47 @@ object SimilarityOps {
 
   private val dot = "vec_dot(qv, v)"
 
+  /** Materialized scalar-quantization INDEX artifact ([[graft.engine
+    * .Materialize]]): ONE corpus pass computes the corpus-symmetric scale
+    * and, per vector, the int8 codes (joined-string form for q71's
+    * listing, int-array form for q74's scoring) plus the reconstruction
+    * error. q71 lists the artifact and q74 scans its codes — neither
+    * re-quantizes the corpus per query, which at 100 TB is the difference
+    * between an index lookup and a full corpus pass per search.
+    */
+  private def quantIndex(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "quant_index", dir) {
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val scale = e.agg(
+        max(expr("array_max(transform(v, x -> abs(x)))")).as("scale"))
+      e.crossJoin(broadcast(scale)).select(
+        col("vec_id"),
+        expr("array_join(transform(v, " +
+          "x -> cast(round(x / scale * 127) as tinyint)), ',')").as("code"),
+        // codes as array<double> so the scoring pass runs in the
+        // codegen'd vec_dot loop (int8 values and their 128-dim dot
+        // products are exact in double — max |Σ| = 128·127² ≪ 2^53)
+        expr("transform(v, x -> cast(cast(round(x / scale * 127) " +
+          "as tinyint) as double))").as("codes"),
+        expr("round(sqrt(aggregate(transform(v, " +
+          "x -> pow(x - round(x / scale * 127) * scale / 127, 2)), " +
+          "cast(0 as double), (a, b) -> a + b)), 6)").as("recon_err"))
+    }
+
+  /** Materialized hyperplane-LSH bucket table for the registered 16×4
+    * operating point: (vec_id, t, bkt), one row per (vector, table).
+    * Serves q53's candidate join and q54's audit from one build instead
+    * of re-hashing the corpus per consumer.
+    */
+  private def hpBuckets(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "hp_buckets_16x4", dir) {
+      vectors(s, dir)
+        .select(col("vec_id"),
+          posexplode(expr("vec_hp_buckets(v, 16, 4)")))
+        .toDF("vec_id", "t", "bkt")
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Vector norms — array-HOF parity check.
@@ -139,7 +180,7 @@ object SimilarityOps {
     // registered config against the exact top-k. Not SQL-portable →
     // rows-only.
     QueryDef.rowsOnly("q53_ann_lsh")((s, dir) =>
-      annLsh(vectors(s, dir), numTables = 16, bitsPerTable = 4,
+      annLshBucketed(vectors(s, dir), hpBuckets(s, dir),
         queryIds = 0 until 5, topK = 10)),
 
     // One Lloyd iteration of k-means — IVF "training" as a query: assign
@@ -269,17 +310,7 @@ object SimilarityOps {
         |    x -> pow(x - round(x / scale * 127) * scale / 127, 2)))), 6)
         |    AS recon_err
         |FROM e, s ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
-        expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val scale = e.agg(
-        max(expr("array_max(transform(v, x -> abs(x)))")).as("scale"))
-      e.crossJoin(broadcast(scale)).select(
-        col("vec_id"),
-        expr("array_join(transform(v, " +
-          "x -> cast(round(x / scale * 127) as tinyint)), ',')").as("code"),
-        expr("round(sqrt(aggregate(transform(v, " +
-          "x -> pow(x - round(x / scale * 127) * scale / 127, 2)), " +
-          "cast(0 as double), (a, b) -> a + b)), 6)").as("recon_err"))
+      quantIndex(s, dir).select("vec_id", "code", "recon_err")
         .orderBy("vec_id")
     },
 
@@ -319,20 +350,14 @@ object SimilarityOps {
         |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM r)
         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
       val e = vectors(s, dir)
-      val scale = e.agg(max(
-        expr("array_max(transform(v, x -> abs(cast(x as double))))"))
-        .as("scale"))
-      val coded = e.crossJoin(broadcast(scale)).select(col("vec_id"),
-        expr("transform(v, x -> cast(round(cast(x as double) / scale " +
-          "* 127) as int))").as("code"))
+      val coded = quantIndex(s, dir)
+        .select(col("vec_id"), col("codes").as("code"))
       val qCodes = coded.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("code").as("qc"))
       val scored = coded.crossJoin(broadcast(qCodes))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          expr("aggregate(zip_with(code, qc, (x, y) -> " +
-            "cast(x as bigint) * y), cast(0 as bigint), (a, b) -> a + b)")
-            .as("qdot"))
+          expr("cast(vec_dot(code, qc) as bigint)").as("qdot"))
       val wCand = Window.partitionBy("q_id")
         .orderBy(col("qdot").desc, col("vec_id"))
       val top = scored.withColumn("crn", row_number().over(wCand))
@@ -373,7 +398,7 @@ object SimilarityOps {
     */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     val exact = cosineTopK(s, dir).select(col("q_id"), col("vec_id"))
-    val ann = annLsh(vectors(s, dir), numTables = 16, bitsPerTable = 4,
+    val ann = annLshBucketed(vectors(s, dir), hpBuckets(s, dir),
         queryIds = 0 until 5, topK = 10)
       .select(col("q_id"), col("vec_id"), lit(1L).as("hit"))
     exact
@@ -450,11 +475,20 @@ object SimilarityOps {
     * 3. exact cosine re-rank of candidates only.
     */
   def annLsh(vecs: DataFrame, numTables: Int, bitsPerTable: Int,
+      queryIds: Seq[Int], topK: Int): DataFrame =
+    annLshBucketed(vecs,
+      vecs.select(col("vec_id"), posexplode(
+          expr(s"vec_hp_buckets(v, $numTables, $bitsPerTable)")))
+        .toDF("vec_id", "t", "bkt"),
+      queryIds, topK)
+
+  /** LSH candidate join + exact re-rank over a PRE-BUILT bucket table
+    * (vec_id, t, bkt) — e.g. the materialized [[hpBuckets]] artifact, so
+    * registered consumers never re-hash the corpus. [[annLsh]] is the
+    * inline-bucketing form for parameter sweeps.
+    */
+  def annLshBucketed(vecs: DataFrame, bucketed: DataFrame,
       queryIds: Seq[Int], topK: Int): DataFrame = {
-    val bucketed = vecs
-      .select(col("vec_id"), col("v"), col("nv"), posexplode(
-        expr(s"vec_hp_buckets(v, $numTables, $bitsPerTable)")))
-      .toDF("vec_id", "v", "nv", "t", "bkt")
     val qSide = bucketed
       .filter(col("vec_id").isin(queryIds.map(Int.box): _*))
       .select(col("vec_id").as("q_id"), col("t"), col("bkt"))
