@@ -91,6 +91,16 @@ object Materialize {
     sha8(kids.mkString("\n"))
   }
 
+  /** A corpus-version-keyed location under the artifact root for stores
+    * that manage their own on-disk format (e.g. a [[ManifestTableStore]]
+    * derived from a corpus): the same key discipline as [[table]] — a
+    * corpus changed in place yields a fresh path — with content lifecycle
+    * owned by the caller's store.
+    */
+  def keyedPath(s: SparkSession, name: String, corpusDir: String): String =
+    new HPath(root(s),
+      s"$name-${sha8(corpusDir)}-${corpusFingerprint(s, corpusDir)}").toString
+
   /** Read the materialized artifact `name` for `corpusDir` at its CURRENT
     * version, building and publishing it first if no process has yet done
     * so.

@@ -173,17 +173,23 @@ final class ManifestTableStore(path: String,
   private def collectStats(spark: SparkSession, dir: String): String = {
     if (statsColumns.isEmpty) return ""
     import org.apache.spark.sql.types.{NumericType, StringType,
-      TimestampType}
+      TimestampNTZType, TimestampType}
     val df = spark.read.parquet(dir)
+    def isTs(dt: org.apache.spark.sql.types.DataType) =
+      dt == TimestampType || dt == TimestampNTZType
     val present = statsColumns.filter(c => df.schema.fields.exists(f =>
       f.name == c && (f.dataType.isInstanceOf[NumericType] ||
-        f.dataType == StringType || f.dataType == TimestampType)))
+        f.dataType == StringType || isTs(f.dataType))))
     if (present.isEmpty) return ""
     // timestamps travel as epoch micros so prune-time comparison is
-    // representation-free (no lexical date-string edge cases)
+    // representation-free (no lexical date-string edge cases). NTZ
+    // columns (parquet timestamps without timezone — the common
+    // pandas/arrow output) cast through TimestampType first: sessions
+    // pin UTC, so the local value IS the UTC instant, matching how
+    // prune-time literals are parsed.
     def norm(c: org.apache.spark.sql.Column,
         dt: org.apache.spark.sql.types.DataType) =
-      if (dt == TimestampType) unix_micros(c).cast("string")
+      if (isTs(dt)) unix_micros(c.cast(TimestampType)).cast("string")
       else c.cast("string")
     val aggs = present.flatMap { c =>
       val dt = df.schema(c).dataType
@@ -196,7 +202,7 @@ final class ManifestTableStore(path: String,
       val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
       if (mn != null && mx != null) {
         df.schema(c).dataType match {
-          case TimestampType =>
+          case dt if isTs(dt) =>
             val node = root.putObject(c)
             node.put("t", "ts")
             node.put("min", mn.toLong); node.put("max", mx.toLong)
@@ -468,7 +474,8 @@ final class ManifestTableStore(path: String,
     }
     def sval(l: Literal): Option[SVal] = l match {
       case _ if l.dataType ==
-          org.apache.spark.sql.types.TimestampType =>
+          org.apache.spark.sql.types.TimestampType ||
+          l.dataType == org.apache.spark.sql.types.TimestampNTZType =>
         Some(TsV(l.value.asInstanceOf[Long]))
       case _ => l.value match {
         case s: org.apache.spark.unsafe.types.UTF8String =>

@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryDef
+import graft.engine.{ManifestTableStore, Materialize, Tables}
+
+/** Registered queries over the engine's OWN table-format layer
+  * ([[graft.engine.ManifestTableStore]]) — the reference's Iceberg
+  * append + data-skipping semantics (`docker-compose.yml:335-339`,
+  * `bronze_assets_to_silver_assets.py:275-277`) exercised end-to-end on
+  * the correctness surface, not only in specs: data lands as committed
+  * batches with per-dir min/max stats in the manifest, and the read path
+  * goes through `readWhere`, whose stats pruning skips whole data dirs
+  * a predicate provably cannot match before any file is opened.
+  *
+  * At 100 TB this is the layer that turns "scan the table" into "scan
+  * the days the predicate touches": a streaming table accretes
+  * time-correlated batches, so min/max on the event-time column prunes
+  * almost everything for the time-ranged queries every consumer starts
+  * with.
+  */
+object StoreOps {
+
+  private def dsum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** The seeded store: `orders` committed as four year-ranged appends
+    * with `o_orderdate` stats — the shape a streaming ingest leaves
+    * behind (time-correlated batches). The path is corpus-version-keyed
+    * ([[Materialize.keyedPath]]) and appends are idempotent per batch id,
+    * so re-invocations (bench reruns, later sessions over the same
+    * corpus) cost four manifest reads, not four rewrites.
+    */
+  private def ordersStore(s: SparkSession, dir: String): ManifestTableStore = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store", dir),
+      statsColumns = Seq("o_orderdate"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    // the corpus's orderdates span 1995-2001; every range is non-empty
+    // at every scale factor, so every dir commits stats
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+      3L -> !upTo("2000-01-01")
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    store
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
+    // 1997 batch dirs empty from manifest stats alone (their files never
+    // reach the scan), the 1998-1999 dir survives pruning and is
+    // filtered row-wise, the 2000+ dir passes whole. Result is exactly
+    // read().filter(...) — verified against DuckDB on the raw table.
+    QueryDef(
+      "q78_store_readwhere",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      ordersStore(s, dir)
+        .readWhere(s, "o_orderdate >= '1999-06-01 00:00:00'")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    })
+}

@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -187,6 +188,74 @@ object TextOps {
         expr(s"case when $en >= 1 and $en >= $de then 'en' " +
           s"when $de >= 1 then 'de' else 'und' end").as("pred_lang"))
         .orderBy("doc_id")
+    },
+
+    // Confusion audit of the q34 language-ID heuristic against the
+    // corpus's `lang` column as ground truth: per label (union of truth
+    // and predicted values), true/false positives, false negatives, and
+    // precision/recall. This is the acceptance metric for a heuristic
+    // classifier — q34's oracle pins WHAT it predicts; this pins HOW
+    // WELL, in the same artifact. Label side is tiny → broadcast; one
+    // pass over the corpus.
+    QueryDef(
+      "q79_lang_confusion", {
+        val en = "len(list_filter(string_split(text,' '), " +
+          "w -> w IN ('the','a','of')))"
+        val de = "len(list_filter(string_split(text,' '), " +
+          "w -> w IN ('der','die','das')))"
+        s"""WITH p AS (SELECT lang,
+           |    CASE WHEN $en >= 1 AND $en >= $de THEN 'en'
+           |         WHEN $de >= 1 THEN 'de' ELSE 'und' END AS pred
+           |  FROM documents),
+           |l AS (SELECT DISTINCT lang AS label FROM p
+           |      UNION SELECT DISTINCT pred FROM p)
+           |SELECT label,
+           |  CAST(SUM(CASE WHEN lang = label AND pred = label
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           |  CAST(SUM(CASE WHEN pred = label AND lang <> label
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           |  CAST(SUM(CASE WHEN lang = label AND pred <> label
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+           |  CASE WHEN SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) = 0
+           |    THEN NULL ELSE
+           |      CAST(SUM(CASE WHEN lang = label AND pred = label
+           |        THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / SUM(CASE WHEN pred = label THEN 1 ELSE 0 END) END AS prec,
+           |  CASE WHEN SUM(CASE WHEN lang = label THEN 1 ELSE 0 END) = 0
+           |    THEN NULL ELSE
+           |      CAST(SUM(CASE WHEN lang = label AND pred = label
+           |        THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / SUM(CASE WHEN lang = label THEN 1 ELSE 0 END) END AS rec
+           |FROM l CROSS JOIN p GROUP BY label ORDER BY label""".stripMargin
+      }) { (s, dir) =>
+      val en = s"size(filter($words, w -> w in ('the','a','of')))"
+      val de = s"size(filter($words, w -> w in ('der','die','das')))"
+      val p = Tables(s, dir, "documents").select(col("lang"),
+        expr(s"case when $en >= 1 and $en >= $de then 'en' " +
+          s"when $de >= 1 then 'de' else 'und' end").as("pred"))
+      val labels = p.select(col("lang").as("label"))
+        .union(p.select(col("pred").as("label"))).distinct()
+      def hits(c: Column) = sum(when(c, 1).otherwise(0))
+      p.crossJoin(broadcast(labels))
+        .groupBy("label")
+        .agg(
+          hits(col("lang") === col("label") && col("pred") === col("label"))
+            .cast("long").as("tp"),
+          hits(col("pred") === col("label") && col("lang") =!= col("label"))
+            .cast("long").as("fp"),
+          hits(col("lang") === col("label") && col("pred") =!= col("label"))
+            .cast("long").as("fn"),
+          when(hits(col("pred") === col("label")) === 0, lit(null))
+            .otherwise(
+              hits(col("lang") === col("label") && col("pred") === col("label"))
+                .cast("double") / hits(col("pred") === col("label")))
+            .as("prec"),
+          when(hits(col("lang") === col("label")) === 0, lit(null))
+            .otherwise(
+              hits(col("lang") === col("label") && col("pred") === col("label"))
+                .cast("double") / hits(col("lang") === col("label")))
+            .as("rec"))
+        .orderBy("label")
     },
 
     // Word-repetition quality signals (the Gopher-style repetition

@@ -110,6 +110,67 @@ class StreamRunnerSpec extends SparkSpec {
     s.streams.active.foreach(_.stop())
   }
 
+  test("runForever supervised by a stop-after-N-ticks listener: queries " +
+      "run bounded, the listener stops them, the park returns on its own") {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val s = spark.newSession()
+    val srcA = tmp("sup-a-"); val srcB = tmp("sup-b-")
+    val ckptA = tmp("sup-ckpt-a-"); val ckptB = tmp("sup-ckpt-b-")
+    val out = tmp("sup-silver-")
+    writeFile(srcA, "r7.json",
+      """{"id": 1, "ip": "10.0.0.1", "hostName": "h1"}""")
+    writeFile(srcB, "fg.json",
+      """{"_id": {"$oid": "bbb"}, "accessIp": "5.6.7.8", "name": "fg"}""")
+    val store = new ParquetTableStore(out.toString)
+    // The supervisor shape a bounded soak run uses: count each query's
+    // ticks (committed batches + idle polls) and stop it at the target —
+    // no external poll loop touching the queries.
+    val targetTicks = 3
+    val ticks =
+      new java.util.concurrent.ConcurrentHashMap[java.util.UUID, Integer]()
+    def tick(id: java.util.UUID): Unit = {
+      val n = ticks.merge(id, 1, (a, b) => Integer.valueOf(a + b))
+      if (n >= targetTicks) Option(s.streams.get(id)).foreach(_.stop())
+    }
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        tick(e.progress.id)
+      override def onQueryIdle(
+          e: StreamingQueryListener.QueryIdleEvent): Unit = tick(e.id)
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    s.streams.addListener(listener)
+    @volatile var parkExited = false
+    val runner = new Thread(() => {
+      StreamRunner.runForever(s, Seq(
+        (SourceSpec.rapid7, srcA.toString, ckptA.toString),
+        (SourceSpec.fortisiem, srcB.toString, ckptB.toString)),
+        store, org.apache.spark.sql.streaming.Trigger.ProcessingTime(
+          "200 milliseconds"))
+      parkExited = true
+    }, "runForever-supervised-spec")
+    runner.setDaemon(true)
+    runner.start()
+    try {
+      runner.join(90000)
+      assert(parkExited,
+        "listener-stopped query did not wake awaitAnyTermination")
+      assert(ticks.values().stream().anyMatch(_ >= targetTicks),
+        s"no query reached $targetTicks ticks: $ticks")
+      // both sources committed their data batch before the bound hit
+      val bySource = store.read(spark).groupBy("source_system").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(bySource.keySet == Set("rapid7", "fortisiem"), s"$bySource")
+    } finally {
+      s.streams.active.foreach(_.stop())
+      s.streams.removeListener(listener)
+    }
+  }
+
   test("batch_id recovery: a replayed micro-batch collapses on " +
       "readExactlyOnce; identical content in different batches survives") {
     import spark.implicits._

@@ -1,0 +1,27 @@
+package graft.ops
+
+import graft.SparkSpec
+
+/** q78 end-to-end: the registered query's scan must list ONLY the data
+  * dirs the manifest stats keep — the 1992-1993 and 1994-1995 batches are
+  * provably disjoint from the `>= 1996-06-01` predicate, so their files
+  * never reach the file index (value correctness is the DuckDB oracle's
+  * job; this pins the data-skipping behavior the query exists to ship).
+  */
+class StoreOpsSpec extends SparkSpec {
+
+  test("q78's readWhere prunes the year-ranged batch dirs the predicate " +
+      "cannot match") {
+    val df = graft.SparkEntry.queries("q78_store_readwhere")(
+      spark, "/root/testdata/sf0.001")
+    val files = df.inputFiles
+    assert(files.nonEmpty, "scan lists no files")
+    assert(files.forall(f =>
+        f.contains("/batch-2-") || f.contains("/batch-3-")),
+      s"pruned dirs leaked into the scan:\n${files.mkString("\n")}")
+    assert(files.exists(_.contains("/batch-2-")) &&
+      files.exists(_.contains("/batch-3-")),
+      s"expected both kept dirs in the scan:\n${files.mkString("\n")}")
+    assert(df.count() > 0)
+  }
+}

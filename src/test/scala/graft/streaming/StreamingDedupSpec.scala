@@ -66,4 +66,42 @@ class StreamingDedupSpec extends SparkSpec {
       s"flags: $flagged")
     assert(flagged.exists(_._2 == 7L), s"copy of doc 7 not matched: $flagged")
   }
+
+  test("composed streaming pipeline: exactDedup → nearDupFlags equals the " +
+      "batch candidate join restricted to the streamed (deduped) docs") {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val index = StreamingDedup.bucketIndex(corpus)
+    def textOf(id: Long): String = corpus.filter(col("doc_id") === id)
+      .select("text").collect().head.getString(0)
+    val d3 = textOf(3); val d7 = textOf(7)
+    val novel = "zzqx vvwy qqpr mmnk ttlj rrgh zzqx vvwy"
+    // doc 9003 replays 9001's text inside the watermark horizon → the
+    // exact tier must drop it BEFORE the near-dup join ever sees it
+    val input = MemoryStream[(Long, Timestamp, String)](spark)
+    val out = runStream(input,
+      d => StreamingDedup.nearDupFlags(
+        StreamingDedup.exactDedup(d, "2 hours"), index),
+      "scomposed", Seq(
+        Seq((9001L, ts("2024-01-01 10:00:00"), d7),
+          (9002L, ts("2024-01-01 10:01:00"), novel)),
+        Seq((9003L, ts("2024-01-01 10:30:00"), d7),
+          (9004L, ts("2024-01-01 10:31:00"), d3))))
+    val streamed = out.select("doc_id", "corpus_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // batch twin: the SAME operators over a static frame holding the
+    // exact-dedup survivors (9003's text replays 9001's → dropped)
+    val survivors = Seq((9001L, d7), (9002L, novel), (9004L, d3))
+      .toDF("doc_id", "text")
+    val expected = StreamingDedup.nearDupFlags(survivors, index)
+      .select("doc_id", "corpus_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"streaming flags $streamed != batch flags $expected")
+    assert(!streamed.exists(_._1 == 9003L),
+      "replayed doc leaked past the exact tier into the near-dup join")
+    assert(streamed.exists { case (d, c) => d == 9001L && c == 7L })
+    assert(streamed.exists { case (d, c) => d == 9004L && c == 3L })
+  }
 }
