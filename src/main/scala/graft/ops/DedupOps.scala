@@ -204,9 +204,12 @@ object DedupOps {
       // exact-dup classes: representative + multiplicity
       val classes = docs.groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
-      val edges = minhashLshCandidates(
-          minhashSigs(classes.select("doc_id", "text")),
-          numPerms = 16, bands = 4)
+      // the candidate edges are BY DEFINITION the q44 artifact filtered
+      // at the estimate threshold: both run minhashLshCandidates over
+      // the exact-dedup representatives (groupBy(text) → min doc_id), so
+      // the near-dup graph comes from the materialized index instead of
+      // a second signature+banding pass over the corpus
+      val edges = lshCandidates(s, dir)
         .filter(col("est_jaccard") >= 0.5)
         .select("a_id", "b_id")
       val clusters = connectedComponents(

@@ -230,9 +230,15 @@ object TextOps {
       }) { (s, dir) =>
       val en = s"size(filter($words, w -> w in ('the','a','of')))"
       val de = s"size(filter($words, w -> w in ('der','die','das')))"
+      // the (lang, pred) projection has three consumers (two label
+      // distincts + the confusion join); the explicit repartition
+      // inserts one tiny exchange that ReuseExchange shares across all
+      // three, so the corpus — and the interpreted stopword-filter
+      // lambdas — are scanned once, not three times
       val p = Tables(s, dir, "documents").select(col("lang"),
         expr(s"case when $en >= 1 and $en >= $de then 'en' " +
           s"when $de >= 1 then 'de' else 'und' end").as("pred"))
+        .repartition(col("lang"), col("pred"))
       val labels = p.select(col("lang").as("label"))
         .union(p.select(col("pred").as("label"))).distinct()
       def hits(c: Column) = sum(when(c, 1).otherwise(0))
