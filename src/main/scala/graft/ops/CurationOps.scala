@@ -1,0 +1,325 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Data-curation operators a production training-data pipeline runs between
+  * ingestion and packing: PII detection/redaction, heuristic quality
+  * filtering (the Gopher-rule family), TF-IDF term salience, temperature-
+  * based domain mixing, and Bloom-filter benchmark decontamination.
+  *
+  * All are per-row expressions or one-shuffle aggregates; nothing collects
+  * to the driver and nothing depends on partition count, so every query
+  * here runs unchanged on a 1000-executor cluster. Regexes are kept in the
+  * RE2-compatible subset (no backrefs/lookaround) so Spark's Java regex
+  * and the DuckDB oracle's RE2 agree match-for-match.
+  *
+  * The corpus ships no real PII, so [[piiAugmented]] plants deterministic
+  * synthetic spans (email/phone/IPv4, keyed on doc_id) in BOTH engines —
+  * the scan and redaction then do real work and stay hash-checked.
+  */
+object CurationOps {
+
+  private val words = "split(text, ' ')"
+
+  /** Deterministic synthetic-PII augmentation, Spark side. Must stay
+    * textually in lockstep with [[piiAugSql]].
+    */
+  private def piiAugmented(df: DataFrame): DataFrame =
+    df.withColumn("aug",
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 415-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" host 10.0."), (col("doc_id") % 250).cast("string"),
+            lit(".7"))).otherwise(lit(""))))
+
+  /** The same augmentation as a DuckDB scalar expression over `documents`. */
+  private val piiAugSql: String =
+    """text
+      | || CASE WHEN doc_id % 7 = 0 THEN ' contact u' ||
+      |      CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ' call 415-555-' ||
+      |      lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      | || CASE WHEN doc_id % 3 = 0 THEN ' host 10.0.' ||
+      |      CAST(doc_id % 250 AS VARCHAR) || '.7' ELSE '' END"""
+      .stripMargin.replace("\n", "")
+
+  private val emailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private val phoneRe = """\d{3}-\d{3}-\d{4}"""
+  private val ipRe = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+
+  /** 6-hex-digit window of a sha256 hex string parsed to its numeric
+    * value — pure ascii/CASE arithmetic shared verbatim by Spark SQL and
+    * DuckDB, so both engines compute identical Bloom bit positions
+    * (16^5·d0 + … + d5, then mod the filter size). 24 bits: every
+    * intermediate fits an INT32, every sum a BIGINT, under ANSI mode.
+    */
+  private def hexWindow(h: String, off: Int): String =
+    (0 until 6).map { i =>
+      val p = math.pow(16, 5 - i).toLong
+      s"CAST($p AS BIGINT) * (ascii(substr($h, ${off + i}, 1)) - " +
+        s"(CASE WHEN ascii(substr($h, ${off + i}, 1)) >= 97 " +
+        "THEN 87 ELSE 48 END))"
+    }.mkString("(", " + ", ")")
+
+  /** Bloom bit position k over hash column `h` (m = 16384 bits). */
+  private def bloomPos(h: String, off: Int): String =
+    s"(${hexWindow(h, off)}) % 16384"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // PII scan: per-document counts of email / phone / IPv4 spans plus
+    // the has-PII verdict. Pure per-row regex counting — fuses into the
+    // scan, zero shuffle, linear at any corpus size.
+    QueryDef(
+      "q80_pii_scan",
+      s"""WITH a AS (SELECT doc_id, $piiAugSql AS aug FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS INTEGER)
+         |    AS n_email,
+         |  CAST(len(regexp_extract_all(aug, '$phoneRe')) AS INTEGER)
+         |    AS n_phone,
+         |  CAST(len(regexp_extract_all(aug, '$ipRe')) AS INTEGER) AS n_ip,
+         |  len(regexp_extract_all(aug, '$emailRe'))
+         |    + len(regexp_extract_all(aug, '$phoneRe'))
+         |    + len(regexp_extract_all(aug, '$ipRe')) > 0 AS has_pii
+         |FROM a ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      piiAugmented(Tables(s, dir, "documents"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(emailRe)).as("n_email"),
+          regexp_count(col("aug"), lit(phoneRe)).as("n_phone"),
+          regexp_count(col("aug"), lit(ipRe)).as("n_ip"))
+        .withColumn("has_pii",
+          col("n_email") + col("n_phone") + col("n_ip") > 0)
+        .orderBy("doc_id")
+    },
+
+    // PII redaction: replace every span with a typed placeholder, ship
+    // the redacted text's hash + length delta (the redacted corpus itself
+    // would be the written output in production; the hash pins it
+    // byte-for-byte without shipping text through the artifact).
+    // Replacement order email → phone → ip is load-bearing: the email
+    // regex consumes its dotted domain before the IPv4 pattern can see it.
+    QueryDef(
+      "q81_pii_redact",
+      s"""WITH a AS (SELECT doc_id, $piiAugSql AS aug FROM documents),
+         |r AS (SELECT doc_id, aug, regexp_replace(regexp_replace(
+         |    regexp_replace(aug, '$emailRe', '[EMAIL]', 'g'),
+         |    '$phoneRe', '[PHONE]', 'g'), '$ipRe', '[IP]', 'g') AS red
+         |  FROM a)
+         |SELECT doc_id, sha256(red) AS red_sha,
+         |  CAST(length(aug) - length(red) AS INTEGER) AS n_chars_removed
+         |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      piiAugmented(Tables(s, dir, "documents"))
+        .withColumn("red",
+          regexp_replace(regexp_replace(regexp_replace(
+            col("aug"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]"),
+            ipRe, "[IP]"))
+        .select(col("doc_id"), sha2(col("red"), 256).as("red_sha"),
+          (length(col("aug")) - length(col("red"))).as("n_chars_removed"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style heuristic quality filter: word count bounds, mean
+    // word length window, all-alphabetic word fraction, stopword
+    // presence, duplicate-word fraction → one keep/drop verdict with the
+    // individual rule verdicts alongside (a pipeline tunes thresholds by
+    // inspecting WHICH rule fired, not just the verdict). Per-row HOFs,
+    // no shuffle.
+    QueryDef(
+      "q82_quality_filter",
+      """WITH q AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS mwl,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        w -> regexp_full_match(w, '[a-z]+'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS alpha_frac,
+        |    len(list_filter(string_split(text, ' '),
+        |        w -> w IN ('the','a','of','and'))) >= 2 AS has_stop,
+        |    1.0 - CAST(len(list_distinct(string_split(text, ' ')))
+        |        AS DOUBLE) / len(string_split(text, ' ')) AS dup_frac
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        |  round(mwl, 6) AS mean_word_len,
+        |  round(alpha_frac, 6) AS alpha_frac,
+        |  round(dup_frac, 6) AS dup_frac,
+        |  n_words BETWEEN 30 AND 100000 AS len_ok,
+        |  mwl BETWEEN 3.0 AND 10.0 AS mwl_ok,
+        |  alpha_frac >= 0.8 AS alpha_ok, has_stop AS stop_ok,
+        |  dup_frac <= 0.9 AS rep_ok,
+        |  n_words BETWEEN 30 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        |    AND alpha_frac >= 0.8 AND has_stop AND dup_frac <= 0.9 AS keep
+        |FROM q ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nW = s"size($words)"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr(nW).as("n_words"),
+          expr(s"cast(length(replace(text, ' ', '')) as double) / $nW")
+            .as("mwl"),
+          expr(s"cast(size(filter($words, w -> w rlike '^[a-z]+$$')) " +
+            s"as double) / $nW").as("alpha_frac"),
+          expr(s"size(filter($words, " +
+            "w -> w in ('the','a','of','and'))) >= 2").as("has_stop"),
+          expr(s"1.0 - cast(size(array_distinct($words)) as double) / $nW")
+            .as("dup_frac"))
+        .select(col("doc_id"), col("n_words").cast("int").as("n_words"),
+          round(col("mwl"), 6).as("mean_word_len"),
+          round(col("alpha_frac"), 6).as("alpha_frac"),
+          round(col("dup_frac"), 6).as("dup_frac"),
+          col("n_words").between(30, 100000).as("len_ok"),
+          col("mwl").between(3.0, 10.0).as("mwl_ok"),
+          (col("alpha_frac") >= 0.8).as("alpha_ok"),
+          col("has_stop").as("stop_ok"),
+          (col("dup_frac") <= 0.9).as("rep_ok"),
+          (col("n_words").between(30, 100000) &&
+            col("mwl").between(3.0, 10.0) && col("alpha_frac") >= 0.8 &&
+            col("has_stop") && col("dup_frac") <= 0.9).as("keep"))
+        .orderBy("doc_id")
+    },
+
+    // TF-IDF top terms per document. Plan shape: explode → ONE
+    // (doc, word) hash aggregate; document frequency and per-doc rank are
+    // windows over that aggregate (no self-join, no second corpus scan).
+    // The (doc, word) shuffle is the only corpus-sized exchange — the
+    // same bound as q72's repetition stats. Corpus size N arrives via a
+    // broadcast 1-row aggregate, never a driver action.
+    QueryDef(
+      "q83_tfidf_top_terms",
+      """WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+        |  WHERE word <> '' GROUP BY doc_id, word),
+        |df AS (SELECT doc_id, word, tf,
+        |    count(*) OVER (PARTITION BY word) AS df FROM tf),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |    round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |  FROM df, n),
+        |r AS (SELECT doc_id, word, tf, df, tfidf, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn FROM sc)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, tfidf, CAST(rn AS INTEGER) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val n = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+      val tf = docs
+        .select(col("doc_id"), explode(expr(words)).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val wDf = Window.partitionBy("word")
+      val wRank = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("word"))
+      tf.withColumn("df", count(lit(1)).over(wDf))
+        .crossJoin(n)
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 3)
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          col("tfidf"), col("rn"))
+        .orderBy("doc_id", "rn")
+    },
+
+    // Temperature-based domain mixing (the sampling-weight step of
+    // multi-source pretraining): per-language corpus shares p flattened
+    // by alpha = 0.5 (w ∝ p^0.5), normalized, and turned into target doc
+    // counts at a 1000-doc budget. alpha = 0.5 makes pow() a correctly-
+    // rounded IEEE sqrt in both engines, and the weight sum accumulates
+    // in DECIMAL so partial-aggregation order can never wiggle a bit.
+    QueryDef(
+      "q84_domain_mixture",
+      """WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        |w AS (SELECT lang, n,
+        |    CAST(round(sqrt(n / total), 6) AS DECIMAL(18, 6)) AS wt
+        |  FROM c, t),
+        |s AS (SELECT CAST(sum(wt) AS DOUBLE) AS wsum FROM w)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  round(n / total, 6) AS p,
+        |  round(CAST(wt AS DOUBLE) / wsum, 6) AS mix_frac,
+        |  CAST(round(CAST(wt AS DOUBLE) / wsum * 1000, 0) AS BIGINT)
+        |    AS target_docs
+        |FROM w, s, t ORDER BY lang""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents").groupBy("lang")
+        .agg(count(lit(1)).as("n"))
+      val t = broadcast(c.agg(sum(col("n")).cast("double").as("total")))
+      val w = c.crossJoin(t).withColumn("wt",
+        round(sqrt(col("n") / col("total")), 6).cast(DecimalType(18, 6)))
+      val ws = broadcast(w.agg(sum(col("wt")).cast("double").as("wsum")))
+      w.crossJoin(ws)
+        .select(col("lang"), col("n").cast("long").as("n"),
+          round(col("n") / col("total"), 6).as("p"),
+          round(col("wt").cast("double") / col("wsum"), 6).as("mix_frac"),
+          round(col("wt").cast("double") / col("wsum") * 1000, 0)
+            .cast("long").as("target_docs"))
+        .orderBy("lang")
+    },
+
+    // Bloom-filter benchmark decontamination — the 100 TB scale path of
+    // q37's exact-join form. The filter is expressed RELATIONALLY: the
+    // benchmark set's k=3 sha256-derived bit positions (m = 16384)
+    // aggregate into one sorted array (collect_set — in-plan, never a
+    // driver collect) that broadcasts to the corpus scan; a doc is
+    // flagged iff all 3 of its positions are set. That is exactly a
+    // Bloom membership probe, so the corpus side stays a single
+    // shuffle-free pass whatever its size, while the bloom side is
+    // bounded by min(3·|bench|, m) longs. False positives are possible
+    // by construction and false negatives are not — the oracle
+    // recomputes the identical filter, so the artifact pins both the
+    // flag set and each flag's exact-hit verdict. The probe includes the
+    // benchmark docs themselves (their copies in a training corpus are
+    // precisely what decontamination removes), so exact_hit = true rows
+    // are guaranteed present.
+    QueryDef(
+      "q85_bloom_decontaminate", {
+        val p1 = bloomPos("h", 1)
+        val p2 = bloomPos("h", 7)
+        val p3 = bloomPos("h", 13)
+        s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+           |d AS (SELECT doc_id, text, sha256(text) AS h, m
+           |  FROM documents, mx),
+           |b AS (SELECT * FROM d WHERE doc_id > m - 10),
+           |bp AS (SELECT DISTINCT pos FROM (
+           |  SELECT unnest([$p1, $p2, $p3]) AS pos FROM b)),
+           |bl AS (SELECT list(pos ORDER BY pos) AS bl FROM bp),
+           |f AS (SELECT d.doc_id, d.text FROM d, bl
+           |  WHERE list_contains(bl, $p1) AND list_contains(bl, $p2)
+           |    AND list_contains(bl, $p3))
+           |SELECT f.doc_id, f.text IN (SELECT text FROM b) AS exact_hit
+           |FROM f ORDER BY f.doc_id""".stripMargin
+      }) { (s, dir) =>
+      val p1 = bloomPos("h", 1)
+      val p2 = bloomPos("h", 7)
+      val p3 = bloomPos("h", 13)
+      val docs = Tables(s, dir, "documents")
+      val mx = broadcast(docs.agg(max(col("doc_id")).as("m")))
+      val d = docs.crossJoin(mx)
+        .select(col("doc_id"), col("text"), col("m"),
+          sha2(col("text"), 256).as("h"))
+      val bench = d.filter(col("doc_id") > col("m") - 10)
+      val bloom = bench
+        .select(explode(array(expr(p1), expr(p2), expr(p3))).as("pos"))
+        .agg(sort_array(collect_set(col("pos"))).as("bl"))
+      val benchTexts = bench.select(col("text").as("btext")).distinct()
+      d.crossJoin(broadcast(bloom))
+        .filter(array_contains(col("bl"), expr(p1)) &&
+          array_contains(col("bl"), expr(p2)) &&
+          array_contains(col("bl"), expr(p3)))
+        .join(broadcast(benchTexts), col("text") === col("btext"), "left")
+        .select(col("doc_id"), col("btext").isNotNull.as("exact_hit"))
+        .orderBy("doc_id")
+    })
+}

@@ -154,9 +154,24 @@ object MultimodalOps {
         .orderBy("media_id")
     },
 
-    // Decode + aggregate: typed feature pipeline exercised end-to-end
-    // (mapPartitions decode is not SQL-expressible → rows-only).
-    QueryDef.rowsOnly("q61_multimodal_features") { (s, dir) =>
+    // Decode + aggregate: typed feature pipeline exercised end-to-end.
+    // The Spark side runs the REAL plumbing (typed Dataset through
+    // mapPartitions, where a production codec would decode); the oracle
+    // reproduces the stub codec's arithmetic (width = 32 + n_bytes % 224
+    // over utf8 payload bytes), so the whole decode→aggregate path is
+    // hash-checked. Swapping in a real codec retires the oracle back to
+    // rows-only — the plumbing contract it pins stays identical.
+    QueryDef(
+      "q61_multimodal_features",
+      """WITH m AS (SELECT
+        |    CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    octet_length(encode(text)) AS nb
+        |  FROM documents)
+        |SELECT kind, COUNT(*) AS n,
+        |  avg(CAST(32 + nb % 224 AS DOUBLE)) AS avg_width,
+        |  CAST(SUM(nb) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY kind ORDER BY kind""".stripMargin) { (s, dir) =>
       decodeFeatures(mediaTable(s, dir))
         .groupBy("kind")
         .agg(count(lit(1)).as("n"), avg(col("width")).as("avg_width"),
@@ -164,8 +179,19 @@ object MultimodalOps {
         .orderBy("kind")
     },
 
-    // Frame sampling explode (generator shape) — rows-only.
-    QueryDef.rowsOnly("q62_multimodal_frames") { (s, dir) =>
+    // Frame sampling explode (generator shape). Same contract as q61:
+    // real flatMap plumbing on the Spark side, oracle reproducing the
+    // stub's frame count (one per 64 payload bytes, capped at 4, offsets
+    // i*1000 ms) so the generator's fan-out is hash-checked.
+    QueryDef(
+      "q62_multimodal_frames",
+      """SELECT doc_id AS media_id,
+        |  CAST(least(4, greatest(1, octet_length(encode(text)) // 64))
+        |    AS BIGINT) AS n_frames,
+        |  CAST((least(4, greatest(1, octet_length(encode(text)) // 64)) - 1)
+        |    * 1000 AS BIGINT) AS last_ms
+        |FROM documents WHERE CAST(doc_id % 3 AS INTEGER) = 2
+        |ORDER BY media_id""".stripMargin) { (s, dir) =>
       sampleFrames(mediaTable(s, dir))
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max(col("offset_ms")).as("last_ms"))

@@ -421,13 +421,35 @@ object Relational {
         .orderBy("n_nationkey")
     },
 
-    // Approximate distinct counting (HLL). Sketch implementations differ
-    // across engines → rows-only; the exact q15 is the oracle-checked twin.
-    QueryDef.rowsOnly("q26_approx_distinct") { (s, dir) =>
+    // Approximate distinct counting (HLL) — the mergeable at-scale path
+    // for COUNT(DISTINCT). Sketch estimates differ across engines, so the
+    // estimate itself can't hash-match an oracle; instead (q66's sketch
+    // pattern) the plan computes BOTH the HLL estimate and the exact
+    // distinct count and ships the exact counts plus the sketch's
+    // relative-error verdict: default rsd = 0.05, asserted at 3σ = 15%.
+    // DuckDB reproduces the booleans as literal TRUE — a hash mismatch
+    // means the sketch broke its bound. The exact side is the audit cost,
+    // paid here to make the sketch's accuracy part of the artifact; the
+    // production form at 100 TB drops it and keeps only the HLL partials.
+    QueryDef(
+      "q26_approx_distinct",
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_partkey) AS exact_parts,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_ok, TRUE AS orders_ok
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_orderkey")).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") /
+            col("exact_parts") <= 0.15).as("parts_ok"),
+          (abs(col("ao") - col("exact_orders")).cast("double") /
+            col("exact_orders") <= 0.15).as("orders_ok"))
         .orderBy("l_returnflag")
     },
 
