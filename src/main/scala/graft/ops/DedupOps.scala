@@ -245,8 +245,7 @@ object DedupOps {
     // invariants). Not ANSI-SQL-expressible (xxhash64 in the near-dup
     // stage) → rows-only.
     QueryDef.rowsOnly("q67_training_pipeline") { (s, dir) =>
-      val kept = trainingKeepList(Tables(s, dir, "documents"),
-        minQuality = 0.2)
+      val kept = trainingKeepListIndexed(s, dir, minQuality = 0.2)
       kept
         .groupBy("split")
         .agg(count(lit(1)).as("n_docs"),
@@ -438,18 +437,60 @@ object DedupOps {
     *     under corpus growth, any partitioning.
     */
   def trainingKeepList(docs: DataFrame, minQuality: Double): DataFrame = {
-    val words = "split(text, ' ')"
-    val quality = expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
-      s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
-      s" / size($words))")
-    val classes = docs.filter(quality >= minQuality)
-      .groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+    val classes = qualityClasses(docs, minQuality)
     val edges = minhashLshCandidates(
         minhashSigs(classes.select("doc_id", "text")),
         numPerms = 16, bands = 4)
       .filter(col("est_jaccard") >= 0.5)
       .select("a_id", "b_id")
+    keepListFrom(classes, edges)
+  }
+
+  /** Artifact-backed [[trainingKeepList]] — the registered q67 build.
+    *
+    * The quality floor is a pure function of `text`, so an exact-dup
+    * class passes or fails it ATOMICALLY and every surviving class keeps
+    * the same min-doc_id representative the unfiltered corpus gives it.
+    * And LSH candidacy is pairwise-local (two signatures either share a
+    * band bucket or don't, regardless of what else is in the corpus), so
+    * the filtered pipeline's near-dup edges are EXACTLY the materialized
+    * q44 candidate artifact restricted to surviving representatives —
+    * two semi-joins against the kept-id set instead of a second
+    * signature+banding pass over the corpus. At 100 TB that turns the
+    * pipeline's most expensive stage into an index read.
+    * PipelineInvariantsSpec asserts this build is row-identical to the
+    * from-scratch [[trainingKeepList]].
+    */
+  def trainingKeepListIndexed(s: SparkSession, dir: String,
+      minQuality: Double): DataFrame = {
+    val classes = qualityClasses(Tables(s, dir, "documents"), minQuality)
+    val ids = classes.select("doc_id")
+    val edges = lshCandidates(s, dir)
+      .filter(col("est_jaccard") >= 0.5)
+      .join(ids.toDF("a_id"), Seq("a_id"), "left_semi")
+      .join(ids.toDF("b_id"), Seq("b_id"), "left_semi")
+      .select("a_id", "b_id")
+    keepListFrom(classes, edges)
+  }
+
+  /** Stages 1+2 of the pipeline: quality floor (q30's score, row-local)
+    * then exact-dup classes (rep = min doc_id, multiplicity carried).
+    */
+  private def qualityClasses(docs: DataFrame,
+      minQuality: Double): DataFrame = {
+    val words = "split(text, ' ')"
+    val quality = expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
+      s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+      s" / size($words))")
+    docs.filter(quality >= minQuality)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_exact"))
+  }
+
+  /** Stages 3+4: near-dup resolution over the class graph, then the
+    * content-addressed 80/10/10 split on each keeper's id.
+    */
+  private def keepListFrom(classes: DataFrame, edges: DataFrame): DataFrame = {
     val keepIds = connectedComponents(edges, classes.select("doc_id"))
       .toDF("doc_id", "cluster")
       .filter(col("doc_id") === col("cluster"))

@@ -72,4 +72,15 @@ class PipelineInvariantsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(kept.orderBy("doc_id").collect().toSeq == again)
   }
+
+  test("artifact-backed build (registered q67) is row-identical to the " +
+      "from-scratch pipeline") {
+    // the q44 candidate artifact restricted to quality-surviving reps
+    // must yield the same keep-list as re-running signature+banding on
+    // the filtered corpus — the restriction argument trainingKeepList-
+    // Indexed's scaladoc makes, asserted
+    val indexed = DedupOps.trainingKeepListIndexed(spark, dir, 0.2)
+      .orderBy("doc_id").collect().toSeq
+    assert(kept.orderBy("doc_id").collect().toSeq == indexed)
+  }
 }
