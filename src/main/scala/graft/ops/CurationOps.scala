@@ -291,15 +291,15 @@ object CurationOps {
         s"""WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
            |d AS (SELECT doc_id, text, sha256(text) AS h, m
            |  FROM documents, mx),
-           |b AS (SELECT * FROM d WHERE doc_id > m - 10),
-           |bp AS (SELECT DISTINCT pos FROM (
-           |  SELECT unnest([$p1, $p2, $p3]) AS pos FROM b)),
-           |bl AS (SELECT list(pos ORDER BY pos) AS bl FROM bp),
-           |f AS (SELECT d.doc_id, d.text FROM d, bl
+           |b AS (SELECT text, [$p1, $p2, $p3] AS ps FROM d
+           |  WHERE doc_id > m - 10),
+           |agg AS (SELECT list_sort(list_distinct(flatten(list(ps))))
+           |    AS bl, list_sort(list(DISTINCT text)) AS btexts FROM b),
+           |f AS (SELECT d.doc_id, d.text, btexts FROM d, agg
            |  WHERE list_contains(bl, $p1) AND list_contains(bl, $p2)
            |    AND list_contains(bl, $p3))
-           |SELECT f.doc_id, f.text IN (SELECT text FROM b) AS exact_hit
-           |FROM f ORDER BY f.doc_id""".stripMargin
+           |SELECT doc_id, list_contains(btexts, text) AS exact_hit
+           |FROM f ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
       val p1 = bloomPos("h", 1)
       val p2 = bloomPos("h", 7)
@@ -309,17 +309,21 @@ object CurationOps {
       val d = docs.crossJoin(mx)
         .select(col("doc_id"), col("text"), col("m"),
           sha2(col("text"), 256).as("h"))
-      val bench = d.filter(col("doc_id") > col("m") - 10)
-      val bloom = bench
-        .select(explode(array(expr(p1), expr(p2), expr(p3))).as("pos"))
-        .agg(sort_array(collect_set(col("pos"))).as("bl"))
-      val benchTexts = bench.select(col("text").as("btext")).distinct()
-      d.crossJoin(broadcast(bloom))
+      // ONE benchmark pass builds BOTH broadcast artifacts — the bit-
+      // position array and the exact-hit text set — as a single 1-row
+      // aggregate, so the bench subtree has a single consumer and the
+      // corpus is never re-scanned per artifact
+      val bloom = broadcast(d.filter(col("doc_id") > col("m") - 10)
+        .select(col("text"), array(expr(p1), expr(p2), expr(p3)).as("ps"))
+        .agg(sort_array(array_distinct(flatten(collect_list(col("ps")))))
+          .as("bl"),
+          sort_array(collect_set(col("text"))).as("btexts")))
+      d.crossJoin(bloom)
         .filter(array_contains(col("bl"), expr(p1)) &&
           array_contains(col("bl"), expr(p2)) &&
           array_contains(col("bl"), expr(p3)))
-        .join(broadcast(benchTexts), col("text") === col("btext"), "left")
-        .select(col("doc_id"), col("btext").isNotNull.as("exact_hit"))
+        .select(col("doc_id"),
+          array_contains(col("btexts"), col("text")).as("exact_hit"))
         .orderBy("doc_id")
     })
 }
