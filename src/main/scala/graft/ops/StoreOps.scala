@@ -71,5 +71,55 @@ object StoreOps {
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderpriority")
+    },
+
+    // Time travel: read the table AS OF manifest version 2 — the state
+    // after the first two appends (orderdates < 1998-01-01) — while the
+    // store's current version holds all four batches. Version files are
+    // immutable once published, so this is exactly Iceberg's
+    // snapshot-as-of semantics: the oracle reproduces the historical
+    // state from the raw table with the version's own predicate.
+    QueryDef(
+      "q86_store_timetravel",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      ordersStore(s, dir)
+        .readVersion(s, 2)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Compaction: many small streaming batches rewritten into one data
+    // dir as a NEW version (never in place), values bit-identical to the
+    // pre-compaction table — the maintenance op that keeps a streaming
+    // table's file count bounded. Both append and compact are idempotent
+    // under re-invocation (replayed batch ids no-op; a one-dir table
+    // no-ops compact), so reruns read, not rewrite. StoreOpsSpec pins
+    // the physical effect (one data dir serves the scan).
+    QueryDef(
+      "q87_store_compact",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_compacted", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      val cut = col("o_orderdate") < lit("1998-07-01").cast("timestamp")
+      store.append(orders.filter(cut), 0L)
+      store.append(orders.filter(!cut), 1L)
+      store.compact(s)
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     })
 }

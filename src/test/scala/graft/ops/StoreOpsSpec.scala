@@ -24,4 +24,26 @@ class StoreOpsSpec extends SparkSpec {
       s"expected both kept dirs in the scan:\n${files.mkString("\n")}")
     assert(df.count() > 0)
   }
+
+  test("q86's time-travel read serves version 2 from the first two " +
+      "batch dirs only") {
+    val df = graft.SparkEntry.queries("q86_store_timetravel")(
+      spark, "/root/testdata/sf0.001")
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f =>
+        f.contains("/batch-0-") || f.contains("/batch-1-")),
+      s"version 2 leaked later batches:\n${files.mkString("\n")}")
+  }
+
+  test("q87's post-compaction scan reads exactly one data dir") {
+    val df = graft.SparkEntry.queries("q87_store_compact")(
+      spark, "/root/testdata/sf0.001")
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/compact-")),
+      s"non-compacted dir in scan:\n${files.mkString("\n")}")
+    assert(files.map(_.replaceAll("/[^/]+$", "")).distinct.length == 1,
+      "more than one data dir after compaction")
+  }
 }
