@@ -406,6 +406,41 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // Full-outer join — the reconciliation primitive (which keys exist
+    // on which side, with per-side aggregates and a presence verdict).
+    // Thresholds chosen so BOTH sides have unmatched keys at every scale
+    // factor. Two pre-aggregated sides (25 rows each) meet in a tiny
+    // shuffle; at scale the pattern holds because both inputs reduce to
+    // per-key aggregates BEFORE the join — never a full-outer of raw
+    // fact tables.
+    QueryDef(
+      "q88_full_outer",
+      """WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_cust
+        |  FROM customer WHERE c_acctbal > 9900 GROUP BY 1),
+        |s AS (SELECT s_nationkey AS nk, count(*) AS n_supp
+        |  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nk,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp,
+        |  CASE WHEN c.nk IS NULL THEN 'supp_only'
+        |       WHEN s.nk IS NULL THEN 'cust_only' ELSE 'both' END AS side
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk ORDER BY nk"""
+        .stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "customer").filter(col("c_acctbal") > 9900)
+        .groupBy(col("c_nationkey").as("c_nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables(s, dir, "supplier").filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("s_nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, col("c_nk") === col("s_nk"), "full_outer")
+        .select(coalesce(col("c_nk"), col("s_nk")).as("nk"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          when(col("c_nk").isNull, "supp_only")
+            .when(col("s_nk").isNull, "cust_only")
+            .otherwise("both").as("side"))
+        .orderBy("nk")
+    },
+
     // Record re-serialization to JSON (reference F7/F8 raw_json pattern,
     // bronze_assets_to_silver_assets.py:133-136) as a gold query.
     // Null-free columns only: Spark drops null fields, DuckDB emits them.
