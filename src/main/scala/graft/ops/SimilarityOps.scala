@@ -396,6 +396,96 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= 10)
         .orderBy("q_id", "rn")
+    },
+
+    // THE production ANN composition — IVF cell pruning × scalar
+    // quantization × exact re-rank in one plan, the shape a 100 TB
+    // vector index actually serves queries with: (1) probe the 4 nearest
+    // of 8 cells (at scale: partition pruning — the scan touches
+    // nProbe/nCells of the corpus); (2) score ONLY probed-cell members
+    // with int8 codes from the materialized quantization index (¼ the
+    // scan bytes, exchange carries (q_id, vec_id, int) — no payloads);
+    // (3) exact-cosine re-rank of the quantized top-20 to final top-10
+    // (float vectors re-attach for ≤20 rows/query). Every stage is
+    // deterministic arithmetic — no LSH hashes — so unlike most ANN
+    // implementations the COMPOSED result is fully oracle-checked.
+    QueryDef(
+      "q89_ivf_quantized_search",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+        |      AS nv
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT e.vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN cent),
+        |rk AS (SELECT vec_id, c_id, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d),
+        |m AS (SELECT vec_id, c_id FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, c_id FROM rk
+        |  WHERE vec_id < 5 AND rn <= 4),
+        |cand AS (SELECT p.q_id, m.vec_id FROM probes p
+        |  JOIN m ON m.c_id = p.c_id WHERE m.vec_id <> p.q_id),
+        |s AS (SELECT max(list_max(list_transform(v, x -> abs(x))))
+        |  AS scale FROM e),
+        |cds AS (SELECT vec_id, list_transform(v,
+        |    x -> CAST(round(x / scale * 127) AS INTEGER)) AS code
+        |  FROM e, s),
+        |qc AS (SELECT vec_id AS q_id, code AS qcode FROM cds
+        |  WHERE vec_id < 5),
+        |sc AS (SELECT cand.q_id, cand.vec_id,
+        |    CAST(list_dot_product(cds.code, qc.qcode) AS BIGINT) AS qdot
+        |  FROM cand JOIN cds ON cds.vec_id = cand.vec_id
+        |  JOIN qc ON qc.q_id = cand.q_id),
+        |top AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY qdot DESC, vec_id) AS crn FROM sc) WHERE crn <= 20),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec, nv AS nq FROM e
+        |  WHERE vec_id < 5),
+        |r AS (SELECT t.q_id, t.vec_id,
+        |    round(list_dot_product(qvec, v) / (nq * nv), 6) AS cos_r
+        |  FROM top t JOIN e ON e.vec_id = t.vec_id
+        |  JOIN qv ON qv.q_id = t.q_id)
+        |SELECT q_id, vec_id, cos_r, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT q_id, vec_id, cos_r, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM r)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir)
+      val c = e.select("vec_id", "v").filter(col("vec_id") < 8)
+        .toDF("c_id", "cv")
+      val wIvf = Window.partitionBy("vec_id").orderBy(col("dist_r"), col("c_id"))
+      val ranked = e.select("vec_id", "v").crossJoin(broadcast(c))
+        .select(col("vec_id"), col("c_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(wIvf))
+      val assign = ranked.filter(col("rn") === 1).select("vec_id", "c_id")
+      val probes = ranked.filter(col("vec_id") < 5 && col("rn") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id"))
+      val cand = assign.join(broadcast(probes), "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id")
+      val coded = quantIndex(s, dir)
+        .select(col("vec_id"), col("codes").as("code"))
+      val qCodes = coded.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("code").as("qc"))
+      val scored = cand.join(coded, "vec_id")
+        .join(broadcast(qCodes), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          expr("cast(vec_dot(code, qc) as bigint)").as("qdot"))
+      val wCand = Window.partitionBy("q_id")
+        .orderBy(col("qdot").desc, col("vec_id"))
+      val top = scored.withColumn("crn", row_number().over(wCand))
+        .filter(col("crn") <= 20).select("q_id", "vec_id")
+      val queries = e.filter(col("vec_id") < 5).toDF("q_id", "qv", "nq")
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      top.join(e, "vec_id").join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          expr(s"round($dot / (nq * nv), 6)").as("cos_r"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 10)
+        .orderBy("q_id", "rn")
     }
   )
 
