@@ -78,6 +78,40 @@ object CurationOps {
   private def bloomPos(h: String, off: Int): String =
     s"(${hexWindow(h, off)}) % 16384"
 
+  /** Streaming-safe PII redaction: a pure projection over `text` (no
+    * sort, no aggregate), so it composes unchanged into a readStream
+    * pipeline — CurationStreamSpec asserts stream output == batch
+    * output row-for-row. Adds `red` (redacted text) and `n_pii` (span
+    * count before redaction).
+    */
+  def redactPii(df: DataFrame): DataFrame =
+    df.withColumn("red",
+        regexp_replace(regexp_replace(regexp_replace(
+          col("text"), emailRe, "[EMAIL]"), phoneRe, "[PHONE]"),
+          ipRe, "[IP]"))
+      .withColumn("n_pii",
+        regexp_count(col("text"), lit(emailRe)) +
+          regexp_count(col("text"), lit(phoneRe)) +
+          regexp_count(col("text"), lit(ipRe)))
+
+  /** Streaming-safe quality floor (q82's keep verdict as a row-local
+    * filter) — the bronze→silver curation gate a streaming ingest runs
+    * per micro-batch.
+    */
+  def qualityKeep(df: DataFrame): DataFrame = {
+    val nW = s"size($words)"
+    df.filter(
+      expr(s"$nW between 30 and 100000") &&
+        expr(s"cast(length(replace(text, ' ', '')) as double) / $nW " +
+          "between 3.0 and 10.0") &&
+        expr(s"cast(size(filter($words, w -> w rlike '^[a-z]+$$')) " +
+          s"as double) / $nW >= 0.8") &&
+        expr(s"size(filter($words, " +
+          "w -> w in ('the','a','of','and'))) >= 2") &&
+        expr(s"1.0 - cast(size(array_distinct($words)) as double) / $nW " +
+          "<= 0.9"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // PII scan: per-document counts of email / phone / IPv4 spans plus

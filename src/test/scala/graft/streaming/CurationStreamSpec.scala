@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.SparkSpec
+import graft.ops.CurationOps
+
+/** The curation gate (quality floor → PII redaction) is pure row-local
+  * projection/filter, so the SAME transforms must run unchanged under
+  * Structured Streaming and produce byte-identical output to the batch
+  * path — the property that lets a bronze→silver streaming ingest curate
+  * per micro-batch instead of in a nightly rewrite.
+  */
+class CurationStreamSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def curate(df: DataFrame): DataFrame =
+    CurationOps.redactPii(CurationOps.qualityKeep(df))
+      .select("doc_id", "red", "n_pii")
+
+  test("streamed curation output is row-identical to the batch twin") {
+    val rows = Seq(
+      // passes quality (30+ alpha words incl. stopwords), has PII
+      (1L, ("the quick brown fox jumps over a lazy dog and runs far " * 3) +
+        "mail me at fox.hunter@example.com or call 415-555-0042 now then"),
+      // passes quality, clean
+      (2L, "the small stream flows down a green valley and of course " +
+        "many quiet birds sing while the old miller walks a long path " +
+        "home of evening light and wind that blows softly there"),
+      // fails quality: too short
+      (3L, "tiny doc"),
+      // fails quality: no stopwords
+      (4L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4))
+    // batch twin first
+    val batch = curate(rows.toDF("doc_id", "text"))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = curate(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    rows.grouped(2).foreach { b => input.addData(b); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("curated").collect().map(_.toSeq).toSet
+
+    assert(streamed == batch, s"stream $streamed vs batch $batch")
+    val kept = streamed.map(_.head.asInstanceOf[Long])
+    assert(kept == Set(1L, 2L), s"quality gate kept $kept")
+    val doc1 = streamed.find(_.head == 1L).get
+    assert(doc1(1).asInstanceOf[String].contains("[EMAIL]") &&
+      doc1(1).asInstanceOf[String].contains("[PHONE]"))
+    assert(doc1(2) == 2)
+  }
+}
