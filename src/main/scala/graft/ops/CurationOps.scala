@@ -302,6 +302,73 @@ object CurationOps {
         .orderBy("lang")
     },
 
+    // Per-source corpus report card — the "datasheet" aggregate a data
+    // team reads before training: document counts, quality-gate keep
+    // rate (q82's rules), mean quality score (q30's definition, DECIMAL-
+    // accumulated so partial-agg order can't wiggle a bit), token
+    // volume, and language spread. One corpus scan, one hash aggregate
+    // keyed by source.
+    QueryDef(
+      "q91_corpus_report",
+      """WITH q AS (SELECT source, lang,
+        |    len(string_split(text,' ')) AS n_words,
+        |    CAST(length(replace(text,' ','')) AS DOUBLE)
+        |      / len(string_split(text,' ')) AS mwl,
+        |    CAST(len(list_filter(string_split(text,' '),
+        |        w -> regexp_full_match(w,'[a-z]+'))) AS DOUBLE)
+        |      / len(string_split(text,' ')) AS alpha_frac,
+        |    len(list_filter(string_split(text,' '),
+        |        w -> w IN ('the','a','of','and'))) >= 2 AS has_stop,
+        |    1.0 - CAST(len(list_distinct(string_split(text,' ')))
+        |        AS DOUBLE) / len(string_split(text,' ')) AS dup_frac,
+        |    least(1.0, len(string_split(text,' ')) / 100.0)
+        |      * (1.0 - CAST(len(list_filter(string_split(text,' '),
+        |          w -> w IN ('the','a'))) AS DOUBLE)
+        |        / len(string_split(text,' '))) AS quality
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 100000
+        |    AND mwl BETWEEN 3.0 AND 10.0 AND alpha_frac >= 0.8
+        |    AND has_stop AND dup_frac <= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_keep,
+        |  round(CAST(SUM(CASE WHEN n_words BETWEEN 30 AND 100000
+        |    AND mwl BETWEEN 3.0 AND 10.0 AND alpha_frac >= 0.8
+        |    AND has_stop AND dup_frac <= 0.9 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*), 6) AS keep_rate,
+        |  round(CAST(SUM(CAST(quality AS DECIMAL(18,9))) AS DOUBLE)
+        |    / COUNT(*), 6) AS mean_quality,
+        |  CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM q GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val nW = s"size($words)"
+      val keepExpr = expr(s"$nW between 30 and 100000") &&
+        expr(s"cast(length(replace(text, ' ', '')) as double) / $nW " +
+          "between 3.0 and 10.0") &&
+        expr(s"cast(size(filter($words, w -> w rlike '^[a-z]+$$')) " +
+          s"as double) / $nW >= 0.8") &&
+        expr(s"size(filter($words, " +
+          "w -> w in ('the','a','of','and'))) >= 2") &&
+        expr(s"1.0 - cast(size(array_distinct($words)) as double) / $nW " +
+          "<= 0.9")
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          expr(nW).as("n_words"),
+          keepExpr.as("keep"),
+          expr(s"least(1.0, $nW / 100.0) * (1.0 - " +
+            s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+            s" / $nW)").as("quality"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          round(sum(when(col("keep"), 1L).otherwise(0L)).cast("double") /
+            count(lit(1)), 6).as("keep_rate"),
+          round(sum(col("quality").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1)), 6).as("mean_quality"),
+          sum(col("n_words")).cast("long").as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"))
+        .orderBy("source")
+    },
+
     // Bloom-filter benchmark decontamination — the 100 TB scale path of
     // q37's exact-join form. The filter is expressed RELATIONALLY: the
     // benchmark set's k=3 sha256-derived bit positions (m = 16384)

@@ -264,6 +264,38 @@ object TextOps {
         .orderBy("label")
     },
 
+    // Document chunking — the segmentation step of an embedding pipeline
+    // (size-50 token windows, stride 40, 10-token overlap). Generator
+    // shape: one sequence-explode per document, output size governed by
+    // the stride parameters, chunk text pinned by hash rather than
+    // shipped. Row-local (no shuffle): at 100 TB chunking fuses into the
+    // scan that feeds the embedding model.
+    QueryDef(
+      "q90_doc_chunking",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS t,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, t, n,
+        |    (greatest(n - 50, 0) + 39) // 40 + 1 AS n_chunks FROM t),
+        |x AS (SELECT doc_id, t, n, unnest(range(0, n_chunks)) AS i FROM c)
+        |SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(i * 40 + 1 AS INTEGER) AS start_tok,
+        |  CAST(least(50, n - i * 40) AS INTEGER) AS n_tok,
+        |  sha256(array_to_string(
+        |    t[(i*40+1):(i*40+least(50, n - i*40))], ' ')) AS chunk_sha
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr(words).as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("i",
+          explode(expr("sequence(0, (greatest(n - 50, 0) + 39) div 40)")))
+        .select(col("doc_id"), col("i").cast("int").as("chunk_idx"),
+          (col("i") * 40 + 1).cast("int").as("start_tok"),
+          expr("cast(least(50, n - i * 40) as int)").as("n_tok"),
+          expr("sha2(array_join(slice(t, i * 40 + 1, " +
+            "least(50, n - i * 40)), ' '), 256)").as("chunk_sha"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // Word-repetition quality signals (the Gopher-style repetition
     // filters): duplicate-word fraction and most-frequent-word fraction
     // per document. Plan shape: explode → ONE (doc_id, word) hash
