@@ -136,6 +136,70 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // SimHash near-dup pairs the SCALE way: band the 16-bit fingerprint
+    // into 4×4-bit keys and equi-join per band — by pigeonhole, any pair
+    // within hamming distance 3 shares at least one intact band, so the
+    // banded join finds EVERY such pair (exact, not probabilistic) while
+    // never forming the all-pairs product. Output is the full-corpus
+    // hamming histogram (a pair list at 16 bits on this corpus is
+    // millions of rows; the histogram is the quality signal). Real
+    // corpora run 64-bit simhash with 16-bit bands — band width scales
+    // with log(n) exactly like q53's LSH bits. The simhash subtree feeds
+    // both sides of the self-join through one repartition exchange
+    // (ReuseExchange) — one corpus scan, one fingerprint pass.
+    QueryDef(
+      "q92_simhash_hamming", {
+        val sums = (0 until 16).map(k =>
+          s"SUM(CASE WHEN substr(h, ${k + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$k")
+          .mkString(",\n        |    ")
+        val pack = (0 until 16).map(k =>
+          s"CASE WHEN s$k > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |h AS (SELECT doc_id, sha256(w) AS h FROM w),
+           |b AS (SELECT doc_id,
+           |    $sums
+           |  FROM h GROUP BY doc_id),
+           |f AS (SELECT doc_id, CAST($pack AS INTEGER) AS sh FROM b),
+           |bands AS (SELECT doc_id, sh, k, (sh >> (4*k)) & 15 AS key
+           |  FROM f, (SELECT unnest(range(0,4)) AS k)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    a.sh AS sa, b.sh AS sb
+           |  FROM bands a JOIN bands b
+           |    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id),
+           |p AS (SELECT bit_count(CAST(xor(sa, sb) AS BIGINT)) AS hamming
+           |  FROM cand)
+           |SELECT CAST(hamming AS INTEGER) AS hamming, COUNT(*) AS n_pairs
+           |FROM p WHERE hamming <= 3 GROUP BY hamming ORDER BY hamming"""
+          .stripMargin
+      }) { (s, dir) =>
+      val bitSums = (0 until 16).map(k =>
+        sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1))
+          .as(s"s$k"))
+      val pack = (0 until 16).map(k =>
+        when(col(s"s$k") > 0, 1 << k).otherwise(0)).reduce(_ + _)
+      val bands = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .select(col("doc_id"), sha2(col("w"), 256).as("h"))
+        .groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), pack.cast("int").as("sh"))
+        .select(col("doc_id"), col("sh"),
+          explode(expr("sequence(0, 3)")).as("k"))
+        .withColumn("key", expr("shiftright(sh, 4 * k) & 15"))
+        .repartition(col("doc_id"))
+      bands.toDF("a_id", "sa", "k", "key")
+        .join(bands.toDF("b_id", "sb", "k", "key"), Seq("k", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id", "sa", "sb").distinct()
+        .select(expr("bit_count(sa ^ sb)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("hamming").cast("int").as("hamming"), col("n_pairs"))
+        .orderBy("hamming")
+    },
+
     // MinHash + LSH near-dup candidates — the scale path. 16 xxhash64
     // permutations over word 3-gram shingles, banded 4×4; pairs are
     // generated only within (band, bandHash) buckets, then scored by
