@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, StringType, StructField,
+  StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Generator emitting one row `(t: string)` per CHARACTER n-gram of a
+  * text column — the char-level sibling of [[ShingleStrings]], feeding
+  * n-gram language-model scoring (q94) and any winnowing-style
+  * fingerprint.
+  *
+  * Why not `transform(sequence(1, length-n+1), i -> substring(...))`:
+  * the HOF lambda evaluates interpreted per n-gram (PERF.md finding 2),
+  * and the explode-positions-then-substring form carries the FULL text
+  * through the Generate output — one copy per position, ~length² bytes
+  * per document. This generator emits only the n-char slices, one pass,
+  * no duplication.
+  */
+case class CharNgrams(child: Expression, n: Int)
+  extends UnaryExpression with Generator with CodegenFallback {
+
+  override def prettyName: String = "char_ngrams"
+
+  override def elementSchema: StructType =
+    StructType(StructField("t", StringType) :: Nil)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got ${child.dataType.sql}")
+    else if (n < 1)
+      TypeCheckResult.TypeCheckFailure(s"$prettyName requires n >= 1, got $n")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val v = child.eval(input)
+    if (v == null) return Iterator.empty
+    val s = v.asInstanceOf[UTF8String]
+    val last = s.numChars() - n
+    if (last < 0) return Iterator.empty
+    (0 to last).iterator.map(i => InternalRow(s.substringSQL(i + 1, n)))
+  }
+
+  override protected def withNewChildInternal(c: Expression): CharNgrams =
+    copy(child = c)
+}

@@ -49,6 +49,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           "string per position"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("char_ngrams"),
+      info("char_ngrams",
+        "char_ngrams(text, n) - generator emitting one character n-gram " +
+          "per position"),
+      (exprs: Seq[Expression]) => CharNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("minhash_text"),
       info("minhash_text",
         "minhash_text(text, n, numPerms) - row-local minhash signature " +

@@ -234,6 +234,10 @@ object VectorExpressions {
       exprs => ShingleStrings(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("char_ngrams",
+      exprs => CharNgrams(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue()),
+      "built-in")
     reg.createOrReplaceTempFunction("minhash_text",
       exprs => MinHashText(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),

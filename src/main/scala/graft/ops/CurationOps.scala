@@ -302,6 +302,61 @@ object CurationOps {
         .orderBy("lang")
     },
 
+    // Character-trigram log-probability score — the perplexity-proxy
+    // quality filter (CCNet-style: score text against an n-gram language
+    // model; here the model is the corpus's own trigram statistics, so
+    // the operator is self-contained and oracle-exact). Plan: one
+    // trigram explode, a corpus-bounded count table (alphabet³ — tiny,
+    // broadcast), conditional probability p(c₃|c₁c₂) per occurrence,
+    // decimal-accumulated per-doc mean of rounded logs (partial-agg
+    // order can't wiggle a bit). At 100 TB the counts table is the
+    // trained artifact; scoring is a broadcast join that fuses into the
+    // scan.
+    QueryDef(
+      "q94_trigram_logprob",
+      """WITH tri AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, length(text) - 1), i -> substr(text, i, 3))) AS t
+        |  FROM documents WHERE length(text) >= 3),
+        |c3 AS (SELECT t, count(*) AS n3 FROM tri GROUP BY t),
+        |c2 AS (SELECT substr(t, 1, 2) AS p, sum(n3) AS n2 FROM c3
+        |  GROUP BY p),
+        |sc AS (SELECT tri.doc_id,
+        |    round(ln(CAST(n3 AS DOUBLE) / n2), 9) AS lp
+        |  FROM tri JOIN c3 ON c3.t = tri.t
+        |  JOIN c2 ON c2.p = substr(tri.t, 1, 2))
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri,
+        |  round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+        |    AS mean_logp
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // The trigram stream comes from the char_ngrams GENERATOR (one
+      // pass, emits only 3-char slices — the transform() lambda form
+      // runs interpreted per n-gram and the positions-explode form
+      // copies the full text into every generated row; both measured
+      // 2-4× slower at sf0.1), staged through one skinny (doc_id, t)
+      // repartition exchange that ReuseExchange shares between its two
+      // consumers (model counts + scoring — PERF.md finding 13). The
+      // conditional probabilities pre-join into one trigram→logp
+      // broadcast table (n2 via window, no second aggregate).
+      graft.functions.VectorExpressions.register(s)
+      val tri = Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), expr("char_ngrams(text, 3)"))
+        .toDF("doc_id", "t")
+        .repartition(col("doc_id"))
+      val wP = Window.partitionBy(substring(col("t"), 1, 2))
+      val scores = tri.groupBy("t").agg(count(lit(1)).as("n3"))
+        .withColumn("n2", sum(col("n3")).over(wP))
+        .select(col("t"),
+          round(log(col("n3").cast("double") / col("n2")), 9).as("lp"))
+      tri
+        .join(broadcast(scores), "t")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tri"),
+          round(sum(col("lp").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1)), 6).as("mean_logp"))
+        .orderBy("doc_id")
+    },
+
     // Per-source corpus report card — the "datasheet" aggregate a data
     // team reads before training: document counts, quality-gate keep
     // rate (q82's rules), mean quality score (q30's definition, DECIMAL-

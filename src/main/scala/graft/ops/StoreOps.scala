@@ -121,5 +121,37 @@ object StoreOps {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Clustered compaction restoring data skippability (PERF.md finding
+    // 14 end-to-end): two appends split by orderkey parity interleave
+    // the date ranges, so per-batch min/max stats prune NOTHING for a
+    // date predicate; `compactClustered` range-repartitions on
+    // o_orderdate into 4 bucket dirs with fresh stats, after which the
+    // same `readWhere` predicate skips the buckets it provably cannot
+    // match (StoreOpsSpec pins the scan effect). Guarded on the
+    // manifest version so re-invocations read the clustered table
+    // instead of re-clustering.
+    QueryDef(
+      "q93_store_clustered",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1999-06-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_clustered", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      store.append(orders.filter(col("o_orderkey") % 2 === 0), 0L)
+      store.append(orders.filter(col("o_orderkey") % 2 === 1), 1L)
+      if (store.currentVersion(s) == 2L)
+        store.compactClustered(s, "o_orderdate", buckets = 4)
+      store.readWhere(s, "o_orderdate >= '1999-06-01 00:00:00'")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
     })
 }

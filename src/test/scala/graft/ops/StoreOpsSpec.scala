@@ -36,6 +36,19 @@ class StoreOpsSpec extends SparkSpec {
       s"version 2 leaked later batches:\n${files.mkString("\n")}")
   }
 
+  test("q93's clustered rewrite restores dir-level skipping the " +
+      "interleaved batches cannot give") {
+    val df = graft.SparkEntry.queries("q93_store_clustered")(
+      spark, "/root/testdata/sf0.001")
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(_.contains("/__cluster=")),
+      s"non-clustered dir in scan:\n${files.mkString("\n")}")
+    val dirs = files.map(_.replaceAll("/[^/]+$", "")).distinct
+    assert(dirs.length < 4,
+      s"predicate pruned nothing — all $dirs served the scan")
+  }
+
   test("q87's post-compaction scan reads exactly one data dir") {
     val df = graft.SparkEntry.queries("q87_store_compact")(
       spark, "/root/testdata/sf0.001")
