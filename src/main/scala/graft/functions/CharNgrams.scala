@@ -5,14 +5,15 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator,
   UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, StringType, StructField,
-  StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType,
+  StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Generator emitting one row `(t: string)` per CHARACTER n-gram of a
-  * text column — the char-level sibling of [[ShingleStrings]], feeding
-  * n-gram language-model scoring (q94) and any winnowing-style
-  * fingerprint.
+/** Generator emitting one row `(pos: int, t: string)` per CHARACTER
+  * n-gram of a text column (pos is 1-based, matching SQL `substring`) —
+  * the char-level sibling of [[ShingleStrings]], feeding n-gram
+  * language-model scoring (q94) and winnowing-style fingerprint
+  * selection (q95, which needs the position to window over).
   *
   * Why not `transform(sequence(1, length-n+1), i -> substring(...))`:
   * the HOF lambda evaluates interpreted per n-gram (PERF.md finding 2),
@@ -27,7 +28,8 @@ case class CharNgrams(child: Expression, n: Int)
   override def prettyName: String = "char_ngrams"
 
   override def elementSchema: StructType =
-    StructType(StructField("t", StringType) :: Nil)
+    StructType(StructField("pos", IntegerType) ::
+      StructField("t", StringType) :: Nil)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
@@ -43,7 +45,8 @@ case class CharNgrams(child: Expression, n: Int)
     val s = v.asInstanceOf[UTF8String]
     val last = s.numChars() - n
     if (last < 0) return Iterator.empty
-    (0 to last).iterator.map(i => InternalRow(s.substringSQL(i + 1, n)))
+    (0 to last).iterator.map(i =>
+      InternalRow(i + 1, s.substringSQL(i + 1, n)))
   }
 
   override protected def withNewChildInternal(c: Expression): CharNgrams =

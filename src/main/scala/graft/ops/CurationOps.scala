@@ -341,7 +341,8 @@ object CurationOps {
       val tri = Tables(s, dir, "documents")
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), expr("char_ngrams(text, 3)"))
-        .toDF("doc_id", "t")
+        .toDF("doc_id", "pos", "t")
+        .select("doc_id", "t")
         .repartition(col("doc_id"))
       val wP = Window.partitionBy(substring(col("t"), 1, 2))
       val scores = tri.groupBy("t").agg(count(lit(1)).as("n3"))

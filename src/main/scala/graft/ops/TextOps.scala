@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QueryDef
@@ -294,6 +295,59 @@ object TextOps {
           expr("sha2(array_join(slice(t, i * 40 + 1, " +
             "least(50, n - i * 40)), ' '), 256)").as("chunk_sha"))
         .orderBy("doc_id", "chunk_idx")
+    },
+
+    // Winnowing fingerprints (the MOSS family): hash every char 5-gram
+    // (portable polynomial — identical integer arithmetic in both
+    // engines), then select the positions whose hash is the minimum
+    // within a ±5 radius. Guarantee: any two documents sharing a
+    // sufficiently long substring share a selected fingerprint — the
+    // local-sampling property exact-hash and MinHash fingerprints lack —
+    // at ~10% of the n-gram volume. Ships per-doc fingerprint-set hash
+    // (the set itself is the index payload in production). One generator
+    // pass + one per-doc window; the only shuffle is the per-doc
+    // partition.
+    QueryDef(
+      "q95_winnowing", {
+        val terms = (0 until 5).map(j =>
+          s"CAST(${math.pow(131, 4 - j).toLong} AS BIGINT) * " +
+            s"ascii(substr(t, ${j + 1}, 1))").mkString(" + ")
+        s"""WITH p AS (SELECT doc_id, substr(text, CAST(i AS INTEGER), 5)
+           |    AS t, CAST(i AS INTEGER) AS pos
+           |  FROM documents, LATERAL unnest(range(1, length(text) - 3))
+           |    AS u(i)
+           |  WHERE length(text) >= 5),
+           |g AS (SELECT doc_id, pos, ($terms) % 1000000007 AS h FROM p),
+           |m AS (SELECT doc_id, pos, h, min(h) OVER (PARTITION BY doc_id
+           |    ORDER BY pos ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+           |    AS mh FROM g)
+           |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+           |  CAST(SUM(CASE WHEN h = mh THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_selected,
+           |  sha256(array_to_string(list_sort(list(DISTINCT h)
+           |    FILTER (h = mh)), ',')) AS fp_sha
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val terms = (0 until 5).map(j =>
+        s"CAST(${math.pow(131, 4 - j).toLong} AS BIGINT) * " +
+          s"ascii(substr(t, ${j + 1}, 1))").mkString(" + ")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-5, 5)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("char_ngrams(text, 5)"))
+        .toDF("doc_id", "pos", "t")
+        .select(col("doc_id"), col("pos"),
+          expr(s"($terms) % 1000000007").as("h"))
+        .withColumn("mh", min(col("h")).over(w))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("h") === col("mh"), 1L).otherwise(0L))
+            .as("n_selected"),
+          sha2(array_join(sort_array(collect_set(
+            when(col("h") === col("mh"), col("h")))), ","), 256)
+            .as("fp_sha"))
+        .orderBy("doc_id")
     },
 
     // Word-repetition quality signals (the Gopher-style repetition

@@ -22,13 +22,15 @@ class CharNgramsSpec extends SparkSpec {
       (5L, "aaaa")).toDF("doc_id", "text")
     val gen = docs
       .select(col("doc_id"), expr("char_ngrams(text, 3)"))
-      .toDF("doc_id", "t")
+      .toDF("doc_id", "pos", "t")
     val hof = docs.filter(length(col("text")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), posexplode(expr(
         "transform(sequence(1, length(text) - 2), " +
-          "i -> substring(text, i, 3))")).as("t"))
-    assert(gen.orderBy("doc_id", "t").collect().toSeq ==
-      hof.orderBy("doc_id", "t").collect().toSeq)
+          "i -> substring(text, i, 3))")))
+      .toDF("doc_id", "p0", "t")
+      .select(col("doc_id"), (col("p0") + 1).cast("int").as("pos"), col("t"))
+    assert(gen.orderBy("doc_id", "pos").collect().toSeq ==
+      hof.orderBy("doc_id", "pos").collect().toSeq)
     assert(gen.filter(col("doc_id") === 2).isEmpty)
     assert(gen.filter(col("doc_id") === 4).count() === 9)
   }
