@@ -153,5 +153,37 @@ object StoreOps {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("total"))
         .orderBy("o_orderstatus")
+    },
+
+    // Governed schema evolution (reference M5: Iceberg evolution,
+    // README.md:31): batch 0 commits the narrow pre-evolution schema,
+    // batch 1 adds a column; the merged read surfaces pre-evolution
+    // rows with NULL in the new column — exactly Iceberg's add-column
+    // semantics, via the store's mergeSchema read path. The oracle
+    // reproduces the evolution boundary from the raw table.
+    QueryDef(
+      "q96_store_evolution",
+      """WITH m AS (SELECT c_custkey, c_name, c_acctbal,
+        |    CASE WHEN c_custkey < 750 THEN NULL
+        |         ELSE c_mktsegment END AS seg
+        |  FROM customer)
+        |SELECT COALESCE(seg, '<pre-evolution>') AS segment,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM m GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "customer_store_evolved", dir))
+      val c = Tables(s, dir, "customer")
+      store.append(c.filter(col("c_custkey") < 750)
+        .select("c_custkey", "c_name", "c_acctbal"), 0L)
+      store.append(c.filter(col("c_custkey") >= 750)
+        .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment"), 1L)
+      store.read(s)
+        .groupBy(coalesce(col("c_mktsegment"), lit("<pre-evolution>"))
+          .as("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("segment")
     })
 }
