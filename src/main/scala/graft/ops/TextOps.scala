@@ -22,6 +22,28 @@ object TextOps {
 
   private val words = "split(text, ' ')"
 
+  /** Winnowing frame over a (doc_id, text) corpus: one row per char
+    * 5-gram with its polynomial hash `h` and the window minimum `mh`
+    * over a ±5 radius — a gram is a selected fingerprint iff h == mh.
+    * Shared by q95 and the guarantee spec (DedupQualitySpec: documents
+    * sharing a long-enough substring share a selected fingerprint).
+    */
+  def winnowed(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    graft.functions.VectorExpressions.register(docs.sparkSession)
+    val terms = (0 until 5).map(j =>
+      s"CAST(${math.pow(131, 4 - j).toLong} AS BIGINT) * " +
+        s"ascii(substr(t, ${j + 1}, 1))").mkString(" + ")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-5, 5)
+    docs
+      .select(col("doc_id"), expr("char_ngrams(text, 5)"))
+      .toDF("doc_id", "pos", "t")
+      .select(col("doc_id"), col("pos"),
+        expr(s"($terms) % 1000000007").as("h"))
+      .withColumn("mh", min(col("h")).over(w))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Per-document quality stats: lengths, tokens, stopword ratio, score.
@@ -328,18 +350,7 @@ object TextOps {
            |    FILTER (h = mh)), ',')) AS fp_sha
            |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      graft.functions.VectorExpressions.register(s)
-      val terms = (0 until 5).map(j =>
-        s"CAST(${math.pow(131, 4 - j).toLong} AS BIGINT) * " +
-          s"ascii(substr(t, ${j + 1}, 1))").mkString(" + ")
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(-5, 5)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), expr("char_ngrams(text, 5)"))
-        .toDF("doc_id", "pos", "t")
-        .select(col("doc_id"), col("pos"),
-          expr(s"($terms) % 1000000007").as("h"))
-        .withColumn("mh", min(col("h")).over(w))
+      winnowed(Tables(s, dir, "documents"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("h") === col("mh"), 1L).otherwise(0L))

@@ -1,5 +1,7 @@
 package graft.ops
 
+import org.apache.spark.sql.functions.col
+
 import graft.SparkSpec
 
 /** Ground-truth quality bounds for the two approximate scale paths. Exact
@@ -48,5 +50,30 @@ class DedupQualitySpec extends SparkSpec {
     val recalls = rows.map(_.getAs[Double]("recall")).toSeq
     val avg = recalls.sum / recalls.length
     assert(avg >= 0.8, s"avg recall@10 $avg (per-query: $recalls)")
+  }
+
+  test("winnowing guarantee (q95): documents sharing a long substring " +
+      "share a selected fingerprint") {
+    // Winnowing's contract: with 5-grams and a ±5 selection radius, any
+    // shared substring long enough to contain a full selection window
+    // (>= 5 + 2*5 chars) forces a common selected fingerprint — unless
+    // the window minimum sits at the substring's edge where differing
+    // context can shadow it; a 40-char overlap leaves interior windows
+    // whose minima both documents must select identically.
+    import spark.implicits._
+    val shared = "the quick brown fox jumps over the lazy dog and runs"
+    val docs = Seq(
+      (1L, s"alpha beta gamma $shared delta epsilon"),
+      (2L, s"omega psi $shared chi phi upsilon tau sigma"),
+      (3L, "completely unrelated text with no overlap at all here"))
+      .toDF("doc_id", "text")
+    val sel = TextOps.winnowed(docs)
+      .filter(col("h") === col("mh"))
+      .select("doc_id", "h").distinct().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet)
+    assert((sel(1L) & sel(2L)).nonEmpty,
+      "docs sharing a 53-char substring share no fingerprint")
+    assert((sel(1L) & sel(3L)).isEmpty || (sel(2L) & sel(3L)).isEmpty,
+      "unrelated doc collides with both — hash degenerate")
   }
 }
