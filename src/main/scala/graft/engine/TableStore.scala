@@ -354,6 +354,143 @@ final class ManifestTableStore(path: String,
     })
   }
 
+  /** Copy-on-write row-level DELETE (Iceberg CoW delete / Delta DELETE,
+    * reference's governed-mutation surface): rows matching `predicateSql`
+    * are removed by REWRITING only the data dirs whose manifest stats
+    * admit a match — every dir the predicate provably cannot touch
+    * carries forward into the new version byte-identical, never read and
+    * never rewritten. At 100 TB this is the difference between "delete
+    * one day = rewrite one day's dirs" and "delete one day = rewrite the
+    * table": the rewrite scope is bounded by the same stats pruning
+    * [[readWhere]] uses for scans. Commits as ONE new version via the
+    * optimistic [[commitRewrite]] protocol (concurrent appends rebase
+    * around it; a competing maintenance rewrite aborts it cleanly).
+    * Batch ids carry forward, so replay refusal and time travel survive:
+    * [[readVersion]] on the pre-delete version still sees the deleted
+    * rows (their dirs stay on disk until [[vacuum]]).
+    */
+  def delete(spark: SparkSession, predicateSql: String): Unit =
+    synchronized {
+      val f = fs(spark)
+      val (v, lines) = current(f)
+      if (lines.isEmpty) return
+      val (touched, _) = pruneEntries(spark, predicateSql, lines)
+      if (touched.isEmpty) return // stats prove no row matches: no-op
+      val keep = !expr(predicateSql)
+      rewriteDirs(spark, f, v, lines, touched.toSet, "delete",
+        _.filter(keep))
+    }
+
+  /** Copy-on-write row-level UPDATE: rows matching `predicateSql` get
+    * each column in `set` re-assigned; all other rows (and every data
+    * dir the predicate provably cannot touch) pass through unchanged.
+    * Same stats-bounded rewrite scope and one-version commit protocol
+    * as [[delete]]. NOTE: rewritten dirs recompute their manifest
+    * stats, so a predicate on an updated column stays prunable after
+    * the update.
+    */
+  def update(spark: SparkSession, predicateSql: String,
+      set: Map[String, org.apache.spark.sql.Column]): Unit =
+    synchronized {
+      val f = fs(spark)
+      val (v, lines) = current(f)
+      if (lines.isEmpty) return
+      val (touched, _) = pruneEntries(spark, predicateSql, lines)
+      if (touched.isEmpty) return
+      val hit = expr(predicateSql)
+      rewriteDirs(spark, f, v, lines, touched.toSet, "update", { df =>
+        set.foldLeft(df) { case (d, (c, value)) =>
+          d.withColumn(c, when(hit, value).otherwise(col(c)))
+        }
+      })
+    }
+
+  /** Keyed MERGE (Delta `MERGE INTO` with whenMatched=replace,
+    * whenNotMatched=insert): every table row whose `key` appears in
+    * `source` is replaced by the source row; source rows with no match
+    * are inserted. Executed copy-on-write in ONE commit: dirs whose
+    * recorded `key` min/max cannot intersect the source's key range
+    * carry forward untouched; each touched dir is rewritten with a
+    * broadcast LEFT ANTI join against the (small) source key set — the
+    * upsert shape of a streaming CDC apply, where `source` is a
+    * micro-batch and the table is 100 TB: rewrite cost scales with the
+    * dirs the delta actually lands in, not table size. The inserted
+    * source rows commit under `batchId` with fresh stats; a replayed
+    * `batchId` is refused exactly like [[append]].
+    */
+  def merge(spark: SparkSession, source: DataFrame, key: String,
+      batchId: Long): Unit = synchronized {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    if (lines.exists(_.batchId == batchId)) return // replay → no-op
+    // source key range, normalized exactly like collectStats values so
+    // dir-stats comparison is representation-free
+    import org.apache.spark.sql.types.{NumericType, StringType,
+      TimestampNTZType, TimestampType}
+    val kt = source.schema(key).dataType
+    val isTs = kt == TimestampType || kt == TimestampNTZType
+    def norm(c: org.apache.spark.sql.Column) =
+      if (isTs) unix_micros(c.cast(TimestampType)).cast("string")
+      else c.cast("string")
+    val bounds = source.agg(norm(min(col(key))), norm(max(col(key)))).head()
+    val srcRange: Option[(SVal, SVal)] =
+      if (bounds.isNullAt(0) || bounds.isNullAt(1)) None
+      else if (isTs)
+        Some((TsV(bounds.getString(0).toLong),
+          TsV(bounds.getString(1).toLong)))
+      else kt match {
+        case _: NumericType =>
+          Some((NumV(new java.math.BigDecimal(bounds.getString(0))),
+            NumV(new java.math.BigDecimal(bounds.getString(1)))))
+        case StringType =>
+          Some((StrV(bounds.getString(0)), StrV(bounds.getString(1))))
+        case _ => None
+      }
+    // a dir is untouched iff its key stats prove [dirMin,dirMax] cannot
+    // intersect [srcMin,srcMax]; no stats → conservatively touched
+    val touched = lines.map(_.dir).distinct.filter { d =>
+      val stats = parseStats(
+        lines.find(_.dir == d).map(_.statsJson).getOrElse(""))
+      val provablyDisjoint = (srcRange, stats.get(key)) match {
+        case (Some((sMn, sMx)), Some((dMn, dMx))) =>
+          ManifestTableStore.disjoint(">=", sMn, dMn, dMx) ||
+            ManifestTableStore.disjoint("<=", sMx, dMn, dMx)
+        case _ => false
+      }
+      !provablyDisjoint
+    }.toSet
+    val srcKeys = source.select(key).distinct()
+    val insDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+    write(source.withColumn("batch_id", lit(batchId)), insDir)
+    val insEntry = Entry(batchId, insDir, collectStats(spark, insDir))
+    rewriteDirs(spark, f, v, lines, touched, "merge",
+      _.join(broadcast(srcKeys), Seq(key), "left_anti"),
+      extra = Seq(insEntry))
+  }
+
+  /** Shared CoW rewrite: write `xform` of each touched dir to a fresh
+    * dir (stats recomputed), then commit untouched entries + rewritten
+    * entries (+ `extra`, e.g. a merge's insert batch) as one new
+    * version through [[commitRewrite]]'s optimistic retry.
+    */
+  private def rewriteDirs(spark: SparkSession,
+      f: org.apache.hadoop.fs.FileSystem, v: Long, lines: Seq[Entry],
+      touched: Set[String], tag: String, xform: DataFrame => DataFrame,
+      extra: Seq[Entry] = Nil): Unit = {
+    val rewritten: Map[String, (String, String)] = touched.map { d =>
+      val nd = s"$path/data/$tag-${java.util.UUID.randomUUID()}"
+      write(xform(
+        spark.read.option("mergeSchema", "true").parquet(d)), nd)
+      d -> (nd, collectStats(spark, nd))
+    }.toMap
+    commitRewrite(f, v + 1, lines, snap => snap.map { e =>
+      rewritten.get(e.dir) match {
+        case Some((nd, st)) => Entry(e.batchId, nd, st)
+        case None => e
+      }
+    } ++ extra)
+  }
+
   /** Read the table AS OF a specific manifest version — time travel,
     * which the versioned manifest gives for free (version files are
     * immutable once renamed in; superseded data dirs remain until
@@ -462,7 +599,14 @@ final class ManifestTableStore(path: String,
     * other conjunct shape is ignored (conservative).
     */
   private[engine] def pruneDirs(spark: SparkSession,
-      predicateSql: String): (Seq[String], Seq[String]) = {
+      predicateSql: String): (Seq[String], Seq[String]) =
+    pruneEntries(spark, predicateSql, current(fs(spark))._2)
+
+  /** [[pruneDirs]] against an explicit manifest snapshot, so a DML
+    * rewrite prunes against exactly the entries it will commit against.
+    */
+  private def pruneEntries(spark: SparkSession, predicateSql: String,
+      lines: Seq[Entry]): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
       Expression, GreaterThan, GreaterThanOrEqual, LessThan,
@@ -513,7 +657,6 @@ final class ManifestTableStore(path: String,
           case _ => None
         }
 
-    val (_, lines) = current(fs(spark))
     val perDir = lines.map(e => e.dir -> e.statsJson).distinct
     val (kept, skipped) = perDir.partition { case (_, json) =>
       val stats = parseStats(json)

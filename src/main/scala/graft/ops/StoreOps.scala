@@ -161,6 +161,95 @@ object StoreOps {
     // rows with NULL in the new column — exactly Iceberg's add-column
     // semantics, via the store's mergeSchema read path. The oracle
     // reproduces the evolution boundary from the raw table.
+    // Copy-on-write row-level DML (Iceberg CoW DELETE / Delta UPDATE):
+    // the seeded four-batch table gets (1) a DELETE whose date conjunct
+    // proves three of the four dirs untouchable — only the 1995-96 dir
+    // is rewritten, the rest carry forward byte-identical (StoreDmlSpec
+    // pins the dir paths) — then (2) an UPDATE re-prioritizing the
+    // 2000+ dir. Each commits ONE new manifest version; the pre-DML
+    // versions remain time-travelable. The oracle replays both
+    // mutations declaratively over the raw table. At 100 TB: deleting
+    // a retention window rewrites that window's dirs, not the table.
+    QueryDef(
+      "q97_store_dml",
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |              THEN '0-ARCHIVED' ELSE o_orderpriority END AS prio,
+        |         o_totalprice
+        |  FROM orders
+        |  WHERE NOT (o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |             AND o_orderstatus = 'F'))
+        |SELECT prio AS o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_dml", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      Seq(
+        0L -> upTo("1997-01-01"),
+        1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+        2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+        3L -> !upTo("2000-01-01")
+      ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+      // version-guarded so bench reruns / later sessions read, not re-DML
+      if (store.currentVersion(s) == 4L) {
+        store.delete(s,
+          "o_orderdate < '1997-01-01 00:00:00' AND o_orderstatus = 'F'")
+        store.update(s, "o_orderdate >= '2000-01-01 00:00:00'",
+          Map("o_orderpriority" -> lit("0-ARCHIVED")))
+      }
+      store.read(s)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Keyed MERGE (Delta MERGE INTO / streaming CDC apply): the store
+    // holds customers with c_custkey ≤ 1000 in two key-ranged batches;
+    // the source delta doubles acctbal for keys in (600, 1200]. Keys
+    // 601-1000 are REPLACED copy-on-write (only the overlapping dir is
+    // rewritten — the ≤300 dir's key stats prove it untouchable),
+    // 1001-1200 are INSERTED as the merge's own batch. One commit, one
+    // new version; the oracle replays the upsert with an anti-semi
+    // union. At 100 TB this is CDC apply cost ∝ dirs the delta lands
+    // in, not table size.
+    QueryDef(
+      "q98_store_merge",
+      """WITH base AS (SELECT * FROM customer WHERE c_custkey <= 1000),
+        |src AS (
+        |  SELECT c_custkey, c_name, c_nationkey,
+        |         c_acctbal * 2 AS c_acctbal, c_mktsegment
+        |  FROM customer WHERE c_custkey > 600 AND c_custkey <= 1200),
+        |merged AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM src
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM base
+        |  WHERE c_custkey NOT IN (SELECT c_custkey FROM src))
+        |SELECT c_mktsegment, COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_bal
+        |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) {
+      (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "customer_store_merge", dir),
+        statsColumns = Seq("c_custkey"))
+      val c = Tables(s, dir, "customer")
+      store.append(c.filter(col("c_custkey") <= 300), 0L)
+      store.append(
+        c.filter(col("c_custkey") > 300 && col("c_custkey") <= 1000), 1L)
+      val src = c.filter(col("c_custkey") > 600 && col("c_custkey") <= 1200)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+      store.merge(s, src, "c_custkey", batchId = 2L)
+      store.read(s)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(col("c_acctbal")).as("total_bal"))
+        .orderBy("c_mktsegment")
+    },
+
     QueryDef(
       "q96_store_evolution",
       """WITH m AS (SELECT c_custkey, c_name, c_acctbal,

@@ -1,0 +1,141 @@
+package graft.engine
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Copy-on-write row-level DML on the manifest store: DELETE / UPDATE /
+  * MERGE must (1) produce exactly the declarative result, (2) rewrite
+  * ONLY the data dirs whose manifest stats admit a match — the pruning
+  * contract that bounds mutation cost at 100 TB — and (3) preserve the
+  * store's invariants: one-version commits, time travel to pre-DML
+  * state, replay refusal, exactly-once read-back.
+  */
+class StoreDmlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit(); p
+  }
+
+  /** Data dirs referenced by the current manifest version, via the read
+    * plan's file listing (the reader-visible truth).
+    */
+  private def currentDirs(store: ManifestTableStore): Set[String] =
+    store.read(spark).inputFiles
+      .map(f => f.split("/data/").last.split('/').head).toSet
+
+  /** Two key-ranged batches with stats on n: dir0 holds n in [0,99],
+    * dir1 holds n in [100,199].
+    */
+  private def seeded(root: Path): ManifestTableStore = {
+    val store = new ManifestTableStore(root.toString,
+      statsColumns = Seq("n"))
+    store.append((0 until 100).map(i => (s"k$i", i)).toDF("k", "n"), 0L)
+    store.append((100 until 200).map(i => (s"k$i", i)).toDF("k", "n"), 1L)
+    store
+  }
+
+  test("delete removes exactly the matching rows and rewrites only the " +
+      "dirs whose stats admit a match (CoW scope is stats-bounded)") {
+    val store = seeded(tmp("dml-delete-"))
+    val before = currentDirs(store)
+    store.delete(spark, "n >= 150")
+    val after = currentDirs(store)
+    // dir0's range [0,99] proves it untouchable: same physical dir
+    assert(before.intersect(after).exists(_.startsWith("batch-0-")))
+    // dir1 was rewritten under a delete- prefix
+    assert(after.exists(_.startsWith("delete-")))
+    assert(!after.exists(_.startsWith("batch-1-")))
+    val got = store.read(spark).select("n").as[Int].collect().sorted
+    assert(got.toSeq == (0 until 150))
+    // one new version; time travel to v2 still sees the deleted rows
+    assert(store.currentVersion(spark) == 3L)
+    assert(store.readVersion(spark, 2).count() == 200L)
+  }
+
+  test("delete whose predicate is provably empty against every dir's " +
+      "stats is a no-op (no rewrite, no new version)") {
+    val store = seeded(tmp("dml-delete-noop-"))
+    store.delete(spark, "n >= 1000")
+    assert(store.currentVersion(spark) == 2L)
+    assert(store.read(spark).count() == 200L)
+  }
+
+  test("update reassigns only matching rows, rewrites only admitting " +
+      "dirs, and recomputes stats so the updated column stays prunable") {
+    val store = seeded(tmp("dml-update-"))
+    val before = currentDirs(store)
+    store.update(spark, "n >= 190", Map("n" -> lit(-1)))
+    val after = currentDirs(store)
+    assert(before.intersect(after).exists(_.startsWith("batch-0-")))
+    assert(after.exists(_.startsWith("update-")))
+    val got = store.read(spark).select("n").as[Int].collect().sorted
+    assert(got.toSeq == Seq.fill(10)(-1) ++ (0 until 190))
+    // fresh stats on the rewritten dir: a read for the updated value
+    // must NOT prune it away (its new min is -1)
+    assert(store.readWhere(spark, "n < 0").count() == 10L)
+    // ...and a predicate beyond the new max prunes BOTH dirs
+    val (kept, skipped) = store.pruneDirs(spark, "n >= 195")
+    assert(kept.isEmpty && skipped.size == 2)
+  }
+
+  test("merge replaces matched keys, inserts unmatched ones, skips " +
+      "dirs whose key stats cannot intersect the source range, and " +
+      "refuses a replayed merge batch id") {
+    val store = seeded(tmp("dml-merge-"))
+    val before = currentDirs(store)
+    // keyed on the stats column n; source keys 150-249 with refreshed
+    // payloads — 150-199 replace, 200-249 insert; dir0's key stats
+    // [0,99] prove it disjoint from the source range
+    val src = (150 until 250).map(i => (s"new$i", i)).toDF("k", "n")
+    store.merge(spark, src, "n", batchId = 7L)
+    val after = currentDirs(store)
+    assert(before.intersect(after).exists(_.startsWith("batch-0-")))
+    assert(after.exists(_.startsWith("merge-")))
+    assert(after.exists(_.startsWith("batch-7-")))
+    val got = store.read(spark).select("n", "k").as[(Int, String)]
+      .collect().toMap
+    assert(got.size == 250)
+    assert(got(10) == "k10") // untouched
+    assert(got(175) == "new175") // replaced
+    assert(got(225) == "new225") // inserted
+    // replay of the same merge batch id is refused at write time
+    val replay = (150 until 250).map(i => (s"ghost$i", i)).toDF("k", "n")
+    store.merge(spark, replay, "n", batchId = 7L)
+    assert(store.read(spark).filter(col("k").startsWith("ghost"))
+      .count() == 0L)
+  }
+
+  test("merge key-range pruning works on string keys (UTF8 stats order)") {
+    val root = tmp("dml-merge-str-")
+    val store = new ManifestTableStore(root.toString,
+      statsColumns = Seq("k"))
+    store.append(Seq(("a1", 1), ("a9", 2)).toDF("k", "n"), 0L)
+    store.append(Seq(("m1", 3), ("m9", 4)).toDF("k", "n"), 1L)
+    val before = currentDirs(store)
+    store.merge(spark, Seq(("m5", 99)).toDF("k", "n"), "k", batchId = 2L)
+    val after = currentDirs(store)
+    // the a-range dir's stats ["a1","a9"] prove it disjoint from "m5"
+    assert(before.intersect(after).exists(_.startsWith("batch-0-")))
+    assert(!after.exists(_.startsWith("batch-1-")))
+    val got = store.read(spark).select("k", "n").as[(String, Int)]
+      .collect().toMap
+    assert(got == Map("a1" -> 1, "a9" -> 2, "m1" -> 3, "m9" -> 4,
+      "m5" -> 99))
+  }
+
+  test("delete composes with exactly-once read-back: batch ids carry " +
+      "forward through the rewrite") {
+    val store = seeded(tmp("dml-eo-"))
+    store.delete(spark, "n >= 100 AND n < 110")
+    val ids = store.read(spark).select("batch_id").distinct()
+      .as[Long].collect().toSet
+    assert(ids == Set(0L, 1L))
+    assert(store.readExactlyOnce(spark, Seq("k")).count() == 190L)
+  }
+}
