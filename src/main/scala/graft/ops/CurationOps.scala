@@ -482,5 +482,102 @@ object CurationOps {
         .select(col("doc_id"),
           array_contains(col("btexts"), col("text")).as("exact_hit"))
         .orderBy("doc_id")
+    },
+
+    // Cross-document segment dedup — CCNet/RefinedWeb "line-level"
+    // dedup adapted to a corpus without newlines: each document splits
+    // into fixed 10-word segments (row-local generator, no shuffle),
+    // segment frequency across DISTINCT documents is one hash
+    // aggregate, and segments appearing in ≥2 documents are boilerplate
+    // — rejoined as a BROADCAST (the boilerplate list is tiny by
+    // definition: it's the repeated content). Ships per-doc retained
+    // stats. At 100 TB the only full-corpus exchange is the segment-
+    // frequency aggregate; production would exchange xxhash64(seg)
+    // instead of segment text (the LSH twins q42-q44 demonstrate the
+    // hashed variant), kept textual here for cross-engine hash-equality.
+    QueryDef(
+      "q99_segment_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text,' ') AS w,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |x AS (SELECT doc_id, w, n, unnest(range(0, (n + 9) // 10)) AS i
+        |  FROM t),
+        |chunks AS (SELECT doc_id,
+        |    array_to_string(w[(i*10+1):(i*10+least(10, n - i*10))], ' ')
+        |      AS seg,
+        |    least(10, n - i*10) AS nw
+        |  FROM x),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS nd FROM chunks
+        |  GROUP BY 1)
+        |SELECT c.doc_id, CAST(COUNT(*) AS BIGINT) AS n_segments,
+        |  CAST(SUM(CASE WHEN f.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_boilerplate,
+        |  CAST(SUM(CASE WHEN f.nd >= 2 THEN 0 ELSE c.nw END) AS BIGINT)
+        |    AS n_tokens_kept
+        |FROM chunks c JOIN freq f ON c.seg = f.seg
+        |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      val segs = segments(s, dir)
+      val boiler = segs.groupBy("seg")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2)
+        .select(col("seg"), lit(true).as("is_boiler"))
+      segs.join(broadcast(boiler), Seq("seg"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("is_boiler"), 1).otherwise(0)).cast("long")
+            .as("n_boilerplate"),
+          sum(when(col("is_boiler"), 0).otherwise(col("nw"))).cast("long")
+            .as("n_tokens_kept"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-source contamination matrix: for every source pair, how many
+    // distinct 10-word segments they share — the audit that catches one
+    // crawl feed plagiarizing or mirroring another before both are
+    // upweighted in a mixture. Plan shape is scale-critical: NOT a
+    // seg×seg self-join — segments group once (collect_set of sources,
+    // bounded by source count), and pairs explode from each set, so the
+    // pair space is #sources² per segment, independent of corpus size.
+    QueryDef(
+      "q100_source_overlap",
+      """WITH t AS (SELECT doc_id, source, string_split(text,' ') AS w,
+        |    len(string_split(text,' ')) AS n FROM documents),
+        |x AS (SELECT doc_id, source, w, n,
+        |    unnest(range(0, (n + 9) // 10)) AS i FROM t),
+        |chunks AS (SELECT source,
+        |    array_to_string(w[(i*10+1):(i*10+least(10, n - i*10))], ' ')
+        |      AS seg
+        |  FROM x)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  CAST(COUNT(DISTINCT a.seg) AS BIGINT) AS n_shared_segments
+        |FROM (SELECT DISTINCT source, seg FROM chunks) a
+        |JOIN (SELECT DISTINCT source, seg FROM chunks) b
+        |  ON a.seg = b.seg AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      segments(s, dir)
+        .groupBy("seg").agg(collect_set("source").as("srcs"))
+        .filter(size(col("srcs")) >= 2)
+        .select(explode(col("srcs")).as("source_a"), col("srcs"))
+        .select(col("source_a"), explode(col("srcs")).as("source_b"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_shared_segments"))
+        .orderBy("source_a", "source_b")
     })
+
+  /** Fixed 10-word segmentation of every document — the shared frame of
+    * [[defs]]' q99/q100 (CCNet's "lines", synthesized for a corpus with
+    * no newlines). Row-local: one sequence-explode per document, chunk
+    * text assembled by slice, no shuffle. Corpus documents are never
+    * empty (min 10 words), so the sequence bound `(n+9) div 10 - 1 >= 0`
+    * holds.
+    */
+  private def segments(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), col("source"), expr(words).as("w"))
+      .withColumn("n", size(col("w")))
+      .withColumn("i", explode(expr("sequence(0, (n + 9) div 10 - 1)")))
+      .select(col("doc_id"), col("source"),
+        expr("array_join(slice(w, i*10+1, least(10, n - i*10)), ' ')")
+          .as("seg"),
+        expr("least(10, n - i*10)").as("nw"))
 }
