@@ -1,0 +1,39 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.engine.ManifestTableStore
+
+/** Streaming CDC apply: the keyed-upsert cousin of the reference's
+  * append-only foreachBatch sink (`bronze_assets_to_silver_assets.py:
+  * 275-277`). Where the reference's silver table accretes rows, a CDC
+  * silver table must hold the LATEST row per key — Delta's
+  * `foreachBatch + MERGE` streaming pattern, built here on the manifest
+  * store's copy-on-write [[ManifestTableStore.merge]].
+  *
+  * Per micro-batch: (1) reduce the batch to its last record per key
+  * (`row_number` over `orderCol` descending — a batch can carry several
+  * updates to one key and only the newest may win); (2) merge, keyed by
+  * `key`, under the micro-batch's id. The merge rewrites only the data
+  * dirs whose key stats overlap the batch's key range — at 100 TB a
+  * micro-batch touching today's keys rewrites today's dirs, not the
+  * table — and a replayed batch id (crash between merge and checkpoint
+  * commit, then restart) is refused at write time, so the sink is
+  * exactly-once end-to-end without read-side dedup.
+  */
+object StreamingUpsert {
+
+  /** The foreachBatch body: `.foreachBatch(StreamingUpsert.applyBatch(
+    * store, "k", "seq") _)`.
+    */
+  def applyBatch(store: ManifestTableStore, key: String, orderCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(key).orderBy(col(orderCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    store.merge(batch.sparkSession, latest, key, batchId)
+  }
+}
