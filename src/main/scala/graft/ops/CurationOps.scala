@@ -562,6 +562,57 @@ object CurationOps {
         .groupBy("source_a", "source_b")
         .agg(count(lit(1)).as("n_shared_segments"))
         .orderBy("source_a", "source_b")
+    },
+
+    // BM25 retrieval scoring (k1 = 1.2, b = 0.75) — the ranked-search
+    // operator a curation pipeline uses to pull topical slices out of a
+    // corpus (and the classic lexical side of hybrid retrieval next to
+    // q51's dense side). Query terms join as a 3-row broadcast, so the
+    // corpus sees ONE (doc, term) aggregate; document frequencies and
+    // corpus stats are 1-row/3-row broadcasts back into the scoring
+    // expression. Per-term scores round to 6 decimals and accumulate in
+    // DECIMAL so the cross-engine sum is order-free (the dsum law).
+    QueryDef(
+      "q102_bm25",
+      """WITH qt AS (
+        |  SELECT unnest(['spark','shuffle','broadcast']) AS term),
+        |stats AS (SELECT COUNT(*) AS n_docs,
+        |    AVG(len(string_split(text,' '))) AS avgdl FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term,
+        |    len(string_split(text,' ')) AS dl FROM documents),
+        |tf AS (SELECT doc_id, term, dl, COUNT(*) AS tf
+        |  FROM w JOIN qt USING (term) GROUP BY 1, 2, 3),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf
+        |  GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    CAST(SUM(CAST(round(
+        |      ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+        |      tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)),
+        |      6) AS DECIMAL(18,6))) AS DOUBLE) AS bm25_r
+        |  FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY 1)
+        |SELECT doc_id, bm25_r FROM sc
+        |ORDER BY bm25_r DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val docs = Tables(s, dir, "documents")
+      val qt = Seq("spark", "shuffle", "broadcast").toDF("term")
+      val w = docs.select(col("doc_id"),
+        explode(expr(words)).as("term"), size(expr(words)).as("dl"))
+      val tf = w.join(broadcast(qt), Seq("term"))
+        .groupBy("doc_id", "term", "dl").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("term").agg(countDistinct("doc_id").as("df"))
+      val stats = docs.agg(count(lit(1)).as("n_docs"),
+        avg(size(expr(words))).as("avgdl"))
+      tf.join(broadcast(dfq), Seq("term"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(sum(expr(
+          """cast(round(
+            |  ln((n_docs - df + 0.5) / (df + 0.5) + 1) *
+            |  tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)),
+            |  6) as decimal(18,6))""".stripMargin))
+          .cast("double").as("bm25_r"))
+        .orderBy(col("bm25_r").desc, col("doc_id")).limit(20)
     })
 
   /** Fixed 10-word segmentation of every document — the shared frame of

@@ -486,6 +486,71 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(wRank))
         .filter(col("rn") <= 10)
         .orderBy("q_id", "rn")
+    },
+
+    // Semantic dedup (the SemDeDup pipeline): cluster embeddings via
+    // broadcast-centroid assignment (q52's operator), then find
+    // near-duplicate pairs ONLY within each cluster — the clustering is
+    // what turns the corpus-quadratic pair space into K cluster-local
+    // quadratics, which is the entire reason SemDeDup scales where
+    // all-pairs cosine (q46's exactness baseline) cannot. A vector is
+    // dropped when a same-cluster, lower-id vector sits at cosine ≥ 0.3
+    // (keep-first representative selection, as in exact dedup q41).
+    // Ships per-cluster corpus/drop counts; every stage is deterministic
+    // arithmetic, so the composed pipeline is fully oracle-checked.
+    QueryDef(
+      "q101_semantic_dedup",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nv
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN c),
+        |asg AS (SELECT vec_id, c_id FROM (
+        |    SELECT vec_id, c_id, ROW_NUMBER() OVER (
+        |      PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d)
+        |  WHERE rn = 1),
+        |m AS (SELECT e.*, asg.c_id FROM e JOIN asg USING (vec_id)),
+        |j AS (SELECT a.c_id, b.vec_id AS dropped
+        |  FROM m a JOIN m b ON a.c_id = b.c_id AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.v, b.v) / (a.nv * b.nv), 6)
+        |    >= 0.3),
+        |nvec AS (SELECT c_id, CAST(COUNT(*) AS BIGINT) AS n_vectors
+        |  FROM asg GROUP BY 1),
+        |drops AS (SELECT c_id,
+        |    CAST(COUNT(DISTINCT dropped) AS BIGINT) AS n_dropped
+        |  FROM j GROUP BY 1)
+        |SELECT nvec.c_id AS centroid_id, n_vectors,
+        |  COALESCE(n_dropped, 0) AS n_dropped
+        |FROM nvec LEFT JOIN drops USING (c_id) ORDER BY 1""".stripMargin) {
+      (s, dir) =>
+      val e = vectors(s, dir)
+      val c = e.select("vec_id", "v").filter(col("vec_id") < 8)
+        .toDF("c_id", "cv")
+      val w = Window.partitionBy("vec_id").orderBy(col("dist_r"), col("c_id"))
+      val asg = e.select("vec_id", "v").crossJoin(broadcast(c))
+        .select(col("vec_id"), col("c_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "c_id")
+      val m = e.join(asg, "vec_id")
+      val a = m.toDF("a_id", "va", "na", "c_id")
+      val b = m.toDF("b_id", "vb", "nb", "c_id")
+      val pairs = a.join(b, Seq("c_id"))
+        .filter(col("a_id") < col("b_id"))
+        .filter(expr("round(vec_dot(va, vb) / (na * nb), 6)") >= 0.3)
+        .select(col("c_id"), col("b_id").as("dropped"))
+      val nvec = asg.groupBy("c_id").agg(count(lit(1)).as("n_vectors"))
+      val drops = pairs.groupBy("c_id")
+        .agg(countDistinct("dropped").as("n_dropped"))
+      nvec.join(drops, Seq("c_id"), "left")
+        .select(col("c_id").as("centroid_id"), col("n_vectors"),
+          coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
+        .orderBy("centroid_id")
     }
   )
 
