@@ -509,6 +509,35 @@ final class ManifestTableStore(path: String,
   /** Current manifest version (0 = no commits yet). */
   def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
 
+  /** Rows ADDED between two manifest versions — change-data-feed lite
+    * (Delta CDF's insert stream / Iceberg's incremental read): the
+    * batches whose ids appear in `toVersion` but not `fromVersion`
+    * (`fromVersion = 0` = since table creation). Because maintenance
+    * rewrites (compact / cluster / DML) carry batch ids forward, a pure
+    * rewrite step reports NO changes — additions are attributed to the
+    * version that first committed their batch id, which is exactly what
+    * an incremental downstream consumer wants: process each batch once,
+    * regardless of how the table is later reorganized. Scans only the
+    * dirs that hold new batch ids (post-compaction dirs may mix old and
+    * new batches — the batch_id filter re-separates them).
+    */
+  def readChanges(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val f = fs(spark)
+    def entriesOf(v: Long): Seq[Entry] =
+      readManifest(f, v).getOrElse(throw new IllegalArgumentException(
+        s"version $v of $path is missing or incomplete"))
+    val fromIds =
+      if (fromVersion == 0L) Set.empty[Long]
+      else entriesOf(fromVersion).map(_.batchId).toSet
+    val to = entriesOf(toVersion)
+    val newIds = to.map(_.batchId).toSet -- fromIds
+    if (newIds.isEmpty)
+      return readDirs(spark, to.map(_.dir).distinct).filter(lit(false))
+    val dirs = to.filter(e => newIds.contains(e.batchId)).map(_.dir).distinct
+    readDirs(spark, dirs).filter(col("batch_id").isInCollection(newIds))
+  }
+
   /** Delete data dirs referenced by NO manifest version up to and
     * including `retainLast` versions back from current, plus all
     * superseded manifest versions older than that horizon. Keeping a

@@ -250,6 +250,30 @@ object StoreOps {
         .orderBy("c_mktsegment")
     },
 
+    // Change-data-feed incremental read (Delta CDF / Iceberg incremental
+    // scan): the rows ADDED between two manifest versions — here the
+    // 1998-99 and 2000+ batches, versions 3-4 of the seeded store. Only
+    // the dirs holding new batch ids reach the scan; at 100 TB this is
+    // how a downstream consumer processes a day's appends without
+    // rescanning the table, and rewrites (compact/DML) report no
+    // changes because batch ids carry forward.
+    QueryDef(
+      "q103_store_changes",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+      ordersStore(s, dir)
+        .readChanges(s, fromVersion = 2, toVersion = 4)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderpriority")
+    },
+
     QueryDef(
       "q96_store_evolution",
       """WITH m AS (SELECT c_custkey, c_name, c_acctbal,

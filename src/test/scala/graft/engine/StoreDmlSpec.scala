@@ -129,6 +129,37 @@ class StoreDmlSpec extends SparkSpec {
       "m5" -> 99))
   }
 
+  test("readChanges returns exactly the batches committed between two " +
+      "versions; rewrites report no changes; merge inserts appear") {
+    val store = seeded(tmp("dml-cdf-")) // v1 = batch 0, v2 = batch 1
+    // since-creation and single-step reads
+    assert(store.readChanges(spark, 0, 2).count() == 200L)
+    assert(store.readChanges(spark, 1, 2).select("n").as[Int]
+      .collect().sorted.toSeq == (100 until 200))
+    // a pure rewrite step (delete) carries ids forward → no changes
+    store.delete(spark, "n >= 150") // v3
+    assert(store.readChanges(spark, 2, 3).count() == 0L)
+    // a merge's insert batch is the only change its version adds
+    store.merge(spark, Seq(("x", 500)).toDF("k", "n"), "n", 9L) // v4
+    val changed = store.readChanges(spark, 3, 4)
+      .select("k", "n").as[(String, Int)].collect().toSeq
+    assert(changed == Seq(("x", 500)))
+    // the same-version window is empty
+    assert(store.readChanges(spark, 4, 4).count() == 0L)
+  }
+
+  test("vacuum after DML reclaims the superseded pre-rewrite dirs once " +
+      "past the retention horizon; the live table is untouched") {
+    val store = seeded(tmp("dml-vacuum-"))
+    store.delete(spark, "n >= 150")
+    val deleted = store.vacuum(spark, retainLast = 0, minAgeMs = 0L)
+    // the rewritten dir's predecessor (batch-1) is reclaimed; batch-0
+    // is still referenced by the current version and survives
+    assert(deleted.exists(_.contains("/batch-1-")))
+    assert(!deleted.exists(_.contains("/batch-0-")))
+    assert(store.read(spark).count() == 150L)
+  }
+
   test("delete composes with exactly-once read-back: batch ids carry " +
       "forward through the rewrite") {
     val store = seeded(tmp("dml-eo-"))
