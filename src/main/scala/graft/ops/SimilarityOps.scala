@@ -537,14 +537,21 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("vec_id", "c_id")
-      val m = e.join(asg, "vec_id")
-      val a = m.toDF("a_id", "va", "na", "c_id")
-      val b = m.toDF("b_id", "vb", "nb", "c_id")
+      // ONE cluster-partitioned assigned frame; the pair join's both
+      // sides, and the per-cluster count, are renames ABOVE this
+      // exchange, so ReuseExchange evaluates the assignment subtree
+      // once (three evaluations otherwise — the corpus × centroids
+      // pass is the expensive part at scale)
+      val m = e.join(asg, "vec_id").repartition(col("c_id"))
+      val a = m.select(col("c_id"), col("vec_id").as("a_id"),
+        col("v").as("va"), col("nv").as("na"))
+      val b = m.select(col("c_id"), col("vec_id").as("b_id"),
+        col("v").as("vb"), col("nv").as("nb"))
       val pairs = a.join(b, Seq("c_id"))
         .filter(col("a_id") < col("b_id"))
         .filter(expr("round(vec_dot(va, vb) / (na * nb), 6)") >= 0.3)
         .select(col("c_id"), col("b_id").as("dropped"))
-      val nvec = asg.groupBy("c_id").agg(count(lit(1)).as("n_vectors"))
+      val nvec = m.groupBy("c_id").agg(count(lit(1)).as("n_vectors"))
       val drops = pairs.groupBy("c_id")
         .agg(countDistinct("dropped").as("n_dropped"))
       nvec.join(drops, Seq("c_id"), "left")
