@@ -160,6 +160,24 @@ class StoreDmlSpec extends SparkSpec {
     assert(store.read(spark).count() == 150L)
   }
 
+  test("delete on a hive-partitioned store rewrites through the same " +
+      "layout: partition pruning still works on the rewritten dir") {
+    val root = tmp("dml-part-")
+    val store = new ManifestTableStore(root.toString,
+      partitionBy = Seq("day"), statsColumns = Seq("n"))
+    store.append((0 until 100).map(i => (i, s"d${i % 3}"))
+      .toDF("n", "day"), 0L)
+    store.delete(spark, "n >= 90")
+    val df = store.read(spark)
+    assert(df.count() == 90L)
+    // the rewritten dir preserved hive layout: a partition predicate
+    // reads only that partition's files
+    val oneDay = df.filter(col("day") === "d1")
+    assert(oneDay.count() === 30L)
+    assert(oneDay.select(input_file_name()).distinct().collect()
+      .forall(_.getString(0).contains("day=d1")))
+  }
+
   test("delete composes with exactly-once read-back: batch ids carry " +
       "forward through the rewrite") {
     val store = seeded(tmp("dml-eo-"))
