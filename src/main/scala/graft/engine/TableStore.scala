@@ -354,6 +354,63 @@ final class ManifestTableStore(path: String,
     })
   }
 
+  /** Z-order clustered compaction — multi-dimensional data skipping
+    * (Delta `OPTIMIZE ZORDER BY`, Iceberg's multi-column sort order).
+    * [[compactClustered]] restores skippability in ONE dimension; a
+    * table queried by several independent predicates (time ranges AND
+    * key ranges) needs dirs compact in EVERY queried dimension at once.
+    * Each `zorderBy` column maps to its 12-bit quantile rank
+    * (`percent_rank` — distribution-free, so skewed columns still
+    * spread evenly), ranks bit-interleave into the Z-value, and the
+    * table range-repartitions on Z into `buckets` dirs, each committed
+    * with fresh min/max stats on every `zorderBy` column. Points close
+    * in Z are close in every dimension, so each dir covers a narrow
+    * range of EACH column and [[readWhere]] prunes on any of them —
+    * the property one-dimensional clustering cannot give. The global
+    * rank sorts are the one-time maintenance cost, exactly as in
+    * Delta's OPTIMIZE. Commits via [[commitRewrite]]; batch ids carry
+    * forward (replay refusal and time travel survive).
+    */
+  def compactZOrder(spark: SparkSession, zorderBy: Seq[String],
+      buckets: Int): Unit = synchronized {
+    require(zorderBy.nonEmpty, "compactZOrder needs at least one column")
+    import org.apache.spark.sql.expressions.Window
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    if (lines.isEmpty) return
+    val bitsPer = 12
+    val n = zorderBy.size
+    val ranked = zorderBy.zipWithIndex.foldLeft(
+      readDirs(spark, lines.map(_.dir).distinct)) { case (d, (c, i)) =>
+      d.withColumn(s"__r$i",
+        (percent_rank().over(Window.orderBy(col(c))) *
+          ((1 << bitsPer) - 1)).cast("int"))
+    }
+    // interleave: bit b of column i lands at position b*n + i
+    val zExpr = (0 until bitsPer).flatMap(b => (0 until n).map(i =>
+      s"(cast((__r$i >> $b) & 1 as bigint) << ${b * n + i})"))
+      .mkString(" + ")
+    val base = s"$path/data/zorder-${java.util.UUID.randomUUID()}"
+    val clustered = ranked.withColumn("__z", expr(zExpr))
+      .repartitionByRange(buckets, col("__z"))
+      .withColumn("__cluster", spark_partition_id())
+      .drop(("__z" +: (0 until n).map(i => s"__r$i")): _*)
+    clustered.write.mode("overwrite")
+      .partitionBy("__cluster" +: partitionBy: _*).parquet(base)
+    val dirs = f.listStatus(new HPath(base)).map(_.getPath)
+      .collect { case p if p.getName.startsWith("__cluster=") => p.toString }
+      .sorted.toSeq
+    val stats = dirs.map(d => d -> collectStats(spark, d)).toMap
+    commitRewrite(f, v + 1, lines, { snap =>
+      val ids = snap.map(_.batchId).distinct
+      val entries = dirs.zipWithIndex.map { case (d, i) =>
+        Entry(ids(i % ids.size), d, stats(d)) }
+      val carried = ids.filterNot(id => entries.exists(_.batchId == id))
+        .map(id => Entry(id, dirs.head, stats(dirs.head)))
+      entries ++ carried
+    })
+  }
+
   /** Copy-on-write row-level DELETE (Iceberg CoW delete / Delta DELETE,
     * reference's governed-mutation surface): rows matching `predicateSql`
     * are removed by REWRITING only the data dirs whose manifest stats

@@ -274,6 +274,39 @@ object StoreOps {
         .orderBy("o_orderpriority")
     },
 
+    // Z-order compaction (Delta OPTIMIZE ZORDER): the table streams in
+    // date-interleaved-by-key batches — useless stats in both
+    // dimensions — then z-orders on (o_orderdate, o_custkey). After
+    // that, a predicate on the SECOND dimension (custkey — which the
+    // 1-D date clustering of q93 could never serve) prunes dirs via
+    // manifest stats, and the result is exactly read().filter(...).
+    QueryDef(
+      "q105_store_zorder",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_custkey < 200
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_zorder", dir),
+        statsColumns = Seq("o_orderdate", "o_custkey"))
+      val orders = Tables(s, dir, "orders")
+      store.append(orders.filter(col("o_orderkey") % 2 === 0), 0L)
+      store.append(orders.filter(col("o_orderkey") % 2 === 1), 1L)
+      if (store.currentVersion(s) == 2L)
+        store.compactZOrder(s, Seq("o_orderdate", "o_custkey"),
+          buckets = 16)
+      store.readWhere(s,
+        "o_custkey < 200 AND o_orderdate >= '1998-01-01 00:00:00'")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     QueryDef(
       "q96_store_evolution",
       """WITH m AS (SELECT c_custkey, c_name, c_acctbal,

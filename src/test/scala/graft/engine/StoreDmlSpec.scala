@@ -178,6 +178,29 @@ class StoreDmlSpec extends SparkSpec {
       .forall(_.getString(0).contains("day=d1")))
   }
 
+  test("z-order compaction restores data skipping in BOTH dimensions " +
+      "at once — one-dimensional clustering cannot") {
+    val store = new ManifestTableStore(tmp("dml-zorder-").toString,
+      statsColumns = Seq("a", "b"))
+    // 64×64 grid appended by parity: every batch spans the full range
+    // of both columns, so pre-compaction stats prune NOTHING
+    val grid = (0 until 4096).map(i => (i / 64, i % 64))
+    store.append(grid.filter(p => (p._1 + p._2) % 2 == 0).toDF("a", "b"), 0L)
+    store.append(grid.filter(p => (p._1 + p._2) % 2 == 1).toDF("a", "b"), 1L)
+    assert(store.pruneDirs(spark, "a < 8")._2.isEmpty)
+    assert(store.pruneDirs(spark, "b < 8")._2.isEmpty)
+    store.compactZOrder(spark, Seq("a", "b"), buckets = 16)
+    // after z-ordering, a predicate on EITHER column skips most dirs
+    val (keptA, skipA) = store.pruneDirs(spark, "a < 8")
+    val (keptB, skipB) = store.pruneDirs(spark, "b < 8")
+    assert(skipA.size > keptA.size, s"a-predicate kept ${keptA.size}")
+    assert(skipB.size > keptB.size, s"b-predicate kept ${keptB.size}")
+    // and results are exactly read().filter(...)
+    assert(store.readWhere(spark, "a < 8").count() == 8L * 64)
+    assert(store.readWhere(spark, "b < 8").count() == 8L * 64)
+    assert(store.read(spark).count() == 4096L)
+  }
+
   test("delete composes with exactly-once read-back: batch ids carry " +
       "forward through the rewrite") {
     val store = seeded(tmp("dml-eo-"))
