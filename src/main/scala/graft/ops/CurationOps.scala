@@ -328,33 +328,8 @@ object CurationOps {
         |  round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
         |    AS mean_logp
         |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      // The trigram stream comes from the char_ngrams GENERATOR (one
-      // pass, emits only 3-char slices — the transform() lambda form
-      // runs interpreted per n-gram and the positions-explode form
-      // copies the full text into every generated row; both measured
-      // 2-4× slower at sf0.1), staged through one skinny (doc_id, t)
-      // repartition exchange that ReuseExchange shares between its two
-      // consumers (model counts + scoring — PERF.md finding 13). The
-      // conditional probabilities pre-join into one trigram→logp
-      // broadcast table (n2 via window, no second aggregate).
-      graft.functions.VectorExpressions.register(s)
-      val tri = Tables(s, dir, "documents")
-        .filter(length(col("text")) >= 3)
-        .select(col("doc_id"), expr("char_ngrams(text, 3)"))
-        .toDF("doc_id", "pos", "t")
-        .select("doc_id", "t")
-        .repartition(col("doc_id"))
-      val wP = Window.partitionBy(substring(col("t"), 1, 2))
-      val scores = tri.groupBy("t").agg(count(lit(1)).as("n3"))
-        .withColumn("n2", sum(col("n3")).over(wP))
-        .select(col("t"),
-          round(log(col("n3").cast("double") / col("n2")), 9).as("lp"))
-      tri
-        .join(broadcast(scores), "t")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tri"),
-          round(sum(col("lp").cast(DecimalType(18, 9))).cast("double") /
-            count(lit(1)), 6).as("mean_logp"))
+      trigramDocScores(s, dir)
+        .select("doc_id", "n_tri", "mean_logp")
         .orderBy("doc_id")
     },
 
@@ -675,6 +650,147 @@ object CurationOps {
               "cast(coalesce(round(1.0/(60+dr), 6), 0) as decimal(18,6))"))
             .cast("double").as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+    },
+
+    // Eval-set n-gram decontamination — the GPT-3/PaLM report style:
+    // for each benchmark document, the fraction of its distinct word
+    // 3-grams that also appear in a candidate training document; pairs
+    // above 5% overlap are flagged (q37/q85 catch EXACT copies — this
+    // catches partial/edited contamination by overlap FRACTION, and on
+    // this corpus it surfaces a planted full-overlap pair). The bench
+    // side is a fixed slice (doc_id % 50 = 0, ~2% of the corpus), so
+    // its distinct n-gram set broadcasts and the corpus side is ONE
+    // scan + one (bench, doc) count aggregate — the pair space is
+    // hits-bounded, never |bench|×|corpus|.
+    QueryDef(
+      "q107_ngram_decontaminate",
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len(ws) - 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS ng FROM w),
+        |b AS (SELECT doc_id AS b_id, ng FROM g WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id AS c_id, ng FROM g WHERE doc_id % 50 <> 0),
+        |bn AS (SELECT b_id, count(*) AS n_b FROM b GROUP BY 1),
+        |ov AS (SELECT b_id, c_id, count(*) AS hits FROM b JOIN c USING (ng)
+        |  GROUP BY 1, 2)
+        |SELECT b_id, c_id, CAST(hits AS BIGINT) AS hits,
+        |  CAST(n_b AS BIGINT) AS bench_ngrams,
+        |  round(CAST(hits AS DOUBLE) / n_b, 6) AS overlap_frac
+        |FROM ov JOIN bn USING (b_id)
+        |WHERE CAST(hits AS DOUBLE) / n_b >= 0.05
+        |ORDER BY b_id, c_id""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir, "documents")
+        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ws) - 2), " +
+            "i -> array_join(slice(ws, i, 3), ' '))")).as("ng"))
+        .distinct()
+      val b = g.filter(col("doc_id") % 50 === 0).toDF("b_id", "ng")
+      val c = g.filter(col("doc_id") % 50 =!= 0).toDF("c_id", "ng")
+      val bn = b.groupBy("b_id").agg(count(lit(1)).as("n_b"))
+      c.join(broadcast(b), "ng")
+        .groupBy("b_id", "c_id").agg(count(lit(1)).as("hits"))
+        .join(broadcast(bn), "b_id")
+        .filter(col("hits").cast("double") / col("n_b") >= 0.05)
+        .select(col("b_id"), col("c_id"), col("hits"),
+          col("n_b").as("bench_ngrams"),
+          round(col("hits").cast("double") / col("n_b"), 6)
+            .as("overlap_frac"))
+        .orderBy("b_id", "c_id")
+    },
+
+    // CCNet head/middle/tail buckets — the canonical use of q94's LM
+    // score: rank every document per language by its trigram
+    // log-probability (the perplexity proxy; higher = more fluent) and
+    // cut each language into equal thirds. Downstream pipelines keep
+    // "head", sample "middle", drop "tail". One extra window over q94's
+    // per-doc frame; the per-language ntile is a single skinny
+    // (doc_id, lang, score) exchange — no corpus re-scan.
+    QueryDef(
+      "q108_ccnet_buckets",
+      """WITH tri AS (SELECT doc_id, lang, unnest(list_transform(
+        |    range(1, length(text) - 1), i -> substr(text, i, 3))) AS t
+        |  FROM documents WHERE length(text) >= 3),
+        |c3 AS (SELECT t, count(*) AS n3 FROM tri GROUP BY t),
+        |c2 AS (SELECT substr(t, 1, 2) AS p, sum(n3) AS n2 FROM c3
+        |  GROUP BY p),
+        |sc AS (SELECT tri.doc_id, tri.lang,
+        |    round(ln(CAST(n3 AS DOUBLE) / n2), 9) AS lp
+        |  FROM tri JOIN c3 ON c3.t = tri.t
+        |  JOIN c2 ON c2.p = substr(tri.t, 1, 2)),
+        |doc AS (SELECT doc_id, lang,
+        |    round(CAST(SUM(CAST(lp AS DECIMAL(18,9))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_logp
+        |  FROM sc GROUP BY doc_id, lang)
+        |SELECT doc_id, lang, mean_logp,
+        |  CASE ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY mean_logp DESC, doc_id)
+        |    WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        |    AS bucket
+        |FROM doc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val wB = Window.partitionBy("lang")
+        .orderBy(col("mean_logp").desc, col("doc_id"))
+      trigramDocScores(s, dir)
+        .withColumn("nt", ntile(3).over(wB))
+        .select(col("doc_id"), col("lang"), col("mean_logp"),
+          when(col("nt") === 1, "head").when(col("nt") === 2, "middle")
+            .otherwise("tail").as("bucket"))
+        .orderBy("doc_id")
+    },
+
+    // DSIR-style importance weights (Xie et al.'s data-selection
+    // scheme, unigram form): score every raw document by how much more
+    // likely its words are under the TARGET domain's unigram model
+    // (source 'src0') than under the raw corpus's — the log importance
+    // weight Σ log(p_target(w)/p_raw(w)), add-1 smoothed over the
+    // shared vocabulary. Selection then samples by weight; shipping the
+    // full per-doc weight table keeps the oracle total. Two corpus-
+    // bounded aggregates build the (vocab-sized) weight table, which
+    // re-enters as a broadcast — at 100 TB the weight table IS the
+    // trained artifact (like q94's counts) and scoring fuses into the
+    // corpus scan. Per-word logs round at 9 and accumulate in DECIMAL.
+    QueryDef(
+      "q109_dsir_weights",
+      """WITH w AS (SELECT doc_id, source,
+        |    unnest(string_split(lower(text), ' ')) AS wd FROM documents),
+        |tc AS (SELECT wd, count(*) AS n_t FROM w WHERE source = 'src0'
+        |  GROUP BY 1),
+        |rc AS (SELECT wd, count(*) AS n_r FROM w GROUP BY 1),
+        |tot AS (SELECT (SELECT sum(n_t) FROM tc) AS t_tot,
+        |    (SELECT sum(n_r) FROM rc) AS r_tot,
+        |    (SELECT count(*) FROM rc) AS vocab),
+        |lr AS (SELECT rc.wd,
+        |    round(ln((coalesce(tc.n_t, 0) + 1.0) / (t_tot + vocab))
+        |      - ln((rc.n_r + 1.0) / (r_tot + vocab)), 9) AS lw
+        |  FROM rc LEFT JOIN tc USING (wd), tot)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |  round(CAST(sum(CAST(lw AS DECIMAL(18,9))) AS DOUBLE), 6)
+        |    AS dsir_logw
+        |FROM w JOIN lr USING (wd) GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(lower(col("text")), " ")).as("wd"))
+      val tc = w.filter(col("source") === "src0")
+        .groupBy("wd").agg(count(lit(1)).as("n_t"))
+      val rc = w.groupBy("wd").agg(count(lit(1)).as("n_r"))
+      val joined = rc.join(tc, Seq("wd"), "left")
+      val tot = broadcast(joined.agg(
+        sum(col("n_t")).as("t_tot"), sum(col("n_r")).as("r_tot"),
+        count(lit(1)).as("vocab")))
+      val lr = joined.crossJoin(tot).select(col("wd"),
+        round(log((coalesce(col("n_t"), lit(0L)) + lit(1.0)) /
+            (col("t_tot") + col("vocab"))) -
+          log((col("n_r") + lit(1.0)) / (col("r_tot") + col("vocab"))),
+          9).as("lw"))
+      w.join(broadcast(lr), "wd")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          round(sum(col("lw").cast(DecimalType(18, 9))).cast("double"), 6)
+            .as("dsir_logw"))
+        .orderBy("doc_id")
     })
 
   /** q102/q104's BM25 scorer (k1 = 1.2, b = 0.75), served from a
@@ -689,6 +805,39 @@ object CurationOps {
     * scores round to 6 decimals and accumulate in DECIMAL so the
     * cross-engine sum is order-free.
     */
+  /** Per-document char-trigram LM score — the shared frame behind q94
+    * (raw scores) and q108 (CCNet buckets): (doc_id, lang, n_tri,
+    * mean_logp). The trigram stream comes from the char_ngrams
+    * GENERATOR (one pass, emits only 3-char slices — the transform()
+    * lambda form runs interpreted per n-gram and the positions-explode
+    * form copies the full text into every generated row; both measured
+    * 2-4× slower at sf0.1), staged through one skinny (doc_id, lang, t)
+    * repartition exchange that ReuseExchange shares between its two
+    * consumers (model counts + scoring — PERF.md finding 13). The
+    * conditional probabilities pre-join into one trigram→logp broadcast
+    * table (n2 via window, no second aggregate).
+    */
+  private def trigramDocScores(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    val tri = Tables(s, dir, "documents")
+      .filter(length(col("text")) >= 3)
+      .select(col("doc_id"), col("lang"), expr("char_ngrams(text, 3)"))
+      .toDF("doc_id", "lang", "pos", "t")
+      .select("doc_id", "lang", "t")
+      .repartition(col("doc_id"))
+    val wP = Window.partitionBy(substring(col("t"), 1, 2))
+    val scores = tri.groupBy("t").agg(count(lit(1)).as("n3"))
+      .withColumn("n2", sum(col("n3")).over(wP))
+      .select(col("t"),
+        round(log(col("n3").cast("double") / col("n2")), 9).as("lp"))
+    tri
+      .join(broadcast(scores), "t")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tri"),
+        round(sum(col("lp").cast(DecimalType(18, 9))).cast("double") /
+          count(lit(1)), 6).as("mean_logp"))
+  }
+
   /** The corpus's materialized INVERTED INDEX: full (term, doc_id, dl,
     * tf) postings, built once per corpus version — the shared
     * tokenization artifact behind BM25 (q102/q104) and TF-IDF (q83).

@@ -80,6 +80,47 @@ object SimilarityOps {
         .toDF("vec_id", "t", "bkt")
     }
 
+  /** M=4 × 16-dim subvector split of every embedding (double-cast) — the
+    * shared frame of the PQ build and query sides: (vec_id, m, sv).
+    */
+  private def pqSub(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(s)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .select(col("vec_id"), explode(expr("sequence(0, 3)")).as("m"),
+        col("v"))
+      .select(col("vec_id"), col("m"),
+        expr("slice(v, m * 16 + 1, 16)").as("sv"))
+  }
+
+  /** Per-subspace PQ codebook: the vec_id < 8 subvectors (deterministic
+    * "trained" codewords, mirroring q52's centroid convention) — 4×8
+    * rows, always broadcast.
+    */
+  private def pqCodebook(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < 8)
+      .select(col("m"), col("vec_id").as("c_id"), col("sv").as("cv"))
+
+  /** Materialized PQ code-table INDEX artifact: (vec_id, m, c_id) — every
+    * vector encoded as its nearest codeword per subspace (argmin of the
+    * 9-rounded subspace L2, ties to the lowest codeword id). This is the
+    * structure a real engine builds once at index time: M small codes
+    * replace the 4·D-byte vector payload for every ADC scoring pass.
+    */
+  private def pqIndex(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "pq_index_4x8", dir) {
+      val sub = pqSub(s, dir)
+      val w = Window.partitionBy("vec_id", "m")
+        .orderBy(col("dist"), col("c_id"))
+      sub.join(broadcast(pqCodebook(sub)), "m")
+        .select(col("vec_id"), col("m"), col("c_id"),
+          expr("round(vec_sqdist(sv, cv), 9)").as("dist"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("vec_id", "m", "c_id")
+    }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Vector norms — array-HOF parity check.
@@ -558,6 +599,63 @@ object SimilarityOps {
         .select(col("c_id").as("centroid_id"), col("n_vectors"),
           coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
         .orderBy("centroid_id")
+    },
+
+    // Product-quantization ADC search — the third leg of the ANN index
+    // trio next to scalar quantization (q71/q74/q89) and IVF cells
+    // (q52/q56): the 64-dim space splits into M=4 subspaces, every
+    // vector is pre-encoded as 4 codebook ids (the materialized
+    // pq_index artifact), and a query builds a tiny 4×8 distance TABLE
+    // to the codewords — the approximate distance of each corpus vector
+    // is then a sum of table lookups on its codes (Asymmetric Distance
+    // Computation, the Jégou/Douze/Schmid PQ scheme). The corpus-side
+    // scan touches ONLY the code table (M ids per vector, no float
+    // payload) joined to a broadcast distance table — at 100 TB that is
+    // M bytes per vector instead of 4·D. Per-subspace distances round
+    // at 9 decimals and accumulate in DECIMAL (order-free), so unlike
+    // hash-based ANN the composed search is fully oracle-checked.
+    QueryDef(
+      "q106_pq_adc",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sub AS (SELECT vec_id, m, v[m*16+1:m*16+16] AS sv
+        |  FROM e, (SELECT unnest([0,1,2,3]) AS m) ms),
+        |cb AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub
+        |  WHERE vec_id < 8),
+        |d AS (SELECT s.vec_id, s.m, c.c_id,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), 9) AS dist
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, c_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, c_id) AS rn FROM d) WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, m, c_id,
+        |    CAST(dist AS DECIMAL(18,9)) AS qd
+        |  FROM d WHERE vec_id < 5),
+        |adc AS (SELECT dt.q_id, enc.vec_id,
+        |    round(CAST(sum(qd) AS DOUBLE), 6) AS adc_r
+        |  FROM enc JOIN dt ON dt.m = enc.m AND dt.c_id = enc.c_id
+        |  WHERE enc.vec_id <> dt.q_id GROUP BY 1, 2),
+        |r AS (SELECT q_id, vec_id, adc_r, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY adc_r, vec_id) AS INTEGER) AS rn
+        |  FROM adc)
+        |SELECT q_id, vec_id, adc_r, rn FROM r WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val sub = pqSub(s, dir)
+      val dt = sub.filter(col("vec_id") < 5)
+        .join(broadcast(pqCodebook(sub)), "m")
+        .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+          expr("cast(round(vec_sqdist(sv, cv), 9) as decimal(18,9))")
+            .as("qd"))
+      val w = Window.partitionBy("q_id").orderBy(col("adc_r"), col("vec_id"))
+      pqIndex(s, dir)
+        .join(broadcast(dt), Seq("m", "c_id"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(round(sum(col("qd")).cast("double"), 6).as("adc_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 10)
+        .select("q_id", "vec_id", "adc_r", "rn")
+        .orderBy("q_id", "rn")
     }
   )
 
