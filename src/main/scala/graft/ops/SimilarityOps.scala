@@ -656,6 +656,164 @@ object SimilarityOps {
         .filter(col("rn") <= 10)
         .select("q_id", "vec_id", "adc_r", "rn")
         .orderBy("q_id", "rn")
+    },
+
+    // IVF-PQ — the production composition of the two index halves (the
+    // FAISS IVFPQ shape): IVF cell pruning (q52/q56) bounds the
+    // candidate set to the probed cells, the PQ code-table artifact
+    // (q106) scores those candidates by table lookups with no vector
+    // payload, and the exact cosine re-rank touches full vectors only
+    // for the ADC top-20. At 100 TB the scan cost is: centroid table
+    // broadcast (tiny), ONE pre-built code table join pruned to probed
+    // cells, float vectors fetched for ≤20 rows per query. Every stage
+    // is deterministic (round-6/round-9 + decimal lookup-sums), so
+    // unlike hash-based ANN the composed index is fully oracle-checked.
+    QueryDef(
+      "q110_ivfpq_search",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+        |      AS nv
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d0 AS (SELECT e.vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN cent),
+        |rk AS (SELECT vec_id, c_id, ROW_NUMBER() OVER (
+        |    PARTITION BY vec_id ORDER BY dist_r, c_id) AS rn FROM d0),
+        |asg AS (SELECT vec_id, c_id FROM rk WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, c_id FROM rk
+        |  WHERE vec_id < 5 AND rn <= 4),
+        |cand AS (SELECT p.q_id, asg.vec_id FROM probes p
+        |  JOIN asg ON asg.c_id = p.c_id WHERE asg.vec_id <> p.q_id),
+        |sub AS (SELECT vec_id, m, v[m*16+1:m*16+16] AS sv
+        |  FROM e, (SELECT unnest([0,1,2,3]) AS m) ms),
+        |cb AS (SELECT m, vec_id AS c_id, sv AS cv FROM sub
+        |  WHERE vec_id < 8),
+        |pd AS (SELECT s.vec_id, s.m, c.c_id,
+        |    round(list_sum(list_transform(range(1, 17),
+        |      i -> (s.sv[i]-c.cv[i])*(s.sv[i]-c.cv[i]))), 9) AS dist
+        |  FROM sub s JOIN cb c ON c.m = s.m),
+        |enc AS (SELECT vec_id, m, c_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+        |      ORDER BY dist, c_id) AS rn FROM pd) WHERE rn = 1),
+        |dt AS (SELECT vec_id AS q_id, m, c_id,
+        |    CAST(dist AS DECIMAL(18,9)) AS qd
+        |  FROM pd WHERE vec_id < 5),
+        |adc AS (SELECT cand.q_id, cand.vec_id,
+        |    round(CAST(sum(qd) AS DOUBLE), 6) AS adc_r
+        |  FROM cand JOIN enc ON enc.vec_id = cand.vec_id
+        |  JOIN dt ON dt.q_id = cand.q_id AND dt.m = enc.m
+        |    AND dt.c_id = enc.c_id
+        |  GROUP BY 1, 2),
+        |top AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY adc_r, vec_id) AS crn FROM adc) WHERE crn <= 20),
+        |qv AS (SELECT vec_id AS q_id, v AS qvec, nv AS nq FROM e
+        |  WHERE vec_id < 5),
+        |r AS (SELECT t.q_id, t.vec_id,
+        |    round(list_dot_product(qvec, v) / (nq * nv), 6) AS cos_r
+        |  FROM top t JOIN e ON e.vec_id = t.vec_id
+        |  JOIN qv ON qv.q_id = t.q_id)
+        |SELECT q_id, vec_id, cos_r, CAST(rn AS INTEGER) AS rn
+        |FROM (SELECT q_id, vec_id, cos_r, ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rn FROM r)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir)
+      val c = e.select("vec_id", "v").filter(col("vec_id") < 8)
+        .toDF("c_id", "cv")
+      val wIvf = Window.partitionBy("vec_id")
+        .orderBy(col("dist_r"), col("c_id"))
+      val ranked = e.select("vec_id", "v").crossJoin(broadcast(c))
+        .select(col("vec_id"), col("c_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(wIvf))
+      val assign = ranked.filter(col("rn") === 1).select("vec_id", "c_id")
+      val probes = ranked.filter(col("vec_id") < 5 && col("rn") <= 4)
+        .select(col("vec_id").as("q_id"), col("c_id"))
+      val cand = assign.join(broadcast(probes), "c_id")
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id")
+      val sub = pqSub(s, dir)
+      val dt = sub.filter(col("vec_id") < 5)
+        .join(broadcast(pqCodebook(sub)), "m")
+        .select(col("vec_id").as("q_id"), col("m"), col("c_id"),
+          expr("cast(round(vec_sqdist(sv, cv), 9) as decimal(18,9))")
+            .as("qd"))
+      val adc = cand.join(pqIndex(s, dir), "vec_id")
+        .join(broadcast(dt), Seq("q_id", "m", "c_id"))
+        .groupBy("q_id", "vec_id")
+        .agg(round(sum(col("qd")).cast("double"), 6).as("adc_r"))
+      val wCand = Window.partitionBy("q_id")
+        .orderBy(col("adc_r"), col("vec_id"))
+      val top = adc.withColumn("crn", row_number().over(wCand))
+        .filter(col("crn") <= 20).select("q_id", "vec_id")
+      val queries = e.filter(col("vec_id") < 5).toDF("q_id", "qv", "nq")
+      val wRank = Window.partitionBy("q_id")
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      top.join(e, "vec_id").join(broadcast(queries), "q_id")
+        .select(col("q_id"), col("vec_id"),
+          expr(s"round($dot / (nq * nv), 6)").as("cos_r"))
+        .withColumn("rn", row_number().over(wRank))
+        .filter(col("rn") <= 10)
+        .orderBy("q_id", "rn")
+    },
+
+    // Prototype (nearest-class-centroid) classifier — the embedding-
+    // classifier filtering stage of CCNet/DoReMi-style curation
+    // pipelines, evaluated as a confusion matrix over the labeled
+    // corpus. Training is ONE decimal-accumulated per-(label, dim)
+    // aggregate (the posexplode + DECIMAL(38,20) frame q55 established
+    // — order-free, so the learned centroids are bit-identical across
+    // engines); inference broadcasts the L reassembled centroid arrays
+    // and scores every vector row-locally in the codegen'd vec_sqdist
+    // loop. At 100 TB: no pair space at all — one corpus pass to train,
+    // one to classify, the model is L×D doubles.
+    QueryDef(
+      "q111_prototype_classifier",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, u.dim_i AS dim_i, u.x AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(v) + 1),
+        |      i -> {'dim_i': i, 'x': v[i]})) AS u FROM e)),
+        |cm AS (SELECT label, dim_i,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / COUNT(*), 6) AS m
+        |  FROM x GROUP BY label, dim_i),
+        |cent AS (SELECT label AS p_label, list(m ORDER BY dim_i) AS cv
+        |  FROM cm GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label, p_label,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN cent),
+        |pred AS (SELECT vec_id, label, p_label FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dist_r, p_label) AS rn FROM d) WHERE rn = 1)
+        |SELECT label, p_label, CAST(count(*) AS BIGINT) AS n
+        |FROM pred GROUP BY 1, 2 ORDER BY label, p_label""".stripMargin) {
+      (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val cent = e.select(col("label"), posexplode(col("v")))
+        .toDF("label", "p", "x")
+        .groupBy(col("label"), (col("p") + 1).cast("int").as("dim_i"))
+        .agg(round(sum(col("x").cast(DecimalType(38, 20))).cast("double") /
+          count(lit(1)), 6).as("m"))
+        .groupBy(col("label").as("p_label"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim_i, m))), " +
+          "t -> t.m)").as("cv"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("dist_r"), col("p_label"))
+      e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("p_label"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy("label", "p_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "p_label")
     }
   )
 

@@ -389,5 +389,48 @@ object TextOps {
             .as("dup_ratio"),
           round(max("c") / sum("c").cast("double"), 6).as("top_frac"))
         .orderBy("doc_id")
+    },
+
+    // BPE merge step — one iteration of byte-pair-encoding vocabulary
+    // learning (the Sennrich scheme every modern tokenizer trains
+    // with): count adjacent symbol pairs across the corpus, weighted by
+    // word frequency; the top pair is the next merge. The q55 "training
+    // step" convention: one deterministic iteration on the query
+    // surface (the driver loop around it is trivial). Plan shape is the
+    // classic BPE trick — aggregate the corpus to its DISTINCT-word
+    // vocabulary FIRST (one token-stream pass; the vocab is Heaps'-law
+    // sublinear in corpus size), then explode pair positions over vocab
+    // entries only. At 100 TB the pair counting touches the vocabulary,
+    // never the corpus. All-integer output — no float boundary at all.
+    QueryDef(
+      "q112_bpe_merge_step",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd
+        |  FROM documents),
+        |v AS (SELECT wd, count(*) AS freq FROM w WHERE wd <> ''
+        |  GROUP BY wd),
+        |pr AS (SELECT substr(wd, CAST(i AS INTEGER), 1) AS p1,
+        |    substr(wd, CAST(i AS INTEGER) + 1, 1) AS p2, freq
+        |  FROM v, LATERAL unnest(range(1, length(wd))) AS u(i)
+        |  WHERE length(wd) >= 2),
+        |agg AS (SELECT p1, p2, CAST(sum(freq) AS BIGINT) AS pair_n
+        |  FROM pr GROUP BY 1, 2)
+        |SELECT p1, p2, pair_n, CAST(ROW_NUMBER() OVER (
+        |    ORDER BY pair_n DESC, p1, p2) AS INTEGER) AS rn
+        |FROM agg ORDER BY rn LIMIT 10""".stripMargin) { (s, dir) =>
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+      val w = Window.orderBy(col("pair_n").desc, col("p1"), col("p2"))
+      vocab.filter(length(col("wd")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(wd) - 1), " +
+            "i -> struct(substr(wd, i, 1) as p1, " +
+            "substr(wd, i + 1, 1) as p2))")).as("p"), col("freq"))
+        .groupBy(col("p.p1").as("p1"), col("p.p2").as("p2"))
+        .agg(sum("freq").as("pair_n"))
+        .withColumn("rn", row_number().over(w).cast("int"))
+        .filter(col("rn") <= 10)
+        .orderBy("rn")
     })
 }
