@@ -708,7 +708,7 @@ object SimilarityOps {
         |  GROUP BY 1, 2),
         |top AS (SELECT q_id, vec_id FROM (SELECT q_id, vec_id,
         |    ROW_NUMBER() OVER (PARTITION BY q_id
-        |      ORDER BY adc_r, vec_id) AS crn FROM adc) WHERE crn <= 20),
+        |      ORDER BY adc_r, vec_id) AS crn FROM adc) WHERE crn <= 100),
         |qv AS (SELECT vec_id AS q_id, v AS qvec, nv AS nq FROM e
         |  WHERE vec_id < 5),
         |r AS (SELECT t.q_id, t.vec_id,
@@ -747,7 +747,7 @@ object SimilarityOps {
       val wCand = Window.partitionBy("q_id")
         .orderBy(col("adc_r"), col("vec_id"))
       val top = adc.withColumn("crn", row_number().over(wCand))
-        .filter(col("crn") <= 20).select("q_id", "vec_id")
+        .filter(col("crn") <= 100).select("q_id", "vec_id")
       val queries = e.filter(col("vec_id") < 5).toDF("q_id", "qv", "nq")
       val wRank = Window.partitionBy("q_id")
         .orderBy(col("cos_r").desc, col("vec_id"))
