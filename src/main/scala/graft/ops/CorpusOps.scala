@@ -181,5 +181,40 @@ object CorpusOps {
           expr("tok_offset div 2048").as("pack_id"),
           expr("tok_offset % 2048").as("pack_offset"))
         .orderBy("source", "doc_id")
+    },
+
+    // Exact substring decontamination — the strictest of the four
+    // contamination modes (q37 whole-text equality, q85 Bloom
+    // membership, q107 n-gram overlap fraction, and this): flag a
+    // training doc if a benchmark document appears inside it verbatim
+    // (or vice versa — an excerpted benchmark). The bench set is small
+    // by definition, so it BROADCASTS and the corpus side stays
+    // row-local: a BroadcastNestedLoopJoin whose per-row work is
+    // |bench| substring probes — no shuffle, no pair materialization
+    // beyond actual hits. At 100 TB this is the one all-pairs-looking
+    // operator that is genuinely scan-shaped.
+    QueryDef(
+      "q113_substring_decontaminate",
+      """WITH b AS (SELECT doc_id AS b_id, text AS b_text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id AS c_id, text AS c_text FROM documents
+        |  WHERE doc_id % 50 <> 0)
+        |SELECT b_id, c_id,
+        |  position(b_text IN c_text) > 0 AS b_in_c,
+        |  position(c_text IN b_text) > 0 AS c_in_b
+        |FROM b JOIN c ON position(b_text IN c_text) > 0
+        |  OR position(c_text IN b_text) > 0
+        |ORDER BY b_id, c_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val b = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val c = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("c_id"), col("text").as("c_text"))
+      c.join(broadcast(b),
+          expr("instr(c_text, b_text) > 0 or instr(b_text, c_text) > 0"))
+        .select(col("b_id"), col("c_id"),
+          expr("instr(c_text, b_text) > 0").as("b_in_c"),
+          expr("instr(b_text, c_text) > 0").as("c_in_b"))
+        .orderBy("b_id", "c_id")
     })
 }

@@ -792,30 +792,55 @@ object SimilarityOps {
         |SELECT label, p_label, CAST(count(*) AS BIGINT) AS n
         |FROM pred GROUP BY 1, 2 ORDER BY label, p_label""".stripMargin) {
       (s, dir) =>
-      graft.functions.VectorExpressions.register(s)
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         col("label"),
         expr("transform(embedding, x -> cast(x as double))").as("v"))
-      val cent = e.select(col("label"), posexplode(col("v")))
-        .toDF("label", "p", "x")
-        .groupBy(col("label"), (col("p") + 1).cast("int").as("dim_i"))
-        .agg(round(sum(col("x").cast(DecimalType(38, 20))).cast("double") /
-          count(lit(1)), 6).as("m"))
-        .groupBy(col("label").as("p_label"))
-        .agg(expr("transform(array_sort(collect_list(struct(dim_i, m))), " +
-          "t -> t.m)").as("cv"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("dist_r"), col("p_label"))
-      e.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label"), col("p_label"),
-          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+      classifyByPrototype(e, prototypeModel(s, dir))
         .groupBy("label", "p_label")
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "p_label")
     }
   )
+
+  /** q111's trained model as ONE broadcastable row — the per-label
+    * centroids (decimal-accumulated per-(label, dim) means, q55's
+    * order-free frame) collected into `cents: array<struct<p_label,
+    * cv>>`. The L×D model in a single row is the form a pure row-local
+    * classifier can consume, which is what makes the gate
+    * streaming-composable.
+    */
+  def prototypeModel(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("label"), posexplode(
+        expr("transform(embedding, x -> cast(x as double))")))
+      .toDF("label", "p", "x")
+      .groupBy(col("label"), (col("p") + 1).cast("int").as("dim_i"))
+      .agg(round(sum(col("x").cast(DecimalType(38, 20))).cast("double") /
+        count(lit(1)), 6).as("m"))
+      .groupBy(col("label").as("p_label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim_i, m))), " +
+        "t -> t.m)").as("cv"))
+      .agg(collect_list(struct(col("p_label"), col("cv"))).as("cents"))
+
+  /** Row-local prototype classification: crossJoin the broadcast 1-row
+    * model and argmin over the centroid array in a single projection —
+    * no window, no aggregate, no state, so the SAME transform runs
+    * unchanged under Structured Streaming (CurationStreamSpec asserts
+    * stream == batch). Tie rule matches the q111 oracle: round-6
+    * distance, then lowest label (array_sort's struct order). Input
+    * must carry a double-array column `v`; all input columns pass
+    * through with `p_label` and `dist_r` appended.
+    */
+  def classifyByPrototype(df: DataFrame, model: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    val inCols = df.columns.map(col).toSeq
+    df.crossJoin(broadcast(model))
+      .withColumn("best", expr("array_sort(transform(cents, " +
+        "c -> struct(round(vec_sqdist(v, c.cv), 6) as d, " +
+        "c.p_label as l)))[0]"))
+      .select(inCols :+ col("best.l").as("p_label")
+        :+ col("best.d").as("dist_r"): _*)
+  }
 
   /** q51 build: brute-force cosine top-10 for the vec_id < 5 query set —
     * the exactness baseline ANN is audited against.

@@ -55,4 +55,43 @@ class CurationStreamSpec extends SparkSpec {
       doc1(1).asInstanceOf[String].contains("[PHONE]"))
     assert(doc1(2) == 2)
   }
+
+  test("streamed prototype classification is row-identical to the batch " +
+      "twin (q111's model as a streaming gate)") {
+    // The model trains batch-side (one decimal aggregate over the
+    // corpus) and classification is a pure row-local projection against
+    // the broadcast 1-row model — so an embedding stream can be
+    // label-gated per micro-batch with the exact batch semantics.
+    val dir = "/root/testdata/sf0.001"
+    val model = graft.ops.SimilarityOps.prototypeModel(spark, dir)
+    val sample = graft.engine.Tables(spark, dir, "embeddings")
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 40)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").toArray))
+
+    def classify(df: DataFrame): DataFrame =
+      graft.ops.SimilarityOps.classifyByPrototype(
+        df.selectExpr("vec_id",
+          "transform(embedding, x -> cast(x as double)) as v"), model)
+        .select("vec_id", "p_label", "dist_r")
+
+    val batch = classify(sample.toSeq.toDF("vec_id", "embedding"))
+      .collect().map(_.toSeq).toSet
+
+    val input = MemoryStream[(Long, Array[Float])](spark)
+    val q = classify(input.toDF().toDF("vec_id", "embedding"))
+      .writeStream.format("memory").queryName("protogate")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    sample.grouped(15).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("protogate").collect().map(_.toSeq).toSet
+
+    assert(streamed == batch, s"stream != batch: ${
+      (streamed diff batch) ++ (batch diff streamed)}")
+    assert(streamed.size == 40)
+  }
 }
