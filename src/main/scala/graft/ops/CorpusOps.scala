@@ -216,5 +216,44 @@ object CorpusOps {
           expr("instr(c_text, b_text) > 0").as("b_in_c"),
           expr("instr(b_text, c_text) > 0").as("c_in_b"))
         .orderBy("b_id", "c_id")
+    },
+
+    // Pack materialization — q77 assigns (doc → pack, offset); this
+    // emits the packs themselves: per (source, pack) the document
+    // order, doc count, and token fill. The doc_order string is what a
+    // sequence-building job consumes (and what makes packing auditable:
+    // offsets are a prefix sum, so pack fill ≈ 2048 except each
+    // source's tail). One window (the q77 prefix sum) + one (source,
+    // pack) aggregate whose payload is ids — the text never moves.
+    QueryDef(
+      "q115_pack_materialize",
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |o AS (SELECT source, doc_id, n_tok,
+        |    COALESCE(CAST(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING) AS BIGINT), 0) AS tok_offset FROM t)
+        |SELECT source, CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  string_agg(doc_id, ',' ORDER BY tok_offset) AS doc_order
+        |FROM o GROUP BY source, tok_offset // 2048
+        |ORDER BY source, pack_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"))
+        .withColumn("tok_offset",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .groupBy(col("source"),
+          expr("tok_offset div 2048").as("pack_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          expr("array_join(transform(array_sort(collect_list(" +
+            "struct(tok_offset, doc_id))), " +
+            "t -> cast(t.doc_id as string)), ',')").as("doc_order"))
+        .orderBy("source", "pack_id")
     })
 }

@@ -302,6 +302,50 @@ object CurationOps {
         .orderBy("lang")
     },
 
+    // Training-mix planner — q84's temperature weights turned into the
+    // numbers a data loader actually consumes: for a fixed token budget
+    // (100k here), each source's sampled-token allocation and its epoch
+    // count (allocation / available tokens; > 1 = the source is
+    // upsampled and will repeat). The whole plan derives from ONE
+    // per-source token aggregate plus two 1-row broadcasts — at 100 TB
+    // the planner costs a corpus scan's metadata, not the corpus.
+    QueryDef(
+      "q114_mix_planner",
+      """WITH c AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |    AS src_tokens FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS total FROM c),
+        |w AS (SELECT source, src_tokens,
+        |    CAST(round(sqrt(src_tokens / total), 6) AS DECIMAL(18, 6))
+        |      AS wt
+        |  FROM c, t),
+        |s AS (SELECT CAST(sum(wt) AS DOUBLE) AS wsum FROM w)
+        |SELECT source, src_tokens,
+        |  round(CAST(wt AS DOUBLE) / wsum, 6) AS mix_frac,
+        |  CAST(round(CAST(wt AS DOUBLE) / wsum * 100000, 0) AS BIGINT)
+        |    AS sampled_tokens,
+        |  round(round(CAST(wt AS DOUBLE) / wsum * 100000, 0)
+        |    / src_tokens, 6) AS epochs
+        |FROM w, s ORDER BY source""".stripMargin) { (s, dir) =>
+      val c = Tables(s, dir, "documents").groupBy("source")
+        .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
+          .as("src_tokens"))
+      val t = broadcast(c.agg(
+        sum(col("src_tokens")).cast("double").as("total")))
+      val w = c.crossJoin(t).withColumn("wt",
+        round(sqrt(col("src_tokens") / col("total")), 6)
+          .cast(DecimalType(18, 6)))
+      val ws = broadcast(w.agg(sum(col("wt")).cast("double").as("wsum")))
+      w.crossJoin(ws)
+        .select(col("source"), col("src_tokens"),
+          round(col("wt").cast("double") / col("wsum"), 6).as("mix_frac"),
+          round(col("wt").cast("double") / col("wsum") * 100000, 0)
+            .cast("long").as("sampled_tokens"),
+          round(round(col("wt").cast("double") / col("wsum") * 100000, 0)
+            / col("src_tokens"), 6).as("epochs"))
+        .orderBy("source")
+    },
+
     // Character-trigram log-probability score — the perplexity-proxy
     // quality filter (CCNet-style: score text against an n-gram language
     // model; here the model is the corpus's own trigram statistics, so
