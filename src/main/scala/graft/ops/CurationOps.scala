@@ -815,27 +815,76 @@ object CurationOps {
         |FROM w JOIN lr USING (wd) GROUP BY doc_id
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val w = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("source"),
+        .select(col("doc_id"),
           explode(split(lower(col("text")), " ")).as("wd"))
-      val tc = w.filter(col("source") === "src0")
-        .groupBy("wd").agg(count(lit(1)).as("n_t"))
-      val rc = w.groupBy("wd").agg(count(lit(1)).as("n_r"))
-      val joined = rc.join(tc, Seq("wd"), "left")
-      val tot = broadcast(joined.agg(
-        sum(col("n_t")).as("t_tot"), sum(col("n_r")).as("r_tot"),
-        count(lit(1)).as("vocab")))
-      val lr = joined.crossJoin(tot).select(col("wd"),
-        round(log((coalesce(col("n_t"), lit(0L)) + lit(1.0)) /
-            (col("t_tot") + col("vocab"))) -
-          log((col("n_r") + lit(1.0)) / (col("r_tot") + col("vocab"))),
-          9).as("lw"))
-      w.join(broadcast(lr), "wd")
+      w.join(broadcast(dsirWeights(s, dir)), "wd")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_words"),
           round(sum(col("lw").cast(DecimalType(18, 9))).cast("double"), 6)
             .as("dsir_logw"))
         .orderBy("doc_id")
     })
+
+  /** q109's trained artifact: the (word → log importance weight) table,
+    * Σ log(p_target(w)/p_raw(w)) per word, add-1 smoothed over the raw
+    * vocabulary. Two corpus-bounded aggregates; everything downstream
+    * consumes it as a broadcast.
+    */
+  private def dsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val w = Tables(s, dir, "documents")
+      .select(col("source"), explode(split(lower(col("text")), " "))
+        .as("wd"))
+    val tc = w.filter(col("source") === "src0")
+      .groupBy("wd").agg(count(lit(1)).as("n_t"))
+    val rc = w.groupBy("wd").agg(count(lit(1)).as("n_r"))
+    val joined = rc.join(tc, Seq("wd"), "left")
+    val tot = broadcast(joined.agg(
+      sum(col("n_t")).as("t_tot"), sum(col("n_r")).as("r_tot"),
+      count(lit(1)).as("vocab")))
+    joined.crossJoin(tot).select(col("wd"),
+      round(log((coalesce(col("n_t"), lit(0L)) + lit(1.0)) /
+          (col("t_tot") + col("vocab"))) -
+        log((col("n_r") + lit(1.0)) / (col("r_tot") + col("vocab"))),
+        9).as("lw"))
+  }
+
+  /** The DSIR weight table as ONE broadcastable row (word → lw map) —
+    * the model form a pure row-local scorer can consume.
+    */
+  def dsirModel(s: SparkSession, dir: String): DataFrame =
+    dsirWeights(s, dir)
+      .agg(map_from_entries(collect_list(struct(col("wd"), col("lw"))))
+        .as("wmap"))
+
+  /** Row-local DSIR scoring against the broadcast 1-row model: the
+    * per-doc weight sum runs as an array-HOF fold in DECIMAL(18,9)
+    * (exactly associative, so the fold in document order equals q109's
+    * shuffle-order aggregate bit-for-bit), words absent from the
+    * vocabulary score 0. No window, no aggregate, no state — the SAME
+    * transform runs unchanged under Structured Streaming
+    * (CurationStreamSpec asserts stream == batch). Input needs a
+    * `text` column; all input columns pass through with `n_words` and
+    * `dsir_logw` appended.
+    */
+  def scoreDsir(df: DataFrame, model: DataFrame): DataFrame = {
+    val inCols = df.columns.map(col).toSeq
+    df.crossJoin(broadcast(model))
+      .withColumn("ws", split(lower(col("text")), " "))
+      .select(inCols
+        :+ expr("cast(size(filter(ws, w -> wmap[w] is not null)) " +
+          "as bigint)").as("n_words")
+        // accumulator precision 28: (28,9)+(28,9) → (29,9) stays under
+        // Spark's 38 cap, so every step is EXACT; at 38 the sum type
+        // would silently drop to scale 8 (precision-loss mode) and
+        // round-half boundaries shift vs q109's aggregate
+        :+ expr("cast(aggregate(ws, cast(0 as decimal(28,9)), " +
+          "(a, w) -> cast(a + coalesce(cast(wmap[w] as decimal(28,9)), " +
+          "cast(0 as decimal(28,9))) as decimal(28,9))) as double)")
+          .as("acc")
+        : _*)
+      .withColumn("dsir_logw", round(col("acc"), 6))
+      .drop("acc")
+  }
 
   /** q102/q104's BM25 scorer (k1 = 1.2, b = 0.75), served from a
     * materialized INVERTED INDEX ([[graft.engine.Materialize]]): the

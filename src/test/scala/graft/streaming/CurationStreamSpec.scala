@@ -94,4 +94,35 @@ class CurationStreamSpec extends SparkSpec {
       (streamed diff batch) ++ (batch diff streamed)}")
     assert(streamed.size == 40)
   }
+
+  test("streamed DSIR scoring equals q109's batch aggregate exactly " +
+      "(the weight table as a streaming gate)") {
+    // The row-local scorer folds weights in DECIMAL over document
+    // order; decimal addition is exactly associative, so it must equal
+    // q109's shuffle-order groupBy sum bit-for-bit — no tolerance.
+    val dir = "/root/testdata/sf0.001"
+    val batch = graft.SparkEntry.queries("q109_dsir_weights")(spark, dir)
+      .collect().map(_.toSeq).toSet
+
+    val model = graft.ops.CurationOps.dsirModel(spark, dir)
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.ops.CurationOps.scoreDsir(
+        input.toDF().toDF("doc_id", "text"), model)
+      .select("doc_id", "n_words", "dsir_logw")
+      .writeStream.format("memory").queryName("dsirgate")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(200).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("dsirgate").collect().map(_.toSeq).toSet
+
+    assert(streamed == batch, s"first diffs: ${
+      ((streamed diff batch) ++ (batch diff streamed)).take(4)}")
+  }
 }
