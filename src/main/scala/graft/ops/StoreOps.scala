@@ -274,6 +274,57 @@ object StoreOps {
         .orderBy("o_orderpriority")
     },
 
+    // Incremental materialized-view maintenance over the change-data
+    // feed (the Delta Live Tables / DBSQL MATERIALIZED VIEW refresh
+    // algorithm): the MV table stores MERGEABLE partials per group
+    // (count + decimal sum), the initial build aggregates the base
+    // table AS OF version 2, and the refresh aggregates ONLY
+    // readChanges(2, 4) — the two delta dirs — then folds those
+    // partials into the stored ones with a keyed merge. At 100 TB the
+    // refresh cost is sized by the day's appends plus the group-sized
+    // MV, never by the base table; the algebraic decomposition
+    // (avg = sum/count at read time) is what keeps the aggregate
+    // self-maintainable under insert-only changes. The oracle IS the
+    // full recompute, so the hash check pins incremental == full.
+    QueryDef(
+      "q116_incremental_mv",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / COUNT(*) AS avg_price
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val base = ordersStore(s, dir)
+      // partials in a FIXED decimal type so every MV version has the
+      // same parquet schema (sum widens per level; the cast is exact
+      // at any realistic scale and keeps mergeSchema trivial)
+      def partials(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast(DecimalType(28, 2)).as("total_dec"))
+      val mv = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_mv_incremental", dir))
+      if (mv.currentVersion(s) == 0L)
+        mv.append(partials(base.readVersion(s, 2)), 0L)
+      if (mv.currentVersion(s) == 1L) {
+        val refreshed = mv.read(s).drop("batch_id")
+          .unionByName(partials(base.readChanges(s, 2, 4)))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n_orders")).as("n_orders"),
+            sum(col("total_dec")).cast(DecimalType(28, 2))
+              .as("total_dec"))
+        mv.merge(s, refreshed, "o_orderpriority", batchId = 1L)
+      }
+      mv.read(s)
+        .select(col("o_orderpriority"), col("n_orders"),
+          col("total_dec").cast("double").as("total"),
+          (col("total_dec").cast("double") / col("n_orders"))
+            .as("avg_price"))
+        .orderBy("o_orderpriority")
+    },
+
     // Z-order compaction (Delta OPTIMIZE ZORDER): the table streams in
     // date-interleaved-by-key batches — useless stats in both
     // dimensions — then z-orders on (o_orderdate, o_custkey). After

@@ -49,6 +49,37 @@ class StoreOpsSpec extends SparkSpec {
       s"predicate pruned nothing — all $dirs served the scan")
   }
 
+  test("q116's incremental MV equals the full recompute, and the delta " +
+      "aggregate scans only the two new batch dirs") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val dir = "/root/testdata/sf0.001"
+    val mvOut = graft.SparkEntry.queries("q116_incremental_mv")(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    // full recompute straight off the base table — the MV's decimal
+    // partial fold is exactly associative, so equality is bit-for-bit
+    val t = sum(col("o_totalprice").cast(DecimalType(18, 2)))
+      .cast(DecimalType(28, 2))
+    val full = graft.engine.Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), t.as("t"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("t").cast("double").as("total"),
+        (col("t").cast("double") / col("n_orders")).as("avg_price"))
+      .orderBy("o_orderpriority")
+      .collect().map(_.toSeq).toSeq
+    assert(mvOut == full)
+    // the refresh's input: ONLY the dirs holding the new batch ids —
+    // the base table's earlier dirs never reach the delta scan
+    val base = new graft.engine.ManifestTableStore(
+      graft.engine.Materialize.keyedPath(spark, "orders_store", dir))
+    val files = base.readChanges(spark, 2, 4).inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f =>
+        f.contains("/batch-2-") || f.contains("/batch-3-")),
+      s"delta scan read pre-existing dirs:\n${files.mkString("\n")}")
+  }
+
   test("q87's post-compaction scan reads exactly one data dir") {
     val df = graft.SparkEntry.queries("q87_store_compact")(
       spark, "/root/testdata/sf0.001")
