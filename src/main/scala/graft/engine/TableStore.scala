@@ -84,13 +84,18 @@ trait TableStore {
   * by [[readWhere]] to skip whole dirs a predicate provably cannot match
   * (Iceberg's manifest-level file pruning / parquet's zone maps, lifted
   * to the commit layer — at 100 TB this is the difference between
-  * scanning a day and scanning the table). The commit/visibility/
+  * scanning a day and scanning the table); `bloomColumns` adds the
+  * fourth: per-dir membership filters so EQUALITY lookups on
+  * high-cardinality keys prune dirs whose min/max ranges always overlap
+  * (see [[collectBloom]]). The commit/visibility/
   * idempotence/concurrency semantics — the parts the reference pipeline
   * actually relies on from Iceberg — are faithful.
   */
 final class ManifestTableStore(path: String,
     partitionBy: Seq[String] = Nil,
-    statsColumns: Seq[String] = Nil) extends TableStore {
+    statsColumns: Seq[String] = Nil,
+    bloomColumns: Seq[String] = Nil,
+    bloomBits: Int = 1 << 19) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
   import ManifestTableStore.{EndMarker, Entry, NumV, StrV, SVal, TsV}
@@ -171,7 +176,7 @@ final class ManifestTableStore(path: String,
     * yields no stats — pruning stays conservative.
     */
   private def collectStats(spark: SparkSession, dir: String): String = {
-    if (statsColumns.isEmpty) return ""
+    if (statsColumns.isEmpty && bloomColumns.isEmpty) return ""
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
     val df = spark.read.parquet(dir)
@@ -180,7 +185,7 @@ final class ManifestTableStore(path: String,
     val present = statsColumns.filter(c => df.schema.fields.exists(f =>
       f.name == c && (f.dataType.isInstanceOf[NumericType] ||
         f.dataType == StringType || isTs(f.dataType))))
-    if (present.isEmpty) return ""
+    if (present.isEmpty && bloomColumns.isEmpty) return ""
     // timestamps travel as epoch micros so prune-time comparison is
     // representation-free (no lexical date-string edge cases). NTZ
     // columns (parquet timestamps without timezone — the common
@@ -191,14 +196,18 @@ final class ManifestTableStore(path: String,
         dt: org.apache.spark.sql.types.DataType) =
       if (isTs(dt)) unix_micros(c.cast(TimestampType)).cast("string")
       else c.cast("string")
-    val aggs = present.flatMap { c =>
-      val dt = df.schema(c).dataType
-      Seq(norm(min(col(c)), dt), norm(max(col(c)), dt))
-    }
-    val row = df.agg(aggs.head, aggs.tail: _*).head()
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
-    present.zipWithIndex.foreach { case (c, i) =>
+    val row =
+      if (present.isEmpty) null
+      else {
+        val aggs = present.flatMap { c =>
+          val dt = df.schema(c).dataType
+          Seq(norm(min(col(c)), dt), norm(max(col(c)), dt))
+        }
+        df.agg(aggs.head, aggs.tail: _*).head()
+      }
+    if (present.nonEmpty) present.zipWithIndex.foreach { case (c, i) =>
       val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
       if (mn != null && mx != null) {
         df.schema(c).dataType match {
@@ -222,7 +231,62 @@ final class ManifestTableStore(path: String,
         }
       }
     }
+    collectBloom(df, root)
     if (root.isEmpty) "" else mapper.writeValueAsString(root)
+  }
+
+  /** Per-dir MEMBERSHIP stats for `bloomColumns` (the Delta bloom-filter
+    * index / Iceberg puffin idea at manifest granularity): a `bloomBits`-
+    * bit bloom filter (k = [[ManifestTableStore.BloomK]] probes of
+    * `xxhash64(i, cast(col as string))`) recorded per data dir, so an
+    * EQUALITY predicate on a high-cardinality key prunes dirs that
+    * min/max ranges — which interleaved streaming appends make useless —
+    * never could. This is what turns a 100 TB point lookup from "scan
+    * the table" into "open the one dir that has the key", with NO
+    * clustering requirement; false positives only ever keep a dir
+    * (conservative). Integral and string columns only: their cast-to-
+    * string form is canonical, so the prune-time literal probe hashes
+    * the same bytes the build did. Size `bloomBits` at ~10-20 bits per
+    * distinct key per dir; a real table format would spill bitsets to
+    * sidecar files (puffin) rather than inline JSON — at manifest sizes
+    * this store commits, inline base64 is fine.
+    */
+  private def collectBloom(df: DataFrame,
+      root: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType, StringType}
+    val eligible = bloomColumns.flatMap(c =>
+      df.schema.fields.collectFirst {
+        case f if f.name == c && f.dataType == StringType => c -> "s"
+        case f if f.name == c && Seq(ByteType, ShortType, IntegerType,
+            LongType).contains(f.dataType) => c -> "i"
+      })
+    if (eligible.isEmpty) return
+    require(bloomBits >= 64 && bloomBits % 64 == 0,
+      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+    val m = bloomBits.toLong
+    val k = ManifestTableStore.BloomK
+    val node = root.putObject(ManifestTableStore.BloomKey)
+    eligible.foreach { case (c, t) =>
+      // k positions per row, OR-folded into a word-indexed bitset with
+      // ONE partial-aggregating shuffle of <= m/64 rows — the collect is
+      // bitset-sized metadata, never data-sized
+      val words = df.filter(col(c).isNotNull)
+        .selectExpr(s"explode(transform(sequence(0, ${k - 1}), " +
+          s"i -> pmod(xxhash64(i, cast(`$c` as string)), " +
+          s"cast($m as bigint)))) as p")
+        .selectExpr("cast(p div 64 as int) as w",
+          "shiftleft(1L, cast(p % 64 as int)) as b")
+        .groupBy("w").agg(expr("bit_or(b)").as("bits"))
+        .collect()
+      val arr = new Array[Long](bloomBits / 64)
+      words.foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      val buf = java.nio.ByteBuffer.allocate(arr.length * 8)
+      arr.foreach(buf.putLong)
+      val cn = node.putObject(c)
+      cn.put("t", t); cn.put("m", bloomBits)
+      cn.put("b", java.util.Base64.getEncoder.encodeToString(buf.array()))
+    }
   }
 
   private def parseStats(json: String): Map[String, (SVal, SVal)] = {
@@ -233,7 +297,8 @@ final class ManifestTableStore(path: String,
     root.properties().forEach { e =>
       val (mn, mx) = (e.getValue.get("min"), e.getValue.get("max"))
       val isTs = e.getValue.has("t") && e.getValue.get("t").asText == "ts"
-      if (isTs && mn.isNumber && mx.isNumber)
+      if (mn == null || mx == null) () // bloom node / foreign shape
+      else if (isTs && mn.isNumber && mx.isNumber)
         b += e.getKey -> (TsV(mn.asLong()), TsV(mx.asLong()))
       else if (mn.isNumber && mx.isNumber)
         b += e.getKey -> (NumV(mn.decimalValue()), NumV(mx.decimalValue()))
@@ -746,9 +811,12 @@ final class ManifestTableStore(path: String,
     val perDir = lines.map(e => e.dir -> e.statsJson).distinct
     val (kept, skipped) = perDir.partition { case (_, json) =>
       val stats = parseStats(json)
+      lazy val blooms = ManifestTableStore.parseBlooms(json)
       !bounds.exists { case (c, op, v) =>
         stats.get(c).exists { case (mn, mx) =>
-          ManifestTableStore.disjoint(op, v, mn, mx) }
+          ManifestTableStore.disjoint(op, v, mn, mx) } ||
+          (op == "=" && blooms.get(c).exists(b =>
+            ManifestTableStore.bloomProbe(v, b).exists(s => !b.contains(s))))
       }
     }
     (kept.map(_._1), skipped.map(_._1))
@@ -771,6 +839,74 @@ object ManifestTableStore {
   private[engine] final case class NumV(v: java.math.BigDecimal) extends SVal
   private[engine] final case class StrV(v: String) extends SVal
   private[engine] final case class TsV(micros: Long) extends SVal
+
+  /** Stats-JSON key holding the per-column bloom nodes. */
+  private[engine] val BloomKey = "__bloom__"
+
+  /** Probes per value; fp ≈ (1 - e^(-k·n/m))^k — at the default
+    * m = 2^19 and 4k distinct keys/dir this is ~1e-7.
+    */
+  private[engine] val BloomK = 5
+
+  /** A parsed per-dir bloom: `t` is the build-time column kind
+    * ("i" integral / "s" string) — probes of the other kind never prune.
+    */
+  private[engine] final case class Bloom(t: String, m: Int,
+      words: Array[Long]) {
+    def contains(s: String): Boolean =
+      bloomPositions(s, m).forall(p =>
+        (words(p / 64) & (1L << (p % 64))) != 0L)
+  }
+
+  /** The k bit positions for a value's canonical string form — the SAME
+    * seed-chained xxhash64 the build-side Spark expression
+    * `pmod(xxhash64(i, cast(col as string)), m)` computes, via the same
+    * `XXH64` primitives (BloomStatsSpec pins the parity), so a
+    * driver-side probe needs no Spark job.
+    */
+  private[engine] def bloomPositions(s: String, m: Int): Seq[Int] = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    (0 until BloomK).map { i =>
+      val h = XXH64.hashUTF8String(u, XXH64.hashInt(i, 42L))
+      (((h % m) + m) % m).toInt
+    }
+  }
+
+  /** The canonical probe string for an equality literal against a bloom
+    * of kind `b.t`, or None when the literal's form cannot be canonical
+    * (then the dir is conservatively kept). Integral columns cast to
+    * plain digits, so only scale<=0 numerics probe; string columns
+    * probe raw. Timestamps never probe (their cast form is a formatted
+    * date — min/max stats cover them).
+    */
+  private[engine] def bloomProbe(v: SVal, b: Bloom): Option[String] =
+    (v, b.t) match {
+      case (StrV(s), "s") => Some(s)
+      case (NumV(d), "i") =>
+        val sd = d.stripTrailingZeros
+        if (sd.scale <= 0) Some(sd.toBigIntegerExact.toString) else None
+      case _ => None
+    }
+
+  private[engine] def parseBlooms(json: String): Map[String, Bloom] = {
+    if (json.isEmpty || !json.contains(BloomKey)) return Map.empty
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(json).get(BloomKey)
+    if (node == null) return Map.empty
+    val b = Map.newBuilder[String, Bloom]
+    node.properties().forEach { e =>
+      val (t, m, b64) = (e.getValue.get("t"), e.getValue.get("m"),
+        e.getValue.get("b"))
+      if (t != null && m != null && b64 != null) {
+        val bytes = java.util.Base64.getDecoder.decode(b64.asText())
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        val words = Array.fill(bytes.length / 8)(buf.getLong)
+        b += e.getKey -> Bloom(t.asText(), m.asInt(), words)
+      }
+    }
+    b.result()
+  }
 
   /** Parse a SQL timestamp/date literal string as UTC epoch micros
     * (sessions pin UTC); None → the conjunct can't prune (conservative).

@@ -274,6 +274,40 @@ object StoreOps {
         .orderBy("o_orderpriority")
     },
 
+    // Bloom-pruned point lookup (Delta's bloom filter index / Iceberg
+    // puffin, at manifest granularity): the store records a per-dir
+    // membership bitset for o_orderkey, whose per-dir min/max ranges —
+    // date-batched appends, key uncorrelated with date — overlap every
+    // probe and so can never prune. The equality lookup probes each
+    // dir's bloom and opens ONLY the dir that holds the key: the 100 TB
+    // "find one record" query without any clustering requirement.
+    // BloomStatsSpec pins the probe-hash parity and the pruning; the
+    // oracle pins the row.
+    QueryDef(
+      "q117_store_pointlookup",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS total, o_orderpriority
+        |FROM orders WHERE o_orderkey = 7
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_bloom", dir),
+        statsColumns = Seq("o_orderdate", "o_orderkey"),
+        bloomColumns = Seq("o_orderkey"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      Seq(
+        0L -> upTo("1997-01-01"),
+        1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+        2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+        3L -> !upTo("2000-01-01")
+      ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+      store.readWhere(s, "o_orderkey = 7")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
     // Incremental materialized-view maintenance over the change-data
     // feed (the Delta Live Tables / DBSQL MATERIALIZED VIEW refresh
     // algorithm): the MV table stores MERGEABLE partials per group

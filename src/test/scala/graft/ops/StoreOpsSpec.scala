@@ -80,6 +80,18 @@ class StoreOpsSpec extends SparkSpec {
       s"delta scan read pre-existing dirs:\n${files.mkString("\n")}")
   }
 
+  test("q117's bloom-pruned point lookup opens exactly one batch dir " +
+      "(min/max ranges all overlap the key)") {
+    val df = graft.SparkEntry.queries("q117_store_pointlookup")(
+      spark, "/root/testdata/sf0.001")
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    val dirs = files.map(_.replaceAll("/[^/]+$", "")).distinct
+    assert(dirs.length == 1,
+      s"bloom pruning left more than one dir in the scan:\n$dirs")
+    assert(df.count() == 1L)
+  }
+
   test("q87's post-compaction scan reads exactly one data dir") {
     val df = graft.SparkEntry.queries("q87_store_compact")(
       spark, "/root/testdata/sf0.001")
