@@ -232,7 +232,27 @@ final class ManifestTableStore(path: String,
       }
     }
     collectBloom(df, root)
+    // per-dir row count (Iceberg records this in every manifest entry):
+    // a parquet footer-metadata count, so [[countRows]] can answer
+    // COUNT(*) without touching data. Recorded whenever the store is
+    // stats-configured at all.
+    root.put(ManifestTableStore.CountKey, df.count())
     if (root.isEmpty) "" else mapper.writeValueAsString(root)
+  }
+
+  /** Metadata-only COUNT(*): the per-dir row counts recorded at commit
+    * time, summed over the current version's dirs — Iceberg's instant
+    * count-from-manifests, the difference between a catalog query and a
+    * 100 TB scan. None when any dir predates count recording (or the
+    * store records no stats); callers then fall back to
+    * `read(spark).count()`.
+    */
+  def countRows(spark: SparkSession): Option[Long] = {
+    val (_, lines) = current(fs(spark))
+    if (lines.isEmpty) return Some(0L)
+    val perDir = lines.groupBy(_.dir).map(_._2.head.statsJson).toSeq
+    val ns = perDir.map(ManifestTableStore.parseCount)
+    if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
   }
 
   /** Per-dir MEMBERSHIP stats for `bloomColumns` (the Delta bloom-filter
@@ -760,7 +780,7 @@ final class ManifestTableStore(path: String,
       lines: Seq[Entry]): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
-      Expression, GreaterThan, GreaterThanOrEqual, LessThan,
+      Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
       LessThanOrEqual, Literal}
 
     def conjuncts(e: Expression): Seq[Expression] = e match {
@@ -781,30 +801,38 @@ final class ManifestTableStore(path: String,
         case _ => None
       }
     }
-    // (column, op, value) with reversed literal-first forms normalized
-    val bounds: Seq[(String, String, SVal)] =
+    // (column, op, values) with reversed literal-first forms normalized;
+    // "in" carries the whole list (a dir is disjoint from an IN only if
+    // EVERY member is impossible), every other op exactly one value
+    val bounds: Seq[(String, String, Seq[SVal])] =
       conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
         .flatMap {
+          case In(a: UnresolvedAttribute, vs)
+              if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+            val svs = vs.map(v => sval(v.asInstanceOf[Literal]))
+            // any non-liftable member → the conjunct can't prune
+            if (svs.forall(_.isDefined)) Some((a.name, "in", svs.flatten))
+            else None
           case EqualTo(a: UnresolvedAttribute, l: Literal) =>
-            sval(l).map((a.name, "=", _))
+            sval(l).map(v => (a.name, "=", Seq(v)))
           case EqualTo(l: Literal, a: UnresolvedAttribute) =>
-            sval(l).map((a.name, "=", _))
+            sval(l).map(v => (a.name, "=", Seq(v)))
           case GreaterThan(a: UnresolvedAttribute, l: Literal) =>
-            sval(l).map((a.name, ">", _))
+            sval(l).map(v => (a.name, ">", Seq(v)))
           case LessThan(l: Literal, a: UnresolvedAttribute) =>
-            sval(l).map((a.name, ">", _))
+            sval(l).map(v => (a.name, ">", Seq(v)))
           case GreaterThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-            sval(l).map((a.name, ">=", _))
+            sval(l).map(v => (a.name, ">=", Seq(v)))
           case LessThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-            sval(l).map((a.name, ">=", _))
+            sval(l).map(v => (a.name, ">=", Seq(v)))
           case LessThan(a: UnresolvedAttribute, l: Literal) =>
-            sval(l).map((a.name, "<", _))
+            sval(l).map(v => (a.name, "<", Seq(v)))
           case GreaterThan(l: Literal, a: UnresolvedAttribute) =>
-            sval(l).map((a.name, "<", _))
+            sval(l).map(v => (a.name, "<", Seq(v)))
           case LessThanOrEqual(a: UnresolvedAttribute, l: Literal) =>
-            sval(l).map((a.name, "<=", _))
+            sval(l).map(v => (a.name, "<=", Seq(v)))
           case GreaterThanOrEqual(l: Literal, a: UnresolvedAttribute) =>
-            sval(l).map((a.name, "<=", _))
+            sval(l).map(v => (a.name, "<=", Seq(v)))
           case _ => None
         }
 
@@ -812,11 +840,18 @@ final class ManifestTableStore(path: String,
     val (kept, skipped) = perDir.partition { case (_, json) =>
       val stats = parseStats(json)
       lazy val blooms = ManifestTableStore.parseBlooms(json)
-      !bounds.exists { case (c, op, v) =>
-        stats.get(c).exists { case (mn, mx) =>
-          ManifestTableStore.disjoint(op, v, mn, mx) } ||
-          (op == "=" && blooms.get(c).exists(b =>
-            ManifestTableStore.bloomProbe(v, b).exists(s => !b.contains(s))))
+      !bounds.exists { case (c, op, vs) =>
+        // an IN prunes only when EVERY member is impossible for the dir;
+        // each member is checked like an equality (range + bloom)
+        def impossible(v: SVal): Boolean = {
+          val cmpOp = if (op == "in") "=" else op
+          stats.get(c).exists { case (mn, mx) =>
+            ManifestTableStore.disjoint(cmpOp, v, mn, mx) } ||
+            (cmpOp == "=" && blooms.get(c).exists(b =>
+              ManifestTableStore.bloomProbe(v, b).exists(s =>
+                !b.contains(s))))
+        }
+        vs.forall(impossible)
       }
     }
     (kept.map(_._1), skipped.map(_._1))
@@ -842,6 +877,16 @@ object ManifestTableStore {
 
   /** Stats-JSON key holding the per-column bloom nodes. */
   private[engine] val BloomKey = "__bloom__"
+
+  /** Stats-JSON key holding the dir's row count. */
+  private[engine] val CountKey = "__n__"
+
+  private[engine] def parseCount(json: String): Option[Long] = {
+    if (json.isEmpty || !json.contains(CountKey)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json).get(CountKey)
+    if (n != null && n.isNumber) Some(n.asLong()) else None
+  }
 
   /** Probes per value; fp ≈ (1 - e^(-k·n/m))^k — at the default
     * m = 2^19 and 4k distinct keys/dir this is ~1e-7.

@@ -51,6 +51,28 @@ object StoreOps {
     store
   }
 
+  /** The q117/q118 store: date-batched appends (key uncorrelated with
+    * date, so per-dir key ranges always overlap) with a bloom on the
+    * key — the layout where membership stats are the ONLY thing that
+    * can prune a point probe.
+    */
+  private def bloomOrdersStore(s: SparkSession,
+      dir: String): ManifestTableStore = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_bloom", dir),
+      statsColumns = Seq("o_orderdate", "o_orderkey"),
+      bloomColumns = Seq("o_orderkey"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+      3L -> !upTo("2000-01-01")
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    store
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
@@ -289,19 +311,26 @@ object StoreOps {
         |  CAST(o_totalprice AS DOUBLE) AS total, o_orderpriority
         |FROM orders WHERE o_orderkey = 7
         |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_bloom", dir),
-        statsColumns = Seq("o_orderdate", "o_orderkey"),
-        bloomColumns = Seq("o_orderkey"))
-      val orders = Tables(s, dir, "orders")
-      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
-      Seq(
-        0L -> upTo("1997-01-01"),
-        1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
-        2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
-        3L -> !upTo("2000-01-01")
-      ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
-      store.readWhere(s, "o_orderkey = 7")
+      bloomOrdersStore(s, dir).readWhere(s, "o_orderkey = 7")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("double").as("total"),
+          col("o_orderpriority"))
+        .orderBy("o_orderkey")
+    },
+
+    // IN-list lookup over the same bloom store — the multi-key point
+    // fetch (a batch of ids to re-read). A dir is pruned only when
+    // EVERY member is provably absent (range or bloom); the absent
+    // member (5000000) exercises exactly that path. Still opens only
+    // the dirs that hold the requested keys.
+    QueryDef(
+      "q118_store_inlist",
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CAST(o_totalprice AS DOUBLE) AS total, o_orderpriority
+        |FROM orders WHERE o_orderkey IN (7, 32, 33, 5000000)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      bloomOrdersStore(s, dir)
+        .readWhere(s, "o_orderkey IN (7, 32, 33, 5000000)")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           col("o_totalprice").cast("double").as("total"),
           col("o_orderpriority"))

@@ -75,6 +75,32 @@ class BloomStatsSpec extends SparkSpec {
       .as[String].collect().toSeq == Seq("w93"))
   }
 
+  test("IN-list pruning opens only the dirs holding requested members; " +
+      "absent members prune everywhere") {
+    val store = seeded(tmp("bloom-in"))
+    // 93 % 4 == 1, 94 % 4 == 2; 100000 lives nowhere → dirs 0 and 3
+    // are provably free of every member and must be pruned
+    val df = store.readWhere(spark, "k IN (93, 94, 100000)")
+    val files = df.inputFiles
+    assert(files.nonEmpty)
+    assert(files.forall(f =>
+        f.contains("/batch-1-") || f.contains("/batch-2-")),
+      s"IN-list pruning leaked dirs:\n${files.mkString("\n")}")
+    assert(df.select("k").as[Long].collect().sorted.toSeq ==
+      Seq(93L, 94L))
+    // all members absent → zero dirs, zero rows
+    assert(store.readWhere(spark, "k IN (100001, 100002)").count() == 0L)
+  }
+
+  test("countRows answers COUNT(*) from manifest metadata and tracks " +
+      "appends and DML") {
+    val store = seeded(tmp("bloom-count"))
+    assert(store.countRows(spark).contains(400L))
+    assert(store.read(spark).count() == 400L)
+    store.delete(spark, "k = 93")
+    assert(store.countRows(spark).contains(399L))
+  }
+
   test("DML rewrite recomputes the rewritten dir's bloom; untouched " +
       "dirs keep pruning") {
     val store = seeded(tmp("bloom-dml"))
