@@ -67,6 +67,68 @@ class StreamingDedupSpec extends SparkSpec {
     assert(flagged.exists(_._2 == 7L), s"copy of doc 7 not matched: $flagged")
   }
 
+  /** transformWithState requires the RocksDB state store; scope to the
+    * body and restore after (same shape as StatefulOpsSpec).
+    */
+  private def withRocksDB[T](body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("bounded-state bloom dedup: cross-batch replays dropped, all " +
+      "distinct texts kept at honest sizing, state fixed-size") {
+    withRocksDB {
+      val corpus = spark.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val distinctTexts =
+        corpus.map(_._2.toLowerCase.trim).distinct.length
+      val input = MemoryStream[(Long, Timestamp, String)](spark)
+      val rows = corpus.map { case (id, t) =>
+        (id, ts("2024-01-01 10:00:00"), t) }
+      // stream the corpus twice in interleaved batches: every second
+      // pass is a replay the gate must drop, across batch boundaries
+      val out = runStream(input,
+        d => StreamingDedup.approxDedupBloom(d.drop("ts")),
+        "sbloom", (rows ++ rows.map { case (id, s, t) =>
+          (id + 100000L, s, t) }).toSeq.grouped(200).map(_.toSeq).toSeq)
+      val kept = out.select("text").collect().map(_.getString(0))
+      // no duplicate normalized text is ever emitted twice — definite
+      assert(kept.map(_.toLowerCase.trim).distinct.length == kept.length)
+      // at 2^20 bits / 64 buckets vs 500 docs, fp ≈ 0: all distinct
+      // texts survive (a drop here means the hashing broke)
+      assert(kept.map(_.toLowerCase.trim).distinct.length == distinctTexts,
+        s"${kept.length} kept vs $distinctTexts distinct")
+    }
+  }
+
+  test("bloom dedup under saturation stays conservative: drops occur " +
+      "but emitted set is still duplicate-free") {
+    withRocksDB {
+      // 500 distinct docs into 2 buckets × 256 bits: heavily saturated,
+      // so false-positive drops are guaranteed; the no-dup guarantee
+      // must hold anyway and SOME early docs must still get through
+      val input = MemoryStream[(Long, Timestamp, String)](spark)
+      val rows = (0 until 500).map(i =>
+        (i.toLong, ts("2024-01-01 10:00:00"), s"unique document $i body"))
+      val out = runStream(input,
+        d => StreamingDedup.approxDedupBloom(d.drop("ts"),
+          buckets = 2, bloomBits = 256),
+        "sbloomsat", rows.grouped(100).toSeq)
+      val kept = out.select("text").collect().map(_.getString(0))
+      assert(kept.distinct.length == kept.length)
+      assert(kept.nonEmpty && kept.length < 500,
+        s"expected saturation drops, kept ${kept.length}")
+    }
+  }
+
   test("composed streaming pipeline: exactDedup → nearDupFlags equals the " +
       "batch candidate join restricted to the streamed (deduped) docs") {
     import spark.implicits._
