@@ -781,7 +781,7 @@ final class ManifestTableStore(path: String,
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     import org.apache.spark.sql.catalyst.expressions.{And, EqualTo,
       Expression, GreaterThan, GreaterThanOrEqual, In, LessThan,
-      LessThanOrEqual, Literal}
+      LessThanOrEqual, Literal, Or}
 
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -801,12 +801,35 @@ final class ManifestTableStore(path: String,
         case _ => None
       }
     }
+    // a same-column OR of equalities is an IN in disguise — normalize it
+    // so `k = 1 OR k = 2` prunes like `k IN (1, 2)`; any other OR shape
+    // can't prune (conservative)
+    def orEqs(e: Expression): Option[(String, Seq[SVal])] = {
+      def leaves(x: Expression): Seq[Expression] = x match {
+        case Or(l, r) => leaves(l) ++ leaves(r)
+        case other => Seq(other)
+      }
+      val pairs = leaves(e).map {
+        case EqualTo(a: UnresolvedAttribute, l: Literal) =>
+          sval(l).map((a.name, _))
+        case EqualTo(l: Literal, a: UnresolvedAttribute) =>
+          sval(l).map((a.name, _))
+        case _ => None
+      }
+      if (pairs.nonEmpty && pairs.forall(_.isDefined)) {
+        val ps = pairs.flatten
+        if (ps.map(_._1).distinct.size == 1)
+          Some((ps.head._1, ps.map(_._2))) else None
+      } else None
+    }
+
     // (column, op, values) with reversed literal-first forms normalized;
     // "in" carries the whole list (a dir is disjoint from an IN only if
     // EVERY member is impossible), every other op exactly one value
     val bounds: Seq[(String, String, Seq[SVal])] =
       conjuncts(spark.sessionState.sqlParser.parseExpression(predicateSql))
         .flatMap {
+          case o: Or => orEqs(o).map { case (c, vs) => (c, "in", vs) }
           case In(a: UnresolvedAttribute, vs)
               if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
             val svs = vs.map(v => sval(v.asInstanceOf[Literal]))

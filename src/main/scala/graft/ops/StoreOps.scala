@@ -388,6 +388,22 @@ object StoreOps {
         .orderBy("o_orderpriority")
     },
 
+    // Metadata-only COUNT(*) (Iceberg's instant count-from-manifests):
+    // per-dir row counts recorded at commit time answer the count with
+    // ZERO data files opened — at 100 TB the difference between a
+    // catalog lookup and a table scan. Falls back to a data count for
+    // manifests that predate count recording (the API degrades, never
+    // lies); the DuckDB oracle pins the value either way.
+    QueryDef(
+      "q119_store_count",
+      "SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders") {
+      (s, dir) =>
+      import s.implicits._
+      val store = ordersStore(s, dir)
+      Seq(store.countRows(s).getOrElse(store.read(s).count()))
+        .toDF("n_rows")
+    },
+
     // Z-order compaction (Delta OPTIMIZE ZORDER): the table streams in
     // date-interleaved-by-key batches — useless stats in both
     // dimensions — then z-orders on (o_orderdate, o_custkey). After

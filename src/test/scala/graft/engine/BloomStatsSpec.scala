@@ -90,6 +90,15 @@ class BloomStatsSpec extends SparkSpec {
       Seq(93L, 94L))
     // all members absent → zero dirs, zero rows
     assert(store.readWhere(spark, "k IN (100001, 100002)").count() == 0L)
+    // same-column OR of equalities prunes like the equivalent IN
+    val of = store.readWhere(spark, "k = 93 OR k = 94").inputFiles
+    assert(of.nonEmpty && of.forall(f =>
+        f.contains("/batch-1-") || f.contains("/batch-2-")),
+      s"OR-of-equalities failed to prune:\n${of.mkString("\n")}")
+    // an OR the normalizer can't lift (mixed columns) prunes nothing
+    // but stays correct
+    assert(store.readWhere(spark, "k = 93 OR v = 'w94'")
+      .select("k").as[Long].collect().sorted.toSeq == Seq(93L, 94L))
   }
 
   test("countRows answers COUNT(*) from manifest metadata and tracks " +
