@@ -176,7 +176,6 @@ final class ManifestTableStore(path: String,
     * yields no stats — pruning stays conservative.
     */
   private def collectStats(spark: SparkSession, dir: String): String = {
-    if (statsColumns.isEmpty && bloomColumns.isEmpty) return ""
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
     val df = spark.read.parquet(dir)
@@ -185,7 +184,6 @@ final class ManifestTableStore(path: String,
     val present = statsColumns.filter(c => df.schema.fields.exists(f =>
       f.name == c && (f.dataType.isInstanceOf[NumericType] ||
         f.dataType == StringType || isTs(f.dataType))))
-    if (present.isEmpty && bloomColumns.isEmpty) return ""
     // timestamps travel as epoch micros so prune-time comparison is
     // representation-free (no lexical date-string edge cases). NTZ
     // columns (parquet timestamps without timezone — the common
@@ -233,11 +231,11 @@ final class ManifestTableStore(path: String,
     }
     collectBloom(df, root)
     // per-dir row count (Iceberg records this in every manifest entry):
-    // a parquet footer-metadata count, so [[countRows]] can answer
-    // COUNT(*) without touching data. Recorded whenever the store is
-    // stats-configured at all.
+    // a parquet footer-metadata count on EVERY commit, so [[countRows]]
+    // and [[history]] answer without touching data regardless of stats
+    // configuration.
     root.put(ManifestTableStore.CountKey, df.count())
-    if (root.isEmpty) "" else mapper.writeValueAsString(root)
+    mapper.writeValueAsString(root)
   }
 
   /** Metadata-only COUNT(*): the per-dir row counts recorded at commit
@@ -631,6 +629,30 @@ final class ManifestTableStore(path: String,
         case None => e
       }
     } ++ extra)
+  }
+
+  /** The table's commit history as a DataFrame — Delta's DESCRIBE
+    * HISTORY / Iceberg's snapshots metadata table: one row per COMPLETE
+    * manifest version with its distinct batch and dir counts and the
+    * version's metadata row count (-1 when any dir predates count
+    * recording). Manifest-only: no data file is opened. In-flight or
+    * dead-writer version files are skipped, exactly as readers skip
+    * them.
+    */
+  def history(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark)
+    val (cur, _) = current(f)
+    (1L to cur).flatMap { v =>
+      readManifest(f, v).map { es =>
+        val counts = es.groupBy(_.dir).map(_._2.head.statsJson).toSeq
+          .map(ManifestTableStore.parseCount)
+        (v, es.map(_.batchId).distinct.size.toLong,
+          es.map(_.dir).distinct.size.toLong,
+          if (counts.nonEmpty && counts.forall(_.isDefined))
+            counts.flatten.sum else -1L)
+      }
+    }.toDF("version", "n_batches", "n_dirs", "n_rows")
   }
 
   /** Read the table AS OF a specific manifest version — time travel,

@@ -404,6 +404,36 @@ object StoreOps {
         .toDF("n_rows")
     },
 
+    // Commit history as a metadata table (Delta DESCRIBE HISTORY /
+    // Iceberg snapshots): one row per manifest version, rows counted
+    // from manifest metadata alone. The oracle reconstructs the same
+    // ledger from the date-range batch definitions — cumulative counts
+    // per version — pinning that the store's accounting matches the
+    // data it actually committed.
+    QueryDef(
+      "q120_store_history",
+      """WITH c AS (SELECT
+        |  SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN 1 ELSE 0 END) AS b0,
+        |  SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS b1,
+        |  SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      AND o_orderdate < TIMESTAMP '2000-01-01'
+        |      THEN 1 ELSE 0 END) AS b2,
+        |  SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+        |      THEN 1 ELSE 0 END) AS b3 FROM orders)
+        |SELECT version, version AS n_batches, version AS n_dirs,
+        |  CAST(CASE version WHEN 1 THEN b0 WHEN 2 THEN b0 + b1
+        |    WHEN 3 THEN b0 + b1 + b2 ELSE b0 + b1 + b2 + b3 END
+        |    AS BIGINT) AS n_rows
+        |FROM c CROSS JOIN (SELECT CAST(UNNEST(range(1, 5)) AS BIGINT)
+        |  AS version)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      ordersStore(s, dir).history(s)
+        .orderBy("version")
+    },
+
     // Z-order compaction (Delta OPTIMIZE ZORDER): the table streams in
     // date-interleaved-by-key batches — useless stats in both
     // dimensions — then z-orders on (o_orderdate, o_custkey). After

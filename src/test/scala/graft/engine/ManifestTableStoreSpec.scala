@@ -30,6 +30,19 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(rows.map(_.getDouble(1)).toSet == Set(1.0, 2.0)) // first write won
   }
 
+  test("history lists one metadata row per complete version; compaction " +
+      "shows batches preserved into one dir") {
+    val store = new ManifestTableStore(tmp("manifest-history-").toString)
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    store.append(Seq(("c", 3)).toDF("k", "n"), 1L)
+    store.compact(spark)
+    val h = store.history(spark)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    assert(h == Seq((1L, 1L, 1L, 2L), (2L, 2L, 2L, 3L), (3L, 2L, 1L, 3L)),
+      s"history was $h")
+  }
+
   test("unmanifested data is invisible to readers (crash mid-write)") {
     val root = tmp("manifest-crash-")
     val store = new ManifestTableStore(root.toString)
