@@ -76,7 +76,12 @@ object Bench {
       .mkString("{", ",", "}")
     val rech = suspects.toSeq.sorted.map(jstr).mkString("[", ",", "]")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"n_ok":${ok.size},"n_failed":${failed.size},"runs":$runs,"sf":"$sfDir"}""")
+    // The summary fields (total first among them) ride at the END of the
+    // line: the artifact pipeline has twice truncated this line from the
+    // HEAD, and a tail-surviving total is the one number every
+    // round-over-round comparison needs. The leading "metric" key stays
+    // for the driver's grep; the trailing duplicate is the durable copy.
+    println(s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"runs":$runs,"sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"value":$total,"total_sec":$total}""")
     System.out.flush()
     spark.stop()
     if (failed.nonEmpty) {

@@ -43,10 +43,28 @@ case class CharNgrams(child: Expression, n: Int)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val s = v.asInstanceOf[UTF8String]
-    val last = s.numChars() - n
+    // One O(bytes) boundary walk, then each n-gram is a bounded byte
+    // copy. (substringSQL per position re-walks from byte 0 every call —
+    // O(chars²) per document; measured ~2 s for a 1.5 MB corpus, i.e.
+    // the whole cost of the round-5 trigram queries.)
+    val bytes = s.getBytes
+    val nChars = s.numChars()
+    val last = nChars - n
     if (last < 0) return Iterator.empty
-    (0 to last).iterator.map(i =>
-      InternalRow(i + 1, s.substringSQL(i + 1, n)))
+    val bounds = new Array[Int](nChars + 1)
+    var c = 0
+    var off = 0
+    while (c < nChars) {
+      bounds(c) = off
+      off += UTF8String.numBytesForFirstByte(bytes(off))
+      c += 1
+    }
+    bounds(nChars) = bytes.length
+    (0 to last).iterator.map { i =>
+      val a = bounds(i)
+      val b = bounds(i + n)
+      InternalRow(i + 1, UTF8String.fromBytes(bytes, a, b - a))
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): CharNgrams =

@@ -62,5 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHashText(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("simhash64"),
+      info("simhash64",
+        "simhash64(text) - 64-bit simhash fingerprint as four 16-bit " +
+          "band words"),
+      (exprs: Seq[Expression]) => SimHash64(exprs.head)))
   }
 }

@@ -6,20 +6,21 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** MinHash signature as ONE aggregate: folds shingle hashes into a
-  * numPerms-wide min-signature buffer in a single pass.
+/** MinHash signature as ONE aggregate: folds shingle STRING rows (e.g.
+  * from the `shingle_strings` generator) into a numPerms-wide
+  * min-signature buffer in a single pass, using the same oracle-portable
+  * sha256-window permutation family as the row-local `minhash_text`
+  * ([[MinHashSha]]) — MinHashTextSpec asserts the two are bit-identical.
   *
   * This is the `TypedImperativeAggregate` tier of the custom-operator
   * ladder: the buffer (long[numPerms]) is mutable across rows, merges are
   * elementwise min (commutative/associative → partition-order
   * independent), and partial aggregation works map-side like any
-  * built-in. Compared to numPerms separate `min(xxhash64(p, h))` columns
-  * it evaluates the child once per row and keeps one buffer instead of
-  * numPerms aggregate slots.
-  *
-  * Permutation p of a shingle hash h is a 64-bit mix of (h, p) — the
-  * standard "one strong hash, k cheap permutations" minhash construction.
+  * built-in. Compared to numPerms separate `min(substr(sha2(...)))`
+  * columns it hashes the shingle once per digest instead of once per
+  * permutation and keeps one buffer instead of numPerms aggregate slots.
   */
 case class MinHashAgg(
     child: Expression,
@@ -39,15 +40,8 @@ case class MinHashAgg(
   override def update(buf: Array[Long], input:
       org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
     val v = child.eval(input)
-    if (v != null) {
-      val h = v.asInstanceOf[Long]
-      var p = 0
-      while (p < numPerms) {
-        val m = MinHashAgg.mix(h, p)
-        if (m < buf(p)) buf(p) = m
-        p += 1
-      }
-    }
+    if (v != null)
+      MinHashSha.fold(v.asInstanceOf[UTF8String].getBytes, numPerms, buf)
     buf
   }
 
@@ -76,14 +70,4 @@ case class MinHashAgg(
     copy(inputAggBufferOffset = offset)
   override protected def withNewChildrenInternal(
       c: IndexedSeq[Expression]): MinHashAgg = copy(child = c.head)
-}
-
-object MinHashAgg {
-  /** splitmix64-style permutation of (h, p): cheap, well-mixed, stable. */
-  def mix(h: Long, p: Int): Long = {
-    var z = h + (p.toLong + 1L) * 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
 }

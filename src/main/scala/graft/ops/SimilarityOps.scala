@@ -70,10 +70,13 @@ object SimilarityOps {
   /** Materialized hyperplane-LSH bucket table for the registered 16×4
     * operating point: (vec_id, t, bkt), one row per (vector, table).
     * Serves q53's candidate join and q54's audit from one build instead
-    * of re-hashing the corpus per consumer.
+    * of re-hashing the corpus per consumer. (`_sgn` = the round-6
+    * oracle-portable ±1-sign plane family — a distinct artifact name so
+    * a warehouse carrying the round-5 splitmix-plane buckets can never
+    * serve them stale.)
     */
   private def hpBuckets(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Materialize.table(s, "hp_buckets_16x4", dir) {
+    graft.engine.Materialize.table(s, "hp_buckets_sgn16x4", dir) {
       vectors(s, dir)
         .select(col("vec_id"),
           posexplode(expr("vec_hp_buckets(v, 16, 4)")))
@@ -261,14 +264,50 @@ object SimilarityOps {
     // measured by the recall sweep (AnnTuneDrive): the exact top-10 here
     // sits at cos 0.25-0.39 — near-orthogonal, the hardest regime for
     // hyperplane LSH (p_bit ≈ 0.6, candidate fraction ~ n^0.7) — so
-    // buckets must stay coarse to hit recall@10 >= 0.8 (measured 0.80;
-    // 8×8 bits measured 0.32). On a real near-dup corpus (cos >= 0.8,
+    // buckets must stay coarse to hit recall@10 >= 0.8 (8×8 bits
+    // measured 0.32). On a real near-dup corpus (cos >= 0.8,
     // p_bit >= 0.9) the same operator runs 16-24 bits per table with tiny
     // buckets and high recall — bits scale with log(n) and similarity,
     // which is why they are parameters, not constants. q54 audits THIS
-    // registered config against the exact top-k. Not SQL-portable →
-    // rows-only.
-    QueryDef.rowsOnly("q53_ann_lsh")((s, dir) =>
+    // registered config against the exact top-k. Fully hash-checked from
+    // round 6: the ±1-sign plane family + decimal-scaled integer dot
+    // (vec_hp_buckets) is reproduced verbatim by the oracle below —
+    // sign(k) is the q121 integer trick, the bit decision an exact
+    // BIGINT sum, the re-rank the q51 cosine family.
+    QueryDef(
+      "q53_ann_lsh",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nv
+        |  FROM embeddings),
+        |r AS (SELECT vec_id, list_transform(range(64), d ->
+        |    CAST(CAST(v[d+1] AS DECIMAL(18,9)) * 1000000000 AS BIGINT))
+        |    AS rv FROM e),
+        |pl AS (SELECT t.t AS t, b.b AS b
+        |  FROM (SELECT unnest(range(0,16)) AS t) t,
+        |       (SELECT unnest(range(0,4)) AS b) b),
+        |dots AS (SELECT vec_id, t, b,
+        |    list_sum(list_transform(range(64), d ->
+        |      (CASE WHEN (((t*4+b)*64+d)*((t*4+b)*64+d)*2246822519
+        |          + ((t*4+b)*64+d)*3266489917) % 4294967296 < 2147483648
+        |        THEN 1 ELSE -1 END) * rv[d+1])) AS s
+        |  FROM r, pl),
+        |bkt AS (SELECT vec_id, t,
+        |    SUM(CASE WHEN s >= 0 THEN (1 << b) ELSE 0 END) AS bkt
+        |  FROM dots GROUP BY vec_id, t),
+        |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS vec_id
+        |  FROM bkt q JOIN bkt c ON q.t = c.t AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |sc AS (SELECT cand.q_id, cand.vec_id,
+        |    round(list_dot_product(qe.v, ce.v) / (qe.nv * ce.nv), 6)
+        |      AS cos_r
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+        |  JOIN e ce ON ce.vec_id = cand.vec_id),
+        |rr AS (SELECT q_id, vec_id, cos_r, CAST(ROW_NUMBER() OVER (
+        |    PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS INTEGER)
+        |    AS rn FROM sc)
+        |SELECT q_id, vec_id, cos_r, rn FROM rr WHERE rn <= 10
+        |ORDER BY q_id, rn""".stripMargin)((s, dir) =>
       annLshBucketed(vectors(s, dir), hpBuckets(s, dir),
         queryIds = 0 until 5, topK = 10)),
 

@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.QueryDef
+import graft.engine.SqlEntry
+
+/** SQL-text entry surface (round-5 verdict, "What's missing" 2): each
+  * query here is ONE SQL string in the ANSI intersection of Spark SQL
+  * and DuckDB, run verbatim by BOTH engines — the Spark side through
+  * [[graft.engine.SqlEntry]] over the registered corpus views, the
+  * oracle side by the driver's DuckDB. Shared text means zero drift by
+  * construction, and it proves the reference's "immediately queryable by
+  * Spark, Trino, or BI" promise (reference README.md:42) holds: a BI
+  * user's first interaction is SQL, and this is that interaction,
+  * oracle-checked.
+  *
+  * Determinism rules are the usual ones (SURVEY §7.4): total ORDER BY,
+  * DECIMAL accumulation for float sums, integer/string outputs
+  * otherwise.
+  */
+object SqlSurface {
+
+  private def shared(name: String)(text: String): QueryDef =
+    QueryDef(name, text)((s, dir) => SqlEntry.sql(s, dir, text))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-style pricing summary — the canonical BI aggregate, as
+    // pure SQL text. Decimal-accumulated sums; plan identical to q02's
+    // DataFrame build (scan → partial hash agg → final agg).
+    shared("q122_sql_pricing")(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        |    AS sum_disc_price
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    // Join + window top-N per customer — the "BI drill-down" shape
+    // (dimension join, partitioned rank, k-per-group), as SQL text. The
+    // customer side broadcasts (AQE sizes it); the window partitions by
+    // customer — no global sort.
+    shared("q123_sql_top_orders")(
+      """SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice, rnk
+        |FROM (
+        |  SELECT c_custkey, c_mktsegment, o_orderkey, o_totalprice,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY c_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rnk
+        |  FROM orders JOIN customer ON o_custkey = c_custkey) t
+        |WHERE rnk <= 3
+        |ORDER BY c_custkey, rnk""".stripMargin),
+
+    // Corpus datasheet by (lang, source) — the curation surface reached
+    // through SQL: a data buyer's first query against the documents
+    // table.
+    shared("q124_sql_corpus_datasheet")(
+      """SELECT lang, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM documents
+        |GROUP BY lang, source
+        |ORDER BY lang, source""".stripMargin))
+}

@@ -35,9 +35,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getInt(2) == 4)
       assert(r.getInt(3) == 16)
       val agg = spark.sql(
-        "SELECT minhash_sig(h, 4) AS sig FROM " +
-          "(SELECT explode(array(1L, 2L, 3L)) AS h)")
+        "SELECT minhash_sig(sh, 4) AS sig FROM " +
+          "(SELECT explode(array('a b c', 'b c d')) AS sh)")
       assert(agg.head().getSeq[Long](0).length == 4)
+      val sim = spark.sql("SELECT simhash64('hello world') AS f")
+      assert(sim.head().getSeq[Long](0).length == 4)
       val sh = spark.sql(
         "SELECT sh FROM (SELECT 'a b c d' AS t) " +
           "LATERAL VIEW shingle_strings(t, 3) AS sh")
