@@ -45,7 +45,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("shingle_strings"),
       info("shingle_strings",
-        "shingle_strings(text, n) - generator emitting one word n-gram " +
+        "shingle_strings(text, n) - generator emitting (pos, sh) per word " +
           "string per position"),
       (exprs: Seq[Expression]) => ShingleStrings(exprs.head,
         exprs(1).eval().asInstanceOf[Int])))

@@ -5,14 +5,17 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, Generator,
   UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.types.{DataType, StringType, StructField,
-  StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType,
+  StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Generator emitting one row `(sh: string)` per word n-gram of a text
-  * column — the string twin of [[ShingleHashes]] for consumers that need
-  * the shingle TEXT (boilerplate detection reports the offending n-gram;
-  * a hash could not be shown to a human or matched against a denylist).
+/** Generator emitting one row `(pos: int, sh: string)` per word n-gram
+  * of a text column (pos is the 1-based word position of the n-gram's
+  * first word) — the string twin of [[ShingleHashes]] for consumers that
+  * need the shingle TEXT (boilerplate detection reports the offending
+  * n-gram; a hash could not be shown to a human or matched against a
+  * denylist) or its POSITION (span-level repeated-region detection in
+  * q125 merges consecutive repeating positions into cut spans).
   *
   * Row-local like its twin: shingle rows stream into the downstream
   * aggregate with no shuffle and no interpreted HOF lambda in the hot
@@ -27,7 +30,8 @@ case class ShingleStrings(child: Expression, n: Int)
   override def prettyName: String = "shingle_strings"
 
   override def elementSchema: StructType =
-    StructType(StructField("sh", StringType) :: Nil)
+    StructType(StructField("pos", IntegerType) ::
+      StructField("sh", StringType) :: Nil)
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType != StringType)
@@ -44,7 +48,7 @@ case class ShingleStrings(child: Expression, n: Int)
     val last = words.length - n
     if (last < 0) return Iterator.empty
     (0 to last).iterator.map { i =>
-      InternalRow(UTF8String.concatWs(ShingleStrings.Space,
+      InternalRow(i + 1, UTF8String.concatWs(ShingleStrings.Space,
         words.slice(i, i + n).toIndexedSeq: _*))
     }
   }

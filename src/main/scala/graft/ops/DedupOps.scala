@@ -167,8 +167,11 @@ object DedupOps {
     // into a 16-bit fingerprint. Near-dup docs differ in few bits.
     // Bit k = high bit of hex digit k of sha256(word) — lowercase hex
     // compares lexicographically like its numeric value, so `digit >= '8'`
-    // is portable to the DuckDB oracle. Fully codegen'd: explode + 16
-    // sum(CASE) aggregates.
+    // is portable to the DuckDB oracle. The 16-bit fingerprint is BY
+    // DEFINITION word 0 of the row-local simhash64 (same digits, same
+    // votes, same packing — SimHash64Spec), so the Spark side is one
+    // row-local projection; the oracle keeps the explode + 16 sum(CASE)
+    // relational formulation.
     QueryDef(
       "q45_simhash", {
         val sums = (0 until 16).map(k =>
@@ -185,17 +188,10 @@ object DedupOps {
            |SELECT doc_id, CAST($pack AS INTEGER) AS simhash
            |FROM b ORDER BY doc_id""".stripMargin
       }) { (s, dir) =>
-      val bitSums = (0 until 16).map(k =>
-        sum(when(substring(col("h"), k + 1, 1) >= "8", 1).otherwise(-1))
-          .as(s"s$k"))
-      val pack = (0 until 16).map(k =>
-        when(col(s"s$k") > 0, 1 << k).otherwise(0)).reduce(_ + _)
+      graft.functions.VectorExpressions.register(s)
       Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .select(col("doc_id"), sha2(col("w"), 256).as("h"))
-        .groupBy("doc_id")
-        .agg(bitSums.head, bitSums.tail: _*)
-        .select(col("doc_id"), pack.cast("int").as("simhash"))
+        .select(col("doc_id"),
+          expr("cast(element_at(simhash64(text), 1) as int)").as("simhash"))
         .orderBy("doc_id")
     },
 
@@ -431,6 +427,62 @@ object DedupOps {
           min(col("doc_id")).cast("long").as("min_doc_id"),
           sum(col("n_exact")).as("n_source_docs"))
         .orderBy("split")
+    },
+
+    // SPAN-level repeated-region detection — the Lee et al. ("Dedup-
+    // licating Training Data Makes Language Models Better") exact-
+    // substring tier that document- and segment-level dedup both miss:
+    // a span repeated VERBATIM across documents (license header, nav
+    // boilerplate, quoted passage) at ANY word offset, not just q99's
+    // fixed 10-word chunk boundaries. Position p of a doc "repeats"
+    // when the word-10-gram starting at p occurs in >= 2 distinct
+    // documents; consecutive repeating positions merge into one cut
+    // span (gaps-and-islands: pos - row_number is constant within a
+    // run). Output: one row per maximal span — (doc, start, end word
+    // position, gram count, span width) — the cut-list a span-dedup
+    // pass consumes. Scale shape: the gram frame is a row-local
+    // generator evaluated twice (frequency pass + position pass — two
+    // fused scans beat exchanging a corpus×10-words intermediate,
+    // PERF.md finding 13); the repeated-gram set joins back as a
+    // left-semi (AQE broadcasts it when boilerplate-sized); the window
+    // partitions by doc — no global sort.
+    QueryDef(
+      "q125_repeated_spans",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(list_slice(w, i, i + 9), ' ') AS sh
+        |  FROM d, unnest(range(1, len(w) - 8)) AS t(i)),
+        |r AS (SELECT sh FROM g GROUP BY sh
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.pos FROM g JOIN r USING (sh)),
+        |i AS (SELECT doc_id, pos,
+        |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos)
+        |      AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(MIN(pos) AS INTEGER) AS start_pos,
+        |  CAST(MAX(pos) AS INTEGER) AS end_pos,
+        |  COUNT(*) AS n_grams,
+        |  CAST(MAX(pos) - MIN(pos) + 10 AS INTEGER) AS span_words
+        |FROM i GROUP BY doc_id, grp
+        |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val g = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 10)"))
+      val rep = g.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("sh")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      g.join(rep, Seq("sh"), "left_semi")
+        .select("doc_id", "pos")
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"),
+          count(lit(1)).as("n_grams"))
+        .select(col("doc_id"), col("start_pos"), col("end_pos"),
+          col("n_grams"),
+          (col("end_pos") - col("start_pos") + 10).as("span_words"))
+        .orderBy("doc_id", "start_pos")
     })
 
   /** q43 build: exact n-gram Jaccard over a capped id range — the ground

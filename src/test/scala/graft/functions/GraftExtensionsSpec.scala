@@ -41,10 +41,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val sim = spark.sql("SELECT simhash64('hello world') AS f")
       assert(sim.head().getSeq[Long](0).length == 4)
       val sh = spark.sql(
-        "SELECT sh FROM (SELECT 'a b c d' AS t) " +
-          "LATERAL VIEW shingle_strings(t, 3) AS sh")
-        .collect().map(_.getString(0)).toSeq
-      assert(sh == Seq("a b c", "b c d"))
+        "SELECT pos, sh FROM (SELECT 'a b c d' AS t) " +
+          "LATERAL VIEW shingle_strings(t, 3) AS pos, sh")
+        .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+      assert(sh == Seq((1, "a b c"), (2, "b c d")))
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
