@@ -23,11 +23,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SqlEntry {
 
   /** Publish all corpus tables as temp views + register the engine's SQL
-    * function extensions. Idempotent — safe to call per query.
+    * function extensions. Idempotent — safe to call per query — and
+    * cached per (session, dir): re-registering re-reads ten parquet
+    * footers for schemas, which costs more than a whole gold query when
+    * done per call.
     */
   def registerViews(s: SparkSession, dir: String): Unit = {
-    Tables.names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
-    graft.functions.VectorExpressions.register(s)
+    val key = "graft.sql.viewsRegisteredFor"
+    if (!s.conf.getOption(key).contains(dir)) {
+      Tables.names.foreach(n => Tables(s, dir, n).createOrReplaceTempView(n))
+      graft.functions.VectorExpressions.register(s)
+      s.conf.set(key, dir)
+    }
   }
 
   /** Run SQL text against the registered corpus views. */
