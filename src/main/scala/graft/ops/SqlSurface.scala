@@ -61,5 +61,31 @@ object SqlSurface {
         |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
         |FROM documents
         |GROUP BY lang, source
-        |ORDER BY lang, source""".stripMargin))
+        |ORDER BY lang, source""".stripMargin),
+
+    // SQL over the engine's OWN table-format layer: `silver_orders` is
+    // the manifest store's committed state registered as a view — the
+    // reference's literal promise (silver Iceberg table, queryable by
+    // SQL). The oracle targets the raw `orders` table, which the
+    // store's four appends partition exactly, so store-read == raw.
+    QueryDef(
+      "q126_sql_store",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        StoreOps.registerSilverView(s, dir)
+        SqlEntry.sql(s, dir,
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM silver_orders
+            |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+            |GROUP BY o_orderstatus, o_orderpriority
+            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    })
 }

@@ -73,6 +73,16 @@ object StoreOps {
     store
   }
 
+  /** Publish the manifest-store silver table as a session view — the
+    * store half of the SQL entry surface ([[graft.engine.SqlEntry]]
+    * registers the corpus tables; this registers the engine's OWN
+    * table-format layer, so a SQL user queries committed store state,
+    * not raw files). q126 exercises it; the oracle targets the raw
+    * `orders` table, which the four appends partition exactly.
+    */
+  def registerSilverView(s: SparkSession, dir: String): Unit =
+    ordersStore(s, dir).read(s).createOrReplaceTempView("silver_orders")
+
   val defs: Seq[QueryDef] = Seq(
 
     // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
