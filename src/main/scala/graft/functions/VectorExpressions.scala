@@ -109,11 +109,12 @@ case class SquaredDistance(left: Expression, right: Expression) extends VectorFo
   * k = (t·bits + b)·dim + d derived from pure integer arithmetic
   * (`(k²·2246822519 + k·3266489917) mod 2³² < 2³¹` — the q121 JL sign
   * trick with a decorrelated constant pair), and the dot product runs
-  * over the vector's elements ROUNDED TO DECIMAL(18,9) as scaled longs —
-  * exact integer accumulation, so the bit (sum ≥ 0) is reproducible
-  * bit-for-bit by ANSI SQL in any engine (DuckDB oracle included; a
-  * double accumulation could flip a knife-edge sign on association
-  * order). Sign hyperplanes are the standard SRP-LSH construction —
+  * over the vector's elements as floor(x·10⁹ + 0.5) scaled longs
+  * ([[HyperplaneBuckets.scaled]]) — exact integer accumulation, so the
+  * bit (sum ≥ 0) is reproducible bit-for-bit by ANSI SQL in any engine
+  * (DuckDB oracle included; a double accumulation could flip a
+  * knife-edge sign on association order, and a DECIMAL cast ties
+  * differently across engines). Sign hyperplanes are the standard SRP-LSH construction —
   * P[bit differs] = θ/π exactly as with Gaussian planes.
   *
   * Weights are computed inline (no materialized weight matrix, no
@@ -213,15 +214,15 @@ case class HyperplaneBuckets(child: Expression, numTables: Int,
 }
 
 object HyperplaneBuckets {
-  /** Element rounded to DECIMAL(18,9), as its scaled (×10⁹) long —
-    * matches `CAST(x AS DECIMAL(18,9))` in Spark and DuckDB
-    * (BigDecimal.valueOf is the shortest-decimal form both engines
-    * round; HALF_UP is SQL CAST rounding).
+  /** Element as its ×10⁹ scaled long via `floor(x·10⁹ + 0.5)` — pure
+    * IEEE double multiply/add/floor, bit-identical in any engine (the
+    * DECIMAL(18,9) cast alternative has half-way ties that Spark rounds
+    * HALF_UP but DuckDB half-even — a real sf0.1 mismatch in q121
+    * before round 6 switched both sides to this form). The floor result
+    * stays far below 2⁵³, so the long conversion is exact.
     */
   def scaled(x: Double): Long =
-    java.math.BigDecimal.valueOf(x)
-      .setScale(9, java.math.RoundingMode.HALF_UP)
-      .unscaledValue().longValue()
+    math.floor(x * 1e9 + 0.5).toLong
 
   /** Achlioptas ±1 weight for flat plane·dim index k: the portable
     * quadratic integer sign hash (expressible verbatim in ANSI SQL).

@@ -76,7 +76,7 @@ object SimilarityOps {
     * serve them stale.)
     */
   private def hpBuckets(s: SparkSession, dir: String): DataFrame =
-    graft.engine.Materialize.table(s, "hp_buckets_sgn16x4", dir) {
+    graft.engine.Materialize.table(s, "hp_buckets_sgnf16x4", dir) {
       vectors(s, dir)
         .select(col("vec_id"),
           posexplode(expr("vec_hp_buckets(v, 16, 4)")))
@@ -136,9 +136,14 @@ object SimilarityOps {
     // arithmetic progressions mod 2^32 — which collapses the
     // projection's rank; the k² term decorrelates rows, measured
     // cosine-correlation 0.21 → 0.60), identical in any engine, so the
-    // oracle reproduces the projection bit-for-bit; the per-cell sums
-    // fold in DECIMAL (finding 28: accumulator precision 20 keeps every
-    // step under the cap → exact). Row-local: fuses into the scan, zero
+    // oracle reproduces the projection bit-for-bit; each element enters
+    // as its ×10⁹ scaled long via floor(v·10⁹ + 0.5) — pure IEEE double
+    // ops that are bit-identical across engines — and the fold is exact
+    // BIGINT arithmetic. (Round 5 cast elements to DECIMAL(18,9), whose
+    // half-way ties Spark rounds HALF_UP but DuckDB half-even: a
+    // sf0.1-only 1-ulp mismatch the sf0.01 driver gate never saw —
+    // caught by this round's full sf0.1 oracle sweep. floor(x+0.5) has
+    // no tie ambiguity.) Row-local: fuses into the scan, zero
     // shuffle. At 100 TB the half-width candidate representation halves
     // scan bytes for the coarse pass; like q74/q110 the projection is a
     // candidate GENERATOR composed with exact re-rank, never a ranker —
@@ -151,10 +156,11 @@ object SimilarityOps {
         |p AS (SELECT vec_id,
         |  list_transform(range(32), i ->
         |    CAST(list_sum(list_transform(range(64), j ->
-        |      CAST(v[j+1] AS DECIMAL(18,9)) *
+        |      CAST(floor(v[j+1] * 1000000000 + 0.5) AS BIGINT) *
         |      (CASE WHEN ((i*64+j)*(i*64+j)*2654435761
         |                  + (i*64+j)*40503) % 4294967296 < 2147483648
-        |            THEN 1 ELSE -1 END))) AS DOUBLE)) AS pr
+        |            THEN 1 ELSE -1 END))) AS DOUBLE)
+        |      / 1000000000) AS pr
         |  FROM e)
         |SELECT vec_id, """.stripMargin +
         (0 until 32).map(i => s"pr[${i + 1}] AS p$i").mkString(", ") +
@@ -162,13 +168,14 @@ object SimilarityOps {
       Tables(s, dir, "embeddings")
         .select(col("vec_id"), expr(
           "transform(sequence(0, 31), i -> " +
-            "cast(aggregate(sequence(0, 63), cast(0 as decimal(20,9)), " +
-            "(a, j) -> cast(a + " +
-            "cast(element_at(embedding, j + 1) as decimal(18,9)) * " +
+            "cast(aggregate(sequence(0, 63), 0L, " +
+            "(a, j) -> a + " +
+            "cast(floor(cast(element_at(embedding, j + 1) as double) " +
+            "* 1000000000d + 0.5d) as bigint) * " +
             "(case when pmod((i * 64 + j) * (i * 64 + j) * 2654435761L " +
             "+ (i * 64 + j) * 40503L, 4294967296L) " +
-            "< 2147483648L then 1 else -1 end) as decimal(20,9))) " +
-            "as double))").as("pr"))
+            "< 2147483648L then 1L else -1L end)) " +
+            "as double) / 1000000000d)").as("pr"))
         .select(col("vec_id") +: (0 until 32).map(i =>
           expr(s"element_at(pr, ${i + 1})").as(s"p$i")): _*)
         .orderBy("vec_id")
@@ -270,7 +277,7 @@ object SimilarityOps {
     // buckets and high recall — bits scale with log(n) and similarity,
     // which is why they are parameters, not constants. q54 audits THIS
     // registered config against the exact top-k. Fully hash-checked from
-    // round 6: the ±1-sign plane family + decimal-scaled integer dot
+    // round 6: the ±1-sign plane family + floor-scaled integer dot
     // (vec_hp_buckets) is reproduced verbatim by the oracle below —
     // sign(k) is the q121 integer trick, the bit decision an exact
     // BIGINT sum, the re-rank the q51 cosine family.
@@ -281,7 +288,7 @@ object SimilarityOps {
         |      AS nv
         |  FROM embeddings),
         |r AS (SELECT vec_id, list_transform(range(64), d ->
-        |    CAST(CAST(v[d+1] AS DECIMAL(18,9)) * 1000000000 AS BIGINT))
+        |    CAST(floor(v[d+1] * 1000000000 + 0.5) AS BIGINT))
         |    AS rv FROM e),
         |pl AS (SELECT t.t AS t, b.b AS b
         |  FROM (SELECT unnest(range(0,16)) AS t) t,
