@@ -67,5 +67,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64(text) - 64-bit simhash fingerprint as four 16-bit " +
           "band words"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    e.injectFunction((FunctionIdentifier("trigram_lm_score"),
+      info("trigram_lm_score",
+        "trigram_lm_score(text, model) - row-local char-trigram LM " +
+          "score struct(n_tri, mean_logp) against a literal model map"),
+      (exprs: Seq[Expression]) => TrigramLmScore(exprs.head, exprs(1))))
   }
 }

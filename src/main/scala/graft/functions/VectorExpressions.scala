@@ -269,5 +269,7 @@ object VectorExpressions {
       "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("trigram_lm_score",
+      exprs => TrigramLmScore(exprs.head, exprs(1)), "built-in")
   }
 }

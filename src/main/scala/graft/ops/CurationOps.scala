@@ -923,6 +923,33 @@ object CurationOps {
           round(log(col("n3").cast("double") / col("n2")), 9).as("lp"))
     }
 
+  /** The trained trigram LM as a driver-side model (trigram → lp) — the
+    * "ship the model with the job" form [[scoreTrigramLm]] consumes.
+    * Model size is alphabet³-bounded (tens of KB here), so collecting
+    * it is index metadata, not a corpus read.
+    */
+  def trigramLmModel(s: SparkSession, dir: String): Map[String, Double] =
+    trigramLm(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+  /** Streaming-safe perplexity gate: q94's LM score as a pure row-local
+    * projection against the literal model — no join, no aggregate, no
+    * state — so it composes unchanged into a readStream pipeline
+    * (TrigramGateSpec asserts stream == batch AND row-identity with the
+    * batch [[trigramDocScores]] frame on corpus data). Unscorable rows
+    * (too short / fully out-of-distribution) carry NULLs for the caller
+    * to route. All input columns pass through with `n_tri` and
+    * `mean_logp` appended.
+    */
+  def scoreTrigramLm(df: DataFrame, model: Map[String, Double]): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.withColumn("_lm",
+        call_function("trigram_lm_score", col("text"), typedlit(model)))
+      .withColumn("n_tri", col("_lm.n_tri"))
+      .withColumn("mean_logp", col("_lm.mean_logp"))
+      .drop("_lm")
+  }
+
   /** Per-document char-trigram LM score — the shared frame behind q94
     * (raw scores) and q108 (CCNet buckets): (doc_id, lang, n_tri,
     * mean_logp). Scoring is one generator pass over the corpus joined
