@@ -72,5 +72,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "trigram_lm_score(text, model) - row-local char-trigram LM " +
           "score struct(n_tri, mean_logp) against a literal model map"),
       (exprs: Seq[Expression]) => TrigramLmScore(exprs.head, exprs(1))))
+    e.injectFunction((FunctionIdentifier("word_lm_score"),
+      info("word_lm_score",
+        "word_lm_score(text, model) - row-local unigram LM score " +
+          "struct(n_words, logw) against a literal model map"),
+      (exprs: Seq[Expression]) => WordLmScore(exprs.head, exprs(1))))
   }
 }

@@ -37,14 +37,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * its O(1) hash index once per task — a per-row `element_at` against
   * MapData would be a linear scan per trigram.
   */
-case class TrigramLmScore(left: Expression, right: Expression)
-  extends BinaryExpression with CodegenFallback {
-
-  override def prettyName: String = "trigram_lm_score"
-
-  override def dataType: DataType = StructType(
-    StructField("n_tri", LongType) ::
-      StructField("mean_logp", DoubleType) :: Nil)
+/** Shared core of the literal-model LM scorers: type contract plus the
+  * once-per-task hash index over the literal map's (token → scale-9
+  * scaled-long weight) entries.
+  */
+trait LiteralLmScore extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
@@ -58,7 +55,7 @@ case class TrigramLmScore(left: Expression, right: Expression)
   @transient private var cachedFor: AnyRef = _
   @transient private var index: java.util.HashMap[UTF8String, java.lang.Long] = _
 
-  private def indexFor(m: MapData): java.util.HashMap[UTF8String, java.lang.Long] = {
+  protected def indexFor(m: MapData): java.util.HashMap[UTF8String, java.lang.Long] = {
     if (!(m.asInstanceOf[AnyRef] eq cachedFor)) {
       val idx = new java.util.HashMap[UTF8String, java.lang.Long](m.numElements() * 2)
       val ks = m.keyArray(); val vs = m.valueArray()
@@ -73,6 +70,23 @@ case class TrigramLmScore(left: Expression, right: Expression)
     }
     index
   }
+
+  /** HALF_UP 6-decimal rounding of the exact scaled sum (optionally
+    * divided by a count) — `round(cast(sum(decimal) as double) [/ n], 6)`.
+    */
+  protected def round6(scaledSum: Long, divisor: Long = 1L): Double =
+    java.math.BigDecimal.valueOf(scaledSum.toDouble / 1e9 / divisor)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+}
+
+case class TrigramLmScore(left: Expression, right: Expression)
+  extends LiteralLmScore {
+
+  override def prettyName: String = "trigram_lm_score"
+
+  override def dataType: DataType = StructType(
+    StructField("n_tri", LongType) ::
+      StructField("mean_logp", DoubleType) :: Nil)
 
   override def nullSafeEval(text: Any, model: Any): Any = {
     val idx = indexFor(model.asInstanceOf[MapData])
@@ -99,11 +113,52 @@ case class TrigramLmScore(left: Expression, right: Expression)
       i += 1
     }
     if (n == 0) return null
-    val mean = java.math.BigDecimal.valueOf(sum.toDouble / 1e9 / n)
-      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
-    InternalRow(n, mean)
+    InternalRow(n, round6(sum, n))
   }
 
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): TrigramLmScore = copy(left = l, right = r)
+}
+
+/** Row-local word-unigram LM scoring against a literal model map:
+  * `word_lm_score(text, map<string,double>)` →
+  * `struct<n_words: bigint, logw: double>` — the DSIR gate's scorer
+  * (q109's semantics: lowercase space-split words, vocabulary hits
+  * counted, weights summed, rounded at 6). Zeros — not null — when no
+  * word is in vocabulary, matching the previous HOF fold's contract.
+  * Round 6 replaced that fold: its per-word `wmap[w]` was a LINEAR scan
+  * of the map per lookup (MapData has no hash index), i.e. O(words ×
+  * vocab) per document; this is O(words) against the once-per-task
+  * index.
+  */
+case class WordLmScore(left: Expression, right: Expression)
+  extends LiteralLmScore {
+
+  override def prettyName: String = "word_lm_score"
+
+  override def dataType: DataType = StructType(
+    StructField("n_words", LongType) ::
+      StructField("logw", DoubleType) :: Nil)
+
+  override def nullSafeEval(text: Any, model: Any): Any = {
+    val idx = indexFor(model.asInstanceOf[MapData])
+    val words = text.asInstanceOf[UTF8String].toLowerCase
+      .split(LiteralLmScore.Space, -1)
+    var n = 0L
+    var sum = 0L
+    var i = 0
+    while (i < words.length) {
+      val lw = idx.get(words(i))
+      if (lw != null) { n += 1; sum += lw.longValue() }
+      i += 1
+    }
+    InternalRow(n, round6(sum))
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): WordLmScore = copy(left = l, right = r)
+}
+
+object LiteralLmScore {
+  val Space: UTF8String = UTF8String.fromString(" ")
 }

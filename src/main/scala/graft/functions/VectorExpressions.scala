@@ -271,5 +271,7 @@ object VectorExpressions {
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("trigram_lm_score",
       exprs => TrigramLmScore(exprs.head, exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("word_lm_score",
+      exprs => WordLmScore(exprs.head, exprs(1)), "built-in")
   }
 }

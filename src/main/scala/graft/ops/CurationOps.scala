@@ -846,42 +846,34 @@ object CurationOps {
         9).as("lw"))
   }
 
-  /** The DSIR weight table as ONE broadcastable row (word → lw map) —
-    * the model form a pure row-local scorer can consume.
+  /** The DSIR weight table as a driver-side model (word → lw) — the
+    * "ship the model with the job" form [[scoreDsir]] consumes. Model
+    * size is vocabulary-bounded.
     */
-  def dsirModel(s: SparkSession, dir: String): DataFrame =
-    dsirWeights(s, dir)
-      .agg(map_from_entries(collect_list(struct(col("wd"), col("lw"))))
-        .as("wmap"))
+  def dsirModel(s: SparkSession, dir: String): Map[String, Double] =
+    dsirWeights(s, dir).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
 
-  /** Row-local DSIR scoring against the broadcast 1-row model: the
-    * per-doc weight sum runs as an array-HOF fold in DECIMAL(18,9)
-    * (exactly associative, so the fold in document order equals q109's
-    * shuffle-order aggregate bit-for-bit), words absent from the
-    * vocabulary score 0. No window, no aggregate, no state — the SAME
-    * transform runs unchanged under Structured Streaming
-    * (CurationStreamSpec asserts stream == batch). Input needs a
-    * `text` column; all input columns pass through with `n_words` and
+  /** Row-local DSIR scoring against the literal model: words absent
+    * from the vocabulary score 0, weights fold as exact scaled longs
+    * (lw is scale-9 by construction), so the gate equals q109's
+    * shuffle-order decimal aggregate bit-for-bit. No join, no window,
+    * no aggregate, no state — the SAME transform runs unchanged under
+    * Structured Streaming (CurationStreamSpec asserts stream == batch).
+    * History: round 5's HOF fold looked up `wmap[w]` per word — a
+    * LINEAR scan of the vocabulary per lookup (MapData has no hash
+    * index), O(words × vocab) per document; `word_lm_score` is
+    * O(words) against a once-per-task index. Input needs a `text`
+    * column; all input columns pass through with `n_words` and
     * `dsir_logw` appended.
     */
-  def scoreDsir(df: DataFrame, model: DataFrame): DataFrame = {
-    val inCols = df.columns.map(col).toSeq
-    df.crossJoin(broadcast(model))
-      .withColumn("ws", split(lower(col("text")), " "))
-      .select(inCols
-        :+ expr("cast(size(filter(ws, w -> wmap[w] is not null)) " +
-          "as bigint)").as("n_words")
-        // accumulator precision 28: (28,9)+(28,9) → (29,9) stays under
-        // Spark's 38 cap, so every step is EXACT; at 38 the sum type
-        // would silently drop to scale 8 (precision-loss mode) and
-        // round-half boundaries shift vs q109's aggregate
-        :+ expr("cast(aggregate(ws, cast(0 as decimal(28,9)), " +
-          "(a, w) -> cast(a + coalesce(cast(wmap[w] as decimal(28,9)), " +
-          "cast(0 as decimal(28,9))) as decimal(28,9))) as double)")
-          .as("acc")
-        : _*)
-      .withColumn("dsir_logw", round(col("acc"), 6))
-      .drop("acc")
+  def scoreDsir(df: DataFrame, model: Map[String, Double]): DataFrame = {
+    graft.functions.VectorExpressions.register(df.sparkSession)
+    df.withColumn("_dw",
+        call_function("word_lm_score", col("text"), typedlit(model)))
+      .withColumn("n_words", col("_dw.n_words"))
+      .withColumn("dsir_logw", col("_dw.logw"))
+      .drop("_dw")
   }
 
   /** q102/q104's BM25 scorer (k1 = 1.2, b = 0.75), served from a
