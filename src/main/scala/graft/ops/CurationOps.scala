@@ -722,12 +722,13 @@ object CurationOps {
         |FROM ov JOIN bn USING (b_id)
         |WHERE CAST(hits AS DOUBLE) / n_b >= 0.05
         |ORDER BY b_id, c_id""".stripMargin) { (s, dir) =>
+      // the shingle_strings GENERATOR, not the transform(sequence(...))
+      // HOF — the lambda form evaluates interpreted per n-gram (PERF.md
+      // finding 2); lowercasing composes as the generator's child
+      graft.functions.VectorExpressions.register(s)
       val g = Tables(s, dir, "documents")
-        .select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(ws) - 2), " +
-            "i -> array_join(slice(ws, i, 3), ' '))")).as("ng"))
+        .select(col("doc_id"), expr("shingle_strings(lower(text), 3)"))
+        .select(col("doc_id"), col("sh").as("ng"))
         .distinct()
       val b = g.filter(col("doc_id") % 50 === 0).toDF("b_id", "ng")
       val c = g.filter(col("doc_id") % 50 =!= 0).toDF("c_id", "ng")
