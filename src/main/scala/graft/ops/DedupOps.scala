@@ -466,6 +466,17 @@ object DedupOps {
         |  CAST(MAX(pos) - MIN(pos) + 10 AS INTEGER) AS span_words
         |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
+      repeatedSpans(s, dir).orderBy("doc_id", "start_pos")
+    })
+
+  /** q125's cut-list as a materialized INDEX artifact
+    * ([[graft.engine.Materialize]]): a span-dedup pass builds the
+    * repeated-span table once per corpus version and every consumer —
+    * the q125 listing, the eventual span-cutting rewrite — reads the
+    * artifact instead of re-running the two gram passes.
+    */
+  def repeatedSpans(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "repeated_spans_10", dir) {
       graft.functions.VectorExpressions.register(s)
       val g = Tables(s, dir, "documents")
         .select(col("doc_id"), expr("shingle_strings(text, 10)"))
@@ -482,8 +493,7 @@ object DedupOps {
         .select(col("doc_id"), col("start_pos"), col("end_pos"),
           col("n_grams"),
           (col("end_pos") - col("start_pos") + 10).as("span_words"))
-        .orderBy("doc_id", "start_pos")
-    })
+    }
 
   /** q43 build: exact n-gram Jaccard over a capped id range — the ground
     * truth the LSH candidate path is audited against.
