@@ -90,6 +90,15 @@ object DedupOps {
     (0 until 16).map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END")
       .mkString("CAST((", " + ", ") AS DOUBLE) / 16")
 
+  /** DuckDB twin of [[qualityClasses]]'s score — the SAME IEEE double
+    * expression tree (least → divide → multiply, identical op order), so
+    * the 0.2 threshold decision is bit-identical across engines.
+    */
+  private val qualitySql: String =
+    "least(1.0, len(string_split(text,' ')) / 100.0) * " +
+      "(1.0 - CAST(len(list_filter(string_split(text,' '), " +
+      "w -> w IN ('the','a'))) AS DOUBLE) / len(string_split(text,' ')))"
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup: hash-groupBy on normalized content.
@@ -338,12 +347,37 @@ object DedupOps {
     // exact dedup reps → MinHash-LSH candidates → signature-estimated
     // jaccard filter → connected components → one representative per
     // near-dup cluster. Output: the keep-list with its cluster sizes
-    // (exact-dup multiplicity folded back in). Rows-only: the iterative
-    // connected-components loop has no single-statement ANSI form at
-    // corpus scale (q48 pins it against a recursive CTE on a capped
-    // range); every other stage is oracle-pinned by q40 (exact), q44
-    // (candidates, hash-checked), q43/q47 (candidates vs truth).
-    QueryDef.rowsOnly("q49_neardup_reps") { (s, dir) =>
+    // (exact-dup multiplicity folded back in). Hash-checked from round 7:
+    // Spark's iterative min-label loop has no single-statement ANSI form,
+    // but its FIXPOINT does — a recursive transitive-min closure (walk)
+    // whose per-node MIN over reachable labels is exactly the converged
+    // label; at oracle scale the near-dup graph is tiny, so the closure
+    // is affordable in DuckDB. The candidate edges reuse q44's CTE chain
+    // verbatim at the est_jaccard >= 0.5 threshold (a multiple of 1/16 —
+    // binary-exact in both engines).
+    QueryDef(
+      "q49_neardup_reps",
+      """WITH RECURSIVE
+        |cls AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_exact, text
+        |  FROM documents GROUP BY text),
+        |r AS (SELECT doc_id, text FROM cls),
+        |  """.stripMargin + lshPairsSql("r") + ",\n" +
+        s"""j AS (SELECT p.a_id, p.b_id FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id
+           |  WHERE $estJaccardSql >= 0.5),
+           |e AS (SELECT a_id AS src, b_id AS dst FROM j
+           |  UNION SELECT b_id, a_id FROM j),
+           |walk AS (
+           |  SELECT doc_id AS node, doc_id AS lbl FROM cls
+           |  UNION
+           |  SELECT e.src AS node, walk.lbl FROM walk JOIN e ON e.dst = walk.node),
+           |lab AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY node)
+           |SELECT lab.cluster AS keep_id,
+           |  COUNT(*) AS n_near_dup_classes,
+           |  CAST(SUM(cls.n_exact) AS BIGINT) AS n_docs_total
+           |FROM lab JOIN cls ON cls.doc_id = lab.node
+           |GROUP BY 1 ORDER BY keep_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       // exact-dup classes: representative + multiplicity
       val classes = docs.groupBy(col("text"))
@@ -414,12 +448,48 @@ object DedupOps {
     // in one plan — quality filter (q30's score) → exact dedup (q40) →
     // MinHash-LSH near-dup resolution to one representative per cluster
     // (q44/q48/q49) → content-addressed train/val/test split (q36) —
-    // reported as per-split corpus accounting. Every stage is
-    // individually oracle- or audit-pinned; this query pins their
-    // COMPOSITION (PipelineInvariantsSpec asserts the end-to-end
-    // invariants). Rows-only: the near-dup stage's component resolution
-    // is iterative (see q49) — its inputs are all hash-checked.
-    QueryDef.rowsOnly("q67_training_pipeline") { (s, dir) =>
+    // reported as per-split corpus accounting. Hash-checked from round 7
+    // by COMPOSING the stages' oracle fragments: the quality score is the
+    // identical double-expression tree in both engines (same op order →
+    // bit-identical IEEE results, so the 0.2 threshold agrees); the edges
+    // are q44's CTE chain over FULL-corpus reps semi-joined to quality
+    // survivors (valid because the quality floor is a pure function of
+    // text — classes pass atomically and keep their reps, see
+    // [[trainingKeepListIndexed]]); component resolution is q49's
+    // recursive transitive-min closure; the split is the same sha256
+    // prefix rule (lowercase hex in both engines).
+    QueryDef(
+      "q67_training_pipeline",
+      s"""WITH RECURSIVE
+         |qcls AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_exact
+         |  FROM documents WHERE $qualitySql >= 0.2 GROUP BY text),
+         |r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+         |  GROUP BY text),
+         |  """.stripMargin + lshPairsSql("r") + ",\n" +
+        s"""j AS (SELECT p.a_id, p.b_id FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id
+           |  WHERE $estJaccardSql >= 0.5
+           |    AND p.a_id IN (SELECT doc_id FROM qcls)
+           |    AND p.b_id IN (SELECT doc_id FROM qcls)),
+           |e AS (SELECT a_id AS src, b_id AS dst FROM j
+           |  UNION SELECT b_id, a_id FROM j),
+           |walk AS (
+           |  SELECT doc_id AS node, doc_id AS lbl FROM qcls
+           |  UNION
+           |  SELECT e.src AS node, walk.lbl FROM walk JOIN e ON e.dst = walk.node),
+           |lab AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY node),
+           |keep AS (SELECT qcls.doc_id, qcls.n_exact,
+           |    sha256('split-v1|' || CAST(qcls.doc_id AS VARCHAR)) AS h
+           |  FROM lab JOIN qcls ON qcls.doc_id = lab.node
+           |  WHERE lab.node = lab.cluster)
+           |SELECT CASE WHEN substr(h, 1, 2) < 'cd' THEN 'train'
+           |            WHEN substr(h, 1, 2) < 'e6' THEN 'val' ELSE 'test'
+           |       END AS split,
+           |  COUNT(*) AS n_docs,
+           |  CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+           |  CAST(SUM(n_exact) AS BIGINT) AS n_source_docs
+           |FROM keep GROUP BY 1 ORDER BY split""".stripMargin) { (s, dir) =>
       val kept = trainingKeepListIndexed(s, dir, minQuality = 0.2)
       kept
         .groupBy("split")
