@@ -537,12 +537,67 @@ object DedupOps {
         |FROM i GROUP BY doc_id, grp
         |ORDER BY doc_id, start_pos""".stripMargin) { (s, dir) =>
       repeatedSpans(s, dir).orderBy("doc_id", "start_pos")
+    },
+
+    // SPAN-CUTTING rewrite — the consumer the q125 cut-list exists for
+    // (the second half of Lee et al.'s exact-substring dedup): emit the
+    // cleaned corpus with every repeated span removed EXCEPT its
+    // corpus-wide first occurrence. A word index is cut iff it is
+    // covered by a repeated span (the q125 artifact, positions
+    // start..end+9) and NOT covered by any gram whose corpus-first
+    // occurrence (min doc_id, then min pos) lives at that index — so the
+    // canonical copy of every repeated region survives verbatim (its
+    // protected index range is contiguous, hence still adjacent after
+    // splicing) and every later copy is excised. Scale shape: both span
+    // tables are boilerplate-sized Materialize artifacts; the expanded
+    // index sets join on (doc_id, idx); the only corpus-wide work is one
+    // broadcast-able left join of docs against per-doc cut arrays and a
+    // row-local filter+array_join rebuild. DedupQualitySpec pins the
+    // laws (first occurrences retained contiguously; no cross-doc
+    // repeated 10-gram remains on a splice-free fixture).
+    QueryDef(
+      "q127_span_cut",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(list_slice(w, i, i + 9), ' ') AS sh
+        |  FROM d, unnest(range(1, len(w) - 8)) AS t(i)),
+        |r AS (SELECT sh FROM g GROUP BY sh
+        |  HAVING COUNT(DISTINCT doc_id) >= 2),
+        |m AS (SELECT g.doc_id, g.pos, g.sh FROM g JOIN r USING (sh)),
+        |frst AS (SELECT doc_id, pos FROM (
+        |    SELECT doc_id, pos,
+        |      ROW_NUMBER() OVER (PARTITION BY sh ORDER BY doc_id, pos)
+        |        AS rn
+        |    FROM m) t WHERE rn = 1),
+        |cov AS (SELECT DISTINCT doc_id, pos + k AS idx
+        |  FROM m, unnest(range(0, 10)) AS t(k)),
+        |prot AS (SELECT DISTINCT doc_id, pos + k AS idx
+        |  FROM frst, unnest(range(0, 10)) AS t(k)),
+        |cut AS (SELECT cov.doc_id, cov.idx FROM cov
+        |  ANTI JOIN prot ON prot.doc_id = cov.doc_id
+        |    AND prot.idx = cov.idx),
+        |wi AS (SELECT doc_id, CAST(i AS INTEGER) AS i, w[i] AS word
+        |  FROM d, unnest(range(1, len(w) + 1)) AS t(i)),
+        |keepw AS (SELECT wi.doc_id, wi.i, wi.word FROM wi
+        |  ANTI JOIN cut ON cut.doc_id = wi.doc_id AND cut.idx = wi.i),
+        |clean AS (SELECT doc_id, string_agg(word, ' ' ORDER BY i)
+        |    AS clean_text
+        |  FROM keepw GROUP BY doc_id),
+        |nc AS (SELECT doc_id, COUNT(*) AS n FROM cut GROUP BY doc_id)
+        |SELECT d.doc_id AS doc_id,
+        |  COALESCE(clean.clean_text, '') AS clean_text,
+        |  CAST(COALESCE(nc.n, 0) AS INTEGER) AS n_cut
+        |FROM d LEFT JOIN clean ON clean.doc_id = d.doc_id
+        |LEFT JOIN nc ON nc.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      spanCutCorpus(s, dir).orderBy("doc_id")
     })
 
   /** q125's cut-list as a materialized INDEX artifact
     * ([[graft.engine.Materialize]]): a span-dedup pass builds the
     * repeated-span table once per corpus version and every consumer —
-    * the q125 listing, the eventual span-cutting rewrite — reads the
+    * the q125 listing, the q127 span-cutting rewrite — reads the
     * artifact instead of re-running the two gram passes.
     */
   def repeatedSpans(s: SparkSession, dir: String): DataFrame =
@@ -564,6 +619,62 @@ object DedupOps {
           col("n_grams"),
           (col("end_pos") - col("start_pos") + 10).as("span_words"))
     }
+
+  /** Merged spans of the corpus-FIRST occurrence (min doc_id, then min
+    * pos) of each repeated 10-gram — the protection set of the q127
+    * span-cutting rewrite: indices these spans cover hold the canonical
+    * copy of a repeated region and must survive the cut. Materialized
+    * beside [[repeatedSpans]] per corpus version. Scale shape: the
+    * rank-over-gram window runs over repeated-gram OCCURRENCES only
+    * (boilerplate-sized — the left-semi prunes the corpus first), and
+    * the islands window partitions by doc.
+    */
+  def firstSpans(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "first_spans_10", dir) {
+      graft.functions.VectorExpressions.register(s)
+      val g = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 10)"))
+      val rep = g.groupBy("sh")
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2).select("sh")
+      val wF = Window.partitionBy("sh").orderBy("doc_id", "pos")
+      val first = g.join(rep, Seq("sh"), "left_semi")
+        .withColumn("rn", row_number().over(wF))
+        .filter(col("rn") === 1)
+        .select("doc_id", "pos")
+      val wI = Window.partitionBy("doc_id").orderBy("pos")
+      first
+        .withColumn("grp", col("pos") - row_number().over(wI))
+        .groupBy("doc_id", "grp")
+        .agg(min(col("pos")).as("start_pos"), max(col("pos")).as("end_pos"))
+        .select("doc_id", "start_pos", "end_pos")
+    }
+
+  /** q127 build: the cleaned corpus after span-level dedup — every
+    * repeated span cut except its corpus-wide first occurrence. Consumes
+    * BOTH span artifacts: cut indices = ([[repeatedSpans]] expanded to
+    * word indices) minus ([[firstSpans]] expanded); the rebuild is a
+    * row-local indexed filter + array_join over each doc's word array.
+    */
+  def spanCutCorpus(s: SparkSession, dir: String): DataFrame = {
+    val cov = repeatedSpans(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(start_pos, end_pos + 9)")).as("idx"))
+    val prot = firstSpans(s, dir)
+      .select(col("doc_id"),
+        explode(expr("sequence(start_pos, end_pos + 9)")).as("idx"))
+    val cuts = cov.join(prot, Seq("doc_id", "idx"), "left_anti")
+      .distinct()
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("idx"))).as("cut"))
+    Tables(s, dir, "documents")
+      .join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        expr("array_join(filter(split(text, ' '), " +
+          "(w, i) -> cut IS NULL OR NOT array_contains(cut, i + 1)), ' ')")
+          .as("clean_text"),
+        coalesce(size(col("cut")), lit(0)).as("n_cut"))
+  }
 
   /** q43 build: exact n-gram Jaccard over a capped id range — the ground
     * truth the LSH candidate path is audited against.

@@ -162,6 +162,62 @@ class DedupQualitySpec extends SparkSpec {
       s"accuracy $acc vs chance ${1.0 / labels} over $labels labels")
   }
 
+  test("span-cut rewrite (q127): first occurrence survives verbatim, " +
+      "later copies are excised, no cross-doc repeat remains") {
+    import spark.implicits._
+    // Splice-free fixture: a 12-word boilerplate span shared by docs 1
+    // and 2 in otherwise-disjoint contexts. Doc 1 (min doc_id) is the
+    // corpus-first occurrence — protected; doc 2's copy must be cut.
+    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
+    val fixture = java.nio.file.Files.createTempDirectory("spancut").toString
+    Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"one two three $boiler four five six seven eight nine ten"),
+      (3L, "unrelated words entirely distinct from every other document"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$fixture/documents.parquet")
+    val out = DedupOps.spanCutCorpus(spark, fixture)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2)))
+      .toMap
+    assert(out(1L) == (s"alpha beta $boiler gamma delta", 0),
+      "first occurrence must survive verbatim")
+    assert(out(2L) ==
+      ("one two three four five six seven eight nine ten", 12),
+      "later copy must lose exactly the 12-word span")
+    assert(out(3L)._2 == 0, "untouched doc must not be cut")
+
+    // Real-corpus laws at sf0.001: (a) every originally-repeated 10-gram
+    // retains its first occurrence CONTIGUOUSLY in the rewritten corpus
+    // (the protected index range is contiguous, so splicing cannot break
+    // it); (b) no 10-gram appears in >= 2 docs of the rewritten corpus
+    // (measured splice-free on the driver's corpora — a pathological
+    // splice-created repeat would be a new corpus-version's q125 input,
+    // not a correctness failure of THIS pass, but the corpus here is
+    // clean and the law is assertable exactly).
+    graft.functions.VectorExpressions.register(spark)
+    val origRepeated = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), org.apache.spark.sql.functions.expr(
+        "shingle_strings(text, 10)"))
+      .groupBy("sh")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+        .as("df"))
+      .filter(col("df") >= 2).select("sh")
+    val rewrittenGrams = DedupOps.spanCutCorpus(spark, dir)
+      .select(col("doc_id"), org.apache.spark.sql.functions.expr(
+        "shingle_strings(clean_text, 10)"))
+    val lost = origRepeated.join(
+      rewrittenGrams.select("sh").distinct(), Seq("sh"), "left_anti")
+    assert(lost.isEmpty, "a repeated gram lost its protected first copy")
+    val stillRepeated = rewrittenGrams
+      .join(origRepeated, Seq("sh"), "left_semi")
+      .groupBy("sh")
+      .agg(org.apache.spark.sql.functions.countDistinct(col("doc_id"))
+        .as("df"))
+      .filter(col("df") >= 2)
+    assert(stillRepeated.isEmpty,
+      "a repeated gram still occurs in >= 2 rewritten docs")
+  }
+
   test("BPE merge-pair law (q112): the vocabulary-bounded count equals " +
       "a direct token-stream recount") {
     // q112's scale trick is aggregating to the distinct-word vocabulary
