@@ -33,8 +33,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         exprs(1).eval().asInstanceOf[Int], exprs(2).eval().asInstanceOf[Int])))
     e.injectFunction((FunctionIdentifier("minhash_sig"),
       info("minhash_sig",
-        "minhash_sig(h, numPerms) - minhash signature aggregate over " +
-          "shingle hashes"),
+        "minhash_sig(s, numPerms) - minhash signature aggregate over " +
+          "shingle strings"),
       (exprs: Seq[Expression]) => MinHashAgg(exprs.head,
         exprs(1).eval().asInstanceOf[Int]).toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("shingle_hashes"),

@@ -2,10 +2,11 @@ package graft.functions
 
 import java.nio.ByteBuffer
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** MinHash signature as ONE aggregate: folds shingle STRING rows (e.g.
@@ -33,6 +34,22 @@ case class MinHashAgg(
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(LongType)
+
+  // Analysis-time guards (round-6 advice): the fold casts its input to
+  // UTF8String — a non-string child (e.g. the LONG output of
+  // shingle_hashes) must fail analysis, not throw ClassCastException at
+  // runtime; and the sha-window permutation family supplies 64
+  // permutations at most (MinHashSha.prefixes covers 9 digests × 8
+  // windows, but [[MinHashText]] caps at 64 and the two must agree).
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING shingle column (e.g. from " +
+          s"shingle_strings), got ${child.dataType.catalogString}")
+    else if (numPerms < 1 || numPerms > 64)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires 1 <= numPerms <= 64, got $numPerms")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numPerms)(Long.MaxValue)

@@ -45,15 +45,28 @@ trait LiteralLmScore extends BinaryExpression with CodegenFallback {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
+      // The model must be FOLDABLE (a literal / collected artifact —
+      // the documented contract): the reference-equality index cache
+      // below is only sound when one stable MapData instance serves
+      // every row. A non-literal map column would either rebuild the
+      // index per row or, under an engine reusing a mutable MapData
+      // across rows, silently serve a stale index (round-6 advice) —
+      // reject it at analysis time instead.
       case (StringType, MapType(StringType, DoubleType, _)) =>
-        TypeCheckResult.TypeCheckSuccess
+        if (right.foldable) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires a literal (foldable) model map — " +
+            "ship the trained model as typedlit, not a per-row column")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires (string, map<string,double>), " +
           s"got (${l.sql}, ${r.sql})")
     }
 
-  @transient private var cachedFor: AnyRef = _
-  @transient private var index: java.util.HashMap[UTF8String, java.lang.Long] = _
+  // Publication order matters: `index` is written BEFORE `cachedFor`,
+  // and both are volatile, so a concurrent first use either misses the
+  // cache (benign rebuild of the same index) or sees a fully-built one.
+  @transient @volatile private var cachedFor: AnyRef = _
+  @transient @volatile private var index: java.util.HashMap[UTF8String, java.lang.Long] = _
 
   protected def indexFor(m: MapData): java.util.HashMap[UTF8String, java.lang.Long] = {
     if (!(m.asInstanceOf[AnyRef] eq cachedFor)) {
@@ -67,8 +80,8 @@ trait LiteralLmScore extends BinaryExpression with CodegenFallback {
       }
       index = idx
       cachedFor = m.asInstanceOf[AnyRef]
-    }
-    index
+      idx
+    } else index
   }
 
   /** HALF_UP 6-decimal rounding of the exact scaled sum (optionally

@@ -226,10 +226,19 @@ object HyperplaneBuckets {
 
   /** Achlioptas ±1 weight for flat plane·dim index k: the portable
     * quadratic integer sign hash (expressible verbatim in ANSI SQL).
+    *
+    * Reduced by masking, not `%`: Java long arithmetic wraps mod 2⁶⁴,
+    * and 2³² divides 2⁶⁴, so `& 0xFFFFFFFF` yields the MATHEMATICAL
+    * k²·C1 + k·C2 mod 2³² at every k — including k ≥ ~64,071
+    * (numTables·bitsPerTable·dim above ~64k) where the raw product
+    * overflows 64 bits and signed `%` returned negative remainders that
+    * diverged from what a wide-integer SQL engine computes (round-6
+    * advice). The registered 16×4×64 point was always below the
+    * overflow bound; this removes the latent cliff for larger tables.
     */
   def sign(k: Long): Long =
-    if ((k * k * 2246822519L + k * 3266489917L) % 4294967296L
-        < 2147483648L) 1L else -1L
+    if (((k * k * 2246822519L + k * 3266489917L) & 0xFFFFFFFFL) <
+        2147483648L) 1L else -1L
 }
 
 object VectorExpressions {

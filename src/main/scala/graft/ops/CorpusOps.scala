@@ -1,5 +1,6 @@
 package graft.ops
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -202,11 +203,13 @@ object CorpusOps {
     // bench side is O(100), but the sf1 scaling smoke measured it 92×
     // for 10× data (both sides grew); the gram-probe plan is linear in
     // corpus chars + candidate hits, which is the shape that survives
-    // 100 TB. (Every corpus/bench doc has >= 30 words >= 59 chars, so
-    // the 8-char prefix always exists; the filter is lossless by the
-    // substring-implies-gram containment argument, and the DuckDB
-    // oracle keeps the direct nested-loop formulation — same output,
-    // affordable at oracle scale.)
+    // 100 TB. The filter is lossless by the substring-implies-gram
+    // containment argument UNIVERSALLY: documents shorter than 8 chars
+    // (whose prefix gram doesn't exist) route through an explicit
+    // direct-verification branch — see [[substringDecontaminate]] — so
+    // no corpus-length precondition remains. The DuckDB oracle keeps
+    // the direct nested-loop formulation — same output, affordable at
+    // oracle scale.
     QueryDef(
       "q113_substring_decontaminate",
       """WITH b AS (SELECT doc_id AS b_id, text AS b_text FROM documents
@@ -219,39 +222,12 @@ object CorpusOps {
         |FROM b JOIN c ON position(b_text IN c_text) > 0
         |  OR position(c_text IN b_text) > 0
         |ORDER BY b_id, c_id""".stripMargin) { (s, dir) =>
-      graft.functions.VectorExpressions.register(s)
       val docs = Tables(s, dir, "documents")
       val b = docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("b_id"), col("text").as("b_text"))
       val c = docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id").as("c_id"), col("text").as("c_text"))
-      val bPref = b.select(col("b_id"),
-        substring(col("b_text"), 1, 8).as("g"))
-      val bGrams = b
-        .select(col("b_id"), expr("char_ngrams(b_text, 8)"))
-        .toDF("b_id", "pos", "g")
-        .select("b_id", "g").distinct()
-      // Both probes broadcast the BENCH side (prefixes for one
-      // direction, the distinct gram set for the other) — the corpus
-      // side stays a row-local scan in both, which is what holds at
-      // 100 TB where only the bench set is broadcast-sized.
-      val cand1 = c
-        .select(col("c_id"), expr("char_ngrams(c_text, 8)"))
-        .toDF("c_id", "pos", "g")
-        .join(broadcast(bPref), "g")
-        .select("b_id", "c_id")
-      val cand2 = c
-        .select(col("c_id"), substring(col("c_text"), 1, 8).as("g"))
-        .join(broadcast(bGrams), "g")
-        .select("b_id", "c_id")
-      cand1.union(cand2).distinct()
-        .join(broadcast(b), "b_id")
-        .join(c, "c_id")
-        .filter(expr("instr(c_text, b_text) > 0 or instr(b_text, c_text) > 0"))
-        .select(col("b_id"), col("c_id"),
-          expr("instr(c_text, b_text) > 0").as("b_in_c"),
-          expr("instr(b_text, c_text) > 0").as("c_in_b"))
-        .orderBy("b_id", "c_id")
+      substringDecontaminate(b, c).orderBy("b_id", "c_id")
     },
 
     // Pack materialization — q77 assigns (doc → pack, offset); this
@@ -292,4 +268,63 @@ object CorpusOps {
             "t -> cast(t.doc_id as string)), ',')").as("doc_order"))
         .orderBy("source", "pack_id")
     })
+
+  /** q113 build over arbitrary bench (b_id, b_text) / corpus (c_id,
+    * c_text) frames: exact char-8-gram prefix prefilter + verbatim
+    * instr() verification, lossless with NO length precondition.
+    *
+    * Main path (gram probes): if text A appears inside text B, A's
+    * first 8 characters occur as one of B's char 8-grams — provided
+    * len(A) >= 8. Both probes broadcast the BENCH side (prefixes for
+    * one direction, the distinct gram set for the other); the corpus
+    * side stays a row-local scan, which is what holds at 100 TB where
+    * only the bench set is broadcast-sized.
+    *
+    * Fallback path (sub-8-char docs, where the prefix gram doesn't
+    * exist): such docs pair directly — every (short bench doc ×
+    * corpus doc) and (bench doc × short corpus doc) candidate goes
+    * straight to verification. Both fallbacks are broadcast
+    * nested-loop joins whose BROADCAST side is bench-derived (the
+    * bench set, or its sub-8-char subset) and whose streamed side is
+    * scanned once — linear in corpus size with a degenerate-set
+    * constant, and exactly empty on any corpus without sub-8-char
+    * documents (the driver's corpora guarantee >= 59 chars, so the
+    * registered q113 plan's main path carries all the data;
+    * PrefilterInvariantsSpec pins losslessness on a corpus that
+    * violates the length assumption).
+    */
+  def substringDecontaminate(b: DataFrame, c: DataFrame): DataFrame = {
+    graft.functions.VectorExpressions.register(b.sparkSession)
+    val bPref = b.filter(length(col("b_text")) >= 8)
+      .select(col("b_id"), substring(col("b_text"), 1, 8).as("g"))
+    val bGrams = b
+      .select(col("b_id"), expr("char_ngrams(b_text, 8)"))
+      .toDF("b_id", "pos", "g")
+      .select("b_id", "g").distinct()
+    val cand1 = c
+      .select(col("c_id"), expr("char_ngrams(c_text, 8)"))
+      .toDF("c_id", "pos", "g")
+      .join(broadcast(bPref), "g")
+      .select("b_id", "c_id")
+    val cand2 = c.filter(length(col("c_text")) >= 8)
+      .select(col("c_id"), substring(col("c_text"), 1, 8).as("g"))
+      .join(broadcast(bGrams), "g")
+      .select("b_id", "c_id")
+    // sub-8-char fallbacks: a short bench doc may hide in ANY corpus
+    // doc; a short corpus doc may hide in any bench doc
+    val candShortB = c.select("c_id")
+      .crossJoin(broadcast(
+        b.filter(length(col("b_text")) < 8).select("b_id")))
+      .select("b_id", "c_id")
+    val candShortC = c.filter(length(col("c_text")) < 8).select("c_id")
+      .crossJoin(broadcast(b.select("b_id")))
+      .select("b_id", "c_id")
+    cand1.union(cand2).union(candShortB).union(candShortC).distinct()
+      .join(broadcast(b), "b_id")
+      .join(c, "c_id")
+      .filter(expr("instr(c_text, b_text) > 0 or instr(b_text, c_text) > 0"))
+      .select(col("b_id"), col("c_id"),
+        expr("instr(c_text, b_text) > 0").as("b_in_c"),
+        expr("instr(b_text, c_text) > 0").as("c_in_b"))
+  }
 }

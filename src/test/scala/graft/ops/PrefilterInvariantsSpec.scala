@@ -39,6 +39,43 @@ class PrefilterInvariantsSpec extends SparkSpec {
       brute.exceptAll(pruned).isEmpty)
   }
 
+  test("q113 prefilter is lossless WITHOUT the corpus length guarantee: " +
+      "sub-8-char docs route through the direct fallback") {
+    // The driver's corpora guarantee every doc >= 59 chars, so the
+    // 8-char prefix gram always exists there; this corpus violates that
+    // on BOTH sides — a 3-char bench doc hidden inside a corpus doc, a
+    // 2-char corpus doc hidden inside a bench doc — and the fallback
+    // branches must surface exactly what brute force finds.
+    import spark.implicits._
+    val b = Seq(
+      (0L, "abc"), // sub-8 bench doc, contained in c_id 101
+      (50L, "a benchmark zz passage long enough to carry eight-grams"))
+      .toDF("b_id", "b_text")
+    val c = Seq(
+      (101L, "prefix abc suffix padding beyond eight chars"),
+      (102L, "zz"), // sub-8 corpus doc, contained in b_id 50
+      (103L, "xx a benchmark zz passage long enough to carry eight-grams yy"),
+      (104L, "entirely unrelated corpus text with no containment at all"))
+      .toDF("c_id", "c_text")
+    val got = CorpusOps.substringDecontaminate(b, c)
+    val brute = c.join(broadcast(b),
+        expr("instr(c_text, b_text) > 0 or instr(b_text, c_text) > 0"))
+      .select(col("b_id"), col("c_id"),
+        expr("instr(c_text, b_text) > 0").as("b_in_c"),
+        expr("instr(b_text, c_text) > 0").as("c_in_b"))
+    assert(got.exceptAll(brute).isEmpty && brute.exceptAll(got).isEmpty,
+      s"fallback-vs-brute mismatch: got ${got.collect().toSeq} " +
+        s"want ${brute.collect().toSeq}")
+    // both fallback directions actually fired (the main-path gram
+    // probes alone would have missed them): the sub-8 bench doc found
+    // inside a corpus doc, and the sub-8 corpus doc found inside a
+    // bench doc
+    assert(got.filter(col("b_id") === 0L && col("c_id") === 101L)
+      .count() == 1)
+    assert(got.filter(col("b_id") === 50L && col("c_id") === 102L &&
+      col("c_in_b")).count() == 1)
+  }
+
   test("q125 spans are disjoint-and-separated per doc, and backed by " +
       "genuinely repeated grams") {
     graft.functions.VectorExpressions.register(spark)
