@@ -84,8 +84,18 @@ object Bench {
     // HEAD, and a tail-surviving total is the one number every
     // round-over-round comparison needs. The leading "metric" key stays
     // for the driver's grep; the trailing duplicate is the durable copy.
-    println(s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"runs":$runs,"sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"value":$total,"total_sec":$total}""")
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"runs":$runs,"sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"value":$total,"total_sec":$total}"""
+    println(line)
     System.out.flush()
+    // Durable copy: the artifact pipeline has twice truncated the stdout
+    // line (round-6 verdict, "What's wrong" 3); the full per-query map
+    // always survives in this sidecar file (overwritten per run,
+    // committed at round close).
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES_LAST.json")),
+      line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
     spark.stop()
     if (failed.nonEmpty) {
       failed.foreach { case (n, m) => System.err.println(s"BENCH FAILURE $n: $m") }
