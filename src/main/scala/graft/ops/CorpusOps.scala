@@ -230,6 +230,86 @@ object CorpusOps {
       substringDecontaminate(b, c).orderBy("b_id", "c_id")
     },
 
+    // The composed CONTAMINATION REPORT — the decontamination
+    // dashboard a training run signs off on: per benchmark document,
+    // how many training docs hit it under each mode — exact full-text
+    // equality (q37/q40's tier), >= 5% word-3-gram overlap (q107's
+    // GPT-3-report tier), and verbatim substring containment either
+    // direction (q113's strictest tier) — plus the single contaminated
+    // verdict. Each mode is the SAME plan its standalone query runs
+    // (broadcast bench side, corpus side one scan; the substring tier
+    // via the universally-lossless gram prefilter), so the report costs
+    // three bench-sized aggregates over already-linear probes, and each
+    // mode's counts are pinned by its standalone oracle while THIS
+    // oracle pins the composition.
+    QueryDef(
+      "q131_contamination_report",
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    range(1, len(ws) - 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS ng FROM w),
+        |bg AS (SELECT doc_id AS b_id, ng FROM g WHERE doc_id % 50 = 0),
+        |cg AS (SELECT doc_id AS c_id, ng FROM g WHERE doc_id % 50 <> 0),
+        |bn AS (SELECT b_id, COUNT(*) AS n_b FROM bg GROUP BY 1),
+        |ngr AS (SELECT b_id, COUNT(DISTINCT c_id) AS n_ngram FROM (
+        |    SELECT o.b_id, o.c_id FROM (
+        |      SELECT b_id, c_id, COUNT(*) AS hits FROM bg
+        |      JOIN cg USING (ng) GROUP BY 1, 2) o
+        |    JOIN bn USING (b_id)
+        |    WHERE CAST(hits AS DOUBLE) / n_b >= 0.05) t GROUP BY 1),
+        |b AS (SELECT doc_id AS b_id, text AS b_text FROM documents
+        |  WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id AS c_id, text AS c_text FROM documents
+        |  WHERE doc_id % 50 <> 0),
+        |ex AS (SELECT b_id, COUNT(DISTINCT c_id) AS n_exact
+        |  FROM b JOIN c ON b_text = c_text GROUP BY 1),
+        |sub AS (SELECT b_id, COUNT(DISTINCT c_id) AS n_substring
+        |  FROM b JOIN c ON position(b_text IN c_text) > 0
+        |    OR position(c_text IN b_text) > 0 GROUP BY 1)
+        |SELECT b.b_id,
+        |  CAST(COALESCE(ex.n_exact, 0) AS BIGINT) AS n_exact,
+        |  CAST(COALESCE(ngr.n_ngram, 0) AS BIGINT) AS n_ngram,
+        |  CAST(COALESCE(sub.n_substring, 0) AS BIGINT) AS n_substring,
+        |  COALESCE(ex.n_exact, 0) + COALESCE(ngr.n_ngram, 0)
+        |    + COALESCE(sub.n_substring, 0) > 0 AS contaminated
+        |FROM b LEFT JOIN ex USING (b_id) LEFT JOIN ngr USING (b_id)
+        |LEFT JOIN sub USING (b_id)
+        |ORDER BY b.b_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val docs = Tables(s, dir, "documents")
+      val b = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("b_id"), col("text").as("b_text"))
+      val c = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("c_id"), col("text").as("c_text"))
+      val exact = b.join(c, col("b_text") === col("c_text"))
+        .groupBy("b_id").agg(countDistinct(col("c_id")).as("n_exact"))
+      val g = docs
+        .select(col("doc_id"), expr("shingle_strings(lower(text), 3)"))
+        .select(col("doc_id"), col("sh").as("ng")).distinct()
+      val bg = g.filter(col("doc_id") % 50 === 0).toDF("b_id", "ng")
+      val cg = g.filter(col("doc_id") % 50 =!= 0).toDF("c_id", "ng")
+      val bn = bg.groupBy("b_id").agg(count(lit(1)).as("n_b"))
+      val ngram = cg.join(broadcast(bg), "ng")
+        .groupBy("b_id", "c_id").agg(count(lit(1)).as("hits"))
+        .join(broadcast(bn), "b_id")
+        .filter(col("hits").cast("double") / col("n_b") >= 0.05)
+        .groupBy("b_id").agg(countDistinct(col("c_id")).as("n_ngram"))
+      val sub = substringDecontaminate(b, c)
+        .groupBy("b_id").agg(countDistinct(col("c_id")).as("n_substring"))
+      b.select("b_id")
+        .join(exact, Seq("b_id"), "left")
+        .join(ngram, Seq("b_id"), "left")
+        .join(sub, Seq("b_id"), "left")
+        .select(col("b_id"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+          coalesce(col("n_ngram"), lit(0L)).as("n_ngram"),
+          coalesce(col("n_substring"), lit(0L)).as("n_substring"))
+        .withColumn("contaminated",
+          col("n_exact") + col("n_ngram") + col("n_substring") > 0)
+        .orderBy("b_id")
+    },
+
     // Pack materialization — q77 assigns (doc → pack, offset); this
     // emits the packs themselves: per (source, pack) the document
     // order, doc count, and token fill. The doc_order string is what a

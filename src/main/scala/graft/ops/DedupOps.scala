@@ -85,6 +85,24 @@ object DedupOps {
         |      ON a.k = b.k AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
       .stripMargin
 
+  /** Signature + band-key CTE chain for relation `rel`(doc_id, text)
+    * with CTE-name suffix `sfx` — the cross-set building block (q133
+    * joins a NEW batch's bands against the corpus index's bands, so the
+    * two sides need separately-named chains; [[lshPairsSql]] keeps the
+    * single-relation within-set form the q44/q47/q49/q67 oracles use).
+    */
+  private def sigBandsSql(rel: String, sfx: String): String =
+    s"""d$sfx AS (SELECT doc_id, $shingleListSql AS sh
+       |    FROM $rel WHERE len(string_split(text,' ')) >= 3),
+       |  sg$sfx AS (SELECT doc_id, unnest(sh) AS s FROM d$sfx),
+       |  hv$sfx AS (SELECT doc_id, sha256(s) AS h0, sha256('1|' || s) AS h1
+       |    FROM sg$sfx),
+       |  sig$sfx AS (SELECT doc_id,
+       |      $sigSelectSql
+       |    FROM hv$sfx GROUP BY doc_id),
+       |  bands$sfx AS (SELECT doc_id, k, $bandCaseSql AS bh
+       |    FROM sig$sfx, (SELECT unnest(range(0,4)) AS k))""".stripMargin
+
   /** Signature-agreement estimate for a joined (sa, sb) signature pair. */
   private def estJaccardSql: String =
     (0 until 16).map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END")
@@ -98,6 +116,15 @@ object DedupOps {
     "least(1.0, len(string_split(text,' ')) / 100.0) * " +
       "(1.0 - CAST(len(list_filter(string_split(text,' '), " +
       "w -> w IN ('the','a'))) AS DOUBLE) / len(string_split(text,' ')))"
+
+  /** DuckDB twin of [[keepListFrom]]'s content-addressed split rule for
+    * an arbitrary id expression.
+    */
+  private def splitSql(idExpr: String): String =
+    s"CASE WHEN substr(sha256('split-v1|' || CAST($idExpr AS VARCHAR))" +
+      ", 1, 2) < 'cd' THEN 'train' " +
+      s"WHEN substr(sha256('split-v1|' || CAST($idExpr AS VARCHAR))" +
+      ", 1, 2) < 'e6' THEN 'val' ELSE 'test' END"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -499,6 +526,151 @@ object DedupOps {
         .orderBy("split")
     },
 
+    // INCREMENTAL delta-dedup — the daily-ingest shape: a NEW batch
+    // (doc_id % 10 = 9 stands in for today's arrivals) deduplicates
+    // against the EXISTING corpus without rescanning it, by probing a
+    // materialized BAND INDEX ([[corpusBandIndex]] — one row per
+    // (band, key) per corpus exact-rep, carrying the rep's signature).
+    // Per new doc: 'exact' (verbatim text already in the corpus),
+    // 'near' (>= 1 corpus rep shares a band bucket at est_jaccard >=
+    // 0.5), else 'novel', plus the near-match count. At 100 TB the
+    // corpus side is the index artifact (built once per corpus
+    // version); the batch side computes signatures row-locally and the
+    // probe joins are batch-sized — ingest cost scales with the DAY,
+    // not the CORPUS. The streaming twin (StreamingDedup.nearDupFlags)
+    // is spec-pinned; this registers the batch form on the oracle
+    // surface, where DuckDB recomputes both sides' signature chains
+    // cross-set.
+    QueryDef(
+      "q133_incremental_dedup",
+      """WITH cr AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 9 GROUP BY text),
+        |nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 9),
+        |  """.stripMargin +
+        sigBandsSql("cr", "c") + ",\n  " + sigBandsSql("nb", "n") + ",\n" +
+        s"""cand AS (SELECT DISTINCT n.doc_id AS n_id, c.doc_id AS c_id
+           |  FROM bandsn n JOIN bandsc c ON n.k = c.k AND n.bh = c.bh),
+           |near AS (SELECT n_id, COUNT(*) AS n FROM cand
+           |  JOIN sign sa ON sa.doc_id = cand.n_id
+           |  JOIN sigc sb ON sb.doc_id = cand.c_id
+           |  WHERE $estJaccardSql >= 0.5 GROUP BY n_id),
+           |ex AS (SELECT DISTINCT nb.doc_id FROM nb
+           |  JOIN cr ON cr.text = nb.text)
+           |SELECT nb.doc_id,
+           |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact'
+           |       WHEN COALESCE(near.n, 0) > 0 THEN 'near'
+           |       ELSE 'novel' END AS verdict,
+           |  CAST(COALESCE(near.n, 0) AS BIGINT) AS n_near
+           |FROM nb LEFT JOIN ex ON ex.doc_id = nb.doc_id
+           |LEFT JOIN near ON near.n_id = nb.doc_id
+           |ORDER BY nb.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val newB = docs.filter(col("doc_id") % 10 === 9)
+        .select("doc_id", "text")
+      // exact tier: the (small) new batch broadcasts; the corpus scans
+      // once with the equi-join key pushed to the probe
+      val exactIds = docs.filter(col("doc_id") % 10 =!= 9)
+        .select("text")
+        .join(broadcast(newB), "text")
+        .select("doc_id").distinct()
+        .withColumn("is_exact", lit(true))
+      val newBands = bandBuckets(minhashSigs(newB), numPerms = 16,
+          bands = 4)
+        .select(col("doc_id").as("n_id"), col("sig").as("n_sig"),
+          col("band"), col("bh"))
+      val near = newBands
+        .join(corpusBandIndex(s, dir)
+          .toDF("c_id", "c_sig", "band", "bh"), Seq("band", "bh"))
+        .select(col("n_id"), col("c_id"),
+          expr("cast(size(filter(zip_with(n_sig, c_sig, " +
+            "(x, y) -> x = y), e -> e)) as double) / size(n_sig)")
+            .as("est"))
+        .distinct()
+        .filter(col("est") >= 0.5)
+        .groupBy("n_id").agg(count(lit(1)).as("n_near"))
+      newB.select("doc_id")
+        .join(exactIds, Seq("doc_id"), "left")
+        .join(near.toDF("doc_id", "n_near"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(coalesce(col("is_exact"), lit(false)), "exact")
+            .when(coalesce(col("n_near"), lit(0L)) > 0, "near")
+            .otherwise("novel").as("verdict"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy("doc_id")
+    },
+
+    // Split-LEAKAGE audit — the eval-integrity property the q67
+    // pipeline exists to guarantee, measured instead of assumed: for
+    // every near-dup candidate edge among quality-surviving classes,
+    // compare (a) the splits a NAIVE per-document content-addressed
+    // assignment would give its two ends — near-dups routinely straddle
+    // train/test under naive hashing, which is eval leakage — against
+    // (b) the pipeline's assignment, where every member inherits its
+    // cluster representative's split, so an edge's two ends agree BY
+    // CONSTRUCTION (an est>=0.5 edge is exactly what connects a
+    // component). Output: per (naive_split_a, naive_split_b) pair-count
+    // plus the pipeline's cross-split count, which must be zero in
+    // every row — the hash check pins both the leak counts and the
+    // zero. Scale shape: edges come from the materialized q44 artifact
+    // semi-joined to survivors; labels from the graph-bounded CC loop;
+    // the audit itself is one edge-sized aggregate.
+    QueryDef(
+      "q132_split_leakage_audit",
+      s"""WITH RECURSIVE
+         |qcls AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_exact
+         |  FROM documents WHERE $qualitySql >= 0.2 GROUP BY text),
+         |r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+         |  GROUP BY text),
+         |  """.stripMargin + lshPairsSql("r") + ",\n" +
+        s"""j AS (SELECT p.a_id, p.b_id FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id
+           |  WHERE $estJaccardSql >= 0.5
+           |    AND p.a_id IN (SELECT doc_id FROM qcls)
+           |    AND p.b_id IN (SELECT doc_id FROM qcls)),
+           |e AS (SELECT a_id AS src, b_id AS dst FROM j
+           |  UNION SELECT b_id, a_id FROM j),
+           |walk AS (
+           |  SELECT doc_id AS node, doc_id AS lbl FROM qcls
+           |  UNION
+           |  SELECT e.src AS node, walk.lbl FROM walk JOIN e ON e.dst = walk.node),
+           |lab AS (SELECT node, MIN(lbl) AS cluster FROM walk GROUP BY node)
+           |SELECT ${splitSql("j.a_id")} AS naive_split_a,
+           |  ${splitSql("j.b_id")} AS naive_split_b,
+           |  COUNT(*) AS n_pairs,
+           |  CAST(SUM(CASE WHEN ${splitSql("la.cluster")}
+           |      <> ${splitSql("lb.cluster")} THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_pipeline_cross
+           |FROM j JOIN lab la ON la.node = j.a_id
+           |JOIN lab lb ON lb.node = j.b_id
+           |GROUP BY 1, 2 ORDER BY naive_split_a, naive_split_b"""
+          .stripMargin) { (s, dir) =>
+      def split(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+        val h = sha2(concat(lit("split-v1|"), c.cast("string")), 256)
+        when(substring(h, 1, 2) < "cd", "train")
+          .when(substring(h, 1, 2) < "e6", "val").otherwise("test")
+      }
+      val classes = qualityClasses(Tables(s, dir, "documents"), 0.2)
+      val ids = classes.select("doc_id")
+      val edges = lshCandidates(s, dir)
+        .filter(col("est_jaccard") >= 0.5)
+        .join(ids.toDF("a_id"), Seq("a_id"), "left_semi")
+        .join(ids.toDF("b_id"), Seq("b_id"), "left_semi")
+        .select("a_id", "b_id")
+      val labels = connectedComponents(edges, ids)
+      edges
+        .join(labels.toDF("a_id", "lbl_a"), "a_id")
+        .join(labels.toDF("b_id", "lbl_b"), "b_id")
+        .select(split(col("a_id")).as("naive_split_a"),
+          split(col("b_id")).as("naive_split_b"),
+          (split(col("lbl_a")) =!= split(col("lbl_b"))).as("pipe_cross"))
+        .groupBy("naive_split_a", "naive_split_b")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("pipe_cross"), 1L).otherwise(0L))
+            .as("n_pipeline_cross"))
+        .orderBy("naive_split_a", "naive_split_b")
+    },
+
     // SPAN-level repeated-region detection — the Lee et al. ("Dedup-
     // licating Training Data Makes Language Models Better") exact-
     // substring tier that document- and segment-level dedup both miss:
@@ -836,6 +1008,26 @@ object DedupOps {
     graft.engine.Materialize.table(s, "doc_rep", dir) {
       Tables(s, dir, "documents").select(col("doc_id"),
         min(col("doc_id")).over(Window.partitionBy("text")).as("rep"))
+    }
+
+  /** The corpus-side BAND INDEX for incremental ingest (q133): one row
+    * per (band, bucket key) per corpus exact-dedup representative,
+    * carrying the rep's signature so a probe scores est_jaccard without
+    * a second lookup. Built once per corpus version
+    * ([[graft.engine.Materialize]]); a new batch deduplicates against
+    * the corpus by probing this artifact — batch-sized work, zero
+    * corpus scans. The corpus here is the non-delta slice
+    * (doc_id % 10 <> 9, the q133 fixture boundary).
+    */
+  def corpusBandIndex(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "corpus_band_index", dir) {
+      val reps = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 10 =!= 9)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      bandBuckets(minhashSigs(reps.select("doc_id", "text")),
+          numPerms = 16, bands = 4)
+        .select("doc_id", "sig", "band", "bh")
     }
 
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
