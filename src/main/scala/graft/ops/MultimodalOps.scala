@@ -196,5 +196,126 @@ object MultimodalOps {
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_frames"), max(col("offset_ms")).as("last_ms"))
         .orderBy("media_id")
+    },
+
+    // Perceptual-hash image near-dup — the image-modality twin of q92's
+    // text SimHash, composed THROUGH the decode path: a 64-bit
+    // difference-hash per image computed inside the same mapPartitions
+    // batch boundary a real decoder runs in, carried as four 16-bit
+    // words, banded 4×16 (2¹⁶ keys per band — the scale-safe point q92
+    // established; by pigeonhole every pair within hamming 3 shares an
+    // intact band), pairs histogrammed by hamming distance. The stub
+    // sketch is dHash over a 64-bin byte-BIGRAM hash histogram (bucket
+    // = (b₁·131 + b₂) mod 64; bit k = bucket k count > bucket (k+17)
+    // mod 64 count — all-integer, exact in any engine): plain
+    // byte-value bucketing is DEGENERATE on a ~27-symbol text alphabet
+    // (dead buckets → single-key bands → the band join collapses
+    // toward all-pairs, the exact quadratic the round-5 verdict
+    // killed), while bigram hashing spreads all 64 buckets and the
+    // stride-17 comparison decorrelates bits within a band (measured
+    // 75-99 distinct keys per band at sf0.01 vs 1 for byte-value
+    // bucketing, candidates 8% of all-pairs). A real codec would dHash
+    // decoded PIXEL gradients — near-uniform bits by construction; the
+    // banding, probing, and histogram downstream are codec-agnostic,
+    // and the stub's arithmetic keeps the whole path oracle-checkable
+    // (ASCII corpus → DuckDB codepoints ARE the payload bytes).
+    QueryDef(
+      "q134_media_phash_neardup", {
+        val keyCase = (0 until 4).map(j =>
+          s"WHEN $j THEN b$j").mkString("CASE j ", " ", " END")
+        val ham = (0 until 4).map(j =>
+          s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+        val packs = (0 until 4).map(j =>
+          s"MAX(CASE WHEN j = $j THEN w END) AS b$j")
+          .mkString(",\n        |    ")
+        s"""WITH img AS (SELECT doc_id, text FROM documents
+           |  WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+           |bg AS (SELECT doc_id, (ascii(substr(text, i, 1)) * 131
+           |    + ascii(substr(text, i + 1, 1))) % 64 AS bkt
+           |  FROM img, unnest(range(1, length(text))) AS t(i)),
+           |hist AS (SELECT doc_id, bkt, COUNT(*) AS cnt FROM bg
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT doc_id, k FROM img,
+           |  (SELECT unnest(range(0, 64)) AS k)),
+           |dense AS (SELECT g.doc_id, g.k, COALESCE(h.cnt, 0) AS c
+           |  FROM grid g LEFT JOIN hist h
+           |    ON h.doc_id = g.doc_id AND h.bkt = g.k),
+           |bits AS (SELECT a.doc_id, a.k,
+           |    CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+           |  FROM dense a JOIN dense b
+           |    ON b.doc_id = a.doc_id AND b.k = (a.k + 17) % 64),
+           |words AS (SELECT doc_id, k // 16 AS j,
+           |    CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS w
+           |  FROM bits GROUP BY 1, 2),
+           |f AS (SELECT doc_id,
+           |    $packs
+           |  FROM words GROUP BY doc_id),
+           |bands AS (SELECT doc_id, b0, b1, b2, b3, j, $keyCase AS key
+           |  FROM f, (SELECT unnest(range(0, 4)) AS j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    $ham AS hamming
+           |  FROM bands a JOIN bands b
+           |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id)
+           |SELECT CAST(hamming AS INTEGER) AS hamming,
+           |  COUNT(*) AS n_pairs
+           |FROM cand WHERE hamming <= 3 GROUP BY hamming
+           |ORDER BY hamming""".stripMargin
+      }) { (s, dir) =>
+      val bands = phashes(
+          mediaTable(s, dir).filter(col("kind") === "image"))
+        .toDF()
+        .select(col("media_id"), array(col("b0"), col("b1"), col("b2"),
+          col("b3")).as("f"))
+        .select(col("media_id"), col("f"),
+          posexplode(col("f")).as(Seq("j", "key")))
+        .repartition(col("media_id"))
+      val ham = (0 until 4).map(j =>
+        expr(s"bit_count(element_at(fa, ${j + 1}) ^ " +
+          s"element_at(fb, ${j + 1}))")).reduce(_ + _)
+      bands.toDF("a_id", "fa", "j", "key")
+        .join(bands.toDF("b_id", "fb", "j", "key"), Seq("j", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), ham.as("hamming")).distinct()
+        .filter(col("hamming") <= 3)
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("hamming").cast("int").as("hamming"), col("n_pairs"))
+        .orderBy("hamming")
     })
+
+  final case class MediaPhash(media_id: Long, b0: Long, b1: Long,
+      b2: Long, b3: Long)
+
+  /** 64-bit perceptual hash per payload as four 16-bit words, computed
+    * in the [[decodeFeatures]]-style per-partition batch (a real codec
+    * decodes pixels and dHashes gradients; the stub dHashes a 64-bin
+    * byte-bigram hash histogram — bucket (b₁·131 + b₂) mod 64, bit k
+    * set iff count(k) > count((k+17) mod 64), all-integer and so exact
+    * in any engine — see the q134 scaladoc for why plain byte-value
+    * bucketing degenerates on text payloads).
+    */
+  def phashes(media: DataFrame): Dataset[MediaPhash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("media_id", "payload").as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // real codec: open decoder context here, once per partition
+        rows.map { case (id, payload) =>
+          val hist = new Array[Long](64)
+          var i = 0
+          while (i < payload.length - 1) {
+            hist(((payload(i) & 0xff) * 131
+              + (payload(i + 1) & 0xff)) % 64) += 1L
+            i += 1
+          }
+          val w = new Array[Long](4)
+          var k = 0
+          while (k < 64) {
+            if (hist(k) > hist((k + 17) % 64)) w(k / 16) |= 1L << (k % 16)
+            k += 1
+          }
+          MediaPhash(id, w(0), w(1), w(2), w(3))
+        }
+      }
+  }
 }
