@@ -166,4 +166,49 @@ class StreamingDedupSpec extends SparkSpec {
     assert(streamed.exists { case (d, c) => d == 9001L && c == 7L })
     assert(streamed.exists { case (d, c) => d == 9004L && c == 3L })
   }
+
+  test("streamed near-dup flags against the q133 corpus band index " +
+      "agree with the batch incremental-dedup candidates") {
+    import spark.implicits._
+    // Same ingest boundary as q133: corpus = doc_id % 10 <> 9 (as
+    // exact-dedup reps), new batch = doc_id % 10 = 9. The streaming
+    // index and the batch artifact are built by the same banding, so
+    // the streamed collision pairs must equal the batch index probe's
+    // collision pairs, and every batch 'near' verdict (collision +
+    // est >= 0.5) must be a subset of the streamed flags.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "text")
+    val reps = docs.filter(col("doc_id") % 10 =!= 9)
+      .groupBy(col("text"))
+      .agg(org.apache.spark.sql.functions.min(col("doc_id")).as("doc_id"))
+      .select("doc_id", "text")
+    val index = StreamingDedup.bucketIndex(reps)
+    val newBatch = docs.filter(col("doc_id") % 10 === 9)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val input = MemoryStream[(Long, String)](spark)
+    val q = StreamingDedup.nearDupFlags(
+        input.toDF().toDF("doc_id", "text"), index)
+      .writeStream.format("memory").queryName("sincdedup")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    newBatch.grouped(20).foreach { b =>
+      input.addData(b); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("sincdedup")
+      .select("doc_id", "corpus_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batchPairs = StreamingDedup.nearDupFlags(
+        docs.filter(col("doc_id") % 10 === 9), index)
+      .select("doc_id", "corpus_id").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batchPairs,
+      s"stream flags ${streamed.size} != batch flags ${batchPairs.size}")
+    val nearVerdicts = graft.SparkEntry.queries("q133_incremental_dedup")(
+        spark, dir)
+      .filter(col("verdict") === "near")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(nearVerdicts.subsetOf(streamed.map(_._1)),
+      s"q133 near verdicts $nearVerdicts not all flagged by the stream")
+  }
 }
