@@ -599,6 +599,46 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // Incremental INDEX MAINTENANCE — the band index as a LIVE TABLE
+    // instead of a per-corpus-version rebuild: the LSH index lives in a
+    // [[graft.engine.ManifestTableStore]] and each ingest batch APPENDS
+    // only its novel texts' band rows (batch 0 = the corpus slice's
+    // exact-reps; batch 1 = the delta slice's reps anti-joined against
+    // already-indexed texts — first arrival wins, the ingest-order
+    // semantics). At 100 TB this is the difference between re-banding
+    // the corpus per version and appending a day's rows: index
+    // maintenance cost scales with the DAY, queries read committed
+    // index state (with the store's time travel / CDF for free — an
+    // index consumer can process only the newly indexed rows). The
+    // oracle recomputes the maintained state's per-band profile from
+    // raw documents with the same first-arrival rep rule;
+    // PipelineInvariantsSpec pins structural laws + append idempotency.
+    QueryDef(
+      "q135_index_maintenance",
+      """WITH corpus AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 <> 9),
+        |creps AS (SELECT MIN(doc_id) AS doc_id, text FROM corpus
+        |  GROUP BY text),
+        |novel AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 9
+        |    AND text NOT IN (SELECT text FROM corpus)
+        |  GROUP BY text),
+        |u AS (SELECT doc_id, text FROM creps
+        |  UNION ALL SELECT doc_id, text FROM novel),
+        |  """.stripMargin + sigBandsSql("u", "u") + "\n" +
+        """SELECT CAST(k AS INTEGER) AS band, COUNT(*) AS n_entries,
+          |  COUNT(DISTINCT bh) AS n_keys,
+          |  CAST(MIN(doc_id) AS BIGINT) AS first_doc
+          |FROM bandsu GROUP BY k ORDER BY band""".stripMargin) {
+      (s, dir) =>
+      maintainedBandIndex(s, dir).read(s)
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_entries"),
+          countDistinct(col("bh")).as("n_keys"),
+          min(col("doc_id")).cast("long").as("first_doc"))
+        .orderBy("band")
+    },
+
     // Split-LEAKAGE audit — the eval-integrity property the q67
     // pipeline exists to guarantee, measured instead of assumed: for
     // every near-dup candidate edge among quality-surviving classes,
@@ -1029,6 +1069,37 @@ object DedupOps {
           numPerms = 16, bands = 4)
         .select("doc_id", "sig", "band", "bh")
     }
+
+  /** The LSH band index as a LIVE, incrementally-maintained table
+    * (q135): a [[graft.engine.ManifestTableStore]] whose batch 0 holds
+    * the corpus slice's exact-rep band rows and whose batch 1 appends
+    * only the delta slice's NOVEL texts (anti-join against
+    * already-indexed texts — first arrival wins). Appends are
+    * idempotent per batch id, so re-invocation reads, never rewrites;
+    * the store gives the index time travel and a change feed (an index
+    * consumer can process only newly indexed rows via readChanges).
+    */
+  def maintainedBandIndex(s: SparkSession,
+      dir: String): graft.engine.ManifestTableStore = {
+    val store = new graft.engine.ManifestTableStore(
+      graft.engine.Materialize.keyedPath(s, "band_index_store", dir))
+    val docs = Tables(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val corpusReps = corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    store.append(
+      bandBuckets(minhashSigs(corpusReps.select("doc_id", "text")),
+        numPerms = 16, bands = 4).select("doc_id", "sig", "band", "bh"),
+      0L)
+    val novelReps = docs.filter(col("doc_id") % 10 === 9)
+      .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      .join(corpus.select("text"), Seq("text"), "left_anti")
+    store.append(
+      bandBuckets(minhashSigs(novelReps.select("doc_id", "text")),
+        numPerms = 16, bands = 4).select("doc_id", "sig", "band", "bh"),
+      1L)
+    store
+  }
 
   def lshCandidates(s: SparkSession, dir: String): DataFrame =
     graft.engine.Materialize.table(s, "lsh_candidates_sha", dir) {

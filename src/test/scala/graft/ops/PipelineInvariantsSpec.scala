@@ -83,4 +83,33 @@ class PipelineInvariantsSpec extends SparkSpec {
       .orderBy("doc_id").collect().toSeq
     assert(kept.orderBy("doc_id").collect().toSeq == indexed)
   }
+
+  test("maintained band index (q135): state == from-scratch build, " +
+      "appends idempotent, no text indexed twice") {
+    val store = DedupOps.maintainedBandIndex(spark, dir)
+    val versionAfter = store.currentVersion(spark)
+    val state = store.read(spark).select("doc_id", "band", "bh")
+    // from-scratch twin under the same ingest-order rep rule: corpus
+    // slice reps + delta slice reps whose text is not already indexed
+    val corpus = docs.filter(col("doc_id") % 10 =!= 9)
+    val reps = corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 9)
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+        .join(corpus.select("text"), Seq("text"), "left_anti"))
+    val scratch = DedupOps.bandBuckets(
+        DedupOps.minhashSigs(reps.select("doc_id", "text")), 16, 4)
+      .select("doc_id", "band", "bh")
+    assert(state.exceptAll(scratch).isEmpty &&
+      scratch.exceptAll(state).isEmpty,
+      "maintained index state differs from the from-scratch build")
+    // idempotency: replaying the maintenance run appends nothing
+    val again = DedupOps.maintainedBandIndex(spark, dir)
+    assert(again.currentVersion(spark) == versionAfter,
+      "replayed maintenance run committed a new version")
+    // no text indexed twice: indexed doc_ids are reps of distinct texts
+    val texts = state.select("doc_id").distinct().join(docs, "doc_id")
+    assert(texts.select("text").distinct().count() == texts.count(),
+      "two indexed docs share identical text")
+  }
 }
