@@ -55,4 +55,52 @@ class VectorExpressionsSpec extends SparkSpec {
       .head().getDouble(0) // codegen path
     assert(viaPlan == 11.0)
   }
+
+  test("HyperplaneBuckets.sign equals exact BigInt arithmetic at every " +
+      "k, including past the 64-bit product overflow (round-6 advice)") {
+    // The masked reduction must equal the MATHEMATICAL
+    // (k²·C1 + k·C2) mod 2³² everywhere — the old signed % diverged
+    // once k*k*C1 overflowed a long (k >= 64,071).
+    val C1 = BigInt(2246822519L); val C2 = BigInt(3266489917L)
+    val M = BigInt(1) << 32
+    def exact(k: Long): Long = {
+      val kk = BigInt(k)
+      if ((kk * kk * C1 + kk * C2).mod(M) < (M >> 1)) 1L else -1L
+    }
+    val ks = (0L to 200L) ++ Seq(64069L, 64070L, 64071L, 64072L,
+      100000L, 1000000L, Int.MaxValue.toLong, (1L << 40) + 12345L)
+    ks.foreach { k =>
+      assert(HyperplaneBuckets.sign(k) == exact(k),
+        s"sign($k) diverges from exact mod-2^32 arithmetic")
+    }
+  }
+
+  test("analysis-time guards reject misuse (round-6 advice): " +
+      "minhash_sig over non-strings / bad numPerms, non-literal LM model") {
+    VectorExpressions.register(spark)
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    docs.createOrReplaceTempView("guard_docs")
+    // minhash_sig over the LONG output of shingle_hashes: analysis
+    // error, not a runtime ClassCastException
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(h, 4) FROM (SELECT doc_id, h " +
+        "FROM guard_docs LATERAL VIEW shingle_hashes(text, 3) AS pos, h)" +
+        " GROUP BY doc_id").collect()
+    }
+    // numPerms beyond the 64-permutation sha-window family
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT minhash_sig(text, 65) FROM guard_docs " +
+        "GROUP BY doc_id").collect()
+    }
+    // a NON-literal model map must be rejected: the index cache is
+    // only sound for a stable literal MapData
+    intercept[org.apache.spark.sql.AnalysisException] {
+      docs.select(expr(
+        "trigram_lm_score(text, map(text, 1.0D))")).collect()
+    }
+    // the literal form still works
+    val ok = docs.select(expr(
+      "trigram_lm_score(text, map('a b', -1.0D))")).head()
+    assert(ok != null)
+  }
 }
