@@ -954,18 +954,26 @@ object CurationOps {
     * inside every query — the suite's two slowest plans; the artifact +
     * partial-agg shape deleted both (round-5 verdict, What's wrong 1).
     */
-  private def trigramDocScores(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorExpressions.register(s)
-    Tables(s, dir, "documents")
-      .filter(length(col("text")) >= 3)
-      .select(col("doc_id"), col("lang"), expr("char_ngrams(text, 3)"))
-      .toDF("doc_id", "lang", "pos", "t")
-      .join(broadcast(trigramLm(s, dir)), "t")
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("n_tri"),
-        round(sum(col("lp").cast(DecimalType(18, 9))).cast("double") /
-          count(lit(1)), 6).as("mean_logp"))
-  }
+  private def trigramDocScores(s: SparkSession, dir: String): DataFrame =
+    // The doc-level score frame is itself a derived INDEX (CCNet
+    // materializes exactly this: per-doc LM scores, computed once per
+    // corpus version, consumed by every filtering/bucketing query):
+    // one skinny (doc_id, lang, n_tri, mean_logp) row per document,
+    // built by the generator + broadcast-model + map-side-partial fold
+    // below, then served as an artifact read to q94 (listing) AND q108
+    // (buckets) — which previously each re-folded the corpus per run.
+    graft.engine.Materialize.table(s, "trigram_doc_scores", dir) {
+      graft.functions.VectorExpressions.register(s)
+      Tables(s, dir, "documents")
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), expr("char_ngrams(text, 3)"))
+        .toDF("doc_id", "lang", "pos", "t")
+        .join(broadcast(trigramLm(s, dir)), "t")
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tri"),
+          round(sum(col("lp").cast(DecimalType(18, 9))).cast("double") /
+            count(lit(1)), 6).as("mean_logp"))
+    }
 
   /** The corpus's materialized INVERTED INDEX: full (term, doc_id, dl,
     * tf) postings, built once per corpus version — the shared
