@@ -391,15 +391,25 @@ object CorpusOps {
       .join(broadcast(bGrams), "g")
       .select("b_id", "c_id")
     // sub-8-char fallbacks: a short bench doc may hide in ANY corpus
-    // doc; a short corpus doc may hide in any bench doc
-    val candShortB = c.select("c_id")
-      .crossJoin(broadcast(
-        b.filter(length(col("b_text")) < 8).select("b_id")))
-      .select("b_id", "c_id")
+    // doc; a short corpus doc may hide in any bench doc. The bench-
+    // short branch streams the whole corpus (c_id column), so it is
+    // gated on a driver-side emptiness probe of the BENCH side — bench
+    // sets are broadcast-small by the operator's contract, the probe is
+    // one tiny job, and on any corpus honoring the 8-char floor it
+    // deletes a corpus-wide pass from the plan entirely. The corpus-
+    // short branch cannot be pre-gated without itself scanning c, so it
+    // stays unconditional — its stream side is the length-filtered scan
+    // the verification join reads anyway.
+    val bShort = b.filter(length(col("b_text")) < 8).select("b_id")
+    val candShortB =
+      if (bShort.isEmpty) bShort.crossJoin(c.select("c_id").limit(0))
+      else c.select("c_id").crossJoin(broadcast(bShort))
     val candShortC = c.filter(length(col("c_text")) < 8).select("c_id")
       .crossJoin(broadcast(b.select("b_id")))
       .select("b_id", "c_id")
-    cand1.union(cand2).union(candShortB).union(candShortC).distinct()
+    cand1.union(cand2)
+      .union(candShortB.select("b_id", "c_id"))
+      .union(candShortC).distinct()
       .join(broadcast(b), "b_id")
       .join(c, "c_id")
       .filter(expr("instr(c_text, b_text) > 0 or instr(b_text, c_text) > 0"))

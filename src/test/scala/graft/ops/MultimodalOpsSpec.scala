@@ -67,4 +67,31 @@ class MultimodalOpsSpec extends SparkSpec {
     val perDoc = frames.groupBy("media_id").count()
     assert(perDoc.agg(max("count")).head().getLong(0) <= 4)
   }
+
+  test("pHash near-dup (q134) laws: identical payloads collide at " +
+      "hamming 0, a near-identical payload lands within the budget, " +
+      "unrelated payloads stay apart") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog while " +
+      "seventy zebras quietly photograph mixed jazz vibes ") * 4
+    val media = Seq(
+      (1L, base),                          // original
+      (2L, base),                          // byte-identical copy
+      (3L, base.dropRight(3) + "cat"),     // near-identical tail edit
+      (4L, "entirely different content with other letter statistics " +
+        "qqq xxx zzz www kkk vvv jjj fff ggg hhh " * 5))
+      .toDF("media_id", "text")
+      .select(col("media_id"), col("text").cast("binary").as("payload"))
+    val fps = MultimodalOps.phashes(media).collect()
+      .map(f => f.media_id -> Seq(f.b0, f.b1, f.b2, f.b3)).toMap
+    def hamming(a: Seq[Long], b: Seq[Long]): Int =
+      a.zip(b).map { case (x, y) =>
+        java.lang.Long.bitCount(x ^ y) }.sum
+    assert(hamming(fps(1L), fps(2L)) == 0,
+      "byte-identical payloads must share the fingerprint")
+    assert(hamming(fps(1L), fps(3L)) <= 3,
+      s"near-identical payload at hamming ${hamming(fps(1L), fps(3L))}")
+    assert(hamming(fps(1L), fps(4L)) > 3,
+      s"unrelated payload too close: ${hamming(fps(1L), fps(4L))}")
+  }
 }
