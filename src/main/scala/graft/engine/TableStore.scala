@@ -352,6 +352,59 @@ final class ManifestTableStore(path: String,
     }
   }
 
+  // ---- Write-audit-publish (Iceberg's WAP pattern) -------------------
+  // The single-step manifest protocol makes WAP free: data files are
+  // only table state once a manifest references them, so "stage" is an
+  // append WITHOUT the commit, auditing reads the staged dir directly,
+  // and "publish" is an ordinary optimistic commit that references the
+  // already-written dir — the audited bytes, not a re-run of the
+  // upstream job. An aborted batch is deleted without the table ever
+  // having known it existed. This is the ingest-quality gate a curation
+  // pipeline runs: land the batch, run the checks, only then make it
+  // visible to consumers.
+
+  /** Write a batch's data files WITHOUT committing them — invisible to
+    * every reader until [[publishStaged]]. Returns the staged dir
+    * (the audit + publish/abort handle).
+    */
+  def stage(df: DataFrame, batchId: Long): String = {
+    val dataDir =
+      s"$path/staged/batch-$batchId-${java.util.UUID.randomUUID()}"
+    write(df.withColumn("batch_id", lit(batchId)), dataDir)
+    dataDir
+  }
+
+  /** Read a staged batch for auditing — exactly the bytes publish would
+    * make visible.
+    */
+  def readStaged(spark: SparkSession, stagedDir: String): DataFrame =
+    spark.read.parquet(stagedDir)
+
+  /** Commit a staged dir as the next version (idempotent per batch id;
+    * optimistic retry like [[append]]). The staged files themselves
+    * become table state — no rewrite between audit and publish.
+    */
+  def publishStaged(spark: SparkSession, stagedDir: String,
+      batchId: Long): Unit = synchronized {
+    val f = fs(spark)
+    var (v, lines) = current(f)
+    if (lines.exists(_.batchId == batchId)) return
+    val entry = Entry(batchId, stagedDir, collectStats(spark, stagedDir))
+    var next = v + 1
+    while (!tryCommit(f, next, lines :+ entry)) {
+      val (nv, nlines) = current(f)
+      if (nlines.exists(_.batchId == batchId)) return
+      lines = nlines; v = nv
+      next = math.max(nv + 1, next + 1)
+    }
+  }
+
+  /** Drop a staged batch that failed its audit — the table never
+    * referenced it, so this is pure file deletion, no manifest change.
+    */
+  def abortStaged(spark: SparkSession, stagedDir: String): Unit =
+    fs(spark).delete(new HPath(stagedDir), true)
+
   /** Rewrite every committed row into ONE data dir and commit it as the
     * next version, carrying all batch ids forward (replay detection and
     * `readExactlyOnce` survive: batch_id is a data column). No-op on a

@@ -462,6 +462,53 @@ object StoreOps {
         .orderBy("version")
     },
 
+    // Write-audit-publish (Iceberg's WAP pattern) — the ingest-quality
+    // gate run END-TO-END on the correctness surface: batch 0 commits
+    // the pre-1998 orders; a DIRTY 1998+ batch (totals sign-flipped,
+    // standing in for an upstream bug) is STAGED — invisible to every
+    // reader — fails its audit (no negative totals) and is aborted
+    // without the table ever referencing it; the clean 1998+ batch
+    // stages, passes the same audit, and publishes — the audited bytes
+    // themselves become table state (no rewrite between audit and
+    // publish). Final state == the raw table, which is exactly what the
+    // oracle checks: had the dirty batch leaked, totals would be
+    // wrong; had publish rewritten data, stats could drift. Audits are
+    // one aggregate over the staged dir; the whole gate costs the
+    // batch, never the table.
+    QueryDef(
+      "q136_store_wap",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_wap", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      val cut = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
+      store.append(orders.filter(cut), 0L)
+      def auditPasses(stagedDir: String): Boolean =
+        store.readStaged(s, stagedDir)
+          .filter(col("o_totalprice") < 0).isEmpty
+      if (store.currentVersion(s) == 1L) {
+        // the dirty attempt: sign-flipped totals must never publish
+        val dirty = store.stage(orders.filter(!cut)
+          .withColumn("o_totalprice", -col("o_totalprice")), 1L)
+        if (auditPasses(dirty)) store.publishStaged(s, dirty, 1L)
+        else store.abortStaged(s, dirty)
+        // the clean batch: same audit, passes, publishes
+        val clean = store.stage(orders.filter(!cut), 1L)
+        if (auditPasses(clean)) store.publishStaged(s, clean, 1L)
+        else store.abortStaged(s, clean)
+      }
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("o_orderstatus")
+    },
+
     // Z-order compaction (Delta OPTIMIZE ZORDER): the table streams in
     // date-interleaved-by-key batches — useless stats in both
     // dimensions — then z-orders on (o_orderdate, o_custkey). After

@@ -370,4 +370,40 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(silver.count() == 1)
     assert(silver.select("rapid7_id").head().getString(0) == "7")
   }
+
+  test("write-audit-publish: staged data is invisible, publish commits " +
+      "the audited bytes, abort leaves no trace, publish is idempotent") {
+    val store = new ManifestTableStore(tmp("manifest-wap-").toString)
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    val v0 = store.currentVersion(spark)
+
+    // stage: data lands, table state unchanged
+    val staged = store.stage(Seq(("c", 3), ("d", -4)).toDF("k", "n"), 1L)
+    assert(store.currentVersion(spark) == v0)
+    assert(store.read(spark).count() == 2)
+    // audit reads exactly the staged bytes
+    val audit = store.readStaged(spark, staged)
+    assert(audit.count() == 2)
+    assert(audit.filter(col("n") < 0).count() == 1) // audit catches d
+
+    // abort: files gone, manifest untouched
+    store.abortStaged(spark, staged)
+    assert(!new java.io.File(staged).exists())
+    assert(store.currentVersion(spark) == v0)
+    assert(store.read(spark).count() == 2)
+
+    // clean retry: stage → audit passes → publish makes it visible
+    val clean = store.stage(Seq(("c", 3), ("d", 4)).toDF("k", "n"), 1L)
+    store.publishStaged(spark, clean, 1L)
+    assert(store.currentVersion(spark) == v0 + 1)
+    assert(store.read(spark).count() == 4)
+    // the published dir IS the staged dir — audited bytes became state,
+    // nothing was rewritten between audit and publish
+    assert(store.read(spark).inputFiles.exists(_.contains(
+      new java.io.File(clean).getName)))
+    // idempotent: replaying the publish (crash-recovery) is a no-op
+    store.publishStaged(spark, clean, 1L)
+    assert(store.currentVersion(spark) == v0 + 1)
+    assert(store.read(spark).count() == 4)
+  }
 }
