@@ -310,6 +310,74 @@ object CorpusOps {
         .orderBy("b_id")
     },
 
+    // Longest verbatim overlap — the memorization/contamination METRIC
+    // (Lee et al. / Carlini et al.: "how many words of this benchmark
+    // doc appear verbatim in training data?"): per bench doc, the
+    // longest contiguous word span shared with ANY corpus doc, plus the
+    // argmax doc. Exact via the DIAGONAL trick: word-8-grams matched
+    // between bench doc b and corpus doc c at alignment diag = cpos -
+    // bpos are contiguous in BOTH documents iff their bench positions
+    // form a run — so longest-common-substring-in-words = max over
+    // (b, c, diag) of (run length + 7), a gaps-and-islands window over
+    // the matched-gram set, never a quadratic alignment. Scale shape:
+    // the bench side's grams broadcast (the q107/q113 boundary), the
+    // corpus side is ONE generator pass probing that set, and
+    // everything downstream is sized by matched grams (hits-bounded,
+    // like q107). Docs sharing no 8-gram report span 0 / null partner.
+    QueryDef(
+      "q137_longest_overlap",
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+        |    array_to_string(list_slice(w, i, i + 7), ' ') AS sh
+        |  FROM d, unnest(range(1, len(w) - 6)) AS t(i)),
+        |b AS (SELECT doc_id AS b_id, pos AS bpos, sh FROM g
+        |  WHERE doc_id % 50 = 0),
+        |c AS (SELECT doc_id AS c_id, pos AS cpos, sh FROM g
+        |  WHERE doc_id % 50 <> 0),
+        |m AS (SELECT b_id, bpos, c_id, cpos - bpos AS diag
+        |  FROM b JOIN c USING (sh)),
+        |r AS (SELECT b_id, c_id, diag, bpos,
+        |    bpos - ROW_NUMBER() OVER (
+        |      PARTITION BY b_id, c_id, diag ORDER BY bpos) AS grp
+        |  FROM m),
+        |runs AS (SELECT b_id, c_id, COUNT(*) + 7 AS span
+        |  FROM r GROUP BY b_id, c_id, diag, grp),
+        |best AS (SELECT b_id, MAX(span) AS span FROM runs GROUP BY b_id),
+        |pick AS (SELECT runs.b_id, MIN(runs.c_id) AS c_id, best.span
+        |  FROM runs JOIN best ON best.b_id = runs.b_id
+        |    AND runs.span = best.span
+        |  GROUP BY runs.b_id, best.span)
+        |SELECT bb.b_id,
+        |  CAST(COALESCE(pick.span, 0) AS BIGINT) AS span_words,
+        |  pick.c_id
+        |FROM (SELECT doc_id AS b_id FROM documents WHERE doc_id % 50 = 0)
+        |  bb
+        |LEFT JOIN pick ON pick.b_id = bb.b_id
+        |ORDER BY bb.b_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val g = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 8)"))
+      val b = g.filter(col("doc_id") % 50 === 0).toDF("b_id", "bpos", "sh")
+      val c = g.filter(col("doc_id") % 50 =!= 0).toDF("c_id", "cpos", "sh")
+      val w = Window.partitionBy("b_id", "c_id", "diag").orderBy("bpos")
+      val runs = c.join(broadcast(b), "sh")
+        .select(col("b_id"), col("bpos"), col("c_id"),
+          (col("cpos") - col("bpos")).as("diag"))
+        .withColumn("grp", col("bpos") - row_number().over(w))
+        .groupBy("b_id", "c_id", "diag", "grp")
+        .agg((count(lit(1)) + 7).as("span"))
+      val best = runs.groupBy("b_id").agg(max(col("span")).as("span"))
+      val pick = runs.join(best, Seq("b_id", "span"))
+        .groupBy("b_id", "span").agg(min(col("c_id")).as("c_id"))
+      Tables(s, dir, "documents").filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("b_id"))
+        .join(pick, Seq("b_id"), "left")
+        .select(col("b_id"),
+          coalesce(col("span"), lit(0L)).as("span_words"), col("c_id"))
+        .orderBy("b_id")
+    },
+
     // Pack materialization — q77 assigns (doc → pack, offset); this
     // emits the packs themselves: per (source, pack) the document
     // order, doc count, and token fill. The doc_order string is what a
