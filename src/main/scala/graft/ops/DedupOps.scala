@@ -599,6 +599,108 @@ object DedupOps {
         .orderBy("doc_id")
     },
 
+    // The dedup FUNNEL — the per-stage accounting table every dataset
+    // paper publishes (docs and tokens surviving each tier): raw corpus
+    // → exact dedup (one rep per byte-identical class) → near-dup
+    // resolution (one rep per LSH/CC cluster) → span-level cut (the
+    // q127 rewrite applied to the keepers). Each tier reuses its
+    // oracle-pinned machinery (q40's classes, q44's candidate artifact,
+    // q49's closure, q127's span artifacts); this query pins the
+    // COMPOSED accounting, token counts by the ''-safe word filter so
+    // fully-cut documents count 0, not 1. The funnel is the engine's
+    // answer to "what did dedup actually cost us?" — and the oracle
+    // recomputes all four tiers from raw documents in one statement.
+    QueryDef(
+      "q138_dedup_funnel", {
+        def tk(x: String) =
+          s"len(list_filter(string_split($x, ' '), w -> w <> ''))"
+        """WITH RECURSIVE
+          |cls AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+          |  GROUP BY text),
+          |r AS (SELECT doc_id, text FROM cls),
+          |  """.stripMargin + lshPairsSql("r") + ",\n" +
+          s"""j AS (SELECT p.a_id, p.b_id FROM pairs p
+             |  JOIN sig sa ON sa.doc_id = p.a_id
+             |  JOIN sig sb ON sb.doc_id = p.b_id
+             |  WHERE $estJaccardSql >= 0.5),
+             |e AS (SELECT a_id AS src, b_id AS dst FROM j
+             |  UNION SELECT b_id, a_id FROM j),
+             |walk AS (
+             |  SELECT doc_id AS node, doc_id AS lbl FROM cls
+             |  UNION
+             |  SELECT e.src AS node, walk.lbl FROM walk
+             |    JOIN e ON e.dst = walk.node),
+             |lab AS (SELECT node, MIN(lbl) AS cluster FROM walk
+             |  GROUP BY node),
+             |keepers AS (SELECT node AS doc_id FROM lab
+             |  WHERE node = cluster),
+             |dd AS (SELECT doc_id, string_split(text, ' ') AS w
+             |  FROM documents),
+             |gg AS (SELECT doc_id, CAST(i AS INTEGER) AS pos,
+             |    array_to_string(list_slice(w, i, i + 9), ' ') AS sh
+             |  FROM dd, unnest(range(1, len(w) - 8)) AS t(i)),
+             |rg AS (SELECT sh FROM gg GROUP BY sh
+             |  HAVING COUNT(DISTINCT doc_id) >= 2),
+             |mm AS (SELECT gg.doc_id, gg.pos, gg.sh FROM gg
+             |  JOIN rg USING (sh)),
+             |frst AS (SELECT doc_id, pos FROM (
+             |    SELECT doc_id, pos, ROW_NUMBER() OVER (
+             |      PARTITION BY sh ORDER BY doc_id, pos) AS rn
+             |    FROM mm) t WHERE rn = 1),
+             |cov AS (SELECT DISTINCT doc_id, pos + k AS idx
+             |  FROM mm, unnest(range(0, 10)) AS t(k)),
+             |prot AS (SELECT DISTINCT doc_id, pos + k AS idx
+             |  FROM frst, unnest(range(0, 10)) AS t(k)),
+             |cutx AS (SELECT cov.doc_id, cov.idx FROM cov
+             |  ANTI JOIN prot ON prot.doc_id = cov.doc_id
+             |    AND prot.idx = cov.idx),
+             |wi AS (SELECT doc_id, CAST(i AS INTEGER) AS i, w[i] AS word
+             |  FROM dd, unnest(range(1, len(w) + 1)) AS t(i)),
+             |keepw AS (SELECT wi.doc_id, wi.i, wi.word FROM wi
+             |  ANTI JOIN cutx ON cutx.doc_id = wi.doc_id
+             |    AND cutx.idx = wi.i),
+             |clean AS (SELECT doc_id,
+             |    string_agg(word, ' ' ORDER BY i) AS ct
+             |  FROM keepw GROUP BY doc_id),
+             |s0 AS (SELECT '0_raw' AS stage, COUNT(*) AS n_docs,
+             |  CAST(SUM(${tk("text")}) AS BIGINT) AS n_tokens
+             |  FROM documents),
+             |s1 AS (SELECT '1_exact' AS stage, COUNT(*) AS n_docs,
+             |  CAST(SUM(${tk("text")}) AS BIGINT) AS n_tokens FROM cls),
+             |s2 AS (SELECT '2_near' AS stage, COUNT(*) AS n_docs,
+             |  CAST(SUM(${tk("cls.text")}) AS BIGINT) AS n_tokens
+             |  FROM keepers JOIN cls USING (doc_id)),
+             |s3 AS (SELECT '3_span_cut' AS stage, COUNT(*) AS n_docs,
+             |  CAST(SUM(${tk("COALESCE(clean.ct, '')")}) AS BIGINT)
+             |    AS n_tokens
+             |  FROM keepers LEFT JOIN clean USING (doc_id))
+             |SELECT * FROM s0 UNION ALL SELECT * FROM s1
+             |UNION ALL SELECT * FROM s2 UNION ALL SELECT * FROM s3
+             |ORDER BY stage""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      def tok(c: String) = expr(
+        s"cast(size(filter(split($c, ' '), w -> w != '')) as long)")
+      def stageOf(name: String, df: DataFrame, textCol: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(tok(textCol)).as("n_tokens"))
+          .select(lit(name).as("stage"), col("n_docs"), col("n_tokens"))
+      val classes = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val edges = lshCandidates(s, dir)
+        .filter(col("est_jaccard") >= 0.5).select("a_id", "b_id")
+      val keepers = connectedComponents(edges, classes.select("doc_id"))
+        .toDF("doc_id", "cluster")
+        .filter(col("doc_id") === col("cluster")).select("doc_id")
+      stageOf("0_raw", docs, "text")
+        .unionByName(stageOf("1_exact", classes, "text"))
+        .unionByName(stageOf("2_near", keepers.join(classes, "doc_id"),
+          "text"))
+        .unionByName(stageOf("3_span_cut",
+          keepers.join(spanCutCorpus(s, dir), "doc_id"), "clean_text"))
+        .orderBy("stage")
+    },
+
     // Incremental INDEX MAINTENANCE — the band index as a LIVE TABLE
     // instead of a per-corpus-version rebuild: the LSH index lives in a
     // [[graft.engine.ManifestTableStore]] and each ingest batch APPENDS
