@@ -4,8 +4,10 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
 import graft.QueryDef
-import graft.engine.Tables
+import graft.engine.{Materialize, Tables}
 
 /** Text-analysis operators for a training-data pipeline (builder brief:
   * language-ID heuristic, quality scoring, token counting, document
@@ -21,6 +23,24 @@ import graft.engine.Tables
 object TextOps {
 
   private val words = "split(text, ' ')"
+
+  /** Merges the registered BPE queries learn. 12 is enough to reach
+    * multi-character merge chains (rank 8 merges a rank-7 output at
+    * sf0.001) while keeping the unrolled oracle text bounded.
+    */
+  private[ops] val BpeMerges = 12
+
+  /** The delimited word encoding both engines fold merges over: tokens
+    * joined by TWO spaces, one space at each end (`" a  b  c "`). A merge
+    * (l, r) is then `replace(enc, " l  r ", " lr ")` — and because
+    * consecutive matches SHARE a boundary space under this scheme, the
+    * left-to-right non-overlapping scan both Spark's and DuckDB's
+    * `replace` implement is exactly the greedy adjacent-pair merge (a
+    * single-space join would let the first match consume the delimiter
+    * the next match needs: " a b a b " merges once, not twice).
+    */
+  private val enc0 = "concat(' ', array_join(transform(" +
+    "sequence(1, length(wd)), i -> substr(wd, i, 1)), '  '), ' ')"
 
   /** Winnowing frame over a (doc_id, text) corpus: one row per char
     * 5-gram with its polynomial hash `h` and the window minimum `mh`
@@ -432,5 +452,222 @@ object TextOps {
         .withColumn("rn", row_number().over(w).cast("int"))
         .filter(col("rn") <= 10)
         .orderBy("rn")
+    },
+
+    // Full BPE vocabulary learning — the driver loop q112 deliberately
+    // left out, run to completion: N merges learned iteratively over the
+    // DISTINCT-word vocabulary (the Sennrich scheme). Each iteration is
+    // one vocabulary-sized pair aggregate (Heaps'-law sublinear in corpus
+    // size) + a row-local `replace` apply; the corpus itself is scanned
+    // exactly once, to build the initial (word, freq) table. The learned
+    // merge table is a Materialize artifact — downstream encoding queries
+    // (q140/q141) reuse it without re-learning. Oracle: the same N
+    // iterations UNROLLED into chained CTEs (argmax per stage can't be a
+    // recursive CTE — aggregation in the recursive term), with the
+    // single-pass greedy apply expressed as the SAME left-to-right
+    // non-overlapping string `replace` both engines implement.
+    QueryDef("q139_bpe_learn", bpeLearnSql(BpeMerges) +
+      s""",
+         |merges AS (${(1 to BpeMerges)
+        .map(k => s"SELECT * FROM m$k").mkString(" UNION ALL ")})
+         |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs,
+         |  lhs || rhs AS merged, CAST(pair_n AS BIGINT) AS pair_n
+         |FROM merges ORDER BY merge_rank""".stripMargin) { (s, dir) =>
+      bpeMerges(s, dir).orderBy("merge_rank")
+    },
+
+    // BPE corpus encoding with the learned merges: per-document token
+    // counts under the q139 vocabulary — the "token counting" the brief
+    // asks for, at tokenizer strength rather than whitespace strength.
+    // Plan shape: docs aggregate to DISTINCT (doc, word) with counts
+    // (map-side combine moves one row per distinct pair, not per token),
+    // then ONE word-keyed join against the materialized encoded
+    // vocabulary (the word-cache trick every production tokenizer uses —
+    // AQE broadcasts it when it fits), then a skinny per-doc re-agg. No
+    // merge rules are ever applied at corpus scale: the vocabulary
+    // artifact already carries each word's final token count.
+    QueryDef("q140_bpe_encode", bpeLearnSql(BpeMerges) +
+      s""",
+         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+         |  FROM v$BpeMerges),
+         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |    FROM documents) t
+         |  WHERE wd <> '' GROUP BY doc_id, wd),
+         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         |    CAST(sum(c * n_tok) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN tok USING (wd) GROUP BY doc_id)
+         |SELECT a.doc_id, a.n_words, a.n_bpe_tokens,
+         |  round(d.n_chars / CAST(a.n_bpe_tokens AS DOUBLE), 6)
+         |    AS chars_per_tok
+         |FROM agg a JOIN documents d USING (doc_id)
+         |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
+      val tok = bpeVocab(s, dir).select(col("wd"), col("n_tok"))
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .join(tok, "wd")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("n_tok")).as("n_bpe_tokens"))
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
+          round(col("n_chars") / col("n_bpe_tokens").cast("double"), 6)
+            .as("chars_per_tok"))
+        .orderBy("doc_id")
+    },
+
+    // Tokenizer fertility per language — the tokens-per-word ratio
+    // tokenizer papers report per language to expose vocabulary bias
+    // (a vocab learned on one language fragments the others into more
+    // tokens). Same plan as q140 up to the per-doc frame, then one
+    // language rollup; shares the q139/q140 vocabulary artifact.
+    QueryDef("q141_tokenizer_fertility", bpeLearnSql(BpeMerges) +
+      s""",
+         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+         |  FROM v$BpeMerges),
+         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |    FROM documents) t
+         |  WHERE wd <> '' GROUP BY doc_id, wd),
+         |agg AS (SELECT doc_id, sum(c) AS n_words,
+         |    sum(c * n_tok) AS n_bpe FROM dw JOIN tok USING (wd)
+         |  GROUP BY doc_id)
+         |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(a.n_words) AS BIGINT) AS n_words,
+         |  CAST(sum(a.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  round(sum(a.n_bpe) / CAST(sum(a.n_words) AS DOUBLE), 6)
+         |    AS fertility
+         |FROM agg a JOIN documents d USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
+      val tok = bpeVocab(s, dir).select(col("wd"), col("n_tok"))
+      val docs = Tables(s, dir, "documents")
+      docs.select(col("doc_id"), explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .join(tok, "wd")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("n_tok")).as("n_bpe"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_bpe").as("n_bpe_tokens"),
+          round(sum("n_bpe") / sum("n_words").cast("double"), 6)
+            .as("fertility"))
+        .orderBy("lang")
     })
+
+  /** Unrolled DuckDB oracle prefix: w0/v0 (vocab + initial encoding),
+    * then per merge k: pair counts pK over v(k-1), argmax mK
+    * (count desc, pair asc — binary string order in both engines), apply
+    * vK. `MATERIALIZED` pins each stage evaluated once: v(k) is
+    * referenced twice (p(k+1) and v(k+1)), and inlining would blow up
+    * 2^N.
+    */
+  private[ops] def bpeLearnSql(n: Int): String = {
+    val sb = new StringBuilder(
+      """WITH w0 AS (SELECT wd, count(*) AS freq FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS wd FROM documents) t
+        |  WHERE wd <> '' GROUP BY wd),
+        |v0 AS MATERIALIZED (SELECT wd, concat(' ', array_to_string(
+        |    list_transform(range(1, length(wd) + 1),
+        |      i -> substr(wd, CAST(i AS INTEGER), 1)), '  '), ' ') AS enc,
+        |    freq
+        |  FROM w0)""".stripMargin)
+    for (k <- 1 to n) sb ++=
+      s""",
+         |p$k AS (SELECT t[CAST(i AS INTEGER)] AS lhs,
+         |    t[CAST(i AS INTEGER) + 1] AS rhs, sum(freq) AS pair_n
+         |  FROM (SELECT string_split(trim(enc), '  ') AS t, freq
+         |    FROM v${k - 1}) s,
+         |    LATERAL unnest(range(1, len(t))) AS u(i)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT $k AS merge_rank, lhs, rhs, pair_n FROM p$k
+         |  ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
+         |v$k AS MATERIALIZED (SELECT wd, replace(enc,
+         |    ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |    ' ' || m.lhs || m.rhs || ' ') AS enc, freq
+         |  FROM v${k - 1}, m$k m)""".stripMargin
+    sb.toString
+  }
+
+  /** Learned BPE merge table `(merge_rank, lhs, rhs, merged, pair_n)` as
+    * a Materialize artifact: built once per (corpus, version), reused by
+    * q139-q141 and any session sharing the artifact store.
+    *
+    * The loop is the distributed-BPE-trainer shape: the corpus is read
+    * ONCE into the distinct-word vocabulary, then each of the N
+    * iterations runs one pair aggregate over that vocabulary (never the
+    * corpus) and collects a single argmax row to the driver — the only
+    * driver-side data is the N merge rules themselves. `localCheckpoint`
+    * after each apply keeps the lineage flat (the q49 CC-loop
+    * discipline); superseded blocks are released by the ContextCleaner.
+    * Single-pass-per-rule greedy application, in learned order — exactly
+    * the `replace` semantics, portable to any engine (documented on
+    * [[enc0]]).
+    */
+  def bpeMerges(s: SparkSession, dir: String,
+      n: Int = BpeMerges): DataFrame =
+    Materialize.table(s, s"bpe_merges_$n", dir) {
+      import s.implicits._
+      var vocab = Tables(s, dir, "documents")
+        .select(explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+        .select(col("wd"), expr(enc0).as("enc"), col("freq"))
+        .localCheckpoint(true)
+      val learned =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, String, String,
+          String, Long)]
+      var k = 1
+      var exhausted = false
+      while (k <= n && !exhausted) {
+        val best = vocab
+          .select(expr("split(trim(enc), '  ')").as("t"), col("freq"))
+          .filter(size(col("t")) >= 2)
+          .select(explode(expr("transform(sequence(1, size(t) - 1), " +
+            "i -> struct(element_at(t, i) AS lhs, " +
+            "element_at(t, i + 1) AS rhs))")).as("p"), col("freq"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum("freq").as("pair_n"))
+          .orderBy(col("pair_n").desc, col("lhs"), col("rhs"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r) = (best(0).getString(0), best(0).getString(1))
+          learned += ((k, l, r, l + r, best(0).getLong(2)))
+          vocab = vocab.select(col("wd"),
+            call_function("replace", col("enc"),
+              lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
+            col("freq")).localCheckpoint(true)
+          k += 1
+        }
+      }
+      learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
+    }
+
+  /** Encoded vocabulary `(wd, enc, freq, n_tok)` under the learned
+    * merges — the tokenizer's word cache, materialized. Built by
+    * REPLAYING the (driver-bounded, N-row) merge artifact as chained
+    * row-local `replace`s over the initial encoding: one vocabulary
+    * pass, no re-learning, no corpus pass.
+    */
+  def bpeVocab(s: SparkSession, dir: String,
+      n: Int = BpeMerges): DataFrame =
+    Materialize.table(s, s"bpe_vocab_$n", dir) {
+      val merges = bpeMerges(s, dir, n).orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      val applied = merges.foldLeft(expr(enc0)) { case (acc, (l, r)) =>
+        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      Tables(s, dir, "documents")
+        .select(explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("wd").agg(count(lit(1)).as("freq"))
+        .select(col("wd"), applied.as("enc"), col("freq"))
+        .withColumn("n_tok", size(expr("split(trim(enc), '  ')")))
+    }
 }
