@@ -415,6 +415,90 @@ object CorpusOps {
             "struct(tok_offset, doc_id))), " +
             "t -> cast(t.doc_id as string)), ',')").as("doc_order"))
         .orderBy("source", "pack_id")
+    },
+
+    // Reproducible epoch shuffle — the training-order step between
+    // packing and the data loader: every epoch gets an independent,
+    // content-addressed permutation (key = sha256(salt|epoch|doc_id)),
+    // docs land in 16 hash shards (the key's first hex char), and each
+    // shard is ordered by key. NO global sort at any scale: shard
+    // assignment is a row-local projection and the per-shard order is a
+    // partition-local window — the exact layout a multi-worker loader
+    // consumes (worker w reads shard w in pos order), identical on 1
+    // executor or 1000. Epochs differ (the salt includes the epoch),
+    // runs don't (nothing is random).
+    QueryDef(
+      "q142_epoch_shuffle",
+      """WITH e AS (SELECT CAST(i AS INTEGER) AS epoch
+        |  FROM (SELECT unnest(range(0, 2)) AS i) t),
+        |h AS (SELECT e.epoch, d.doc_id,
+        |    sha256('shuffle-v1|' || CAST(e.epoch AS VARCHAR) || '|'
+        |      || CAST(d.doc_id AS VARCHAR)) AS h
+        |  FROM documents d CROSS JOIN e)
+        |SELECT epoch, substr(h, 1, 1) AS shard, doc_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY epoch, substr(h, 1, 1)
+        |    ORDER BY h) AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, shard, pos""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("epoch", "shard").orderBy("h")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(1))).as("epoch"))
+        .withColumn("h", sha2(concat(lit("shuffle-v1|"),
+          col("epoch").cast("string"), lit("|"),
+          col("doc_id").cast("string")), 256))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .select(col("epoch"), col("shard"), col("doc_id"),
+          row_number().over(w).cast("long").as("pos"))
+        .orderBy("epoch", "shard", "pos")
+    },
+
+    // Sequence packing under the REAL token budget — q77's pack
+    // assignment re-priced from whitespace tokens to the learned BPE
+    // vocabulary's counts (q139/q140): what the training job actually
+    // fits into a 2048-token context window. Composition is one extra
+    // word-keyed join against the materialized encoded vocabulary (the
+    // q140 shape) feeding the same per-source prefix-sum window; the
+    // corpus text itself still never moves.
+    QueryDef("q143_bpe_pack", TextOps.bpeLearnSql(TextOps.BpeMerges) +
+      s""",
+         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+         |  FROM v${TextOps.BpeMerges}),
+         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |    FROM documents) t
+         |  WHERE wd <> '' GROUP BY doc_id, wd),
+         |nb AS (SELECT doc_id, CAST(sum(c * n_tok) AS BIGINT) AS n_tok
+         |  FROM dw JOIN tok USING (wd) GROUP BY doc_id),
+         |t2 AS (SELECT d.source, d.doc_id, nb.n_tok
+         |  FROM nb JOIN documents d USING (doc_id)),
+         |o AS (SELECT source, doc_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM t2)
+         |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+         |  CAST(tok_offset AS BIGINT) AS tok_offset,
+         |  CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+         |  CAST(tok_offset % 2048 AS BIGINT) AS pack_offset
+         |FROM o ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      docs.select(col("doc_id"), explode(expr("split(text, ' ')")).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .join(TextOps.bpeVocab(s, dir).select(col("wd"), col("n_tok")),
+          "wd")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("n_tok")).as("n_tok"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("tok_offset",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          col("tok_offset"),
+          expr("tok_offset div 2048").as("pack_id"),
+          expr("tok_offset % 2048").as("pack_offset"))
+        .orderBy("source", "doc_id")
     })
 
   /** q113 build over arbitrary bench (b_id, b_text) / corpus (c_id,
