@@ -649,6 +649,42 @@ object TextOps {
       learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
     }
 
+  /** The learned merge rules as driver-side pairs (N rows — bounded
+    * metadata), for callers that fold them into row-local expressions.
+    */
+  def bpeMergePairs(s: SparkSession, dir: String,
+      n: Int = BpeMerges): Seq[(String, String)] =
+    bpeMerges(s, dir, n).orderBy("merge_rank").collect().toSeq
+      .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+
+  /** Row-local BPE token counting — the STREAMING twin of q140's
+    * vocab-join path: every word of `text` is encoded and merged inside
+    * one projection (the N merge rules fold into chained `replace`s over
+    * the [[enc0]] delimited form), so the transform is stateless and
+    * runs unchanged under Structured Streaming append mode, per
+    * micro-batch, with zero shuffle and zero state.
+    *
+    * Identity law (BpeSpec): for every document this equals the q140
+    * join against the materialized word cache — the apply-path ==
+    * cache-path guarantee a tokenizer must keep, and what ties the
+    * streaming gate to the oracle-checked batch query.
+    */
+  def bpeTokenCounts(df: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordsArr = filter(split(col("text"), " "), w => w =!= "")
+    val perWord = (w: Column) => {
+      val e0 = concat(lit(" "), array_join(
+        transform(sequence(lit(1), length(w)),
+          i => w.substr(i, lit(1))), "  "), lit(" "))
+      val applied = merges.foldLeft(e0) { case (acc, (l, r)) =>
+        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      size(split(trim(applied), "  "))
+    }
+    df.withColumn("n_bpe_tokens",
+      aggregate(wordsArr, lit(0L), (acc, w) => acc + perWord(w)))
+  }
+
   /** Encoded vocabulary `(wd, enc, freq, n_tok)` under the learned
     * merges — the tokenizer's word cache, materialized. Built by
     * REPLAYING the (driver-bounded, N-row) merge artifact as chained

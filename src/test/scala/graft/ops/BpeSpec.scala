@@ -81,5 +81,19 @@ class BpeSpec extends SparkSpec {
       "q140/q141 totals disagree")
   }
 
+  test("row-local chained-apply token counts equal the q140 vocab-join " +
+      "path for every document (apply-path == cache-path identity)") {
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select("doc_id", "text")
+    val rowLocal = TextOps
+      .bpeTokenCounts(docs, TextOps.bpeMergePairs(spark, dir))
+      .select("doc_id", "n_bpe_tokens")
+    val joined = SparkEntry.queries("q140_bpe_encode")(spark, dir)
+      .select("doc_id", "n_bpe_tokens")
+    assert(rowLocal.exceptAll(joined).isEmpty &&
+      joined.exceptAll(rowLocal).isEmpty,
+      "row-local BPE apply disagrees with the materialized word cache")
+  }
+
   private def SparkEntry = graft.SparkEntry
 }

@@ -125,4 +125,35 @@ class CurationStreamSpec extends SparkSpec {
     assert(streamed == batch, s"first diffs: ${
       ((streamed diff batch) ++ (batch diff streamed)).take(4)}")
   }
+
+  test("streamed BPE token counting equals q140's batch counts exactly " +
+      "(the learned merge rules as a streaming gate)") {
+    // The merge table trains batch-side (q139's vocabulary loop); the
+    // N rules then fold into chained row-local replaces, so a document
+    // stream gets REAL tokenizer token counts per micro-batch with zero
+    // state — and must agree with the oracle-checked q140 join path.
+    val dir = "/root/testdata/sf0.001"
+    val merges = graft.ops.TextOps.bpeMergePairs(spark, dir)
+    val batch = graft.SparkEntry.queries("q140_bpe_encode")(spark, dir)
+      .select("doc_id", "n_bpe_tokens").collect().map(_.toSeq).toSet
+
+    val docs = graft.engine.Tables(spark, dir, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val input = MemoryStream[(Long, String)](spark)
+    val q = graft.ops.TextOps.bpeTokenCounts(
+        input.toDF().toDF("doc_id", "text"), merges)
+      .select("doc_id", "n_bpe_tokens")
+      .writeStream.format("memory").queryName("bpegate")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(0)).start()
+    docs.grouped(200).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.table("bpegate").collect().map(_.toSeq).toSet
+
+    assert(streamed == batch, s"first diffs: ${
+      ((streamed diff batch) ++ (batch diff streamed)).take(4)}")
+  }
 }

@@ -61,14 +61,14 @@ copy("events", f"""
   FROM '{SRC}/events.parquet' CROSS JOIN {R}""")
 
 copy("customer", f"""
-  SELECT c_custkey + i * 100000000 AS c_custkey, c_name, c_address,
-    c_nationkey, c_phone, c_acctbal, c_mktsegment, c_comment
+  SELECT c_custkey + i * 100000000 AS c_custkey, c_name,
+    c_nationkey, c_acctbal, c_mktsegment
   FROM '{SRC}/customer.parquet' CROSS JOIN {R}""")
 
 copy("orders", f"""
   SELECT o_orderkey + i * 1000000000 AS o_orderkey,
     o_custkey + i * 100000000 AS o_custkey, o_orderstatus, o_totalprice,
-    o_orderdate, o_orderpriority, o_clerk, o_shippriority, o_comment
+    o_orderdate, o_orderpriority
   FROM '{SRC}/orders.parquet' CROSS JOIN {R}""")
 
 copy("lineitem", f"""
@@ -76,18 +76,17 @@ copy("lineitem", f"""
     l_partkey + i * 10000000 AS l_partkey,
     l_suppkey + i * 10000000 AS l_suppkey,
     l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
-    l_returnflag, l_linestatus, l_shipdate, l_commitdate, l_receiptdate,
-    l_shipinstruct, l_shipmode, l_comment
+    l_returnflag, l_linestatus, l_shipdate
   FROM '{SRC}/lineitem.parquet' CROSS JOIN {R}""")
 
 copy("supplier", f"""
-  SELECT s_suppkey + i * 10000000 AS s_suppkey, s_name, s_address,
-    s_nationkey, s_phone, s_acctbal, s_comment
+  SELECT s_suppkey + i * 10000000 AS s_suppkey, s_name,
+    s_nationkey, s_acctbal
   FROM '{SRC}/supplier.parquet' CROSS JOIN {R}""")
 
 copy("part", f"""
-  SELECT p_partkey + i * 10000000 AS p_partkey, p_name, p_mfgr, p_brand,
-    p_type, p_size, p_container, p_retailprice, p_comment
+  SELECT p_partkey + i * 10000000 AS p_partkey, p_name, p_brand,
+    p_type, p_size, p_retailprice
   FROM '{SRC}/part.parquet' CROSS JOIN {R}""")
 
 for t in ("region", "nation"):
