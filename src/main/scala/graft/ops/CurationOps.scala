@@ -822,6 +822,87 @@ object CurationOps {
           round(sum(col("lw").cast(DecimalType(18, 9))).cast("double"), 6)
             .as("dsir_logw"))
         .orderBy("doc_id")
+    },
+
+    // Mix EXECUTION — q114 plans the temperature mix (per-source token
+    // allocations); this runs it: per-source keep fractions become
+    // content-addressed Bernoulli keeps (doc kept iff its hash's 24-bit
+    // window, as a fraction of 2²⁴, is under the source's keep_frac), so
+    // the sampled corpus is deterministic, stable as the corpus grows,
+    // and identical at any cluster size — the q36/q38 discipline applied
+    // to the planner's output. The audit frame compares realized vs
+    // target per source. Plan shape: the planner side is two broadcast
+    // 1-row frames (q114's); the corpus side is ONE scan with a
+    // row-local hash + a broadcast plan join; per-source re-agg is
+    // skinny. Bernoulli doc-level sampling realizes the TOKEN target in
+    // expectation; the audit columns are what a mix-QA job alerts on.
+    QueryDef(
+      "q144_mix_execute",
+      s"""WITH c AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |    AS src_tokens FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS total FROM c),
+         |w AS (SELECT source, src_tokens,
+         |    CAST(round(sqrt(src_tokens / total), 6) AS DECIMAL(18, 6))
+         |      AS wt
+         |  FROM c, t),
+         |s AS (SELECT CAST(sum(wt) AS DOUBLE) AS wsum FROM w),
+         |p AS (SELECT source, src_tokens,
+         |    CAST(round(CAST(wt AS DOUBLE) / wsum * 100000, 0) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w, s),
+         |p2 AS (SELECT source, src_tokens, target_tokens,
+         |    least(1.0, target_tokens / CAST(src_tokens AS DOUBLE))
+         |      AS keep_frac FROM p),
+         |d AS (SELECT source, doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    sha256('mix-v1|' || CAST(doc_id AS VARCHAR)) AS h
+         |  FROM documents),
+         |kept AS (SELECT d.source, d.n_tok FROM d JOIN p2 USING (source)
+         |  WHERE ${hexWindow("h", 1)} / 16777216.0 < keep_frac),
+         |k AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(n_tok) AS BIGINT) AS kept_tokens
+         |  FROM kept GROUP BY source)
+         |SELECT p2.source, p2.src_tokens, p2.target_tokens,
+         |  COALESCE(k.n_kept, 0) AS n_kept,
+         |  COALESCE(k.kept_tokens, 0) AS kept_tokens,
+         |  round(COALESCE(k.kept_tokens, 0)
+         |    / CAST(p2.src_tokens AS DOUBLE), 6) AS realized_frac
+         |FROM p2 LEFT JOIN k USING (source)
+         |ORDER BY p2.source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val c = docs.groupBy("source")
+        .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
+          .as("src_tokens"))
+      val t = broadcast(c.agg(
+        sum(col("src_tokens")).cast("double").as("total")))
+      val w = c.crossJoin(t).withColumn("wt",
+        round(sqrt(col("src_tokens") / col("total")), 6)
+          .cast(DecimalType(18, 6)))
+      val ws = broadcast(w.agg(sum(col("wt")).cast("double").as("wsum")))
+      val plan = w.crossJoin(ws)
+        .select(col("source"), col("src_tokens"),
+          round(col("wt").cast("double") / col("wsum") * 100000, 0)
+            .cast("long").as("target_tokens"))
+        .withColumn("keep_frac",
+          least(lit(1.0), col("target_tokens") / col("src_tokens")))
+      val d = docs.select(col("source"), col("doc_id"),
+        expr("cast(size(split(text, ' ')) as bigint)").as("n_tok"),
+        sha2(concat(lit("mix-v1|"), col("doc_id").cast("string")), 256)
+          .as("h"))
+      val k = d.join(broadcast(plan.select("source", "keep_frac")),
+          "source")
+        .filter(expr(s"${hexWindow("h", 1)} / 16777216.0") <
+          col("keep_frac"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"), sum("n_tok").as("kept_tokens"))
+      plan.join(k, Seq("source"), "left")
+        .select(col("source"), col("src_tokens"), col("target_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+          round(coalesce(col("kept_tokens"), lit(0L))
+            / col("src_tokens").cast("double"), 6).as("realized_frac"))
+        .orderBy("source")
     })
 
   /** q109's trained artifact: the (word → log importance weight) table,

@@ -893,6 +893,75 @@ object SimilarityOps {
         .groupBy("label", "p_label")
         .agg(count(lit(1)).as("n"))
         .orderBy("label", "p_label")
+    },
+
+    // Label-noise audit (confident-learning-lite): assign every labeled
+    // embedding to its nearest centroid (the q52 IVF assignment), take
+    // each cluster's majority label, and flag the vectors whose own
+    // label disagrees — the suspects a labeling-QA pass reviews first,
+    // with the cluster's majority fraction as evidence strength.
+    // Scale shape: the clustering bounds everything — the label
+    // histogram is (clusters × labels)-sized, the majority frame is
+    // broadcast back, and the only corpus-sized work is the one
+    // assignment pass q52 already prices. No pairwise k-NN: nearest-
+    // centroid is the scalable surrogate neighborhood at 100 TB.
+    QueryDef(
+      "q145_label_noise",
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id < 8),
+        |d AS (SELECT vec_id, c_id,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e CROSS JOIN c),
+        |a AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id
+        |      ORDER BY dist_r, c_id) AS rn FROM d) WHERE rn = 1),
+        |lab AS (SELECT a.vec_id, a.c_id, emb.label
+        |  FROM a JOIN embeddings emb USING (vec_id)),
+        |counts AS (SELECT c_id, label, count(*) AS n FROM lab
+        |  GROUP BY 1, 2),
+        |maj AS (SELECT c_id, label AS maj_label, n,
+        |    ROW_NUMBER() OVER (PARTITION BY c_id
+        |      ORDER BY n DESC, label) AS rn,
+        |    SUM(n) OVER (PARTITION BY c_id) AS tot FROM counts),
+        |m AS (SELECT c_id, maj_label,
+        |    round(n / CAST(tot AS DOUBLE), 6) AS maj_frac
+        |  FROM maj WHERE rn = 1)
+        |SELECT l.vec_id, l.label, l.c_id AS centroid_id,
+        |  m.maj_label, m.maj_frac
+        |FROM lab l JOIN m USING (c_id)
+        |WHERE l.label <> m.maj_label ORDER BY l.vec_id""".stripMargin) {
+      (s, dir) =>
+      val e = vectors(s, dir).select("vec_id", "v")
+      val c = e.filter(col("vec_id") < 8).toDF("c_id", "cv")
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("dist_r"), col("c_id"))
+      val assign = e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("c_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+        .withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select("vec_id", "c_id")
+      val lab = assign.join(
+        Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+      val counts = lab.groupBy("c_id", "label")
+        .agg(count(lit(1)).as("n"))
+      val wM = Window.partitionBy("c_id")
+        .orderBy(col("n").desc, col("label"))
+      val m = counts
+        .withColumn("rn", row_number().over(wM))
+        .withColumn("tot",
+          sum(col("n")).over(Window.partitionBy("c_id")))
+        .filter(col("rn") === 1)
+        .select(col("c_id"), col("label").as("maj_label"),
+          round(col("n") / col("tot").cast("double"), 6).as("maj_frac"))
+      lab.join(broadcast(m), "c_id")
+        .filter(col("label") =!= col("maj_label"))
+        .select(col("vec_id"), col("label"),
+          col("c_id").as("centroid_id"), col("maj_label"),
+          col("maj_frac"))
+        .orderBy("vec_id")
     }
   )
 

@@ -72,4 +72,25 @@ class CurationOpsSpec extends SparkSpec {
         col("stop_ok") && col("rep_ok")))
     assert(bad.count() === 0)
   }
+
+  test("q144 mix execution realizes the planner's targets: full keep " +
+      "when target >= source, Bernoulli-concentrated otherwise") {
+    val rows = q("q144_mix_execute").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (src, target) = (r.getAs[Long]("src_tokens"),
+        r.getAs[Long]("target_tokens"))
+      val (kept, frac) = (r.getAs[Long]("kept_tokens"),
+        r.getAs[Double]("realized_frac"))
+      if (target >= src)
+        assert(kept == src && frac == 1.0,
+          s"source ${r.get(0)}: keep_frac 1 must keep everything: $r")
+      else {
+        val want = target.toDouble / src
+        assert(math.abs(frac - want) <= 0.2,
+          s"source ${r.get(0)}: realized $frac vs target frac $want")
+        assert(kept < src, s"downsampled source kept everything: $r")
+      }
+    }
+  }
 }
