@@ -327,9 +327,14 @@ object CurationOps {
         |  round(round(CAST(wt AS DOUBLE) / wsum * 100000, 0)
         |    / src_tokens, 6) AS epochs
         |FROM w, s ORDER BY source""".stripMargin) { (s, dir) =>
+      // The planner frame is sources-sized (tiny); checkpointing it
+      // eagerly means the corpus token aggregate runs ONCE, however many
+      // times the plan algebra references it (total, wsum, and the final
+      // projection would otherwise each re-expand the corpus scan).
       val c = Tables(s, dir, "documents").groupBy("source")
         .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
           .as("src_tokens"))
+        .localCheckpoint(true)
       val t = broadcast(c.agg(
         sum(col("src_tokens")).cast("double").as("total")))
       val w = c.crossJoin(t).withColumn("wt",
@@ -871,9 +876,12 @@ object CurationOps {
          |FROM p2 LEFT JOIN k USING (source)
          |ORDER BY p2.source""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
+      // Sources-sized planner frame, checkpointed eagerly: ONE corpus
+      // pass prices the plan (q114's discipline), one more executes it.
       val c = docs.groupBy("source")
         .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
           .as("src_tokens"))
+        .localCheckpoint(true)
       val t = broadcast(c.agg(
         sum(col("src_tokens")).cast("double").as("total")))
       val w = c.crossJoin(t).withColumn("wt",

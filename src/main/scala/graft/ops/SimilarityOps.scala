@@ -943,8 +943,13 @@ object SimilarityOps {
         .withColumn("rn", row_number().over(wA))
         .filter(col("rn") === 1)
         .select("vec_id", "c_id")
+      // The 3-column assignment frame is materialized ONCE (eager
+      // localCheckpoint) because both consumers need it — the
+      // per-cluster label histogram and the final suspect join; without
+      // it each re-expands the corpus-sized nearest-centroid pass.
       val lab = assign.join(
         Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
+        .localCheckpoint(true)
       val counts = lab.groupBy("c_id", "label")
         .agg(count(lit(1)).as("n"))
       val wM = Window.partitionBy("c_id")
