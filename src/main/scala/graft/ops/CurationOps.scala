@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -910,6 +910,166 @@ object CurationOps {
           coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
           round(coalesce(col("kept_tokens"), lit(0L))
             / col("src_tokens").cast("double"), 6).as("realized_frac"))
+        .orderBy("source")
+    },
+
+    // Zipf-fit corpus-health diagnostic: per source, the least-squares
+    // slope (and r²) of ln(freq) against ln(rank) over the top-500 word
+    // frequencies. Healthy natural text sits near slope −1; boilerplate
+    // or template-heavy sources flatten the head and duplication steepens
+    // it — a one-number screen corpus datasheets report. Determinism is
+    // the q109 discipline: every ln() rounds to 9 decimals FIRST, all
+    // sums accumulate in DECIMAL (exactly associative, any partition
+    // order), the slope divides as double and rounds to 6. Plan: one
+    // (source, word) partial-agg pass, a per-source top-500 window on the
+    // sources×vocab frame, one skinny moment aggregate.
+    QueryDef(
+      "q146_zipf_fit",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS wd
+        |  FROM documents),
+        |f AS (SELECT source, wd, count(*) AS freq FROM w
+        |  WHERE wd <> '' GROUP BY source, wd),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |    CAST(sum(freq) AS BIGINT) AS n_tokens FROM f GROUP BY source),
+        |r AS (SELECT source, freq, ROW_NUMBER() OVER (PARTITION BY source
+        |    ORDER BY freq DESC, wd) AS rnk FROM f),
+        |xy AS (SELECT source,
+        |    CAST(round(ln(CAST(rnk AS DOUBLE)), 9) AS DECIMAL(15, 9))
+        |      AS x,
+        |    CAST(round(ln(CAST(freq AS DOUBLE)), 9) AS DECIMAL(15, 9))
+        |      AS y
+        |  FROM r WHERE rnk <= 500),
+        |m AS (SELECT source, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(x * x) AS DOUBLE) AS sxx,
+        |    CAST(sum(y * y) AS DOUBLE) AS syy
+        |  FROM xy GROUP BY source)
+        |SELECT st.source, st.n_types, st.n_tokens,
+        |  floor((m.n * m.sxy - m.sx * m.sy)
+        |    / (m.n * m.sxx - m.sx * m.sx) * 1000000)
+        |    / 1000000.0 AS zipf_slope,
+        |  floor((m.n * m.sxy - m.sx * m.sy)
+        |    * (m.n * m.sxy - m.sx * m.sy)
+        |    / ((m.n * m.sxx - m.sx * m.sx)
+        |      * (m.n * m.syy - m.sy * m.sy)) * 1000000)
+        |    / 1000000.0 AS r2
+        |FROM st JOIN m USING (source) ORDER BY st.source""".stripMargin) {
+      (s, dir) =>
+      val f = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("source", "wd").agg(count(lit(1)).as("freq"))
+      val st = f.groupBy("source").agg(
+        count(lit(1)).as("n_types"), sum("freq").as("n_tokens"))
+      val wR = Window.partitionBy("source")
+        .orderBy(col("freq").desc, col("wd"))
+      // DECIMAL(15, 9) inputs: the x*y products then type as (31, 18)
+      // - EXACT in both engines (a (28, 9) input pushes the product past
+      // 38 digits, where Spark silently drops scale to 6 and DuckDB
+      // keeps 18 - measurably different sums). The n*S algebra happens
+      // in doubles CAST FROM the bit-identical decimal sums, where IEEE
+      // arithmetic agrees everywhere.
+      val xy = f.withColumn("rnk", row_number().over(wR))
+        .filter(col("rnk") <= 500)
+        .select(col("source"),
+          round(log(col("rnk").cast("double")), 9)
+            .cast(DecimalType(15, 9)).as("x"),
+          round(log(col("freq").cast("double")), 9)
+            .cast(DecimalType(15, 9)).as("y"))
+      val m = xy.groupBy("source").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        sum(col("y") * col("y")).cast("double").as("syy"))
+      val num = col("n") * col("sxy") - col("sx") * col("sy")
+      val den = col("n") * col("sxx") - col("sx") * col("sx")
+      val deny = col("n") * col("syy") - col("sy") * col("sy")
+      // floor-scaled, not round(…, 6): Spark rounds doubles HALF_UP via
+      // exact BigDecimal, DuckDB half-even via scaled rint — identical
+      // quotients can land one ulp apart at an exact .5×10⁻⁶ boundary
+      // (r2 hit one at sf0.001). floor is boundary-free on identical
+      // IEEE inputs — the q121/q53 decimal-tie discipline.
+      st.join(m, "source")
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          (floor(num / den * 1000000) / 1000000.0).as("zipf_slope"),
+          (floor(num * num / (den * deny) * 1000000) / 1000000.0)
+            .as("r2"))
+        .orderBy("source")
+    },
+
+    // Distribution-drift audit (the daily-ingest QA measure): for each
+    // source, the Jensen–Shannon divergence between its unigram word
+    // distribution and the REST of the corpus — which source is
+    // distributionally anomalous, on a [0, ln 2] scale. Rest-counts are
+    // global minus source (no per-pair recount); zero-probability terms
+    // contribute exactly 0 on both engines via the CASE guard. Same
+    // determinism discipline as q146: per-term ln rounds at 9, the
+    // vocab-sized sum accumulates in DECIMAL. Plan: one (source, word)
+    // aggregate, one broadcast global-counts join, one skinny per-source
+    // fold — linear in the vocabulary, never in pairs.
+    QueryDef(
+      "q147_source_drift",
+      """WITH sw AS (SELECT source, wd, count(*) AS sc FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS wd
+        |    FROM documents) t
+        |  WHERE wd <> '' GROUP BY source, wd),
+        |g AS (SELECT wd, sum(sc) AS gc FROM sw GROUP BY wd),
+        |tot AS (SELECT source, sum(sc) AS stot FROM sw GROUP BY source),
+        |gt AS (SELECT sum(sc) AS gtot FROM sw),
+        |terms AS (SELECT sw.source,
+        |    CAST(sw.sc AS DOUBLE) / stot AS p,
+        |    CAST(g.gc - sw.sc AS DOUBLE) / (gtot - stot) AS q
+        |  FROM sw JOIN g USING (wd) JOIN tot USING (source), gt),
+        |allw AS (SELECT t2.source,
+        |    CAST(0 AS DOUBLE) AS p,
+        |    CAST(g.gc AS DOUBLE) / (gtot - stot) AS q
+        |  FROM g, tot t2, gt
+        |  WHERE NOT EXISTS (SELECT 1 FROM sw
+        |    WHERE sw.source = t2.source AND sw.wd = g.wd)),
+        |u AS (SELECT * FROM terms UNION ALL SELECT * FROM allw),
+        |contrib AS (SELECT source,
+        |    CAST(round(CASE WHEN p > 0
+        |        THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+        |      + CASE WHEN q > 0
+        |        THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END, 9)
+        |      AS DECIMAL(28, 9)) AS c
+        |  FROM u)
+        |SELECT source, round(CAST(sum(c) AS DOUBLE), 6) AS js_div
+        |FROM contrib GROUP BY source ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val sw = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("source", "wd").agg(count(lit(1)).as("sc"))
+        .localCheckpoint(true)
+      val g = sw.groupBy("wd").agg(sum("sc").as("gc"))
+      val tot = sw.groupBy("source").agg(sum("sc").as("stot"))
+      val gt = broadcast(sw.agg(sum("sc").as("gtot")))
+      val terms = sw.join(g, "wd").join(broadcast(tot), "source")
+        .crossJoin(gt)
+        .select(col("source"),
+          (col("sc").cast("double") / col("stot")).as("p"),
+          ((col("gc") - col("sc")).cast("double")
+            / (col("gtot") - col("stot"))).as("q"))
+      val allw = g.crossJoin(broadcast(tot)).crossJoin(gt)
+        .join(sw.select(col("source").as("s2"), col("wd").as("w2")),
+          col("source") === col("s2") && col("wd") === col("w2"),
+          "left_anti")
+        .select(col("source"), lit(0.0).as("p"),
+          (col("gc").cast("double")
+            / (col("gtot") - col("stot"))).as("q"))
+      val u = terms.unionByName(allw)
+      val half = (c: Column, m: Column) =>
+        when(c > 0, lit(0.5) * c * log(c / m)).otherwise(lit(0.0))
+      u.select(col("source"),
+          round(half(col("p"), (col("p") + col("q")) / 2) +
+            half(col("q"), (col("p") + col("q")) / 2), 9)
+            .cast(DecimalType(28, 9)).as("c"))
+        .groupBy("source")
+        .agg(round(sum("c").cast("double"), 6).as("js_div"))
         .orderBy("source")
     })
 

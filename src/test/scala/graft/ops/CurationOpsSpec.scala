@@ -93,4 +93,19 @@ class CurationOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q146 Zipf fit is a valid regression (slope <= 0, r2 in [0,1]) " +
+      "and q147 JS divergence sits in [0, ln 2]") {
+    q("q146_zipf_fit").collect().foreach { r =>
+      val (slope, r2) = (r.getAs[Double]("zipf_slope"),
+        r.getAs[Double]("r2"))
+      assert(slope <= 0.0, s"frequency must not rise with rank: $r")
+      assert(r2 >= 0.0 && r2 <= 1.0, s"r2 out of range: $r")
+    }
+    q("q147_source_drift").collect().foreach { r =>
+      val js = r.getAs[Double]("js_div")
+      assert(js >= 0.0 && js <= math.log(2) + 1e-9,
+        s"JS divergence out of [0, ln 2]: $r")
+    }
+  }
 }
