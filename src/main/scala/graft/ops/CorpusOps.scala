@@ -499,6 +499,92 @@ object CorpusOps {
           expr("tok_offset div 2048").as("pack_id"),
           expr("tok_offset % 2048").as("pack_offset"))
         .orderBy("source", "doc_id")
+    },
+
+    // Loader manifest — the capstone composition of the training-data
+    // export: BPE-priced packing (q143) → reproducible epoch shuffle of
+    // the PACKS (q142's scheme, keyed by source:pack) → per-(epoch,
+    // shard) manifest with pack/token counts and an ORDER FINGERPRINT
+    // (sha256 of the shard's pack keys in position order) — what a
+    // multi-worker loader mounts, and what an integrity check compares
+    // after any re-export. Every stage reuses its oracle-pinned
+    // machinery; the composition itself is hash-checked end-to-end.
+    // Scale shape: the corpus-sized work is exactly q143's (one token
+    // partial-agg + vocab join + per-source window); everything after
+    // operates on PACKS (corpus_tokens / 2048 rows), and the shard
+    // manifest is a 16-way aggregate per epoch with an ordered
+    // fingerprint fold.
+    QueryDef("q148_loader_manifest", TextOps.bpeLearnSql(TextOps.BpeMerges) +
+      s""",
+         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+         |  FROM v${TextOps.BpeMerges}),
+         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |    FROM documents) t
+         |  WHERE wd <> '' GROUP BY doc_id, wd),
+         |nb AS (SELECT doc_id, CAST(sum(c * n_tok) AS BIGINT) AS n_tok
+         |  FROM dw JOIN tok USING (wd) GROUP BY doc_id),
+         |t2 AS (SELECT d.source, d.doc_id, nb.n_tok
+         |  FROM nb JOIN documents d USING (doc_id)),
+         |o AS (SELECT source, doc_id, n_tok,
+         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS tok_offset
+         |  FROM t2),
+         |packs AS (SELECT source,
+         |    CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
+         |    CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+         |  FROM o GROUP BY source, tok_offset // 2048),
+         |e AS (SELECT CAST(i AS INTEGER) AS epoch
+         |  FROM (SELECT unnest(range(0, 2)) AS i) t),
+         |ph AS (SELECT e.epoch, p.source, p.pack_id, p.pack_tokens,
+         |    sha256('pack-shuffle-v1|' || CAST(e.epoch AS VARCHAR) || '|'
+         |      || p.source || '|' || CAST(p.pack_id AS VARCHAR)) AS h
+         |  FROM packs p CROSS JOIN e),
+         |pos AS (SELECT epoch, substr(h, 1, 1) AS shard, source, pack_id,
+         |    pack_tokens, ROW_NUMBER() OVER (
+         |      PARTITION BY epoch, substr(h, 1, 1) ORDER BY h) AS pos
+         |  FROM ph)
+         |SELECT epoch, shard, CAST(count(*) AS BIGINT) AS n_packs,
+         |  CAST(sum(pack_tokens) AS BIGINT) AS n_tokens,
+         |  sha256(string_agg(source || ':' || CAST(pack_id AS VARCHAR),
+         |    ',' ORDER BY pos)) AS order_sha
+         |FROM pos GROUP BY epoch, shard
+         |ORDER BY epoch, shard""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val wOff = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val packs = docs
+        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .join(TextOps.bpeVocab(s, dir).select(col("wd"), col("n_tok")),
+          "wd")
+        .groupBy("doc_id")
+        .agg(sum(col("c") * col("n_tok")).as("n_tok"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("tok_offset",
+          coalesce(sum(col("n_tok")).over(wOff), lit(0L)))
+        .groupBy(col("source"),
+          expr("tok_offset div 2048").as("pack_id"))
+        .agg(sum("n_tok").as("pack_tokens"))
+      val wPos = Window.partitionBy("epoch", "shard").orderBy("h")
+      packs
+        .select(col("source"), col("pack_id"), col("pack_tokens"),
+          explode(sequence(lit(0), lit(1))).as("epoch"))
+        .withColumn("h", sha2(concat(lit("pack-shuffle-v1|"),
+          col("epoch").cast("string"), lit("|"), col("source"),
+          lit("|"), col("pack_id").cast("string")), 256))
+        .withColumn("shard", substring(col("h"), 1, 1))
+        .withColumn("pos", row_number().over(wPos))
+        .groupBy("epoch", "shard")
+        .agg(count(lit(1)).as("n_packs"),
+          sum("pack_tokens").as("n_tokens"),
+          sha2(array_join(transform(array_sort(collect_list(
+            struct(col("pos"), concat(col("source"), lit(":"),
+              col("pack_id").cast("string")).as("k")))),
+            t => t.getField("k")), ","), 256).as("order_sha"))
+        .orderBy("epoch", "shard")
     })
 
   /** q113 build over arbitrary bench (b_id, b_text) / corpus (c_id,
