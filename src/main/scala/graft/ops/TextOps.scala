@@ -558,6 +558,86 @@ object TextOps {
           round(sum("n_bpe") / sum("n_words").cast("double"), 6)
             .as("fertility"))
         .orderBy("lang")
+    },
+
+    // Tokenizer staleness — the incremental-ingest question q133 asks
+    // for dedup, asked for the tokenizer: when a new batch (here:
+    // source src19) arrives, how much worse does YESTERDAY'S vocabulary
+    // (learned with the batch held out) price it than a refreshed one?
+    // tokens_stale encodes the batch by REPLAYING the held-out merge
+    // rules over the batch's distinct words (novel words can't be in
+    // any word cache — replay is the only correct path); tokens_fresh
+    // reads the full-corpus word cache. The inflation ratio is the
+    // retrain-trigger metric a tokenizer-ops job alerts on. Oracle: TWO
+    // unrolled learn chains in one statement (full + suffixed held-out)
+    // plus a `WITH RECURSIVE` rank-join that replays the held-out
+    // merges — recursion works for APPLY (one rule per step, no
+    // aggregation), exactly where learning can't.
+    QueryDef("q149_tokenizer_staleness",
+      "WITH RECURSIVE " + bpeLearnChain(BpeMerges, "", "") + ",\n" +
+        bpeLearnChain(BpeMerges, "r", " WHERE source <> 'src19'") +
+      s""",
+         |mergesr AS (${(1 to BpeMerges)
+        .map(k => s"SELECT * FROM m${k}r").mkString(" UNION ALL ")}),
+         |dwb AS (SELECT doc_id, wd, count(*) AS c FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |    FROM documents WHERE source = 'src19') t
+         |  WHERE wd <> '' GROUP BY doc_id, wd),
+         |vb0 AS (SELECT wd, concat(' ', array_to_string(
+         |    list_transform(range(1, length(wd) + 1),
+         |      i -> substr(wd, CAST(i AS INTEGER), 1)), '  '), ' ')
+         |    AS enc
+         |  FROM (SELECT DISTINCT wd FROM dwb) dws),
+         |ra AS (SELECT wd, enc, 0 AS k FROM vb0
+         |  UNION ALL
+         |  SELECT a.wd, replace(a.enc,
+         |      ' ' || m.lhs || '  ' || m.rhs || ' ',
+         |      ' ' || m.lhs || m.rhs || ' '), a.k + 1
+         |  FROM ra a JOIN mergesr m ON m.merge_rank = a.k + 1),
+         |tokr AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+         |  FROM ra WHERE k = $BpeMerges),
+         |tokf AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+         |  FROM v$BpeMerges),
+         |agg AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |    CAST(sum(c) AS BIGINT) AS n_words FROM dwb),
+         |st AS (SELECT CAST(sum(c * n_tok) AS BIGINT) AS toks
+         |  FROM dwb JOIN tokr USING (wd)),
+         |fr AS (SELECT CAST(sum(c * n_tok) AS BIGINT) AS toks
+         |  FROM dwb JOIN tokf USING (wd))
+         |SELECT 'src19' AS batch_source, agg.n_docs, agg.n_words,
+         |  st.toks AS tokens_stale, fr.toks AS tokens_fresh,
+         |  floor(st.toks / CAST(fr.toks AS DOUBLE) * 1000000)
+         |    / 1000000.0 AS inflation
+         |FROM agg, st, fr""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val restPairs = bpeMergesWhere(s, dir, "rest",
+          "source <> 'src19'").orderBy("merge_rank").collect().toSeq
+        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      val dwb = docs.filter(col("source") === "src19")
+        .select(col("doc_id"), explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val staleEnc = restPairs.foldLeft(expr(enc0)) { case (acc, (l, r)) =>
+        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+      }
+      val tokr = dwb.select("wd").distinct()
+        .select(col("wd"), staleEnc.as("enc"))
+        .select(col("wd"), size(expr("split(trim(enc), '  ')"))
+          .as("n_tok"))
+      val tokf = bpeVocab(s, dir).select(col("wd"), col("n_tok"))
+      val agg = dwb.agg(countDistinct(col("doc_id")).as("n_docs"),
+        sum("c").as("n_words"))
+      val st = dwb.join(tokr, "wd")
+        .agg(sum(col("c") * col("n_tok")).as("tokens_stale"))
+      val fr = dwb.join(tokf, "wd")
+        .agg(sum(col("c") * col("n_tok")).as("tokens_fresh"))
+      agg.crossJoin(st).crossJoin(fr)
+        .select(lit("src19").as("batch_source"), col("n_docs"),
+          col("n_words"), col("tokens_stale"), col("tokens_fresh"),
+          (floor(col("tokens_stale")
+            / col("tokens_fresh").cast("double") * 1000000) / 1000000.0)
+            .as("inflation"))
     })
 
   /** Unrolled DuckDB oracle prefix: w0/v0 (vocab + initial encoding),
@@ -567,30 +647,41 @@ object TextOps {
     * referenced twice (p(k+1) and v(k+1)), and inlining would blow up
     * 2^N.
     */
-  private[ops] def bpeLearnSql(n: Int): String = {
+  private[ops] def bpeLearnSql(n: Int): String =
+    "WITH " + bpeLearnChain(n, "", "")
+
+  /** The chain body with every CTE name suffixed (so two independent
+    * vocabularies — e.g. full-corpus and batch-held-out — can unroll in
+    * ONE statement) and an optional WHERE over `documents` restricting
+    * the training corpus. Caller supplies the `WITH `/`WITH RECURSIVE `
+    * prefix.
+    */
+  private[ops] def bpeLearnChain(n: Int, sfx: String,
+      where: String): String = {
     val sb = new StringBuilder(
-      """WITH w0 AS (SELECT wd, count(*) AS freq FROM (
-        |    SELECT unnest(string_split(text, ' ')) AS wd FROM documents) t
-        |  WHERE wd <> '' GROUP BY wd),
-        |v0 AS MATERIALIZED (SELECT wd, concat(' ', array_to_string(
-        |    list_transform(range(1, length(wd) + 1),
-        |      i -> substr(wd, CAST(i AS INTEGER), 1)), '  '), ' ') AS enc,
-        |    freq
-        |  FROM w0)""".stripMargin)
+      s"""w0$sfx AS (SELECT wd, count(*) AS freq FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS wd
+         |    FROM documents$where) t
+         |  WHERE wd <> '' GROUP BY wd),
+         |v0$sfx AS MATERIALIZED (SELECT wd, concat(' ', array_to_string(
+         |    list_transform(range(1, length(wd) + 1),
+         |      i -> substr(wd, CAST(i AS INTEGER), 1)), '  '), ' ') AS enc,
+         |    freq
+         |  FROM w0$sfx)""".stripMargin)
     for (k <- 1 to n) sb ++=
       s""",
-         |p$k AS (SELECT t[CAST(i AS INTEGER)] AS lhs,
+         |p$k$sfx AS (SELECT t[CAST(i AS INTEGER)] AS lhs,
          |    t[CAST(i AS INTEGER) + 1] AS rhs, sum(freq) AS pair_n
          |  FROM (SELECT string_split(trim(enc), '  ') AS t, freq
-         |    FROM v${k - 1}) s,
+         |    FROM v${k - 1}$sfx) s,
          |    LATERAL unnest(range(1, len(t))) AS u(i)
          |  GROUP BY 1, 2),
-         |m$k AS (SELECT $k AS merge_rank, lhs, rhs, pair_n FROM p$k
+         |m$k$sfx AS (SELECT $k AS merge_rank, lhs, rhs, pair_n FROM p$k$sfx
          |  ORDER BY pair_n DESC, lhs, rhs LIMIT 1),
-         |v$k AS MATERIALIZED (SELECT wd, replace(enc,
+         |v$k$sfx AS MATERIALIZED (SELECT wd, replace(enc,
          |    ' ' || m.lhs || '  ' || m.rhs || ' ',
          |    ' ' || m.lhs || m.rhs || ' ') AS enc, freq
-         |  FROM v${k - 1}, m$k m)""".stripMargin
+         |  FROM v${k - 1}$sfx, m$k$sfx m)""".stripMargin
     sb.toString
   }
 
@@ -612,8 +703,25 @@ object TextOps {
   def bpeMerges(s: SparkSession, dir: String,
       n: Int = BpeMerges): DataFrame =
     Materialize.table(s, s"bpe_merges_$n", dir) {
+      learnMerges(s, Tables(s, dir, "documents"), n)
+    }
+
+  /** Merge table learned on a RESTRICTED corpus (`whereSql` over
+    * `documents`), materialized under its own `tag` — the held-out /
+    * previous-day vocabulary the staleness audit (q149) compares
+    * against.
+    */
+  def bpeMergesWhere(s: SparkSession, dir: String, tag: String,
+      whereSql: String, n: Int = BpeMerges): DataFrame =
+    Materialize.table(s, s"bpe_merges_${n}_$tag", dir) {
+      learnMerges(s, Tables(s, dir, "documents").filter(whereSql), n)
+    }
+
+  private def learnMerges(s: SparkSession, docs: DataFrame,
+      n: Int): DataFrame = {
+    locally {
       import s.implicits._
-      var vocab = Tables(s, dir, "documents")
+      var vocab = docs
         .select(explode(expr(words)).as("wd"))
         .filter(col("wd") =!= "")
         .groupBy("wd").agg(count(lit(1)).as("freq"))
@@ -648,6 +756,7 @@ object TextOps {
       }
       learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
     }
+  }
 
   /** The learned merge rules as driver-side pairs (N rows — bounded
     * metadata), for callers that fold them into row-local expressions.

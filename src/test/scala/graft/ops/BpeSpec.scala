@@ -95,5 +95,22 @@ class BpeSpec extends SparkSpec {
       "row-local BPE apply disagrees with the materialized word cache")
   }
 
+  test("q149 staleness audit is self-consistent: token totals bound by " +
+      "words and characters; iid sources price identically (q147 " +
+      "agreement)") {
+    val r = SparkEntry.queries("q149_tokenizer_staleness")(spark, dir)
+      .head()
+    val (w, st, fr) = (r.getAs[Long]("n_words"),
+      r.getAs[Long]("tokens_stale"), r.getAs[Long]("tokens_fresh"))
+    assert(st >= w && fr >= w, s"every word is >= 1 token: $r")
+    // This corpus's sources are distributionally identical (q147
+    // measures JS divergence ~4e-4), so the held-out vocabulary learns
+    // the same merge ranking and the batch prices EQUAL under both —
+    // the audit's no-drift fixed point. A drifted batch moves
+    // inflation above 1.
+    assert(r.getAs[Double]("inflation") == 1.0 && st == fr,
+      s"iid corpus must show no staleness: $r")
+  }
+
   private def SparkEntry = graft.SparkEntry
 }
