@@ -261,27 +261,130 @@ object MultimodalOps {
            |FROM cand WHERE hamming <= 3 GROUP BY hamming
            |ORDER BY hamming""".stripMargin
       }) { (s, dir) =>
-      val bands = phashes(
-          mediaTable(s, dir).filter(col("kind") === "image"))
-        .toDF()
-        .select(col("media_id"), array(col("b0"), col("b1"), col("b2"),
-          col("b3")).as("f"))
-        .select(col("media_id"), col("f"),
-          posexplode(col("f")).as(Seq("j", "key")))
-        .repartition(col("media_id"))
-      val ham = (0 until 4).map(j =>
-        expr(s"bit_count(element_at(fa, ${j + 1}) ^ " +
-          s"element_at(fb, ${j + 1}))")).reduce(_ + _)
-      bands.toDF("a_id", "fa", "j", "key")
-        .join(bands.toDF("b_id", "fb", "j", "key"), Seq("j", "key"))
-        .filter(col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"), ham.as("hamming")).distinct()
-        .filter(col("hamming") <= 3)
+      phashBandPairs(s, dir)
         .groupBy("hamming")
         .agg(count(lit(1)).as("n_pairs"))
         .select(col("hamming").cast("int").as("hamming"), col("n_pairs"))
         .orderBy("hamming")
+    },
+
+    // Cross-modal consistency audit: for every near-duplicate IMAGE
+    // pair (q134's banded-hamming candidates), the word-Jaccard of the
+    // two documents' TEXTS — near-identical images with divergent
+    // captions flag caption noise or image reuse; consistent pairs
+    // confirm the modalities agree. The pair space is q134's
+    // (band-bounded, tiny); the text side joins the pairs against the
+    // distinct (doc, word) frame — per-pair work is two word-set
+    // probes, never a text×text scan.
+    QueryDef(
+      "q150_caption_consistency", {
+        val keyCase = (0 until 4).map(j =>
+          s"WHEN $j THEN b$j").mkString("CASE j ", " ", " END")
+        val ham = (0 until 4).map(j =>
+          s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+        val packs = (0 until 4).map(j =>
+          s"MAX(CASE WHEN j = $j THEN w END) AS b$j")
+          .mkString(",\n        |    ")
+        s"""WITH img AS (SELECT doc_id, text FROM documents
+           |  WHERE CAST(doc_id % 3 AS INTEGER) = 0),
+           |bg AS (SELECT doc_id, (ascii(substr(text, i, 1)) * 131
+           |    + ascii(substr(text, i + 1, 1))) % 64 AS bkt
+           |  FROM img, unnest(range(1, length(text))) AS t(i)),
+           |hist AS (SELECT doc_id, bkt, COUNT(*) AS cnt FROM bg
+           |  GROUP BY 1, 2),
+           |grid AS (SELECT doc_id, k FROM img,
+           |  (SELECT unnest(range(0, 64)) AS k)),
+           |dense AS (SELECT g.doc_id, g.k, COALESCE(h.cnt, 0) AS c
+           |  FROM grid g LEFT JOIN hist h
+           |    ON h.doc_id = g.doc_id AND h.bkt = g.k),
+           |bits AS (SELECT a.doc_id, a.k,
+           |    CASE WHEN a.c > b.c THEN 1 ELSE 0 END AS bit
+           |  FROM dense a JOIN dense b
+           |    ON b.doc_id = a.doc_id AND b.k = (a.k + 17) % 64),
+           |words AS (SELECT doc_id, k // 16 AS j,
+           |    CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS w
+           |  FROM bits GROUP BY 1, 2),
+           |f AS (SELECT doc_id,
+           |    $packs
+           |  FROM words GROUP BY doc_id),
+           |bands AS (SELECT doc_id, b0, b1, b2, b3, j, $keyCase AS key
+           |  FROM f, (SELECT unnest(range(0, 4)) AS j)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    $ham AS hamming
+           |  FROM bands a JOIN bands b
+           |    ON a.j = b.j AND a.key = b.key AND a.doc_id < b.doc_id),
+           |pairs AS (SELECT a_id, b_id, CAST(hamming AS INTEGER)
+           |    AS hamming FROM cand WHERE hamming <= 3),
+           |dw AS (SELECT DISTINCT doc_id, wd FROM (
+           |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+           |    FROM img) t WHERE wd <> ''),
+           |sz AS (SELECT doc_id, COUNT(*) AS n FROM dw GROUP BY doc_id),
+           |inter AS (SELECT p.a_id, p.b_id, COUNT(*) AS ni
+           |  FROM pairs p JOIN dw da ON da.doc_id = p.a_id
+           |  JOIN dw db ON db.doc_id = p.b_id AND db.wd = da.wd
+           |  GROUP BY p.a_id, p.b_id)
+           |SELECT p.a_id, p.b_id, p.hamming,
+           |  floor(COALESCE(i.ni, 0)
+           |    / CAST(sa.n + sb.n - COALESCE(i.ni, 0) AS DOUBLE)
+           |    * 1000000) / 1000000.0 AS jacc,
+           |  COALESCE(i.ni, 0)
+           |    / CAST(sa.n + sb.n - COALESCE(i.ni, 0) AS DOUBLE)
+           |    >= 0.5 AS consistent
+           |FROM pairs p
+           |JOIN sz sa ON sa.doc_id = p.a_id
+           |JOIN sz sb ON sb.doc_id = p.b_id
+           |LEFT JOIN inter i ON i.a_id = p.a_id AND i.b_id = p.b_id
+           |ORDER BY p.a_id, p.b_id""".stripMargin
+      }) { (s, dir) =>
+      val pairs = phashBandPairs(s, dir)
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("int").as("hamming"))
+        .localCheckpoint(true)
+      val dw = Tables(s, dir, "documents")
+        .filter(expr("cast(doc_id % 3 as int) = 0"))
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))
+        .filter(col("wd") =!= "").distinct()
+      val sz = dw.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = pairs
+        .join(dw.toDF("a_id", "wd"), "a_id")
+        .join(dw.toDF("b_id", "wd"), Seq("b_id", "wd"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("ni"))
+      val jacc = coalesce(col("ni"), lit(0L)) /
+        (col("na") + col("nb") - coalesce(col("ni"), lit(0L)))
+          .cast("double")
+      pairs
+        .join(sz.toDF("a_id", "na"), "a_id")
+        .join(sz.toDF("b_id", "nb"), "b_id")
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"), col("hamming"),
+          (floor(jacc * 1000000) / 1000000.0).as("jacc"),
+          (jacc >= 0.5).as("consistent"))
+        .orderBy("a_id", "b_id")
     })
+
+  /** q134's banded-hamming candidate pairs `(a_id, b_id, hamming)` over
+    * the image tier — 4×16-bit bands (q92's scale-safe shape), hamming
+    * verified ≤ 3 only on band-colliding pairs. Shared by q134 (the
+    * distance histogram) and q150 (the cross-modal consistency audit).
+    */
+  private def phashBandPairs(s: SparkSession, dir: String): DataFrame = {
+    val bands = phashes(
+        mediaTable(s, dir).filter(col("kind") === "image"))
+      .toDF()
+      .select(col("media_id"), array(col("b0"), col("b1"), col("b2"),
+        col("b3")).as("f"))
+      .select(col("media_id"), col("f"),
+        posexplode(col("f")).as(Seq("j", "key")))
+      .repartition(col("media_id"))
+    val ham = (0 until 4).map(j =>
+      expr(s"bit_count(element_at(fa, ${j + 1}) ^ " +
+        s"element_at(fb, ${j + 1}))")).reduce(_ + _)
+    bands.toDF("a_id", "fa", "j", "key")
+      .join(bands.toDF("b_id", "fb", "j", "key"), Seq("j", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), ham.as("hamming")).distinct()
+      .filter(col("hamming") <= 3)
+  }
 
   final case class MediaPhash(media_id: Long, b0: Long, b1: Long,
       b2: Long, b3: Long)
