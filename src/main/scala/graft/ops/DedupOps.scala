@@ -327,6 +327,62 @@ object DedupOps {
       lshCandidates(s, dir).orderBy("a_id", "b_id")
     },
 
+    // Threshold-sensitivity sweep — the table a curator actually looks
+    // at before committing to a near-dup cutoff: for each candidate
+    // Jaccard threshold, how many edges survive, how many distinct
+    // documents get flagged, and what fraction of the (exact-deduped)
+    // corpus that is. One pass over the materialized candidate artifact
+    // crossed with the 5-row threshold list — the sweep costs the same
+    // as evaluating ONE threshold, which is the whole point of scoring
+    // candidates once and thresholding later.
+    QueryDef(
+      "q151_threshold_sweep",
+      "WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents " +
+        "GROUP BY text),\n  " +
+        lshPairsSql("r") + ",\n" +
+        s"""cand AS (SELECT p.a_id, p.b_id, $estJaccardSql AS ej
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id),
+           |th AS (SELECT unnest([0.5, 0.6, 0.7, 0.8, 0.9]) AS t),
+           |e AS (SELECT t, a_id, b_id FROM cand, th WHERE ej >= t),
+           |f AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n_edges
+           |  FROM e GROUP BY t),
+           |fd AS (SELECT t, CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs
+           |  FROM (SELECT t, a_id AS id FROM e
+           |    UNION ALL SELECT t, b_id FROM e) u GROUP BY t),
+           |tot AS (SELECT COUNT(*) AS n FROM r)
+           |SELECT th.t AS threshold, COALESCE(f.n_edges, 0) AS n_edges,
+           |  COALESCE(fd.n_docs, 0) AS n_docs_flagged,
+           |  floor(COALESCE(fd.n_docs, 0) / CAST(tot.n AS DOUBLE)
+           |    * 1000000) / 1000000.0 AS flagged_frac
+           |FROM th LEFT JOIN f ON f.t = th.t
+           |LEFT JOIN fd ON fd.t = th.t, tot
+           |ORDER BY threshold""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val cand = lshCandidates(s, dir)
+      val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("t")
+      val e = cand.crossJoin(broadcast(th))
+        .filter(col("est_jaccard") >= col("t"))
+        .localCheckpoint(true)
+      val f = e.groupBy("t").agg(count(lit(1)).as("n_edges"))
+      val fd = e.select(col("t"), col("a_id").as("id"))
+        .unionByName(e.select(col("t"), col("b_id").as("id")))
+        .groupBy("t").agg(countDistinct(col("id")).as("n_docs_flagged"))
+      val tot = broadcast(Tables(s, dir, "documents")
+        .groupBy("text").agg(min(col("doc_id")))
+        .agg(count(lit(1)).as("n")))
+      th.join(f, Seq("t"), "left").join(fd, Seq("t"), "left")
+        .crossJoin(tot)
+        .select(col("t").as("threshold"),
+          coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+          coalesce(col("n_docs_flagged"), lit(0L)).as("n_docs_flagged"),
+          (floor(coalesce(col("n_docs_flagged"), lit(0L))
+            / col("n").cast("double") * 1000000) / 1000000.0)
+            .as("flagged_frac"))
+        .orderBy("threshold")
+    },
+
     // Near-dup CLUSTER resolution: candidate pairs are only half a dedup
     // pipeline — the corpus is clean only after connected components of
     // the near-dup graph resolve into groups with one representative
