@@ -895,6 +895,57 @@ object SimilarityOps {
         .orderBy("label", "p_label")
     },
 
+    // Hard-negative mining — the contrastive-training data op: for each
+    // anchor, the top-5 nearest SAME-label vectors (the positives pool)
+    // and the top-5 nearest DIFFERENT-label vectors (the hard negatives
+    // a contrastive loss learns most from — near in embedding space,
+    // wrong in label). One scored pass per anchor set (q51's broadcast
+    // shape: anchors are broadcast-small by contract, the corpus side
+    // streams row-local dot products), then two per-anchor windows over
+    // the scored frame. At scale the exact pass swaps for the IVF/PQ
+    // index probes (q56/q110) with this exact ranking contract.
+    QueryDef(
+      "q152_hard_negatives",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+        |      AS nv
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv, nv AS nq
+        |  FROM e WHERE vec_id < 5),
+        |sc AS (SELECT q_id, q_label, vec_id, label,
+        |    round(list_dot_product(qv, v) / (nq * nv), 6) AS cos_r
+        |  FROM q JOIN e ON e.vec_id <> q.q_id),
+        |r AS (SELECT q_id, vec_id, cos_r,
+        |    CASE WHEN label = q_label THEN 'positive'
+        |      ELSE 'hard_negative' END AS role,
+        |    CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY q_id, label = q_label
+        |      ORDER BY cos_r DESC, vec_id) AS INTEGER) AS rn
+        |  FROM sc)
+        |SELECT q_id, role, rn, vec_id, cos_r FROM r WHERE rn <= 5
+        |ORDER BY q_id, role, rn""".stripMargin) { (s, dir) =>
+      val e = vectors(s, dir)
+        .join(Tables(s, dir, "embeddings").select("vec_id", "label"),
+          "vec_id")
+      val q = e.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"), col("v").as("qv"),
+        col("nv").as("nq")).filter(col("q_id") < 5)
+      val w = Window.partitionBy(col("q_id"), col("same"))
+        .orderBy(col("cos_r").desc, col("vec_id"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          expr(s"round($dot / (nq * nv), 6)").as("cos_r"),
+          (col("label") === col("q_label")).as("same"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"),
+          when(col("same"), lit("positive")).otherwise("hard_negative")
+            .as("role"),
+          col("rn").cast("int").as("rn"), col("vec_id"), col("cos_r"))
+        .orderBy("q_id", "role", "rn")
+    },
+
     // Label-noise audit (confident-learning-lite): assign every labeled
     // embedding to its nearest centroid (the q52 IVF assignment), take
     // each cluster's majority label, and flag the vectors whose own

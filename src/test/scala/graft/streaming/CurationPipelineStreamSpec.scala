@@ -42,20 +42,24 @@ class CurationPipelineStreamSpec extends SparkSpec {
   }
 
   test("composed streaming curation (bloom dedup -> perplexity -> DSIR " +
-      "-> quality) is row-identical to the batch twin") {
+      "-> quality -> BPE token pricing) is row-identical to the batch " +
+      "twin") {
     withRocksDB {
       val lm = CurationOps.trigramLmModel(spark, dir)
       val dsir = CurationOps.dsirModel(spark, dir)
+      val merges = graft.ops.TextOps.bpeMergePairs(spark, dir)
 
       // Gates AFTER dedup — shared verbatim by the streaming pipeline
-      // and the batch twin (all row-local, so they compose unchanged).
+      // and the batch twin (all row-local, so they compose unchanged;
+      // the BPE stage prices every survivor in real tokenizer tokens).
       def gates(df: DataFrame): DataFrame =
-        CurationOps.qualityKeep(
-          CurationOps.scoreDsir(
-            CurationOps.scoreTrigramLm(df, lm)
-              .filter(col("mean_logp") >= -2.0), dsir))
+        graft.ops.TextOps.bpeTokenCounts(
+          CurationOps.qualityKeep(
+            CurationOps.scoreDsir(
+              CurationOps.scoreTrigramLm(df, lm)
+                .filter(col("mean_logp") >= -2.0), dsir)), merges)
           .select("doc_id", "text", "n_tri", "mean_logp",
-            "n_words", "dsir_logw")
+            "n_words", "dsir_logw", "n_bpe_tokens")
 
       val corpus = graft.engine.Tables(spark, dir, "documents")
         .filter(col("doc_id") < 8).select("doc_id", "text")
@@ -98,8 +102,10 @@ class CurationPipelineStreamSpec extends SparkSpec {
         s"stream ${streamed.map(_.head)} vs batch ${batchTwin.map(_.head)}")
       val kept = streamed.map(_.head.asInstanceOf[Long])
       assert(kept == Set(1L, 2L, 3L, 5L, 6L, 7L), s"kept $kept")
-      // every survivor carries both scores — the DSIR stage really ran
-      assert(streamed.forall(r => r(3) != null && r(5) != null))
+      // every survivor carries both scores and a real token price —
+      // the DSIR and BPE stages really ran
+      assert(streamed.forall(r => r(3) != null && r(5) != null &&
+        r(6).asInstanceOf[Long] >= r(4).asInstanceOf[Long]))
     }
   }
 }
