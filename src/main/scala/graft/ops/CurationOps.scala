@@ -913,6 +913,79 @@ object CurationOps {
         .orderBy("source")
     },
 
+    // Data-constrained mix audit (the Muennighoff accounting): the q114
+    // plan allocates tokens per source, but repeated data is worth less
+    // — what matters is how many EPOCHS OVER UNIQUE TOKENS the plan
+    // implies once exact duplicates collapse to their keep-first
+    // representative. Per source: raw vs unique tokens, the duplicate
+    // fraction, the planned allocation, and the effective unique-token
+    // epoch count (>> 1 means the plan re-reads the same bytes — the
+    // signal to re-weight or widen the source). Plan shape: the q114
+    // planner chain + ONE keep-first dedup aggregate (q40's groupBy-text
+    // shape) re-joined to its kept docs; everything downstream is
+    // sources-sized.
+    QueryDef(
+      "q153_data_constrained_mix",
+      s"""WITH c AS (SELECT source,
+         |    CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+         |    AS src_tokens FROM documents GROUP BY source),
+         |t AS (SELECT CAST(sum(src_tokens) AS DOUBLE) AS total FROM c),
+         |w AS (SELECT source, src_tokens,
+         |    CAST(round(sqrt(src_tokens / total), 6) AS DECIMAL(18, 6))
+         |      AS wt
+         |  FROM c, t),
+         |s AS (SELECT CAST(sum(wt) AS DOUBLE) AS wsum FROM w),
+         |p AS (SELECT source, src_tokens,
+         |    CAST(round(CAST(wt AS DOUBLE) / wsum * 100000, 0) AS BIGINT)
+         |      AS target_tokens
+         |  FROM w, s),
+         |r AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY text),
+         |u AS (SELECT d.source,
+         |    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
+         |      AS unique_tokens
+         |  FROM r JOIN documents d USING (doc_id) GROUP BY d.source)
+         |SELECT p.source, p.src_tokens, u.unique_tokens,
+         |  floor((1 - u.unique_tokens / CAST(p.src_tokens AS DOUBLE))
+         |    * 1000000) / 1000000.0 AS dup_frac,
+         |  p.target_tokens,
+         |  floor(p.target_tokens / CAST(u.unique_tokens AS DOUBLE)
+         |    * 1000000) / 1000000.0 AS epochs_over_unique
+         |FROM p JOIN u USING (source) ORDER BY p.source""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val c = docs.groupBy("source")
+        .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
+          .as("src_tokens"))
+        .localCheckpoint(true)
+      val t = broadcast(c.agg(
+        sum(col("src_tokens")).cast("double").as("total")))
+      val w = c.crossJoin(t).withColumn("wt",
+        round(sqrt(col("src_tokens") / col("total")), 6)
+          .cast(DecimalType(18, 6)))
+      val ws = broadcast(w.agg(sum(col("wt")).cast("double").as("wsum")))
+      val plan = w.crossJoin(ws)
+        .select(col("source"), col("src_tokens"),
+          round(col("wt").cast("double") / col("wsum") * 100000, 0)
+            .cast("long").as("target_tokens"))
+      val u = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+        .join(docs.select("doc_id", "source", "text"), "doc_id")
+        .groupBy("source")
+        .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
+          .as("unique_tokens"))
+      plan.join(u, "source")
+        .select(col("source"), col("src_tokens"), col("unique_tokens"),
+          (floor((lit(1) - col("unique_tokens")
+            / col("src_tokens").cast("double")) * 1000000) / 1000000.0)
+            .as("dup_frac"),
+          col("target_tokens"),
+          (floor(col("target_tokens")
+            / col("unique_tokens").cast("double") * 1000000) / 1000000.0)
+            .as("epochs_over_unique"))
+        .orderBy("source")
+    },
+
     // Zipf-fit corpus-health diagnostic: per source, the least-squares
     // slope (and r²) of ln(freq) against ln(rank) over the top-500 word
     // frequencies. Healthy natural text sits near slope −1; boilerplate
