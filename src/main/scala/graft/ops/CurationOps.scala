@@ -1017,7 +1017,7 @@ object CurationOps {
         |    CAST(sum(x * y) AS DOUBLE) AS sxy,
         |    CAST(sum(x * x) AS DOUBLE) AS sxx,
         |    CAST(sum(y * y) AS DOUBLE) AS syy
-        |  FROM xy GROUP BY source)
+        |  FROM xy GROUP BY source HAVING count(*) >= 2)
         |SELECT st.source, st.n_types, st.n_tokens,
         |  floor((m.n * m.sxy - m.sx * m.sy)
         |    / (m.n * m.sxx - m.sx * m.sx) * 1000000)
@@ -1050,6 +1050,9 @@ object CurationOps {
             .cast(DecimalType(15, 9)).as("x"),
           round(log(col("freq").cast("double")), 9)
             .cast(DecimalType(15, 9)).as("y"))
+      // HAVING n >= 2: a degenerate single-type source has den = 0 and
+      // floor(NaN) diverges between engines — drop it from the fit
+      // rather than crash (no-op on any real corpus).
       val m = xy.groupBy("source").agg(
         count(lit(1)).cast("double").as("n"),
         sum("x").cast("double").as("sx"),
@@ -1057,6 +1060,7 @@ object CurationOps {
         sum(col("x") * col("y")).cast("double").as("sxy"),
         sum(col("x") * col("x")).cast("double").as("sxx"),
         sum(col("y") * col("y")).cast("double").as("syy"))
+        .filter(col("n") >= 2)
       val num = col("n") * col("sxy") - col("sx") * col("sy")
       val den = col("n") * col("sxx") - col("sx") * col("sx")
       val deny = col("n") * col("syy") - col("sy") * col("sy")

@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
@@ -242,7 +243,126 @@ object EventOps {
             .as("valid_to"),
           col("valid_to_ts").isNull.as("is_current"))
         .orderBy("user_id", "valid_from", "state")
+    },
+
+    // Distribution-drift monitoring (PSI): per event_type, the
+    // population stability index of `value` between a reference window
+    // (first half of the month) and the current window, over decile
+    // bins of the REFERENCE distribution — the standard ML-monitoring
+    // gate (PSI >= 0.2 ⇒ investigate). Bin edges are exact reference
+    // deciles (q59's portable percentile, rounded at 6); binning is 1 +
+    // Σ(value > edge); bin fractions are Laplace-smoothed so empty bins
+    // contribute finitely; per-bin terms round at 9 and sum in DECIMAL
+    // (the q109 discipline), final PSI floor-scales. Plan: one
+    // percentile aggregate over the reference (sorts within event_type
+    // partitions), then ONE pass over each side with the 9-edge frame
+    // broadcast — at 100 TB swap the exact deciles for approx_percentile
+    // and everything downstream is unchanged.
+    QueryDef(
+      "q154_value_drift_psi", {
+        val edgesSql = (1 to 9).map(k =>
+          s"round(quantile_cont(value, 0.${k}), 6) AS e$k")
+          .mkString(",\n        |    ")
+        val binSql = (1 to 9).map(k =>
+          s"CAST(value > e$k AS INTEGER)").mkString("1 + ", " + ", "")
+        s"""WITH ref AS (SELECT event_type, value FROM events
+           |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+           |cur AS (SELECT event_type, value FROM events
+           |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+           |ed AS (SELECT event_type,
+           |    $edgesSql
+           |  FROM ref GROUP BY event_type),
+           |rb AS (SELECT r.event_type, $binSql AS bin
+           |  FROM ref r JOIN ed USING (event_type)),
+           |cb AS (SELECT c.event_type, $binSql AS bin
+           |  FROM cur c JOIN ed USING (event_type)),
+           |rc AS (SELECT event_type, bin, COUNT(*) AS c FROM rb
+           |  GROUP BY 1, 2),
+           |cc AS (SELECT event_type, bin, COUNT(*) AS c FROM cb
+           |  GROUP BY 1, 2),
+           |rt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_ref
+           |  FROM ref GROUP BY event_type),
+           |ct AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_cur
+           |  FROM cur GROUP BY event_type),
+           |grid AS (SELECT ed.event_type, CAST(i AS INTEGER) AS bin
+           |  FROM ed, (SELECT unnest(range(1, 11)) AS i) t),
+           |terms AS (SELECT g.event_type,
+           |    (COALESCE(rc.c, 0) + 0.5) / (rt.n_ref + 5.0) AS p,
+           |    (COALESCE(cc.c, 0) + 0.5) / (ct.n_cur + 5.0) AS q
+           |  FROM grid g
+           |  JOIN rt ON rt.event_type = g.event_type
+           |  JOIN ct ON ct.event_type = g.event_type
+           |  LEFT JOIN rc ON rc.event_type = g.event_type
+           |    AND rc.bin = g.bin
+           |  LEFT JOIN cc ON cc.event_type = g.event_type
+           |    AND cc.bin = g.bin),
+           |ps AS (SELECT event_type,
+           |    floor(CAST(sum(CAST(round((p - q) * ln(p / q), 9)
+           |      AS DECIMAL(28, 9))) AS DOUBLE) * 1000000) / 1000000.0
+           |      AS psi
+           |  FROM terms GROUP BY event_type)
+           |SELECT ps.event_type, rt.n_ref, ct.n_cur, ps.psi,
+           |  ps.psi >= 0.2 AS drifted
+           |FROM ps JOIN rt ON rt.event_type = ps.event_type
+           |JOIN ct ON ct.event_type = ps.event_type
+           |ORDER BY ps.event_type""".stripMargin
+      }) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"), col("ts"))
+      val split = lit("2024-01-16").cast("timestamp")
+      val ref = ev.filter(col("ts") < split).drop("ts")
+      val cur = ev.filter(col("ts") >= split).drop("ts")
+      val ed = broadcast(ref.groupBy("event_type").agg(
+        round(expr("percentile(value, 0.1)"), 6).as("e1"),
+        round(expr("percentile(value, 0.2)"), 6).as("e2"),
+        round(expr("percentile(value, 0.3)"), 6).as("e3"),
+        round(expr("percentile(value, 0.4)"), 6).as("e4"),
+        round(expr("percentile(value, 0.5)"), 6).as("e5"),
+        round(expr("percentile(value, 0.6)"), 6).as("e6"),
+        round(expr("percentile(value, 0.7)"), 6).as("e7"),
+        round(expr("percentile(value, 0.8)"), 6).as("e8"),
+        round(expr("percentile(value, 0.9)"), 6).as("e9")))
+      val bin = (1 to 9).map(k =>
+        (col("value") > col(s"e$k")).cast("int")).reduce(_ + _) + 1
+      def binned(side: DataFrame) = side.join(ed, "event_type")
+        .select(col("event_type"), bin.as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))
+      val (rc, cc) = (binned(ref), binned(cur))
+      val rt = ref.groupBy("event_type").agg(count(lit(1)).as("n_ref"))
+      val ct = cur.groupBy("event_type").agg(count(lit(1)).as("n_cur"))
+      val grid = ed.select(col("event_type"))
+        .crossJoin(spark_range_bins(s))
+      val terms = grid
+        .join(broadcast(rt), "event_type")
+        .join(broadcast(ct), "event_type")
+        .join(rc, Seq("event_type", "bin"), "left")
+        .join(cc.toDF("event_type", "bin", "c2"),
+          Seq("event_type", "bin"), "left")
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          ((coalesce(col("c"), lit(0L)) + 0.5)
+            / (col("n_ref") + 5.0)).as("p"),
+          ((coalesce(col("c2"), lit(0L)) + 0.5)
+            / (col("n_cur") + 5.0)).as("q"))
+      terms
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          round((col("p") - col("q")) * log(col("p") / col("q")), 9)
+            .cast(DecimalType(28, 9)).as("t"))
+        .groupBy("event_type")
+        .agg(max("n_ref").as("n_ref"), max("n_cur").as("n_cur"),
+          (floor(sum("t").cast("double") * 1000000) / 1000000.0)
+            .as("psi"))
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          col("psi"), (col("psi") >= 0.2).as("drifted"))
+        .orderBy("event_type")
     })
+
+  /** The dense 1..10 bin spine for the PSI grid. */
+  private def spark_range_bins(s: org.apache.spark.sql.SparkSession)
+      : DataFrame = {
+    import s.implicits._
+    (1 to 10).toDF("bin")
+  }
 
   /** Sort-merge LEFT as-of join: every left row gains `outCol` = the
     * `payload` of the newest right row with the same key and
