@@ -945,13 +945,17 @@ object CurationOps {
          |    CAST(sum(len(string_split(d.text, ' '))) AS BIGINT)
          |      AS unique_tokens
          |  FROM r JOIN documents d USING (doc_id) GROUP BY d.source)
-         |SELECT p.source, p.src_tokens, u.unique_tokens,
-         |  floor((1 - u.unique_tokens / CAST(p.src_tokens AS DOUBLE))
+         |SELECT p.source, p.src_tokens,
+         |  COALESCE(u.unique_tokens, 0) AS unique_tokens,
+         |  floor((1 - COALESCE(u.unique_tokens, 0)
+         |    / CAST(p.src_tokens AS DOUBLE))
          |    * 1000000) / 1000000.0 AS dup_frac,
          |  p.target_tokens,
-         |  floor(p.target_tokens / CAST(u.unique_tokens AS DOUBLE)
-         |    * 1000000) / 1000000.0 AS epochs_over_unique
-         |FROM p JOIN u USING (source) ORDER BY p.source""".stripMargin) {
+         |  CASE WHEN COALESCE(u.unique_tokens, 0) = 0 THEN NULL
+         |    ELSE floor(p.target_tokens
+         |      / CAST(u.unique_tokens AS DOUBLE)
+         |      * 1000000) / 1000000.0 END AS epochs_over_unique
+         |FROM p LEFT JOIN u USING (source) ORDER BY p.source""".stripMargin) {
       (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val c = docs.groupBy("source")
@@ -974,14 +978,21 @@ object CurationOps {
         .groupBy("source")
         .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
           .as("unique_tokens"))
-      plan.join(u, "source")
-        .select(col("source"), col("src_tokens"), col("unique_tokens"),
-          (floor((lit(1) - col("unique_tokens")
+      // LEFT join + coalesce: a source whose EVERY text duplicates an
+      // older source's has no keep-first representatives — exactly the
+      // 100%-duplicated source this audit exists to flag. It reports
+      // dup_frac = 1 and a NULL epoch count, never silently vanishes.
+      plan.join(u, Seq("source"), "left")
+        .select(col("source"), col("src_tokens"),
+          coalesce(col("unique_tokens"), lit(0L)).as("unique_tokens"),
+          (floor((lit(1) - coalesce(col("unique_tokens"), lit(0L))
             / col("src_tokens").cast("double")) * 1000000) / 1000000.0)
             .as("dup_frac"),
           col("target_tokens"),
-          (floor(col("target_tokens")
-            / col("unique_tokens").cast("double") * 1000000) / 1000000.0)
+          when(coalesce(col("unique_tokens"), lit(0L)) === 0, lit(null))
+            .otherwise(floor(col("target_tokens")
+              / col("unique_tokens").cast("double") * 1000000)
+              / 1000000.0)
             .as("epochs_over_unique"))
         .orderBy("source")
     },
@@ -1027,7 +1038,8 @@ object CurationOps {
         |    / ((m.n * m.sxx - m.sx * m.sx)
         |      * (m.n * m.syy - m.sy * m.sy)) * 1000000)
         |    / 1000000.0 AS r2
-        |FROM st JOIN m USING (source) ORDER BY st.source""".stripMargin) {
+        |FROM st JOIN m USING (source)
+        |WHERE m.n * m.syy - m.sy * m.sy <> 0 ORDER BY st.source""".stripMargin) {
       (s, dir) =>
       val f = Tables(s, dir, "documents")
         .select(col("source"), explode(split(col("text"), " ")).as("wd"))
@@ -1069,7 +1081,11 @@ object CurationOps {
       // quotients can land one ulp apart at an exact .5×10⁻⁶ boundary
       // (r2 hit one at sf0.001). floor is boundary-free on identical
       // IEEE inputs — the q121/q53 decimal-tie discipline.
+      // deny == 0 (every top-500 frequency equal) makes r2 = 0/0 = NaN,
+      // where floor() diverges across engines — such a source has no
+      // meaningful fit; drop it (identical double predicate both sides).
       st.join(m, "source")
+        .filter(deny =!= 0.0)
         .select(col("source"), col("n_types"), col("n_tokens"),
           (floor(num / den * 1000000) / 1000000.0).as("zipf_slope"),
           (floor(num * num / (den * deny) * 1000000) / 1000000.0)
@@ -1099,12 +1115,13 @@ object CurationOps {
         |terms AS (SELECT sw.source,
         |    CAST(sw.sc AS DOUBLE) / stot AS p,
         |    CAST(g.gc - sw.sc AS DOUBLE) / (gtot - stot) AS q
-        |  FROM sw JOIN g USING (wd) JOIN tot USING (source), gt),
+        |  FROM sw JOIN g USING (wd) JOIN tot USING (source), gt
+        |  WHERE gtot > stot),
         |allw AS (SELECT t2.source,
         |    CAST(0 AS DOUBLE) AS p,
         |    CAST(g.gc AS DOUBLE) / (gtot - stot) AS q
         |  FROM g, tot t2, gt
-        |  WHERE NOT EXISTS (SELECT 1 FROM sw
+        |  WHERE gtot > stot AND NOT EXISTS (SELECT 1 FROM sw
         |    WHERE sw.source = t2.source AND sw.wd = g.wd)),
         |u AS (SELECT * FROM terms UNION ALL SELECT * FROM allw),
         |contrib AS (SELECT source,
@@ -1125,13 +1142,18 @@ object CurationOps {
       val g = sw.groupBy("wd").agg(sum("sc").as("gc"))
       val tot = sw.groupBy("source").agg(sum("sc").as("stot"))
       val gt = broadcast(sw.agg(sum("sc").as("gtot")))
+      // A single-source corpus has an empty "rest" (gtot == stot): the
+      // divergence is undefined, so the source drops from the audit
+      // rather than emitting Infinity (same predicate both engines).
       val terms = sw.join(g, "wd").join(broadcast(tot), "source")
         .crossJoin(gt)
+        .filter(col("gtot") > col("stot"))
         .select(col("source"),
           (col("sc").cast("double") / col("stot")).as("p"),
           ((col("gc") - col("sc")).cast("double")
             / (col("gtot") - col("stot"))).as("q"))
       val allw = g.crossJoin(broadcast(tot)).crossJoin(gt)
+        .filter(col("gtot") > col("stot"))
         .join(sw.select(col("source").as("s2"), col("wd").as("w2")),
           col("source") === col("s2") && col("wd") === col("w2"),
           "left_anti")

@@ -261,7 +261,8 @@ object EventOps {
     QueryDef(
       "q154_value_drift_psi", {
         val edgesSql = (1 to 9).map(k =>
-          s"round(quantile_cont(value, 0.${k}), 6) AS e$k")
+          s"floor(quantile_cont(value, 0.${k}) * 1000000) " +
+            s"/ 1000000.0 AS e$k")
           .mkString(",\n        |    ")
         val binSql = (1 to 9).map(k =>
           s"CAST(value > e$k AS INTEGER)").mkString("1 + ", " + ", "")
@@ -311,18 +312,23 @@ object EventOps {
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value"), col("ts"))
       val split = lit("2024-01-16").cast("timestamp")
+      // Each side has three consumers (edges/bins/totals on ref, bins/
+      // totals on cur): checkpoint the skinny 2-column frames once
+      // instead of re-scanning events per consumer.
       val ref = ev.filter(col("ts") < split).drop("ts")
+        .localCheckpoint(true)
       val cur = ev.filter(col("ts") >= split).drop("ts")
+        .localCheckpoint(true)
       val ed = broadcast(ref.groupBy("event_type").agg(
-        round(expr("percentile(value, 0.1)"), 6).as("e1"),
-        round(expr("percentile(value, 0.2)"), 6).as("e2"),
-        round(expr("percentile(value, 0.3)"), 6).as("e3"),
-        round(expr("percentile(value, 0.4)"), 6).as("e4"),
-        round(expr("percentile(value, 0.5)"), 6).as("e5"),
-        round(expr("percentile(value, 0.6)"), 6).as("e6"),
-        round(expr("percentile(value, 0.7)"), 6).as("e7"),
-        round(expr("percentile(value, 0.8)"), 6).as("e8"),
-        round(expr("percentile(value, 0.9)"), 6).as("e9")))
+        (floor(expr("percentile(value, 0.1)") * 1000000) / 1000000.0).as("e1"),
+        (floor(expr("percentile(value, 0.2)") * 1000000) / 1000000.0).as("e2"),
+        (floor(expr("percentile(value, 0.3)") * 1000000) / 1000000.0).as("e3"),
+        (floor(expr("percentile(value, 0.4)") * 1000000) / 1000000.0).as("e4"),
+        (floor(expr("percentile(value, 0.5)") * 1000000) / 1000000.0).as("e5"),
+        (floor(expr("percentile(value, 0.6)") * 1000000) / 1000000.0).as("e6"),
+        (floor(expr("percentile(value, 0.7)") * 1000000) / 1000000.0).as("e7"),
+        (floor(expr("percentile(value, 0.8)") * 1000000) / 1000000.0).as("e8"),
+        (floor(expr("percentile(value, 0.9)") * 1000000) / 1000000.0).as("e9")))
       val bin = (1 to 9).map(k =>
         (col("value") > col(s"e$k")).cast("int")).reduce(_ + _) + 1
       def binned(side: DataFrame) = side.join(ed, "event_type")

@@ -712,10 +712,17 @@ object TextOps {
     * against.
     */
   def bpeMergesWhere(s: SparkSession, dir: String, tag: String,
-      whereSql: String, n: Int = BpeMerges): DataFrame =
-    Materialize.table(s, s"bpe_merges_${n}_$tag", dir) {
+      whereSql: String, n: Int = BpeMerges): DataFrame = {
+    // The filter is part of the artifact's IDENTITY: hash it into the
+    // name so two callers sharing a tag but not a predicate can never
+    // serve each other's (stale) vocabulary.
+    val fh = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(whereSql.getBytes("UTF-8")).take(4)
+      .map(b => f"$b%02x").mkString
+    Materialize.table(s, s"bpe_merges_${n}_$tag-$fh", dir) {
       learnMerges(s, Tables(s, dir, "documents").filter(whereSql), n)
     }
+  }
 
   private def learnMerges(s: SparkSession, docs: DataFrame,
       n: Int): DataFrame = {
@@ -731,8 +738,7 @@ object TextOps {
         scala.collection.mutable.ArrayBuffer.empty[(Int, String, String,
           String, Long)]
       var k = 1
-      var exhausted = false
-      while (k <= n && !exhausted) {
+      while (k <= n) {
         val best = vocab
           .select(expr("split(trim(enc), '  ')").as("t"), col("freq"))
           .filter(size(col("t")) >= 2)
@@ -743,16 +749,20 @@ object TextOps {
           .agg(sum("freq").as("pair_n"))
           .orderBy(col("pair_n").desc, col("lhs"), col("rhs"))
           .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (l, r) = (best(0).getString(0), best(0).getString(1))
-          learned += ((k, l, r, l + r, best(0).getLong(2)))
-          vocab = vocab.select(col("wd"),
-            call_function("replace", col("enc"),
-              lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
-            col("freq")).localCheckpoint(true)
-          k += 1
-        }
+        // Fail-loud parity with the unrolled oracle: its chain CROSS
+        // JOINs each stage to the (then-empty) argmax row and would
+        // silently collapse to an empty vocabulary, so a corpus too
+        // small to support all n merges must be rejected, not truncated.
+        require(best.nonEmpty,
+          s"BPE learning exhausted after ${k - 1} of $n merges — " +
+            "corpus too small for this vocabulary size")
+        val (l, r) = (best(0).getString(0), best(0).getString(1))
+        learned += ((k, l, r, l + r, best(0).getLong(2)))
+        vocab = vocab.select(col("wd"),
+          call_function("replace", col("enc"),
+            lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
+          col("freq")).localCheckpoint(true)
+        k += 1
       }
       learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
     }
