@@ -610,17 +610,14 @@ object TextOps {
          |    / 1000000.0 AS inflation
          |FROM agg, st, fr""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val restPairs = bpeMergesWhere(s, dir, "rest",
-          "source <> 'src19'").orderBy("merge_rank").collect().toSeq
-        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+      val restPairs = pairsOf(bpeMergesWhere(s, dir, "rest",
+        "source <> 'src19'"))
       val dwb = docs.filter(col("source") === "src19")
         .select(col("doc_id"), explode(expr(words)).as("wd"))
         .filter(col("wd") =!= "")
         .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
         .localCheckpoint(true)
-      val staleEnc = restPairs.foldLeft(expr(enc0)) { case (acc, (l, r)) =>
-        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
-      }
+      val staleEnc = applyMerges(expr(enc0), restPairs)
       val tokr = dwb.select("wd").distinct()
         .select(col("wd"), staleEnc.as("enc"))
         .select(col("wd"), size(expr("split(trim(enc), '  ')"))
@@ -773,8 +770,25 @@ object TextOps {
     */
   def bpeMergePairs(s: SparkSession, dir: String,
       n: Int = BpeMerges): Seq[(String, String)] =
-    bpeMerges(s, dir, n).orderBy("merge_rank").collect().toSeq
+    pairsOf(bpeMerges(s, dir, n))
+
+  /** Rank-ordered (lhs, rhs) pairs of any merge table. */
+  private[ops] def pairsOf(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy("merge_rank").collect().toSeq
       .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
+
+  /** THE apply path — the ordered single-pass greedy merge fold over a
+    * delimited encoding column, shared by the word-cache build
+    * ([[bpeVocab]]), the streaming counter ([[bpeTokenCounts]]), and
+    * the staleness audit's replay (q149), so the delimiter scheme and
+    * fold order can never drift between them (BpeSpec pins the
+    * resulting apply-path == cache-path identity).
+    */
+  private[ops] def applyMerges(e0: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(e0) { case (acc, (l, r)) =>
+      call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
+    }
 
   /** Row-local BPE token counting — the STREAMING twin of q140's
     * vocab-join path: every word of `text` is encoded and merged inside
@@ -795,10 +809,7 @@ object TextOps {
       val e0 = concat(lit(" "), array_join(
         transform(sequence(lit(1), length(w)),
           i => w.substr(i, lit(1))), "  "), lit(" "))
-      val applied = merges.foldLeft(e0) { case (acc, (l, r)) =>
-        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
-      }
-      size(split(trim(applied), "  "))
+      size(split(trim(applyMerges(e0, merges)), "  "))
     }
     df.withColumn("n_bpe_tokens",
       aggregate(wordsArr, lit(0L), (acc, w) => acc + perWord(w)))
@@ -813,11 +824,7 @@ object TextOps {
   def bpeVocab(s: SparkSession, dir: String,
       n: Int = BpeMerges): DataFrame =
     Materialize.table(s, s"bpe_vocab_$n", dir) {
-      val merges = bpeMerges(s, dir, n).orderBy("merge_rank").collect()
-        .map(r => (r.getAs[String]("lhs"), r.getAs[String]("rhs")))
-      val applied = merges.foldLeft(expr(enc0)) { case (acc, (l, r)) =>
-        call_function("replace", acc, lit(s" $l  $r "), lit(s" $l$r "))
-      }
+      val applied = applyMerges(expr(enc0), bpeMergePairs(s, dir, n))
       Tables(s, dir, "documents")
         .select(explode(expr(words)).as("wd"))
         .filter(col("wd") =!= "")
