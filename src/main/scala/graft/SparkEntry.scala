@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops.{CorpusOps, CurationOps, DedupOps, EventOps, MultimodalOps,
-  Relational, SimilarityOps, SqlSurface, StoreOps, TextOps}
+  ProfileOps, Relational, SimilarityOps, SqlSurface, StoreOps, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -14,7 +14,8 @@ object SparkEntry {
   def all: Seq[QueryDef] =
     Relational.defs ++ EventOps.defs ++ TextOps.defs ++ DedupOps.defs ++
       SimilarityOps.defs ++ MultimodalOps.defs ++ CorpusOps.defs ++
-      StoreOps.defs ++ CurationOps.defs ++ SqlSurface.defs
+      StoreOps.defs ++ CurationOps.defs ++ SqlSurface.defs ++
+      ProfileOps.defs
 
   /** Flagship: the reference's entire hot path (SURVEY §7.3) — permissive
     * JSON read with corrupt capture → declarative normalization into the

@@ -460,17 +460,10 @@ object CorpusOps {
     // q140 shape) feeding the same per-source prefix-sum window; the
     // corpus text itself still never moves.
     QueryDef("q143_bpe_pack", TextOps.bpeLearnSql(TextOps.BpeMerges) +
+      TextOps.bpeDocSql() +
       s""",
-         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
-         |  FROM v${TextOps.BpeMerges}),
-         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
-         |    FROM documents) t
-         |  WHERE wd <> '' GROUP BY doc_id, wd),
-         |nb AS (SELECT doc_id, CAST(sum(c * n_tok) AS BIGINT) AS n_tok
-         |  FROM dw JOIN tok USING (wd) GROUP BY doc_id),
-         |t2 AS (SELECT d.source, d.doc_id, nb.n_tok
-         |  FROM nb JOIN documents d USING (doc_id)),
+         |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
+         |  FROM agg a JOIN documents d USING (doc_id)),
          |o AS (SELECT source, doc_id, n_tok,
          |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -484,13 +477,8 @@ object CorpusOps {
       val docs = Tables(s, dir, "documents")
       val w = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      docs.select(col("doc_id"), explode(expr("split(text, ' ')")).as("wd"))
-        .filter(col("wd") =!= "")
-        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-        .join(TextOps.bpeVocab(s, dir).select(col("wd"), col("n_tok")),
-          "wd")
-        .groupBy("doc_id")
-        .agg(sum(col("c") * col("n_tok")).as("n_tok"))
+      TextOps.bpeDocTokens(s, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
         .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn("tok_offset",
           coalesce(sum(col("n_tok")).over(w), lit(0L)))
@@ -515,17 +503,10 @@ object CorpusOps {
     // manifest is a 16-way aggregate per epoch with an ordered
     // fingerprint fold.
     QueryDef("q148_loader_manifest", TextOps.bpeLearnSql(TextOps.BpeMerges) +
+      TextOps.bpeDocSql() +
       s""",
-         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
-         |  FROM v${TextOps.BpeMerges}),
-         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
-         |    FROM documents) t
-         |  WHERE wd <> '' GROUP BY doc_id, wd),
-         |nb AS (SELECT doc_id, CAST(sum(c * n_tok) AS BIGINT) AS n_tok
-         |  FROM dw JOIN tok USING (wd) GROUP BY doc_id),
-         |t2 AS (SELECT d.source, d.doc_id, nb.n_tok
-         |  FROM nb JOIN documents d USING (doc_id)),
+         |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
+         |  FROM agg a JOIN documents d USING (doc_id)),
          |o AS (SELECT source, doc_id, n_tok,
          |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
@@ -554,14 +535,8 @@ object CorpusOps {
       val docs = Tables(s, dir, "documents")
       val wOff = Window.partitionBy("source").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val packs = docs
-        .select(col("doc_id"), explode(expr("split(text, ' ')")).as("wd"))
-        .filter(col("wd") =!= "")
-        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-        .join(TextOps.bpeVocab(s, dir).select(col("wd"), col("n_tok")),
-          "wd")
-        .groupBy("doc_id")
-        .agg(sum(col("c") * col("n_tok")).as("n_tok"))
+      val packs = TextOps.bpeDocTokens(s, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
         .join(docs.select("doc_id", "source"), "doc_id")
         .withColumn("tok_offset",
           coalesce(sum(col("n_tok")).over(wOff), lit(0L)))

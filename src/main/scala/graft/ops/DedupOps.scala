@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -962,6 +962,72 @@ object DedupOps {
         |LEFT JOIN nc ON nc.doc_id = d.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       spanCutCorpus(s, dir).orderBy("doc_id")
+    },
+
+    // Blocked multi-pass sorted-neighborhood entity resolution — the
+    // scale path q63's scaladoc promises for character-level fuzzy
+    // matching (Hernández & Stolfo's sorted-neighborhood method, the
+    // classic record-linkage blocking scheme): sort each pass's records
+    // by a key, compare only rank-neighbors within a window, union the
+    // passes (two keys — the prefix and its reversal — so a pair
+    // diverging at the front of the string still sorts adjacent in the
+    // second pass). Expensive Levenshtein runs on O(n·w·passes)
+    // candidate pairs, never O(n²). Scale shape: ranks are computed
+    // PER 2-char BLOCK (partitionBy block — no global sort/single-
+    // partition window), and the rank-window join is an EQUI-join on
+    // (block, rank + offset) via a 1..w offset explode — shuffle-hash,
+    // linear. At 100 TB the block key doubles as the partition key of
+    // the sorted layout, so each pass is one partition-local window +
+    // one co-partitioned join.
+    QueryDef(
+      "q158_sorted_neighborhood",
+      """WITH d AS (SELECT doc_id, substr(text, 1, 80) AS p
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, substr(p, 1, 2) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY substr(p, 1, 2)
+        |      ORDER BY p, doc_id) AS rk FROM d),
+        |p1 AS (SELECT LEAST(a.doc_id, b.doc_id) AS a_id,
+        |    GREATEST(a.doc_id, b.doc_id) AS b_id
+        |  FROM s1 a JOIN s1 b ON b.blk = a.blk
+        |    AND b.rk > a.rk AND b.rk <= a.rk + 10),
+        |s2 AS (SELECT doc_id, substr(reverse(p), 1, 2) AS blk,
+        |    ROW_NUMBER() OVER (PARTITION BY substr(reverse(p), 1, 2)
+        |      ORDER BY reverse(p), doc_id) AS rk FROM d),
+        |p2 AS (SELECT LEAST(a.doc_id, b.doc_id) AS a_id,
+        |    GREATEST(a.doc_id, b.doc_id) AS b_id
+        |  FROM s2 a JOIN s2 b ON b.blk = a.blk
+        |    AND b.rk > a.rk AND b.rk <= a.rk + 10),
+        |cand AS (SELECT DISTINCT a_id, b_id FROM
+        |  (SELECT * FROM p1 UNION ALL SELECT * FROM p2) u)
+        |SELECT c.a_id, c.b_id,
+        |  CAST(levenshtein(da.p, db.p) AS INTEGER) AS dist
+        |FROM cand c JOIN d da ON da.doc_id = c.a_id
+        |JOIN d db ON db.doc_id = c.b_id
+        |WHERE levenshtein(da.p, db.p) <= 40
+        |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("p"))
+      def pass(key: Column): DataFrame = {
+        val ranked = d.select(col("doc_id"), key.as("k"))
+          .withColumn("blk", substring(col("k"), 1, 2))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("blk").orderBy(col("k"), col("doc_id"))))
+          .select("blk", "rk", "doc_id")
+        val probes = ranked.select(col("blk"), col("doc_id").as("x_id"),
+          col("rk"), explode(sequence(lit(1), lit(10))).as("off"))
+          .select(col("blk"), col("x_id"),
+            (col("rk") + col("off")).as("rk"))
+        probes.join(ranked, Seq("blk", "rk"))
+          .select(least(col("x_id"), col("doc_id")).as("a_id"),
+            greatest(col("x_id"), col("doc_id")).as("b_id"))
+      }
+      pass(col("p")).union(pass(reverse(col("p")))).distinct()
+        .join(d.toDF("a_id", "pa"), "a_id")
+        .join(d.toDF("b_id", "pb"), "b_id")
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
+        .filter(col("dist") <= 40)
+        .orderBy("a_id", "b_id")
     })
 
   /** q125's cut-list as a materialized INDEX artifact

@@ -1,0 +1,229 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.QueryDef
+import graft.engine.Tables
+
+/** Declarative data profiling + constraint verification — the Deequ /
+  * Great-Expectations surface a production lakehouse runs before every
+  * publish (the reference's bronze→silver promotion implies exactly this
+  * gate; q136's write-audit-publish hard-codes ONE predicate — this is
+  * the generalized, declarative form a data platform exposes).
+  *
+  * Both operators are single-pass by construction: every requested
+  * metric compiles into ONE `agg` over ONE scan (Catalyst fuses the
+  * conditional counts into the same WholeStageCodegen span), and the
+  * only shuffle is the exact-distinct computation where a spec asks for
+  * uniqueness/cardinality. At 100 TB the distinct counts swap for
+  * `approx_count_distinct` (the q26 HLL precedent) without changing the
+  * operator shape; everything else is a map-side fold to one row.
+  * Output is the long-form (col_name/constraint, metric, value) frame
+  * monitoring systems ingest directly.
+  *
+  * Determinism: fractions and means are rounded to 6 decimals; means
+  * accumulate in DECIMAL(38,6) (float sums across shuffle partitions are
+  * order-nondeterministic in double; decimal addition is exact and
+  * commutative) and divide once at the boundary.
+  */
+object ProfileOps {
+
+  /** What to profile for one column. `numeric`/`textLen` add min/max/
+    * mean (resp. length-based) rows; `distinct` adds exact cardinality.
+    */
+  final case class ColumnSpec(
+      name: String,
+      distinct: Boolean = false,
+      numeric: Boolean = false,
+      textLen: Boolean = false)
+
+  /** One declarative constraint: `metric` is any aggregate expression
+    * over the frame (a fraction, a count, a cardinality ratio) — the
+    * observed value the report carries; `passed` is an independent
+    * aggregate BOOLEAN so the verdict compares exact counts, never the
+    * display-rounded metric (a 0.9999996 compliance must fail a
+    * strict-equality check even though it prints as 1.0). Mirrors
+    * Deequ's `Check.hasX(...)` calls compiled to one
+    * VerificationSuite pass.
+    */
+  final case class Check(
+      name: String,
+      metric: Column,
+      passed: Column)
+
+  /** Column-level dataset profile: one row per (column, metric), all
+    * metrics from ONE aggregate over ONE scan.
+    */
+  def profile(df: DataFrame, cols: Seq[ColumnSpec]): DataFrame = {
+    val n = count(lit(1))
+    def frac(c: Column) = round(c.cast("double") / n, 6)
+    // (col_name, metric, value-expression) triples; all values double.
+    val entries: Seq[(String, String, Column)] =
+      ("_table", "n_rows", n.cast("double")) +: cols.flatMap { cs =>
+        val c = col(cs.name)
+        val base = Seq((cs.name, "completeness", frac(count(c))))
+        val dist =
+          if (cs.distinct)
+            Seq((cs.name, "n_distinct", count_distinct(c).cast("double")))
+          else Nil
+        val num =
+          if (cs.numeric) Seq(
+            (cs.name, "min", min(c).cast("double")),
+            (cs.name, "max", max(c).cast("double")),
+            (cs.name, "mean", round(
+              sum(c.cast(DecimalType(38, 6))).cast("double") / count(c),
+              6)))
+          else Nil
+        val len =
+          if (cs.textLen) Seq(
+            (cs.name, "min_len", min(length(c)).cast("double")),
+            (cs.name, "max_len", max(length(c)).cast("double")),
+            (cs.name, "avg_len", round(
+              sum(length(c).cast(DecimalType(38, 6))).cast("double") /
+                count(c), 6)))
+          else Nil
+        base ++ dist ++ num ++ len
+      }
+    val row = df.agg(entries.head._3.as("m0"),
+      entries.tail.zipWithIndex.map { case (e, i) =>
+        e._3.as(s"m${i + 1}")
+      }: _*)
+    row.select(explode(array(entries.zipWithIndex.map { case (e, i) =>
+      struct(lit(e._1).as("col_name"), lit(e._2).as("metric"),
+        col(s"m$i").as("value"))
+    }: _*)).as("e"))
+      .select("e.*")
+      .orderBy("col_name", "metric")
+  }
+
+  /** Constraint verification: every check's metric computed in ONE
+    * aggregate pass, each row carrying the observed value and the
+    * verdict — the publish gate reads `min(passed)`.
+    */
+  def verify(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggCols = checks.zipWithIndex.flatMap { case (c, i) =>
+      Seq(c.metric.as(s"m$i"), c.passed.as(s"p$i"))
+    }
+    val row = df.agg(aggCols.head, aggCols.tail: _*)
+    row.select(explode(array(checks.zipWithIndex.map { case (c, i) =>
+      struct(lit(c.name).as("check_name"),
+        col(s"m$i").cast("double").as("value"),
+        col(s"p$i").as("passed"))
+    }: _*)).as("e"))
+      .select("e.*")
+      .orderBy("check_name")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Dataset profile of the documents corpus — the datasheet-style
+    // column summary (completeness, cardinality, numeric/length ranges)
+    // a curator reads before any pipeline touches the data.
+    QueryDef(
+      "q156_profile",
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |    COUNT(doc_id) AS c_doc, COUNT(DISTINCT doc_id) AS d_doc,
+        |    COUNT(text) AS c_text,
+        |    MIN(length(text)) AS mn_len, MAX(length(text)) AS mx_len,
+        |    round(CAST(SUM(CAST(length(text) AS DECIMAL(38,6)))
+        |      AS DOUBLE) / COUNT(text), 6) AS av_len,
+        |    COUNT(lang) AS c_lang, COUNT(DISTINCT lang) AS d_lang,
+        |    COUNT(source) AS c_src, COUNT(DISTINCT source) AS d_src,
+        |    COUNT(n_chars) AS c_nch,
+        |    MIN(n_chars) AS mn_nch, MAX(n_chars) AS mx_nch,
+        |    round(CAST(SUM(CAST(n_chars AS DECIMAL(38,6))) AS DOUBLE)
+        |      / COUNT(n_chars), 6) AS av_nch
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT '_table' AS col_name, 'n_rows' AS metric,
+        |    CAST(n AS DOUBLE) AS value FROM a
+        |  UNION ALL SELECT 'doc_id', 'completeness',
+        |    round(c_doc / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL SELECT 'doc_id', 'n_distinct',
+        |    CAST(d_doc AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'text', 'completeness',
+        |    round(c_text / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL SELECT 'text', 'min_len',
+        |    CAST(mn_len AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'text', 'max_len',
+        |    CAST(mx_len AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'text', 'avg_len', av_len FROM a
+        |  UNION ALL SELECT 'lang', 'completeness',
+        |    round(c_lang / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL SELECT 'lang', 'n_distinct',
+        |    CAST(d_lang AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'source', 'completeness',
+        |    round(c_src / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL SELECT 'source', 'n_distinct',
+        |    CAST(d_src AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_chars', 'completeness',
+        |    round(c_nch / CAST(n AS DOUBLE), 6) FROM a
+        |  UNION ALL SELECT 'n_chars', 'min',
+        |    CAST(mn_nch AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_chars', 'max',
+        |    CAST(mx_nch AS DOUBLE) FROM a
+        |  UNION ALL SELECT 'n_chars', 'mean', av_nch FROM a
+        |) t ORDER BY col_name, metric""".stripMargin) { (s, dir) =>
+      profile(Tables(s, dir, "documents"), Seq(
+        ColumnSpec("doc_id", distinct = true),
+        ColumnSpec("text", textLen = true),
+        ColumnSpec("lang", distinct = true),
+        ColumnSpec("source", distinct = true),
+        ColumnSpec("n_chars", numeric = true)))
+    },
+
+    // Constraint verification over the orders table — the declarative
+    // publish gate: completeness, key uniqueness, domain membership,
+    // non-negativity, date sanity, each with its observed compliance
+    // value and verdict. All metrics from one pass; DuckDB recomputes
+    // the same fractions, so a silently-drifted gate hash-mismatches.
+    QueryDef(
+      "q157_constraints",
+      """WITH a AS (SELECT COUNT(*) AS n,
+        |    COUNT(o_orderkey) AS c_key,
+        |    COUNT(DISTINCT o_orderkey) AS d_key,
+        |    SUM(CASE WHEN o_totalprice >= 0 THEN 1 ELSE 0 END) AS nn,
+        |    SUM(CASE WHEN o_orderstatus IN ('O','F','P')
+        |        THEN 1 ELSE 0 END) AS dom,
+        |    SUM(CASE WHEN o_orderdate >= TIMESTAMP '1992-01-01'
+        |        AND o_orderdate < TIMESTAMP '2002-01-01'
+        |        THEN 1 ELSE 0 END) AS dr
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'orderdate_in_range' AS check_name,
+        |    round(dr / CAST(n AS DOUBLE), 6) AS value,
+        |    dr = n AS passed FROM a
+        |  UNION ALL SELECT 'orderkey_complete',
+        |    round(c_key / CAST(n AS DOUBLE), 6), c_key = n FROM a
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    round(d_key / CAST(n AS DOUBLE), 6), d_key = n FROM a
+        |  UNION ALL SELECT 'rows_nonempty',
+        |    CAST(n AS DOUBLE), n > 0 FROM a
+        |  UNION ALL SELECT 'status_in_domain',
+        |    round(dom / CAST(n AS DOUBLE), 6), dom = n FROM a
+        |  UNION ALL SELECT 'totalprice_nonnegative',
+        |    round(nn / CAST(n AS DOUBLE), 6), nn = n FROM a
+        |) t ORDER BY check_name""".stripMargin) { (s, dir) =>
+      val n = count(lit(1))
+      def fracOf(c: Column) = round(c.cast("double") / n, 6)
+      val nonneg = sum(when(col("o_totalprice") >= 0, 1L).otherwise(0L))
+      val dom = sum(when(col("o_orderstatus").isin("O", "F", "P"), 1L)
+        .otherwise(0L))
+      val dr = sum(when(col("o_orderdate") >=
+        lit("1992-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("2002-01-01").cast("timestamp"), 1L)
+        .otherwise(0L))
+      verify(Tables(s, dir, "orders"), Seq(
+        Check("rows_nonempty", n.cast("double"), n > 0),
+        Check("orderkey_complete", fracOf(count(col("o_orderkey"))),
+          count(col("o_orderkey")) === n),
+        Check("orderkey_unique",
+          fracOf(count_distinct(col("o_orderkey"))),
+          count_distinct(col("o_orderkey")) === n),
+        Check("totalprice_nonnegative", fracOf(nonneg), nonneg === n),
+        Check("status_in_domain", fracOf(dom), dom === n),
+        Check("orderdate_in_range", fracOf(dr), dr === n)))
+    })
+}

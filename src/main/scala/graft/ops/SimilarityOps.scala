@@ -1018,8 +1018,113 @@ object SimilarityOps {
           col("c_id").as("centroid_id"), col("maj_label"),
           col("maj_frac"))
         .orderBy("vec_id")
+    },
+
+    // Full Lloyd k-means TRAINING — the loop q55 is one step of, run to
+    // T iterations with the trained centroids materialized as an index
+    // artifact (the q139 BPE-trainer discipline applied to clustering:
+    // iterate in Scala over DataFrames, localCheckpoint per step to keep
+    // lineage flat, artifact serves every downstream consumer). Each
+    // iteration is ONE broadcast crossjoin (centroids are k×d bounded
+    // metadata — never shuffled) + one hash-partitioned decimal-exact
+    // mean aggregate; the corpus is scanned once per iteration and
+    // nothing corpus-sized ever reaches the driver. Cross-engine
+    // determinism: distances and means are rounded to 6 decimals at
+    // every iteration boundary, so both engines walk the SAME centroid
+    // trajectory (an unrounded double mean would let a 1-ulp divergence
+    // at iteration 1 reassign a knife-edge vector at iteration 2).
+    // Oracle: the T iterations UNROLLED into chained CTEs — assignment,
+    // long-form decimal mean, list re-assembly per stage — the same
+    // construction the BPE learner's oracle uses, because argmax/
+    // aggregation per round can't live in a recursive CTE.
+    QueryDef("q155_kmeans_train", kmeansOracleSql(k = 8, iters = 3)) {
+      (s, dir) => kmeansCentroids(s, dir, k = 8, iters = 3)
+        .orderBy("c_id", "dim_i")
     }
   )
+
+  /** Unrolled Lloyd-iteration oracle chain for [[kmeansCentroids]]:
+    * c0 = seed rows, then per iteration t — d$t distances (rounded 6),
+    * a$t nearest-centroid assignment (ties → lowest c_id), x$t long-form
+    * member values, m$t decimal-exact rounded means, c$t re-assembled
+    * centroid lists — ending in the iteration-T long-form centroids.
+    */
+  private def kmeansOracleSql(k: Int, iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+         |  FROM embeddings),
+         |c0 AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |  WHERE vec_id < $k)""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           |d$t AS (SELECT e.vec_id, c.c_id,
+           |    round(list_sum(list_transform(range(1, len(e.v) + 1),
+           |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)
+           |      AS dist_r
+           |  FROM e CROSS JOIN c${t - 1} c),
+           |a$t AS (SELECT vec_id, c_id FROM (SELECT vec_id, c_id,
+           |    ROW_NUMBER() OVER (PARTITION BY vec_id
+           |      ORDER BY dist_r, c_id) AS rn FROM d$t) WHERE rn = 1),
+           |x${t}0 AS (SELECT a.c_id, unnest(list_transform(
+           |      range(1, len(e.v) + 1),
+           |      i -> {'dim_i': i, 'x': e.v[i]})) AS u
+           |  FROM a$t a JOIN e ON e.vec_id = a.vec_id),
+           |x$t AS (SELECT c_id, u.dim_i AS dim_i, u.x AS x FROM x${t}0),
+           |m$t AS (SELECT c_id, dim_i,
+           |    round(CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+           |      / COUNT(*), 6) AS m
+           |  FROM x$t GROUP BY c_id, dim_i),
+           |c$t AS (SELECT c_id, list(m ORDER BY dim_i) AS cv
+           |  FROM m$t GROUP BY c_id)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |SELECT c_id, CAST(dim_i AS INTEGER) AS dim_i, m
+         |FROM m$iters ORDER BY c_id, dim_i""".stripMargin)
+    sb.toString
+  }
+
+  /** Trained k-means centroids `(c_id, dim_i, m)` after `iters` Lloyd
+    * iterations from the vec_id < k seed — a Materialize artifact, so
+    * training runs once per (corpus, version) and every consumer (IVF
+    * cell layout, SemDeDup clustering, label-noise audits) reads the
+    * same model. Empty clusters drop out of the frame (both engines
+    * produce mean rows only for assigned centroids).
+    */
+  private[ops] def kmeansCentroids(s: SparkSession, dir: String,
+      k: Int, iters: Int): DataFrame =
+    graft.engine.Materialize.table(s, s"kmeans_centroids_${k}x$iters",
+      dir) {
+      val e = vectors(s, dir).select("vec_id", "v")
+      var c: DataFrame = e.filter(col("vec_id") < k).toDF("c_id", "cv")
+      var means: DataFrame = null
+      for (_ <- 1 to iters) {
+        val wA = Window.partitionBy("vec_id")
+          .orderBy(col("dist_r"), col("c_id"))
+        val assigned = e.crossJoin(broadcast(c))
+          .select(col("vec_id"), col("v"), col("c_id"),
+            expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+          .withColumn("rn", row_number().over(wA))
+          .filter(col("rn") === 1)
+          .select("c_id", "v")
+        means = assigned
+          .select(col("c_id"), posexplode(col("v")))
+          .toDF("c_id", "p", "x")
+          .groupBy(col("c_id"), (col("p") + 1).cast("int").as("dim_i"))
+          .agg(round(
+            sum(col("x").cast(DecimalType(38, 20))).cast("double") /
+              count(lit(1)), 6).as("m"))
+          .localCheckpoint(true)
+        c = means
+          .groupBy("c_id")
+          .agg(transform(
+            array_sort(collect_list(struct(col("dim_i"), col("m")))),
+            t => t.getField("m")).as("cv"))
+      }
+      means.select(col("c_id"), col("dim_i"), col("m"))
+    }
 
   /** q111's trained model as ONE broadcastable row — the per-label
     * centroids (decimal-accumulated per-(label, dim) means, q55's

@@ -486,31 +486,15 @@ object TextOps {
     // AQE broadcasts it when it fits), then a skinny per-doc re-agg. No
     // merge rules are ever applied at corpus scale: the vocabulary
     // artifact already carries each word's final token count.
-    QueryDef("q140_bpe_encode", bpeLearnSql(BpeMerges) +
-      s""",
-         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
-         |  FROM v$BpeMerges),
-         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
-         |    FROM documents) t
-         |  WHERE wd <> '' GROUP BY doc_id, wd),
-         |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
-         |    CAST(sum(c * n_tok) AS BIGINT) AS n_bpe_tokens
-         |  FROM dw JOIN tok USING (wd) GROUP BY doc_id)
+    QueryDef("q140_bpe_encode", bpeLearnSql(BpeMerges) + bpeDocSql() +
+      s"""
          |SELECT a.doc_id, a.n_words, a.n_bpe_tokens,
          |  round(d.n_chars / CAST(a.n_bpe_tokens AS DOUBLE), 6)
          |    AS chars_per_tok
          |FROM agg a JOIN documents d USING (doc_id)
          |ORDER BY a.doc_id""".stripMargin) { (s, dir) =>
-      val tok = bpeVocab(s, dir).select(col("wd"), col("n_tok"))
       val docs = Tables(s, dir, "documents")
-      docs.select(col("doc_id"), explode(expr(words)).as("wd"))
-        .filter(col("wd") =!= "")
-        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-        .join(tok, "wd")
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_words"),
-          sum(col("c") * col("n_tok")).as("n_bpe_tokens"))
+      bpeDocTokens(s, dir)
         .join(docs.select("doc_id", "n_chars"), "doc_id")
         .select(col("doc_id"), col("n_words"), col("n_bpe_tokens"),
           round(col("n_chars") / col("n_bpe_tokens").cast("double"), 6)
@@ -524,38 +508,23 @@ object TextOps {
     // tokens). Same plan as q140 up to the per-doc frame, then one
     // language rollup; shares the q139/q140 vocabulary artifact.
     QueryDef("q141_tokenizer_fertility", bpeLearnSql(BpeMerges) +
-      s""",
-         |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
-         |  FROM v$BpeMerges),
-         |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
-         |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
-         |    FROM documents) t
-         |  WHERE wd <> '' GROUP BY doc_id, wd),
-         |agg AS (SELECT doc_id, sum(c) AS n_words,
-         |    sum(c * n_tok) AS n_bpe FROM dw JOIN tok USING (wd)
-         |  GROUP BY doc_id)
+      bpeDocSql() +
+      s"""
          |SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(a.n_words) AS BIGINT) AS n_words,
-         |  CAST(sum(a.n_bpe) AS BIGINT) AS n_bpe_tokens,
-         |  round(sum(a.n_bpe) / CAST(sum(a.n_words) AS DOUBLE), 6)
+         |  CAST(sum(a.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  round(sum(a.n_bpe_tokens) / CAST(sum(a.n_words) AS DOUBLE), 6)
          |    AS fertility
          |FROM agg a JOIN documents d USING (doc_id)
          |GROUP BY d.lang ORDER BY d.lang""".stripMargin) { (s, dir) =>
-      val tok = bpeVocab(s, dir).select(col("wd"), col("n_tok"))
       val docs = Tables(s, dir, "documents")
-      docs.select(col("doc_id"), explode(expr(words)).as("wd"))
-        .filter(col("wd") =!= "")
-        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-        .join(tok, "wd")
-        .groupBy("doc_id")
-        .agg(sum("c").as("n_words"),
-          sum(col("c") * col("n_tok")).as("n_bpe"))
+      bpeDocTokens(s, dir)
         .join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_words").as("n_words"),
-          sum("n_bpe").as("n_bpe_tokens"),
-          round(sum("n_bpe") / sum("n_words").cast("double"), 6)
+          sum("n_bpe_tokens").as("n_bpe_tokens"),
+          round(sum("n_bpe_tokens") / sum("n_words").cast("double"), 6)
             .as("fertility"))
         .orderBy("lang")
     },
@@ -832,4 +801,45 @@ object TextOps {
         .select(col("wd"), applied.as("enc"), col("freq"))
         .withColumn("n_tok", size(expr("split(trim(enc), '  ')")))
     }
+
+  /** THE per-document token-pricing frame `(doc_id, n_words,
+    * n_bpe_tokens)` — the one corpus-sized BPE computation every
+    * downstream consumer shares (q140 encoding, q141 fertility, q143
+    * token-budget packing, q148 loader manifest), factored to a single
+    * materialized artifact so the pricing join can never drift between
+    * them and the corpus pass + vocab join run once per (corpus,
+    * version) instead of once per query. Plan: (doc, word) partial agg
+    * (map-side combine moves one row per distinct pair, not per token)
+    * → ONE word-keyed join against the [[bpeVocab]] word cache (AQE
+    * broadcasts it when it fits) → skinny per-doc re-agg.
+    */
+  def bpeDocTokens(s: SparkSession, dir: String,
+      n: Int = BpeMerges): DataFrame =
+    Materialize.table(s, s"bpe_doc_tokens_$n", dir) {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+        .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
+        .join(bpeVocab(s, dir, n).select(col("wd"), col("n_tok")), "wd")
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_words"),
+          sum(col("c") * col("n_tok")).as("n_bpe_tokens"))
+    }
+
+  /** Oracle twin of [[bpeDocTokens]]: the `tok`/`dw`/`agg` CTE chain —
+    * appended after [[bpeLearnSql]] — exposing
+    * `agg(doc_id, n_words, n_bpe_tokens)`. One definition for the same
+    * four consumers, mirroring the single Spark-side artifact.
+    */
+  private[ops] def bpeDocSql(n: Int = BpeMerges): String =
+    s""",
+       |tok AS (SELECT wd, len(string_split(trim(enc), '  ')) AS n_tok
+       |  FROM v$n),
+       |dw AS (SELECT doc_id, wd, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+       |    FROM documents) t
+       |  WHERE wd <> '' GROUP BY doc_id, wd),
+       |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+       |    CAST(sum(c * n_tok) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN tok USING (wd) GROUP BY doc_id)""".stripMargin
 }

@@ -241,4 +241,38 @@ class DedupQualitySpec extends SparkSpec {
     assert(stream == n,
       s"vocab-form count $n != token-stream recount $stream for '$p1$p2'")
   }
+
+  test("sorted-neighborhood ER (q158) vs exact all-pairs truth: no false " +
+      "positives, 100% recall at dist <= 10, >= 0.6 overall") {
+    // Truth = the q63 all-pairs formulation UNCAPPED (whole sf0.001
+    // corpus). The method's contract is the record-linkage one: pairs
+    // that are actually close sort adjacent under at least one of the
+    // two keys, so tight pairs (dist <= 10 over 80-char prefixes) must
+    // ALL surface; the marginal 26-40 tier (half the prefix rewritten)
+    // is where a window-10 neighborhood is allowed to thin out.
+    // Deterministic — ranks are total-ordered by (key, doc_id).
+    import org.apache.spark.sql.functions.{levenshtein, substring}
+    val d = graft.engine.Tables(spark, dir, "documents")
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("p"))
+    val truth = d.toDF("a_id", "pa")
+      .join(d.toDF("b_id", "pb"), col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("pa"), col("pb")).as("dist"))
+      .filter(col("dist") <= 40)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(truth.nonEmpty, "empty ground truth — the audit proves nothing")
+    val found = graft.SparkEntry
+      .queries("q158_sorted_neighborhood")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fp = found.filterNot(truth.contains)
+    assert(fp.isEmpty, s"false positives (verify filter broken): $fp")
+    val tight = truth.filter(_._2 <= 10).keySet
+    assert(tight.nonEmpty, "no dist<=10 truth pairs — audit proves nothing")
+    val missedTight = tight.diff(found)
+    assert(missedTight.isEmpty,
+      s"sorted-neighborhood missed tight pairs: $missedTight")
+    val recall = found.count(truth.contains).toDouble / truth.size
+    assert(recall >= 0.6, s"overall recall $recall below 0.6")
+  }
 }
