@@ -1021,7 +1021,12 @@ object DedupOps {
           .select(least(col("x_id"), col("doc_id")).as("a_id"),
             greatest(col("x_id"), col("doc_id")).as("b_id"))
       }
+      // AQE coalesces the distinct's skinny 91k-row exchange output to ONE
+      // partition (bytes-based), which would run every verification
+      // Levenshtein on a single core — the q63 lesson again. Spread the
+      // candidate set first; the per-pair DP is the cost, not the shuffle.
       pass(col("p")).union(pass(reverse(col("p")))).distinct()
+        .repartition(32, col("a_id"), col("b_id"))
         .join(d.toDF("a_id", "pa"), "a_id")
         .join(d.toDF("b_id", "pb"), "b_id")
         .select(col("a_id"), col("b_id"),
