@@ -62,6 +62,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => MinHashText(exprs.head,
         exprs(1).eval().asInstanceOf[Int],
         exprs(2).eval().asInstanceOf[Int])))
+    e.injectFunction((FunctionIdentifier("mg_sketch"),
+      info("mg_sketch",
+        "mg_sketch(key, capacity) - Misra-Gries heavy-hitter candidate " +
+          "aggregate: capacity-bounded item array (superset of every " +
+          "key with freq > N/(capacity+1); recount exactly downstream)"),
+      (exprs: Seq[Expression]) => MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression()))
     e.injectFunction((FunctionIdentifier("simhash64"),
       info("simhash64",
         "simhash64(text) - 64-bit simhash fingerprint as four 16-bit " +

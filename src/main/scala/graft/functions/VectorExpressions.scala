@@ -276,6 +276,11 @@ object VectorExpressions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue()),
       "built-in")
+    reg.createOrReplaceTempFunction("mg_sketch",
+      exprs => MisraGries(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue())
+        .toAggregateExpression(),
+      "built-in")
     reg.createOrReplaceTempFunction("simhash64",
       exprs => SimHash64(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("trigram_lm_score",

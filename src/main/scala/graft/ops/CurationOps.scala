@@ -1170,6 +1170,55 @@ object CurationOps {
         .groupBy("source")
         .agg(round(sum("c").cast("double"), 6).as("js_div"))
         .orderBy("source")
+    },
+
+    // Positional PHRASE search — the inverted-index capability BM25
+    // (q102) can't serve: "these exact words, adjacent, in order".
+    // Served from a positional postings artifact (term, doc_id, pos) —
+    // the Lucene term-position shape — by equi-joining each query term's
+    // postings at consecutive offsets: w1@p ⋈ w2@(p+1) ⋈ w3@(p+2).
+    // Scale shape: the phrase terms broadcast into each postings read,
+    // so the scan prunes to the 3 queried terms' lists and the adjacency
+    // joins run over lists-sized frames, never the corpus — phrase cost
+    // is O(postings of rarest term), the classic positional-index
+    // promise. Queries = the corpus's top-3 word-3-grams by occurrence
+    // (n desc, gram asc — deterministic), so the query set is
+    // data-derived, nonempty at every SF, and oracle-reproducible.
+    QueryDef(
+      "q160_phrase_search",
+      """WITH s AS (SELECT doc_id, unnest(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2])) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |top AS (SELECT sh AS phrase, count(*) AS n FROM s
+        |  GROUP BY sh ORDER BY n DESC, sh LIMIT 3)
+        |SELECT t.phrase, s.doc_id, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM s JOIN top t ON s.sh = t.phrase
+        |GROUP BY t.phrase, s.doc_id
+        |ORDER BY phrase, doc_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val post = positionalPostings(s, dir)
+      val top = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
+        .groupBy("sh").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("sh")).limit(3)
+        .select(col("sh").as("phrase"),
+          element_at(split(col("sh"), " "), 1).as("w1"),
+          element_at(split(col("sh"), " "), 2).as("w2"),
+          element_at(split(col("sh"), " "), 3).as("w3"))
+      def term(w: String, off: Int) =
+        post.join(broadcast(top.select(col("phrase"), col(w))),
+            post("term") === col(w))
+          .select(col("phrase"), col("doc_id"),
+            (col("pos") - off).as("pos"))
+      term("w1", 0)
+        .join(term("w2", 1), Seq("phrase", "doc_id", "pos"))
+        .join(term("w3", 2), Seq("phrase", "doc_id", "pos"))
+        .groupBy("phrase", "doc_id")
+        .agg(count(lit(1)).as("n_occ"))
+        .orderBy("phrase", "doc_id")
     })
 
   /** q109's trained artifact: the (word → log importance weight) table,
@@ -1333,6 +1382,23 @@ object CurationOps {
       docs.select(col("doc_id"),
         explode(expr(words)).as("term"), size(expr(words)).as("dl"))
         .groupBy("term", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+    }
+
+  /** The corpus's POSITIONAL postings artifact `(term, doc_id, pos)` —
+    * the Lucene term-positions tier above [[postings]]' frequency tier,
+    * built once per corpus version. `pos` is the 0-based index in the
+    * raw whitespace split (empty tokens keep their slot so offsets stay
+    * aligned with every other split-based operator; they match no query
+    * term). At scale this is the artifact phrase/proximity queries read
+    * instead of the corpus; bucketing it by term makes each query a
+    * pruned scan of the queried terms' lists.
+    */
+  private def positionalPostings(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "positional_postings", dir) {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(words)))
+        .toDF("doc_id", "pos", "term")
+        .select(col("term"), col("doc_id"), col("pos"))
     }
 
   /** 1-row corpus stats artifact (doc count, mean doc length). */

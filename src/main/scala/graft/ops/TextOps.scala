@@ -604,6 +604,44 @@ object TextOps {
           (floor(col("tokens_stale")
             / col("tokens_fresh").cast("double") * 1000000) / 1000000.0)
             .as("inflation"))
+    },
+
+    // Exact heavy hitters at scale — the two-pass Misra-Gries shape:
+    // pass 1 folds the token stream into a capacity-bounded candidate
+    // sketch (`mg_sketch`, a custom TypedImperativeAggregate whose
+    // partial buffers merge associatively — the only thing shuffled is
+    // one <=128-entry summary per partition, NEVER the Heaps-law-wide
+    // (word, count) key space); pass 2 recounts ONLY candidates exactly
+    // (broadcast semi-join keeps the groupBy key space <=capacity) and
+    // applies the threshold. Output is deterministic and provably
+    // complete for any threshold phi >= 1/(capacity+1): every word with
+    // freq > N/(cap+1) survives the sketch. phi = 1/100, capacity 128.
+    // The synthetic corpus's 31-word vocabulary never fills the buffer —
+    // the decrement/merge machinery is exercised adversarially in
+    // HeavyHitterSpec (50k-key Zipf stream, capacity 64); the oracle
+    // pins the composed two-pass result == the naive full aggregate.
+    QueryDef(
+      "q159_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS wd
+        |  FROM documents),
+        |f AS (SELECT wd, CAST(count(*) AS BIGINT) AS n FROM w
+        |  WHERE wd <> '' GROUP BY wd),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM f)
+        |SELECT wd, n FROM f, t WHERE n * 100 > total
+        |ORDER BY n DESC, wd""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val wds = Tables(s, dir, "documents")
+        .select(explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+      val cand = wds.agg(expr("mg_sketch(wd, 128)").as("c"))
+        .select(explode(col("c")).as("wd"))
+      val total = wds.agg(count(lit(1)).as("total"))
+      wds.join(broadcast(cand), "wd")
+        .groupBy("wd").agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .filter(col("n") * 100 > col("total"))
+        .select(col("wd"), col("n"))
+        .orderBy(col("n").desc, col("wd"))
     })
 
   /** Unrolled DuckDB oracle prefix: w0/v0 (vocab + initial encoding),
