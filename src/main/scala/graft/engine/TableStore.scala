@@ -726,6 +726,35 @@ final class ManifestTableStore(path: String,
   /** Current manifest version (0 = no commits yet). */
   def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
 
+  /** METADATA-ONLY restore (Delta `RESTORE TABLE ... TO VERSION AS OF` /
+    * Iceberg rollback): commit a NEW version whose entry list is exactly
+    * `version`'s. No data moves and nothing is rewritten — superseded
+    * dirs are re-referenced (they persist until [[vacuum]] retention
+    * drops them, which is what makes rollback O(manifest) at any table
+    * size). The restore is itself one more history row, and the
+    * pre-restore state stays readable AS OF its version — undo without
+    * destroying the audit trail. Refuses a version whose data dirs were
+    * already vacuumed (the same limit Delta documents).
+    */
+  def restore(spark: SparkSession, version: Long): Unit = synchronized {
+    val f = fs(spark)
+    // vacuum prunes manifest files below the retention horizon too, so a
+    // missing manifest and a missing data dir are the same refusal
+    val target = (try readManifest(f, version) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"cannot restore $path to version $version: its manifest was " +
+            "vacuumed past the retention horizon")
+    }).getOrElse(throw new IllegalArgumentException(
+      s"version $version of $path does not exist or is incomplete"))
+    target.map(_.dir).distinct.foreach { d =>
+      require(f.exists(new HPath(d)),
+        s"cannot restore $path to version $version: data dir $d was vacuumed")
+    }
+    var v = current(f)._1
+    while (!tryCommit(f, v + 1, target)) v = current(f)._1
+  }
+
   /** Rows ADDED between two manifest versions — change-data-feed lite
     * (Delta CDF's insert stream / Iceberg's incremental read): the
     * batches whose ids appear in `toVersion` but not `fromVersion`

@@ -361,6 +361,77 @@ object EventOps {
         .select(col("event_type"), col("n_ref"), col("n_cur"),
           col("psi"), (col("psi") >= 0.2).as("drifted"))
         .orderBy("event_type")
+    },
+
+    // Kolmogorov–Smirnov two-sample drift test per event_type — the
+    // nonparametric companion to q154's binned PSI: D = sup |ECDF_ref −
+    // ECDF_cur| over `value`, same ref/cur time windows. Everything up
+    // to the final division is INTEGER arithmetic (D's numerator is
+    // max |Cr·n_cur − Cc·n_ref| over the pooled distinct values, with
+    // ties folded by grouping first), so both engines walk identical
+    // numbers; the two float steps (one division, one sqrt for the
+    // α=0.05 critical value 1.358·√((n+m)/nm)) are single
+    // correctly-rounded IEEE ops, floor-scaled at the boundary. Scale
+    // shape: one (type, value) pre-aggregate (map-side combined), one
+    // per-type-partitioned running-sum window over DISTINCT values (far
+    // smaller than the event stream), one max — no all-pairs, no
+    // driver-side ECDFs.
+    QueryDef(
+      "q161_value_drift_ks",
+      """WITH ev AS (SELECT event_type, value,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE value IS NOT NULL),
+        |g AS (SELECT event_type, value,
+        |    CAST(sum(r) AS BIGINT) AS cr,
+        |    CAST(sum(1 - r) AS BIGINT) AS cc
+        |  FROM ev GROUP BY event_type, value),
+        |t AS (SELECT event_type, CAST(sum(cr) AS BIGINT) AS n_ref,
+        |    CAST(sum(cc) AS BIGINT) AS n_cur FROM g GROUP BY event_type),
+        |c AS (SELECT event_type, value,
+        |    sum(cr) OVER (PARTITION BY event_type ORDER BY value) AS f_r,
+        |    sum(cc) OVER (PARTITION BY event_type ORDER BY value) AS f_c
+        |  FROM g),
+        |d AS (SELECT c.event_type,
+        |    max(abs(f_r * t.n_cur - f_c * t.n_ref)) AS dnum
+        |  FROM c JOIN t USING (event_type) GROUP BY c.event_type)
+        |SELECT t.event_type, t.n_ref, t.n_cur,
+        |  floor(dnum / CAST(t.n_ref * t.n_cur AS DOUBLE) * 1000000)
+        |    / 1000000.0 AS ks_stat,
+        |  floor(1.358 * sqrt((t.n_ref + t.n_cur)
+        |      / CAST(t.n_ref * t.n_cur AS DOUBLE)) * 1000000)
+        |    / 1000000.0 AS crit_05,
+        |  floor(dnum / CAST(t.n_ref * t.n_cur AS DOUBLE) * 1000000)
+        |      / 1000000.0
+        |    > floor(1.358 * sqrt((t.n_ref + t.n_cur)
+        |      / CAST(t.n_ref * t.n_cur AS DOUBLE)) * 1000000)
+        |      / 1000000.0 AS drifted
+        |FROM d JOIN t USING (event_type)
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val split = lit("2024-01-16").cast("timestamp")
+      val g = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"),
+          when(col("ts") < split, 1L).otherwise(0L).as("r"))
+        .groupBy("event_type", "value")
+        .agg(sum(col("r")).as("cr"), sum(lit(1L) - col("r")).as("cc"))
+      val t = g.groupBy("event_type")
+        .agg(sum("cr").as("n_ref"), sum("cc").as("n_cur"))
+      val w = Window.partitionBy("event_type").orderBy("value")
+      val d = g
+        .select(col("event_type"),
+          sum("cr").over(w).as("f_r"), sum("cc").over(w).as("f_c"))
+        .join(broadcast(t), "event_type")
+        .groupBy("event_type")
+        .agg(max(abs(col("f_r") * col("n_cur")
+          - col("f_c") * col("n_ref"))).as("dnum"))
+      val nm = (col("n_ref") * col("n_cur")).cast("double")
+      val ks = floor(col("dnum") / nm * 1000000) / 1000000.0
+      val crit = floor(lit(1.358)
+        * sqrt((col("n_ref") + col("n_cur")) / nm) * 1000000) / 1000000.0
+      d.join(broadcast(t), "event_type")
+        .select(col("event_type"), col("n_ref"), col("n_cur"),
+          ks.as("ks_stat"), crit.as("crit_05"), (ks > crit).as("drifted"))
+        .orderBy("event_type")
     })
 
   /** The dense 1..10 bin spine for the PSI grid. */

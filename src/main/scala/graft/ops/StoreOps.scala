@@ -566,5 +566,51 @@ object StoreOps {
         .agg(count(lit(1)).as("n_customers"),
           dsum(col("c_acctbal")).as("total_bal"))
         .orderBy("segment")
+    },
+
+    // RESTORE / rollback (Delta RESTORE TABLE ... VERSION AS OF): the
+    // bad-deploy drill. Four date-batched appends (versions 1-4), a
+    // destructive DELETE of everything from 1998 on (version 5 — the
+    // "bad job"), then a METADATA-ONLY restore to version 2 (version 6):
+    // the manifest commit re-references version 2's dirs, moving zero
+    // bytes at any table size. Current state must equal the version-2
+    // state — the oracle recomputes it from the raw table with
+    // version 2's own predicate — and current_version pins the full
+    // chain (appends + delete + restore all in history; rollback without
+    // destroying the audit trail). Builder is idempotent per store
+    // (appends refuse replayed batch ids; delete/restore gate on the
+    // version they produce), so repeated invocation converges.
+    QueryDef(
+      "q162_store_restore",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  6 AS current_version
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_restore", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      Seq(
+        0L -> upTo("1997-01-01"),
+        1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+        2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+        3L -> !upTo("2000-01-01")
+      ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+      if (store.currentVersion(s) == 4L)
+        store.delete(s, "o_orderdate >= '1998-01-01 00:00:00'")
+      if (store.currentVersion(s) == 5L)
+        store.restore(s, 2L)
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          max(lit(store.currentVersion(s))).cast("int")
+            .as("current_version"))
+        .orderBy("o_orderstatus")
     })
 }

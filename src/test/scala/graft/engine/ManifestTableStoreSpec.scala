@@ -406,4 +406,33 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(store.currentVersion(spark) == v0 + 1)
     assert(store.read(spark).count() == 4)
   }
+
+  test("restore is a metadata-only rollback: state equals the target " +
+      "version, history gains a row, pre-restore state stays readable, " +
+      "and a vacuumed target is refused") {
+    val store = new ManifestTableStore(tmp("manifest-restore-").toString)
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L) // v1
+    store.append(Seq(("c", 3)).toDF("k", "n"), 1L)           // v2
+    store.delete(spark, "n >= 2")                            // v3: bad job
+    assert(store.read(spark).count() == 1)
+    val filesBefore = store.readVersion(spark, 2).inputFiles.toSet
+    store.restore(spark, 2L)                                 // v4
+    assert(store.currentVersion(spark) == 4L)
+    // state == v2 exactly, served from v2's OWN files (nothing rewritten)
+    assert(store.read(spark).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet == Set(("a", 1), ("b", 2), ("c", 3)))
+    assert(store.read(spark).inputFiles.toSet == filesBefore)
+    // the rollback didn't destroy the audit trail: v3 is still readable
+    assert(store.readVersion(spark, 3).count() == 1)
+    assert(store.history(spark).count() == 4)
+    // a target whose data dirs were vacuumed is refused, not half-restored
+    store.delete(spark, "n >= 2")                            // v5
+    store.vacuum(spark, retainLast = 1, minAgeMs = 0L)
+    val before = store.currentVersion(spark)
+    val e = intercept[IllegalArgumentException] {
+      store.restore(spark, 2L)
+    }
+    assert(e.getMessage.contains("vacuum"))
+    assert(store.currentVersion(spark) == before) // nothing committed
+  }
 }
