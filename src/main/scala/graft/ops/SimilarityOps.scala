@@ -1040,8 +1040,131 @@ object SimilarityOps {
     QueryDef("q155_kmeans_train", kmeansOracleSql(k = 8, iters = 3)) {
       (s, dir) => kmeansCentroids(s, dir, k = 8, iters = 3)
         .orderBy("c_id", "dim_i")
+    },
+
+    // PCA: top principal component of the embedding corpus by power
+    // iteration — the whitening/variance-analysis primitive every
+    // embedding pipeline wants before quantization or projection.
+    // Scale split: the DATA-sized work is ONE distributed pass building
+    // the d×d Gram/covariance matrix (vec_id-keyed self-join of the
+    // centered long form; map-side combine collapses n·d² product rows
+    // to d² partials before any exchange); the ITERATION then runs on
+    // 4096 rows of bounded metadata at the driver — the trigram-model/
+    // DSIR-weights precedent, not a corpus collect. Cross-engine
+    // exactness: centered values floor-scale to 8-dp integers, so Gram
+    // sums, matvecs, norms, and the Rayleigh quotient are INTEGER
+    // arithmetic (BigInt here, HUGEINT in the oracle); the only float
+    // ops — one divide, one sqrt per iteration, at fixed points — are
+    // single correctly-rounded IEEE ops on identical inputs, then
+    // floor-scaled. Oracle: the same 8 iterations unrolled as CTEs.
+    QueryDef("q163_pca_power", pcaOracleSql(iters = 8)) { (s, dir) =>
+      pcaTopComponent(s, dir, iters = 8).orderBy("dim_i")
     }
   )
+
+  /** Unrolled power-iteration oracle for [[pcaTopComponent]]: integer
+    * Gram g6 (covariance ×1e6), v0 = 0.125×1e9 per dim, then per
+    * iteration a HUGEINT matvec, one sqrt-norm, one floor-scale back to
+    * ×1e9 integers; Rayleigh quotient from the final vector.
+    */
+  private def pcaOracleSql(iters: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM e),
+        |x AS (SELECT vec_id, CAST(u.i AS INTEGER) AS i, v[u.i + 1] AS xi
+        |  FROM e, LATERAL unnest(range(0, 64)) AS u(i)),
+        |m AS (SELECT i, floor(CAST(SUM(CAST(xi AS DECIMAL(38,20)))
+        |      AS DOUBLE) / (SELECT n FROM nn) * 1000000000.0)
+        |    / 1000000000.0 AS m
+        |  FROM x GROUP BY i),
+        |cx AS (SELECT vec_id, x.i,
+        |    CAST(floor((xi - m.m) * 100000000.0) AS BIGINT) AS c
+        |  FROM x JOIN m ON m.i = x.i),
+        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+        |    CAST(floor(CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE)
+        |      / ((SELECT n FROM nn) * 1e16) * 1000000.0) AS BIGINT) AS g6
+        |  FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
+        |v0 AS (SELECT CAST(t.i AS INTEGER) AS i,
+        |    CAST(125000000 AS BIGINT) AS v9
+        |  FROM range(0, 64) t(i))""".stripMargin)
+    for (t <- 1 to iters) {
+      sb.append(
+        s""",
+           |w$t AS MATERIALIZED (SELECT g.i,
+           |    SUM(CAST(g.g6 AS HUGEINT) * v.v9) AS w
+           |  FROM g JOIN v${t - 1} v ON v.i = g.j GROUP BY g.i),
+           |n$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+           |  FROM w$t),
+           |v$t AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE)
+           |    / (SELECT nrm FROM n$t) * 1000000000.0) AS BIGINT) AS v9
+           |  FROM w$t)""".stripMargin)
+    }
+    sb.append(
+      s"""
+         |, s3 AS (SELECT SUM(CAST(g.g6 AS HUGEINT) * a.v9 * b.v9) AS s3
+         |  FROM g JOIN v$iters a ON a.i = g.i JOIN v$iters b ON b.i = g.j),
+         |s2 AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS s2 FROM v$iters)
+         |SELECT v.i AS dim_i, CAST(v.v9 AS DOUBLE) / 1000000000.0
+         |    AS loading,
+         |  floor(CAST(s3.s3 AS DOUBLE) / CAST(s2.s2 AS DOUBLE))
+         |    / 1000000.0 AS eig
+         |FROM v$iters v, s3, s2 ORDER BY dim_i""".stripMargin)
+    sb.toString
+  }
+
+  /** Top principal component `(dim_i, loading, eig)` as a Materialize
+    * artifact (trained once per corpus version; consumers read the
+    * component, not the corpus). The corpus-sized pass is the Gram
+    * build; the 64×64 solve is driver-side bounded metadata.
+    */
+  private[ops] def pcaTopComponent(s: SparkSession, dir: String,
+      iters: Int): DataFrame =
+    graft.engine.Materialize.table(s, s"pca_top_component_$iters", dir) {
+      val d = 64
+      val x = vectors(s, dir)
+        .select(col("vec_id"), posexplode(col("v")))
+        .toDF("vec_id", "i", "xf")
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("xi"))
+      val n = Tables(s, dir, "embeddings").count()
+      val m = x.groupBy("i").agg(
+        (floor(sum(col("xi").cast(DecimalType(38, 20))).cast("double")
+          / n * 1e9) / 1e9).as("m"))
+      val cx = x.join(broadcast(m), "i")
+        .select(col("vec_id"), col("i"),
+          floor((col("xi") - col("m")) * 1e8).as("c"))
+      val g = cx.join(cx.toDF("vec_id", "j", "c2"), "vec_id")
+        .groupBy("i", "j")
+        .agg(sum((col("c") * col("c2")).cast(DecimalType(38, 0))).as("sp"))
+        .select(col("i"), col("j"),
+          floor(col("sp").cast("double") / (n.toDouble * 1e16) * 1e6)
+            .as("g6"))
+      val gm = g.collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      var v = Array.fill(d)(BigInt(125000000L))
+      for (_ <- 1 to iters) {
+        val w = Array.tabulate(d) { i =>
+          var acc = BigInt(0)
+          var j = 0
+          while (j < d) {
+            acc += BigInt(gm.getOrElse((i, j), 0L)) * v(j); j += 1
+          }
+          acc
+        }
+        val norm = math.sqrt(w.map(x0 => x0 * x0).sum.doubleValue)
+        v = w.map(wi =>
+          BigInt(math.floor(wi.doubleValue / norm * 1e9).toLong))
+      }
+      val s3 = (for (i <- 0 until d; j <- 0 until d)
+        yield BigInt(gm.getOrElse((i, j), 0L)) * v(i) * v(j)).sum
+      val s2 = v.map(x0 => x0 * x0).sum
+      val eig = math.floor(s3.doubleValue / s2.doubleValue) / 1e6
+      import s.implicits._
+      v.zipWithIndex
+        .map { case (v9, i) => (i, v9.doubleValue / 1e9, eig) }
+        .toSeq.toDF("dim_i", "loading", "eig")
+    }
 
   /** Unrolled Lloyd-iteration oracle chain for [[kmeansCentroids]]:
     * c0 = seed rows, then per iteration t — d$t distances (rounded 6),
