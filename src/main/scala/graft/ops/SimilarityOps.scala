@@ -1059,6 +1059,75 @@ object SimilarityOps {
     // floor-scaled. Oracle: the same 8 iterations unrolled as CTEs.
     QueryDef("q163_pca_power", pcaOracleSql(iters = 8)) { (s, dir) =>
       pcaTopComponent(s, dir, iters = 8).orderBy("dim_i")
+    },
+
+    // Clustering-quality audit: SIMPLIFIED SILHOUETTE per cluster over
+    // the q155 trained centroids — a = distance to own centroid, b =
+    // distance to the nearest other centroid, s = (b−a)/max(a,b),
+    // averaged per cluster. The centroid-based form is exactly what
+    // scales: O(n·k) broadcast distances instead of silhouette's O(n²)
+    // pairwise definition, same plan as the assignment step the model
+    // was trained with. Determinism: a and b are sqrt's of the SAME
+    // rounded-6 squared distances the assignment ranks (sqrt is one
+    // IEEE op; min/argmin happen on the rounded values), per-row s is
+    // rounded to 9 and decimal-summed, the mean floor-scales at the
+    // boundary. The oracle reuses the q155 unrolled-training chain so
+    // both engines audit the SAME model.
+    QueryDef(
+      "q164_silhouette",
+      kmeansChainSql(k = 8, iters = 3) +
+        s""",
+           |dd AS (SELECT e.vec_id, c.c_id,
+           |    round(list_sum(list_transform(range(1, len(e.v) + 1),
+           |      i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), 6)
+           |      AS dist_r
+           |  FROM e CROSS JOIN c3 c),
+           |asg AS (SELECT vec_id, c_id, sqrt(dist_r) AS a
+           |  FROM (SELECT vec_id, c_id, dist_r,
+           |      ROW_NUMBER() OVER (PARTITION BY vec_id
+           |        ORDER BY dist_r, c_id) AS rn FROM dd) t WHERE rn = 1),
+           |bb AS (SELECT dd.vec_id, sqrt(min(dd.dist_r)) AS b
+           |  FROM dd JOIN asg ON asg.vec_id = dd.vec_id
+           |  WHERE dd.c_id <> asg.c_id GROUP BY dd.vec_id),
+           |sil AS (SELECT asg.c_id,
+           |    CASE WHEN greatest(asg.a, bb.b) = 0 THEN 0.0
+           |         ELSE (bb.b - asg.a) / greatest(asg.a, bb.b) END AS s
+           |  FROM asg JOIN bb ON bb.vec_id = asg.vec_id)
+           |SELECT c_id, CAST(count(*) AS BIGINT) AS n_vecs,
+           |  floor(CAST(SUM(CAST(round(s, 9) AS DECIMAL(28,9)))
+           |      AS DOUBLE) / count(*) * 1000000) / 1000000.0
+           |    AS mean_silhouette
+           |FROM sil GROUP BY c_id ORDER BY c_id""".stripMargin) {
+      (s, dir) =>
+      val cv = kmeansCentroids(s, dir, k = 8, iters = 3)
+        .groupBy("c_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim_i"), col("m")))),
+          t => t.getField("m")).as("cv"))
+      val d = vectors(s, dir).select("vec_id", "v")
+        .crossJoin(broadcast(cv))
+        .select(col("vec_id"), col("c_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+      val wA = Window.partitionBy("vec_id")
+        .orderBy(col("dist_r"), col("c_id"))
+      val a = d.withColumn("rn", row_number().over(wA))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id"), sqrt(col("dist_r")).as("a"))
+      val b = d
+        .join(a.select(col("vec_id"), col("c_id").as("ac")), "vec_id")
+        .filter(col("c_id") =!= col("ac"))
+        .groupBy("vec_id").agg(sqrt(min(col("dist_r"))).as("b"))
+      a.join(b, "vec_id")
+        .select(col("c_id"),
+          when(greatest(col("a"), col("b")) === 0, lit(0.0))
+            .otherwise((col("b") - col("a"))
+              / greatest(col("a"), col("b"))).as("s"))
+        .groupBy("c_id")
+        .agg(count(lit(1)).as("n_vecs"),
+          (floor(sum(round(col("s"), 9).cast(DecimalType(28, 9)))
+            .cast("double") / count(lit(1)) * 1000000) / 1000000.0)
+            .as("mean_silhouette"))
+        .orderBy("c_id")
     }
   )
 
@@ -1172,7 +1241,17 @@ object SimilarityOps {
     * member values, m$t decimal-exact rounded means, c$t re-assembled
     * centroid lists — ending in the iteration-T long-form centroids.
     */
-  private def kmeansOracleSql(k: Int, iters: Int): String = {
+  private def kmeansOracleSql(k: Int, iters: Int): String =
+    kmeansChainSql(k, iters) +
+      s"""
+         |SELECT c_id, CAST(dim_i AS INTEGER) AS dim_i, m
+         |FROM m$iters ORDER BY c_id, dim_i""".stripMargin
+
+  /** The WITH-chain of [[kmeansOracleSql]] without a final SELECT —
+    * reusable prefix for any oracle consuming the trained model
+    * (`m$iters` long-form means, `c$iters` list-form centroids).
+    */
+  private def kmeansChainSql(k: Int, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
@@ -1202,10 +1281,6 @@ object SimilarityOps {
            |c$t AS (SELECT c_id, list(m ORDER BY dim_i) AS cv
            |  FROM m$t GROUP BY c_id)""".stripMargin)
     }
-    sb.append(
-      s"""
-         |SELECT c_id, CAST(dim_i AS INTEGER) AS dim_i, m
-         |FROM m$iters ORDER BY c_id, dim_i""".stripMargin)
     sb.toString
   }
 
