@@ -432,6 +432,63 @@ object EventOps {
         .select(col("event_type"), col("n_ref"), col("n_cur"),
           ks.as("ks_stat"), crit.as("crit_05"), (ks > crit).as("drifted"))
         .orderBy("event_type")
+    },
+
+    // Robust outlier detection per event_type: the median/MAD modified
+    // z-score (Iglewicz–Hoaglin, |0.6745·(x−med)/MAD| > 3.5) — the
+    // data-quality gate that survives exactly the outliers it hunts
+    // (mean/stddev z-scores are dragged by the tail they should flag).
+    // Two percentile aggregates (median, then median absolute
+    // deviation via a broadcast rejoin — the q154 exact-percentile
+    // discipline, floor-scaled at the boundary), then one row-local
+    // scoring pass; per-type medians are bounded metadata, the corpus
+    // is scanned three times and shuffled never.
+    QueryDef(
+      "q166_robust_outliers",
+      """WITH ev AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |md AS (SELECT event_type,
+        |    floor(quantile_cont(value, 0.5) * 1000000) / 1000000.0
+        |      AS med
+        |  FROM ev GROUP BY event_type),
+        |dv AS (SELECT ev.event_type, abs(ev.value - md.med) AS dev
+        |  FROM ev JOIN md USING (event_type)),
+        |md2 AS (SELECT event_type,
+        |    floor(quantile_cont(dev, 0.5) * 1000000) / 1000000.0 AS mad
+        |  FROM dv GROUP BY event_type),
+        |sc AS (SELECT ev.event_type,
+        |    CASE WHEN md2.mad > 0 AND
+        |      abs(0.6745 * (ev.value - md.med) / md2.mad) > 3.5
+        |      THEN 1 ELSE 0 END AS is_out
+        |  FROM ev JOIN md USING (event_type)
+        |  JOIN md2 USING (event_type))
+        |SELECT sc.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(md.med) AS median_v, max(md2.mad) AS mad_v,
+        |  CAST(sum(is_out) AS BIGINT) AS n_outliers
+        |FROM sc JOIN md USING (event_type) JOIN md2 USING (event_type)
+        |GROUP BY sc.event_type ORDER BY sc.event_type""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"), col("value"))
+      val md = broadcast(ev.groupBy("event_type").agg(
+        (floor(expr("percentile(value, 0.5)") * 1000000) / 1000000.0)
+          .as("med")))
+      val md2 = broadcast(ev.join(md, "event_type")
+        .select(col("event_type"),
+          abs(col("value") - col("med")).as("dev"))
+        .groupBy("event_type").agg(
+          (floor(expr("percentile(dev, 0.5)") * 1000000) / 1000000.0)
+            .as("mad")))
+      ev.join(md, "event_type").join(md2, "event_type")
+        .select(col("event_type"), col("med"), col("mad"),
+          when(col("mad") > 0 &&
+            abs(lit(0.6745) * (col("value") - col("med")) / col("mad"))
+              > 3.5, 1L).otherwise(0L).as("is_out"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), max("med").as("median_v"),
+          max("mad").as("mad_v"), sum("is_out").as("n_outliers"))
+        .orderBy("event_type")
     })
 
   /** The dense 1..10 bin spine for the PSI grid. */

@@ -642,6 +642,68 @@ object TextOps {
         .filter(col("n") * 100 > col("total"))
         .select(col("wd"), col("n"))
         .orderBy(col("n").desc, col("wd"))
+    },
+
+    // Vocabulary-growth (Heaps-law) curve: the corpus in ingestion order
+    // (doc_id), cut into 10 id-range deciles — per decile, docs,
+    // cumulative tokens, NEW distinct words, and cumulative vocabulary.
+    // The curve a curator reads to project vocabulary/OOV growth before
+    // committing a tokenizer budget: a healthy corpus flattens
+    // (sublinear V ~ K·nᵝ); a template farm goes flat immediately, a
+    // crawl of unclean unique junk stays linear. Exactness: every output
+    // is an INTEGER count — first occurrence per word = min decile
+    // (deciles are id-ordered, so min decile IS the first-containing
+    // decile); no floats anywhere. Scale shape: the decile is row-local
+    // integer arithmetic against a broadcast 1-row id-bounds frame — an
+    // `ntile` would be a single-partition global sort of the corpus —
+    // then one (word → min decile) aggregate (map-side combined) + one
+    // per-decile token count; the running sums run on 10 rows.
+    QueryDef(
+      "q165_heaps_curve",
+      """WITH b AS (SELECT min(doc_id) AS mn, max(doc_id) AS mx
+        |  FROM documents),
+        |dd AS (SELECT doc_id, text,
+        |    1 + ((doc_id - b.mn) * 10) // (b.mx - b.mn + 1) AS dec
+        |  FROM documents, b),
+        |w AS (SELECT dec, unnest(string_split(text, ' ')) AS wd FROM dd),
+        |wf AS (SELECT dec, wd FROM w WHERE wd <> ''),
+        |tok AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_tok
+        |  FROM wf GROUP BY dec),
+        |fo AS (SELECT wd, min(dec) AS dec FROM wf GROUP BY wd),
+        |nw AS (SELECT dec, CAST(count(*) AS BIGINT) AS new_words
+        |  FROM fo GROUP BY dec),
+        |nd AS (SELECT dec, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM dd GROUP BY dec)
+        |SELECT nd.dec AS decile, nd.n_docs,
+        |  CAST(SUM(tok.n_tok) OVER (ORDER BY nd.dec) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(COALESCE(nw.new_words, 0) AS BIGINT) AS new_words,
+        |  CAST(SUM(COALESCE(nw.new_words, 0)) OVER (ORDER BY nd.dec)
+        |    AS BIGINT) AS cum_vocab
+        |FROM nd JOIN tok ON tok.dec = nd.dec
+        |LEFT JOIN nw ON nw.dec = nd.dec
+        |ORDER BY decile""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val b = docs.agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+      val dd = docs.crossJoin(broadcast(b))
+        .select(col("doc_id"), col("text"),
+          (lit(1) + expr("((doc_id - mn) * 10) div (mx - mn + 1)"))
+            .as("dec"))
+      val wf = dd.select(col("dec"), explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "")
+      val tok = wf.groupBy("dec").agg(count(lit(1)).as("n_tok"))
+      val nw = wf.groupBy("wd").agg(min("dec").as("dec"))
+        .groupBy("dec").agg(count(lit(1)).as("new_words"))
+      val nd = dd.groupBy("dec").agg(count(lit(1)).as("n_docs"))
+      val wc = Window.orderBy("dec")
+      nd.join(tok, "dec")
+        .join(nw, Seq("dec"), "left")
+        .select(col("dec").as("decile"), col("n_docs"),
+          sum("n_tok").over(wc).as("cum_tokens"),
+          coalesce(col("new_words"), lit(0L)).as("new_words"),
+          sum(coalesce(col("new_words"), lit(0L))).over(wc)
+            .as("cum_vocab"))
+        .orderBy("decile")
     })
 
   /** Unrolled DuckDB oracle prefix: w0/v0 (vocab + initial encoding),
