@@ -225,5 +225,57 @@ object ProfileOps {
         Check("totalprice_nonnegative", fracOf(nonneg), nonneg === n),
         Check("status_in_domain", fracOf(dom), dom === n),
         Check("orderdate_in_range", fracOf(dr), dr === n)))
+    },
+
+    // Join-key SKEW report — the diagnostic behind every salting /
+    // AQE-skew-join decision at 100 TB: for each candidate shuffle key,
+    // the per-key count distribution's shape (rows, distinct keys, max,
+    // exact p50/p99 of counts, and the heaviest key's share of all
+    // rows). A key whose max/p50 explodes or whose top share is
+    // measurable is the one that stalls a 1000-executor shuffle on one
+    // straggler partition. One count-aggregate per audited key (the
+    // per-key frame is the shuffle the join itself would do — measured
+    // here once, at plan-choice time, instead of discovered in
+    // production); the stats run over the key-count frame, which is
+    // distinct-keys-sized.
+    QueryDef(
+      "q167_skew_report", {
+        def one(table: String, key: String): String =
+          s"""SELECT '$table.$key' AS join_key,
+             |  CAST(sum(c) AS BIGINT) AS n_rows,
+             |  CAST(count(*) AS BIGINT) AS n_keys,
+             |  CAST(max(c) AS BIGINT) AS max_per_key,
+             |  floor(quantile_cont(c, 0.5) * 1000000) / 1000000.0
+             |    AS p50_per_key,
+             |  floor(quantile_cont(c, 0.99) * 1000000) / 1000000.0
+             |    AS p99_per_key,
+             |  floor(max(c) / CAST(sum(c) AS DOUBLE) * 1000000)
+             |    / 1000000.0 AS top_key_share
+             |FROM (SELECT $key, count(*) AS c FROM $table
+             |  WHERE $key IS NOT NULL GROUP BY $key) t""".stripMargin
+        Seq(one("events", "user_id"), one("lineitem", "l_orderkey"),
+          one("lineitem", "l_partkey"), one("orders", "o_custkey"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) u ORDER BY join_key")
+      }) { (s, dir) =>
+      def one(table: String, key: String): DataFrame =
+        Tables(s, dir, table)
+          .filter(col(key).isNotNull)
+          .groupBy(col(key)).agg(count(lit(1)).as("c"))
+          .agg(sum("c").as("n_rows"),
+            count(lit(1)).as("n_keys"),
+            max("c").as("max_per_key"),
+            (floor(expr("percentile(c, 0.5)") * 1000000) / 1000000.0)
+              .as("p50_per_key"),
+            (floor(expr("percentile(c, 0.99)") * 1000000) / 1000000.0)
+              .as("p99_per_key"),
+            (floor(max("c") / sum("c").cast("double") * 1000000)
+              / 1000000.0).as("top_key_share"))
+          .select(lit(s"$table.$key").as("join_key"), col("*"))
+      one("events", "user_id")
+        .unionByName(one("lineitem", "l_orderkey"))
+        .unionByName(one("lineitem", "l_partkey"))
+        .unionByName(one("orders", "o_custkey"))
+        .orderBy("join_key")
     })
 }

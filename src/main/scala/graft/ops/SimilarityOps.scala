@@ -1061,6 +1061,21 @@ object SimilarityOps {
       pcaTopComponent(s, dir, iters = 8).orderBy("dim_i")
     },
 
+    // Top-2 PCA by DEFLATION — the effective-rank question q163 can't
+    // answer alone: after the dominant component, how much variance is
+    // left, and where? G₂ = G − λ₁v₁v₁ᵀ in the SAME ×1e6 integer space
+    // (the rank-1 update floor-scales through one fixed-order double
+    // product chain), then the identical power iteration runs on G₂.
+    // Output per component: loadings, eigenvalue, and its share of
+    // total variance (trace of G — an exact integer sum of the
+    // diagonal). The corpus is touched exactly once (q163's Gram pass,
+    // shared via the same collected matrix); both solves are bounded
+    // driver metadata. Oracle: the gram prefix + TWO unrolled iteration
+    // chains with the deflation CTE between them.
+    QueryDef("q168_pca_top2", pcaTop2OracleSql(iters = 8)) { (s, dir) =>
+      pcaComponents(s, dir, iters = 8).orderBy("component", "dim_i")
+    },
+
     // Clustering-quality audit: SIMPLIFIED SILHOUETTE per cluster over
     // the q155 trained centroids — a = distance to own centroid, b =
     // distance to the nearest other centroid, s = (b−a)/max(a,b),
@@ -1136,50 +1151,69 @@ object SimilarityOps {
     * iteration a HUGEINT matvec, one sqrt-norm, one floor-scale back to
     * ×1e9 integers; Rayleigh quotient from the final vector.
     */
-  private def pcaOracleSql(iters: Int): String = {
+  private def pcaOracleSql(iters: Int): String =
+    pcaGramSql + pcaIterSql("g", "v", iters) +
+      s"""
+         |SELECT v.i AS dim_i, CAST(v.v9 AS DOUBLE) / 1000000000.0
+         |    AS loading,
+         |  floor(CAST(s3v.s3 AS DOUBLE) / CAST(s2v.s2 AS DOUBLE))
+         |    / 1000000.0 AS eig
+         |FROM v$iters v, s3v, s2v ORDER BY dim_i""".stripMargin
+
+  /** WITH-prefix ending in the integer Gram CTE `g(i, j, g6)`.
+    * (`def`, not `val`: the defs list consumes it during object init,
+    * before a later-declared val would be assigned.)
+    */
+  private def pcaGramSql: String =
+    """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
+      |  FROM embeddings),
+      |nn AS (SELECT count(*) AS n FROM e),
+      |x AS (SELECT vec_id, CAST(u.i AS INTEGER) AS i, v[u.i + 1] AS xi
+      |  FROM e, LATERAL unnest(range(0, 64)) AS u(i)),
+      |m AS (SELECT i, floor(CAST(SUM(CAST(xi AS DECIMAL(38,20)))
+      |      AS DOUBLE) / (SELECT n FROM nn) * 1000000000.0)
+      |    / 1000000000.0 AS m
+      |  FROM x GROUP BY i),
+      |cx AS (SELECT vec_id, x.i,
+      |    CAST(floor((xi - m.m) * 100000000.0) AS BIGINT) AS c
+      |  FROM x JOIN m ON m.i = x.i),
+      |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+      |    CAST(floor(CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE)
+      |      / ((SELECT n FROM nn) * 1e16) * 1000000.0) AS BIGINT) AS g6
+      |  FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY a.i, b.i)"""
+      .stripMargin
+
+  /** The unrolled power-iteration chain over Gram CTE `gName`, naming
+    * its vectors `$p0..$p$iters` and ending with Rayleigh CTEs
+    * `s3$p` / `s2$p`. Appendable after [[pcaGramSql]] (or a deflated
+    * Gram) any number of times with distinct prefixes.
+    */
+  private def pcaIterSql(gName: String, p: String, iters: Int): String = {
     val sb = new StringBuilder
     sb.append(
-      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v
-        |  FROM embeddings),
-        |nn AS (SELECT count(*) AS n FROM e),
-        |x AS (SELECT vec_id, CAST(u.i AS INTEGER) AS i, v[u.i + 1] AS xi
-        |  FROM e, LATERAL unnest(range(0, 64)) AS u(i)),
-        |m AS (SELECT i, floor(CAST(SUM(CAST(xi AS DECIMAL(38,20)))
-        |      AS DOUBLE) / (SELECT n FROM nn) * 1000000000.0)
-        |    / 1000000000.0 AS m
-        |  FROM x GROUP BY i),
-        |cx AS (SELECT vec_id, x.i,
-        |    CAST(floor((xi - m.m) * 100000000.0) AS BIGINT) AS c
-        |  FROM x JOIN m ON m.i = x.i),
-        |g AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
-        |    CAST(floor(CAST(SUM(CAST(a.c AS HUGEINT) * b.c) AS DOUBLE)
-        |      / ((SELECT n FROM nn) * 1e16) * 1000000.0) AS BIGINT) AS g6
-        |  FROM cx a JOIN cx b ON b.vec_id = a.vec_id GROUP BY a.i, b.i),
-        |v0 AS (SELECT CAST(t.i AS INTEGER) AS i,
-        |    CAST(125000000 AS BIGINT) AS v9
-        |  FROM range(0, 64) t(i))""".stripMargin)
+      s""",
+         |${p}0 AS (SELECT CAST(t.i AS INTEGER) AS i,
+         |    CAST(125000000 AS BIGINT) AS v9
+         |  FROM range(0, 64) t(i))""".stripMargin)
     for (t <- 1 to iters) {
       sb.append(
         s""",
-           |w$t AS MATERIALIZED (SELECT g.i,
+           |w$p$t AS MATERIALIZED (SELECT g.i,
            |    SUM(CAST(g.g6 AS HUGEINT) * v.v9) AS w
-           |  FROM g JOIN v${t - 1} v ON v.i = g.j GROUP BY g.i),
-           |n$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
-           |  FROM w$t),
-           |v$t AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE)
-           |    / (SELECT nrm FROM n$t) * 1000000000.0) AS BIGINT) AS v9
-           |  FROM w$t)""".stripMargin)
+           |  FROM $gName g JOIN $p${t - 1} v ON v.i = g.j GROUP BY g.i),
+           |n$p$t AS (SELECT sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+           |  FROM w$p$t),
+           |$p$t AS MATERIALIZED (SELECT i, CAST(floor(CAST(w AS DOUBLE)
+           |    / (SELECT nrm FROM n$p$t) * 1000000000.0) AS BIGINT) AS v9
+           |  FROM w$p$t)""".stripMargin)
     }
     sb.append(
-      s"""
-         |, s3 AS (SELECT SUM(CAST(g.g6 AS HUGEINT) * a.v9 * b.v9) AS s3
-         |  FROM g JOIN v$iters a ON a.i = g.i JOIN v$iters b ON b.i = g.j),
-         |s2 AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS s2 FROM v$iters)
-         |SELECT v.i AS dim_i, CAST(v.v9 AS DOUBLE) / 1000000000.0
-         |    AS loading,
-         |  floor(CAST(s3.s3 AS DOUBLE) / CAST(s2.s2 AS DOUBLE))
-         |    / 1000000.0 AS eig
-         |FROM v$iters v, s3, s2 ORDER BY dim_i""".stripMargin)
+      s""",
+         |s3$p AS (SELECT SUM(CAST(g.g6 AS HUGEINT) * a.v9 * b.v9) AS s3
+         |  FROM $gName g JOIN $p$iters a ON a.i = g.i
+         |  JOIN $p$iters b ON b.i = g.j),
+         |s2$p AS (SELECT SUM(CAST(v9 AS HUGEINT) * v9) AS s2
+         |  FROM $p$iters)""".stripMargin)
     sb.toString
   }
 
@@ -1191,49 +1225,130 @@ object SimilarityOps {
   private[ops] def pcaTopComponent(s: SparkSession, dir: String,
       iters: Int): DataFrame =
     graft.engine.Materialize.table(s, s"pca_top_component_$iters", dir) {
-      val d = 64
-      val x = vectors(s, dir)
-        .select(col("vec_id"), posexplode(col("v")))
-        .toDF("vec_id", "i", "xf")
-        .select(col("vec_id"), col("i"), col("xf").cast("double").as("xi"))
-      val n = Tables(s, dir, "embeddings").count()
-      val m = x.groupBy("i").agg(
-        (floor(sum(col("xi").cast(DecimalType(38, 20))).cast("double")
-          / n * 1e9) / 1e9).as("m"))
-      val cx = x.join(broadcast(m), "i")
-        .select(col("vec_id"), col("i"),
-          floor((col("xi") - col("m")) * 1e8).as("c"))
-      val g = cx.join(cx.toDF("vec_id", "j", "c2"), "vec_id")
-        .groupBy("i", "j")
-        .agg(sum((col("c") * col("c2")).cast(DecimalType(38, 0))).as("sp"))
-        .select(col("i"), col("j"),
-          floor(col("sp").cast("double") / (n.toDouble * 1e16) * 1e6)
-            .as("g6"))
-      val gm = g.collect()
-        .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
-      var v = Array.fill(d)(BigInt(125000000L))
-      for (_ <- 1 to iters) {
-        val w = Array.tabulate(d) { i =>
-          var acc = BigInt(0)
-          var j = 0
-          while (j < d) {
-            acc += BigInt(gm.getOrElse((i, j), 0L)) * v(j); j += 1
-          }
-          acc
-        }
-        val norm = math.sqrt(w.map(x0 => x0 * x0).sum.doubleValue)
-        v = w.map(wi =>
-          BigInt(math.floor(wi.doubleValue / norm * 1e9).toLong))
-      }
-      val s3 = (for (i <- 0 until d; j <- 0 until d)
-        yield BigInt(gm.getOrElse((i, j), 0L)) * v(i) * v(j)).sum
-      val s2 = v.map(x0 => x0 * x0).sum
-      val eig = math.floor(s3.doubleValue / s2.doubleValue) / 1e6
+      val gm = pcaGram6(s, dir)
+      val (v, l6) = pcaPowerIter(gm, iters)
       import s.implicits._
       v.zipWithIndex
-        .map { case (v9, i) => (i, v9.doubleValue / 1e9, eig) }
+        .map { case (v9, i) => (i, v9.doubleValue / 1e9, l6 / 1e6) }
         .toSeq.toDF("dim_i", "loading", "eig")
     }
+
+  /** Oracle for [[pcaComponents]]: gram → iterate (prefix v) → λ₁ →
+    * deflate → iterate (prefix u) → λ₂ → trace → both components.
+    */
+  private def pcaTop2OracleSql(iters: Int): String =
+    pcaGramSql + pcaIterSql("g", "v", iters) +
+      s""",
+         |l1 AS (SELECT CAST(floor(CAST(s3.s3 AS DOUBLE)
+         |    / CAST(s2.s2 AS DOUBLE)) AS BIGINT) AS l6
+         |  FROM s3v s3, s2v s2),
+         |g2 AS MATERIALIZED (SELECT g.i, g.j,
+         |    g.g6 - CAST(floor(CAST(l1.l6 AS DOUBLE) * a.v9 * b.v9
+         |      / 1e18) AS BIGINT) AS g6
+         |  FROM g JOIN v$iters a ON a.i = g.i
+         |  JOIN v$iters b ON b.i = g.j, l1)""".stripMargin +
+      pcaIterSql("g2", "u", iters) +
+      s""",
+         |l2 AS (SELECT CAST(floor(CAST(s3.s3 AS DOUBLE)
+         |    / CAST(s2.s2 AS DOUBLE)) AS BIGINT) AS l6
+         |  FROM s3u s3, s2u s2),
+         |tr AS (SELECT CAST(SUM(g6) AS BIGINT) AS t6 FROM g
+         |  WHERE i = j)
+         |SELECT * FROM (
+         |  SELECT 1 AS component, v.i AS dim_i,
+         |    CAST(v.v9 AS DOUBLE) / 1000000000.0 AS loading,
+         |    CAST(l1.l6 AS DOUBLE) / 1000000.0 AS eig,
+         |    floor(CAST(l1.l6 AS DOUBLE) / CAST(tr.t6 AS DOUBLE)
+         |      * 1000000) / 1000000.0 AS var_frac
+         |  FROM v$iters v, l1, tr
+         |  UNION ALL
+         |  SELECT 2, u.i, CAST(u.v9 AS DOUBLE) / 1000000000.0,
+         |    CAST(l2.l6 AS DOUBLE) / 1000000.0,
+         |    floor(CAST(l2.l6 AS DOUBLE) / CAST(tr.t6 AS DOUBLE)
+         |      * 1000000) / 1000000.0
+         |  FROM u$iters u, l2, tr
+         |) z ORDER BY component, dim_i""".stripMargin
+
+  /** Top-2 components `(component, dim_i, loading, eig, var_frac)` as a
+    * Materialize artifact; ONE corpus pass (the shared Gram), two
+    * bounded driver solves with an integer rank-1 deflation between.
+    */
+  private[ops] def pcaComponents(s: SparkSession, dir: String,
+      iters: Int): DataFrame =
+    graft.engine.Materialize.table(s, s"pca_components_2x$iters", dir) {
+      val d = 64
+      val g1 = pcaGram6(s, dir)
+      val (v1, l1) = pcaPowerIter(g1, iters)
+      val tr = (0 until d).map(i => g1.getOrElse((i, i), 0L)).sum
+      val g2 = (for (i <- 0 until d; j <- 0 until d) yield
+        (i, j) -> (g1.getOrElse((i, j), 0L) -
+          math.floor(l1.toDouble * v1(i).doubleValue * v1(j).doubleValue
+            / 1e18).toLong)).toMap
+      val (v2, l2) = pcaPowerIter(g2, iters)
+      def frac(l: Long): Double =
+        math.floor(l.toDouble / tr.toDouble * 1000000) / 1000000.0
+      import s.implicits._
+      (v1.zipWithIndex.map { case (x, i) =>
+        (1, i, x.doubleValue / 1e9, l1 / 1e6, frac(l1))
+      } ++ v2.zipWithIndex.map { case (x, i) =>
+        (2, i, x.doubleValue / 1e9, l2 / 1e6, frac(l2))
+      }).toSeq.toDF("component", "dim_i", "loading", "eig", "var_frac")
+    }
+
+  /** One distributed pass to the 64×64 integer Gram (covariance ×1e6):
+    * centered long form floor-scaled to 8-dp integers, vec_id-keyed
+    * self-join with map-side combine, collected as bounded metadata.
+    */
+  private def pcaGram6(s: SparkSession,
+      dir: String): Map[(Int, Int), Long] = {
+    val x = vectors(s, dir)
+      .select(col("vec_id"), posexplode(col("v")))
+      .toDF("vec_id", "i", "xf")
+      .select(col("vec_id"), col("i"), col("xf").cast("double").as("xi"))
+    val n = Tables(s, dir, "embeddings").count()
+    val m = x.groupBy("i").agg(
+      (floor(sum(col("xi").cast(DecimalType(38, 20))).cast("double")
+        / n * 1e9) / 1e9).as("m"))
+    val cx = x.join(broadcast(m), "i")
+      .select(col("vec_id"), col("i"),
+        floor((col("xi") - col("m")) * 1e8).as("c"))
+    cx.join(cx.toDF("vec_id", "j", "c2"), "vec_id")
+      .groupBy("i", "j")
+      .agg(sum((col("c") * col("c2")).cast(DecimalType(38, 0))).as("sp"))
+      .select(col("i"), col("j"),
+        floor(col("sp").cast("double") / (n.toDouble * 1e16) * 1e6)
+          .as("g6"))
+      .collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+  }
+
+  /** `iters` integer power-iteration steps over a ×1e6 Gram map:
+    * returns the ×1e9 component vector and the ×1e6 Rayleigh
+    * eigenvalue. Exact BigInt arithmetic except one IEEE divide+sqrt
+    * per iteration — the oracle's HUGEINT chain verbatim.
+    */
+  private def pcaPowerIter(gm: Map[(Int, Int), Long],
+      iters: Int): (Array[BigInt], Long) = {
+    val d = 64
+    var v = Array.fill(d)(BigInt(125000000L))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d) { i =>
+        var acc = BigInt(0)
+        var j = 0
+        while (j < d) {
+          acc += BigInt(gm.getOrElse((i, j), 0L)) * v(j); j += 1
+        }
+        acc
+      }
+      val norm = math.sqrt(w.map(x0 => x0 * x0).sum.doubleValue)
+      v = w.map(wi =>
+        BigInt(math.floor(wi.doubleValue / norm * 1e9).toLong))
+    }
+    val s3 = (for (i <- 0 until d; j <- 0 until d)
+      yield BigInt(gm.getOrElse((i, j), 0L)) * v(i) * v(j)).sum
+    val s2 = v.map(x0 => x0 * x0).sum
+    (v, math.floor(s3.doubleValue / s2.doubleValue).toLong)
+  }
 
   /** Unrolled Lloyd-iteration oracle chain for [[kmeansCentroids]]:
     * c0 = seed rows, then per iteration t — d$t distances (rounded 6),
