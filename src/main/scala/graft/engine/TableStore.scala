@@ -248,6 +248,9 @@ final class ManifestTableStore(path: String,
   def countRows(spark: SparkSession): Option[Long] = {
     val (_, lines) = current(fs(spark))
     if (lines.isEmpty) return Some(0L)
+    // pending merge-on-read delete files make the manifest count an
+    // overcount — fall back to a real (delete-applied) count
+    if (lines.exists(isDeleteEntry)) return None
     val perDir = lines.groupBy(_.dir).map(_._2.head.statsJson).toSeq
     val ns = perDir.map(ManifestTableStore.parseCount)
     if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
@@ -413,14 +416,19 @@ final class ManifestTableStore(path: String,
   def compact(spark: SparkSession): Unit = synchronized {
     val f = fs(spark)
     val (v, lines) = current(f)
-    if (lines.map(_.dir).distinct.size <= 1) return
+    val hasDeletes = lines.exists(isDeleteEntry)
+    if (lines.map(_.dir).distinct.size <= 1 && !hasDeletes) return
     val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
     // rewrite the SNAPSHOT's dirs (not a re-listed current) so a
-    // conflict rebase knows exactly which batches the new dir holds
-    write(readDirs(spark, lines.map(_.dir).distinct), dataDir)
+    // conflict rebase knows exactly which batches the new dir holds.
+    // Merge-on-read delete files fold in here: the rewrite materializes
+    // the delete-applied state and the delete entries drop out of the
+    // committed manifest (Iceberg's rewrite_data_files + rewrite of
+    // delete files in one step).
+    write(readEntries(spark, lines), dataDir)
     val stats = collectStats(spark, dataDir) // stats follow the rewrite
     commitRewrite(f, v + 1, lines,
-      _.map(e => Entry(e.batchId, dataDir, stats)))
+      _.filterNot(isDeleteEntry).map(e => Entry(e.batchId, dataDir, stats)))
   }
 
   /** Commit a maintenance rewrite (compact / cluster) with optimistic
@@ -468,6 +476,7 @@ final class ManifestTableStore(path: String,
       buckets: Int): Unit = synchronized {
     val f = fs(spark)
     val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "compactClustered")
     if (lines.isEmpty) return
     val base = s"$path/data/cluster-${java.util.UUID.randomUUID()}"
     val clustered = readDirs(spark, lines.map(_.dir).distinct)
@@ -513,6 +522,7 @@ final class ManifestTableStore(path: String,
     import org.apache.spark.sql.expressions.Window
     val f = fs(spark)
     val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "compactZOrder")
     if (lines.isEmpty) return
     val bitsPer = 12
     val n = zorderBy.size
@@ -566,6 +576,7 @@ final class ManifestTableStore(path: String,
     synchronized {
       val f = fs(spark)
       val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "delete")
       if (lines.isEmpty) return
       val (touched, _) = pruneEntries(spark, predicateSql, lines)
       if (touched.isEmpty) return // stats prove no row matches: no-op
@@ -587,6 +598,7 @@ final class ManifestTableStore(path: String,
     synchronized {
       val f = fs(spark)
       val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "update")
       if (lines.isEmpty) return
       val (touched, _) = pruneEntries(spark, predicateSql, lines)
       if (touched.isEmpty) return
@@ -615,6 +627,7 @@ final class ManifestTableStore(path: String,
       batchId: Long): Unit = synchronized {
     val f = fs(spark)
     val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
     // source key range, normalized exactly like collectStats values so
     // dir-stats comparison is representation-free
@@ -714,13 +727,11 @@ final class ManifestTableStore(path: String,
     * [[vacuum]]).
     */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    val dirs = readManifest(fs(spark), version)
+    val entries = readManifest(fs(spark), version)
       .getOrElse(throw new IllegalArgumentException(
         s"version $version of $path is incomplete (writer died mid-commit)"))
-      .map(_.dir).distinct
-    require(dirs.nonEmpty, s"version $version of $path is empty")
-    dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    require(entries.nonEmpty, s"version $version of $path is empty")
+    readEntries(spark, entries) // applies that version's delete files
   }
 
   /** Current manifest version (0 = no commits yet). */
@@ -773,6 +784,7 @@ final class ManifestTableStore(path: String,
     def entriesOf(v: Long): Seq[Entry] =
       readManifest(f, v).getOrElse(throw new IllegalArgumentException(
         s"version $v of $path is missing or incomplete"))
+        .filterNot(isDeleteEntry) // CDF here is the INSERT stream only
     val fromIds =
       if (fromVersion == 0L) Set.empty[Long]
       else entriesOf(fromVersion).map(_.batchId).toSet
@@ -822,6 +834,19 @@ final class ManifestTableStore(path: String,
           f.delete(st.getPath, true); deleted += st.getPath.toString
         }
       }
+      // equality-delete files retire by the same retention rule: once no
+      // retained version references one (compact folded it in), it is
+      // garbage like any superseded data dir
+      val referencedDel = keepVersions.flatMap(kv =>
+        readManifest(f, kv).toSeq.flatten.filter(isDeleteEntry).map(
+          _.dir.split("/deletes/").last.split('/').head)).toSet
+      val delRoot = new HPath(s"$path/deletes")
+      if (f.exists(delRoot)) f.listStatus(delRoot).foreach { st =>
+        if (!referencedDel.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff) {
+          f.delete(st.getPath, true); deleted += st.getPath.toString
+        }
+      }
       f.listStatus(manifestDir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("v") && n.drop(1).toLong < keepVersions.min)
@@ -842,8 +867,74 @@ final class ManifestTableStore(path: String,
   override def read(spark: SparkSession): DataFrame = {
     val (_, lines) = current(fs(spark))
     require(lines.nonEmpty, s"no committed batches under $path")
-    readDirs(spark, lines.map(_.dir).distinct)
+    readEntries(spark, lines)
   }
+
+  // ---- Merge-on-read equality deletes (Iceberg v2 delete files) ------
+  // A DELETE that rewrites data dirs (copy-on-write, [[delete]]) costs
+  // O(touched dirs); at 100 TB a daily GDPR-style key purge cannot
+  // afford that. Merge-on-read inverts the cost: the delete commits ONE
+  // small file of matching keys under deletes/, every reader anti-joins
+  // it (broadcast — delete files are small by design), and [[compact]]
+  // later folds the deletes into a clean rewrite. Delete files are
+  // manifest entries like any other (versioned, time-travelable,
+  // restorable, vacuumable); the key column's name travels as the
+  // delete file's single-column schema, exactly Iceberg's equality-
+  // delete contract.
+
+  private def isDeleteEntry(e: Entry): Boolean =
+    e.dir.contains("/deletes/")
+
+  private def readEntries(spark: SparkSession,
+      lines: Seq[Entry]): DataFrame = {
+    val (dels, datas) = lines.partition(isDeleteEntry)
+    applyDeletes(spark, readDirs(spark, datas.map(_.dir).distinct), dels)
+  }
+
+  private def applyDeletes(spark: SparkSession, base: DataFrame,
+      dels: Seq[Entry]): DataFrame =
+    dels.map(_.dir).distinct.foldLeft(base) { (df, d) =>
+      val keys = spark.read.parquet(d)
+      val kc = keys.schema.fields.head.name
+      df.join(org.apache.spark.sql.functions.broadcast(keys),
+        df(kc) === keys(kc), "left_anti")
+    }
+
+  /** MERGE-ON-READ delete: commit the predicate's matching `keyCol`
+    * values as an equality-delete file — no data dir is opened for
+    * write, no row is rewritten. Repeated deletes compose (keys are
+    * computed against the current merge-on-read state). A no-match
+    * delete commits nothing.
+    */
+  def deleteMoR(spark: SparkSession, predicateSql: String,
+      keyCol: String): Unit = synchronized {
+    val f = fs(spark)
+    var (v, lines) = current(f)
+    if (lines.isEmpty) return
+    val keys = readEntries(spark, lines)
+      .filter(expr(predicateSql)).select(keyCol).distinct()
+    val delDir = s"$path/deletes/del-${java.util.UUID.randomUUID()}"
+    keys.write.mode("overwrite").parquet(delDir)
+    if (spark.read.parquet(delDir).isEmpty) {
+      f.delete(new HPath(delDir), true); return
+    }
+    val entry = Entry(-1L, delDir, "")
+    var next = v + 1
+    while (!tryCommit(f, next, lines :+ entry)) {
+      val (nv, nlines) = current(f)
+      lines = nlines
+      next = math.max(nv + 1, next + 1)
+    }
+  }
+
+  /** Rewrite ops and row-level DML assume entries are data dirs; with
+    * pending delete files their rewrite scope would be wrong. The
+    * contract (as in Iceberg) is: fold deletes in first.
+    */
+  private def requireNoDeleteFiles(lines: Seq[Entry], op: String): Unit =
+    require(!lines.exists(isDeleteEntry),
+      s"$op with pending merge-on-read delete files: run compact() " +
+        "first to fold them into data")
 
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
     dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
@@ -859,12 +950,13 @@ final class ManifestTableStore(path: String,
     * by evolution, or pre-stats manifest lines) are conservatively kept.
     */
   def readWhere(spark: SparkSession, predicateSql: String): DataFrame = {
+    val dels = current(fs(spark))._2.filter(isDeleteEntry)
     val (kept, _) = pruneDirs(spark, predicateSql)
     val base =
       if (kept.isEmpty) read(spark) // all pruned: parquet footers skip rest
-      else kept
+      else applyDeletes(spark, kept
         .map(d => spark.read.option("mergeSchema", "true").parquet(d))
-        .reduce(_.unionByName(_, allowMissingColumns = true))
+        .reduce(_.unionByName(_, allowMissingColumns = true)), dels)
     base.filter(expr(predicateSql))
   }
 
@@ -875,7 +967,8 @@ final class ManifestTableStore(path: String,
     */
   private[engine] def pruneDirs(spark: SparkSession,
       predicateSql: String): (Seq[String], Seq[String]) =
-    pruneEntries(spark, predicateSql, current(fs(spark))._2)
+    pruneEntries(spark, predicateSql,
+      current(fs(spark))._2.filterNot(isDeleteEntry))
 
   /** [[pruneDirs]] against an explicit manifest snapshot, so a DML
     * rewrite prunes against exactly the entries it will commit against.

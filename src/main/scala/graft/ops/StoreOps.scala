@@ -595,12 +595,20 @@ object StoreOps {
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      // Each append gates on the exact version it produces: after the
+      // restore, current entries are version 2's (batches 0-1 only), so
+      // the append-replay refusal alone would RE-append batches 2-3 on
+      // the next invocation — the one builder where id-based idempotence
+      // is not enough.
       Seq(
         0L -> upTo("1997-01-01"),
         1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
         2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
         3L -> !upTo("2000-01-01")
-      ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+      ).zipWithIndex.foreach { case ((id, pred), i) =>
+        if (store.currentVersion(s) == i.toLong)
+          store.append(orders.filter(pred), id)
+      }
       if (store.currentVersion(s) == 4L)
         store.delete(s, "o_orderdate >= '1998-01-01 00:00:00'")
       if (store.currentVersion(s) == 5L)
@@ -611,6 +619,57 @@ object StoreOps {
           dsum(col("o_totalprice")).as("total"),
           max(lit(store.currentVersion(s))).cast("int")
             .as("current_version"))
+        .orderBy("o_orderstatus")
+    },
+
+    // MERGE-ON-READ equality deletes (Iceberg v2 delete files): the
+    // GDPR-purge shape copy-on-write can't afford at 100 TB. Four
+    // appends (v1-4), then deleteMoR commits ONE small file of matching
+    // o_orderkey values (v5) — no data dir opened for write — and every
+    // reader anti-joins it; compact (v6) folds the delete file into a
+    // clean rewrite, after which the manifest's metadata row count is
+    // exact again — meta_rows pins that the folded count equals the
+    // true post-delete count (the oracle's scalar subquery recomputes
+    // both from the raw table). ManifestTableStoreSpec pins the
+    // physical claims: untouched data files pre-compact, delete-file
+    // retirement via vacuum, CoW-DML guards while deletes are pending.
+    QueryDef(
+      "q169_store_mor_delete",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  6 AS current_version,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |    AS meta_rows
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_mor", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      Seq(
+        0L -> upTo("1997-01-01"),
+        1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+        2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+        3L -> !upTo("2000-01-01")
+      ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+      if (store.currentVersion(s) == 4L)
+        store.deleteMoR(s, "o_orderdate >= '2000-01-01 00:00:00'",
+          "o_orderkey")
+      if (store.currentVersion(s) == 5L)
+        store.compact(s)
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"),
+          max(lit(store.currentVersion(s))).cast("int")
+            .as("current_version"),
+          max(lit(store.countRows(s).getOrElse(-1L)))
+            .as("meta_rows"))
         .orderBy("o_orderstatus")
     })
 }

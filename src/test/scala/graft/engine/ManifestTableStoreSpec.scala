@@ -435,4 +435,50 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(e.getMessage.contains("vacuum"))
     assert(store.currentVersion(spark) == before) // nothing committed
   }
+
+  test("merge-on-read equality deletes: no data file rewritten, readers " +
+      "anti-join, CoW DML is guarded, compact folds them, vacuum " +
+      "retires the delete file") {
+    val store = new ManifestTableStore(tmp("manifest-mor-").toString)
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L) // v1
+    store.append(Seq(("c", 3), ("d", 4)).toDF("k", "n"), 1L) // v2
+    val dataFiles = store.read(spark).inputFiles.toSet
+    store.deleteMoR(spark, "n >= 2 AND n <= 3", "k")         // v3
+    assert(store.currentVersion(spark) == 3L)
+    // logical state applies the delete; physical data files untouched
+    assert(store.read(spark).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet == Set(("a", 1), ("d", 4)))
+    assert(dataFiles.subsetOf(store.read(spark).inputFiles.toSet),
+      "data files were rewritten — not merge-on-read")
+    // readWhere stays exact through pruning + deletes
+    assert(store.readWhere(spark, "n >= 1").collect().length == 2)
+    // metadata count would overcount → falls back (None)
+    assert(store.countRows(spark).isEmpty)
+    // time travel BEFORE the delete is unaffected
+    assert(store.readVersion(spark, 2).count() == 4)
+    // deletes compose: a second MoR delete sees the first's state
+    store.deleteMoR(spark, "n = 4", "k")                     // v4
+    assert(store.read(spark).collect().map(_.getString(0)).toSet
+      == Set("a"))
+    // a no-match delete commits nothing
+    store.deleteMoR(spark, "n = 99", "k")
+    assert(store.currentVersion(spark) == 4L)
+    // CoW DML / clustered rewrites refuse while delete files pend
+    val g = intercept[IllegalArgumentException] {
+      store.update(spark, "n = 1", Map("n" -> lit(5)))
+    }
+    assert(g.getMessage.contains("compact"))
+    // compact folds deletes into a clean rewrite: same state, delete
+    // entries gone, metadata count exact again
+    store.compact(spark)                                     // v5
+    assert(store.read(spark).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet == Set(("a", 1)))
+    assert(!store.read(spark).inputFiles.exists(_.contains("/deletes/")))
+    assert(store.countRows(spark).contains(1L))
+    // and the retired delete files are vacuumable garbage
+    val removed = store.vacuum(spark, retainLast = 0, minAgeMs = 0L)
+    assert(removed.exists(_.contains("/deletes/")),
+      s"vacuum did not retire delete files: $removed")
+    assert(store.read(spark).count() == 1)
+  }
 }
