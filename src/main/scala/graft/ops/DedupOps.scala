@@ -1033,7 +1033,127 @@ object DedupOps {
           levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
         .filter(col("dist") <= 40)
         .orderBy("a_id", "b_id")
+    },
+
+    // SimHash-BLOCKED edit distance — the OTHER scale path q63's
+    // scaladoc promises ("block by SimHash/LSH bucket first and run
+    // this only within buckets"), now kept: candidates are q92's
+    // banded-fingerprint pairs AT ITS VERDICT POINT (band equality +
+    // hamming ≤ 3 over the full 64-bit fingerprint — integer xor/
+    // popcount, cheap), and the expensive Levenshtein runs only on
+    // them. The hamming gate is load-bearing: on this low-vocabulary
+    // corpus band equality alone admits 573k pairs at sf0.1, hamming≤3
+    // admits 897 — the block's job is fingerprint-CLOSE pairs, the DP's
+    // job is the character-level verdict. Complementary to q158's
+    // sorted-neighborhood key: that catches shared prefixes/suffixes,
+    // this catches token-content similarity at any offset. Same
+    // finding-41 spread before the per-pair DP.
+    QueryDef(
+      "q170_blocked_edit_distance", {
+        val sums = (0 until 64).map(k =>
+          s"SUM(CASE WHEN substr(h, ${k + 1}, 1) >= '8' THEN 1 ELSE -1 " +
+            s"END) AS s$k")
+          .mkString(",\n        |    ")
+        val packs = (0 until 4).map { j =>
+          (0 until 16).map(k =>
+            s"CASE WHEN s${16 * j + k} > 0 THEN ${1 << k} ELSE 0 END")
+            .mkString("CAST(", " + ", s" AS BIGINT) AS b$j")
+        }.mkString(",\n        |    ")
+        val keyCase = (0 until 4).map(j =>
+          s"WHEN $j THEN b$j").mkString("CASE k ", " ", " END")
+        val ham = (0 until 4).map(j =>
+          s"bit_count(xor(a.b$j, b.b$j))").mkString(" + ")
+        s"""WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |h AS (SELECT doc_id, sha256(w) AS h FROM w),
+           |s AS (SELECT doc_id,
+           |    $sums
+           |  FROM h GROUP BY doc_id),
+           |f AS (SELECT doc_id,
+           |    $packs
+           |  FROM s),
+           |bands AS (SELECT doc_id, b0, b1, b2, b3, k, $keyCase AS key
+           |  FROM f, (SELECT unnest(range(0,4)) AS k)),
+           |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+           |    $ham AS hamming
+           |  FROM bands a JOIN bands b
+           |    ON a.k = b.k AND a.key = b.key AND a.doc_id < b.doc_id),
+           |d AS (SELECT doc_id, substr(text, 1, 80) AS p FROM documents)
+           |SELECT c.a_id, c.b_id, CAST(c.hamming AS INTEGER) AS hamming,
+           |  CAST(levenshtein(da.p, db.p) AS INTEGER) AS dist
+           |FROM cand c JOIN d da ON da.doc_id = c.a_id
+           |JOIN d db ON db.doc_id = c.b_id
+           |WHERE c.hamming <= 3 AND levenshtein(da.p, db.p) <= 40
+           |ORDER BY a_id, b_id""".stripMargin
+      }) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val bands = Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("simhash64(text)").as("f"))
+        .select(col("doc_id"), col("f"),
+          posexplode(col("f")).as(Seq("k", "key")))
+        .repartition(col("doc_id"))
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("p"))
+      val ham = (0 until 4).map(j =>
+        expr(s"bit_count(element_at(fa, ${j + 1}) ^ " +
+          s"element_at(fb, ${j + 1}))")).reduce(_ + _)
+      bands.toDF("a_id", "fa", "k", "key")
+        .join(bands.toDF("b_id", "fb", "k", "key"), Seq("k", "key"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"), ham.as("hamming")).distinct()
+        .filter(col("hamming") <= 3)
+        .repartition(32, col("a_id"), col("b_id"))
+        .join(d.toDF("a_id", "pa"), "a_id")
+        .join(d.toDF("b_id", "pb"), "b_id")
+        .select(col("a_id"), col("b_id"),
+          col("hamming").cast("int").as("hamming"),
+          levenshtein(col("pa"), col("pb")).cast("int").as("dist"))
+        .filter(col("dist") <= 40)
+        .orderBy("a_id", "b_id")
+    },
+
+    // RECURSIVE reachability over the near-dup candidate graph —
+    // Spark 4's `WITH RECURSIVE` executing the SAME recursion text the
+    // DuckDB oracle runs (the q48/q49 min-label loops iterate in Scala;
+    // this one recurses in SQL on BOTH engines — the first time the
+    // engine's own recursion is on the oracle surface). Seed = the
+    // highest-degree node (ties → lowest id); BFS with a depth bound of
+    // 6 over the undirected edge set, min depth per reached doc — "how
+    // far does this document's duplication neighborhood extend, and
+    // through how many hops": the provenance question a curator asks
+    // about a contaminated doc. Spark recursion is UNION ALL + bound
+    // (UNION-dedup recursion is not supported yet); path multiplicity
+    // is bounded because exact dedup runs before LSH, so clusters are
+    // small — the depth bound caps blowup on any pathological clique.
+    QueryDef(
+      "q171_recursive_reach",
+      "WITH RECURSIVE r AS (SELECT MIN(doc_id) AS doc_id, text " +
+        "FROM documents GROUP BY text),\n  " +
+        lshPairsSql("r") + ",\n  " +
+        "dup_edges AS (SELECT a_id, b_id FROM pairs),\n" +
+        reachRecursionSql) { (s, dir) =>
+      lshCandidates(s, dir).select("a_id", "b_id")
+        .createOrReplaceTempView("dup_edges")
+      s.sql("WITH RECURSIVE " + reachRecursionSql)
     })
+
+  /** The shared recursion text of q171 — appended after a `dup_edges`
+    * CTE (oracle) or run against a `dup_edges` view (Spark). Both
+    * engines execute THIS text verbatim.
+    */
+  private def reachRecursionSql: String =
+    """und AS (SELECT a_id AS src, b_id AS dst FROM dup_edges
+      |  UNION ALL SELECT b_id, a_id FROM dup_edges),
+      |seed AS (SELECT src AS doc_id FROM (
+      |    SELECT src, count(*) AS c FROM und GROUP BY src) t
+      |  ORDER BY c DESC, src LIMIT 1),
+      |reach(doc_id, depth) AS (
+      |  SELECT doc_id, 0 FROM seed
+      |  UNION ALL
+      |  SELECT u.dst, r.depth + 1 FROM reach r
+      |  JOIN und u ON u.src = r.doc_id WHERE r.depth < 6)
+      |SELECT doc_id, CAST(min(depth) AS INTEGER) AS depth
+      |FROM reach GROUP BY doc_id ORDER BY depth, doc_id""".stripMargin
 
   /** q125's cut-list as a materialized INDEX artifact
     * ([[graft.engine.Materialize]]): a span-dedup pass builds the
