@@ -249,6 +249,37 @@ object EventStreams {
         "value")
   }
 
+  /** Stream-stream LEFT OUTER interval join — the conversion-funnel
+    * question [[viewToPurchase]] cannot answer: which views did NOT
+    * convert? Same interval bounds and watermarks (they remain the state
+    * -eviction contract), but unmatched views are EMITTED with null
+    * purchase columns once the watermark proves no purchase can still
+    * arrive in their horizon — the outer row's emission is itself a
+    * watermark-driven event, which is why this mode needs its own
+    * coverage: an inner join only ever drops state at eviction, an outer
+    * join must also act on it. Same code plans batch (left join) and
+    * streaming; the spec drives both and asserts they agree once the
+    * watermark passes.
+    */
+  def viewToPurchaseOuter(views: DataFrame, purchases: DataFrame,
+      horizon: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val v = views.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("view_ts"),
+        col("event_id").as("view_id"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    v.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("view_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr(s"INTERVAL $horizon"),
+      "left_outer")
+      .select(col("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"),
+        col("purchase_id").isNull.as("unconverted"))
+  }
+
   /** Output mode for the windowed aggregations when run as streams:
     * append emits only finalized (watermark-passed) windows.
     */

@@ -150,6 +150,62 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == streamed, s"batch $batch != streamed $streamed")
   }
 
+  test("stream-stream LEFT OUTER interval join emits unconverted views " +
+      "with nulls once the watermark passes, and agrees with batch") {
+    val views = Seq(
+      Event(10L, ts("2024-01-01 10:00:00"), 1L, "view", 0.0),
+      Event(11L, ts("2024-01-01 10:30:00"), 2L, "view", 0.0),
+      Event(12L, ts("2024-01-01 09:00:00"), 3L, "view", 0.0))
+    val purchases = Seq(
+      Event(20L, ts("2024-01-01 10:40:00"), 1L, "purchase", 9.99),
+      Event(21L, ts("2024-01-01 12:30:00"), 2L, "purchase", 5.0), // late
+      Event(22L, ts("2024-01-01 08:30:00"), 3L, "purchase", 1.0)) // early
+    val vIn = MemoryStream[Event](spark)
+    val pIn = MemoryStream[Event](spark)
+    val q = EventStreams.viewToPurchaseOuter(vIn.toDF(), pIn.toDF(),
+        "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("ss_outer")
+      .outputMode(OutputMode.Append()).start()
+    vIn.addData(views); pIn.addData(purchases)
+    q.processAllAvailable()
+    // inner match emits immediately; view 12's horizon (ends 10:00) is
+    // already behind the batch-1 watermark (min(10:30, 12:30) − 10 min =
+    // 10:20) so its null row emits in the trailing no-data micro-batch —
+    // but view 11 (horizon ends 11:30) must still be buffered
+    assert(spark.table("ss_outer").count() == 2)
+    assert(!spark.table("ss_outer").collect()
+      .exists(_.getLong(1) == 11L), "view 11 emitted before its horizon")
+    // advance event time on both sides (a matching pair a day later),
+    // then one more batch so the passed watermark acts on buffered state
+    vIn.addData(Seq(Event(90L, ts("2024-01-02 10:00:00"), 9L, "view", 0.0)))
+    pIn.addData(Seq(
+      Event(91L, ts("2024-01-02 10:01:00"), 9L, "purchase", 2.0)))
+    q.processAllAvailable()
+    pIn.addData(Seq(
+      Event(92L, ts("2024-01-02 10:02:00"), 8L, "purchase", 3.0)))
+    q.processAllAvailable()
+    q.stop()
+    def norm(df: org.apache.spark.sql.DataFrame) = df
+      .select("user_id", "view_id", "purchase_id", "unconverted")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toSeq.sorted
+    val streamed = norm(spark.table("ss_outer"))
+    assert(streamed == Seq(
+      (1L, 10L, 20L, false), (2L, 11L, -1L, true),
+      (3L, 12L, -1L, true), (9L, 90L, 91L, false)), s"got $streamed")
+    // identical code over static frames must agree
+    val batch = norm(EventStreams.viewToPurchaseOuter(
+      (views :+ Event(90L, ts("2024-01-02 10:00:00"), 9L, "view", 0.0))
+        .toDF(),
+      (purchases ++ Seq(
+        Event(91L, ts("2024-01-02 10:01:00"), 9L, "purchase", 2.0),
+        Event(92L, ts("2024-01-02 10:02:00"), 8L, "purchase", 3.0)))
+        .toDF(), "1 hour", "10 minutes"))
+    assert(batch == streamed, s"batch $batch != streamed $streamed")
+  }
+
   test("flatMapGroupsWithState funnel emits a StageEvent only when a user " +
       "reaches a NEW stage, in event order") {
     val input = MemoryStream[Event](spark)
