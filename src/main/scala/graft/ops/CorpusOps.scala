@@ -560,7 +560,131 @@ object CorpusOps {
               col("pack_id").cast("string")).as("k")))),
             t => t.getField("k")), ","), 256).as("order_sha"))
         .orderBy("epoch", "shard")
+    },
+
+    // Stratified SYSTEMATIC PPS sampling (probability proportional to
+    // size): per source, k=5 evenly-spaced positions on that source's
+    // cumulative-character line — p_j = floor((2j+1)·W / 2k) — and the
+    // sample is whichever document's [cum, cum+w) interval contains
+    // each position. The survey-sampling standard for "pick documents
+    // proportional to their token mass, deterministically": zero
+    // randomness, zero floats (integer cumsums, integer division), so
+    // the sample is reproducible at any cluster size and re-derivable
+    // by auditors. Scale shape: the cumsum window partitions by source
+    // (parallel across strata); the position probe is a per-source
+    // 5-row broadcast against the interval frame.
+    QueryDef(
+      "q173_pps_sample",
+      """WITH c AS (SELECT source, doc_id,
+        |    CAST(n_chars AS BIGINT) AS w,
+        |    COALESCE(SUM(CAST(n_chars AS BIGINT)) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum,
+        |    SUM(CAST(n_chars AS BIGINT)) OVER (PARTITION BY source)
+        |      AS tw
+        |  FROM documents),
+        |p AS (SELECT source, CAST(j AS INTEGER) AS j,
+        |    ((2 * j + 1) * tw) // 10 AS pos
+        |  FROM (SELECT DISTINCT source, tw FROM c) s,
+        |    (SELECT unnest(range(0, 5)) AS j) g)
+        |SELECT p.source, p.j, c.doc_id, c.w
+        |FROM p JOIN c ON c.source = p.source
+        |  AND p.pos >= c.cum AND p.pos < c.cum + c.w
+        |ORDER BY p.source, p.j""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val c = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("w"))
+        .withColumn("cum", coalesce(sum("w").over(w), lit(0L)))
+        .withColumn("tw",
+          sum("w").over(Window.partitionBy("source")))
+      val p = c.select("source", "tw").distinct()
+        .crossJoin(spark_j(s))
+        .select(col("source"), col("j"),
+          expr("((2 * j + 1) * tw) div 10").as("pos"))
+      p.join(c, Seq("source"))
+        .filter(col("pos") >= col("cum") && col("pos") < col("cum") + col("w"))
+        .select(col("source"), col("j"), col("doc_id"), col("w"))
+        .orderBy("source", "j")
+    },
+
+    // Shard-assignment STABILITY audit: when the training-shard count
+    // grows 16 → 17, what fraction of documents move? Two
+    // content-addressed schemes over the same sha256 hash family:
+    // `mod` (shard = h % N — the naive choice, which reshuffles
+    // ~15/16 of the corpus on any resize, invalidating every cached
+    // shard) vs `rendezvous` (highest-random-weight: shard =
+    // argmax_s hash(doc, s) — only docs whose new shard 16 wins move,
+    // ~1/17). The table that justifies HRW for loader-shard layout
+    // before a resize ever happens. All hashing is the oracle-portable
+    // sha256 family; mod parses a 6-hex window with the shared
+    // ascii-arithmetic idiom; HRW's argmax compares full hex strings
+    // (lexicographic == numeric at fixed width) via max_by/arg_max.
+    QueryDef(
+      "q174_shard_stability", {
+        val hexWin = (0 until 6).map { i =>
+          val p = math.pow(16, 5 - i).toLong
+          s"CAST($p AS BIGINT) * (ascii(substr(h, ${i + 1}, 1)) - " +
+            s"(CASE WHEN ascii(substr(h, ${i + 1}, 1)) >= 97 " +
+            "THEN 87 ELSE 48 END))"
+        }.mkString("(", " + ", ")")
+        s"""WITH hm AS (SELECT doc_id,
+           |    sha256('shard-v1|' || CAST(doc_id AS VARCHAR)) AS h
+           |  FROM documents),
+           |hv AS (SELECT doc_id, $hexWin AS v FROM hm),
+           |mods AS (SELECT doc_id,
+           |    CAST(v % 16 <> v % 17 AS INTEGER) AS moved FROM hv),
+           |hw AS (SELECT d.doc_id, s.s,
+           |    sha256('hrw-v1|' || CAST(d.doc_id AS VARCHAR) || '|'
+           |      || CAST(s.s AS VARCHAR)) AS hs
+           |  FROM documents d, (SELECT unnest(range(0, 17)) AS s) s),
+           |hrw AS (SELECT doc_id,
+           |    CAST(arg_max(CASE WHEN s < 16 THEN s END,
+           |        CASE WHEN s < 16 THEN hs END)
+           |      <> arg_max(s, hs) AS INTEGER) AS moved
+           |  FROM hw GROUP BY doc_id),
+           |u AS (SELECT 'mod' AS scheme, * FROM mods
+           |  UNION ALL SELECT 'rendezvous', * FROM hrw)
+           |SELECT scheme, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(moved) AS BIGINT) AS n_moved,
+           |  floor(sum(moved) / CAST(count(*) AS DOUBLE) * 1000000)
+           |    / 1000000.0 AS moved_frac
+           |FROM u GROUP BY scheme ORDER BY scheme""".stripMargin
+      }) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val hv = docs.select(col("doc_id"),
+        expr("conv(substr(sha2(concat('shard-v1|', " +
+          "cast(doc_id as string)), 256), 1, 6), 16, 10)")
+          .cast("long").as("v"))
+      val mods = hv.select(col("doc_id"),
+        (col("v") % 16 =!= col("v") % 17).cast("int").as("moved"))
+      val hw = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(16))).as("s"))
+        .select(col("doc_id"), col("s"),
+          sha2(concat(lit("hrw-v1|"), col("doc_id").cast("string"),
+            lit("|"), col("s").cast("string")), 256).as("hs"))
+      val hrw = hw.groupBy("doc_id").agg(
+        (max_by(when(col("s") < 16, col("s")),
+          when(col("s") < 16, col("hs"))) =!= max_by(col("s"), col("hs")))
+          .cast("int").as("moved"))
+      mods.select(lit("mod").as("scheme"), col("doc_id"), col("moved"))
+        .unionByName(hrw.select(lit("rendezvous").as("scheme"),
+          col("doc_id"), col("moved")))
+        .groupBy("scheme")
+        .agg(count(lit(1)).as("n_docs"), sum("moved").as("n_moved"),
+          (floor(sum("moved") / count(lit(1)).cast("double") * 1000000)
+            / 1000000.0).as("moved_frac"))
+        .orderBy("scheme")
     })
+
+  /** The 0..4 systematic-position spine for q173. */
+  private def spark_j(
+      s: org.apache.spark.sql.SparkSession): DataFrame = {
+    import s.implicits._
+    (0L until 5L).toDF("j")
+  }
 
   /** q113 build over arbitrary bench (b_id, b_text) / corpus (c_id,
     * c_text) frames: exact char-8-gram prefix prefilter + verbatim

@@ -277,5 +277,68 @@ object ProfileOps {
         .unionByName(one("lineitem", "l_partkey"))
         .unionByName(one("orders", "o_custkey"))
         .orderBy("join_key")
+    },
+
+    // Cross-modal feature-correlation audit: per source, the EXACT
+    // Pearson correlation between document length (n_chars) and
+    // embedding L2 norm — the sanity check that catches degenerate
+    // embedding runs (truncation artifacts make r spike toward 1;
+    // collapsed/constant embeddings drive the norm variance to 0). The
+    // trick that makes it hash-checkable: Pearson r is scale-invariant,
+    // so the norm floor-scales to a ×1e6 INTEGER and every moment
+    // (Σx, Σy, Σx², Σy², Σxy) accumulates exactly in integers/decimals
+    // — the only float ops are the final textbook formula, identical
+    // IEEE steps in both engines, floor-scaled at the boundary. One
+    // joined scan, one per-source aggregate; no corpus-sized shuffle
+    // beyond the (doc ⋈ vec) co-key join.
+    QueryDef(
+      "q172_modal_correlation",
+      """WITH y AS (SELECT vec_id,
+        |    CAST(floor(sqrt(list_sum(list_transform(
+        |      embedding::DOUBLE[], x -> x * x))) * 1000000.0) AS BIGINT)
+        |      AS y6
+        |  FROM embeddings),
+        |j AS (SELECT d.source, CAST(d.n_chars AS BIGINT) AS x, y.y6
+        |  FROM documents d JOIN y ON y.vec_id = d.doc_id),
+        |m AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(y6) AS BIGINT) AS sy,
+        |    sum(x * x) AS sxx, sum(y6 * y6) AS syy, sum(x * y6) AS sxy
+        |  FROM j GROUP BY source)
+        |SELECT source, n,
+        |  CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+        |      (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN 0.0
+        |    ELSE floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      * 1000000) / 1000000.0 END AS r_len_norm
+        |FROM m ORDER BY source""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val y = Tables(s, dir, "embeddings").select(col("vec_id"),
+        floor(expr("sqrt(vec_dot(embedding, embedding))") * 1000000.0)
+          .as("y6"))
+      val j = Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          col("n_chars").cast("long").as("x"))
+        .join(y, col("vec_id") === col("doc_id"))
+      val m = j.groupBy("source").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y6").as("sy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sxx"),
+        sum((col("y6") * col("y6")).cast(DecimalType(38, 0))).as("syy"),
+        sum((col("x") * col("y6")).cast(DecimalType(38, 0))).as("sxy"))
+      def d(c: Column) = c.cast("double")
+      val vx = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+      val vy = d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))
+      val num = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+      m.select(col("source"), col("n"),
+          when(vx * vy === 0, lit(0.0))
+            .otherwise(floor(num / (sqrt(vx) * sqrt(vy)) * 1000000)
+              / 1000000.0).as("r_len_norm"))
+        .orderBy("source")
     })
 }
