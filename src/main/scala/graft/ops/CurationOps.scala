@@ -1219,6 +1219,89 @@ object CurationOps {
         .groupBy("phrase", "doc_id")
         .agg(count(lit(1)).as("n_occ"))
         .orderBy("phrase", "doc_id")
+    },
+
+    // EXACT AUC of a classifier score at corpus scale — the
+    // Mann-Whitney formulation with tie correction, evaluated here for
+    // the q34 stopword-count heuristic as an English detector (score =
+    // en_hits, label = lang 'en'). AUC·2·n₊·n₋ = Σ_s (2·n₊(s)·n₋(<s)
+    // + n₊(s)·n₋(s)) over the SCORE-GROUPED frame: one aggregate to
+    // (score, n_pos, n_neg), one running window over distinct scores,
+    // one fold — never a pairwise join, never a global sort of rows
+    // (only of distinct score values), and every term is an INTEGER, so
+    // the heavily-tied integer score exercises exactly the tie
+    // machinery sklearn users forget. One float division at the end,
+    // floor-scaled. (On this synthetic corpus every lang draws from the
+    // same vocabulary, so the measured AUC ≈ 0.506 — the eval op doing
+    // its job: q34's heuristic is near-chance here, consistent with
+    // q79's confusion audit.)
+    QueryDef(
+      "q175_exact_auc",
+      """WITH sc AS (SELECT
+        |    len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the','a','of'))) AS s,
+        |    CAST(lang = 'en' AS INTEGER) AS y
+        |  FROM documents),
+        |g AS (SELECT s, CAST(sum(y) AS BIGINT) AS np,
+        |    CAST(sum(1 - y) AS BIGINT) AS nn
+        |  FROM sc GROUP BY s),
+        |c AS (SELECT s, np, nn,
+        |    COALESCE(SUM(nn) OVER (ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS nlt
+        |  FROM g),
+        |t AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+        |    CAST(sum(nn) AS BIGINT) AS n_neg,
+        |    CAST(sum(2 * np * nlt + np * nn) AS BIGINT) AS auc2
+        |  FROM c)
+        |SELECT n_pos, n_neg,
+        |  floor(auc2 / (2.0 * n_pos * n_neg) * 1000000) / 1000000.0
+        |    AS auc
+        |FROM t""".stripMargin) { (s, dir) =>
+      val sc = Tables(s, dir, "documents").select(
+        expr("size(filter(split(text, ' '), " +
+          "w -> w in ('the','a','of')))").as("s"),
+        (col("lang") === "en").cast("int").as("y"))
+      val g = sc.groupBy("s").agg(sum("y").as("np"),
+        sum(lit(1) - col("y")).as("nn"))
+      val w = Window.orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("nlt", coalesce(sum("nn").over(w), lit(0L)))
+        .agg(sum("np").as("n_pos"), sum("nn").as("n_neg"),
+          sum(lit(2) * col("np") * col("nlt") + col("np") * col("nn"))
+            .as("auc2"))
+        .select(col("n_pos"), col("n_neg"),
+          (floor(col("auc2") / (lit(2.0) * col("n_pos") * col("n_neg"))
+            * 1000000) / 1000000.0).as("auc"))
+    },
+
+    // Reliability table for the same integer score: per score value,
+    // how many docs and what fraction are actually English — the
+    // calibration read that tells a curator where to put the q34
+    // threshold (and whether the score is monotone in practice). Exact
+    // integer counts; the fraction is one floor-scaled division per
+    // score value.
+    QueryDef(
+      "q176_score_reliability",
+      """WITH sc AS (SELECT
+        |    CAST(len(list_filter(string_split(text,' '),
+        |      w -> w IN ('the','a','of'))) AS INTEGER) AS s,
+        |    CAST(lang = 'en' AS INTEGER) AS y
+        |  FROM documents)
+        |SELECT s, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_en,
+        |  floor(sum(y) / CAST(count(*) AS DOUBLE) * 1000000)
+        |    / 1000000.0 AS frac_en
+        |FROM sc GROUP BY s ORDER BY s""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents").select(
+        expr("size(filter(split(text, ' '), " +
+          "w -> w in ('the','a','of')))").cast("int").as("s"),
+        (col("lang") === "en").cast("int").as("y"))
+        .groupBy("s")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_en"),
+          (floor(sum("y") / count(lit(1)).cast("double") * 1000000)
+            / 1000000.0).as("frac_en"))
+        .orderBy("s")
     })
 
   /** q109's trained artifact: the (word → log importance weight) table,
