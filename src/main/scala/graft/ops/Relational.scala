@@ -767,5 +767,35 @@ object Relational {
         .agg(count(lit(1)).as("n"), sum(col("k").cast("long")).as("sum_k"),
           max(col("k")).as("max_k"))
         .orderBy("event_type")
+    },
+
+    // Top-3 orders per customer through the CUSTOM PHYSICAL OPERATOR
+    // ([[graft.plans.TopKPerKey]]: logical node → strategy → two-phase
+    // bounded-heap exec) — the full custom-plan tier of the extension
+    // ladder, exercised on the oracle surface. The row_number window
+    // form (which the DuckDB oracle runs) sorts EVERY order of every
+    // customer behind the exchange; the operator's partial phase
+    // reduces each input partition to ≤ 3 rows per locally-seen
+    // customer BEFORE the shuffle, hash-aggregate-shaped. Result sets
+    // are identical because the caller supplies a total order
+    // (totalprice DESC, orderkey ASC); TopKPerKeySpec pins row-set
+    // identity, the two-phase plan shape, and k-boundary ties.
+    QueryDef(
+      "q177_topk_operator",
+      """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice
+        |FROM r WHERE rn <= 3
+        |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (s, dir) =>
+      graft.plans.TopKPerKey(
+        Tables(s, dir, "orders")
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+        "o_custkey",
+        Seq(("o_totalprice", true), ("o_orderkey", false)), 3)
+        .orderBy(col("o_custkey"), col("o_totalprice").desc,
+          col("o_orderkey"))
     })
 }

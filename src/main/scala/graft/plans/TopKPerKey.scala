@@ -1,0 +1,125 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute,
+  Descending, Expression, RowOrdering, SortOrder, UnsafeProjection,
+  UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution,
+  Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
+  UnaryExecNode}
+
+/** TOP-K PER KEY as a first-class physical operator — the full custom-
+  * operator ladder (logical node → strategy → exec) for the one query
+  * shape Spark's built-ins only serve sort-first: `row_number() OVER
+  * (PARTITION BY key ORDER BY ...) <= k` SORTS EVERY ROW of every key
+  * behind the exchange before discarding all but k. This operator keeps
+  * a bounded heap per key instead, in two phases shaped exactly like a
+  * hash aggregate:
+  *
+  *   - PARTIAL (map-side, no distribution requirement): each input
+  *     partition reduces to ≤ k rows per locally-seen key, so the
+  *     exchange moves at most `k · keys · partitions` rows — at 100 TB
+  *     with k = 3, the shuffle shrinks by orders of magnitude versus
+  *     sorting the corpus;
+  *   - FINAL (requires [[ClusteredDistribution]] on the key — Catalyst
+  *     inserts the exchange): the same bounded-heap pass over the
+  *     partial survivors yields the exact global top-k per key, because
+  *     every globally-top-k row is locally-top-k in its partition.
+  *
+  * Exactness at the k boundary comes from the caller supplying a
+  * TOTAL order (tie-break columns), same contract as the window form.
+  * Memory is O(keys-per-partition · k) rows — the hash-aggregate
+  * shape; a production build would add spilling exactly as hash
+  * aggregates do.
+  */
+case class TopKPerKeyNode(key: Expression, ordering: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(c: LogicalPlan)
+      : TopKPerKeyNode = copy(child = c)
+}
+
+/** Plans [[TopKPerKeyNode]] as FINAL-over-PARTIAL [[TopKPerKeyExec]]. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(key, ord, k, child) =>
+      TopKPerKeyExec(key, ord, k, isFinal = true,
+        TopKPerKeyExec(key, ord, k, isFinal = false,
+          planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
+    k: Int, isFinal: Boolean, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (isFinal) ClusteredDistribution(Seq(key)) :: Nil
+    else UnspecifiedDistribution :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyE = key
+    val ords = ordering
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions ({ iter =>
+      val keyProj = UnsafeProjection.create(Seq(keyE), childOutput)
+      // "smaller" = earlier in the requested order; top-k = first k
+      val rowOrd: Ordering[InternalRow] =
+        RowOrdering.create(ords, childOutput)
+      // per key: max-heap of the kept rows so the WORST kept row is at
+      // the head — O(log k) replace when a better row arrives
+      val heaps =
+        mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (rowOrd.compare(row, heap.head) < 0) {
+          heap.dequeue(); heap.enqueue(row.copy())
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(c: SparkPlan)
+      : TopKPerKeyExec = copy(child = c)
+}
+
+object TopKPerKey {
+
+  /** Exact top-k rows per key of `df`, ordered by `orderCols`
+    * ((name, descending) — supply tie-breakers for a total order).
+    * Output row set equals the `row_number() <= k` window form; the
+    * plan does not.
+    */
+  def apply(df: DataFrame, keyCol: String,
+      orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    register(spark)
+    val lp = df.queryExecution.analyzed
+    def attr(n: String): Attribute = lp.output.find(_.name == n)
+      .getOrElse(throw new IllegalArgumentException(
+        s"column $n not in ${lp.output.map(_.name)}"))
+    val ords = orderCols.map { case (c, desc) =>
+      SortOrder(attr(c), if (desc) Descending else Ascending)
+    }
+    org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+      TopKPerKeyNode(attr(keyCol), ords, k, lp))
+  }
+
+  /** Idempotently install [[TopKStrategy]] on a live session. */
+  def register(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKStrategy
+}

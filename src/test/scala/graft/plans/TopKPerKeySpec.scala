@@ -1,0 +1,87 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Contract of the custom top-k-per-key physical operator: row-set
+  * identity with the row_number window form (including k-boundary
+  * ties under the supplied total order), the FINAL-over-exchange-over-
+  * PARTIAL plan shape, and degenerate inputs.
+  */
+class TopKPerKeySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def windowForm(df: org.apache.spark.sql.DataFrame,
+      k: Int): Set[(Long, Long, Double)] = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("rn", row_number().over(Window.partitionBy("k")
+        .orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+  }
+
+  private def opForm(df: org.apache.spark.sql.DataFrame,
+      k: Int): Set[(Long, Long, Double)] =
+    TopKPerKey(df, "k", Seq(("v", true), ("id", false)), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+
+  test("row-set identity with the window form, including k-boundary " +
+      "ties resolved by the total order") {
+    // key 1: distinct values; key 2: ALL-TIED values (boundary entirely
+    // decided by the id tie-break); key 3: fewer rows than k
+    val df = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 4.0), (1L, 12L, 3.0), (1L, 13L, 2.0),
+      (2L, 20L, 7.0), (2L, 21L, 7.0), (2L, 22L, 7.0), (2L, 23L, 7.0),
+      (3L, 30L, 1.0)
+    ).toDF("k", "id", "v")
+    for (k <- Seq(1, 2, 3, 10)) {
+      assert(opForm(df, k) == windowForm(df, k), s"diverged at k=$k")
+    }
+    // the all-tied key keeps the LOWEST ids (id ascending tie-break)
+    assert(opForm(df, 2).filter(_._1 == 2L).map(_._2) == Set(20L, 21L))
+  }
+
+  test("identity on real data across a repartition (partial phase sees " +
+      "keys split over many partitions)") {
+    val orders = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+        "orders")
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("id"),
+        col("o_totalprice").as("v"))
+      .repartition(13)
+    assert(opForm(orders, 3) == windowForm(orders, 3))
+  }
+
+  test("plan shape: FINAL over exchange over PARTIAL — the map-side " +
+      "phase runs before the shuffle") {
+    val df = spark.range(100)
+      .select((col("id") % 7).as("k"), col("id").as("id"),
+        (col("id") * 1.0).as("v"))
+    val out = TopKPerKey(df, "k", Seq(("v", true), ("id", false)), 2)
+    out.collect()
+    def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        q +: collectNodes(q.plan)
+      case _ => p +: p.children.flatMap(collectNodes)
+    }
+    val nodes = collectNodes(out.queryExecution.executedPlan)
+    val topks = nodes.collect { case t: TopKPerKeyExec => t }
+    assert(topks.map(_.isFinal).sorted == Seq(false, true),
+      s"expected partial+final TopKPerKeyExec, got $topks")
+    // an exchange sits between final and partial
+    val finalIdx = nodes.indexWhere {
+      case t: TopKPerKeyExec => t.isFinal; case _ => false
+    }
+    val exchangeBelowFinal = nodes.drop(finalIdx).exists {
+      case _: ShuffleExchangeLike => true; case _ => false
+    }
+    assert(exchangeBelowFinal, "no exchange between final and partial")
+  }
+}
