@@ -772,14 +772,14 @@ object Relational {
     // Top-3 orders per customer through the CUSTOM PHYSICAL OPERATOR
     // ([[graft.plans.TopKPerKey]]: logical node → strategy → two-phase
     // bounded-heap exec) — the full custom-plan tier of the extension
-    // ladder, exercised on the oracle surface. The row_number window
-    // form (which the DuckDB oracle runs) sorts EVERY order of every
-    // customer behind the exchange; the operator's partial phase
-    // reduces each input partition to ≤ 3 rows per locally-seen
-    // customer BEFORE the shuffle, hash-aggregate-shaped. Result sets
-    // are identical because the caller supplies a total order
-    // (totalprice DESC, orderkey ASC); TopKPerKeySpec pins row-set
-    // identity, the two-phase plan shape, and k-boundary ties.
+    // ladder, exercised on the oracle surface. Spark 4's built-in
+    // WindowGroupLimit rewrite already bounds the rank-filter window
+    // form's shuffle, but both its phases still FULLY SORT their input
+    // partitions below the limit; the custom operator replaces the
+    // sorts with bounded per-key heaps (O(n log k), no sort buffer).
+    // Result sets are identical because the caller supplies a total
+    // order (totalprice DESC, orderkey ASC); TopKPerKeySpec pins
+    // row-set identity, the two-phase plan shape, and k-boundary ties.
     QueryDef(
       "q177_topk_operator",
       """WITH r AS (SELECT o_custkey, o_orderkey, o_totalprice,

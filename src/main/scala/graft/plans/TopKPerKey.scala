@@ -15,18 +15,21 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
   UnaryExecNode}
 
 /** TOP-K PER KEY as a first-class physical operator — the full custom-
-  * operator ladder (logical node → strategy → exec) for the one query
-  * shape Spark's built-ins only serve sort-first: `row_number() OVER
-  * (PARTITION BY key ORDER BY ...) <= k` SORTS EVERY ROW of every key
-  * behind the exchange before discarding all but k. This operator keeps
-  * a bounded heap per key instead, in two phases shaped exactly like a
-  * hash aggregate:
+  * operator ladder (logical node → strategy → exec). Spark 4's own
+  * `InferWindowGroupLimit` already rewrites `row_number() <= k` into
+  * Partial/Final `WindowGroupLimit`s around the exchange — so the
+  * SHUFFLE volume is no longer the differentiator — but both of its
+  * phases still run a FULL SORT of their input partition below the
+  * limit (O(n log n) compares + a sort buffer over every input row,
+  * verified on the executed plan). This operator is the hash-shaped
+  * alternative: a bounded heap per key, never a sort —
+  * O(n log k) compares, memory O(keys · k) rows — in two phases shaped
+  * exactly like a hash aggregate:
   *
   *   - PARTIAL (map-side, no distribution requirement): each input
-  *     partition reduces to ≤ k rows per locally-seen key, so the
-  *     exchange moves at most `k · keys · partitions` rows — at 100 TB
-  *     with k = 3, the shuffle shrinks by orders of magnitude versus
-  *     sorting the corpus;
+  *     partition reduces to ≤ k rows per locally-seen key WITHOUT
+  *     sorting it, so the exchange moves at most `k · keys ·
+  *     partitions` rows;
   *   - FINAL (requires [[ClusteredDistribution]] on the key — Catalyst
   *     inserts the exchange): the same bounded-heap pass over the
   *     partial survivors yields the exact global top-k per key, because
