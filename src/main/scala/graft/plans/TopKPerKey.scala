@@ -49,6 +49,30 @@ case class TopKPerKeyNode(key: Expression, ordering: Seq[SortOrder],
       : TopKPerKeyNode = copy(child = c)
 }
 
+/** The custom node BLOCKS Catalyst's own predicate pushdown (the
+  * optimizer cannot reason about plans it does not know), so without
+  * help a key-filter above top-k-per-key reads the whole table. This
+  * [[org.apache.spark.sql.catalyst.rules.Rule]] restores it for the one
+  * case where commuting is sound: a predicate over ONLY the key column
+  * selects whole groups, and per-key top-k of the selected groups
+  * equals selecting groups from the per-key top-k — so the filter sinks
+  * below the node and from there Catalyst pushes it all the way into
+  * the scan (`PushedFilters`, asserted in TopKPerKeySpec). A predicate
+  * touching any non-key column must NOT sink: it would change which
+  * rows compete for the k slots.
+  */
+object TopKPushdown
+  extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, t: TopKPerKeyNode)
+        if cond.references.nonEmpty &&
+          cond.references.subsetOf(t.key.references) &&
+          cond.deterministic =>
+      t.copy(child = Filter(cond, t.child))
+  }
+}
+
 /** Plans [[TopKPerKeyNode]] as FINAL-over-PARTIAL [[TopKPerKeyExec]]. */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -120,9 +144,15 @@ object TopKPerKey {
       TopKPerKeyNode(attr(keyCol), ords, k, lp))
   }
 
-  /** Idempotently install [[TopKStrategy]] on a live session. */
-  def register(spark: SparkSession): Unit =
+  /** Idempotently install [[TopKStrategy]] + [[TopKPushdown]] on a
+    * live session.
+    */
+  def register(spark: SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(TopKStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ TopKStrategy
+    if (!spark.experimental.extraOptimizations.contains(TopKPushdown))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ TopKPushdown
+  }
 }

@@ -84,4 +84,39 @@ class TopKPerKeySpec extends SparkSpec {
     }
     assert(exchangeBelowFinal, "no exchange between final and partial")
   }
+
+  test("TopKPushdown rule: a key-only predicate sinks through the " +
+      "custom node into the scan's PushedFilters; a value predicate " +
+      "must not") {
+    val orders = graft.engine.Tables(spark, "/root/testdata/sf0.001",
+        "orders")
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("id"),
+        col("o_totalprice").as("v"))
+    def pushedFilters(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      "PushedFilters: \\[[^\\]]*\\]".r
+        .findAllIn(df.queryExecution.executedPlan.toString).mkString(" ")
+    }
+    val keyFiltered = TopKPerKey(orders, "k",
+      Seq(("v", true), ("id", false)), 3).filter(col("k") < 100)
+    val pf = pushedFilters(keyFiltered)
+    assert(pf.contains("LessThan(o_custkey,100)"),
+      s"key predicate not pushed into the scan: $pf")
+    // and the pushed plan returns exactly the window form's answer
+    val expect = windowForm(orders, 3).filter(_._1 < 100)
+    val got = keyFiltered.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expect)
+    // a VALUE predicate would change who competes for the k slots —
+    // it must stay above the node (no totalprice filter in the scan)
+    val valFiltered = TopKPerKey(orders, "k",
+      Seq(("v", true), ("id", false)), 3).filter(col("v") > 1000.0)
+    val pfv = pushedFilters(valFiltered)
+    assert(!pfv.contains("o_totalprice"),
+      s"value predicate unsoundly pushed below top-k: $pfv")
+    val expectV = windowForm(orders, 3).filter(_._3 > 1000.0)
+    val gotV = valFiltered.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(gotV == expectV)
+  }
 }
