@@ -340,5 +340,120 @@ object ProfileOps {
             .otherwise(floor(num / (sqrt(vx) * sqrt(vy)) * 1000000)
               / 1000000.0).as("r_len_norm"))
         .orderBy("source")
+    },
+
+    // Referential-integrity audit across the warehouse's FK edges —
+    // the constraint class q157's single-table checks can't see. Each
+    // edge is ONE left-anti join (child's distinct keys vs parent's
+    // key set — at 100 TB the anti-join over distinct keys is the only
+    // shape that doesn't rebuild the join), reporting distinct child
+    // keys, orphaned keys, orphaned child ROWS, and the verdict.
+    QueryDef(
+      "q178_referential_integrity", {
+        def one(edge: String, child: String, ck: String, parent: String,
+            pk: String): String =
+          s"""SELECT '$edge' AS fk_edge,
+             |  (SELECT CAST(count(DISTINCT $ck) AS BIGINT)
+             |   FROM $child WHERE $ck IS NOT NULL) AS n_child_keys,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM (
+             |     SELECT DISTINCT $ck FROM $child
+             |     WHERE $ck IS NOT NULL) c
+             |   WHERE NOT EXISTS (SELECT 1 FROM $parent p
+             |     WHERE p.$pk = c.$ck)) AS n_orphan_keys,
+             |  (SELECT CAST(count(*) AS BIGINT) FROM $child c
+             |   WHERE $ck IS NOT NULL AND NOT EXISTS (
+             |     SELECT 1 FROM $parent p WHERE p.$pk = c.$ck))
+             |    AS n_orphan_rows,
+             |  (SELECT count(*) FROM $child c
+             |   WHERE $ck IS NOT NULL AND NOT EXISTS (
+             |     SELECT 1 FROM $parent p WHERE p.$pk = c.$ck)) = 0
+             |    AS intact""".stripMargin
+        Seq(
+          one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+            "orders", "o_orderkey"),
+          one("lineitem.l_partkey->part", "lineitem", "l_partkey",
+            "part", "p_partkey"),
+          one("orders.o_custkey->customer", "orders", "o_custkey",
+            "customer", "c_custkey"),
+          one("customer.c_nationkey->nation", "customer", "c_nationkey",
+            "nation", "n_nationkey"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) u ORDER BY fk_edge")
+      }) { (s, dir) =>
+      def one(edge: String, child: String, ck: String, parent: String,
+          pk: String): DataFrame = {
+        val c = Tables(s, dir, child).filter(col(ck).isNotNull)
+          .select(col(ck))
+        val p = Tables(s, dir, parent).select(col(pk))
+        val orphanRows = c.join(p, c(ck) === p(pk), "left_anti")
+        val orphanKeys = orphanRows.distinct()
+        val keys = c.distinct()
+        keys.agg(count(lit(1)).as("n_child_keys"))
+          .crossJoin(orphanKeys.agg(count(lit(1)).as("n_orphan_keys")))
+          .crossJoin(orphanRows.agg(count(lit(1)).as("n_orphan_rows")))
+          .select(lit(edge).as("fk_edge"), col("n_child_keys"),
+            col("n_orphan_keys"), col("n_orphan_rows"),
+            (col("n_orphan_rows") === 0).as("intact"))
+      }
+      one("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+        "orders", "o_orderkey")
+        .unionByName(one("lineitem.l_partkey->part", "lineitem",
+          "l_partkey", "part", "p_partkey"))
+        .unionByName(one("orders.o_custkey->customer", "orders",
+          "o_custkey", "customer", "c_custkey"))
+        .unionByName(one("customer.c_nationkey->nation", "customer",
+          "c_nationkey", "nation", "n_nationkey"))
+        .orderBy("fk_edge")
+    },
+
+    // Functional-dependency CHECK (the Deequ/Metanome profiling
+    // question "does A determine B?"): per candidate pair, the number
+    // of A-groups, the groups carrying more than one distinct B (the
+    // violations), and the verdict. One (A → distinct-B-count)
+    // aggregate per pair — map-side combined, never a self-join.
+    // Candidates mix true FDs (order determines its customer and date
+    // through the join) with false ones (an order has many parts).
+    QueryDef(
+      "q179_fd_check", {
+        def one(fd: String, rel: String, a: String, b: String): String =
+          s"""SELECT '$fd' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+             |  CAST(sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_violations,
+             |  sum(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS holds
+             |FROM (SELECT $a, count(DISTINCT $b) AS nb FROM $rel
+             |  GROUP BY $a) g""".stripMargin
+        val joined = "(SELECT l_orderkey, l_partkey, l_suppkey, " +
+          "o_custkey, o_orderdate FROM lineitem " +
+          "JOIN orders ON o_orderkey = l_orderkey)"
+        Seq(
+          one("l_orderkey->o_custkey", joined, "l_orderkey", "o_custkey"),
+          one("l_orderkey->o_orderdate", joined, "l_orderkey",
+            "o_orderdate"),
+          one("l_orderkey->l_partkey", joined, "l_orderkey", "l_partkey"),
+          one("l_partkey->l_suppkey", joined, "l_partkey", "l_suppkey"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+            "\n) u ORDER BY fd")
+      }) { (s, dir) =>
+      val joined = Tables(s, dir, "lineitem")
+        .join(Tables(s, dir, "orders"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select("l_orderkey", "l_partkey", "l_suppkey", "o_custkey",
+          "o_orderdate")
+      def one(fd: String, a: String, b: String): DataFrame =
+        joined.groupBy(col(a))
+          .agg(count_distinct(col(b)).as("nb"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("nb") > 1, 1L).otherwise(0L))
+              .as("n_violations"))
+          .select(lit(fd).as("fd"), col("n_groups"),
+            col("n_violations"), (col("n_violations") === 0).as("holds"))
+      one("l_orderkey->o_custkey", "l_orderkey", "o_custkey")
+        .unionByName(one("l_orderkey->o_orderdate", "l_orderkey",
+          "o_orderdate"))
+        .unionByName(one("l_orderkey->l_partkey", "l_orderkey",
+          "l_partkey"))
+        .unionByName(one("l_partkey->l_suppkey", "l_partkey",
+          "l_suppkey"))
+        .orderBy("fd")
     })
 }
