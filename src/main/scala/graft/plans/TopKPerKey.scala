@@ -131,6 +131,8 @@ object TopKPerKey {
     */
   def apply(df: DataFrame, keyCol: String,
       orderCols: Seq[(String, Boolean)], k: Int): DataFrame = {
+    require(k > 0, s"top-k needs k > 0, got $k")
+    require(orderCols.nonEmpty, "top-k needs at least one order column")
     val spark = df.sparkSession
     register(spark)
     val lp = df.queryExecution.analyzed
