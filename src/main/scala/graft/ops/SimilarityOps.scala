@@ -1076,6 +1076,64 @@ object SimilarityOps {
       pcaComponents(s, dir, iters = 8).orderBy("component", "dim_i")
     },
 
+    // Source-similarity MATRIX in embedding space — which sources are
+    // redundant before the mix planner weighs them: per-source centroid
+    // (decimal-exact per-dim means, the q55 discipline, floor-scaled to
+    // ×1e6 integers) and the pairwise cosine of centroids over the
+    // sources² pair space (190 pairs — metadata-sized, the whole point
+    // of comparing CENTROIDS instead of documents). Dots and norms are
+    // exact integer sums; one IEEE divide+sqrt pair at the boundary,
+    // floor-scaled. The corpus is touched once for the centroid
+    // aggregate.
+    QueryDef(
+      "q180_source_similarity",
+      """WITH e AS (SELECT d.source, CAST(u.i AS INTEGER) AS i,
+        |    em.embedding::DOUBLE[] AS v
+        |  FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id,
+        |  LATERAL unnest(range(0, 64)) AS u(i)),
+        |x AS (SELECT source, i, v[i + 1] AS xi FROM e),
+        |c AS (SELECT source, i,
+        |    CAST(floor(CAST(SUM(CAST(xi AS DECIMAL(38,20))) AS DOUBLE)
+        |      / COUNT(*) * 1000000.0) AS BIGINT) AS m6
+        |  FROM x GROUP BY source, i),
+        |n AS (SELECT source, SUM(m6 * m6) AS nn FROM c GROUP BY source),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b,
+        |    SUM(a.m6 * b.m6) AS dot
+        |  FROM c a JOIN c b ON b.i = a.i AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT p.source_a, p.source_b,
+        |  floor(CAST(p.dot AS DOUBLE)
+        |    / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+        |    * 1000000) / 1000000.0 AS cos_sim
+        |FROM p JOIN n na ON na.source = p.source_a
+        |JOIN n nb ON nb.source = p.source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "embeddings")
+        .join(Tables(s, dir, "documents").select("doc_id", "source"),
+          col("doc_id") === col("vec_id"))
+        .select(col("source"), posexplode(col("embedding")))
+        .toDF("source", "i", "xf")
+        .select(col("source"), col("i"), col("xf").cast("double").as("xi"))
+      val c = x.groupBy("source", "i").agg(
+        floor(sum(col("xi").cast(DecimalType(38, 20))).cast("double")
+          / count(lit(1)) * 1000000.0).as("m6"))
+      val n = c.groupBy("source")
+        .agg(sum(col("m6") * col("m6")).as("nn"))
+      val p = c.toDF("source_a", "i", "ma")
+        .join(c.toDF("source_b", "i", "mb"), "i")
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(sum(col("ma") * col("mb")).as("dot"))
+      p.join(n.toDF("source_a", "na"), "source_a")
+        .join(n.toDF("source_b", "nb"), "source_b")
+        .select(col("source_a"), col("source_b"),
+          (floor(col("dot").cast("double")
+            / (sqrt(col("na").cast("double"))
+              * sqrt(col("nb").cast("double"))) * 1000000)
+            / 1000000.0).as("cos_sim"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Clustering-quality audit: SIMPLIFIED SILHOUETTE per cluster over
     // the q155 trained centroids — a = distance to own centroid, b =
     // distance to the nearest other centroid, s = (b−a)/max(a,b),
