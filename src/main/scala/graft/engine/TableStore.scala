@@ -950,10 +950,14 @@ final class ManifestTableStore(path: String,
     * by evolution, or pre-stats manifest lines) are conservatively kept.
     */
   def readWhere(spark: SparkSession, predicateSql: String): DataFrame = {
-    val dels = current(fs(spark))._2.filter(isDeleteEntry)
-    val (kept, _) = pruneDirs(spark, predicateSql)
+    // ONE manifest snapshot for both the prune and the delete set — two
+    // current() reads could straddle a concurrent commit and pair a new
+    // version's data dirs with an old version's delete files
+    val (_, lines) = current(fs(spark))
+    val (dels, datas) = lines.partition(isDeleteEntry)
+    val (kept, _) = pruneEntries(spark, predicateSql, datas)
     val base =
-      if (kept.isEmpty) read(spark) // all pruned: parquet footers skip rest
+      if (kept.isEmpty) readEntries(spark, lines) // footers skip the rest
       else applyDeletes(spark, kept
         .map(d => spark.read.option("mergeSchema", "true").parquet(d))
         .reduce(_.unionByName(_, allowMissingColumns = true)), dels)
