@@ -375,7 +375,10 @@ object EventOps {
     // shape: one (type, value) pre-aggregate (map-side combined), one
     // per-type-partitioned running-sum window over DISTINCT values (far
     // smaller than the event stream), one max — no all-pairs, no
-    // driver-side ECDFs.
+    // driver-side ECDFs. (Grouping is on the raw DOUBLE: fine for real
+    // measurements like these; a corpus carrying NaN/-0.0 keys would
+    // need a normalization step first, since engines may class them
+    // differently.)
     QueryDef(
       "q161_value_drift_ks",
       """WITH ev AS (SELECT event_type, value,

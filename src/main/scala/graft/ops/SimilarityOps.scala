@@ -1356,6 +1356,12 @@ object SimilarityOps {
   /** One distributed pass to the 64×64 integer Gram (covariance ×1e6):
     * centered long form floor-scaled to 8-dp integers, vec_id-keyed
     * self-join with map-side combine, collected as bounded metadata.
+    *
+    * Operating bound: a single centered product |c·c2| must fit int64
+    * before the decimal cast, i.e. |x − mean| < ~9.6 per coordinate at
+    * the 1e8 scale (embeddings here are unit-ish, |x| ≤ 0.6). Data with
+    * larger coordinates needs the scale dropped to 1e6 (bound ~960) —
+    * the sums themselves are exact at any scale via DECIMAL/HUGEINT.
     */
   private def pcaGram6(s: SparkSession,
       dir: String): Map[(Int, Int), Long] = {
