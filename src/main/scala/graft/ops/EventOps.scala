@@ -492,6 +492,86 @@ object EventOps {
         .agg(count(lit(1)).as("n"), max("med").as("median_v"),
           max("mad").as("mad_v"), sum("is_out").as("n_outliers"))
         .orderBy("event_type")
+    },
+
+    // Sequential-pattern support (sequence-mining tier): for every
+    // ORDERED event-type pair (a ≺ b), how many users did a strictly
+    // before ever doing b — the support table behind funnel discovery
+    // (q68 checks ONE fixed pattern; this surfaces which patterns are
+    // worth checking). Scale shape: the corpus collapses to one
+    // (user, type) → first-occurrence aggregate (map-side combined);
+    // the pair join runs on users × |types| rows against themselves
+    // PER USER — bounded by |types|² per user, never events². First
+    // occurrences make support well-defined under repeats (standard
+    // sequential-pattern semantics); ties at identical timestamps break
+    // by event_id, so "strictly before" is total.
+    QueryDef(
+      "q181_sequence_support",
+      """WITH f AS (SELECT user_id, event_type,
+        |    min(lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0') ||
+        |      lpad(CAST(event_id AS VARCHAR), 14, '0')) AS ord
+        |  FROM events GROUP BY user_id, event_type),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM f a JOIN f b ON b.user_id = a.user_id
+        |    AND a.event_type <> b.event_type AND a.ord < b.ord
+        |  GROUP BY a.event_type, b.event_type)
+        |SELECT type_a, type_b, n_users FROM p
+        |ORDER BY type_a, type_b""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          // fixed-width zero-padded (ts, id) key: lexicographic order ==
+          // numeric order, so min() picks the true first occurrence
+          concat(lpad(unix_micros(col("ts").cast("timestamp"))
+            .cast("string"), 20, "0"),
+            lpad(col("event_id").cast("string"), 14, "0")).as("o"))
+        .groupBy("user_id", "event_type")
+        .agg(min("o").as("ord"))
+      f.toDF("user_id", "type_a", "ord_a")
+        .join(f.toDF("user_id", "type_b", "ord_b"), "user_id")
+        .filter(col("type_a") =!= col("type_b") &&
+          col("ord_a") < col("ord_b"))
+        .groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("type_a", "type_b")
+    },
+
+    // First-order Markov transition matrix of user behavior: counts and
+    // probabilities of each consecutive event-type transition within a
+    // user's stream (ordered by event time, ties broken by event_id —
+    // a total order, so both engines pair identical neighbors). The
+    // behavioral model behind next-event prediction and anomaly scoring
+    // ("this session's transitions are improbable"). One lead window
+    // per user (single hash partition by user_id), one (from, to)
+    // aggregate; probabilities are exact counts divided once,
+    // floor-scaled.
+    QueryDef(
+      "q182_markov_transitions",
+      """WITH s AS (SELECT user_id, event_type AS t_from,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t_to
+        |  FROM events),
+        |c AS (SELECT t_from, t_to, CAST(count(*) AS BIGINT) AS n
+        |  FROM s WHERE t_to IS NOT NULL GROUP BY t_from, t_to),
+        |r AS (SELECT t_from, CAST(sum(n) AS BIGINT) AS row_n FROM c
+        |  GROUP BY t_from)
+        |SELECT c.t_from, c.t_to, c.n,
+        |  floor(c.n / CAST(r.row_n AS DOUBLE) * 1000000) / 1000000.0
+        |    AS p
+        |FROM c JOIN r ON r.t_from = c.t_from
+        |ORDER BY c.t_from, c.t_to""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val c = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("t_from"),
+          lead("event_type", 1).over(w).as("t_to"))
+        .filter(col("t_to").isNotNull)
+        .groupBy("t_from", "t_to").agg(count(lit(1)).as("n"))
+      val r = c.groupBy("t_from").agg(sum("n").as("row_n"))
+      c.join(broadcast(r), "t_from")
+        .select(col("t_from"), col("t_to"), col("n"),
+          (floor(col("n") / col("row_n").cast("double") * 1000000)
+            / 1000000.0).as("p"))
+        .orderBy("t_from", "t_to")
     })
 
   /** The dense 1..10 bin spine for the PSI grid. */
