@@ -572,6 +572,69 @@ object EventOps {
           (floor(col("n") / col("row_n").cast("double") * 1000000)
             / 1000000.0).as("p"))
         .orderBy("t_from", "t_to")
+    },
+
+    // Behavioral anomaly scoring under the q182 Markov model: each
+    // user's mean transition log-likelihood, flagged when it falls
+    // below the population's 5th percentile — "this user's event stream
+    // is improbable under how users behave", the sequence-level
+    // complement to q166's value-level outliers. Determinism: the
+    // model's probabilities are q182's floor-scaled values, log is one
+    // IEEE op on identical doubles, per-user sums go through the
+    // round-9/decimal discipline (double summation order is the enemy),
+    // and the flag threshold is an exact percentile floor-scaled. The
+    // model re-enters as a broadcast; scoring is one windowed pass +
+    // one join.
+    QueryDef(
+      "q183_markov_anomaly",
+      """WITH s AS (SELECT user_id, event_type AS t_from,
+        |    LEAD(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS t_to
+        |  FROM events),
+        |tr AS (SELECT user_id, t_from, t_to FROM s
+        |  WHERE t_to IS NOT NULL),
+        |c AS (SELECT t_from, t_to, count(*) AS n FROM tr
+        |  GROUP BY t_from, t_to),
+        |r AS (SELECT t_from, sum(n) AS row_n FROM c GROUP BY t_from),
+        |m AS (SELECT c.t_from, c.t_to,
+        |    floor(c.n / CAST(r.row_n AS DOUBLE) * 1000000) / 1000000.0
+        |      AS p
+        |  FROM c JOIN r ON r.t_from = c.t_from),
+        |u AS (SELECT tr.user_id, CAST(count(*) AS BIGINT) AS n_trans,
+        |    floor(CAST(SUM(CAST(round(ln(m.p), 9) AS DECIMAL(28,9)))
+        |      AS DOUBLE) / count(*) * 1000000) / 1000000.0
+        |      AS mean_loglik
+        |  FROM tr JOIN m ON m.t_from = tr.t_from AND m.t_to = tr.t_to
+        |  GROUP BY tr.user_id),
+        |thr AS (SELECT floor(quantile_cont(mean_loglik, 0.05)
+        |    * 1000000) / 1000000.0 AS p05 FROM u)
+        |SELECT u.user_id, u.n_trans, u.mean_loglik,
+        |  u.mean_loglik < thr.p05 AS anomalous
+        |FROM u, thr ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val tr = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("t_from"),
+          lead("event_type", 1).over(w).as("t_to"))
+        .filter(col("t_to").isNotNull)
+      val c = tr.groupBy("t_from", "t_to").agg(count(lit(1)).as("n"))
+      val r = c.groupBy("t_from").agg(sum("n").as("row_n"))
+      val m = c.join(r, "t_from")
+        .select(col("t_from"), col("t_to"),
+          (floor(col("n") / col("row_n").cast("double") * 1000000)
+            / 1000000.0).as("p"))
+      val u = tr.join(broadcast(m), Seq("t_from", "t_to"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_trans"),
+          (floor(sum(round(log(col("p")), 9).cast(DecimalType(28, 9)))
+            .cast("double") / count(lit(1)) * 1000000) / 1000000.0)
+            .as("mean_loglik"))
+      val thr = u.agg(
+        (floor(expr("percentile(mean_loglik, 0.05)") * 1000000)
+          / 1000000.0).as("p05"))
+      u.crossJoin(broadcast(thr))
+        .select(col("user_id"), col("n_trans"), col("mean_loglik"),
+          (col("mean_loglik") < col("p05")).as("anomalous"))
+        .orderBy("user_id")
     })
 
   /** The dense 1..10 bin spine for the PSI grid. */

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -26,6 +26,37 @@ object StoreOps {
 
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** The q162/q184 shared store with the delete-then-restore history:
+    * versions 1-4 = date-batched appends, 5 = CoW delete of 1998+,
+    * 6 = metadata-only restore to version 2. Each append gates on the
+    * exact version it produces: after the restore, current entries are
+    * version 2's (batches 0-1 only), so the append-replay refusal alone
+    * would RE-append batches 2-3 on the next invocation — the one
+    * builder where id-based idempotence is not enough.
+    */
+  private def restoreStore(s: SparkSession,
+      dir: String): ManifestTableStore = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_restore", dir),
+      statsColumns = Seq("o_orderdate"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+      3L -> !upTo("2000-01-01")
+    ).zipWithIndex.foreach { case ((id, pred), i) =>
+      if (store.currentVersion(s) == i.toLong)
+        store.append(orders.filter(pred), id)
+    }
+    if (store.currentVersion(s) == 4L)
+      store.delete(s, "o_orderdate >= '1998-01-01 00:00:00'")
+    if (store.currentVersion(s) == 5L)
+      store.restore(s, 2L)
+    store
+  }
 
   /** The seeded store: `orders` committed as four year-ranged appends
     * with `o_orderdate` stats — the shape a streaming ingest leaves
@@ -590,29 +621,7 @@ object StoreOps {
         |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, dir) =>
-      val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_restore", dir),
-        statsColumns = Seq("o_orderdate"))
-      val orders = Tables(s, dir, "orders")
-      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
-      // Each append gates on the exact version it produces: after the
-      // restore, current entries are version 2's (batches 0-1 only), so
-      // the append-replay refusal alone would RE-append batches 2-3 on
-      // the next invocation — the one builder where id-based idempotence
-      // is not enough.
-      Seq(
-        0L -> upTo("1997-01-01"),
-        1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
-        2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
-        3L -> !upTo("2000-01-01")
-      ).zipWithIndex.foreach { case ((id, pred), i) =>
-        if (store.currentVersion(s) == i.toLong)
-          store.append(orders.filter(pred), id)
-      }
-      if (store.currentVersion(s) == 4L)
-        store.delete(s, "o_orderdate >= '1998-01-01 00:00:00'")
-      if (store.currentVersion(s) == 5L)
-        store.restore(s, 2L)
+      val store = restoreStore(s, dir)
       store.read(s)
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n_orders"),
@@ -671,5 +680,57 @@ object StoreOps {
           max(lit(store.countRows(s).getOrElse(-1L)))
             .as("meta_rows"))
         .orderBy("o_orderstatus")
+    },
+
+    // Semantic VERSION DIFF — "what changed between v_a and v_b", by
+    // key: added = keys in v_b not v_a, removed = the reverse (two
+    // anti-joins per pair; at scale the CDF answers adds and deletion
+    // vectors answer removes incrementally — the generic diff is the
+    // audit-grade tool that works between ANY two versions, including
+    // across a delete and its restore). Runs over the q162 store's
+    // history and delivers its punchline: (4→5) the CoW delete removed
+    // exactly the 1998+ orders and added nothing; (5→6) the diff is
+    // (0, 0) — the rollback-to-v2 landed on the SAME state the delete
+    // had produced, two different routes (row rewrite vs manifest
+    // re-reference) provably converging. Oracle recomputes both pairs
+    // from the builder's date predicates.
+    QueryDef(
+      "q184_store_version_diff",
+      """WITH o AS (SELECT o_orderkey, o_orderdate FROM orders),
+        |v4 AS (SELECT o_orderkey FROM o),
+        |v5 AS (SELECT o_orderkey FROM o
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |v6 AS (SELECT o_orderkey FROM o
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT * FROM (
+        |  SELECT 'v4->v5' AS step,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v5
+        |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v4))
+        |      AS n_added,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v4
+        |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v5))
+        |      AS n_removed
+        |  UNION ALL
+        |  SELECT 'v5->v6',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v6
+        |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v5)),
+        |    (SELECT CAST(count(*) AS BIGINT) FROM v5
+        |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM v6))
+        |) t ORDER BY step""".stripMargin) { (s, dir) =>
+      val store = restoreStore(s, dir) // self-contained: same idempotent builder as q162
+      def keysOf(v: Long): DataFrame =
+        store.readVersion(s, v).select("o_orderkey")
+      def diff(step: String, va: Long, vb: Long): DataFrame = {
+        val a = keysOf(va); val b = keysOf(vb)
+        b.join(a, Seq("o_orderkey"), "left_anti")
+          .agg(count(lit(1)).as("n_added"))
+          .crossJoin(a.join(b, Seq("o_orderkey"), "left_anti")
+            .agg(count(lit(1)).as("n_removed")))
+          .select(lit(step).as("step"), col("n_added"),
+            col("n_removed"))
+      }
+      diff("v4->v5", 4L, 5L)
+        .unionByName(diff("v5->v6", 5L, 6L))
+        .orderBy("step")
     })
 }
