@@ -1302,6 +1302,45 @@ object CurationOps {
           (floor(sum("y") / count(lit(1)).cast("double") * 1000000)
             / 1000000.0).as("frac_en"))
         .orderBy("s")
+    },
+
+    // Boolean AND retrieval — the third query mode on the inverted
+    // index (BM25 q102 ranks, phrase q160 demands adjacency, this
+    // demands CO-OCCURRENCE): documents containing EVERY query term.
+    // The classic postings-intersection: filter the index to the query
+    // terms (broadcast — the scan prunes to those terms' lists), one
+    // (doc, distinct-terms-hit) aggregate, keep docs hitting all |Q|.
+    // Cost is O(Σ postings of the query terms), never the corpus; the
+    // query set is the corpus's 4 most document-frequent words (ties
+    // broken lexically), data-derived and deterministic at every SF.
+    QueryDef(
+      "q185_boolean_and",
+      """WITH q AS (SELECT wd FROM (
+        |    SELECT wd, count(DISTINCT doc_id) AS df FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |      FROM documents) t
+        |    WHERE wd <> '' GROUP BY wd
+        |    ORDER BY df DESC, wd LIMIT 4) h),
+        |p AS (SELECT DISTINCT doc_id, wd FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+        |    FROM documents) t WHERE wd <> ''),
+        |hits AS (SELECT p.doc_id, count(*) AS n_hit
+        |  FROM p JOIN q ON q.wd = p.wd GROUP BY p.doc_id)
+        |SELECT doc_id, CAST(n_hit AS INTEGER) AS n_terms
+        |FROM hits WHERE n_hit = (SELECT count(*) FROM q)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = "split(text, ' ')"
+      val p = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(words)).as("wd"))
+        .filter(col("wd") =!= "").distinct()
+      val q = p.groupBy("wd").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("wd")).limit(4).select("wd")
+      val nq = lit(4)
+      p.join(broadcast(q), "wd")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === nq)
+        .select(col("doc_id"), col("n_hit").cast("int").as("n_terms"))
+        .orderBy("doc_id")
     })
 
   /** q109's trained artifact: the (word → log importance weight) table,

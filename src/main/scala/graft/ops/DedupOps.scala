@@ -1135,7 +1135,57 @@ object DedupOps {
       lshCandidates(s, dir).select("a_id", "b_id")
         .createOrReplaceTempView("dup_edges")
       s.sql("WITH RECURSIVE " + reachRecursionSql)
+    },
+
+    // Triangle census of the near-dup graph — see [[triangleSql]]: both
+    // engines run the SAME text (Spark over the materialized candidate
+    // artifact as a view, DuckDB over the q44 oracle chain), reporting
+    // edges/nodes/triangles/wedges and the global clustering
+    // coefficient. On a healthy dedup graph this reads near-cliquey
+    // (near-dup is almost transitive); a low coefficient flags a
+    // candidate generator whose edges contradict each other.
+    QueryDef(
+      "q186_dup_graph_triangles",
+      "WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents " +
+        "GROUP BY text),\n  " +
+        lshPairsSql("r") + ",\n  " +
+        "dup_edges AS (SELECT a_id, b_id FROM pairs),\n" +
+        triangleSql) { (s, dir) =>
+      lshCandidates(s, dir).select("a_id", "b_id")
+        .createOrReplaceTempView("dup_edges")
+      s.sql("WITH " + triangleSql)
     })
+
+  /** Triangle counting on the near-dup candidate graph (q186) — the
+    * clustering-coefficient primitive: how CLIQUE-LIKE is the duplicate
+    * neighborhood (triangles = transitively-consistent near-dup
+    * verdicts; a high open-wedge rate means the candidate generator's
+    * edges don't agree with each other). The ordered-edge pattern makes
+    * it scale-shaped: orient every edge low→high, join wedges
+    * a<b<c on the middle vertex, then ONE semi-join of wedge closures
+    * against the edge set — never an all-pairs expansion; wedge count
+    * is Σ deg² over the (small) dup graph, the standard distributed
+    * triangle bound.
+    */
+  private def triangleSql: String =
+    """und AS (SELECT a_id AS lo, b_id AS hi FROM dup_edges),
+      |w AS (SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+      |  FROM und e1 JOIN und e2 ON e2.lo = e1.hi),
+      |tri AS (SELECT a, b, c FROM w
+      |  WHERE EXISTS (SELECT 1 FROM und e3
+      |    WHERE e3.lo = w.a AND e3.hi = w.c)),
+      |nodes AS (SELECT lo AS v FROM und UNION ALL SELECT hi FROM und),
+      |deg AS (SELECT v, count(*) AS d FROM nodes GROUP BY v),
+      |wedges AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_w
+      |  FROM deg)
+      |SELECT CAST((SELECT count(*) FROM und) AS BIGINT) AS n_edges,
+      |  CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
+      |  CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
+      |  (SELECT n_w FROM wedges) AS n_wedges,
+      |  CASE WHEN (SELECT n_w FROM wedges) = 0 THEN 0.0
+      |    ELSE floor(3.0 * (SELECT count(*) FROM tri)
+      |      / (SELECT n_w FROM wedges) * 1000000) / 1000000.0 END
+      |    AS global_clustering""".stripMargin
 
   /** The shared recursion text of q171 — appended after a `dup_edges`
     * CTE (oracle) or run against a `dup_edges` view (Spark). Both
