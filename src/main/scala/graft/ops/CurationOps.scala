@@ -1341,6 +1341,78 @@ object CurationOps {
         .filter(col("n_hit") === nq)
         .select(col("doc_id"), col("n_hit").cast("int").as("n_terms"))
         .orderBy("doc_id")
+    },
+
+    // TF-IDF COSINE retrieval — the vector-space-model ranker beside
+    // BM25 (q102): score = tfidf(q)·tfidf(d) / (|q|·|d|), with the TRUE
+    // document norm over the doc's ENTIRE term vector (not just query
+    // hits), so scores are genuine cosines in [0,1] and comparable
+    // across queries — the property BM25 scores lack. Scale shape: the
+    // norm pass is one (doc, term) aggregate joined to the vocab-sized
+    // df table (the same frames the postings artifact serves); the
+    // query side touches 3 terms' postings. Determinism: per-term
+    // weights round-6 to decimals, dots and squared norms accumulate in
+    // decimal, one sqrt/divide chain at the boundary, floor-scaled.
+    QueryDef(
+      "q187_tfidf_cosine",
+      """WITH qt AS (
+        |  SELECT unnest(['spark','shuffle','broadcast']) AS term),
+        |st AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |w AS (SELECT doc_id, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w
+        |  WHERE term <> '' GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        |x AS (SELECT tf.doc_id, tf.term,
+        |    CAST(round(tf.tf * ln(CAST(st.n_docs AS DOUBLE) / df.df), 6)
+        |      AS DECIMAL(18,6)) AS x
+        |  FROM tf JOIN df USING (term) CROSS JOIN st),
+        |nd AS (SELECT doc_id,
+        |    sqrt(CAST(SUM(x * x) AS DOUBLE)) AS norm_d FROM x
+        |  GROUP BY doc_id),
+        |qw AS (SELECT qt.term,
+        |    CAST(round(ln(CAST(st.n_docs AS DOUBLE) / df.df), 6)
+        |      AS DECIMAL(18,6)) AS qx
+        |  FROM qt JOIN df USING (term) CROSS JOIN st),
+        |nq AS (SELECT sqrt(CAST(SUM(qx * qx) AS DOUBLE)) AS norm_q
+        |  FROM qw),
+        |dot AS (SELECT x.doc_id, SUM(x.x * qw.qx) AS d
+        |  FROM x JOIN qw USING (term) GROUP BY x.doc_id)
+        |SELECT dot.doc_id,
+        |  floor(CAST(dot.d AS DOUBLE) / (nd.norm_d * nq.norm_q)
+        |    * 1000000) / 1000000.0 AS cos_sim
+        |FROM dot JOIN nd USING (doc_id), nq
+        |ORDER BY cos_sim DESC, doc_id LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      val words = "split(text, ' ')"
+      val tf = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(words)).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val nDocs = Tables(s, dir, "documents").count()
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val x = tf.join(df, "term")
+        .select(col("doc_id"), col("term"),
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6)
+            .cast(DecimalType(18, 6)).as("x"))
+      val nd = x.groupBy("doc_id")
+        .agg(sqrt(sum(col("x") * col("x")).cast("double")).as("norm_d"))
+      val qw = df.filter(col("term")
+          .isin("spark", "shuffle", "broadcast"))
+        .select(col("term"),
+          round(log(lit(nDocs.toDouble) / col("df")), 6)
+            .cast(DecimalType(18, 6)).as("qx"))
+      val nq = qw.agg(sqrt(sum(col("qx") * col("qx")).cast("double"))
+        .as("norm_q"))
+      x.join(broadcast(qw), "term")
+        .groupBy("doc_id").agg(sum(col("x") * col("qx")).as("d"))
+        .join(nd, "doc_id")
+        .crossJoin(broadcast(nq))
+        .select(col("doc_id"),
+          (floor(col("d").cast("double")
+            / (col("norm_d") * col("norm_q")) * 1000000) / 1000000.0)
+            .as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("doc_id")).limit(20)
     })
 
   /** q109's trained artifact: the (word → log importance weight) table,

@@ -635,6 +635,59 @@ object EventOps {
         .select(col("user_id"), col("n_trans"), col("mean_loglik"),
           (col("mean_loglik") < col("p05")).as("anomalous"))
         .orderBy("user_id")
+    },
+
+    // Time-to-conversion distribution — the product-analytics measure
+    // q68's funnel counts don't carry: for users who purchase at or
+    // after their first view, the view→purchase latency's exact
+    // p50/p90 plus the conversion rate. Lags are INTEGER seconds
+    // (floor-divided epoch micros — identical integer arithmetic in
+    // both engines, no interval semantics to disagree on); the two
+    // percentile evaluations run over the converted-users frame
+    // (users-sized, not events-sized).
+    QueryDef(
+      "q188_time_to_convert",
+      """WITH v AS (SELECT user_id, min(ts) AS vt FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS pt
+        |  FROM events e JOIN v ON v.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= v.vt
+        |  GROUP BY e.user_id),
+        |l AS (SELECT v.user_id,
+        |    (epoch_us(p.pt) - epoch_us(v.vt)) // 1000000 AS lag_s
+        |  FROM v JOIN p USING (user_id))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM v) AS n_viewers,
+        |  CAST(count(*) AS BIGINT) AS n_converted,
+        |  floor(count(*) / CAST((SELECT count(*) FROM v) AS DOUBLE)
+        |    * 1000000) / 1000000.0 AS conversion_rate,
+        |  floor(quantile_cont(lag_s, 0.5) * 1000000) / 1000000.0
+        |    AS p50_s,
+        |  floor(quantile_cont(lag_s, 0.9) * 1000000) / 1000000.0
+        |    AS p90_s
+        |FROM l""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("timestamp").as("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("vt"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") >= col("vt"))
+        .groupBy("user_id").agg(min("ts").as("pt"))
+      val l = v.join(p, "user_id")
+        .select(expr("(unix_micros(pt) - unix_micros(vt)) " +
+          "div 1000000").as("lag_s"))
+      val nv = v.agg(count(lit(1)).as("n_viewers"))
+      l.agg(count(lit(1)).as("n_converted"),
+          (floor(expr("percentile(lag_s, 0.5)") * 1000000)
+            / 1000000.0).as("p50_s"),
+          (floor(expr("percentile(lag_s, 0.9)") * 1000000)
+            / 1000000.0).as("p90_s"))
+        .crossJoin(broadcast(nv))
+        .select(col("n_viewers"), col("n_converted"),
+          (floor(col("n_converted")
+            / col("n_viewers").cast("double") * 1000000) / 1000000.0)
+            .as("conversion_rate"),
+          col("p50_s"), col("p90_s"))
     })
 
   /** The dense 1..10 bin spine for the PSI grid. */
