@@ -1154,6 +1154,83 @@ object DedupOps {
       lshCandidates(s, dir).select("a_id", "b_id")
         .createOrReplaceTempView("dup_edges")
       s.sql("WITH " + triangleSql)
+    },
+
+    // QUALITY-AWARE cluster representatives — the keeper-policy
+    // refinement over q49: within each near-dup cluster keep the
+    // HIGHEST-quality document (q30's score), not the arbitrary minimum
+    // id; dataset papers do exactly this so the surviving copy of a
+    // near-dup family is its cleanest member. Deterministic argmax via
+    // one integer key (floor-scaled quality ×1e10 − doc_id — total
+    // order, so max_by/arg_max tie semantics never matter), clusters
+    // from the same candidate artifact + CC as q49, and the output
+    // carries both policies' keepers plus whether they differ — the
+    // audit of what the refinement actually changes. Oracle: the q49
+    // recursive-closure chain + the same integer argmax.
+    QueryDef(
+      "q190_quality_reps",
+      """WITH RECURSIVE
+        |cls AS (SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_exact, text
+        |  FROM documents GROUP BY text),
+        |r AS (SELECT doc_id, text FROM cls),
+        |  """.stripMargin + lshPairsSql("r") + ",\n" +
+        s"""j AS (SELECT p.a_id, p.b_id FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id
+           |  WHERE $estJaccardSql >= 0.5),
+           |e AS (SELECT a_id AS src, b_id AS dst FROM j
+           |  UNION SELECT b_id, a_id FROM j),
+           |walk AS (
+           |  SELECT doc_id AS node, doc_id AS lbl FROM cls
+           |  UNION
+           |  SELECT e.src AS node, walk.lbl FROM walk
+           |  JOIN e ON e.dst = walk.node),
+           |lab AS (SELECT node, MIN(lbl) AS cluster FROM walk
+           |  GROUP BY node),
+           |qv AS (SELECT cls.doc_id,
+           |    CAST(floor(least(1.0,
+           |        len(string_split(cls.text,' ')) / 100.0)
+           |      * (1.0 - CAST(len(list_filter(string_split(cls.text,' '),
+           |          w -> w IN ('the','a'))) AS DOUBLE)
+           |        / len(string_split(cls.text,' '))) * 1000000)
+           |      AS BIGINT) AS q6
+           |  FROM cls)
+           |SELECT lab.cluster,
+           |  arg_max(lab.node, qv.q6 * 10000000000 - lab.node)
+           |    AS keep_quality_id,
+           |  MIN(lab.node) AS keep_min_id,
+           |  arg_max(lab.node, qv.q6 * 10000000000 - lab.node)
+           |    <> MIN(lab.node) AS changed,
+           |  CAST(COUNT(*) AS BIGINT) AS n_members
+           |FROM lab JOIN qv ON qv.doc_id = lab.node
+           |GROUP BY lab.cluster ORDER BY cluster""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val classes = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val edges = lshCandidates(s, dir)
+        .filter(col("est_jaccard") >= 0.5)
+        .select("a_id", "b_id")
+      val clusters = connectedComponents(edges, classes.select("doc_id"))
+      val words = "split(text, ' ')"
+      val qv = classes.select(col("doc_id"),
+        expr(s"cast(floor(least(1.0, size($words) / 100.0) * (1.0 - " +
+          s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+          s" / size($words)) * 1000000) as bigint)").as("q6"))
+      clusters.toDF("node", "cluster")
+        .join(qv.toDF("node", "q6"), "node")
+        .groupBy("cluster")
+        .agg(
+          max_by(col("node"),
+            col("q6") * 10000000000L - col("node"))
+            .as("keep_quality_id"),
+          min(col("node")).as("keep_min_id"),
+          count(lit(1)).as("n_members"))
+        .select(col("cluster"), col("keep_quality_id"),
+          col("keep_min_id"),
+          (col("keep_quality_id") =!= col("keep_min_id")).as("changed"),
+          col("n_members"))
+        .orderBy("cluster")
     })
 
   /** Triangle counting on the near-dup candidate graph (q186) — the

@@ -732,5 +732,40 @@ object StoreOps {
       diff("v4->v5", 4L, 5L)
         .unionByName(diff("v5->v6", 5L, 6L))
         .orderBy("step")
+    },
+
+    // Per-key VERSION HISTORY — the GDPR/audit question "when did we
+    // hold this record": one membership probe per manifest version for
+    // a 1998-dated order key across the delete-then-restore history.
+    // The probes are stats-prunable point reads (six versions × one
+    // key), and the answer narrates the store's life: absent through
+    // the first two appends, present at v3-v4, gone at the delete, and
+    // — the part a naive reader misses — STILL gone after the restore,
+    // because rolling back to v2 predates the key's arrival. The
+    // oracle derives the same six booleans from the builder's date
+    // predicates, so a store that resurrected or leaked the key
+    // hash-mismatches.
+    QueryDef(
+      "q189_store_key_history",
+      """WITH k AS (SELECT min(o_orderkey) AS key FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT v.version, k.key,
+        |  CASE v.version WHEN 3 THEN TRUE WHEN 4 THEN TRUE
+        |    ELSE FALSE END AS present
+        |FROM (SELECT unnest(range(1, 7)) AS version) v, k
+        |ORDER BY v.version""".stripMargin) { (s, dir) =>
+      val store = restoreStore(s, dir)
+      val key = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
+        .agg(min("o_orderkey")).collect().head.getLong(0)
+      val rows = (1L to 6L).map { v =>
+        val present = store.readVersion(s, v)
+          .filter(col("o_orderkey") === key).limit(1).count() > 0
+        (v, key, present)
+      }
+      import s.implicits._
+      rows.toDF("version", "key", "present")
     })
 }
