@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
@@ -560,6 +561,83 @@ object CorpusOps {
               col("pack_id").cast("string")).as("k")))),
             t => t.getField("k")), ","), 256).as("order_sha"))
         .orderBy("epoch", "shard")
+    },
+
+    // CURRICULUM pack ordering — the export step between packing
+    // (q143) and the loader (q148) for curriculum training: each pack's
+    // DIFFICULTY is the token-weighted mean of its documents' trigram
+    // LM scores (q94's artifact — higher log-prob = more typical =
+    // easier), and packs are ranked easy→hard WITHIN EACH SOURCE (the
+    // per-source window keeps the ordering scale-clean; a global
+    // curriculum would sort all packs — fine at packs = tokens/2048,
+    // but the per-source stream is what loaders consume anyway).
+    // Determinism: doc scores are the round-6 artifact values, weighted
+    // sums accumulate in decimal, the division floor-scales, and the
+    // rank breaks ties by pack_id. Corpus-sized work is exactly q143's
+    // pricing pass + q94's scoring pass, both artifact-backed.
+    QueryDef(
+      "q191_curriculum_packs",
+      TextOps.bpeLearnSql(TextOps.BpeMerges) + TextOps.bpeDocSql() +
+        s""",
+           |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
+           |  FROM agg a JOIN documents d USING (doc_id)),
+           |o AS (SELECT source, doc_id, n_tok,
+           |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS tok_offset
+           |  FROM t2),
+           |pk AS (SELECT source, doc_id, n_tok,
+           |    tok_offset // 2048 AS pack_id FROM o),
+           |tri AS (SELECT doc_id, unnest(list_transform(
+           |    range(1, length(text) - 1), i -> substr(text, i, 3))) AS t
+           |  FROM documents WHERE length(text) >= 3),
+           |c3 AS (SELECT t, count(*) AS n3 FROM tri GROUP BY t),
+           |c2 AS (SELECT substr(t, 1, 2) AS p, sum(n3) AS n2 FROM c3
+           |  GROUP BY p),
+           |scr AS (SELECT tri.doc_id,
+           |    round(CAST(SUM(CAST(round(ln(CAST(n3 AS DOUBLE) / n2), 9)
+           |      AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+           |      AS mean_logp
+           |  FROM tri JOIN c3 ON c3.t = tri.t
+           |  JOIN c2 ON c2.p = substr(tri.t, 1, 2)
+           |  GROUP BY tri.doc_id),
+           |pd AS (SELECT pk.source, pk.pack_id,
+           |    CAST(sum(pk.n_tok) AS BIGINT) AS pack_tokens,
+           |    floor(CAST(SUM(CAST(scr.mean_logp AS DECIMAL(18,6))
+           |        * pk.n_tok) AS DOUBLE)
+           |      / sum(pk.n_tok) * 1000000) / 1000000.0 AS difficulty
+           |  FROM pk JOIN scr ON scr.doc_id = pk.doc_id
+           |  GROUP BY pk.source, pk.pack_id)
+           |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+           |  pack_tokens, difficulty,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY source
+           |    ORDER BY difficulty DESC, pack_id) AS INTEGER)
+           |    AS cur_rank
+           |FROM pd ORDER BY source, cur_rank""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pk = TextOps.bpeDocTokens(s, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("tok_offset",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          expr("tok_offset div 2048").as("pack_id"))
+      val pd = pk
+        .join(CurationOps.docLmScores(s, dir), "doc_id")
+        .groupBy("source", "pack_id")
+        .agg(sum("n_tok").as("pack_tokens"),
+          (floor(sum(col("mean_logp").cast(DecimalType(18, 6))
+              * col("n_tok")).cast("double")
+            / sum("n_tok") * 1000000) / 1000000.0).as("difficulty"))
+      pd.select(col("source"), col("pack_id"), col("pack_tokens"),
+          col("difficulty"),
+          row_number().over(Window.partitionBy("source")
+            .orderBy(col("difficulty").desc, col("pack_id")))
+            .cast("int").as("cur_rank"))
+        .orderBy("source", "cur_rank")
     },
 
     // Stratified SYSTEMATIC PPS sampling (probability proportional to

@@ -1545,6 +1545,12 @@ object CurationOps {
     * inside every query — the suite's two slowest plans; the artifact +
     * partial-agg shape deleted both (round-5 verdict, What's wrong 1).
     */
+  /** The per-doc LM-score artifact for other ops (q191 curriculum):
+    * (doc_id, mean_logp) — q94's round-6 values, artifact-served.
+    */
+  private[ops] def docLmScores(s: SparkSession, dir: String): DataFrame =
+    trigramDocScores(s, dir).select("doc_id", "mean_logp")
+
   private def trigramDocScores(s: SparkSession, dir: String): DataFrame =
     // The doc-level score frame is itself a derived INDEX (CCNet
     // materializes exactly this: per-doc LM scores, computed once per
