@@ -455,5 +455,116 @@ object ProfileOps {
         .unionByName(one("l_partkey->l_suppkey", "l_partkey",
           "l_suppkey"))
         .orderBy("fd")
+    },
+
+    // Corpus FINGERPRINT receipt — the data-card integrity line: one
+    // row per source plus the whole-corpus roll-up, each carrying doc
+    // and char counts and an ORDER-FREE exact content fingerprint (the
+    // decimal SUM of a 12-hex-digit window of each doc's
+    // sha256(doc_id|text) — commutative and associative, so the value
+    // is identical on any cluster size, any partitioning, any
+    // insertion order; the CcStarSpec fixpoint-hash discipline promoted
+    // to the query surface). Two exports whose receipts match are
+    // byte-equivalent corpora without any sorting or pairwise compare;
+    // a single flipped character moves the sum.
+    QueryDef(
+      "q192_corpus_fingerprint", {
+        val hexWin = (0 until 12).map { i =>
+          val p = math.pow(16, 11 - i).toLong
+          s"CAST($p AS BIGINT) * (ascii(substr(h, ${i + 1}, 1)) - " +
+            s"(CASE WHEN ascii(substr(h, ${i + 1}, 1)) >= 97 " +
+            "THEN 87 ELSE 48 END))"
+        }.mkString("(", " + ", ")")
+        s"""WITH h AS (SELECT source, n_chars,
+           |    sha256(CAST(doc_id AS VARCHAR) || '|' || text) AS h
+           |  FROM documents),
+           |v AS (SELECT source, n_chars, $hexWin AS hv FROM h),
+           |per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    CAST(sum(CAST(hv AS DECIMAL(38,0))) AS VARCHAR)
+           |      AS fingerprint
+           |  FROM v GROUP BY source),
+           |tot AS (SELECT '<all>' AS source,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    CAST(sum(CAST(hv AS DECIMAL(38,0))) AS VARCHAR)
+           |      AS fingerprint
+           |  FROM v)
+           |SELECT * FROM (SELECT * FROM per UNION ALL
+           |  SELECT * FROM tot) u
+           |ORDER BY source""".stripMargin
+      }) { (s, dir) =>
+      val v = Tables(s, dir, "documents")
+        .select(col("source"), col("n_chars"),
+          expr("cast(conv(substr(sha2(concat(cast(doc_id as string), " +
+            "'|', text), 256), 1, 12), 16, 10) as decimal(38,0))")
+            .as("hv"))
+      val per = v.groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"),
+          sum("hv").cast(DecimalType(38, 0)).cast("string")
+            .as("fingerprint"))
+      val tot = v.agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("n_chars"),
+          sum("hv").cast(DecimalType(38, 0)).cast("string")
+            .as("fingerprint"))
+        .select(lit("<all>").as("source"), col("*"))
+      per.unionByName(tot).orderBy("source")
+    },
+
+    // Length × quality 2-D HISTOGRAM — the dependence heatmap a flat
+    // profile can't show: docs bucketed by exact n_chars quintile AND
+    // q30-quality quintile, with counts per cell. A diagonal ridge
+    // means quality is just length in disguise (re-weight before
+    // filtering on it); a flat sheet means independent signals. Edges
+    // are exact percentiles floor-scaled (the q154 discipline) and
+    // bucketing is row-local against the broadcast edge row; counts
+    // are exact integers.
+    QueryDef(
+      "q193_length_quality_hist", {
+        val qExpr = "least(1.0, len(string_split(text,' ')) / 100.0) " +
+          "* (1.0 - CAST(len(list_filter(string_split(text,' '), " +
+          "w -> w IN ('the','a'))) AS DOUBLE) " +
+          "/ len(string_split(text,' ')))"
+        def edges(src: String, v: String, pfx: String): String =
+          (1 to 4).map(k =>
+            s"floor(quantile_cont($v, 0.${k * 2}) * 1000000) " +
+              s"/ 1000000.0 AS $pfx$k").mkString(", ")
+        s"""WITH d AS (SELECT n_chars, $qExpr AS q FROM documents),
+           |e AS (SELECT ${edges("d", "n_chars", "l")},
+           |    ${edges("d", "q", "m")} FROM d),
+           |b AS (SELECT
+           |    1 + CAST(n_chars > e.l1 AS INTEGER)
+           |      + CAST(n_chars > e.l2 AS INTEGER)
+           |      + CAST(n_chars > e.l3 AS INTEGER)
+           |      + CAST(n_chars > e.l4 AS INTEGER) AS len_bin,
+           |    1 + CAST(q > e.m1 AS INTEGER) + CAST(q > e.m2 AS INTEGER)
+           |      + CAST(q > e.m3 AS INTEGER) + CAST(q > e.m4 AS INTEGER)
+           |      AS q_bin
+           |  FROM d, e)
+           |SELECT len_bin, q_bin, CAST(count(*) AS BIGINT) AS n
+           |FROM b GROUP BY len_bin, q_bin
+           |ORDER BY len_bin, q_bin""".stripMargin
+      }) { (s, dir) =>
+      val words = "split(text, ' ')"
+      val d = Tables(s, dir, "documents").select(col("n_chars"),
+        expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
+          s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
+          s" / size($words))").as("q"))
+      val eCols = (1 to 4).map(k =>
+        (floor(expr(s"percentile(n_chars, 0.${k * 2})") * 1000000)
+          / 1000000.0).as(s"l$k")) ++
+        (1 to 4).map(k =>
+          (floor(expr(s"percentile(q, 0.${k * 2})") * 1000000)
+            / 1000000.0).as(s"m$k"))
+      val e = broadcast(d.agg(eCols.head, eCols.tail: _*))
+      val lenBin = (1 to 4).map(k =>
+        (col("n_chars") > col(s"l$k")).cast("int")).reduce(_ + _) + 1
+      val qBin = (1 to 4).map(k =>
+        (col("q") > col(s"m$k")).cast("int")).reduce(_ + _) + 1
+      d.crossJoin(e)
+        .select(lenBin.as("len_bin"), qBin.as("q_bin"))
+        .groupBy("len_bin", "q_bin").agg(count(lit(1)).as("n"))
+        .orderBy("len_bin", "q_bin")
     })
 }
