@@ -640,6 +640,68 @@ object CorpusOps {
         .orderBy("source", "cur_rank")
     },
 
+    // INTRA-PACK duplication audit — the packing-safety question the
+    // dedup funnel doesn't ask: did the q143 packer juxtapose two
+    // NEAR-DUPLICATE documents inside one 2048-token context window
+    // (attention spent re-reading the same content, and a gradient
+    // toward copying)? Near-dup edges come from the materialized LSH
+    // candidate artifact; each edge's endpoints look up their (source,
+    // pack) assignment, and the audit reports how many edges landed
+    // same-pack. Pairs-bounded work on top of q143's pricing pass.
+    QueryDef(
+      "q194_intra_pack_dups",
+      TextOps.bpeLearnSql(TextOps.BpeMerges) + TextOps.bpeDocSql() +
+        s""",
+           |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
+           |  FROM agg a JOIN documents d USING (doc_id)),
+           |o AS (SELECT source, doc_id,
+           |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
+           |      ORDER BY doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS tok_offset
+           |  FROM t2),
+           |pk AS (SELECT source, doc_id, tok_offset // 2048 AS pack_id
+           |  FROM o),
+           |rr AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+           |  GROUP BY text),
+           |  """.stripMargin +
+        DedupOps.lshPairsSqlPublic("rr") +
+        """,
+          |ej AS (SELECT p.a_id, p.b_id,
+          |    CAST(pa.source = pb.source AND pa.pack_id = pb.pack_id
+          |      AS INTEGER) AS same_pack
+          |  FROM pairs p JOIN pk pa ON pa.doc_id = p.a_id
+          |  JOIN pk pb ON pb.doc_id = p.b_id)
+          |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+          |  CAST(sum(same_pack) AS BIGINT) AS n_same_pack,
+          |  CASE WHEN count(*) = 0 THEN 0.0
+          |    ELSE floor(sum(same_pack) / CAST(count(*) AS DOUBLE)
+          |      * 1000000) / 1000000.0 END AS same_pack_frac
+          |FROM ej""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val pk = TextOps.bpeDocTokens(s, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .withColumn("tok_offset",
+          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .select(col("source"), col("doc_id"),
+          expr("tok_offset div 2048").as("pack_id"))
+      DedupOps.lshCandidates(s, dir).select("a_id", "b_id")
+        .join(pk.toDF("src_a", "a_id", "pk_a"), "a_id")
+        .join(pk.toDF("src_b", "b_id", "pk_b"), "b_id")
+        .select((col("src_a") === col("src_b") &&
+          col("pk_a") === col("pk_b")).cast("int").as("same_pack"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum("same_pack").as("n_same_pack"))
+        .select(col("n_edges"), col("n_same_pack"),
+          when(col("n_edges") === 0, lit(0.0))
+            .otherwise(floor(col("n_same_pack")
+              / col("n_edges").cast("double") * 1000000) / 1000000.0)
+            .as("same_pack_frac"))
+    },
+
     // Stratified SYSTEMATIC PPS sampling (probability proportional to
     // size): per source, k=5 evenly-spaced positions on that source's
     // cumulative-character line — p_j = floor((2j+1)·W / 2k) — and the

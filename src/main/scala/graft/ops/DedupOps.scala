@@ -69,6 +69,12 @@ object DedupOps {
     * pairs. Mirrors [[minhashSigs]] → [[bandBuckets]] →
     * [[minhashLshCandidates]] for the registered 16×4 point.
     */
+  /** [[lshPairsSql]] for sibling ops composing the candidate chain into
+    * their own oracles (q194's intra-pack audit).
+    */
+  private[ops] def lshPairsSqlPublic(repsRel: String): String =
+    lshPairsSql(repsRel)
+
   private def lshPairsSql(repsRel: String): String =
     s"""d AS (SELECT doc_id, $shingleListSql AS sh
         |    FROM $repsRel WHERE len(string_split(text,' ')) >= 3),
@@ -1231,6 +1237,49 @@ object DedupOps {
           (col("keep_quality_id") =!= col("keep_min_id")).as("changed"),
           col("n_members"))
         .orderBy("cluster")
+    },
+
+    // Candidate-edge EXPLANATIONS — the dedup review queue's missing
+    // column: for every LSH candidate pair, HOW MANY word-3-gram
+    // shingles the two documents actually share and the
+    // lexicographically-first shared shingle as the human-readable
+    // witness ("these two match because of …"). The evidence join runs
+    // only over the candidate pairs' own shingle sets (pairs-bounded —
+    // the artifact makes explainability as cheap as the verdict);
+    // distinct-shingle sets on both sides so within-doc repeats don't
+    // inflate the count.
+    QueryDef(
+      "q195_edge_explanations",
+      """WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
+        |  GROUP BY text),
+        |  """.stripMargin + lshPairsSql("r") + ",\n" +
+        """shl AS (SELECT DISTINCT doc_id, s FROM sg),
+          |ev AS (SELECT p.a_id, p.b_id, CAST(count(*) AS BIGINT)
+          |    AS n_shared, min(sa.s) AS witness
+          |  FROM pairs p JOIN shl sa ON sa.doc_id = p.a_id
+          |  JOIN shl sb ON sb.doc_id = p.b_id AND sb.s = sa.s
+          |  GROUP BY p.a_id, p.b_id)
+          |SELECT p.a_id, p.b_id,
+          |  COALESCE(ev.n_shared, 0) AS n_shared, ev.witness
+          |FROM pairs p LEFT JOIN ev USING (a_id, b_id)
+          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val pairs = lshCandidates(s, dir).select("a_id", "b_id")
+      val reps = Tables(s, dir, "documents")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val shl = reps
+        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
+        .select(col("doc_id"), col("sh").as("s")).distinct()
+      val ev = pairs
+        .join(shl.toDF("a_id", "s"), "a_id")
+        .join(shl.toDF("b_id", "s"), Seq("b_id", "s"))
+        .groupBy("a_id", "b_id")
+        .agg(count(lit(1)).as("n_shared"), min(col("s")).as("witness"))
+      pairs.join(ev, Seq("a_id", "b_id"), "left")
+        .select(col("a_id"), col("b_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          col("witness"))
+        .orderBy("a_id", "b_id")
     })
 
   /** Triangle counting on the near-dup candidate graph (q186) — the
