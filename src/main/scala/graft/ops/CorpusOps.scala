@@ -640,6 +640,104 @@ object CorpusOps {
         .orderBy("source", "cur_rank")
     },
 
+    // Benchmark NOVELTY rate — the inverse of contamination (q107 asks
+    // "how much of the bench is IN the corpus"; this asks "how much of
+    // the bench is genuinely NEW"): per benchmark doc, the fraction of
+    // its distinct word-3-grams that appear NOWHERE in the training
+    // corpus. Low novelty means the eval set can be answered from
+    // memorized surface forms — an eval-design defect contamination
+    // checks alone don't flag. One anti-join of the bench docs'
+    // (distinct) grams against the corpus gram set; the corpus side is
+    // the big-but-aggregated frame, the bench side is tiny.
+    QueryDef(
+      "q196_benchmark_novelty",
+      """WITH mx AS (SELECT MAX(doc_id) AS m FROM documents),
+        |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(string_split(text,' ')) - 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2]))) AS sh
+        |  FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |b AS (SELECT g.doc_id, g.sh FROM g, mx WHERE g.doc_id > m - 10),
+        |t AS (SELECT DISTINCT g.sh FROM g, mx WHERE g.doc_id <= m - 10),
+        |nv AS (SELECT b.doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_grams,
+        |    CAST(sum(CASE WHEN t.sh IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_unseen
+        |  FROM b LEFT JOIN t ON t.sh = b.sh GROUP BY b.doc_id)
+        |SELECT doc_id, n_grams, n_unseen,
+        |  floor(n_unseen / CAST(n_grams AS DOUBLE) * 1000000)
+        |    / 1000000.0 AS novelty
+        |FROM nv ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.functions.VectorExpressions.register(s)
+      val g = docs
+        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
+        .select(col("doc_id"), col("sh")).distinct()
+      val mx = broadcast(docs.agg(max("doc_id").as("m")))
+      val b = g.crossJoin(mx).filter(col("doc_id") > col("m") - 10)
+        .select("doc_id", "sh")
+      val t = g.crossJoin(mx).filter(col("doc_id") <= col("m") - 10)
+        .select("sh").distinct()
+      b.join(t.withColumn("hit", lit(1)), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_unseen"))
+        .select(col("doc_id"), col("n_grams"), col("n_unseen"),
+          (floor(col("n_unseen") / col("n_grams").cast("double")
+            * 1000000) / 1000000.0).as("novelty"))
+        .orderBy("doc_id")
+    },
+
+    // Content-addressed WORD-DROPOUT augmentation — reproducible data
+    // augmentation at any cluster size: word w at position p of doc d
+    // drops iff the first two hex digits of sha256(aug-v1|d|p) fall
+    // under the 20% keep-threshold — a pure function of (doc, pos), so
+    // the augmented corpus is bit-identical on every run and every
+    // partitioning (rand()-based dropout is neither), and re-derivable
+    // by auditors. Output per doc: word counts before/after and the
+    // sha256 of the augmented text — the receipt a training run records
+    // so the exact augmented bytes can be regenerated later. Re-assembly
+    // is the q148 ordered-fold discipline (position-sorted array_join),
+    // per-doc bounded.
+    QueryDef(
+      "q197_word_dropout",
+      """WITH w AS (SELECT doc_id, CAST(u.i AS INTEGER) AS pos,
+        |    string_split(text, ' ')[u.i + 1] AS wd
+        |  FROM documents,
+        |  LATERAL unnest(range(0, len(string_split(text, ' ')))) AS u(i)),
+        |k AS (SELECT doc_id, pos, wd,
+        |    CAST(substr(sha256('aug-v1|' || CAST(doc_id AS VARCHAR)
+        |      || '|' || CAST(pos AS VARCHAR)), 1, 2) >= '33'
+        |      AS INTEGER) AS keep
+        |  FROM w),
+        |a AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(keep) AS BIGINT) AS n_kept,
+        |    sha256(string_agg(CASE WHEN keep = 1 THEN wd END, ' '
+        |      ORDER BY pos)) AS aug_sha
+        |  FROM k GROUP BY doc_id)
+        |SELECT doc_id, n_words, n_kept, aug_sha FROM a
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val words = "split(text, ' ')"
+      val k = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(expr(words)))
+        .toDF("doc_id", "pos", "wd")
+        .select(col("doc_id"), col("pos"), col("wd"),
+          (substring(sha2(concat(lit("aug-v1|"),
+            col("doc_id").cast("string"), lit("|"),
+            col("pos").cast("string")), 256), 1, 2) >= "33")
+            .cast("int").as("keep"))
+      k.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum("keep").as("n_kept"),
+          sha2(array_join(transform(array_sort(collect_list(
+            when(col("keep") === 1,
+              struct(col("pos"), col("wd"))))),
+            t => t.getField("wd")), " "), 256).as("aug_sha"))
+        .orderBy("doc_id")
+    },
+
     // INTRA-PACK duplication audit — the packing-safety question the
     // dedup funnel doesn't ask: did the q143 packer juxtapose two
     // NEAR-DUPLICATE documents inside one 2048-token context window
