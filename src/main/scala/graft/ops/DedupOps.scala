@@ -1030,9 +1030,12 @@ object DedupOps {
       // AQE coalesces the distinct's skinny 91k-row exchange output to ONE
       // partition (bytes-based), which would run every verification
       // Levenshtein on a single core — the q63 lesson again. Spread the
-      // candidate set first; the per-pair DP is the cost, not the shuffle.
+      // candidate set first; the per-pair DP is the cost, not the
+      // shuffle. Width = the session's shuffle parallelism (a literal
+      // would cap the dominant CPU stage at that many tasks cluster-wide).
       pass(col("p")).union(pass(reverse(col("p")))).distinct()
-        .repartition(32, col("a_id"), col("b_id"))
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("a_id"), col("b_id"))
         .join(d.toDF("a_id", "pa"), "a_id")
         .join(d.toDF("b_id", "pb"), "b_id")
         .select(col("a_id"), col("b_id"),
@@ -1108,7 +1111,9 @@ object DedupOps {
         .filter(col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"), ham.as("hamming")).distinct()
         .filter(col("hamming") <= 3)
-        .repartition(32, col("a_id"), col("b_id"))
+        // finding-41 spread, width from conf (see q158's comment)
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("a_id"), col("b_id"))
         .join(d.toDF("a_id", "pa"), "a_id")
         .join(d.toDF("b_id", "pb"), "b_id")
         .select(col("a_id"), col("b_id"),
@@ -1308,10 +1313,10 @@ object DedupOps {
       |  CAST((SELECT count(*) FROM deg) AS BIGINT) AS n_nodes,
       |  CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,
       |  (SELECT n_w FROM wedges) AS n_wedges,
-      |  CASE WHEN (SELECT n_w FROM wedges) = 0 THEN 0.0
-      |    ELSE floor(3.0 * (SELECT count(*) FROM tri)
-      |      / (SELECT n_w FROM wedges) * 1000000) / 1000000.0 END
-      |    AS global_clustering""".stripMargin
+      |  CAST(CASE WHEN (SELECT n_w FROM wedges) = 0 THEN 0
+      |    ELSE floor(3000000.0 * (SELECT count(*) FROM tri)
+      |      / (SELECT n_w FROM wedges)) END AS BIGINT)
+      |    AS global_clustering_ppm""".stripMargin
 
   /** The shared recursion text of q171 — appended after a `dup_edges`
     * CTE (oracle) or run against a `dup_edges` view (Spark). Both

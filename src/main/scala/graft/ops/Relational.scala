@@ -699,8 +699,11 @@ object Relational {
       // The non-equi pair join is a BroadcastNestedLoopJoin whose output
       // parallelism is the STREAM side's partitioning — and a 300-row
       // filtered scan arrives as one partition, which would run every
-      // Levenshtein on a single core. Spread the stream side first.
-      d.toDF("a_id", "pa").repartition(32, col("a_id"))
+      // Levenshtein on a single core. Spread the stream side first —
+      // width derived from the session's shuffle parallelism, never a
+      // literal, so a 1000-executor cluster spreads the DP stage fully.
+      d.toDF("a_id", "pa")
+        .repartition(s.sessionState.conf.numShufflePartitions, col("a_id"))
         .join(d.toDF("b_id", "pb"), col("a_id") < col("b_id"))
         .select(col("a_id"), col("b_id"),
           levenshtein(col("pa"), col("pb")).cast("int").as("dist"))

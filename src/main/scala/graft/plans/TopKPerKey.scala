@@ -65,8 +65,13 @@ object TopKPushdown
   extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.plans.logical.Filter
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // The reference-set test is only sound when the key IS a bare
+    // attribute: for a non-injective key expression (e.g. a % 10) a
+    // predicate on the underlying column is not constant per group, so
+    // sinking it would change which rows compete for the k slots.
     case f @ Filter(cond, t: TopKPerKeyNode)
-        if cond.references.nonEmpty &&
+        if t.key.isInstanceOf[Attribute] &&
+          cond.references.nonEmpty &&
           cond.references.subsetOf(t.key.references) &&
           cond.deterministic =>
       t.copy(child = Filter(cond, t.child))
