@@ -336,6 +336,8 @@ final class ManifestTableStore(path: String,
   }
 
   override def append(df: DataFrame, batchId: Long): Unit = synchronized {
+    require(batchId >= 0, // negative ids are reserved (delete entries)
+      s"batchId must be >= 0, got $batchId")
     val f = fs(df.sparkSession)
     var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return // replay → idempotent no-op
@@ -371,6 +373,7 @@ final class ManifestTableStore(path: String,
     * (the audit + publish/abort handle).
     */
   def stage(df: DataFrame, batchId: Long): String = {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val dataDir =
       s"$path/staged/batch-$batchId-${java.util.UUID.randomUUID()}"
     write(df.withColumn("batch_id", lit(batchId)), dataDir)
@@ -389,6 +392,7 @@ final class ManifestTableStore(path: String,
     */
   def publishStaged(spark: SparkSession, stagedDir: String,
       batchId: Long): Unit = synchronized {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val f = fs(spark)
     var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return
@@ -442,19 +446,34 @@ final class ManifestTableStore(path: String,
   private def commitRewrite(f: FileSystem, firstTry: Long,
       snapshot: Seq[Entry],
       rewrite: Seq[Entry] => Seq[Entry]): Unit = {
-    val snapDirOf = snapshot.groupBy(_.batchId)
-      .view.mapValues(_.map(_.dir).toSet).toMap
+    // Snapshot identity is the FULL entry (batchId, dir, stats), not
+    // batchId alone: delete entries all share the reserved sentinel id,
+    // so id-keyed bookkeeping would conflate a concurrent second delete
+    // with a moved batch.
+    val snapSet = snapshot.toSet
+    val snapDataIds =
+      snapshot.filterNot(isDeleteEntry).map(_.batchId).toSet
     var next = firstTry
     var committed = tryCommit(f, next, rewrite(snapshot))
     while (!committed) {
       val (nv, nlines) = current(f)
-      val movedByOther = nlines.exists(e =>
-        snapDirOf.get(e.batchId).exists(dirs => !dirs.contains(e.dir)))
-      if (movedByOther) return
-      val (snap, fresh) =
-        nlines.partition(e => snapDirOf.contains(e.batchId))
+      val (snap, fresh) = nlines.partition(snapSet.contains)
+      // a snapshot data batch re-committed under a new dir (or a
+      // snapshot entry gone) = a CONCURRENT MAINTENANCE op landed:
+      // abort — rebasing across two rewrites would double-count rows
+      val movedByOther = fresh.exists(e =>
+        !isDeleteEntry(e) && snapDataIds.contains(e.batchId))
+      if (movedByOther || snap.size != snapshot.size) return
+      // an UNSCOPED delete entry in the snapshot masks every data
+      // entry, including fresh appends the rewrite never anti-joined —
+      // folding it in would silently resurrect those rows. Scoped
+      // deletes (everything deleteMoR commits) never mask fresh
+      // batches, so rebasing around fresh appends stays sound.
+      val unscopedDelete = snapshot.exists(e => isDeleteEntry(e) &&
+        ManifestTableStore.parseApplies(e.statsJson).isEmpty)
+      if (unscopedDelete && fresh.exists(e => !isDeleteEntry(e))) return
       next = math.max(nv + 1, next + 1)
-      committed = tryCommit(f, next, rewrite(snap) ++ fresh)
+      committed = tryCommit(f, next, rewrite(snapshot) ++ fresh)
     }
   }
 
@@ -625,9 +644,10 @@ final class ManifestTableStore(path: String,
     */
   def merge(spark: SparkSession, source: DataFrame, key: String,
       batchId: Long): Unit = synchronized {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val f = fs(spark)
     val (v, lines) = current(f)
-      requireNoDeleteFiles(lines, "merge")
+    requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
     // source key range, normalized exactly like collectStats values so
     // dir-stats comparison is representation-free
@@ -882,8 +902,12 @@ final class ManifestTableStore(path: String,
   // delete file's single-column schema, exactly Iceberg's equality-
   // delete contract.
 
+  // Table-relative PREFIX, not a substring: a table rooted under a path
+  // that itself contains "/deletes/" must not classify its data dirs as
+  // delete files. Entries are always committed with this instance's
+  // `path` verbatim, so the prefix comparison is exact.
   private def isDeleteEntry(e: Entry): Boolean =
-    e.dir.contains("/deletes/")
+    e.dir.startsWith(s"$path/deletes/")
 
   private def readEntries(spark: SparkSession,
       lines: Seq[Entry]): DataFrame = {
@@ -893,37 +917,56 @@ final class ManifestTableStore(path: String,
 
   private def applyDeletes(spark: SparkSession, base: DataFrame,
       dels: Seq[Entry]): DataFrame =
-    dels.map(_.dir).distinct.foldLeft(base) { (df, d) =>
-      val keys = spark.read.parquet(d)
+    dels.distinctBy(_.dir).foldLeft(base) { (df, d) =>
+      val keys = spark.read.parquet(d.dir)
       val kc = keys.schema.fields.head.name
+      // Each delete entry is SCOPED to the data batch ids present when
+      // it committed (Iceberg's equality-delete sequence-number
+      // contract): rows appended AFTER the delete are never masked, so
+      // a later compact that folds the delete in cannot resurrect them.
+      // An entry without a scope (foreign manifest) masks everything —
+      // the conservative legacy reading.
+      val cond = ManifestTableStore.parseApplies(d.statsJson) match {
+        case Some(ids) =>
+          df(kc) === keys(kc) && df("batch_id").isInCollection(ids)
+        case None => df(kc) === keys(kc)
+      }
       df.join(org.apache.spark.sql.functions.broadcast(keys),
-        df(kc) === keys(kc), "left_anti")
+        cond, "left_anti")
     }
 
   /** MERGE-ON-READ delete: commit the predicate's matching `keyCol`
     * values as an equality-delete file — no data dir is opened for
     * write, no row is rewritten. Repeated deletes compose (keys are
     * computed against the current merge-on-read state). A no-match
-    * delete commits nothing.
+    * delete commits nothing. The delete entry records the data batch
+    * ids it applies to, and on a lost commit race the key set is
+    * RECOMPUTED against the winner's state — rows committed between
+    * snapshot and commit cannot escape the predicate (serializable,
+    * not write-skew: single-step version files mean a successful
+    * tryCommit proves nothing changed since the snapshot read).
     */
   def deleteMoR(spark: SparkSession, predicateSql: String,
       keyCol: String): Unit = synchronized {
     val f = fs(spark)
-    var (v, lines) = current(f)
-    if (lines.isEmpty) return
-    val keys = readEntries(spark, lines)
-      .filter(expr(predicateSql)).select(keyCol).distinct()
-    val delDir = s"$path/deletes/del-${java.util.UUID.randomUUID()}"
-    keys.write.mode("overwrite").parquet(delDir)
-    if (spark.read.parquet(delDir).isEmpty) {
-      f.delete(new HPath(delDir), true); return
-    }
-    val entry = Entry(-1L, delDir, "")
-    var next = v + 1
-    while (!tryCommit(f, next, lines :+ entry)) {
-      val (nv, nlines) = current(f)
-      lines = nlines
-      next = math.max(nv + 1, next + 1)
+    var done = false
+    while (!done) {
+      val (v, lines) = current(f)
+      if (lines.isEmpty) return
+      val keys = readEntries(spark, lines)
+        .filter(expr(predicateSql)).select(keyCol).distinct()
+      val delDir = s"$path/deletes/del-${java.util.UUID.randomUUID()}"
+      keys.write.mode("overwrite").parquet(delDir)
+      if (spark.read.parquet(delDir).isEmpty) {
+        f.delete(new HPath(delDir), true); return
+      }
+      val applies = lines.filterNot(isDeleteEntry)
+        .map(_.batchId).distinct.sorted
+      val entry = Entry(ManifestTableStore.DeleteBatchId, delDir,
+        applies.mkString("{\"" + ManifestTableStore.AppliesKey +
+          "\":[", ",", "]}"))
+      done = tryCommit(f, v + 1, lines :+ entry)
+      if (!done) f.delete(new HPath(delDir), true)
     }
   }
 
@@ -1110,6 +1153,28 @@ object ManifestTableStore {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val n = mapper.readTree(json).get(CountKey)
     if (n != null && n.isNumber) Some(n.asLong()) else None
+  }
+
+  /** Reserved batch id for equality-delete entries. Kept OUT of the
+    * caller id space (append/stage/merge require batchId >= 0) so a
+    * pending delete can never shadow a data batch in replay detection.
+    */
+  private[engine] val DeleteBatchId = -1L
+
+  /** Stats-JSON key of a delete entry's applicable data batch ids. */
+  private[engine] val AppliesKey = "__applies__"
+
+  /** The data batch ids an equality-delete entry applies to (its
+    * sequence-number scope); None for entries without one.
+    */
+  private[engine] def parseApplies(json: String): Option[Seq[Long]] = {
+    if (json.isEmpty || !json.contains(AppliesKey)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json).get(AppliesKey)
+    if (n == null || !n.isArray) return None
+    val b = Seq.newBuilder[Long]
+    n.forEach(x => b += x.asLong())
+    Some(b.result())
   }
 
   /** Probes per value; fp ≈ (1 - e^(-k·n/m))^k — at the default

@@ -481,4 +481,49 @@ class ManifestTableStoreSpec extends SparkSpec {
       s"vacuum did not retire delete files: $removed")
     assert(store.read(spark).count() == 1)
   }
+
+  test("equality deletes are sequence-scoped: rows appended after the " +
+      "delete are never masked, and compact cannot resurrect rows from " +
+      "batches the delete did mask") {
+    val store = new ManifestTableStore(tmp("manifest-mor-seq-").toString)
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)  // v1
+    store.deleteMoR(spark, "n >= 2", "k")                     // v2
+    // a RE-APPEND of key b after the delete is new data the delete's
+    // sequence scope must not touch (Iceberg's equality-delete contract)
+    store.append(Seq(("b", 5), ("e", 6)).toDF("k", "n"), 1L)  // v3
+    val expected = Set(("a", 1), ("b", 5), ("e", 6))
+    assert(store.read(spark).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet == expected)
+    // folding the delete in (compact drops the delete entry) must land
+    // on the SAME state — (b,2) stays dead, (b,5) stays alive
+    store.compact(spark)                                      // v4
+    assert(store.read(spark).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet == expected)
+    assert(!store.read(spark).inputFiles.exists(_.contains("/deletes/")))
+    // time travel to v3 still applies the delete with its original scope
+    assert(store.readVersion(spark, 3).collect().map(r =>
+      (r.getString(0), r.getInt(1))).toSet == expected)
+  }
+
+  test("negative batch ids are refused (reserved for delete entries) " +
+      "and a table rooted under a path containing /deletes/ still reads") {
+    val store = new ManifestTableStore(tmp("manifest-neg-").toString)
+    intercept[IllegalArgumentException] {
+      store.append(Seq(("a", 1)).toDF("k", "n"), -1L)
+    }
+    intercept[IllegalArgumentException] {
+      store.stage(Seq(("a", 1)).toDF("k", "n"), -7L)
+    }
+    intercept[IllegalArgumentException] {
+      store.merge(spark, Seq(("a", 1)).toDF("k", "n"), "k", -1L)
+    }
+    // isDeleteEntry must match the table-RELATIVE prefix, not any
+    // "/deletes/" substring in the table's own root path
+    val root = tmp("manifest-root-").resolve("deletes/t")
+    Files.createDirectories(root.getParent)
+    val nested = new ManifestTableStore(root.toString)
+    nested.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    assert(nested.read(spark).count() == 2)
+    assert(nested.countRows(spark).contains(2L))
+  }
 }
