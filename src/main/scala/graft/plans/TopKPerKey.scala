@@ -91,35 +91,114 @@ object TopKStrategy extends SparkStrategy {
 
 case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
     k: Int, isFinal: Boolean, child: SparkPlan) extends UnaryExecNode {
+  import org.apache.spark.sql.execution.metric.SQLMetrics
+
   override def output: Seq[Attribute] = child.output
   override def requiredChildDistribution: Seq[Distribution] =
     if (isFinal) ClusteredDistribution(Seq(key)) :: Nil
     else UnspecifiedDistribution :: Nil
+
+  override lazy val metrics = Map(
+    "spills" -> SQLMetrics.createMetric(sparkContext, "number of spills"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val keyE = key
     val ords = ordering
     val kk = k
     val childOutput = child.output
+    // Memory is bounded at O(spillKeys · k) rows per task: past the
+    // threshold the key map spills to a byte-sorted run file and the
+    // partition re-reduces by k-way merge — the external-hash-aggregate
+    // shape, so a high-cardinality FINAL key can no longer OOM.
+    val spillKeys = conf
+      .getConfString(TopKPerKey.SpillKeysConf, "262144").toInt
+    require(spillKeys > 0, s"${TopKPerKey.SpillKeysConf} must be > 0")
+    val spillMetric = longMetric("spills")
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(Seq(keyE), childOutput)
+      // rows must be UnsafeRows so a spilled run can round-trip bytes
+      val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
       // "smaller" = earlier in the requested order; top-k = first k
-      val rowOrd: Ordering[InternalRow] =
-        RowOrdering.create(ords, childOutput)
+      // (UnsafeRow-typed so PriorityQueue's invariant Ordering lines up
+      // with the spill-able row type; on-ordering it compares as rows)
+      val rowOrd: Ordering[UnsafeRow] =
+        Ordering.comparatorToOrdering(RowOrdering.create(ords, childOutput)
+          .asInstanceOf[java.util.Comparator[UnsafeRow]])
       // per key: max-heap of the kept rows so the WORST kept row is at
       // the head — O(log k) replace when a better row arrives
       val heaps =
-        mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[InternalRow](rowOrd))
+        mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+      val spills = mutable.ArrayBuffer.empty[java.io.File]
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        spills.foreach(_.delete())
+      }
+      def offer(heap: mutable.PriorityQueue[UnsafeRow],
+          row: UnsafeRow): Unit =
         if (heap.size < kk) heap.enqueue(row.copy())
         else if (rowOrd.compare(row, heap.head) < 0) {
           heap.dequeue(); heap.enqueue(row.copy())
         }
+      // run layout: per key (in unsigned-byte key order, so equal keys
+      // align across runs): keyLen, keyBytes, nRows, (rowLen, rowBytes)*
+      def spill(): Unit = {
+        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        spills += f
+        val out = new java.io.DataOutputStream(new java.io.
+          BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
+        try {
+          heaps.toSeq.sortBy(_._1.getBytes)(TopKPerKey.ByteOrd)
+            .foreach { case (key, heap) =>
+              val kb = key.getBytes
+              out.writeInt(kb.length); out.write(kb)
+              out.writeInt(heap.size)
+              heap.foreach { r =>
+                val rb = r.getBytes
+                out.writeInt(rb.length); out.write(rb)
+              }
+            }
+        } finally out.close()
+        heaps.clear()
+        spillMetric += 1
       }
-      heaps.valuesIterator.flatMap(_.iterator)
+      while (iter.hasNext) {
+        val row = toUnsafe(iter.next())
+        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
+          mutable.PriorityQueue.empty[UnsafeRow](rowOrd))
+        offer(heap, row)
+        if (heaps.size > spillKeys) spill()
+      }
+      if (spills.isEmpty) heaps.valuesIterator.flatMap(_.iterator)
+      else {
+        if (heaps.nonEmpty) spill()
+        // k-way merge of the byte-sorted runs: pop every run sitting on
+        // the minimum key, re-reduce their (≤ k each) survivors — every
+        // globally-top-k row is top-k in its run, so the merge is exact
+        val runs = spills.map(new TopKPerKey.RunReader(_, childOutput.size))
+          .filter(_.hasNext)
+        val pq = mutable.PriorityQueue.empty[TopKPerKey.RunReader](
+          Ordering.by[TopKPerKey.RunReader, Array[Byte]](_.headKey)(
+            TopKPerKey.ByteOrd.reverse))
+        runs.foreach(pq.enqueue(_))
+        new Iterator[InternalRow] {
+          private var cur: Iterator[UnsafeRow] = Iterator.empty
+          override def hasNext: Boolean = cur.hasNext || pq.nonEmpty
+          override def next(): InternalRow = {
+            while (!cur.hasNext) {
+              val minKey = pq.head.headKey
+              val heap = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+              while (pq.nonEmpty && java.util.Arrays.equals(
+                  pq.head.headKey, minKey)) {
+                val r = pq.dequeue()
+                r.readGroup().foreach(offer(heap, _))
+                if (r.hasNext) pq.enqueue(r)
+              }
+              cur = heap.iterator
+            }
+            cur.next()
+          }
+        }
+      }
     }, preservesPartitioning = true)
   }
 
@@ -128,6 +207,62 @@ case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
 }
 
 object TopKPerKey {
+
+  /** Max keys held in a task's in-memory map before it spills a run —
+    * the external-aggregation knob; bytes ≈ spillKeys · k · rowSize.
+    */
+  val SpillKeysConf = "spark.graft.topk.spillKeyThreshold"
+
+  /** Unsigned lexicographic byte order — an arbitrary but CONSISTENT
+    * total order on serialized keys, so equal keys are adjacent in
+    * every run and the merge can align them (the only property the
+    * merge needs; no relation to the key's value order is required).
+    */
+  val ByteOrd: Ordering[Array[Byte]] = new Ordering[Array[Byte]] {
+    override def compare(a: Array[Byte], b: Array[Byte]): Int = {
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        val c = (a(i) & 0xff) - (b(i) & 0xff)
+        if (c != 0) return c
+        i += 1
+      }
+      a.length - b.length
+    }
+  }
+
+  /** Streams one spilled run: groups of (key, rows) in [[ByteOrd]] key
+    * order, each row re-materialized as an [[UnsafeRow]].
+    */
+  private[plans] final class RunReader(f: java.io.File, numFields: Int) {
+    private val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(
+        new java.io.FileInputStream(f), 1 << 16))
+    private var nextKey: Array[Byte] = _
+    advance()
+    private def advance(): Unit = {
+      val len = try in.readInt() catch {
+        case _: java.io.EOFException => in.close(); nextKey = null; return
+      }
+      nextKey = new Array[Byte](len)
+      in.readFully(nextKey)
+    }
+    def hasNext: Boolean = nextKey != null
+    def headKey: Array[Byte] = nextKey
+    /** Consume the current group's rows and advance to the next key. */
+    def readGroup(): Seq[UnsafeRow] = {
+      val n = in.readInt()
+      val rows = (0 until n).map { _ =>
+        val bytes = new Array[Byte](in.readInt())
+        in.readFully(bytes)
+        val r = new UnsafeRow(numFields)
+        r.pointTo(bytes, bytes.length)
+        r
+      }
+      advance()
+      rows
+    }
+  }
 
   /** Exact top-k rows per key of `df`, ordered by `orderCols`
     * ((name, descending) — supply tie-breakers for a total order).

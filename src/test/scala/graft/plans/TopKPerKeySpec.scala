@@ -85,6 +85,37 @@ class TopKPerKeySpec extends SparkSpec {
     assert(exchangeBelowFinal, "no exchange between final and partial")
   }
 
+  test("spill path: keys far beyond the spill threshold stay exact " +
+      "(byte-sorted runs + k-way merge) and the spill metric fires") {
+    val prev = spark.conf.getOption(TopKPerKey.SpillKeysConf)
+    spark.conf.set(TopKPerKey.SpillKeysConf, "16")
+    try {
+      // 5000 distinct keys through a 16-key map → hundreds of runs per
+      // task; values permuted so later rows often beat earlier ones
+      val df = spark.range(20000)
+        .select((col("id") % 5000).as("k"), col("id").as("id"),
+          ((col("id") * 2654435761L) % 100003).cast("double").as("v"))
+      val out = TopKPerKey(df, "k", Seq(("v", true), ("id", false)), 2)
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == windowForm(df, 2))
+      def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          q +: collectNodes(q.plan)
+        case _ => p +: p.children.flatMap(collectNodes)
+      }
+      val spills = collectNodes(out.queryExecution.executedPlan)
+        .collect { case t: TopKPerKeyExec => t.metrics("spills").value }
+      assert(spills.sum > 0, s"expected spills, metric values: $spills")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopKPerKey.SpillKeysConf, v)
+        case None => spark.conf.unset(TopKPerKey.SpillKeysConf)
+      }
+    }
+  }
+
   test("TopKPushdown rule: a key-only predicate sinks through the " +
       "custom node into the scan's PushedFilters; a value predicate " +
       "must not") {
