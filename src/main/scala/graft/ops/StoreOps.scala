@@ -132,6 +132,66 @@ object StoreOps {
     store.history(s).createOrReplaceTempView("silver_orders_history")
   }
 
+  /** The DML-through-SQL store (q198): seeded like `ordersStore`, then
+    * mutated EXCLUSIVELY through [[graft.engine.StoreSql]] texts — a
+    * CoW `DELETE FROM` of the 2000+ batch (v5) and a CoW `UPDATE`
+    * re-prioritizing 1998-99 orders (v6) — the write path a Delta/
+    * Iceberg SQL user gets (reference docker-compose.yml:335-345).
+    * Version-gated so re-invocations are manifest reads, not rewrites.
+    */
+  def registerDmlSqlView(s: SparkSession, dir: String): Unit = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_sqldml", dir),
+      statsColumns = Seq("o_orderdate"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+      3L -> !upTo("2000-01-01")
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    val t = Map("silver_dml" -> store)
+    if (store.currentVersion(s) == 4L)
+      graft.engine.StoreSql.exec(s, t,
+        "DELETE FROM silver_dml " +
+          "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")
+    if (store.currentVersion(s) == 5L)
+      graft.engine.StoreSql.exec(s, t,
+        "UPDATE silver_dml " +
+          "SET o_orderpriority = concat('X-', o_orderpriority) " +
+          "WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'")
+    store.read(s).createOrReplaceTempView("silver_dml")
+  }
+
+  /** The MERGE-through-SQL store (q199): three pre-2000 appends, then
+    * ONE `MERGE INTO ... UPDATE SET * / INSERT *` whose source view is
+    * the 1998+ orders re-priced (+10) — [1998,2000) keys replace
+    * committed rows, 2000+ keys are fresh inserts, in one commit.
+    */
+  def registerMergeSqlView(s: SparkSession, dir: String): Unit = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_sqlmerge", dir),
+      statsColumns = Seq("o_orderkey"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01"))
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    orders.filter(!upTo("1998-01-01"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .createOrReplaceTempView("orders_merge_src")
+    if (store.currentVersion(s) == 3L)
+      graft.engine.StoreSql.exec(s, Map("silver_merged" -> store),
+        """MERGE INTO silver_merged USING orders_merge_src
+          |ON silver_merged.o_orderkey = orders_merge_src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin, batchId = 3L)
+    store.read(s).createOrReplaceTempView("silver_merged")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
