@@ -63,8 +63,33 @@ object Bench {
     // two 1.9 s noise samples that sat just under the old 2.0 s trigger.
     val recheckSec =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RECHECK_SEC", "1.0").toDouble
+    // History-relative trigger (round-7 verdict, "What's wrong" 3): a
+    // query more than 2x its LAST COMMITTED time is anomalous even when
+    // it sits under the absolute floor — and a 5 s sample of a 1.7 s
+    // query must not survive on the absolute rule alone. History comes
+    // from the sidecar of the previous run at the SAME sf dir; absent
+    // or foreign history degrades to the absolute rule only.
+    val history: Map[String, Double] = try {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES_LAST.json"))
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else {
+        val root = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(java.nio.file.Files.readString(p))
+        if (root.path("sf").asText() != sfDir) Map.empty
+        else {
+          val b = Map.newBuilder[String, Double]
+          root.path("queries").properties().forEach(e =>
+            b += e.getKey -> e.getValue.asDouble())
+          b.result()
+        }
+      }
+    } catch { case _: Throwable => Map.empty }
     val suspects = firstPass.collect {
-      case (n, Right(t)) if t > recheckSec => n }.toSet
+      case (n, Right(t))
+          if t > recheckSec || history.get(n).exists(h => t > 2 * h) =>
+        n
+    }.toSet
     val outcomes = firstPass.map {
       case (name, Right(t)) if suspects(name) =>
         val again = measure(name, SparkEntry.queries(name))

@@ -461,28 +461,14 @@ object CorpusOps {
     // q140 shape) feeding the same per-source prefix-sum window; the
     // corpus text itself still never moves.
     QueryDef("q143_bpe_pack", TextOps.bpeLearnSql(TextOps.BpeMerges) +
-      TextOps.bpeDocSql() +
-      s""",
-         |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
-         |  FROM agg a JOIN documents d USING (doc_id)),
-         |o AS (SELECT source, doc_id, n_tok,
-         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS tok_offset
-         |  FROM t2)
+      TextOps.bpeDocSql() + TextOps.bpePackSql +
+      s"""
          |SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
          |  CAST(tok_offset AS BIGINT) AS tok_offset,
          |  CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
          |  CAST(tok_offset % 2048 AS BIGINT) AS pack_offset
          |FROM o ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      TextOps.bpeDocTokens(s, dir)
-        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("tok_offset",
-          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      TextOps.bpePackOffsets(s, dir)
         .select(col("source"), col("doc_id"), col("n_tok"),
           col("tok_offset"),
           expr("tok_offset div 2048").as("pack_id"),
@@ -504,15 +490,8 @@ object CorpusOps {
     // manifest is a 16-way aggregate per epoch with an ordered
     // fingerprint fold.
     QueryDef("q148_loader_manifest", TextOps.bpeLearnSql(TextOps.BpeMerges) +
-      TextOps.bpeDocSql() +
+      TextOps.bpeDocSql() + TextOps.bpePackSql +
       s""",
-         |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
-         |  FROM agg a JOIN documents d USING (doc_id)),
-         |o AS (SELECT source, doc_id, n_tok,
-         |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-         |      AS tok_offset
-         |  FROM t2),
          |packs AS (SELECT source,
          |    CAST(tok_offset // 2048 AS BIGINT) AS pack_id,
          |    CAST(sum(n_tok) AS BIGINT) AS pack_tokens
@@ -533,14 +512,7 @@ object CorpusOps {
          |    ',' ORDER BY pos)) AS order_sha
          |FROM pos GROUP BY epoch, shard
          |ORDER BY epoch, shard""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val wOff = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val packs = TextOps.bpeDocTokens(s, dir)
-        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("tok_offset",
-          coalesce(sum(col("n_tok")).over(wOff), lit(0L)))
+      val packs = TextOps.bpePackOffsets(s, dir)
         .groupBy(col("source"),
           expr("tok_offset div 2048").as("pack_id"))
         .agg(sum("n_tok").as("pack_tokens"))
@@ -578,15 +550,8 @@ object CorpusOps {
     QueryDef(
       "q191_curriculum_packs",
       TextOps.bpeLearnSql(TextOps.BpeMerges) + TextOps.bpeDocSql() +
+        TextOps.bpePackSql +
         s""",
-           |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
-           |  FROM agg a JOIN documents d USING (doc_id)),
-           |o AS (SELECT source, doc_id, n_tok,
-           |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
-           |      ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS tok_offset
-           |  FROM t2),
            |pk AS (SELECT source, doc_id, n_tok,
            |    tok_offset // 2048 AS pack_id FROM o),
            |tri AS (SELECT doc_id, unnest(list_transform(
@@ -615,14 +580,7 @@ object CorpusOps {
            |    ORDER BY difficulty DESC, pack_id) AS INTEGER)
            |    AS cur_rank
            |FROM pd ORDER BY source, cur_rank""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pk = TextOps.bpeDocTokens(s, dir)
-        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("tok_offset",
-          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      val pk = TextOps.bpePackOffsets(s, dir)
         .select(col("source"), col("doc_id"), col("n_tok"),
           expr("tok_offset div 2048").as("pack_id"))
       val pd = pk
@@ -669,17 +627,26 @@ object CorpusOps {
         |  floor(n_unseen / CAST(n_grams AS DOUBLE) * 1000000)
         |    / 1000000.0 AS novelty
         |FROM nv ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // Artifact-served (round-7 verdict item 7): both sides of the
+      // anti-join read the materialized distinct-shingle-HASH table
+      // (q43/q47/q48's shared base) instead of re-shingling the corpus
+      // per run, and the train-side distinct gram set is itself a
+      // Materialize artifact — per corpus version the heavy distinct
+      // runs once, then this query is two columnar artifact reads. The
+      // hash-for-string substitution is the same collision-free-at-
+      // this-scale equivalence every exact-Jaccard consumer already
+      // relies on. The 1-row max() collect is bounded metadata (the
+      // bench split point), and turning it into a literal lets the
+      // doc_id predicate push into the artifact's parquet scan.
       val docs = Tables(s, dir, "documents")
-      graft.functions.VectorExpressions.register(s)
-      val g = docs
-        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
-        .select(col("doc_id"), col("sh")).distinct()
-      val mx = broadcast(docs.agg(max("doc_id").as("m")))
-      val b = g.crossJoin(mx).filter(col("doc_id") > col("m") - 10)
-        .select("doc_id", "sh")
-      val t = g.crossJoin(mx).filter(col("doc_id") <= col("m") - 10)
-        .select("sh").distinct()
-      b.join(t.withColumn("hit", lit(1)), Seq("sh"), "left")
+      val m = docs.agg(max("doc_id")).head().getLong(0)
+      val g = DedupOps.distinctShingles(s, dir).toDF("doc_id", "h")
+      val t = graft.engine.Materialize.table(s, "novelty_train_grams",
+          dir) {
+        g.filter(col("doc_id") <= m - 10).select("h").distinct()
+      }
+      g.filter(col("doc_id") > m - 10)
+        .join(t.withColumn("hit", lit(1)), Seq("h"), "left")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),
           sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_unseen"))
@@ -749,15 +716,8 @@ object CorpusOps {
     QueryDef(
       "q194_intra_pack_dups",
       TextOps.bpeLearnSql(TextOps.BpeMerges) + TextOps.bpeDocSql() +
+        TextOps.bpePackSql +
         s""",
-           |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
-           |  FROM agg a JOIN documents d USING (doc_id)),
-           |o AS (SELECT source, doc_id,
-           |    COALESCE(SUM(n_tok) OVER (PARTITION BY source
-           |      ORDER BY doc_id
-           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           |      AS tok_offset
-           |  FROM t2),
            |pk AS (SELECT source, doc_id, tok_offset // 2048 AS pack_id
            |  FROM o),
            |rr AS (SELECT MIN(doc_id) AS doc_id, text FROM documents
@@ -776,14 +736,7 @@ object CorpusOps {
           |    ELSE floor(sum(same_pack) / CAST(count(*) AS DOUBLE)
           |      * 1000000) / 1000000.0 END AS same_pack_frac
           |FROM ej""".stripMargin) { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val w = Window.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val pk = TextOps.bpeDocTokens(s, dir)
-        .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
-        .join(docs.select("doc_id", "source"), "doc_id")
-        .withColumn("tok_offset",
-          coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      val pk = TextOps.bpePackOffsets(s, dir)
         .select(col("source"), col("doc_id"),
           expr("tok_offset div 2048").as("pack_id"))
       DedupOps.lshCandidates(s, dir).select("a_id", "b_id")

@@ -942,4 +942,39 @@ object TextOps {
        |agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
        |    CAST(sum(c * n_tok) AS BIGINT) AS n_bpe_tokens
        |  FROM dw JOIN tok USING (wd) GROUP BY doc_id)""".stripMargin
+
+  /** The BPE-priced PACK COORDINATE frame `(source, doc_id, n_tok,
+    * tok_offset)` shared by q143 packing, q148 loader manifest, q191
+    * curriculum, and q194 intra-pack audit: each document's running
+    * token offset within its source stream — the 2048-token pack
+    * coordinate system every export/audit stage prices against. One
+    * definition per side so the pricing window can never drift between
+    * consumers. Oracle: the `t2`/`o` CTEs appended after
+    * [[bpeDocSql]]'s `agg`; Spark: [[bpePackOffsets]].
+    */
+  private[ops] def bpePackSql: String =
+    s""",
+       |t2 AS (SELECT d.source, d.doc_id, a.n_bpe_tokens AS n_tok
+       |  FROM agg a JOIN documents d USING (doc_id)),
+       |o AS (SELECT source, doc_id, n_tok,
+       |    COALESCE(SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS tok_offset
+       |  FROM t2)""".stripMargin
+
+  /** Spark twin of [[bpePackSql]] — see its scaladoc. The window
+    * partitions by source (parallel across strata); the corpus-sized
+    * work is [[bpeDocTokens]]'s materialized artifact.
+    */
+  def bpePackOffsets(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bpeDocTokens(s, dir)
+      .select(col("doc_id"), col("n_bpe_tokens").as("n_tok"))
+      .join(Tables(s, dir, "documents").select("doc_id", "source"),
+        "doc_id")
+      .withColumn("tok_offset",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select("source", "doc_id", "n_tok", "tok_offset")
+  }
 }
