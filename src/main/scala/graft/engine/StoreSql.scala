@@ -42,7 +42,12 @@ object StoreSql {
     }
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case d: DeleteFromTable =>
-        storeOf(d.table).delete(spark, d.condition.sql)
+        val store = storeOf(d.table)
+        store.morDeleteKey match {
+          case Some(keyCol) =>
+            store.deleteMoR(spark, d.condition.sql, keyCol)
+          case None => store.delete(spark, d.condition.sql)
+        }
       case u: UpdateTable =>
         val pred = u.condition.getOrElse(
           throw new IllegalArgumentException(

@@ -95,7 +95,14 @@ final class ManifestTableStore(path: String,
     partitionBy: Seq[String] = Nil,
     statsColumns: Seq[String] = Nil,
     bloomColumns: Seq[String] = Nil,
-    bloomBits: Int = 1 << 19) extends TableStore {
+    bloomBits: Int = 1 << 19,
+    /** Iceberg's `write.delete.mode` as a table property: a
+      * [[graft.engine.StoreSql]] `DELETE FROM` routes to [[deleteMoR]]
+      * on `Some(keyCol)` (merge-on-read equality deletes keyed by that
+      * column) and to the copy-on-write [[delete]] on None. The Scala
+      * API is unaffected — both methods stay directly callable.
+      */
+    val morDeleteKey: Option[String] = None) extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
   import ManifestTableStore.{EndMarker, Entry, NumV, StrV, SVal, TsV}

@@ -801,6 +801,92 @@ object CorpusOps {
         .orderBy("source", "j")
     },
 
+    // Length-BUCKETED inference batching — the serving-side twin of
+    // q143's training packing: batching variable-length sequences pads
+    // every row to its batch's longest, so batch composition IS the
+    // inference bill. Per source stream, two deterministic schemes over
+    // the SAME BPE-priced frame: `naive` (arrival order, batches of 32,
+    // pad to the batch max — the default everyone starts with) vs
+    // `bucketed` (route each doc to the smallest power-of-two length
+    // bucket that fits it, batch within (source, bucket), pad to the
+    // bucket width). The per-batch padded-token and waste-ppm columns
+    // are the table that justifies length bucketing. Integer-only
+    // (counts, power-of-two widths, ppm by integer division) → hash-
+    // exact. Scale shape: corpus-sized work is the materialized pricing
+    // artifact read; both schemes are per-source (or per source×bucket)
+    // windows — no global sort — and the output is batches-sized.
+    QueryDef(
+      "q202_length_batching",
+      TextOps.bpeLearnSql(TextOps.BpeMerges) + TextOps.bpeDocSql() +
+        TextOps.bpePackSql +
+        """,
+          |n AS (SELECT source, doc_id, n_tok FROM o),
+          |b AS (SELECT source, doc_id, n_tok,
+          |    list_min(list_filter([16, 32, 64, 128, 256, 512, 1024,
+          |      2048, 4096, 8192, 16384, 32768, 65536],
+          |      p -> p >= n_tok)) AS bucket
+          |  FROM n),
+          |br AS (SELECT source, bucket, n_tok, ROW_NUMBER() OVER (
+          |    PARTITION BY source, bucket ORDER BY doc_id) AS rn
+          |  FROM b),
+          |bb AS (SELECT 'bucketed' AS scheme,
+          |    source || ':b' || CAST(bucket AS VARCHAR) || '-'
+          |      || CAST((rn - 1) // 32 AS VARCHAR) AS batch_key,
+          |    count(*) AS n_seqs, sum(n_tok) AS sum_tok,
+          |    count(*) * bucket AS padded_tok
+          |  FROM br GROUP BY source, bucket, (rn - 1) // 32),
+          |nr AS (SELECT source, n_tok, ROW_NUMBER() OVER (
+          |    PARTITION BY source ORDER BY doc_id) AS rn FROM n),
+          |nb AS (SELECT 'naive' AS scheme,
+          |    source || ':n-' || CAST((rn - 1) // 32 AS VARCHAR)
+          |      AS batch_key,
+          |    count(*) AS n_seqs, sum(n_tok) AS sum_tok,
+          |    count(*) * max(n_tok) AS padded_tok
+          |  FROM nr GROUP BY source, (rn - 1) // 32),
+          |u AS (SELECT * FROM bb UNION ALL SELECT * FROM nb)
+          |SELECT scheme, batch_key, CAST(n_seqs AS BIGINT) AS n_seqs,
+          |  CAST(sum_tok AS BIGINT) AS sum_tok,
+          |  CAST(padded_tok AS BIGINT) AS padded_tok,
+          |  CAST((padded_tok - sum_tok) * 1000000 // padded_tok
+          |    AS BIGINT) AS waste_ppm
+          |FROM u ORDER BY scheme, batch_key""".stripMargin) { (s, dir) =>
+      val n = TextOps.bpePackOffsets(s, dir)
+        .select("source", "doc_id", "n_tok")
+      val powers = (4 to 16).map(1 << _)
+      val b = n.withColumn("bucket", expr(
+        s"array_min(filter(array(${powers.mkString(",")}), " +
+          "p -> p >= n_tok))"))
+      val bb = b
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("source", "bucket").orderBy("doc_id")))
+        .groupBy(col("source"), col("bucket"),
+          expr("(rn - 1) div 32").as("g"))
+        .agg(count(lit(1)).as("n_seqs"), sum("n_tok").as("sum_tok"))
+        .select(lit("bucketed").as("scheme"),
+          concat(col("source"), lit(":b"),
+            col("bucket").cast("string"), lit("-"),
+            col("g").cast("string")).as("batch_key"),
+          col("n_seqs"), col("sum_tok"),
+          (col("n_seqs") * col("bucket")).as("padded_tok"))
+      val nb = n
+        .withColumn("rn", row_number().over(Window
+          .partitionBy("source").orderBy("doc_id")))
+        .groupBy(col("source"), expr("(rn - 1) div 32").as("g"))
+        .agg(count(lit(1)).as("n_seqs"), sum("n_tok").as("sum_tok"),
+          max("n_tok").as("mx"))
+        .select(lit("naive").as("scheme"),
+          concat(col("source"), lit(":n-"), col("g").cast("string"))
+            .as("batch_key"),
+          col("n_seqs"), col("sum_tok"),
+          (col("n_seqs") * col("mx")).as("padded_tok"))
+      bb.union(nb)
+        .select(col("scheme"), col("batch_key"), col("n_seqs"),
+          col("sum_tok"), col("padded_tok"),
+          expr("(padded_tok - sum_tok) * 1000000 div padded_tok")
+            .as("waste_ppm"))
+        .orderBy("scheme", "batch_key")
+    },
+
     // Shard-assignment STABILITY audit: when the training-shard count
     // grows 16 → 17, what fraction of documents move? Two
     // content-addressed schemes over the same sha256 hash family:

@@ -114,6 +114,13 @@ object DedupOps {
     (0 until 16).map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END")
       .mkString("CAST((", " + ", ") AS DOUBLE) / 16")
 
+  /** Integer agreement count (0..16) for the same joined pair — the
+    * division-free form q203's ppm arithmetic needs.
+    */
+  private def agreeCountSql: String =
+    (0 until 16).map(p => s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END")
+      .mkString("(", " + ", ")")
+
   /** DuckDB twin of [[qualityClasses]]'s score — the SAME IEEE double
     * expression tree (least → divide → multiply, identical op order), so
     * the 0.2 threshold decision is bit-identical across engines.
@@ -387,6 +394,75 @@ object DedupOps {
             / col("n").cast("double") * 1000000) / 1000000.0)
             .as("flagged_frac"))
         .orderBy("threshold")
+    },
+
+    // MinHash SKETCH-ERROR audit — the table that justifies numPerms:
+    // for every LSH candidate pair, the 16-perm signature-agreement
+    // ESTIMATE against the exact shingle Jaccard, with per-pair error
+    // and the corpus MAE (expected |err| ≈ sqrt(j(1-j)/16) ≈ 0.12 at
+    // j=0.5 — a curator reads this before trusting threshold sweeps
+    // like q151 built on the estimate). Both sides come from
+    // materialized artifacts (candidates + distinct-shingle hashes);
+    // the exact side is candidate-scoped — never the all-pairs truth
+    // join. Integer-only outputs (agreement count, ppm by integer
+    // division, window-summed MAE) → hash-exact.
+    QueryDef(
+      "q203_minhash_error",
+      "WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents " +
+        "GROUP BY text),\n  " +
+        lshPairsSql("r") + ",\n" +
+        s"""est AS (SELECT p.a_id, p.b_id, $agreeCountSql AS n_agree
+           |  FROM pairs p
+           |  JOIN sig sa ON sa.doc_id = p.a_id
+           |  JOIN sig sb ON sb.doc_id = p.b_id),
+           |td AS (SELECT doc_id, list_distinct($shingleListSql) AS sh
+           |  FROM r WHERE len(string_split(text,' ')) >= 3),
+           |ts AS (SELECT doc_id, unnest(sh) AS sh FROM td),
+           |tc AS (SELECT doc_id, len(sh) AS n FROM td),
+           |iv AS (SELECT e.a_id, e.b_id, COUNT(*) AS inter
+           |  FROM est e
+           |  JOIN ts a ON a.doc_id = e.a_id
+           |  JOIN ts b ON b.doc_id = e.b_id AND b.sh = a.sh
+           |  GROUP BY 1, 2),
+           |j AS (SELECT e.a_id, e.b_id,
+           |    CAST(e.n_agree AS BIGINT) AS n_agree,
+           |    e.n_agree * 1000000 // 16 AS est_ppm,
+           |    COALESCE(iv.inter, 0) * 1000000
+           |      // (ca.n + cb.n - COALESCE(iv.inter, 0)) AS exact_ppm
+           |  FROM est e
+           |  LEFT JOIN iv ON iv.a_id = e.a_id AND iv.b_id = e.b_id
+           |  JOIN tc ca ON ca.doc_id = e.a_id
+           |  JOIN tc cb ON cb.doc_id = e.b_id)
+           |SELECT a_id, b_id, n_agree,
+           |  CAST(est_ppm AS BIGINT) AS est_ppm,
+           |  CAST(exact_ppm AS BIGINT) AS exact_ppm,
+           |  CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm,
+           |  CAST(SUM(abs(est_ppm - exact_ppm)) OVER ()
+           |    // COUNT(*) OVER () AS BIGINT) AS mae_ppm
+           |FROM j ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val cand = lshCandidates(s, dir)
+        .select(col("a_id"), col("b_id"),
+          round(col("est_jaccard") * 16).cast("long").as("n_agree"))
+      val sh = distinctShingles(s, dir).toDF("doc_id", "h")
+      val cnt = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = cand.select("a_id", "b_id")
+        .join(sh.toDF("a_id", "h"), "a_id")
+        .join(sh.toDF("b_id", "h"), Seq("b_id", "h"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+      cand
+        .join(inter, Seq("a_id", "b_id"), "left")
+        .join(cnt.toDF("a_id", "na"), "a_id")
+        .join(cnt.toDF("b_id", "nb"), "b_id")
+        .withColumn("iv", coalesce(col("inter"), lit(0L)))
+        .withColumn("est_ppm", expr("n_agree * 1000000 div 16"))
+        .withColumn("exact_ppm",
+          expr("iv * 1000000 div (na + nb - iv)"))
+        .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+        .select(col("a_id"), col("b_id"), col("n_agree"),
+          col("est_ppm"), col("exact_ppm"), col("err_ppm"),
+          expr("sum(err_ppm) over () div count(*) over ()")
+            .as("mae_ppm"))
+        .orderBy("a_id", "b_id")
     },
 
     // Near-dup CLUSTER resolution: candidate pairs are only half a dedup

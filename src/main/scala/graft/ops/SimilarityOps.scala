@@ -1201,6 +1201,88 @@ object SimilarityOps {
             .cast("double") / count(lit(1)) * 1000000) / 1000000.0)
             .as("mean_silhouette"))
         .orderBy("c_id")
+    },
+
+    // Embedding OUTLIER audit — the corpus-QA pass before training on
+    // labeled embeddings: per label, the vectors farthest from their
+    // own label centroid, with a variance-normalized z-score as
+    // evidence. Complements q145 (which flags label DISAGREEMENT via
+    // cluster majorities; this flags WITHIN-label eccentricity —
+    // mislabeled, corrupted, or out-of-distribution vectors that still
+    // sit in a majority-consistent cluster). Scale shape: centroids are
+    // the q111 decimal-exact per-(label, dim) means (L×D bounded
+    // metadata, broadcast back); distances are one row-local codegen'd
+    // vec_sqdist pass; the z statistics are a labels-sized aggregate.
+    // Determinism: rounded-6 distances, decimal-accumulated moments,
+    // variance guarded non-negative, z floor-scaled — the q164 recipe.
+    QueryDef(
+      "q201_embedding_outliers",
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+        |  FROM embeddings),
+        |x AS (SELECT label, u.dim_i AS dim_i, u.x AS x FROM (
+        |    SELECT label, unnest(list_transform(range(1, len(v) + 1),
+        |      i -> {'dim_i': i, 'x': v[i]})) AS u FROM e)),
+        |cm AS (SELECT label, dim_i,
+        |    round(CAST(SUM(CAST(x AS DECIMAL(38,20))) AS DOUBLE)
+        |      / COUNT(*), 6) AS m
+        |  FROM x GROUP BY label, dim_i),
+        |cent AS (SELECT label, list(m ORDER BY dim_i) AS cv
+        |  FROM cm GROUP BY label),
+        |d AS (SELECT e.vec_id, e.label,
+        |    round(list_sum(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS dist_r
+        |  FROM e JOIN cent USING (label)),
+        |st AS (SELECT label,
+        |    round(CAST(SUM(CAST(dist_r AS DECIMAL(18,6))) AS DOUBLE)
+        |      / COUNT(*), 6) AS mean_d,
+        |    round(CAST(SUM(CAST(round(dist_r * dist_r, 6)
+        |        AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6) AS m2
+        |  FROM d GROUP BY label),
+        |z AS (SELECT d.label, d.vec_id, d.dist_r,
+        |    CASE WHEN st.m2 - st.mean_d * st.mean_d <= 0 THEN 0.0
+        |      ELSE floor((d.dist_r - st.mean_d)
+        |        / sqrt(st.m2 - st.mean_d * st.mean_d) * 1000000)
+        |        / 1000000.0 END AS z,
+        |    ROW_NUMBER() OVER (PARTITION BY d.label
+        |      ORDER BY d.dist_r DESC, d.vec_id) AS rn
+        |  FROM d JOIN st USING (label))
+        |SELECT label, CAST(rn AS INTEGER) AS rn, vec_id, dist_r, z
+        |FROM z WHERE rn <= 3 ORDER BY label, rn""".stripMargin) {
+      (s, dir) =>
+      graft.functions.VectorExpressions.register(s)
+      val e = Tables(s, dir, "embeddings").select(col("vec_id"),
+        col("label"),
+        expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val cent = e
+        .select(col("label"), posexplode(col("v")))
+        .toDF("label", "p", "x")
+        .groupBy(col("label"), (col("p") + 1).cast("int").as("dim_i"))
+        .agg(round(sum(col("x").cast(DecimalType(38, 20))).cast("double")
+          / count(lit(1)), 6).as("m"))
+        .groupBy("label")
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim_i"), col("m")))),
+          t => t.getField("m")).as("cv"))
+      val d = e.join(broadcast(cent), "label")
+        .select(col("label"), col("vec_id"),
+          expr("round(vec_sqdist(v, cv), 6)").as("dist_r"))
+      val st = d.groupBy("label").agg(
+        round(sum(col("dist_r").cast(DecimalType(18, 6))).cast("double")
+          / count(lit(1)), 6).as("mean_d"),
+        round(sum(round(col("dist_r") * col("dist_r"), 6)
+            .cast(DecimalType(28, 6))).cast("double")
+          / count(lit(1)), 6).as("m2"))
+      val varC = col("m2") - col("mean_d") * col("mean_d")
+      d.join(broadcast(st), "label")
+        .withColumn("z", when(varC <= 0, lit(0.0))
+          .otherwise(floor((col("dist_r") - col("mean_d"))
+            / sqrt(varC) * 1000000) / 1000000.0))
+        .withColumn("rn", row_number().over(Window.partitionBy("label")
+          .orderBy(col("dist_r").desc, col("vec_id"))))
+        .filter(col("rn") <= 3)
+        .select(col("label"), col("rn").cast("int").as("rn"),
+          col("vec_id"), col("dist_r"), col("z"))
+        .orderBy("label", "rn")
     }
   )
 

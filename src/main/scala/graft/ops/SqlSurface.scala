@@ -235,5 +235,34 @@ object SqlSurface {
           |    AS total
           |FROM silver_merged GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // Merge-on-read DELETE through SQL text: the store's
+    // `morDeleteKey` table property (Iceberg write.delete.mode=
+    // merge-on-read) routes the SAME `DELETE FROM` text q198 uses to an
+    // equality-delete commit — one small key file, zero data dirs
+    // rewritten — and the view reads the anti-joined merge-on-read
+    // state pre-compact. current_version pins that exactly one commit
+    // (the delete file) followed the four appends. Oracle = the raw
+    // table minus the predicate's rows.
+    QueryDef(
+      "q200_sql_mor_delete",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  5 AS current_version
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = StoreOps.registerMorSqlView(s, dir)
+      val v = store.currentVersion(s)
+      SqlEntry.sql(s, dir,
+        s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total,
+           |  CAST($v AS INTEGER) AS current_version
+           |FROM silver_mor GROUP BY o_orderstatus
+           |ORDER BY o_orderstatus""".stripMargin)
     })
 }

@@ -192,6 +192,34 @@ object StoreOps {
     store.read(s).createOrReplaceTempView("silver_merged")
   }
 
+  /** The MoR-delete-through-SQL store (q200): `morDeleteKey` makes the
+    * routed `DELETE FROM` commit an equality-delete file instead of
+    * rewriting data — Iceberg's `write.delete.mode=merge-on-read` as a
+    * table property, on the SQL surface. The view serves the
+    * merge-on-read state: delete keys anti-joined at read, zero data
+    * dirs rewritten (the GDPR-purge cost shape at 100 TB).
+    */
+  def registerMorSqlView(s: SparkSession, dir: String): ManifestTableStore = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_sqlmor", dir),
+      statsColumns = Seq("o_orderdate"),
+      morDeleteKey = Some("o_orderkey"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+      3L -> !upTo("2000-01-01")
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    if (store.currentVersion(s) == 4L)
+      graft.engine.StoreSql.exec(s, Map("silver_mor" -> store),
+        "DELETE FROM silver_mor " +
+          "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'")
+    store.read(s).createOrReplaceTempView("silver_mor")
+    store
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
