@@ -815,6 +815,10 @@ object CorpusOps {
     // exact. Scale shape: corpus-sized work is the materialized pricing
     // artifact read; both schemes are per-source (or per source×bucket)
     // windows — no global sort — and the output is batches-sized.
+    // The bucket ladder runs to 2^31 — above any n_tok an INT-charred
+    // document can price — so the smallest-fitting lookup can never
+    // yield NULL (a NULL batch_key would ORDER BY NULLS FIRST on Spark
+    // but NULLS LAST on DuckDB: a latent hash divergence).
     QueryDef(
       "q202_length_batching",
       TextOps.bpeLearnSql(TextOps.BpeMerges) + TextOps.bpeDocSql() +
@@ -823,7 +827,10 @@ object CorpusOps {
           |n AS (SELECT source, doc_id, n_tok FROM o),
           |b AS (SELECT source, doc_id, n_tok,
           |    list_min(list_filter([16, 32, 64, 128, 256, 512, 1024,
-          |      2048, 4096, 8192, 16384, 32768, 65536],
+          |      2048, 4096, 8192, 16384, 32768, 65536, 131072, 262144,
+          |      524288, 1048576, 2097152, 4194304, 8388608, 16777216,
+          |      33554432, 67108864, 134217728, 268435456, 536870912,
+          |      1073741824, 2147483648],
           |      p -> p >= n_tok)) AS bucket
           |  FROM n),
           |br AS (SELECT source, bucket, n_tok, ROW_NUMBER() OVER (
@@ -852,7 +859,7 @@ object CorpusOps {
           |FROM u ORDER BY scheme, batch_key""".stripMargin) { (s, dir) =>
       val n = TextOps.bpePackOffsets(s, dir)
         .select("source", "doc_id", "n_tok")
-      val powers = (4 to 16).map(1 << _)
+      val powers = (4 to 31).map(1L << _)
       val b = n.withColumn("bucket", expr(
         s"array_min(filter(array(${powers.mkString(",")}), " +
           "p -> p >= n_tok))"))

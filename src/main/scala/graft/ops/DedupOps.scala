@@ -405,7 +405,10 @@ object DedupOps {
     // materialized artifacts (candidates + distinct-shingle hashes);
     // the exact side is candidate-scoped — never the all-pairs truth
     // join. Integer-only outputs (agreement count, ppm by integer
-    // division, window-summed MAE) → hash-exact.
+    // division, 1-row-aggregate MAE) → hash-exact. The corpus MAE rides
+    // the repo's broadcast-1-row crossJoin shape (q91/q146/q161), NOT an
+    // empty-frame window: `OVER ()` funnels every candidate pair through
+    // one task, which serializes at 10^8-pair LSH candidate sets.
     QueryDef(
       "q203_minhash_error",
       "WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents " +
@@ -432,14 +435,17 @@ object DedupOps {
            |  FROM est e
            |  LEFT JOIN iv ON iv.a_id = e.a_id AND iv.b_id = e.b_id
            |  JOIN tc ca ON ca.doc_id = e.a_id
-           |  JOIN tc cb ON cb.doc_id = e.b_id)
-           |SELECT a_id, b_id, n_agree,
-           |  CAST(est_ppm AS BIGINT) AS est_ppm,
-           |  CAST(exact_ppm AS BIGINT) AS exact_ppm,
-           |  CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm,
-           |  CAST(SUM(abs(est_ppm - exact_ppm)) OVER ()
-           |    // COUNT(*) OVER () AS BIGINT) AS mae_ppm
-           |FROM j ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+           |  JOIN tc cb ON cb.doc_id = e.b_id),
+           |e2 AS (SELECT a_id, b_id, n_agree,
+           |    CAST(est_ppm AS BIGINT) AS est_ppm,
+           |    CAST(exact_ppm AS BIGINT) AS exact_ppm,
+           |    CAST(abs(est_ppm - exact_ppm) AS BIGINT) AS err_ppm
+           |  FROM j),
+           |m AS (SELECT SUM(err_ppm) // COUNT(*) AS mae_ppm FROM e2)
+           |SELECT a_id, b_id, n_agree, est_ppm, exact_ppm, err_ppm,
+           |  CAST(m.mae_ppm AS BIGINT) AS mae_ppm
+           |FROM e2 CROSS JOIN m ORDER BY a_id, b_id""".stripMargin) {
+      (s, dir) =>
       val cand = lshCandidates(s, dir)
         .select(col("a_id"), col("b_id"),
           round(col("est_jaccard") * 16).cast("long").as("n_agree"))
@@ -449,7 +455,7 @@ object DedupOps {
         .join(sh.toDF("a_id", "h"), "a_id")
         .join(sh.toDF("b_id", "h"), Seq("b_id", "h"))
         .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
-      cand
+      val scored = cand
         .join(inter, Seq("a_id", "b_id"), "left")
         .join(cnt.toDF("a_id", "na"), "a_id")
         .join(cnt.toDF("b_id", "nb"), "b_id")
@@ -458,10 +464,12 @@ object DedupOps {
         .withColumn("exact_ppm",
           expr("iv * 1000000 div (na + nb - iv)"))
         .withColumn("err_ppm", abs(col("est_ppm") - col("exact_ppm")))
+      val mae = broadcast(scored
+        .agg(expr("sum(err_ppm) div count(*)").as("mae_ppm")))
+      scored.crossJoin(mae)
         .select(col("a_id"), col("b_id"), col("n_agree"),
           col("est_ppm"), col("exact_ppm"), col("err_ppm"),
-          expr("sum(err_ppm) over () div count(*) over ()")
-            .as("mae_ppm"))
+          col("mae_ppm"))
         .orderBy("a_id", "b_id")
     },
 
