@@ -37,9 +37,12 @@ import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy,
   *
   * Exactness at the k boundary comes from the caller supplying a
   * TOTAL order (tie-break columns), same contract as the window form.
-  * Memory is O(keys-per-partition · k) rows — the hash-aggregate
-  * shape; a production build would add spilling exactly as hash
-  * aggregates do.
+  * Memory is bounded exactly as external hash aggregates bound theirs:
+  * past a BYTE budget (a fraction of task memory by default — so wide
+  * rows spill earlier than narrow ones — or the explicit
+  * `spark.graft.topk.spillBytes` / `spillKeyThreshold` overrides) the
+  * key map spills byte-sorted runs to Spark's configured local dirs
+  * and the partition re-reduces by k-way merge.
   */
 case class TopKPerKeyNode(key: Expression, ordering: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
@@ -106,15 +109,33 @@ case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
     val ords = ordering
     val kk = k
     val childOutput = child.output
-    // Memory is bounded at O(spillKeys · k) rows per task: past the
-    // threshold the key map spills to a byte-sorted run file and the
+    // Memory is bounded per task: past the BYTE budget (or the key-count
+    // override) the key map spills to a byte-sorted run file and the
     // partition re-reduces by k-way merge — the external-hash-aggregate
-    // shape, so a high-cardinality FINAL key can no longer OOM.
+    // shape, so a high-cardinality FINAL key can no longer OOM. The
+    // primary threshold is bytes actually held (keys + kept rows), not a
+    // row-count literal: a count ignores row width, and a 10 KB-row
+    // table OOMs at the same key count a 40-byte-row table sails
+    // through.
     val spillKeys = conf
       .getConfString(TopKPerKey.SpillKeysConf, "262144").toInt
     require(spillKeys > 0, s"${TopKPerKey.SpillKeysConf} must be > 0")
+    val spillBytesOverride = {
+      val s = conf.getConfString(TopKPerKey.SpillBytesConf, "")
+      if (s.isEmpty) None else Some(s.toLong)
+    }
+    spillBytesOverride.foreach(b =>
+      require(b > 0, s"${TopKPerKey.SpillBytesConf} must be > 0"))
     val spillMetric = longMetric("spills")
     child.execute().mapPartitions ({ iter =>
+      // default byte budget, sized on the EXECUTOR's JVM (evaluated
+      // in-task): a quarter of the heap divided across task slots —
+      // the fraction Spark's own execution memory pool gives a task
+      // before its aggregates spill
+      val spillBytes: Long = spillBytesOverride.getOrElse {
+        val slots = math.max(1, Runtime.getRuntime.availableProcessors())
+        Runtime.getRuntime.maxMemory() / 4 / slots
+      }
       val keyProj = UnsafeProjection.create(Seq(keyE), childOutput)
       // rows must be UnsafeRows so a spilled run can round-trip bytes
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -129,20 +150,32 @@ case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
       val heaps =
         mutable.HashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
       val spills = mutable.ArrayBuffer.empty[java.io.File]
+      val readers = mutable.ArrayBuffer.empty[TopKPerKey.RunReader]
       val tc = org.apache.spark.TaskContext.get()
       if (tc != null) tc.addTaskCompletionListener[Unit] { _ =>
+        // close BEFORE delete: a consumer that stopped early (LIMIT)
+        // leaves readers mid-run with live handles — EOF never closed
+        // them, and delete-with-open-handle fails on some filesystems
+        readers.foreach(_.close())
         spills.foreach(_.delete())
       }
+      var heldBytes = 0L
+      // returns the byte delta of the kept-row set, so the build loop's
+      // accounting tracks what the map actually holds
       def offer(heap: mutable.PriorityQueue[UnsafeRow],
-          row: UnsafeRow): Unit =
-        if (heap.size < kk) heap.enqueue(row.copy())
+          row: UnsafeRow): Long =
+        if (heap.size < kk) { heap.enqueue(row.copy()); row.getSizeInBytes }
         else if (rowOrd.compare(row, heap.head) < 0) {
-          heap.dequeue(); heap.enqueue(row.copy())
-        }
+          val evicted = heap.dequeue(); heap.enqueue(row.copy())
+          row.getSizeInBytes.toLong - evicted.getSizeInBytes
+        } else 0L
       // run layout: per key (in unsigned-byte key order, so equal keys
       // align across runs): keyLen, keyBytes, nRows, (rowLen, rowBytes)*
       def spill(): Unit = {
-        val f = java.io.File.createTempFile("graft-topk-spill", ".bin")
+        // spill where Spark's own operators do (spark.local.dir — the
+        // container's scratch disks), never java.io.tmpdir
+        val f = java.io.File.createTempFile("graft-topk-spill", ".bin",
+          org.apache.spark.sql.graftshim.PlanShim.sparkLocalDir())
         spills += f
         val out = new java.io.DataOutputStream(new java.io.
           BufferedOutputStream(new java.io.FileOutputStream(f), 1 << 16))
@@ -159,14 +192,23 @@ case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
             }
         } finally out.close()
         heaps.clear()
+        heldBytes = 0L
         spillMetric += 1
       }
       while (iter.hasNext) {
         val row = toUnsafe(iter.next())
-        val heap = heaps.getOrElseUpdate(keyProj(row).copy(),
-          mutable.PriorityQueue.empty[UnsafeRow](rowOrd))
-        offer(heap, row)
-        if (heaps.size > spillKeys) spill()
+        val key = keyProj(row)
+        val heap = heaps.get(key) match {
+          case Some(h) => h
+          case None =>
+            val h = mutable.PriorityQueue.empty[UnsafeRow](rowOrd)
+            val kc = key.copy()
+            heaps.put(kc, h)
+            heldBytes += kc.getSizeInBytes
+            h
+        }
+        heldBytes += offer(heap, row)
+        if (heaps.size > spillKeys || heldBytes > spillBytes) spill()
       }
       if (spills.isEmpty) heaps.valuesIterator.flatMap(_.iterator)
       else {
@@ -174,8 +216,11 @@ case class TopKPerKeyExec(key: Expression, ordering: Seq[SortOrder],
         // k-way merge of the byte-sorted runs: pop every run sitting on
         // the minimum key, re-reduce their (≤ k each) survivors — every
         // globally-top-k row is top-k in its run, so the merge is exact
-        val runs = spills.map(new TopKPerKey.RunReader(_, childOutput.size))
-          .filter(_.hasNext)
+        val runs = spills.map { rf =>
+          val r = new TopKPerKey.RunReader(rf, childOutput.size)
+          readers += r
+          r
+        }.filter(_.hasNext)
         val pq = mutable.PriorityQueue.empty[TopKPerKey.RunReader](
           Ordering.by[TopKPerKey.RunReader, Array[Byte]](_.headKey)(
             TopKPerKey.ByteOrd.reverse))
@@ -213,6 +258,13 @@ object TopKPerKey {
     */
   val SpillKeysConf = "spark.graft.topk.spillKeyThreshold"
 
+  /** Byte budget for a task's in-memory map (keys + kept rows) before it
+    * spills a run — the PRIMARY threshold: unlike a key count it tracks
+    * row width, so wide rows spill earlier than narrow ones. Unset (the
+    * default) derives maxHeap/4/taskSlots on the executor.
+    */
+  val SpillBytesConf = "spark.graft.topk.spillBytes"
+
   /** Unsigned lexicographic byte order — an arbitrary but CONSISTENT
     * total order on serialized keys, so equal keys are adjacent in
     * every run and the merge can align them (the only property the
@@ -239,14 +291,19 @@ object TopKPerKey {
       new java.io.BufferedInputStream(
         new java.io.FileInputStream(f), 1 << 16))
     private var nextKey: Array[Byte] = _
+    private var closed = false
     advance()
     private def advance(): Unit = {
       val len = try in.readInt() catch {
-        case _: java.io.EOFException => in.close(); nextKey = null; return
+        case _: java.io.EOFException => close(); nextKey = null; return
       }
       nextKey = new Array[Byte](len)
       in.readFully(nextKey)
     }
+    /** Idempotent; also driven by the task-completion listener so an
+      * early-terminated consumer (LIMIT) cannot leak the handle.
+      */
+    def close(): Unit = if (!closed) { closed = true; in.close() }
     def hasNext: Boolean = nextKey != null
     def headKey: Array[Byte] = nextKey
     /** Consume the current group's rows and advance to the next key. */

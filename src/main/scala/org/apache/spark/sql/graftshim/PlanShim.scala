@@ -4,13 +4,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.classic.{Dataset, SparkSession => CSpark}
 
-/** The one Spark-internal doorway the custom-plan tier needs: wrap a
-  * hand-built [[LogicalPlan]] back into the public Dataset API. The
-  * `classic.Dataset` companion is `private[sql]`, so this shim lives in
-  * a subpackage of `org.apache.spark.sql` solely to re-export `ofRows`
-  * — no other internals are touched.
+/** The Spark-internal doorways the custom-plan tier needs, in one shim
+  * living in a subpackage of `org.apache.spark.sql` (so `private[sql]`/
+  * `private[spark]` members resolve). Two re-exports, nothing else:
+  * `ofRows` (the `classic.Dataset` companion is `private[sql]`) to wrap
+  * a hand-built [[LogicalPlan]] back into the public Dataset API, and
+  * `sparkLocalDir` (`Utils` is `private[spark]`) so custom operators
+  * spill where Spark's own external operators do.
   */
 object PlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[CSpark], plan)
+
+  /** A Spark-configured local scratch dir (`spark.local.dir` /
+    * `SPARK_LOCAL_DIRS` — on YARN/K8s the container's own disks, exactly
+    * where shuffle and hash-aggregate spills go), falling back to
+    * `java.io.tmpdir` when no `SparkEnv` is live (plain unit code).
+    */
+  def sparkLocalDir(): java.io.File = {
+    val env = org.apache.spark.SparkEnv.get
+    val dir =
+      if (env == null) System.getProperty("java.io.tmpdir")
+      else org.apache.spark.util.Utils.getLocalDir(env.conf)
+    new java.io.File(dir)
+  }
 }

@@ -116,6 +116,48 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("byte-budget spill: at the SAME key count, wide rows spill and " +
+      "narrow rows don't (width, not row count, drives the threshold) " +
+      "and the wide result stays exact") {
+    val prev = spark.conf.getOption(TopKPerKey.SpillBytesConf)
+    spark.conf.set(TopKPerKey.SpillBytesConf, (256 * 1024).toString)
+    try {
+      // 1000 keys × top-2: narrow rows hold ~100 KB (< budget, no
+      // spill); the same rows padded to ~1 KB each hold ~2 MB (> budget,
+      // must spill). A key-count threshold cannot tell these apart.
+      def run(pad: org.apache.spark.sql.Column): (Set[(Long, Long)], Long) = {
+        val df = spark.range(4000).coalesce(1)
+          .select((col("id") % 1000).as("k"), col("id").as("id"),
+            (col("id") * 1.0).as("v"), pad.as("pad"))
+        val out = TopKPerKey(df, "k", Seq(("v", true), ("id", false)), 2)
+        val got = out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        def collectNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            q +: collectNodes(q.plan)
+          case _ => p +: p.children.flatMap(collectNodes)
+        }
+        val spills = collectNodes(out.queryExecution.executedPlan)
+          .collect { case t: TopKPerKeyExec => t.metrics("spills").value }
+          .sum
+        (got, spills)
+      }
+      val (narrowGot, narrowSpills) = run(lit(0L))
+      val (wideGot, wideSpills) = run(repeat(lit("x"), 1024))
+      // v = id, so top-2 per key are the two largest ids: 2000..3999
+      val want = (2000L until 4000L).map(id => (id % 1000, id)).toSet
+      assert(narrowGot == want && wideGot == want)
+      assert(narrowSpills == 0,
+        s"narrow rows under the byte budget spilled $narrowSpills times")
+      assert(wideSpills > 0, "wide rows over the byte budget never spilled")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(TopKPerKey.SpillBytesConf, v)
+        case None => spark.conf.unset(TopKPerKey.SpillBytesConf)
+      }
+    }
+  }
+
   test("TopKPushdown rule: a key-only predicate sinks through the " +
       "custom node into the scan's PushedFilters; a value predicate " +
       "must not") {
