@@ -5,34 +5,48 @@ import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute,
   UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
-  DeleteFromTable, InsertStarAction, LogicalPlan, MergeIntoTable,
-  SubqueryAlias, UpdateStarAction, UpdateTable}
+  DeleteAction, DeleteFromTable, InsertAction, InsertIntoStatement,
+  InsertStarAction, LogicalPlan, MergeAction, MergeIntoTable,
+  SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.functions.expr
 
-/** SQL-text DML for the manifest store — the `DELETE FROM` / `UPDATE`
-  * / `MERGE INTO` front every Delta/Iceberg deployment gives the
-  * reference's lakehouse user (reference docker-compose.yml:335-345
-  * ships a Trino+Iceberg pair whose whole point is SQL writes).
+/** SQL-text DML for the manifest store — the `INSERT INTO` /
+  * `DELETE FROM` / `UPDATE` / `MERGE INTO` front every Delta/Iceberg
+  * deployment gives the reference's lakehouse user (reference
+  * docker-compose.yml:335-345 ships a Trino+Iceberg pair whose whole
+  * point is SQL writes).
   *
   * Statements are parsed by Spark's OWN parser — no second grammar, no
   * dialect drift — and dispatched on the parsed logical plan:
   * [[DeleteFromTable]] / [[UpdateTable]] route to the store's
-  * stats-bounded copy-on-write DML, [[MergeIntoTable]] (the
-  * `UPDATE SET * / INSERT *` upsert form) to its keyed CoW merge.
-  * Predicates and assignment values travel as the parsed expressions'
-  * own SQL rendering, so anything Spark can parse inside a WHERE/SET
-  * reaches the store unchanged. A MERGE source is any registered view
-  * or table — resolved through the session catalog exactly like a
-  * read-side FROM.
+  * stats-bounded copy-on-write DML, [[InsertIntoStatement]] to its
+  * exactly-once append, and [[MergeIntoTable]] to the keyed merge —
+  * the unconditioned `UPDATE SET * / INSERT *` star form takes the
+  * anti-join fast path, and every other clause combination (CDC-apply
+  * forms: conditional `WHEN MATCHED AND`, column-level `SET`,
+  * `WHEN MATCHED THEN DELETE`, `WHEN NOT MATCHED BY SOURCE`) routes to
+  * [[ManifestTableStore.mergeClauses]]. Predicates and assignment
+  * values travel as the parsed expressions' own SQL rendering with
+  * qualifiers rewritten to the merge-join's column namespace, so
+  * anything Spark can parse reaches the store unchanged. A MERGE
+  * source is any registered view or table — resolved through the
+  * session catalog exactly like a read-side FROM.
+  *
+  * Writes that commit a batch (MERGE inserts, INSERT INTO) require an
+  * EXPLICIT `batchId`: an implicit default would collide with the
+  * table's existing ids and replay-no-op silently — a data-losing
+  * foot-gun on a surface whose whole point is exactly-once commits.
   */
 object StoreSql {
 
   /** Execute one DML statement against `tables` (view name → store).
-    * `batchId` is the commit id a MERGE's inserted rows land under
-    * (replay-refused like any append; unused by DELETE/UPDATE).
+    * `batchId` is the commit id a MERGE's inserted rows / an INSERT's
+    * batch land under (replay-refused like any append; unused — and
+    * ignored — by DELETE/UPDATE). MERGE and INSERT throw without it.
     */
   def exec(spark: SparkSession, tables: Map[String, ManifestTableStore],
-      sql: String, batchId: Long = 0L): Unit = {
+      sql: String, batchId: Option[Long] = None): Unit = {
+    import ManifestTableStore.{DeleteClause, InsertClause, UpdateClause}
     def storeOf(rel: LogicalPlan): ManifestTableStore = {
       val name = relationName(rel).getOrElse(
         throw new IllegalArgumentException(
@@ -40,8 +54,21 @@ object StoreSql {
       tables.getOrElse(name, throw new IllegalArgumentException(
         s"unknown DML target '$name' (known: ${tables.keys.mkString(", ")})"))
     }
+    def requiredBatchId(op: String): Long = batchId.getOrElse(
+      throw new IllegalArgumentException(
+        s"$op requires an explicit batchId: committed rows land under " +
+          "it and a replayed id is an exactly-once no-op, so an " +
+          "implicit default would silently do nothing against any " +
+          "table that already used that id"))
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case d: DeleteFromTable =>
+        // an unconditioned DELETE parses to the same TRUE literal as
+        // `WHERE true`, so the full-table-scope guard reads the
+        // statement text: destructive scope must be spelled out,
+        // matching the UPDATE guard below
+        require("(?is).*\\bwhere\\b.*".r.matches(sql),
+          "DELETE without WHERE is refused (full-table delete); " +
+            "add WHERE true if intended")
         val store = storeOf(d.table)
         store.morDeleteKey match {
           case Some(keyCol) =>
@@ -57,13 +84,16 @@ object StoreSql {
           attrName(k) -> expr(v.sql)
         }.toMap
         storeOf(u.table).update(spark, pred, set)
+      case i: InsertIntoStatement =>
+        require(!i.overwrite, "INSERT OVERWRITE is not supported")
+        require(i.partitionSpec.isEmpty,
+          "INSERT with a PARTITION spec is not supported")
+        val df0 = org.apache.spark.sql.graftshim.PlanShim
+          .ofRows(spark, i.query)
+        val df = if (i.userSpecifiedCols.isEmpty) df0
+          else df0.toDF(i.userSpecifiedCols: _*)
+        storeOf(i.table).append(df, requiredBatchId("INSERT"))
       case m: MergeIntoTable =>
-        require(m.matchedActions == Seq(UpdateStarAction(None)),
-          "MERGE supports exactly WHEN MATCHED THEN UPDATE SET *")
-        require(m.notMatchedActions == Seq(InsertStarAction(None)),
-          "MERGE supports exactly WHEN NOT MATCHED THEN INSERT *")
-        require(m.notMatchedBySourceActions.isEmpty,
-          "WHEN NOT MATCHED BY SOURCE is not supported")
         val key = m.mergeCondition match {
           case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
               if a.nameParts.last == b.nameParts.last =>
@@ -75,8 +105,86 @@ object StoreSql {
         val srcName = relationName(m.sourceTable).getOrElse(
           throw new IllegalArgumentException(
             s"MERGE source must be a named view/table, got: ${m.sourceTable}"))
-        storeOf(m.targetTable).merge(spark, spark.table(srcName), key,
-          batchId)
+        val store = storeOf(m.targetTable)
+        val bid = requiredBatchId("MERGE")
+        val starForm = m.matchedActions == Seq(UpdateStarAction(None)) &&
+          m.notMatchedActions == Seq(InsertStarAction(None)) &&
+          m.notMatchedBySourceActions.isEmpty
+        if (starForm) {
+          // unconditioned SET * / INSERT * — the anti-join fast path
+          // (matched rows replaced wholesale, all source rows written
+          // once)
+          store.merge(spark, spark.table(srcName), key, bid)
+        } else {
+          // qualifier rewrite for the general path: references resolve
+          // against the PARSED aliases plus the two relations' actual
+          // schemas, then render into the merge-join's namespace
+          // (target bare, source `__src_<name>`; insert clauses run
+          // over bare source rows)
+          val tNames = sideNames(m.targetTable)
+          val sNames = sideNames(m.sourceTable)
+          val sCols = spark.table(srcName).columns
+            .map(_.toLowerCase).toSet
+          val tCols = store.read(spark).columns
+            .map(_.toLowerCase).toSet
+          def isSrcRef(a: UnresolvedAttribute): Boolean =
+            if (a.nameParts.size >= 2) {
+              val q = a.nameParts.head.toLowerCase
+              if (sNames.contains(q)) true
+              else if (tNames.contains(q)) false
+              else throw new IllegalArgumentException(
+                s"unknown qualifier '${a.nameParts.head}' in MERGE " +
+                  s"clause (target: ${tNames.mkString("/")}, source: " +
+                  s"${sNames.mkString("/")})")
+            } else {
+              val n = a.nameParts.last.toLowerCase
+              val (inS, inT) = (sCols.contains(n), tCols.contains(n))
+              if (inS && inT) throw new IllegalArgumentException(
+                s"ambiguous column '${a.nameParts.last}' in MERGE " +
+                  "clause: qualify it with the target or source name")
+              inS
+            }
+          def joinSideSql(e: Expression): String = e.transform {
+            case a: UnresolvedAttribute =>
+              if (isSrcRef(a))
+                UnresolvedAttribute(Seq(s"__src_${a.nameParts.last}"))
+              else UnresolvedAttribute(Seq(a.nameParts.last))
+          }.sql
+          def srcSideSql(e: Expression): String = e.transform {
+            case a: UnresolvedAttribute =>
+              require(a.nameParts.size < 2 || isSrcRef(a),
+                s"INSERT clause references target column ${a.sql}; " +
+                  "only source columns are in scope for NOT MATCHED")
+              UnresolvedAttribute(Seq(a.nameParts.last))
+          }.sql
+          def clauseOf(a: MergeAction): ManifestTableStore.MergeClause =
+            a match {
+              case UpdateStarAction(cond) =>
+                UpdateClause(cond.map(joinSideSql), None)
+              case UpdateAction(cond, assigns, _) =>
+                UpdateClause(cond.map(joinSideSql), Some(assigns.map {
+                  case Assignment(k, v) => attrName(k) -> joinSideSql(v)
+                }))
+              case DeleteAction(cond) =>
+                DeleteClause(cond.map(joinSideSql))
+              case other => throw new IllegalArgumentException(
+                s"unsupported MERGE action: $other")
+            }
+          def insertOf(a: MergeAction): InsertClause = a match {
+            case InsertStarAction(cond) =>
+              InsertClause(cond.map(srcSideSql), None)
+            case InsertAction(cond, assigns) =>
+              InsertClause(cond.map(srcSideSql), Some(assigns.map {
+                case Assignment(k, v) => attrName(k) -> srcSideSql(v)
+              }))
+            case other => throw new IllegalArgumentException(
+              s"unsupported NOT MATCHED action: $other")
+          }
+          store.mergeClauses(spark, spark.table(srcName), key,
+            m.matchedActions.map(clauseOf),
+            m.notMatchedActions.map(insertOf),
+            m.notMatchedBySourceActions.map(clauseOf), bid)
+        }
       case other => throw new IllegalArgumentException(
         s"not a store DML statement: ${other.getClass.getSimpleName}")
     }
@@ -86,6 +194,17 @@ object StoreSql {
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
     case SubqueryAlias(_, child) => relationName(child)
     case _ => None
+  }
+
+  /** Every name a MERGE side answers to, lowercased: its alias (if any)
+    * and its relation name — `t.col` and `orders.col` both qualify.
+    */
+  private def sideNames(plan: LogicalPlan): Set[String] = plan match {
+    case SubqueryAlias(id, child) =>
+      sideNames(child) + id.name.toLowerCase
+    case r: UnresolvedRelation =>
+      Set(r.multipartIdentifier.last.toLowerCase)
+    case _ => Set.empty
   }
 
   private def attrName(e: Expression): String = e match {

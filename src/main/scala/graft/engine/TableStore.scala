@@ -110,6 +110,15 @@ final class ManifestTableStore(path: String,
   private def fs(spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Test-only failpoint, invoked after a DML/maintenance rewrite (or a
+    * MoR delete) has written its data/delete files, immediately before
+    * the first commit attempt — the window where a writer can die with
+    * orphan files on disk, or a concurrent maintenance op can win the
+    * version race. Specs inject crashes and interleavings here; the
+    * default is a no-op and production paths never assign it.
+    */
+  private[engine] var beforeDmlCommit: () => Unit = () => ()
+
   private def manifestDir = new HPath(s"$path/manifest")
 
   /** (version, entries) of the newest COMPLETE manifest — versions whose
@@ -447,12 +456,17 @@ final class ManifestTableStore(path: String,
     * their own dirs (the rewrite rebases around them); if a CONCURRENT
     * MAINTENANCE op moved any snapshot batch to a new dir, abort —
     * nothing was committed, our freshly-written dir stays an invisible
-    * orphan, and retrying the whole rewrite is the caller's choice
-    * (rebasing across two rewrites would double-count snapshot rows).
+    * orphan (vacuum reclaims it), and retrying the whole rewrite is the
+    * caller's choice (rebasing across two rewrites would double-count
+    * snapshot rows). Returns false on abort so callers can surface it:
+    * maintenance ops may shrug (re-running compact is free), but
+    * row-level DML must NOT report success for a write that never
+    * happened — [[rewriteDirs]] propagates this and delete/update/merge
+    * throw.
     */
   private def commitRewrite(f: FileSystem, firstTry: Long,
       snapshot: Seq[Entry],
-      rewrite: Seq[Entry] => Seq[Entry]): Unit = {
+      rewrite: Seq[Entry] => Seq[Entry]): Boolean = {
     // Snapshot identity is the FULL entry (batchId, dir, stats), not
     // batchId alone: delete entries all share the reserved sentinel id,
     // so id-keyed bookkeeping would conflate a concurrent second delete
@@ -470,7 +484,7 @@ final class ManifestTableStore(path: String,
       // abort — rebasing across two rewrites would double-count rows
       val movedByOther = fresh.exists(e =>
         !isDeleteEntry(e) && snapDataIds.contains(e.batchId))
-      if (movedByOther || snap.size != snapshot.size) return
+      if (movedByOther || snap.size != snapshot.size) return false
       // an UNSCOPED delete entry in the snapshot masks every data
       // entry, including fresh appends the rewrite never anti-joined —
       // folding it in would silently resurrect those rows. Scoped
@@ -478,10 +492,12 @@ final class ManifestTableStore(path: String,
       // batches, so rebasing around fresh appends stays sound.
       val unscopedDelete = snapshot.exists(e => isDeleteEntry(e) &&
         ManifestTableStore.parseApplies(e.statsJson).isEmpty)
-      if (unscopedDelete && fresh.exists(e => !isDeleteEntry(e))) return
+      if (unscopedDelete && fresh.exists(e => !isDeleteEntry(e)))
+        return false
       next = math.max(nv + 1, next + 1)
       committed = tryCommit(f, next, rewrite(snapshot) ++ fresh)
     }
+    true
   }
 
   /** Cluster-compact: rewrite the whole table as up to `buckets`
@@ -656,8 +672,24 @@ final class ManifestTableStore(path: String,
     val (v, lines) = current(f)
     requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
-    // source key range, normalized exactly like collectStats values so
-    // dir-stats comparison is representation-free
+    val touched = mergeTouchedDirs(source, key, lines)
+    val srcKeys = source.select(key).distinct()
+    val insDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+    write(source.withColumn("batch_id", lit(batchId)), insDir)
+    val insEntry = Entry(batchId, insDir, collectStats(spark, insDir))
+    rewriteDirs(spark, f, v, lines, touched, "merge",
+      _.join(broadcast(srcKeys), Seq(key), "left_anti"),
+      extra = Seq(insEntry))
+  }
+
+  /** Data dirs a keyed merge must rewrite: those whose recorded `key`
+    * min/max cannot be proven disjoint from `source`'s key range (no
+    * stats → conservatively touched). The source key range is
+    * normalized exactly like collectStats values so the dir-stats
+    * comparison is representation-free.
+    */
+  private def mergeTouchedDirs(source: DataFrame, key: String,
+      lines: Seq[Entry]): Set[String] = {
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
     val kt = source.schema(key).dataType
@@ -679,9 +711,7 @@ final class ManifestTableStore(path: String,
           Some((StrV(bounds.getString(0)), StrV(bounds.getString(1))))
         case _ => None
       }
-    // a dir is untouched iff its key stats prove [dirMin,dirMax] cannot
-    // intersect [srcMin,srcMax]; no stats → conservatively touched
-    val touched = lines.map(_.dir).distinct.filter { d =>
+    lines.map(_.dir).distinct.filter { d =>
       val stats = parseStats(
         lines.find(_.dir == d).map(_.statsJson).getOrElse(""))
       val provablyDisjoint = (srcRange, stats.get(key)) match {
@@ -692,19 +722,172 @@ final class ManifestTableStore(path: String,
       }
       !provablyDisjoint
     }.toSet
-    val srcKeys = source.select(key).distinct()
-    val insDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(source.withColumn("batch_id", lit(batchId)), insDir)
-    val insEntry = Entry(batchId, insDir, collectStats(spark, insDir))
-    rewriteDirs(spark, f, v, lines, touched, "merge",
-      _.join(broadcast(srcKeys), Seq(key), "left_anti"),
-      extra = Seq(insEntry))
+  }
+
+  /** General MERGE — the FULL clause surface every Delta/Iceberg SQL
+    * user writes for CDC apply (conditional `WHEN MATCHED AND`,
+    * column-level `UPDATE SET col = expr`, `WHEN MATCHED THEN DELETE`,
+    * `WHEN NOT MATCHED BY SOURCE`): per target row the FIRST matched
+    * clause whose condition holds applies; target rows with no source
+    * match run the `bySource` clauses the same way; source rows with no
+    * target match run the `notMatched` insert clauses. One commit.
+    * Clause conditions and SET expressions see target columns by bare
+    * name and source columns as `__src_<name>`; insert conditions and
+    * VALUES run over bare source rows. All SET expressions see
+    * PRE-update values (SQL UPDATE semantics): every output column is
+    * computed in one SELECT over the joined row. A replayed `batchId`
+    * is a no-op, exactly like [[append]] — callers choose the id
+    * explicitly ([[StoreSql]] refuses a MERGE without one).
+    *
+    * Scale shape, copy-on-write: with no `bySource` clauses the rewrite
+    * scope is stats-bounded exactly like [[merge]] (dirs whose recorded
+    * key range cannot intersect the source's carry forward untouched,
+    * never read); `bySource` clauses inspect every target row by
+    * definition, so they rewrite all dirs — the cost Delta documents
+    * for whenNotMatchedBySource. The insert anti-join reads ONE column
+    * (the key) of the table, and each touched dir joins against the
+    * broadcast (small, CDC-batch-sized) source.
+    */
+  def mergeClauses(spark: SparkSession, source: DataFrame, key: String,
+      matched: Seq[ManifestTableStore.MergeClause],
+      notMatched: Seq[ManifestTableStore.InsertClause],
+      bySource: Seq[ManifestTableStore.MergeClause],
+      batchId: Long): Unit = synchronized {
+    import ManifestTableStore.{DeleteClause, UpdateClause}
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    requireNoDeleteFiles(lines, "merge")
+    if (lines.exists(_.batchId == batchId)) return // replay → no-op
+    if (lines.isEmpty && notMatched.isEmpty) return
+    // SQL MERGE refuses a target row matching more than one source row
+    // (nondeterministic update) — enforced on the small side
+    require(source.groupBy(col(key)).count()
+      .filter(col("count") > 1).isEmpty,
+      s"MERGE source has duplicate values of '$key'")
+    val srcPrefixed = source.columns.foldLeft(source)((d, c) =>
+      d.withColumnRenamed(c, s"__src_$c"))
+    val touched: Set[String] =
+      if (matched.isEmpty && bySource.isEmpty) Set.empty // insert-only
+      else if (bySource.nonEmpty) lines.map(_.dir).toSet
+      else mergeTouchedDirs(source, key, lines)
+    // index of the first clause (declaration order) whose condition
+    // holds, -1 when none does — SQL MERGE's first-match-wins
+    def firstClause(clauses: Seq[ManifestTableStore.MergeClause],
+        applicable: org.apache.spark.sql.Column)
+        : org.apache.spark.sql.Column =
+      clauses.zipWithIndex
+        .foldRight(lit(-1): org.apache.spark.sql.Column) {
+          case ((cl, i), els) =>
+            when(applicable && cl.cond.map(expr).getOrElse(lit(true)),
+              lit(i)).otherwise(els)
+        }
+    def xform(df: DataFrame): DataFrame = {
+      val joined = df.join(broadcast(srcPrefixed),
+        df(key) === col(s"__src_$key"), "left")
+      val isM = col(s"__src_$key").isNotNull
+      val staged = joined
+        .withColumn("__m", firstClause(matched, isM))
+        .withColumn("__b", firstClause(bySource, !isM))
+      val delM = matched.zipWithIndex.collect {
+        case (DeleteClause(_), i) => i }
+      val delB = bySource.zipWithIndex.collect {
+        case (DeleteClause(_), i) => i }
+      val kept = staged
+        .filter(if (delM.isEmpty) lit(true)
+          else !col("__m").isInCollection(delM))
+        .filter(if (delB.isEmpty) lit(true)
+          else !col("__b").isInCollection(delB))
+      val outCols = df.columns.map { c =>
+        def chain(clauses: Seq[ManifestTableStore.MergeClause],
+            idx: org.apache.spark.sql.Column,
+            acc: org.apache.spark.sql.Column) =
+          clauses.zipWithIndex.foldRight(acc) { case ((cl, i), els) =>
+            cl match {
+              case UpdateClause(_, set) =>
+                val assigned = set match {
+                  case Some(s) =>
+                    s.collectFirst { case (tc, e) if tc == c => expr(e) }
+                  case None => // SET *: same-named source column
+                    if (source.columns.contains(c))
+                      Some(col(s"__src_$c"))
+                    else None
+                }
+                assigned match {
+                  case Some(e2) => when(idx === i, e2).otherwise(els)
+                  case None => els
+                }
+              case _ => els
+            }
+          }
+        chain(bySource, col("__b"),
+          chain(matched, col("__m"), col(c))).as(c)
+      }
+      kept.select(outCols.toSeq: _*)
+    }
+    val extra: Seq[Entry] =
+      if (notMatched.isEmpty) Nil
+      else {
+        val tSchema =
+          if (lines.isEmpty) source.schema
+          else readDirs(spark, lines.map(_.dir).distinct).schema
+        val unmatched =
+          if (lines.isEmpty) source
+          else source.join(readDirs(spark, lines.map(_.dir).distinct)
+            .select(key).distinct(), Seq(key), "left_anti")
+        val iIdx = notMatched.zipWithIndex
+          .foldRight(lit(-1): org.apache.spark.sql.Column) {
+            case ((cl, i), els) =>
+              when(cl.cond.map(expr).getOrElse(lit(true)), lit(i))
+                .otherwise(els)
+          }
+        val picked = unmatched.withColumn("__i", iIdx)
+          .filter(col("__i") >= 0)
+        val insCols = tSchema.fields.filterNot(_.name == "batch_id")
+          .map { fld =>
+            notMatched.zipWithIndex.foldRight(
+                lit(null).cast(fld.dataType)
+                  : org.apache.spark.sql.Column) { case ((cl, i), els) =>
+              val e2 = cl.values match {
+                case Some(vs) => vs.collectFirst {
+                  case (tc, e) if tc == fld.name => expr(e) }
+                case None => // INSERT *: same-named source column
+                  if (source.columns.contains(fld.name))
+                    Some(col(fld.name))
+                  else None
+              }
+              e2 match {
+                case Some(x) =>
+                  when(col("__i") === i, x.cast(fld.dataType))
+                    .otherwise(els)
+                case None => els
+              }
+            }.as(fld.name)
+          }
+        val insRows = picked.select(insCols.toSeq: _*)
+          .withColumn("batch_id", lit(batchId))
+        if (insRows.isEmpty) Nil
+        else {
+          val insDir =
+            s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+          write(insRows, insDir)
+          Seq(Entry(batchId, insDir, collectStats(spark, insDir)))
+        }
+      }
+    if (touched.isEmpty && extra.isEmpty) return // provably a no-op
+    rewriteDirs(spark, f, v, lines, touched, "merge", xform,
+      extra = extra)
   }
 
   /** Shared CoW rewrite: write `xform` of each touched dir to a fresh
     * dir (stats recomputed), then commit untouched entries + rewritten
     * entries (+ `extra`, e.g. a merge's insert batch) as one new
-    * version through [[commitRewrite]]'s optimistic retry.
+    * version through [[commitRewrite]]'s optimistic retry. Throws
+    * [[java.util.ConcurrentModificationException]] when a concurrent
+    * maintenance rewrite aborts the commit: the caller issued row-level
+    * DML and NOTHING was applied — silence here would let a SQL DELETE
+    * report success while deleting nothing. The freshly-written dirs
+    * stay invisible orphans for vacuum.
     */
   private def rewriteDirs(spark: SparkSession,
       f: org.apache.hadoop.fs.FileSystem, v: Long, lines: Seq[Entry],
@@ -716,12 +899,16 @@ final class ManifestTableStore(path: String,
         spark.read.option("mergeSchema", "true").parquet(d)), nd)
       d -> (nd, collectStats(spark, nd))
     }.toMap
-    commitRewrite(f, v + 1, lines, snap => snap.map { e =>
+    beforeDmlCommit()
+    val committed = commitRewrite(f, v + 1, lines, snap => snap.map { e =>
       rewritten.get(e.dir) match {
         case Some((nd, st)) => Entry(e.batchId, nd, st)
         case None => e
       }
     } ++ extra)
+    if (!committed) throw new java.util.ConcurrentModificationException(
+      s"$tag on $path aborted: a concurrent maintenance rewrite moved " +
+        "this snapshot's dirs; nothing was applied — re-read and retry")
   }
 
   /** The table's commit history as a DataFrame — Delta's DESCRIBE
@@ -972,6 +1159,7 @@ final class ManifestTableStore(path: String,
       val entry = Entry(ManifestTableStore.DeleteBatchId, delDir,
         applies.mkString("{\"" + ManifestTableStore.AppliesKey +
           "\":[", ",", "]}"))
+      beforeDmlCommit()
       done = tryCommit(f, v + 1, lines :+ entry)
       if (!done) f.delete(new HPath(delDir), true)
     }
@@ -1138,6 +1326,26 @@ object ManifestTableStore {
     */
   private[engine] final case class Entry(batchId: Long, dir: String,
       statsJson: String)
+
+  /** One WHEN MATCHED / WHEN NOT MATCHED BY SOURCE clause of a
+    * [[ManifestTableStore.mergeClauses]] MERGE — first clause (in
+    * declaration order) whose condition holds wins, SQL MERGE
+    * semantics. Conditions and SET values are SQL text over the joined
+    * row: target columns by bare name, source columns as
+    * `__src_<name>`. `set` None = `UPDATE SET *`.
+    */
+  sealed trait MergeClause { def cond: Option[String] }
+  final case class UpdateClause(cond: Option[String],
+      set: Option[Seq[(String, String)]]) extends MergeClause
+  final case class DeleteClause(cond: Option[String]) extends MergeClause
+
+  /** One WHEN NOT MATCHED THEN INSERT clause: condition and values are
+    * SQL text over the bare SOURCE row. `values` None = `INSERT *`
+    * (source columns by name); otherwise (targetCol → expr), with
+    * unassigned target columns going NULL.
+    */
+  final case class InsertClause(cond: Option[String],
+      values: Option[Seq[(String, String)]])
 
   /** Last line of every complete manifest version — content without it
     * is an in-flight or dead writer, never table state.

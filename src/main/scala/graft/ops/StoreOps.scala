@@ -188,7 +188,8 @@ object StoreOps {
         """MERGE INTO silver_merged USING orders_merge_src
           |ON silver_merged.o_orderkey = orders_merge_src.o_orderkey
           |WHEN MATCHED THEN UPDATE SET *
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin, batchId = 3L)
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        batchId = Some(3L))
     store.read(s).createOrReplaceTempView("silver_merged")
   }
 

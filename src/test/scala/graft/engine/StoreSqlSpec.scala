@@ -6,29 +6,46 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** Contract of the SQL-text DML router: Spark-parsed DELETE/UPDATE/
-  * MERGE reach the store's CoW DML with their predicates intact, and
-  * anything outside the supported surface is refused loudly rather
-  * than half-applied.
+/** Contract of the SQL-text DML router: Spark-parsed INSERT/DELETE/
+  * UPDATE/MERGE reach the store's CoW DML with their predicates intact
+  * — including the general MERGE clause surface (conditional matched
+  * clauses, column-level SET, matched DELETE, NOT MATCHED BY SOURCE)
+  * — and anything outside the supported surface is refused loudly
+  * rather than half-applied.
   */
 class StoreSqlSpec extends SparkSpec {
 
   import spark.implicits._
 
-  private def freshStore(): ManifestTableStore = {
+  private def freshStoreAt(): (String, ManifestTableStore) = {
     val p = Files.createTempDirectory("storesql-")
     p.toFile.deleteOnExit()
     val store = new ManifestTableStore(p.toString,
       statsColumns = Seq("n"))
     store.append(Seq(("a", 1), ("b", 2), ("c", 3)).toDF("k", "n"), 0L)
-    store
+    (p.toString, store)
   }
 
-  test("DELETE FROM routes the parsed predicate to the CoW delete") {
+  private def freshStore(): ManifestTableStore = freshStoreAt()._2
+
+  private def state(store: ManifestTableStore): Set[(String, Int)] =
+    store.read(spark).select("k", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+
+  test("DELETE FROM routes the parsed predicate to the CoW delete; " +
+      "DELETE without WHERE is refused (same guard as UPDATE)") {
     val store = freshStore()
     StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t WHERE n >= 2")
     assert(store.read(spark).select("k").as[String].collect().toSet
       == Set("a"))
+    val v = store.currentVersion(spark)
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t")
+    }
+    assert(store.currentVersion(spark) == v)
+    // the explicit opt-in form IS accepted (full-table delete)
+    StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t WHERE true")
+    assert(store.read(spark).isEmpty)
   }
 
   test("UPDATE ... SET routes assignments as expressions; UPDATE " +
@@ -36,9 +53,7 @@ class StoreSqlSpec extends SparkSpec {
     val store = freshStore()
     StoreSql.exec(spark, Map("t" -> store),
       "UPDATE t SET k = concat(k, '!'), n = n * 10 WHERE n <= 2")
-    assert(store.read(spark).select("k", "n").collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSet
-      == Set(("a!", 10), ("b!", 20), ("c", 3)))
+    assert(state(store) == Set(("a!", 10), ("b!", 20), ("c", 3)))
     val v = store.currentVersion(spark)
     intercept[IllegalArgumentException] {
       StoreSql.exec(spark, Map("t" -> store), "UPDATE t SET n = 0")
@@ -46,30 +61,118 @@ class StoreSqlSpec extends SparkSpec {
     assert(store.currentVersion(spark) == v)
   }
 
-  test("MERGE INTO upserts through the keyed CoW merge; non-star " +
-      "actions and multi-column conditions are refused") {
+  test("star MERGE INTO upserts through the keyed CoW merge; " +
+      "multi-column conditions and a missing batchId are refused") {
     val store = freshStore()
     Seq(("b", 20), ("d", 40)).toDF("k", "n")
       .createOrReplaceTempView("src")
     StoreSql.exec(spark, Map("t" -> store),
       "MERGE INTO t USING src ON t.k = src.k " +
         "WHEN MATCHED THEN UPDATE SET * " +
-        "WHEN NOT MATCHED THEN INSERT *", batchId = 1L)
-    assert(store.read(spark).select("k", "n").collect()
-      .map(r => (r.getString(0), r.getInt(1))).toSet
+        "WHEN NOT MATCHED THEN INSERT *", batchId = Some(1L))
+    assert(state(store)
       == Set(("a", 1), ("b", 20), ("c", 3), ("d", 40)))
-    intercept[IllegalArgumentException] {
-      StoreSql.exec(spark, Map("t" -> store),
-        "MERGE INTO t USING src ON t.k = src.k " +
-          "WHEN MATCHED THEN UPDATE SET n = src.n " +
-          "WHEN NOT MATCHED THEN INSERT *", batchId = 2L)
-    }
     intercept[IllegalArgumentException] {
       StoreSql.exec(spark, Map("t" -> store),
         "MERGE INTO t USING src ON t.k = src.k AND t.n = src.n " +
           "WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *", batchId = 2L)
+          "WHEN NOT MATCHED THEN INSERT *", batchId = Some(2L))
     }
+    // no explicit batchId: refused BEFORE any table mutation — the
+    // implicit default would replay-no-op against batch 0 silently
+    val v = store.currentVersion(spark)
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "MERGE INTO t USING src ON t.k = src.k " +
+          "WHEN MATCHED THEN UPDATE SET * " +
+          "WHEN NOT MATCHED THEN INSERT *")
+    }
+    assert(store.currentVersion(spark) == v)
+  }
+
+  test("general MERGE: conditional WHEN MATCHED AND, column-level SET " +
+      "over source expressions, matched DELETE, INSERT * — first " +
+      "matching clause wins") {
+    val store = freshStore()
+    Seq(("b", 20), ("c", 30), ("d", 40)).toDF("k", "n")
+      .createOrReplaceTempView("src")
+    StoreSql.exec(spark, Map("t" -> store),
+      """MERGE INTO t USING src ON t.k = src.k
+        |WHEN MATCHED AND t.n = 2 THEN UPDATE SET n = src.n + 100
+        |WHEN MATCHED THEN DELETE
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      batchId = Some(1L))
+    // a: no source match, no BY SOURCE clause → unchanged
+    // b: first clause (n = 2) → n = 20 + 100
+    // c: matched, first clause false → second clause → deleted
+    // d: no target match → inserted
+    assert(state(store) == Set(("a", 1), ("b", 120), ("d", 40)))
+  }
+
+  test("general MERGE: WHEN NOT MATCHED BY SOURCE THEN DELETE (the " +
+      "CDC full-sync form) and unqualified-ambiguous refusal") {
+    val store = freshStore()
+    Seq(("b", 0)).toDF("k", "n").createOrReplaceTempView("src")
+    StoreSql.exec(spark, Map("t" -> store),
+      """MERGE INTO t USING src ON t.k = src.k
+        |WHEN MATCHED THEN UPDATE SET n = src.n
+        |WHEN NOT MATCHED BY SOURCE AND t.n >= 3 THEN DELETE""".stripMargin,
+      batchId = Some(1L))
+    // b matched → 0; c unmatched with n >= 3 → deleted; a stays
+    assert(state(store) == Set(("a", 1), ("b", 0)))
+    // `n` exists on both sides: an unqualified reference is ambiguous
+    // and must be refused, not silently bound to one side
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "MERGE INTO t USING src ON t.k = src.k " +
+          "WHEN MATCHED AND n = 2 THEN DELETE", batchId = Some(2L))
+    }
+  }
+
+  test("INSERT INTO routes to the exactly-once append: explicit " +
+      "batchId required, replay is a no-op") {
+    val store = freshStore()
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "INSERT INTO t SELECT 'd' AS k, 4 AS n")
+    }
+    StoreSql.exec(spark, Map("t" -> store),
+      "INSERT INTO t SELECT 'd' AS k, 4 AS n", batchId = Some(1L))
+    assert(state(store)
+      == Set(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+    val v = store.currentVersion(spark)
+    // replayed batch id: exactly-once, nothing appended twice
+    StoreSql.exec(spark, Map("t" -> store),
+      "INSERT INTO t SELECT 'd' AS k, 4 AS n", batchId = Some(1L))
+    assert(store.currentVersion(spark) == v)
+    assert(store.read(spark).count() == 4)
+    // INSERT OVERWRITE is outside the surface
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "INSERT OVERWRITE t SELECT 'e' AS k, 5 AS n", batchId = Some(2L))
+    }
+  }
+
+  test("a DML rewrite beaten by a concurrent maintenance rewrite " +
+      "throws instead of reporting silent success") {
+    val (path, store) = freshStoreAt()
+    store.append(Seq(("d", 9)).toDF("k", "n"), 1L) // two dirs to compact
+    val rival = new ManifestTableStore(path, statsColumns = Seq("n"))
+    // in the window between the delete's data rewrite and its commit, a
+    // second handle compacts the table (moves every batch to a new dir)
+    store.beforeDmlCommit = () => {
+      store.beforeDmlCommit = () => ()
+      rival.compact(spark)
+    }
+    val before = state(rival)
+    intercept[java.util.ConcurrentModificationException] {
+      StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t WHERE n >= 2")
+    }
+    // NOTHING was applied — the table is exactly the compacted state
+    assert(state(store) == before)
+    // a clean retry sees the compacted snapshot and applies
+    StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t WHERE n >= 2")
+    assert(state(store) == Set(("a", 1)))
   }
 
   test("unknown targets and non-DML statements are refused") {
