@@ -264,5 +264,95 @@ object SqlSurface {
            |  CAST($v AS INTEGER) AS current_version
            |FROM silver_mor GROUP BY o_orderstatus
            |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // GENERAL MERGE through SQL text (round-8 verdict, "What's missing"
+    // 4): the CDC-apply clause surface the star form cannot express —
+    // first-match-wins conditional matched clauses, a column-level SET
+    // over a source expression, matched DELETE, INSERT * — applied in
+    // ONE commit by [[graft.engine.StoreSql]] →
+    // `ManifestTableStore.mergeClauses`. Urgent matched orders take the
+    // feed price +5 (orig +15), every other matched [1998,2000) order
+    // is dropped, 2000+ keys insert at feed price (orig +10). The
+    // oracle replays exactly those clause semantics on the raw table.
+    QueryDef(
+      "q204_sql_merge_clauses",
+      """WITH merged AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 15.0 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |    AND o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 10.0 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM merged GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      StoreOps.registerCdcMergeSqlView(s, dir)
+      SqlEntry.sql(s, dir,
+        """SELECT o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_cdc GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    },
+
+    // WHEN NOT MATCHED BY SOURCE through SQL text — the snapshot-sync
+    // form that retires target rows the feed no longer carries:
+    // matched keys take the feed price, unmatched pre-1997 rows are
+    // deleted (clause-scoped), [1997,1998) and 2000+ rows carry
+    // untouched. By-source clauses inspect every target row, so this
+    // exercises the all-dirs rewrite scope (the cost Delta documents
+    // for whenNotMatchedBySource).
+    QueryDef(
+      "q205_sql_merge_bysource",
+      """WITH merged AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE (o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |    OR o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice + 10.0 FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      StoreOps.registerSyncMergeSqlView(s, dir)
+      SqlEntry.sql(s, dir,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_sync GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // INSERT INTO through SQL text, completing the SQL write surface
+    // (SELECT/INSERT/DELETE/UPDATE/MERGE): the 2000+ slice appended by
+    // statement — issued TWICE under one batch id, so the oracle (the
+    // whole raw table, applied once) hash-checks the exactly-once
+    // replay no-op itself: a double-apply would double every 2000+
+    // count.
+    QueryDef(
+      "q206_sql_insert",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      StoreOps.registerInsertSqlView(s, dir)
+      SqlEntry.sql(s, dir,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_ins GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
     })
 }

@@ -221,6 +221,108 @@ object StoreOps {
     store
   }
 
+  /** The general-MERGE store (q204): the CDC-apply clause surface no
+    * star form covers — conditional `WHEN MATCHED AND`, column-level
+    * `UPDATE SET col = expr` over a source expression, `WHEN MATCHED
+    * THEN DELETE`, `INSERT *` — in ONE commit. Seeded like the q199
+    * store (three pre-2000 appends); the source feed is the 1998+
+    * orders re-priced (+10). First-match-wins: urgent matched orders
+    * re-price (+5 on the feed price), every other matched order is
+    * dropped, 2000+ keys insert fresh.
+    */
+  def registerCdcMergeSqlView(s: SparkSession, dir: String): Unit = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_sqlcdc", dir),
+      statsColumns = Seq("o_orderkey"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01"))
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    orders.filter(!upTo("1998-01-01"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .createOrReplaceTempView("orders_cdc_src")
+    if (store.currentVersion(s) == 3L)
+      graft.engine.StoreSql.exec(s, Map("silver_cdc" -> store),
+        """MERGE INTO silver_cdc USING orders_cdc_src
+          |ON silver_cdc.o_orderkey = orders_cdc_src.o_orderkey
+          |WHEN MATCHED AND silver_cdc.o_orderpriority = '1-URGENT'
+          |  THEN UPDATE SET
+          |    o_totalprice = orders_cdc_src.o_totalprice + 5.0
+          |WHEN MATCHED THEN DELETE
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        batchId = Some(3L))
+    store.read(s).createOrReplaceTempView("silver_cdc")
+  }
+
+  /** The full-sync MERGE store (q205): `WHEN NOT MATCHED BY SOURCE` —
+    * the clause a periodic snapshot-sync needs to retire target rows
+    * the feed no longer carries. All four order batches committed; the
+    * feed is the [1998,2000) slice re-priced; matched rows take the
+    * feed price, unmatched pre-1997 rows are deleted (scoped by the
+    * clause condition), everything else carries.
+    */
+  def registerSyncMergeSqlView(s: SparkSession, dir: String): Unit = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_sqlsync", dir),
+      statsColumns = Seq("o_orderkey"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01")),
+      3L -> !upTo("2000-01-01")
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    orders.filter(!upTo("1998-01-01") && upTo("2000-01-01"))
+      .withColumn("o_totalprice", col("o_totalprice") + lit(10.0))
+      .createOrReplaceTempView("orders_sync_src")
+    if (store.currentVersion(s) == 4L)
+      graft.engine.StoreSql.exec(s, Map("silver_sync" -> store),
+        """MERGE INTO silver_sync USING orders_sync_src
+          |ON silver_sync.o_orderkey = orders_sync_src.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET
+          |  o_totalprice = orders_sync_src.o_totalprice
+          |WHEN NOT MATCHED BY SOURCE
+          |  AND silver_sync.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  THEN DELETE""".stripMargin,
+        batchId = Some(4L))
+    store.read(s).createOrReplaceTempView("silver_sync")
+  }
+
+  /** The INSERT-through-SQL store (q206): three pre-2000 appends, then
+    * `INSERT INTO ... SELECT` of the 2000+ slice — issued TWICE under
+    * the same batch id, so the served state itself proves the replay
+    * no-op (the exactly-once contract a restarted writer relies on):
+    * were the second statement applied, every 2000+ count would double
+    * and the oracle would hash-mismatch.
+    */
+  def registerInsertSqlView(s: SparkSession, dir: String): Unit = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_sqlins", dir),
+      statsColumns = Seq("o_orderdate"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01")),
+      2L -> (!upTo("1998-01-01") && upTo("2000-01-01"))
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    graft.engine.SqlEntry.registerViews(s, dir)
+    val insert = "INSERT INTO silver_ins SELECT * FROM orders " +
+      "WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'"
+    if (store.currentVersion(s) == 3L) {
+      graft.engine.StoreSql.exec(s, Map("silver_ins" -> store),
+        insert, batchId = Some(3L))
+      // replay: same text, same batch id — must be a no-op
+      graft.engine.StoreSql.exec(s, Map("silver_ins" -> store),
+        insert, batchId = Some(3L))
+    }
+    store.read(s).createOrReplaceTempView("silver_ins")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
