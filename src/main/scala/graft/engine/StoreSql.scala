@@ -88,11 +88,28 @@ object StoreSql {
         require(!i.overwrite, "INSERT OVERWRITE is not supported")
         require(i.partitionSpec.isEmpty,
           "INSERT with a PARTITION spec is not supported")
+        val store = storeOf(i.table)
         val df0 = org.apache.spark.sql.graftshim.PlanShim
           .ofRows(spark, i.query)
-        val df = if (i.userSpecifiedCols.isEmpty) df0
-          else df0.toDF(i.userSpecifiedCols: _*)
-        storeOf(i.table).append(df, requiredBatchId("INSERT"))
+        // SQL INSERT maps the query's output POSITIONALLY onto the
+        // target's column order (or the user's column list) — a bare
+        // `VALUES (...)` row arrives named col1/col2/… and must not
+        // land under those names
+        val df =
+          if (i.userSpecifiedCols.nonEmpty) {
+            require(i.userSpecifiedCols.size == df0.columns.length,
+              s"INSERT column list has ${i.userSpecifiedCols.size} " +
+                s"names for ${df0.columns.length} query columns")
+            df0.toDF(i.userSpecifiedCols: _*)
+          } else if (store.currentVersion(spark) > 0) {
+            val target = store.read(spark).columns
+              .filterNot(_ == "batch_id").toSeq
+            require(df0.columns.length == target.size,
+              s"INSERT provides ${df0.columns.length} columns, table " +
+                s"has ${target.size} (${target.mkString(", ")})")
+            df0.toDF(target: _*)
+          } else df0 // empty table: the insert defines the schema
+        store.append(df, requiredBatchId("INSERT"))
       case m: MergeIntoTable =>
         val key = m.mergeCondition match {
           case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)

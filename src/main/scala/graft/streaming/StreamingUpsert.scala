@@ -36,4 +36,27 @@ object StreamingUpsert {
       .filter(col("__rn") === 1).drop("__rn")
     store.merge(batch.sparkSession, latest, key, batchId)
   }
+
+  /** The SQL-TEXT variant — Delta's documented `foreachBatch { df =>
+    * df.createOrReplaceTempView(...); spark.sql("MERGE INTO ...") }`
+    * streaming-CDC pattern, verbatim: per micro-batch the key-reduced
+    * batch is published as `viewName` and the caller's MERGE statement
+    * runs through [[graft.engine.StoreSql]] under the micro-batch id,
+    * with the GENERAL clause surface available (conditional matched
+    * clauses, column-level SET, matched DELETE, by-source retirement)
+    * — so a tombstone-aware CDC apply is one statement, not custom
+    * code. Exactly-once by the same write-time replay refusal.
+    * `mergeSql` must name `viewName` as its USING source.
+    */
+  def applySqlBatch(tables: Map[String, ManifestTableStore],
+      mergeSql: String, viewName: String, key: String, orderCol: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val latest = batch
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(key).orderBy(col(orderCol).desc)))
+      .filter(col("__rn") === 1).drop("__rn")
+    latest.createOrReplaceTempView(viewName)
+    graft.engine.StoreSql.exec(batch.sparkSession, tables, mergeSql,
+      batchId = Some(batchId))
+  }
 }

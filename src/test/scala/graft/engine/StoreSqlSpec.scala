@@ -153,6 +153,37 @@ class StoreSqlSpec extends SparkSpec {
     }
   }
 
+  test("bare INSERT INTO ... VALUES maps positionally onto the table " +
+      "schema — a VALUES row must not land as col1/col2") {
+    val store = freshStore()
+    StoreSql.exec(spark, Map("t" -> store),
+      "INSERT INTO t VALUES ('d', 4)", batchId = Some(1L))
+    assert(state(store) == Set(("a", 1), ("b", 2), ("c", 3), ("d", 4)))
+    assert(store.read(spark).columns.toSet == Set("k", "n", "batch_id"))
+    // arity mismatch is refused, not silently null-padded
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "INSERT INTO t VALUES ('e')", batchId = Some(2L))
+    }
+  }
+
+  test("MERGE with INSERT (cols) VALUES (exprs) and a conditional " +
+      "UPDATE SET * — the remaining clause shapes") {
+    val store = freshStore()
+    Seq(("b", 20), ("d", 40), ("e", 50)).toDF("k", "n")
+      .createOrReplaceTempView("src2")
+    StoreSql.exec(spark, Map("t" -> store),
+      """MERGE INTO t USING src2 ON t.k = src2.k
+        |WHEN MATCHED AND src2.n >= 20 THEN UPDATE SET *
+        |WHEN NOT MATCHED AND src2.n < 45
+        |  THEN INSERT (k, n) VALUES (src2.k, src2.n * 2)""".stripMargin,
+      batchId = Some(1L))
+    // b: conditional SET * takes the whole source row (n = 20)
+    // d: insert condition holds → inserted through the VALUES exprs
+    // e: insert condition fails → dropped (NOT null-inserted)
+    assert(state(store) == Set(("a", 1), ("b", 20), ("c", 3), ("d", 80)))
+  }
+
   test("a DML rewrite beaten by a concurrent maintenance rewrite " +
       "throws instead of reporting silent success") {
     val (path, store) = freshStoreAt()

@@ -85,6 +85,38 @@ class CdcMergeSpec extends SparkSpec {
       .select("v").as[String].head() == "changed")
   }
 
+  test("SQL-text CDC apply: foreachBatch publishes the batch view and " +
+      "runs one MERGE statement with a tombstone DELETE clause — the " +
+      "general clause surface on the streaming path") {
+    val store = newStore()
+    store.append(Seq((1L, "a", 0L, false), (2L, "b", 0L, false),
+      (3L, "c", 0L, false)).toDF("k", "v", "seq", "del"), 100L)
+    val mergeSql =
+      """MERGE INTO cdc_target USING cdc_batch
+        |ON cdc_target.k = cdc_batch.k
+        |WHEN MATCHED AND cdc_batch.del THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = cdc_batch.v,
+        |  seq = cdc_batch.seq
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    val input = MemoryStream[(Long, String, Long, Boolean)](spark)
+    val q = input.toDF().toDF("k", "v", "seq", "del")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc-ckpt-").toString)
+      .foreachBatch(StreamingUpsert.applySqlBatch(
+        Map("cdc_target" -> store), mergeSql, "cdc_batch", "k", "seq") _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // one micro-batch: update k=2, tombstone k=3, insert k=4
+    input.addData(Seq((2L, "b2", 1L, false), (3L, "gone", 1L, true),
+      (4L, "d", 1L, false)))
+    q.processAllAvailable()
+    q.stop()
+    val state = store.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    assert(state == Map(1L -> "a", 2L -> "b2", 4L -> "d"),
+      s"tombstone apply diverged: $state")
+  }
+
   test("micro-batch replay (crash between merge and checkpoint commit) " +
       "is refused at write time — the CDC sink is exactly-once") {
     val store = newStore()
