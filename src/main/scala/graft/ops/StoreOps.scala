@@ -951,12 +951,21 @@ object StoreOps {
         .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")
           && col("o_orderdate") < lit("2000-01-01").cast("timestamp"))
         .agg(min("o_orderkey")).collect().head.getLong(0)
-      val rows = (1L to 6L).map { v =>
-        val present = store.readVersion(s, v)
-          .filter(col("o_orderkey") === key).limit(1).count() > 0
-        (v, key, present)
-      }
+      // ONE job for all six membership probes (a per-version
+      // limit(1).count() loop pays six job-submission latencies for the
+      // same pruned scans): each version's point-filtered read is
+      // version-tagged and unioned, and the 6-row hit set is bounded
+      // metadata. Per-probe stats/bloom pruning is unchanged — the key
+      // filter sits under each union branch.
+      val hits = (1L to 6L).map { v =>
+        store.readVersion(s, v)
+          .filter(col("o_orderkey") === key)
+          .select(lit(v).as("version"))
+      }.reduce(_.unionByName(_))
+        .groupBy("version").count()
+        .collect().map(_.getLong(0)).toSet
       import s.implicits._
-      rows.toDF("version", "key", "present")
+      (1L to 6L).map(v => (v, key, hits.contains(v)))
+        .toDF("version", "key", "present")
     })
 }
