@@ -951,6 +951,81 @@ final class ManifestTableStore(path: String,
   /** Current manifest version (0 = no commits yet). */
   def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
 
+  // ---- Named refs (Iceberg TAGS) -------------------------------------
+  // Raw version numbers are an implementation detail; what operators
+  // actually pin audits, releases, and rollback points to is a NAME
+  // ("2024-audit", "pre-migration") — Iceberg's snapshot refs. A tag is
+  // one immutable file under tags/ holding the version number,
+  // published with the SAME atomic create-if-absent primitive as
+  // manifest versions: a tag either does not exist or names exactly one
+  // complete version. [[vacuum]] RETAINS tagged versions — their
+  // manifest and data dirs survive any retention horizon until the tag
+  // is dropped (Iceberg's ref-retention contract) — so a reproducibility
+  // pin like "the corpus the model trained on" outlives aggressive
+  // cleanup of every untagged intermediate version.
+
+  private def tagsDir = new HPath(s"$path/tags")
+
+  private def tagPath(name: String): HPath = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '-' || c == '_' || c == '.'),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    new HPath(tagsDir, name)
+  }
+
+  /** Tag `version` as `name`. Tags are immutable: re-tagging the SAME
+    * version is an idempotent no-op (crash-retry safe); naming a
+    * DIFFERENT version is refused — [[dropTag]] first, as in Iceberg,
+    * where moving a ref is an explicit operation.
+    */
+  def tag(spark: SparkSession, name: String, version: Long): Unit = {
+    val f = fs(spark)
+    (try readManifest(f, version) catch {
+      case _: java.io.FileNotFoundException => None
+    }).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot tag version $version of $path: missing or incomplete"))
+    if (!AtomicCreate.publish(f, tagPath(name),
+        version.toString.getBytes("UTF-8"))) {
+      val existing = resolveTag(spark, name)
+      require(existing == version,
+        s"tag '$name' already names version $existing (tags are " +
+          s"immutable; dropTag first to move it to $version)")
+    }
+  }
+
+  /** The version a tag names. */
+  def resolveTag(spark: SparkSession, name: String): Long = {
+    val f = fs(spark)
+    val p = tagPath(name)
+    require(f.exists(p), s"unknown tag '$name' on $path")
+    val st = f.getFileStatus(p)
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](st.getLen.toInt)
+      in.readFully(buf); new String(buf, "UTF-8").trim.toLong
+    } finally in.close()
+  }
+
+  /** [[readVersion]] through a named ref. */
+  def readTag(spark: SparkSession, name: String): DataFrame =
+    readVersion(spark, resolveTag(spark, name))
+
+  /** Every tag as (name, version), name-sorted — metadata only. */
+  def listTags(spark: SparkSession): Seq[(String, Long)] = {
+    val f = fs(spark)
+    if (!f.exists(tagsDir)) return Nil
+    f.listStatus(tagsDir).map(_.getPath.getName).sorted.toSeq
+      .map(n => n -> resolveTag(spark, n))
+  }
+
+  /** Drop a tag; the version it named becomes ordinary retention fodder
+    * for the next [[vacuum]].
+    */
+  def dropTag(spark: SparkSession, name: String): Unit =
+    require(fs(spark).delete(tagPath(name), false),
+      s"unknown tag '$name' on $path")
+
   /** METADATA-ONLY restore (Delta `RESTORE TABLE ... TO VERSION AS OF` /
     * Iceberg rollback): commit a NEW version whose entry list is exactly
     * `version`'s. No data moves and nothing is rewritten — superseded
@@ -1031,7 +1106,11 @@ final class ManifestTableStore(path: String,
       val (v, _) = current(f)
       if (v == 0) return Nil
       val cutoff = System.currentTimeMillis() - minAgeMs
-      val keepVersions = math.max(1L, v - retainLast) to v
+      // tagged versions are retention-exempt (Iceberg ref-retention):
+      // their manifests and dirs survive until the tag is dropped
+      val tagged = listTags(spark).map(_._2).toSet
+      val horizon = math.max(1L, v - retainLast)
+      val keepVersions = ((horizon to v) ++ tagged).distinct
       // the deletable unit is the dir DIRECTLY under data/ (clustered
       // compaction nests __cluster=k dirs one level deeper); top-level
       // names are unique (uuid-suffixed), so retention compares the
@@ -1063,7 +1142,8 @@ final class ManifestTableStore(path: String,
       }
       f.listStatus(manifestDir).foreach { st =>
         val n = st.getPath.getName
-        if (n.startsWith("v") && n.drop(1).toLong < keepVersions.min)
+        if (n.startsWith("v") && n.drop(1).toLong < horizon &&
+            !tagged.contains(n.drop(1).toLong))
           f.delete(st.getPath, false)
       }
       deleted.result()

@@ -967,5 +967,36 @@ object StoreOps {
       import s.implicits._
       (1L to 6L).map(v => (v, key, hits.contains(v)))
         .toDF("version", "key", "present")
+    },
+
+    // Named snapshot refs (Iceberg TAGS): q86 time-travels by RAW
+    // version number; operationally, audits pin a NAME. The shared
+    // orders store tags its v2 (the pre-1998 state) as `audit-pre1998`
+    // — an immutable, vacuum-retention-exempt ref — and the query reads
+    // THROUGH the tag (`readTag` → `resolveTag` → `readVersion`),
+    // emitting the resolved version so a tag that silently moved or
+    // mis-resolved hash-mismatches. Metadata-only resolution: the tag
+    // file holds one version number; the read is the same pruned
+    // manifest scan as q86. ManifestTagSpec pins immutability and
+    // vacuum retention.
+    QueryDef(
+      "q207_store_tag",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(2 AS BIGINT) AS tag_version
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      val store = ordersStore(s, dir)
+      store.tag(s, "audit-pre1998", 2L)
+      store.readTag(s, "audit-pre1998")
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .withColumn("tag_version",
+          lit(store.resolveTag(s, "audit-pre1998")))
+        .orderBy("o_orderstatus")
     })
 }
