@@ -102,10 +102,18 @@ final class ManifestTableStore(path: String,
       * column) and to the copy-on-write [[delete]] on None. The Scala
       * API is unaffected — both methods stay directly callable.
       */
-    val morDeleteKey: Option[String] = None) extends TableStore {
+    val morDeleteKey: Option[String] = None,
+    /** Manifest chain this handle commits to: "manifest" = the main
+      * ref; a branch handle (from [[branch]]) points at
+      * "branches/<name>" and shares the table's data-dir space, so a
+      * branch commit is exactly as cheap as a main commit.
+      */
+    private val refDir: String = "manifest") extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
   import ManifestTableStore.{EndMarker, Entry, NumV, StrV, SVal, TsV}
+
+  private def isMain: Boolean = refDir == "manifest"
 
   private def fs(spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -119,7 +127,7 @@ final class ManifestTableStore(path: String,
     */
   private[engine] var beforeDmlCommit: () => Unit = () => ()
 
-  private def manifestDir = new HPath(s"$path/manifest")
+  private def manifestDir = new HPath(s"$path/$refDir")
 
   /** (version, entries) of the newest COMPLETE manifest — versions whose
     * content lacks the end marker are in-flight (or dead) writers and are
@@ -979,6 +987,7 @@ final class ManifestTableStore(path: String,
     * where moving a ref is an explicit operation.
     */
   def tag(spark: SparkSession, name: String, version: Long): Unit = {
+    require(isMain, "tags name MAIN versions; tag from the main ref")
     val f = fs(spark)
     (try readManifest(f, version) catch {
       case _: java.io.FileNotFoundException => None
@@ -1008,8 +1017,10 @@ final class ManifestTableStore(path: String,
   }
 
   /** [[readVersion]] through a named ref. */
-  def readTag(spark: SparkSession, name: String): DataFrame =
+  def readTag(spark: SparkSession, name: String): DataFrame = {
+    require(isMain, "tags name MAIN versions; read them from the main ref")
     readVersion(spark, resolveTag(spark, name))
+  }
 
   /** Every tag as (name, version), name-sorted — metadata only. */
   def listTags(spark: SparkSession): Seq[(String, Long)] = {
@@ -1025,6 +1036,101 @@ final class ManifestTableStore(path: String,
   def dropTag(spark: SparkSession, name: String): Unit =
     require(fs(spark).delete(tagPath(name), false),
       s"unknown tag '$name' on $path")
+
+  // ---- Branches (Iceberg writable refs) ------------------------------
+  // WAP stages ONE batch; a branch stages a WHOLE PIPELINE RUN — any
+  // number of appends, DML rewrites, compactions — invisible to main
+  // readers until one atomic fast-forward publishes the lot (Iceberg's
+  // branch workflow; audit-branch pattern). A branch is simply a second
+  // manifest chain under branches/<name>/ seeded from a main version;
+  // entries carry absolute data-dir paths, so branch commits share the
+  // table's data space and cost exactly what main commits cost — the
+  // fast-forward itself is one manifest write, no data moves. Main's
+  // [[vacuum]] treats every branch head as referenced (ref-retention),
+  // so branch-only data survives cleanup until the branch is dropped.
+
+  private def branchesRoot = new HPath(s"$path/branches")
+
+  /** Create `name` from main `fromVersion` (its chain starts as v1 =
+    * that version's entries, the recorded BASE for fast-forward).
+    * Refused on a branch handle, for an existing name, or for a
+    * missing/incomplete version.
+    */
+  def createBranch(spark: SparkSession, name: String,
+      fromVersion: Long): Unit = {
+    require(isMain, "createBranch runs on the main ref")
+    tagPath(name) // reuse the name validation
+    val f = fs(spark)
+    val entries = (try readManifest(f, fromVersion) catch {
+      case _: java.io.FileNotFoundException => None
+    }).getOrElse(throw new IllegalArgumentException(
+      s"cannot branch from version $fromVersion of $path: missing or " +
+        "incomplete"))
+    val b = branch(name)
+    require(b.current(f)._1 == 0L,
+      s"branch '$name' already exists on $path")
+    require(b.tryCommit(f, 1L, entries),
+      s"branch '$name' already exists on $path")
+  }
+
+  /** A handle committing to branch `name`'s chain: every store
+    * operation (append, DML, merge, compact, time travel) works
+    * against the branch, invisible to main readers. Reads on a branch
+    * that was never created fail like reads on an empty table.
+    */
+  def branch(name: String): ManifestTableStore = {
+    require(isMain, "branch handles come from the main ref")
+    tagPath(name)
+    new ManifestTableStore(path, partitionBy, statsColumns,
+      bloomColumns, bloomBits, morDeleteKey,
+      refDir = s"branches/$name")
+  }
+
+  /** Branch names, sorted — metadata only. */
+  def listBranches(spark: SparkSession): Seq[String] = {
+    val f = fs(spark)
+    if (!f.exists(branchesRoot)) return Nil
+    f.listStatus(branchesRoot).map(_.getPath.getName).sorted.toSeq
+  }
+
+  /** FAST-FORWARD main to `name`'s head: one atomic commit of the
+    * branch's current entries as main's next version. Requires main to
+    * still equal the branch's recorded base (v1 of the branch chain) —
+    * the ancestor condition Iceberg's fast-forward enforces; if main
+    * advanced since the branch point, publishing would silently drop
+    * those commits, so it is refused. Batch ids travel with the
+    * entries, so replay refusal and CDF attribution survive the
+    * publish. The branch chain is left intact (drop it separately).
+    */
+  def fastForward(spark: SparkSession, name: String): Unit =
+    synchronized {
+      require(isMain, "fastForward runs on the main ref")
+      val f = fs(spark)
+      val b = branch(name)
+      val base = (try b.readManifest(f, 1L) catch {
+        case _: java.io.FileNotFoundException => None
+      }).getOrElse(throw new IllegalArgumentException(
+        s"unknown branch '$name' on $path"))
+      val (bv, bLines) = b.current(f)
+      require(bv >= 1L, s"branch '$name' on $path has no commits")
+      var done = false
+      while (!done) {
+        val (mv, mLines) = current(f)
+        require(mLines.toSet == base.toSet,
+          s"cannot fast-forward '$name': main advanced past the " +
+            "branch point — recreate the branch from the new head")
+        done = tryCommit(f, mv + 1, bLines)
+      }
+    }
+
+  /** Drop a branch chain; data dirs only it referenced become vacuum
+    * fodder.
+    */
+  def dropBranch(spark: SparkSession, name: String): Unit = {
+    require(isMain, "dropBranch runs on the main ref")
+    require(fs(spark).delete(new HPath(branchesRoot, name), true),
+      s"unknown branch '$name' on $path")
+  }
 
   /** METADATA-ONLY restore (Delta `RESTORE TABLE ... TO VERSION AS OF` /
     * Iceberg rollback): commit a NEW version whose entry list is exactly
@@ -1105,19 +1211,29 @@ final class ManifestTableStore(path: String,
       val f = fs(spark)
       val (v, _) = current(f)
       if (v == 0) return Nil
+      require(isMain,
+        "vacuum runs on the main ref (branch heads are retained from " +
+          "there; dropBranch releases a branch's data)")
       val cutoff = System.currentTimeMillis() - minAgeMs
       // tagged versions are retention-exempt (Iceberg ref-retention):
       // their manifests and dirs survive until the tag is dropped
       val tagged = listTags(spark).map(_._2).toSet
       val horizon = math.max(1L, v - retainLast)
       val keepVersions = ((horizon to v) ++ tagged).distinct
+      // every branch HEAD is referenced (ref-retention): branch-only
+      // dirs survive until dropBranch; branch time travel BEHIND a
+      // head shares main's retention like any superseded version
+      val branchEntries = listBranches(spark)
+        .flatMap(n => branch(n).current(f)._2)
       // the deletable unit is the dir DIRECTLY under data/ (clustered
       // compaction nests __cluster=k dirs one level deeper); top-level
       // names are unique (uuid-suffixed), so retention compares the
       // first segment after "/data/" — robust to qualified-URI vs
       // raw-path forms
-      val referenced = keepVersions.flatMap(kv =>
+      val referenced = (keepVersions.flatMap(kv =>
         readManifest(f, kv).toSeq.flatten.map(
+          _.dir.split("/data/").last.split('/').head)) ++
+        branchEntries.filterNot(isDeleteEntry).map(
           _.dir.split("/data/").last.split('/').head)).toSet
       val dataRoot = new HPath(s"$path/data")
       val deleted = Seq.newBuilder[String]
@@ -1130,8 +1246,10 @@ final class ManifestTableStore(path: String,
       // equality-delete files retire by the same retention rule: once no
       // retained version references one (compact folded it in), it is
       // garbage like any superseded data dir
-      val referencedDel = keepVersions.flatMap(kv =>
+      val referencedDel = (keepVersions.flatMap(kv =>
         readManifest(f, kv).toSeq.flatten.filter(isDeleteEntry).map(
+          _.dir.split("/deletes/").last.split('/').head)) ++
+        branchEntries.filter(isDeleteEntry).map(
           _.dir.split("/deletes/").last.split('/').head)).toSet
       val delRoot = new HPath(s"$path/deletes")
       if (f.exists(delRoot)) f.listStatus(delRoot).foreach { st =>

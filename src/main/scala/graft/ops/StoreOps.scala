@@ -323,6 +323,40 @@ object StoreOps {
     store.read(s).createOrReplaceTempView("silver_ins")
   }
 
+  /** The branch-workflow store (q208): main holds the pre-1998 batches;
+    * an `etl-run` BRANCH stages a whole pipeline run — two more appends
+    * and a CoW delete of low-priority 2000+ orders — invisible to main
+    * readers, then ONE atomic fast-forward publishes the lot. Every
+    * stage is guarded so re-invocations are metadata reads.
+    */
+  def registerBranchSqlView(s: SparkSession, dir: String)
+      : ManifestTableStore = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_branch2", dir),
+      statsColumns = Seq("o_orderdate"))
+    val orders = Tables(s, dir, "orders")
+    def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+    Seq(
+      0L -> upTo("1997-01-01"),
+      1L -> (!upTo("1997-01-01") && upTo("1998-01-01"))
+    ).foreach { case (id, pred) => store.append(orders.filter(pred), id) }
+    if (store.currentVersion(s) == 2L) {
+      if (!store.listBranches(s).contains("etl-run"))
+        store.createBranch(s, "etl-run", 2L)
+      val br = store.branch("etl-run")
+      br.append(orders.filter(!upTo("1998-01-01") && upTo("2000-01-01")),
+        2L)
+      br.append(orders.filter(!upTo("2000-01-01")), 3L)
+      // branch chain: v1 = base, v2/v3 = the two appends
+      if (br.currentVersion(s) == 3L)
+        br.delete(s, "o_orderpriority = '5-LOW' AND " +
+          "o_orderdate >= '2000-01-01 00:00:00'")
+      store.fastForward(s, "etl-run")
+    }
+    store.read(s).createOrReplaceTempView("silver_branch")
+    store
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Stats-pruned read: the predicate's cutoff proves the 1995-1996 and
@@ -998,5 +1032,38 @@ object StoreOps {
         .withColumn("tag_version",
           lit(store.resolveTag(s, "audit-pre1998")))
         .orderBy("o_orderstatus")
+    },
+
+    // BRANCH workflow (Iceberg writable refs): WAP stages one batch;
+    // a branch stages a whole pipeline RUN — here two appends plus a
+    // CoW delete of low-priority 2000+ orders, all committed on the
+    // `etl-run` chain while main readers still see the pre-1998 state
+    // — then ONE atomic fast-forward publishes everything. The emitted
+    // current_version pins that the whole run landed as exactly one
+    // main commit (v3 after two appends), and the oracle replays the
+    // run's net effect on the raw table; a branch that leaked to main
+    // early, dropped the delete, or double-published hash-mismatches.
+    // ManifestBranchSpec pins isolation, the ancestor check, and
+    // vacuum ref-retention.
+    QueryDef(
+      "q208_store_branch",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(3 AS BIGINT) AS current_version
+        |FROM orders
+        |WHERE NOT (o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+        |  AND o_orderpriority = '5-LOW')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val store = registerBranchSqlView(s, dir)
+      val v = store.currentVersion(s)
+      graft.engine.SqlEntry.sql(s, dir,
+        s"""SELECT o_orderpriority, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total,
+           |  CAST($v AS BIGINT) AS current_version
+           |FROM silver_branch GROUP BY o_orderpriority
+           |ORDER BY o_orderpriority""".stripMargin)
     })
 }
