@@ -92,6 +92,38 @@ class ManifestBranchSpec extends SparkSpec {
     assert(state(store) == Set(("a", 1), ("b", 2), ("m", 7)))
   }
 
+  test("a STREAMING ingestion run stages into a branch (the audit-" +
+      "branch pattern end-to-end): main readers see nothing until the " +
+      "run fast-forwards") {
+    // seed under a high batch id: micro-batch ids restart at 0 per
+    // checkpoint, and the branch inherits the parent's id space (the
+    // exactly-once contract), so a colliding seed id would no-op the
+    // streamed batch — same discipline as every streaming store spec
+    val p = Files.createTempDirectory("branch-stream-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"))
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 100L) // v1
+    store.createBranch(spark, "ingest", 1L)
+    val src = Files.createTempDirectory("branch-src-")
+    Files.writeString(src.resolve("a.json"),
+      """{"id": 7, "ip": "10.0.0.7", "hostName": "h7"}""")
+    // the real streaming bronze→silver path, appending to the BRANCH
+    StreamRunner.runAvailableNow(spark,
+      Seq((SourceSpec.rapid7, src.toString,
+        Files.createTempDirectory("branch-ckpt-").toString)),
+      store.branch("ingest"))
+    // main: untouched; branch: base rows + the streamed silver batch
+    assert(store.read(spark).count() == 2)
+    assert(store.currentVersion(spark) == 1L)
+    val br = store.branch("ingest")
+    assert(br.read(spark).count() == 3)
+    assert(br.read(spark).schema.fieldNames.contains("rapid7_id"))
+    store.fastForward(spark, "ingest")
+    assert(store.read(spark).count() == 3)
+    assert(store.read(spark).filter(col("rapid7_id") === "7").count() == 1)
+  }
+
   test("ref operations are main-only: a branch handle refuses vacuum, " +
       "tag, and nested branching; duplicate/unknown branches refused") {
     val (_, store) = newStore()
