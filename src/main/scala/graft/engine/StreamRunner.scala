@@ -36,6 +36,12 @@ object StreamRunner {
       maxFilesPerTrigger.fold(base)(n =>
         base.option("maxFilesPerTrigger", n.toString)).load(sourceDir)
     }
+    // Per-query batch-id namespace (Delta's txn writer): micro-batch
+    // ids restart at 0 per checkpoint, so on a replay-refusing store
+    // two sources appending into one silver table — the reference's
+    // exact deployment shape — would silently drop every source after
+    // the first without this scoping.
+    val base = store.writerBase(spark, spec.name)
     // observed per-batch data-quality metrics, named per source: readable
     // from every progress event / StreamingQueryListener with no extra
     // pass over the data
@@ -45,7 +51,7 @@ object StreamRunner {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-        store.append(batch, id)
+        store.append(batch, base + id)
       }
       .start()
   }

@@ -32,6 +32,16 @@ trait TableStore {
     val df = read(spark)
     df.dropDuplicates("batch_id" +: keys)
   }
+
+  /** Base offset of `writerId`'s batch-id namespace — Delta's
+    * transactional-writer (`txn` appId/version) idea. Streaming
+    * micro-batch ids restart at 0 per checkpoint, so two queries — or
+    * one query over a table seeded by direct appends — sharing one flat
+    * id space would replay-drop each other's batches. A writer commits
+    * batch b as `writerBase + b`. Default 0: a store without replay
+    * detection needs no namespacing.
+    */
+  def writerBase(spark: SparkSession, writerId: String): Long = 0L
 }
 
 /** Manifest-committed parquet table — the closest offline analogue of an
@@ -1036,6 +1046,53 @@ final class ManifestTableStore(path: String,
   def dropTag(spark: SparkSession, name: String): Unit =
     require(fs(spark).delete(tagPath(name), false),
       s"unknown tag '$name' on $path")
+
+  // ---- Writer id namespaces (Delta's transactional writer) -----------
+
+  /** Claim (or look up) `writerId`'s batch-id namespace: slot n ↦ base
+    * n·2^40, allocated once per name through atomic create-if-absent
+    * slot files under writers/ (slot-k's single file holds the claiming
+    * writer's name, so allocation serializes on the same primitive as
+    * manifest commits and two names can never share a slot). Slot 0 is
+    * the implicit space of direct `append` callers; 2^40 batches per
+    * writer and 2^22 writers fit the positive Long range. With this,
+    * [[StreamRunner]]'s per-query micro-batch ids (restarting at 0 per
+    * checkpoint) stay exactly-once per QUERY instead of colliding
+    * across queries into one flat space — the multi-source deployment
+    * shape of the reference (two sources, one silver table) would
+    * otherwise replay-drop every source after the first.
+    */
+  override def writerBase(spark: SparkSession, writerId: String): Long = {
+    require(writerId.nonEmpty && writerId.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"writer id must be [A-Za-z0-9._-]+, got '$writerId'")
+    val f = fs(spark)
+    val dir = new HPath(s"$path/writers")
+    def readName(p: HPath): String = {
+      val st = f.getFileStatus(p)
+      val in = f.open(p)
+      try {
+        val buf = new Array[Byte](st.getLen.toInt)
+        in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+    }
+    def find(): Option[Long] =
+      if (!f.exists(dir)) None
+      else f.listStatus(dir).collectFirst {
+        case st if st.getPath.getName.startsWith("slot-") &&
+            readName(st.getPath) == writerId =>
+          st.getPath.getName.stripPrefix("slot-").toLong
+      }
+    var slot = find()
+    while (slot.isEmpty) {
+      val n = (if (f.exists(dir)) f.listStatus(dir)
+        .count(_.getPath.getName.startsWith("slot-")) else 0) + 1
+      AtomicCreate.publish(f, new HPath(dir, s"slot-$n"),
+        writerId.getBytes("UTF-8"))
+      slot = find() // lost races re-list and retry at a higher slot
+    }
+    slot.get << 40
+  }
 
   // ---- Branches (Iceberg writable refs) ------------------------------
   // WAP stages ONE batch; a branch stages a WHOLE PIPELINE RUN — any

@@ -95,15 +95,11 @@ class ManifestBranchSpec extends SparkSpec {
   test("a STREAMING ingestion run stages into a branch (the audit-" +
       "branch pattern end-to-end): main readers see nothing until the " +
       "run fast-forwards") {
-    // seed under a high batch id: micro-batch ids restart at 0 per
-    // checkpoint, and the branch inherits the parent's id space (the
-    // exactly-once contract), so a colliding seed id would no-op the
-    // streamed batch — same discipline as every streaming store spec
-    val p = Files.createTempDirectory("branch-stream-")
-    p.toFile.deleteOnExit()
-    val store = new ManifestTableStore(p.toString,
-      statsColumns = Seq("n"))
-    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 100L) // v1
+    // the seed uses batch id 0 and the stream's first micro-batch is
+    // also id 0 — they must NOT collide: StreamRunner scopes its ids
+    // through writerBase (Delta's txn-writer idea), so the streamed
+    // batch lands under its own namespace
+    val (_, store) = newStore()
     store.createBranch(spark, "ingest", 1L)
     val src = Files.createTempDirectory("branch-src-")
     Files.writeString(src.resolve("a.json"),

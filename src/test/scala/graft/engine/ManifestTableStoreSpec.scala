@@ -371,6 +371,31 @@ class ManifestTableStoreSpec extends SparkSpec {
     assert(silver.select("rapid7_id").head().getString(0) == "7")
   }
 
+  test("TWO concurrent sources into one replay-refusing store: writer-" +
+      "scoped batch ids keep both (a flat id space would drop the " +
+      "second source's micro-batch 0 as a replay of the first's)") {
+    val srcA = tmp("m-bronze-a-"); val srcB = tmp("m-bronze-b-")
+    Files.writeString(srcA.resolve("r7.json"),
+      """{"id": 9, "ip": "10.9.9.9", "hostName": "r7-host"}""")
+    Files.writeString(srcB.resolve("fg.json"),
+      """{"_id": {"$oid": "aaa"}, "accessIp": "1.2.3.4", "name": "fg-host"}""")
+    val store = new ManifestTableStore(tmp("m-silver-multi-").toString)
+    StreamRunner.runAvailableNow(spark, Seq(
+      (SourceSpec.rapid7, srcA.toString, tmp("m-ckpt-a-").toString),
+      (SourceSpec.fortisiem, srcB.toString, tmp("m-ckpt-b-").toString)),
+      store)
+    val silver = store.read(spark)
+    assert(silver.count() == 2, "a source's batch was replay-dropped")
+    assert(silver.select("source_system").distinct().count() == 2)
+    // the two queries landed under DISTINCT batch-id namespaces
+    assert(silver.select("batch_id").distinct().count() == 2)
+    // a restarted query replaying ITS OWN batch is still refused
+    val base = store.writerBase(spark, SourceSpec.rapid7.name)
+    val v = store.currentVersion(spark)
+    store.append(silver.limit(1), base + 0L)
+    assert(store.currentVersion(spark) == v)
+  }
+
   test("write-audit-publish: staged data is invisible, publish commits " +
       "the audited bytes, abort leaves no trace, publish is idempotent") {
     val store = new ManifestTableStore(tmp("manifest-wap-").toString)
