@@ -26,15 +26,22 @@ import graft.engine.ManifestTableStore
 object StreamingUpsert {
 
   /** The foreachBatch body: `.foreachBatch(StreamingUpsert.applyBatch(
-    * store, "k", "seq") _)`.
+    * store, "k", "seq") _)`. Micro-batch ids are scoped through the
+    * store's `writerBase(writerId)` namespace (Delta's txn writer):
+    * ids restart at 0 per checkpoint, so an unscoped id over a table
+    * seeded by direct appends — or beside a second CDC stream — would
+    * replay-drop real batches. Two upsert streams into one table need
+    * distinct `writerId`s.
     */
-  def applyBatch(store: ManifestTableStore, key: String, orderCol: String)(
+  def applyBatch(store: ManifestTableStore, key: String, orderCol: String,
+      writerId: String = "cdc-upsert")(
       batch: DataFrame, batchId: Long): Unit = {
     val latest = batch
       .withColumn("__rn", row_number().over(
         Window.partitionBy(key).orderBy(col(orderCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
-    store.merge(batch.sparkSession, latest, key, batchId)
+    val base = store.writerBase(batch.sparkSession, writerId)
+    store.merge(batch.sparkSession, latest, key, base + batchId)
   }
 
   /** The SQL-TEXT variant — Delta's documented `foreachBatch { df =>
@@ -56,7 +63,13 @@ object StreamingUpsert {
         Window.partitionBy(key).orderBy(col(orderCol).desc)))
       .filter(col("__rn") === 1).drop("__rn")
     latest.createOrReplaceTempView(viewName)
-    graft.engine.StoreSql.exec(batch.sparkSession, tables, mergeSql,
-      batchId = Some(batchId))
+    // id namespace per (target, batch-view): same txn-writer scoping as
+    // applyBatch, keyed so two SQL CDC streams need distinct view names
+    require(tables.size == 1,
+      "applySqlBatch applies one statement to one target store")
+    val spark = batch.sparkSession
+    val store = tables.head._2
+    graft.engine.StoreSql.exec(spark, tables, mergeSql,
+      batchId = Some(store.writerBase(spark, s"cdc-$viewName") + batchId))
   }
 }
