@@ -469,6 +469,37 @@ final class ManifestTableStore(path: String,
       _.filterNot(isDeleteEntry).map(e => Entry(e.batchId, dataDir, stats)))
   }
 
+  /** Incremental small-file compaction — Delta's OPTIMIZE with a
+    * file-size target: only data dirs whose on-disk bytes fall below
+    * `smallBytes` are rewritten (merged into ONE new dir); every dir at
+    * or above the threshold carries forward byte-identical, never read.
+    * The maintenance cost scales with the small-file BACKLOG, not the
+    * table — at 100 TB the only affordable form: a 30 s streaming
+    * trigger writes ~3k tiny dirs/day, and [[compact]]'s whole-table
+    * rewrite would read petabytes to fix megabytes. Batch ids carry
+    * forward (replay refusal and time travel survive); the merged
+    * dir's stats are recomputed. Refuses pending merge-on-read delete
+    * files (fold them with [[compact]] first); no-op below two small
+    * dirs.
+    */
+  def compactSmall(spark: SparkSession, smallBytes: Long): Unit =
+    synchronized {
+      val f = fs(spark)
+      val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "compactSmall")
+      val small = lines.map(_.dir).distinct.filter(d =>
+        f.getContentSummary(new HPath(d)).getLength < smallBytes)
+      if (small.size < 2) return
+      val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
+      write(readDirs(spark, small), dataDir)
+      val stats = collectStats(spark, dataDir)
+      val smallSet = small.toSet
+      commitRewrite(f, v + 1, lines, snap => snap.map { e =>
+        if (smallSet.contains(e.dir)) Entry(e.batchId, dataDir, stats)
+        else e
+      })
+    }
+
   /** Commit a maintenance rewrite (compact / cluster) with optimistic
     * retry: on a lost race, appends committed since the snapshot keep
     * their own dirs (the rewrite rebases around them); if a CONCURRENT

@@ -129,6 +129,38 @@ class StoreDmlSpec extends SparkSpec {
       "m5" -> 99))
   }
 
+  test("compactSmall merges ONLY the sub-threshold dirs: the big dir " +
+      "carries forward byte-identical (never read, never rewritten), " +
+      "values and replay refusal survive") {
+    val root = tmp("dml-compact-small-")
+    val store = new ManifestTableStore(root.toString,
+      statsColumns = Seq("n"))
+    // one big dir (10k rows) + three streaming-sized crumbs
+    store.append((0 until 10000).map(i => (s"k$i", i)).toDF("k", "n"), 0L)
+    store.append(Seq(("a", -1)).toDF("k", "n"), 1L)
+    store.append(Seq(("b", -2)).toDF("k", "n"), 2L)
+    store.append(Seq(("c", -3)).toDF("k", "n"), 3L)
+    val before = currentDirs(store)
+    val bigDir = before.find(_.startsWith("batch-0-")).get
+    val v = store.currentVersion(spark)
+    store.compactSmall(spark, smallBytes = 64 * 1024)
+    val after = currentDirs(store)
+    // the big dir is the SAME physical dir in the new version; the
+    // three crumbs merged into one compact dir
+    assert(after.contains(bigDir), "big dir was rewritten")
+    assert(after.size == 2, s"expected big + one merged dir, got $after")
+    assert(store.currentVersion(spark) == v + 1)
+    assert(store.read(spark).count() == 10003)
+    assert(store.read(spark).filter(col("n") < 0).count() == 3)
+    // batch ids carried: replaying a compacted crumb is still refused
+    store.append(Seq(("ghost", 9)).toDF("k", "n"), 2L)
+    assert(store.read(spark).count() == 10003)
+    // under-threshold backlog of one dir: no-op (nothing to merge)
+    val v2 = store.currentVersion(spark)
+    store.compactSmall(spark, smallBytes = 64 * 1024)
+    assert(store.currentVersion(spark) == v2)
+  }
+
   test("readChanges returns exactly the batches committed between two " +
       "versions; rewrites report no changes; merge inserts appear") {
     val store = seeded(tmp("dml-cdf-")) // v1 = batch 0, v2 = batch 1
