@@ -1078,6 +1078,40 @@ final class ManifestTableStore(path: String,
     require(fs(spark).delete(tagPath(name), false),
       s"unknown tag '$name' on $path")
 
+  // ---- Shallow clone (Delta CLONE) -----------------------------------
+
+  /** Zero-copy SHALLOW CLONE: a new independent table at `targetPath`
+    * whose v1 manifest references THIS table's current data dirs — no
+    * byte of data moves (Delta's `CREATE TABLE ... SHALLOW CLONE`).
+    * The clone then evolves independently: its appends/DML/compactions
+    * write under its own path and never touch the source; source
+    * commits after the clone are invisible to it (snapshot semantics).
+    * The dev/test workflow at 100 TB: experiment against production
+    * data for the cost of one manifest write.
+    *
+    * Delta's documented shallow-clone caveat applies verbatim: the
+    * SOURCE's vacuum does not know about clones, so source dirs the
+    * clone still references can be reclaimed once the source's
+    * retention drops them — pin the cloned version with a [[tag]] on
+    * the source (ref-retention) for a durable clone.
+    */
+  def shallowClone(spark: SparkSession,
+      targetPath: String): ManifestTableStore = {
+    require(isMain, "clone from the main ref")
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    require(lines.nonEmpty, s"nothing to clone under $path (version $v)")
+    // delete entries are classified by a path prefix the clone does not
+    // share — a clone would misread them as data dirs. Fold first.
+    requireNoDeleteFiles(lines, "shallowClone")
+    val clone = new ManifestTableStore(targetPath, partitionBy,
+      statsColumns, bloomColumns, bloomBits, morDeleteKey)
+    require(clone.current(f)._1 == 0L &&
+      clone.tryCommit(f, 1L, lines),
+      s"target $targetPath already holds a table")
+    clone
+  }
+
   // ---- Writer id namespaces (Delta's transactional writer) -----------
 
   /** Claim (or look up) `writerId`'s batch-id namespace: slot n ↦ base

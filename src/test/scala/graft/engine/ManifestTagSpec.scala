@@ -51,6 +51,30 @@ class ManifestTagSpec extends SparkSpec {
     assert(store.listTags(spark) == Seq("audit-1" -> 2L, "latest" -> 3L))
   }
 
+  test("shallow clone is zero-copy and independent: reads equal the " +
+      "source snapshot, clone writes never touch the source, source " +
+      "commits stay invisible to the clone") {
+    val (_, store) = newStore()
+    val target = Files.createTempDirectory("clone-").toString + "/t"
+    val clone = store.shallowClone(spark, target)
+    // zero copy: the clone READS the source's physical dirs
+    assert(clone.read(spark).select("k").as[String].collect().toSet
+      == Set("a", "b", "c"))
+    assert(clone.read(spark).inputFiles.forall(!_.contains("/t/")))
+    // independent evolution, both directions
+    clone.append(Seq(("z", 9)).toDF("k", "n"), 100L)
+    clone.delete(spark, "n = 1")
+    store.append(Seq(("m", 7)).toDF("k", "n"), 100L)
+    assert(clone.read(spark).select("k").as[String].collect().toSet
+      == Set("b", "c", "z"))
+    assert(store.read(spark).select("k").as[String].collect().toSet
+      == Set("a", "b", "c", "m"))
+    // a second clone into the same target is refused
+    intercept[IllegalArgumentException] {
+      store.shallowClone(spark, target)
+    }
+  }
+
   test("vacuum retains tagged versions (manifest AND data dirs) past " +
       "the retention horizon; dropping the tag releases them") {
     val (_, store) = newStore()
