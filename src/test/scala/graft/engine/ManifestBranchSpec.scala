@@ -120,6 +120,24 @@ class ManifestBranchSpec extends SparkSpec {
     assert(store.read(spark).filter(col("rapid7_id") === "7").count() == 1)
   }
 
+  test("SQL-text DML composes with branches: StoreSql statements run " +
+      "against a branch handle, staged until fast-forward") {
+    val (_, store) = newStore()
+    store.createBranch(spark, "sqlrun", 1L)
+    val br = store.branch("sqlrun")
+    val t = Map("t" -> br)
+    StoreSql.exec(spark, t, "INSERT INTO t VALUES ('c', 3)",
+      batchId = Some(1L))
+    StoreSql.exec(spark, t,
+      "UPDATE t SET n = n * 10 WHERE k = 'a'")
+    StoreSql.exec(spark, t, "DELETE FROM t WHERE k = 'b'")
+    // main still at the branch point
+    assert(state(store) == Set(("a", 1), ("b", 2)))
+    assert(state(br) == Set(("a", 10), ("c", 3)))
+    store.fastForward(spark, "sqlrun")
+    assert(state(store) == Set(("a", 10), ("c", 3)))
+  }
+
   test("ref operations are main-only: a branch handle refuses vacuum, " +
       "tag, and nested branching; duplicate/unknown branches refused") {
     val (_, store) = newStore()
