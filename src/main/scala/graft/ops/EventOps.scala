@@ -250,29 +250,50 @@ object EventOps {
     // (first half of the month) and the current window, over decile
     // bins of the REFERENCE distribution — the standard ML-monitoring
     // gate (PSI >= 0.2 ⇒ investigate). Bin edges are exact reference
-    // deciles (q59's portable percentile, rounded at 6); binning is 1 +
-    // Σ(value > edge); bin fractions are Laplace-smoothed so empty bins
+    // deciles computed ENTIRELY IN INTEGER SPACE (values as micro-ints,
+    // linear interpolation a·10 + (b−a)·rem in deci-micro units with
+    // rem = (n−1)·k mod 10) — engine quantile builtins interpolate in
+    // floating point and differ in the last ulp (measured at sf1:
+    // DuckDB 59.759999… vs Spark 59.76 for the same decile), which
+    // floor-snaps edges one micro-unit apart and shifts boundary rows
+    // across bins. Binning is 1 + Σ(value·10 > edge), an integer
+    // compare; bin fractions are Laplace-smoothed so empty bins
     // contribute finitely; per-bin terms round at 9 and sum in DECIMAL
-    // (the q109 discipline), final PSI floor-scales. Plan: one
-    // percentile aggregate over the reference (sorts within event_type
-    // partitions), then ONE pass over each side with the 9-edge frame
-    // broadcast — at 100 TB swap the exact deciles for approx_percentile
-    // and everything downstream is unchanged.
+    // (the q109 discipline), final PSI floor-scales. Plan: one ranked
+    // pass over the reference (sorts within event_type partitions —
+    // what any exact percentile costs), two point lookups per decile,
+    // then ONE pass over each side with the 9-edge frame broadcast —
+    // at 100 TB swap the exact deciles for approx_percentile and
+    // everything downstream is unchanged.
     QueryDef(
       "q154_value_drift_psi", {
-        val edgesSql = (1 to 9).map(k =>
-          s"floor(quantile_cont(value, 0.${k}) * 1000000) " +
-            s"/ 1000000.0 AS e$k")
+        val pivotSql = (1 to 9).map(k =>
+          s"MAX(CASE k WHEN $k THEN edge10 END) AS d$k")
           .mkString(",\n        |    ")
         val binSql = (1 to 9).map(k =>
-          s"CAST(value > e$k AS INTEGER)").mkString("1 + ", " + ", "")
-        s"""WITH ref AS (SELECT event_type, value FROM events
+          s"CAST(vm * 10 > d$k AS INTEGER)").mkString("1 + ", " + ", "")
+        s"""WITH ref AS (SELECT event_type,
+           |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events
            |  WHERE ts < TIMESTAMP '2024-01-16' AND value IS NOT NULL),
-           |cur AS (SELECT event_type, value FROM events
+           |cur AS (SELECT event_type,
+           |    CAST(round(value * 1000000) AS BIGINT) AS vm FROM events
            |  WHERE ts >= TIMESTAMP '2024-01-16' AND value IS NOT NULL),
+           |rr AS (SELECT event_type, vm, ROW_NUMBER() OVER (
+           |    PARTITION BY event_type ORDER BY vm) AS pos FROM ref),
+           |rn AS (SELECT event_type, COUNT(*) AS n FROM ref GROUP BY 1),
+           |ke AS (SELECT event_type, CAST(k AS INTEGER) AS k,
+           |    (n - 1) * k // 10 + 1 AS lo, (n - 1) * k % 10 AS rem
+           |  FROM rn, (SELECT unnest(range(1, 10)) AS k) t),
+           |e1 AS (SELECT ke.event_type, ke.k,
+           |    a.vm * 10 + (COALESCE(b.vm, a.vm) - a.vm) * ke.rem
+           |      AS edge10
+           |  FROM ke JOIN rr a ON a.event_type = ke.event_type
+           |    AND a.pos = ke.lo
+           |  LEFT JOIN rr b ON b.event_type = ke.event_type
+           |    AND b.pos = ke.lo + 1),
            |ed AS (SELECT event_type,
-           |    $edgesSql
-           |  FROM ref GROUP BY event_type),
+           |    $pivotSql
+           |  FROM e1 GROUP BY event_type),
            |rb AS (SELECT r.event_type, $binSql AS bin
            |  FROM ref r JOIN ed USING (event_type)),
            |cb AS (SELECT c.event_type, $binSql AS bin
@@ -310,7 +331,8 @@ object EventOps {
       }) { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .filter(col("value").isNotNull)
-        .select(col("event_type"), col("value"), col("ts"))
+        .select(col("event_type"),
+          round(col("value") * 1000000).cast("long").as("vm"), col("ts"))
       val split = lit("2024-01-16").cast("timestamp")
       // Each side has three consumers (edges/bins/totals on ref, bins/
       // totals on cur): checkpoint the skinny 2-column frames once
@@ -319,18 +341,34 @@ object EventOps {
         .localCheckpoint(true)
       val cur = ev.filter(col("ts") >= split).drop("ts")
         .localCheckpoint(true)
-      val ed = broadcast(ref.groupBy("event_type").agg(
-        (floor(expr("percentile(value, 0.1)") * 1000000) / 1000000.0).as("e1"),
-        (floor(expr("percentile(value, 0.2)") * 1000000) / 1000000.0).as("e2"),
-        (floor(expr("percentile(value, 0.3)") * 1000000) / 1000000.0).as("e3"),
-        (floor(expr("percentile(value, 0.4)") * 1000000) / 1000000.0).as("e4"),
-        (floor(expr("percentile(value, 0.5)") * 1000000) / 1000000.0).as("e5"),
-        (floor(expr("percentile(value, 0.6)") * 1000000) / 1000000.0).as("e6"),
-        (floor(expr("percentile(value, 0.7)") * 1000000) / 1000000.0).as("e7"),
-        (floor(expr("percentile(value, 0.8)") * 1000000) / 1000000.0).as("e8"),
-        (floor(expr("percentile(value, 0.9)") * 1000000) / 1000000.0).as("e9")))
+      // exact deciles in INTEGER space: ranked micro-int values, edge =
+      // a·10 + (b−a)·rem deci-micro units — no float interpolation (see
+      // the SQL twin's comment; both engines compute identical longs)
+      val rr = ref.withColumn("pos", row_number().over(
+        Window.partitionBy("event_type").orderBy("vm")))
+      val ke = ref.groupBy("event_type").agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("k"))
+        .select(col("event_type"), col("k"),
+          expr("(n - 1) * k div 10 + 1").as("lo"),
+          expr("(n - 1) * k % 10").as("rem"))
+      val a = rr.toDF("aet", "va", "pos")
+      val b = rr.toDF("bet", "vb", "posb")
+      val e1 = ke
+        .join(a, col("aet") === col("event_type") &&
+          col("pos") === col("lo"))
+        .join(b, col("bet") === col("event_type") &&
+          col("posb") === col("lo") + 1, "left")
+        .select(col("event_type"), col("k"),
+          (col("va") * 10 +
+            (coalesce(col("vb"), col("va")) - col("va")) * col("rem"))
+            .as("edge10"))
+      val edAggs = (1 to 9).map(k =>
+        max(when(col("k") === k, col("edge10"))).as(s"d$k"))
+      val ed = broadcast(e1.groupBy("event_type")
+        .agg(edAggs.head, edAggs.tail: _*))
       val bin = (1 to 9).map(k =>
-        (col("value") > col(s"e$k")).cast("int")).reduce(_ + _) + 1
+        (col("vm") * 10 > col(s"d$k")).cast("int")).reduce(_ + _) + 1
       def binned(side: DataFrame) = side.join(ed, "event_type")
         .select(col("event_type"), bin.as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("c"))

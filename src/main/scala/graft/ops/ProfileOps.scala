@@ -517,51 +517,94 @@ object ProfileOps {
     // q30-quality quintile, with counts per cell. A diagonal ridge
     // means quality is just length in disguise (re-weight before
     // filtering on it); a flat sheet means independent signals. Edges
-    // are exact percentiles floor-scaled (the q154 discipline) and
-    // bucketing is row-local against the broadcast edge row; counts
-    // are exact integers.
+    // are exact quintiles computed ENTIRELY IN INTEGER SPACE (the q154
+    // discipline: ranked values, edge = a·10 + (b−a)·rem in ×10 units
+    // with rem = (n−1)·2k mod 10; the quality score pre-rounds to
+    // micro-ints) — engine quantile builtins interpolate in floating
+    // point and drift in the last ulp at scale, snapping boundary rows
+    // across bins. Bucketing is a row-local integer compare against
+    // the broadcast edge row; counts are exact integers. Scale shape:
+    // the two global rank sorts are what ANY exact percentile costs —
+    // at 100 TB swap them for approx_percentile and everything
+    // downstream is unchanged.
     QueryDef(
       "q193_length_quality_hist", {
         val qExpr = "least(1.0, len(string_split(text,' ')) / 100.0) " +
           "* (1.0 - CAST(len(list_filter(string_split(text,' '), " +
           "w -> w IN ('the','a'))) AS DOUBLE) " +
           "/ len(string_split(text,' ')))"
-        def edges(src: String, v: String, pfx: String): String =
+        def pivot(src: String, pfx: String): String =
           (1 to 4).map(k =>
-            s"floor(quantile_cont($v, 0.${k * 2}) * 1000000) " +
-              s"/ 1000000.0 AS $pfx$k").mkString(", ")
-        s"""WITH d AS (SELECT n_chars, $qExpr AS q FROM documents),
-           |e AS (SELECT ${edges("d", "n_chars", "l")},
-           |    ${edges("d", "q", "m")} FROM d),
+            s"MAX(CASE k WHEN $k THEN e10 END) AS $pfx$k")
+            .mkString(s"SELECT ", ", ", s" FROM $src")
+        s"""WITH d AS (SELECT CAST(n_chars AS BIGINT) AS lv,
+           |    CAST(round(($qExpr) * 1000000) AS BIGINT) AS qm
+           |  FROM documents),
+           |rl AS (SELECT lv AS v, ROW_NUMBER() OVER (ORDER BY lv)
+           |    AS pos FROM d),
+           |rq AS (SELECT qm AS v, ROW_NUMBER() OVER (ORDER BY qm)
+           |    AS pos FROM d),
+           |ke AS (SELECT CAST(k AS INTEGER) AS k,
+           |    (n - 1) * 2 * k // 10 + 1 AS lo,
+           |    (n - 1) * 2 * k % 10 AS rem
+           |  FROM (SELECT COUNT(*) AS n FROM d) nn,
+           |    (SELECT unnest(range(1, 5)) AS k) t),
+           |el AS (SELECT ke.k,
+           |    a.v * 10 + (COALESCE(b.v, a.v) - a.v) * ke.rem AS e10
+           |  FROM ke JOIN rl a ON a.pos = ke.lo
+           |  LEFT JOIN rl b ON b.pos = ke.lo + 1),
+           |eq AS (SELECT ke.k,
+           |    a.v * 10 + (COALESCE(b.v, a.v) - a.v) * ke.rem AS e10
+           |  FROM ke JOIN rq a ON a.pos = ke.lo
+           |  LEFT JOIN rq b ON b.pos = ke.lo + 1),
+           |epl AS (${pivot("el", "l")}),
+           |epq AS (${pivot("eq", "m")}),
            |b AS (SELECT
-           |    1 + CAST(n_chars > e.l1 AS INTEGER)
-           |      + CAST(n_chars > e.l2 AS INTEGER)
-           |      + CAST(n_chars > e.l3 AS INTEGER)
-           |      + CAST(n_chars > e.l4 AS INTEGER) AS len_bin,
-           |    1 + CAST(q > e.m1 AS INTEGER) + CAST(q > e.m2 AS INTEGER)
-           |      + CAST(q > e.m3 AS INTEGER) + CAST(q > e.m4 AS INTEGER)
-           |      AS q_bin
-           |  FROM d, e)
+           |    1 + CAST(lv * 10 > l1 AS INTEGER)
+           |      + CAST(lv * 10 > l2 AS INTEGER)
+           |      + CAST(lv * 10 > l3 AS INTEGER)
+           |      + CAST(lv * 10 > l4 AS INTEGER) AS len_bin,
+           |    1 + CAST(qm * 10 > m1 AS INTEGER)
+           |      + CAST(qm * 10 > m2 AS INTEGER)
+           |      + CAST(qm * 10 > m3 AS INTEGER)
+           |      + CAST(qm * 10 > m4 AS INTEGER) AS q_bin
+           |  FROM d, epl, epq)
            |SELECT len_bin, q_bin, CAST(count(*) AS BIGINT) AS n
            |FROM b GROUP BY len_bin, q_bin
            |ORDER BY len_bin, q_bin""".stripMargin
       }) { (s, dir) =>
       val words = "split(text, ' ')"
-      val d = Tables(s, dir, "documents").select(col("n_chars"),
-        expr(s"least(1.0, size($words) / 100.0) * (1.0 - " +
+      val d = Tables(s, dir, "documents").select(
+        col("n_chars").cast("long").as("lv"),
+        expr(s"cast(round(least(1.0, size($words) / 100.0) * (1.0 - " +
           s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
-          s" / size($words))").as("q"))
-      val eCols = (1 to 4).map(k =>
-        (floor(expr(s"percentile(n_chars, 0.${k * 2})") * 1000000)
-          / 1000000.0).as(s"l$k")) ++
-        (1 to 4).map(k =>
-          (floor(expr(s"percentile(q, 0.${k * 2})") * 1000000)
-            / 1000000.0).as(s"m$k"))
-      val e = broadcast(d.agg(eCols.head, eCols.tail: _*))
+          s" / size($words)) * 1000000) as bigint)").as("qm"))
+        .localCheckpoint(true)
+      def ranked(c: String) = d.select(col(c).as("v"))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy("v")))
+      val ke = d.agg(count(lit(1)).as("n"))
+        .select(explode(sequence(lit(1), lit(4))).as("k"), col("n"))
+        .select(col("k"), expr("(n - 1) * 2 * k div 10 + 1").as("lo"),
+          expr("(n - 1) * 2 * k % 10").as("rem"))
+      def edges(r: DataFrame, pfx: String): DataFrame = {
+        val a = r.toDF("va", "pos")
+        val b = r.toDF("vb", "posb")
+        val e1 = ke.join(a, col("pos") === col("lo"))
+          .join(b, col("posb") === col("lo") + 1, "left")
+          .select(col("k"), (col("va") * 10 +
+            (coalesce(col("vb"), col("va")) - col("va")) * col("rem"))
+            .as("e10"))
+        val aggs = (1 to 4).map(k =>
+          max(when(col("k") === k, col("e10"))).as(s"$pfx$k"))
+        e1.agg(aggs.head, aggs.tail: _*)
+      }
+      val e = broadcast(edges(ranked("lv"), "l")
+        .crossJoin(edges(ranked("qm"), "m")))
       val lenBin = (1 to 4).map(k =>
-        (col("n_chars") > col(s"l$k")).cast("int")).reduce(_ + _) + 1
+        (col("lv") * 10 > col(s"l$k")).cast("int")).reduce(_ + _) + 1
       val qBin = (1 to 4).map(k =>
-        (col("q") > col(s"m$k")).cast("int")).reduce(_ + _) + 1
+        (col("qm") * 10 > col(s"m$k")).cast("int")).reduce(_ + _) + 1
       d.crossJoin(e)
         .select(lenBin.as("len_bin"), qBin.as("q_bin"))
         .groupBy("len_bin", "q_bin").agg(count(lit(1)).as("n"))

@@ -45,13 +45,21 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1998-01-01' AND l_discount > 0.05
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_returnflag""".stripMargin) { (s, dir) =>
+      // ORDER BY every output column: (l_orderkey, l_linenumber) is NOT
+      // unique in the synthetic corpus, and a non-total order leaves
+      // tie order engine-dependent (rows only coincidentally aligned in
+      // file order — diverged at the sf1 sweep). Under the full-row
+      // order, equal rows are interchangeable and the compare is
+      // well-defined at any scale.
       Tables(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
           col("l_discount") > 0.05)
         .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
           "l_returnflag")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag")
     },
 
     // A-series: TPC-H Q1-style grouped aggregation (map-side partials).
