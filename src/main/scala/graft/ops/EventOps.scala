@@ -489,13 +489,13 @@ object EventOps {
       """WITH ev AS (SELECT event_type, value FROM events
         |  WHERE value IS NOT NULL),
         |md AS (SELECT event_type,
-        |    floor(quantile_cont(value, 0.5) * 1000000) / 1000000.0
+        |    round(quantile_cont(value, 0.5) * 1000000) / 1000000.0
         |      AS med
         |  FROM ev GROUP BY event_type),
         |dv AS (SELECT ev.event_type, abs(ev.value - md.med) AS dev
         |  FROM ev JOIN md USING (event_type)),
         |md2 AS (SELECT event_type,
-        |    floor(quantile_cont(dev, 0.5) * 1000000) / 1000000.0 AS mad
+        |    round(quantile_cont(dev, 0.5) * 1000000) / 1000000.0 AS mad
         |  FROM dv GROUP BY event_type),
         |sc AS (SELECT ev.event_type,
         |    CASE WHEN md2.mad > 0 AND
@@ -513,13 +513,13 @@ object EventOps {
         .filter(col("value").isNotNull)
         .select(col("event_type"), col("value"))
       val md = broadcast(ev.groupBy("event_type").agg(
-        (floor(expr("percentile(value, 0.5)") * 1000000) / 1000000.0)
+        (round(expr("percentile(value, 0.5)") * 1000000) / 1000000.0)
           .as("med")))
       val md2 = broadcast(ev.join(md, "event_type")
         .select(col("event_type"),
           abs(col("value") - col("med")).as("dev"))
         .groupBy("event_type").agg(
-          (floor(expr("percentile(dev, 0.5)") * 1000000) / 1000000.0)
+          (round(expr("percentile(dev, 0.5)") * 1000000) / 1000000.0)
             .as("mad")))
       ev.join(md, "event_type").join(md2, "event_type")
         .select(col("event_type"), col("med"), col("mad"),
@@ -620,9 +620,13 @@ object EventOps {
     // model's probabilities are q182's floor-scaled values, log is one
     // IEEE op on identical doubles, per-user sums go through the
     // round-9/decimal discipline (double summation order is the enemy),
-    // and the flag threshold is an exact percentile floor-scaled. The
-    // model re-enters as a broadcast; scoring is one windowed pass +
-    // one join.
+    // and — because the per-user means are floor-scaled onto the
+    // micro-grid — the 5th-percentile threshold interpolates EXACTLY in
+    // integer space (micro-int values, a·20 + (b−a)·((n−1) mod 20) in
+    // ×20 units; engine quantile builtins interpolate 0.05 in floating
+    // point and can snap the threshold one micro-unit off, flipping
+    // grid-adjacent users — the q154 defect class). The model re-enters
+    // as a broadcast; scoring is one windowed pass + one join.
     QueryDef(
       "q183_markov_anomaly",
       """WITH s AS (SELECT user_id, event_type AS t_from,
@@ -644,11 +648,19 @@ object EventOps {
         |      AS mean_loglik
         |  FROM tr JOIN m ON m.t_from = tr.t_from AND m.t_to = tr.t_to
         |  GROUP BY tr.user_id),
-        |thr AS (SELECT floor(quantile_cont(mean_loglik, 0.05)
-        |    * 1000000) / 1000000.0 AS p05 FROM u)
-        |SELECT u.user_id, u.n_trans, u.mean_loglik,
-        |  u.mean_loglik < thr.p05 AS anomalous
-        |FROM u, thr ORDER BY user_id""".stripMargin) { (s, dir) =>
+        |uu AS (SELECT user_id, n_trans, mean_loglik,
+        |    CAST(round(mean_loglik * 1000000) AS BIGINT) AS um FROM u),
+        |ru AS (SELECT um AS v, ROW_NUMBER() OVER (ORDER BY um) AS pos
+        |  FROM uu),
+        |kt AS (SELECT (n - 1) // 20 + 1 AS lo, (n - 1) % 20 AS rem
+        |  FROM (SELECT COUNT(*) AS n FROM uu) t),
+        |th AS (SELECT a.v * 20 + (COALESCE(b.v, a.v) - a.v) * kt.rem
+        |    AS thr20
+        |  FROM kt JOIN ru a ON a.pos = kt.lo
+        |  LEFT JOIN ru b ON b.pos = kt.lo + 1)
+        |SELECT uu.user_id, uu.n_trans, uu.mean_loglik,
+        |  uu.um * 20 < th.thr20 AS anomalous
+        |FROM uu, th ORDER BY user_id""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val tr = Tables(s, dir, "events")
         .select(col("user_id"), col("event_type").as("t_from"),
@@ -666,12 +678,24 @@ object EventOps {
           (floor(sum(round(log(col("p")), 9).cast(DecimalType(28, 9)))
             .cast("double") / count(lit(1)) * 1000000) / 1000000.0)
             .as("mean_loglik"))
-      val thr = u.agg(
-        (floor(expr("percentile(mean_loglik, 0.05)") * 1000000)
-          / 1000000.0).as("p05"))
-      u.crossJoin(broadcast(thr))
+        .withColumn("um", round(col("mean_loglik") * 1000000)
+          .cast("long"))
+        .localCheckpoint(true)
+      val ru = u.select(col("um").as("v"))
+        .withColumn("pos", row_number().over(Window.orderBy("v")))
+      val kt = u.agg(count(lit(1)).as("n"))
+        .select(expr("(n - 1) div 20 + 1").as("lo"),
+          expr("(n - 1) % 20").as("rem"))
+      val th = kt
+        .join(ru.toDF("va", "pos"), col("pos") === col("lo"))
+        .join(ru.toDF("vb", "posb"), col("posb") === col("lo") + 1,
+          "left")
+        .select((col("va") * 20 +
+          (coalesce(col("vb"), col("va")) - col("va")) * col("rem"))
+          .as("thr20"))
+      u.crossJoin(broadcast(th))
         .select(col("user_id"), col("n_trans"), col("mean_loglik"),
-          (col("mean_loglik") < col("p05")).as("anomalous"))
+          (col("um") * 20 < col("thr20")).as("anomalous"))
         .orderBy("user_id")
     },
 
@@ -698,9 +722,9 @@ object EventOps {
         |  CAST(count(*) AS BIGINT) AS n_converted,
         |  floor(count(*) / CAST((SELECT count(*) FROM v) AS DOUBLE)
         |    * 1000000) / 1000000.0 AS conversion_rate,
-        |  floor(quantile_cont(lag_s, 0.5) * 1000000) / 1000000.0
+        |  round(quantile_cont(lag_s, 0.5) * 1000000) / 1000000.0
         |    AS p50_s,
-        |  floor(quantile_cont(lag_s, 0.9) * 1000000) / 1000000.0
+        |  round(quantile_cont(lag_s, 0.9) * 1000000) / 1000000.0
         |    AS p90_s
         |FROM l""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events")
@@ -716,9 +740,9 @@ object EventOps {
           "div 1000000").as("lag_s"))
       val nv = v.agg(count(lit(1)).as("n_viewers"))
       l.agg(count(lit(1)).as("n_converted"),
-          (floor(expr("percentile(lag_s, 0.5)") * 1000000)
+          (round(expr("percentile(lag_s, 0.5)") * 1000000)
             / 1000000.0).as("p50_s"),
-          (floor(expr("percentile(lag_s, 0.9)") * 1000000)
+          (round(expr("percentile(lag_s, 0.9)") * 1000000)
             / 1000000.0).as("p90_s"))
         .crossJoin(broadcast(nv))
         .select(col("n_viewers"), col("n_converted"),

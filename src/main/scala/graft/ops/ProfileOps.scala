@@ -245,9 +245,9 @@ object ProfileOps {
              |  CAST(sum(c) AS BIGINT) AS n_rows,
              |  CAST(count(*) AS BIGINT) AS n_keys,
              |  CAST(max(c) AS BIGINT) AS max_per_key,
-             |  floor(quantile_cont(c, 0.5) * 1000000) / 1000000.0
+             |  round(quantile_cont(c, 0.5) * 1000000) / 1000000.0
              |    AS p50_per_key,
-             |  floor(quantile_cont(c, 0.99) * 1000000) / 1000000.0
+             |  round(quantile_cont(c, 0.99) * 1000000) / 1000000.0
              |    AS p99_per_key,
              |  floor(max(c) / CAST(sum(c) AS DOUBLE) * 1000000)
              |    / 1000000.0 AS top_key_share
@@ -265,9 +265,9 @@ object ProfileOps {
           .agg(sum("c").as("n_rows"),
             count(lit(1)).as("n_keys"),
             max("c").as("max_per_key"),
-            (floor(expr("percentile(c, 0.5)") * 1000000) / 1000000.0)
+            (round(expr("percentile(c, 0.5)") * 1000000) / 1000000.0)
               .as("p50_per_key"),
-            (floor(expr("percentile(c, 0.99)") * 1000000) / 1000000.0)
+            (round(expr("percentile(c, 0.99)") * 1000000) / 1000000.0)
               .as("p99_per_key"),
             (floor(max("c") / sum("c").cast("double") * 1000000)
               / 1000000.0).as("top_key_share"))
