@@ -63,12 +63,26 @@ object StoreSql {
     spark.sessionState.sqlParser.parsePlan(sql) match {
       case d: DeleteFromTable =>
         // an unconditioned DELETE parses to the same TRUE literal as
-        // `WHERE true`, so the full-table-scope guard reads the
-        // statement text: destructive scope must be spelled out,
-        // matching the UPDATE guard below
-        require("(?is).*\\bwhere\\b.*".r.matches(sql),
-          "DELETE without WHERE is refused (full-table delete); " +
-            "add WHERE true if intended")
+        // `WHERE true`, so full-table scope must be SPELLED OUT. The
+        // text heuristic applies ONLY when the parsed condition is the
+        // true literal (any real predicate already proves intent), and
+        // it reads the statement with comments and string literals
+        // stripped — `DELETE FROM t /* where */` must not satisfy the
+        // guard the comment is trying to sneak past.
+        val trivialTrue = d.condition match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(true, _) => true
+          case _ => false
+        }
+        if (trivialTrue) {
+          val cleaned = sql
+            .replaceAll("(?s)/\\*.*?\\*/", " ")
+            .replaceAll("--[^\r\n]*", " ")
+            .replaceAll("'(?:[^']|'')*'", " ")
+          require("(?is).*\\bwhere\\b.*".r.matches(cleaned),
+            "DELETE without WHERE is refused (full-table delete); " +
+              "add WHERE true if intended")
+        }
         val store = storeOf(d.table)
         store.morDeleteKey match {
           case Some(keyCol) =>
@@ -142,8 +156,14 @@ object StoreSql {
           val sNames = sideNames(m.sourceTable)
           val sCols = spark.table(srcName).columns
             .map(_.toLowerCase).toSet
-          val tCols = store.read(spark).columns
-            .map(_.toLowerCase).toSet
+          // an EMPTY target (insert-only seeding via notMatched
+          // clauses, which mergeClauses supports) has no readable
+          // columns yet — qualifier resolution then sees the source's
+          // namespace only; store.read would throw "no committed
+          // batches" and break the seeding path
+          val tCols =
+            if (store.currentVersion(spark) == 0L) Set.empty[String]
+            else store.read(spark).columns.map(_.toLowerCase).toSet
           def isSrcRef(a: UnresolvedAttribute): Boolean =
             if (a.nameParts.size >= 2) {
               val q = a.nameParts.head.toLowerCase

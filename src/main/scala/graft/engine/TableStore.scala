@@ -809,17 +809,24 @@ final class ManifestTableStore(path: String,
     requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
     if (lines.isEmpty && notMatched.isEmpty) return
+    // PIN the source before anything reads it: the clauses evaluate it
+    // several times (duplicate-key check, per-touched-dir broadcast
+    // joins, insert anti-join, the insert write), and a
+    // non-deterministic source (rand/uuid, a re-read view) would apply
+    // DIFFERENT rows per evaluation — inconsistent dirs inside one
+    // commit. Delta materializes the merge source for the same reason.
+    val src = source.localCheckpoint(true)
     // SQL MERGE refuses a target row matching more than one source row
     // (nondeterministic update) — enforced on the small side
-    require(source.groupBy(col(key)).count()
+    require(src.groupBy(col(key)).count()
       .filter(col("count") > 1).isEmpty,
       s"MERGE source has duplicate values of '$key'")
-    val srcPrefixed = source.columns.foldLeft(source)((d, c) =>
+    val srcPrefixed = src.columns.foldLeft(src)((d, c) =>
       d.withColumnRenamed(c, s"__src_$c"))
     val touched: Set[String] =
       if (matched.isEmpty && bySource.isEmpty) Set.empty // insert-only
       else if (bySource.nonEmpty) lines.map(_.dir).toSet
-      else mergeTouchedDirs(source, key, lines)
+      else mergeTouchedDirs(src, key, lines)
     // index of the first clause (declaration order) whose condition
     // holds, -1 when none does — SQL MERGE's first-match-wins
     def firstClause(clauses: Seq[ManifestTableStore.MergeClause],
@@ -858,7 +865,7 @@ final class ManifestTableStore(path: String,
                   case Some(s) =>
                     s.collectFirst { case (tc, e) if tc == c => expr(e) }
                   case None => // SET *: same-named source column
-                    if (source.columns.contains(c))
+                    if (src.columns.contains(c))
                       Some(col(s"__src_$c"))
                     else None
                 }
@@ -874,15 +881,27 @@ final class ManifestTableStore(path: String,
       }
       kept.select(outCols.toSeq: _*)
     }
-    val extra: Seq[Entry] =
-      if (notMatched.isEmpty) Nil
+    // The insert batch is written UNCONDITIONALLY — even when no insert
+    // clause exists or no source row qualifies, a ZERO-ROW entry
+    // carrying `batchId` commits. Without it an update/delete-only
+    // merge's commit holds only rewritten entries under OLD batch ids,
+    // the replay check above can never fire, and a crashed-and-replayed
+    // CDC micro-batch re-applies: non-idempotent SETs (cnt = cnt +
+    // src.delta) double-apply, and a MATCHED-DELETE batch whose keys
+    // all matched first time resurrects them as inserts on replay. The
+    // marker costs one empty parquet footer; compact folds it away.
+    val tSchema =
+      if (lines.isEmpty) src.schema
+      else readDirs(spark, lines.map(_.dir).distinct).schema
+    val insRows: DataFrame =
+      if (notMatched.isEmpty)
+        spark.createDataFrame(spark.sparkContext
+            .emptyRDD[org.apache.spark.sql.Row], tSchema)
+          .drop("batch_id").withColumn("batch_id", lit(batchId))
       else {
-        val tSchema =
-          if (lines.isEmpty) source.schema
-          else readDirs(spark, lines.map(_.dir).distinct).schema
         val unmatched =
-          if (lines.isEmpty) source
-          else source.join(readDirs(spark, lines.map(_.dir).distinct)
+          if (lines.isEmpty) src
+          else src.join(readDirs(spark, lines.map(_.dir).distinct)
             .select(key).distinct(), Seq(key), "left_anti")
         val iIdx = notMatched.zipWithIndex
           .foldRight(lit(-1): org.apache.spark.sql.Column) {
@@ -901,7 +920,7 @@ final class ManifestTableStore(path: String,
                 case Some(vs) => vs.collectFirst {
                   case (tc, e) if tc == fld.name => expr(e) }
                 case None => // INSERT *: same-named source column
-                  if (source.columns.contains(fld.name))
+                  if (src.columns.contains(fld.name))
                     Some(col(fld.name))
                   else None
               }
@@ -913,17 +932,13 @@ final class ManifestTableStore(path: String,
               }
             }.as(fld.name)
           }
-        val insRows = picked.select(insCols.toSeq: _*)
+        picked.select(insCols.toSeq: _*)
           .withColumn("batch_id", lit(batchId))
-        if (insRows.isEmpty) Nil
-        else {
-          val insDir =
-            s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-          write(insRows, insDir)
-          Seq(Entry(batchId, insDir, collectStats(spark, insDir)))
-        }
       }
-    if (touched.isEmpty && extra.isEmpty) return // provably a no-op
+    val insDir =
+      s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+    write(insRows, insDir)
+    val extra = Seq(Entry(batchId, insDir, collectStats(spark, insDir)))
     rewriteDirs(spark, f, v, lines, touched, "merge", xform,
       extra = extra)
   }
@@ -1141,12 +1156,23 @@ final class ManifestTableStore(path: String,
         in.readFully(buf); new String(buf, "UTF-8")
       } finally in.close()
     }
+    // Resolution takes the MINIMUM matching slot, not listStatus order:
+    // a double-claim is possible (two processes of one writerId race,
+    // the loser's find() ran before the winner's publish, so it
+    // publishes a SECOND slot for the same name), and listing order is
+    // not guaranteed across filesystems — first-match resolution could
+    // hand the same writer different bases across restarts, silently
+    // breaking the replay-refusal namespace. The min slot is stable
+    // under any later claims; a duplicate slot only wastes an id range.
     def find(): Option[Long] =
       if (!f.exists(dir)) None
-      else f.listStatus(dir).collectFirst {
-        case st if st.getPath.getName.startsWith("slot-") &&
-            readName(st.getPath) == writerId =>
-          st.getPath.getName.stripPrefix("slot-").toLong
+      else {
+        val mine = f.listStatus(dir).toSeq.collect {
+          case st if st.getPath.getName.startsWith("slot-") &&
+              readName(st.getPath) == writerId =>
+            st.getPath.getName.stripPrefix("slot-").toLong
+        }
+        if (mine.isEmpty) None else Some(mine.min)
       }
     var slot = find()
     while (slot.isEmpty) {
