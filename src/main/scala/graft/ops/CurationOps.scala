@@ -674,10 +674,19 @@ object CurationOps {
         |SELECT doc_id, rrf FROM fused
         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin) { (s, dir) =>
       graft.functions.VectorExpressions.register(s)
+      // Each ranker's top-20 via orderBy().limit() — compiles to
+      // TakeOrderedAndProject (per-partition bounded heaps + one
+      // driver-side merge of 20-row heads), NOT the corpus-sized
+      // single-partition sort a global row_number window executes.
+      // Ranks are re-derived on the ≤20-row result with the SAME total
+      // tie-break (score desc, doc_id), so they equal the global ranks
+      // exactly and the oracle hash is unchanged; the re-rank window is
+      // unpartitioned but runs over a CONSTANT 20-row frame.
       val wAll = Window.orderBy(col("s").desc, col("doc_id"))
       val lexr = bm25Scores(s, dir).withColumnRenamed("bm25_r", "s")
+        .orderBy(col("s").desc, col("doc_id")).limit(20)
         .withColumn("r", row_number().over(wAll))
-        .filter(col("r") <= 20).select("doc_id", "r")
+        .select("doc_id", "r")
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").as("v"),
         expr("sqrt(vec_dot(embedding, embedding))").as("nv"))
@@ -687,8 +696,9 @@ object CurationOps {
       val denr = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
         .select(col("vec_id").as("doc_id"),
           expr("round(vec_dot(v, qv) / (nv * nq), 6)").as("c"))
+        .orderBy(col("c").desc, col("doc_id")).limit(20)
         .withColumn("r", row_number().over(wDen))
-        .filter(col("r") <= 20).select("doc_id", "r")
+        .select("doc_id", "r")
       lexr.toDF("doc_id", "lr")
         .join(denr.toDF("doc_id", "dr"), Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

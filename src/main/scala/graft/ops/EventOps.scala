@@ -681,8 +681,10 @@ object EventOps {
         .withColumn("um", round(col("mean_loglik") * 1000000)
           .cast("long"))
         .localCheckpoint(true)
-      val ru = u.select(col("um").as("v"))
-        .withColumn("pos", row_number().over(Window.orderBy("v")))
+      // exact 5th-percentile edge ranks via the distributed rank-select
+      // ([[ExactRank]]): same (v, pos) pairs as a global row_number
+      // window, none of its move-every-user-into-one-task funnel
+      val ru = ExactRank.ranked(u.select(col("um")), "um")
       val kt = u.agg(count(lit(1)).as("n"))
         .select(expr("(n - 1) div 20 + 1").as("lo"),
           expr("(n - 1) % 20").as("rem"))

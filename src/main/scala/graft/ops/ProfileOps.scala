@@ -524,9 +524,10 @@ object ProfileOps {
     // point and drift in the last ulp at scale, snapping boundary rows
     // across bins. Bucketing is a row-local integer compare against
     // the broadcast edge row; counts are exact integers. Scale shape:
-    // the two global rank sorts are what ANY exact percentile costs —
-    // at 100 TB swap them for approx_percentile and everything
-    // downstream is unchanged.
+    // the two exact ranks run as DISTRIBUTED range-partitioned sorts
+    // ([[ExactRank]] — corpus/n rows per task, a bounded per-partition-
+    // counts collect, no single-partition window); at 100 TB swap them
+    // for approx_percentile and everything downstream is unchanged.
     QueryDef(
       "q193_length_quality_hist", {
         val qExpr = "least(1.0, len(string_split(text,' ')) / 100.0) " +
@@ -580,9 +581,11 @@ object ProfileOps {
           s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
           s" / size($words)) * 1000000) as bigint)").as("qm"))
         .localCheckpoint(true)
-      def ranked(c: String) = d.select(col(c).as("v"))
-        .withColumn("pos", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy("v")))
+      // exact rank WITHOUT the single-partition window funnel: the
+      // range-partitioned rank-select (distributed sort + per-partition
+      // offsets) — see [[ExactRank]]. (v, pos) pairs are identical to
+      // the window's (ties share v), so the oracle hash is unchanged.
+      def ranked(c: String) = ExactRank.ranked(d.select(col(c)), c)
       val ke = d.agg(count(lit(1)).as("n"))
         .select(explode(sequence(lit(1), lit(4))).as("k"), col("n"))
         .select(col("k"), expr("(n - 1) * 2 * k div 10 + 1").as("lo"),
