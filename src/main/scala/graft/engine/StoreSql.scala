@@ -227,6 +227,66 @@ object StoreSql {
     }
   }
 
+  /** Read-side SQL over manifest stores WITH time travel — the clause
+    * every Trino/Spark lakehouse user writes against a table that has
+    * history (the reference ships exactly that stack,
+    * docker-compose.yml:335-345):
+    *
+    *   SELECT ... FROM t VERSION AS OF 3          -- a manifest version
+    *   SELECT ... FROM t VERSION AS OF 'audit'    -- a named tag
+    *   SELECT ... FROM t TIMESTAMP AS OF '2026-01-01 00:00:00'
+    *
+    * Spark's OWN parser already produces [[RelationTimeTravel]] for the
+    * clause; this routes it: a numeric version goes to `readVersion`, a
+    * non-numeric one resolves as a TAG name (Iceberg's ref-in-the-
+    * version-slot convention), and a timestamp resolves Delta-style to
+    * the latest version committed at or before the instant
+    * (`readAsOfTimestamp`). Bare references to store names resolve to
+    * the store's CURRENT state, so one statement can join a table to
+    * its own history. Everything else in the plan (corpus views,
+    * expressions) analyzes exactly as `spark.sql` would — the
+    * substituted scan is the same pruned manifest read the Scala API
+    * produces, spliced in as an analyzed subtree. Unknown versions,
+    * unknown tags, and pre-history timestamps refuse loudly (the store
+    * methods' own errors).
+    */
+  def query(spark: SparkSession,
+      tables: Map[String, ManifestTableStore], sql: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    import org.apache.spark.sql.graftshim.PlanShim
+    val routed = spark.sessionState.sqlParser.parsePlan(sql).transform {
+      case tt @ RelationTimeTravel(rel, ts, ver) =>
+        relationName(rel).flatMap(tables.get) match {
+          case None => tt // not a store — let the analyzer report it
+          case Some(store) =>
+            val df = (ver, ts) match {
+              case (Some(v), None) if v.forall(_.isDigit) =>
+                store.readVersion(spark, v.toLong)
+              case (Some(tag), None) => store.readTag(spark, tag)
+              case (None, Some(e)) =>
+                // evaluate the parsed instant through Spark itself —
+                // same literal/expression semantics as any TIMESTAMP
+                val t = spark
+                  .sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()
+                require(!t.isNullAt(0),
+                  s"TIMESTAMP AS OF ${e.sql} does not evaluate to a " +
+                    "timestamp")
+                store.readAsOfTimestamp(spark, t.getTimestamp(0).getTime)
+              case _ => throw new IllegalArgumentException(
+                "time travel needs exactly one of VERSION AS OF / " +
+                  "TIMESTAMP AS OF")
+            }
+            PlanShim.planOf(df)
+        }
+      case u: UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            tables.contains(u.multipartIdentifier.last) =>
+        PlanShim.planOf(tables(u.multipartIdentifier.last).read(spark))
+    }
+    PlanShim.ofRows(spark, routed)
+  }
+
   private def relationName(plan: LogicalPlan): Option[String] = plan match {
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
     case SubqueryAlias(_, child) => relationName(child)

@@ -1005,8 +1005,11 @@ final class ManifestTableStore(path: String,
     * [[vacuum]]).
     */
   def readVersion(spark: SparkSession, version: Long): DataFrame = {
-    val entries = readManifest(fs(spark), version)
-      .getOrElse(throw new IllegalArgumentException(
+    val entries = (try readManifest(fs(spark), version) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"version $version of $path does not exist")
+    }).getOrElse(throw new IllegalArgumentException(
         s"version $version of $path is incomplete (writer died mid-commit)"))
     require(entries.nonEmpty, s"version $version of $path is empty")
     readEntries(spark, entries) // applies that version's delete files
@@ -1014,6 +1017,43 @@ final class ManifestTableStore(path: String,
 
   /** Current manifest version (0 = no commits yet). */
   def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
+
+  /** Commit wall-clock of a version, epoch millis — the version file's
+    * modification time (the atomic publish stamps it at commit). The
+    * anchor for `TIMESTAMP AS OF`, Delta's timestamp-resolution rule.
+    * Refuses missing or incomplete versions.
+    */
+  def versionTimestampMs(spark: SparkSession, version: Long): Long = {
+    val f = fs(spark)
+    (try readManifest(f, version) catch {
+      case _: java.io.FileNotFoundException => None
+    }).getOrElse(throw new IllegalArgumentException(
+      s"version $version of $path is missing or incomplete"))
+    f.getFileStatus(new HPath(manifestDir, s"v$version"))
+      .getModificationTime
+  }
+
+  /** Read the table AS OF a wall-clock instant — Delta/Iceberg's
+    * `TIMESTAMP AS OF`: the LATEST complete version whose commit time
+    * is at or before `tsMillis`. Metadata-only resolution (one
+    * manifest-dir listing); refuses an instant before the first
+    * commit, exactly like Delta.
+    */
+  def readAsOfTimestamp(spark: SparkSession, tsMillis: Long): DataFrame = {
+    val f = fs(spark)
+    val eligible =
+      if (!f.exists(manifestDir)) None
+      else f.listStatus(manifestDir).toSeq.collect {
+        case st if st.getPath.getName.startsWith("v") &&
+            st.getModificationTime <= tsMillis =>
+          st.getPath.getName.drop(1).toLong
+      }.sorted.reverse.iterator
+        .find(v => readManifest(f, v).isDefined)
+    require(eligible.nonEmpty,
+      s"no version of $path was committed at or before epoch-ms " +
+        s"$tsMillis (the table's history starts later)")
+    readVersion(spark, eligible.get)
+  }
 
   // ---- Named refs (Iceberg TAGS) -------------------------------------
   // Raw version numbers are an implementation detail; what operators

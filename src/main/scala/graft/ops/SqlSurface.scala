@@ -354,5 +354,72 @@ object SqlSurface {
           |    AS total
           |FROM silver_ins GROUP BY o_orderstatus
           |ORDER BY o_orderstatus""".stripMargin)
+    },
+
+    // TIME TRAVEL AS SQL TEXT (round-9 verdict, "What's missing" 2):
+    // `FROM t VERSION AS OF 2` — the first clause a BI user types after
+    // learning the table has history, parsed by Spark's OWN grammar
+    // (RelationTimeTravel) and routed by [[graft.engine.StoreSql.query]]
+    // to the manifest store's version read. q128 pinned the
+    // pre-resolved-VIEW route; this pins the CLAUSE itself, plus
+    // composition: the same statement anti-joins current state against
+    // the historical version to compute the delta — something no
+    // pre-resolved view pair can express without N views. Oracle =
+    // version 2's own predicate on the raw table (the [1995,1998)
+    // appends), delta = the 1998+ slice.
+    QueryDef(
+      "q209_sql_version_asof",
+      """WITH v2 AS (SELECT * FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |delta AS (SELECT * FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT 'asof' AS slice, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM v2 GROUP BY 1, 2
+        |UNION ALL
+        |SELECT 'delta' AS slice, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM delta GROUP BY 1, 2
+        |ORDER BY slice, o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.StoreSql.query(s, StoreOps.timeTravelTables(s, dir),
+        """SELECT 'asof' AS slice, o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_tt VERSION AS OF 2 GROUP BY 1, 2
+          |UNION ALL
+          |SELECT 'delta' AS slice, o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM (SELECT cur.* FROM silver_tt cur
+          |      LEFT ANTI JOIN silver_tt VERSION AS OF 2 old
+          |      ON cur.o_orderkey = old.o_orderkey) d
+          |GROUP BY 1, 2
+          |ORDER BY slice, o_orderstatus""".stripMargin)
+    },
+
+    // Tag names in the version slot — Iceberg's ref convention
+    // (`VERSION AS OF 'audit-pre2000'` reads the tagged snapshot):
+    // operationally the clause that makes a NAMED audit state queryable
+    // by anyone with SQL access, no API in sight. The tag resolves to
+    // v3 (the [1995,2000) appends); a tag that silently moved or
+    // mis-resolved hash-mismatches against the oracle's reconstruction.
+    QueryDef(
+      "q210_sql_tag_asof",
+      """SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      graft.engine.StoreSql.query(s, StoreOps.timeTravelTables(s, dir),
+        """SELECT o_orderpriority, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_tt VERSION AS OF 'audit-pre2000'
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
     })
 }

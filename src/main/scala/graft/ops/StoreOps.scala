@@ -132,6 +132,20 @@ object StoreOps {
     store.history(s).createOrReplaceTempView("silver_orders_history")
   }
 
+  /** The SQL-time-travel handle (q209/q210): the shared orders store
+    * exposed under its DML name with its v2 tagged — the table a
+    * [[graft.engine.StoreSql.query]] statement reads `VERSION AS OF` /
+    * tag names / `TIMESTAMP AS OF` against. Tagging is idempotent
+    * (same-version re-tag is a no-op).
+    */
+  def timeTravelTables(s: SparkSession,
+      dir: String): Map[String, ManifestTableStore] = {
+    val store = ordersStore(s, dir)
+    store.tag(s, "audit-pre1998", 2L)
+    store.tag(s, "audit-pre2000", 3L)
+    Map("silver_tt" -> store)
+  }
+
   /** The DML-through-SQL store (q198): seeded like `ordersStore`, then
     * mutated EXCLUSIVELY through [[graft.engine.StoreSql]] texts — a
     * CoW `DELETE FROM` of the 2000+ batch (v5) and a CoW `UPDATE`

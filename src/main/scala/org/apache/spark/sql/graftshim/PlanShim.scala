@@ -16,6 +16,14 @@ object PlanShim {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[CSpark], plan)
 
+  /** The ANALYZED logical plan of a DataFrame — the inverse doorway of
+    * [[ofRows]], for splicing an API-resolved read (e.g. a manifest
+    * store's time-travel scan) into a parsed SQL statement's plan in
+    * place of its unresolved relation.
+    */
+  def planOf(df: DataFrame): LogicalPlan =
+    df.asInstanceOf[Dataset[_]].queryExecution.analyzed
+
   /** A Spark-configured local scratch dir (`spark.local.dir` /
     * `SPARK_LOCAL_DIRS` — on YARN/K8s the container's own disks, exactly
     * where shuffle and hash-aggregate spills go), falling back to
