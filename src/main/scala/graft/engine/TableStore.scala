@@ -1379,6 +1379,95 @@ final class ManifestTableStore(path: String,
     readDirs(spark, dirs).filter(col("batch_id").isInCollection(newIds))
   }
 
+  /** FULL change-data-feed between two versions — Delta CDF shaped:
+    * every row carries `_change_type` (`insert` / `delete`), and unlike
+    * [[readChanges]] (the insert stream) this also emits RETIREMENTS,
+    * which is the actual point of CDC — a downstream sync that only
+    * sees inserts silently keeps rows the upstream deleted. An update
+    * travels as its delete(preimage) + insert(postimage) pair.
+    *
+    * Attribution rules (spec'd in StoreCdfSpec):
+    *   - a new APPEND/MERGE batch id → its rows as `insert`;
+    *   - a pure maintenance rewrite (compact / cluster / z-order)
+    *     carries batch ids and row content → EMPTY feed;
+    *   - a CoW DELETE → the removed rows as `delete`;
+    *   - a merge-on-read DELETE (equality-delete entry) → the masked
+    *     rows as `delete` (reconstructed from the from-version's
+    *     visible state — the store has everything needed because
+    *     delete entries are sequence-scoped manifest rows);
+    *   - a CoW UPDATE / general merge SET → `delete` + `insert` pair.
+    *
+    * Scale shape: the diff is computed ONLY over the batch ids whose
+    * representation or visibility changed between the versions — dirs
+    * added/removed by the window's commits plus the scopes of its
+    * delete entries — via two scoped scans and one exceptAll
+    * (hash-based multiset difference). Untouched dirs are never read,
+    * so cost is proportional to the window's rewritten data, which is
+    * what ANY read-time CDF reconstruction costs (Delta avoids it by
+    * writing CDC files at commit time; the manifest analogue records
+    * nothing extra and pays at read).
+    */
+  def readChangeFeed(spark: SparkSession, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    val f = fs(spark)
+    def entriesOf(v: Long): Seq[Entry] =
+      if (v == 0L) Nil
+      else (try readManifest(f, v) catch {
+        case _: java.io.FileNotFoundException => None
+      }).getOrElse(throw new IllegalArgumentException(
+        s"version $v of $path is missing or incomplete"))
+    val fromE = entriesOf(fromVersion)
+    val toE = entriesOf(toVersion)
+    require(fromE.nonEmpty || toE.nonEmpty,
+      s"no data in either version $fromVersion or $toVersion of $path")
+    val (fromDel, fromData) = fromE.partition(isDeleteEntry)
+    val (toDel, toData) = toE.partition(isDeleteEntry)
+    // affected ids: dirs present on exactly one side, plus the scopes
+    // of delete entries present on exactly one side (an unscoped
+    // legacy delete entry masks everything → all ids conservatively)
+    val fromDirs = fromData.map(_.dir).toSet
+    val toDirs = toData.map(_.dir).toSet
+    val delDiff = (toDel.toSet -- fromDel.toSet) ++
+      (fromDel.toSet -- toDel.toSet)
+    val allIds = (fromData ++ toData).map(_.batchId).toSet
+    val affected: Set[Long] =
+      if (delDiff.exists(e =>
+          ManifestTableStore.parseApplies(e.statsJson).isEmpty)) allIds
+      else fromData.filterNot(e => toDirs(e.dir)).map(_.batchId).toSet ++
+        toData.filterNot(e => fromDirs(e.dir)).map(_.batchId).toSet ++
+        delDiff.toSeq.flatMap(e =>
+          ManifestTableStore.parseApplies(e.statsJson).get)
+    // the visible state of one version, restricted to the affected ids
+    // (post-compaction dirs can mix ids — the row filter re-separates)
+    def scoped(dels: Seq[Entry], datas: Seq[Entry]): Option[DataFrame] = {
+      val dirs = datas.filter(e => affected.contains(e.batchId))
+        .map(_.dir).distinct
+      if (dirs.isEmpty) None
+      else Some(applyDeletes(spark, readDirs(spark, dirs), dels)
+        .filter(col("batch_id").isInCollection(affected)))
+    }
+    val oldS = scoped(fromDel, fromData)
+    val newS = scoped(toDel, toData)
+    // align schemas across evolution (columns added between versions)
+    val allFields = (oldS.toSeq ++ newS.toSeq).flatMap(_.schema.fields)
+      .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
+        (acc, fld) =>
+          if (acc.exists(_.name == fld.name)) acc else acc :+ fld
+      }
+    def aligned(dfo: Option[DataFrame]): DataFrame = {
+      val base = dfo.getOrElse(
+        (oldS.orElse(newS)).get.filter(lit(false)))
+      base.select(allFields.map(fld =>
+        if (base.columns.contains(fld.name)) col(fld.name)
+        else lit(null).cast(fld.dataType).as(fld.name)): _*)
+    }
+    val o = aligned(oldS)
+    val n = aligned(newS)
+    n.exceptAll(o).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        o.exceptAll(n).withColumn("_change_type", lit("delete")))
+  }
+
   /** Delete data dirs referenced by NO manifest version up to and
     * including `retainLast` versions back from current, plus all
     * superseded manifest versions older than that horizon. Keeping a

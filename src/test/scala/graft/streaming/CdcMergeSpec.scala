@@ -117,6 +117,64 @@ class CdcMergeSpec extends SparkSpec {
       s"tombstone apply diverged: $state")
   }
 
+  test("a downstream sync consumes the upstream FULL change feed: " +
+      "deletes arrive as tombstones and retire downstream rows, and " +
+      "re-applying the feed is idempotent by clause design") {
+    val upP = Files.createTempDirectory("cdc-up-")
+    upP.toFile.deleteOnExit()
+    val up = new ManifestTableStore(upP.toString,
+      statsColumns = Seq("k"))
+    up.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 0L)
+    val down = newStore()
+    down.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      100L) // seeded with upstream v1's state
+    // upstream evolves: CoW delete k=2, update k=1, append k=4
+    up.delete(spark, "k = 2")                              // v2
+    up.update(spark, "k = 1", Map("v" -> lit("a2")))       // v3
+    up.append(Seq((4L, "d")).toDF("k", "v"), 1L)           // v4
+    // the v1→v4 feed: delete(2,b), delete(1,a)+insert(1,a2) pair,
+    // insert(4,d). An update pair shares a key, so the sync reduces to
+    // ONE row per key by _change_type DESC — 'insert' outranks
+    // 'delete', which is exactly "an update nets to its postimage";
+    // a pure retirement has only its tombstone and survives as one.
+    val feed = up.readChangeFeed(spark, 1, 4)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSeq
+    val mergeSql =
+      """MERGE INTO sync_target USING sync_batch
+        |ON sync_target.k = sync_batch.k
+        |WHEN MATCHED AND sync_batch._change_type = 'delete'
+        |  THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET v = sync_batch.v
+        |WHEN NOT MATCHED AND sync_batch._change_type = 'insert'
+        |  THEN INSERT (k, v) VALUES (sync_batch.k, sync_batch.v)"""
+        .stripMargin
+    val input = MemoryStream[(Long, String, String)](spark)
+    val q = input.toDF().toDF("k", "v", "_change_type")
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("cdc-ckpt-").toString)
+      .foreachBatch(StreamingUpsert.applySqlBatch(
+        Map("sync_target" -> down), mergeSql, "sync_batch", "k",
+        "_change_type") _)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(feed)
+    q.processAllAvailable()
+    // re-deliver the whole feed (an at-least-once upstream): matched
+    // updates are idempotent, the tombstone finds no match, the insert
+    // matches and re-SETs the same value
+    input.addData(feed)
+    q.processAllAvailable()
+    q.stop()
+    val state = down.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    val upstream = up.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toMap
+    assert(state == upstream,
+      s"sync diverged: downstream=$state upstream=$upstream")
+    assert(state == Map(1L -> "a2", 3L -> "c", 4L -> "d"))
+  }
+
   test("micro-batch replay (crash between merge and checkpoint commit) " +
       "is refused at write time — the CDC sink is exactly-once") {
     val store = newStore()
