@@ -99,17 +99,25 @@ object StoreSql {
         }.toMap
         storeOf(u.table).update(spark, pred, set)
       case i: InsertIntoStatement =>
-        require(!i.overwrite, "INSERT OVERWRITE is not supported")
-        require(i.partitionSpec.isEmpty,
-          "INSERT with a PARTITION spec is not supported")
         val store = storeOf(i.table)
         val df0 = org.apache.spark.sql.graftshim.PlanShim
           .ofRows(spark, i.query)
+        // static partition values from a `PARTITION (k='v')` spec
+        // become literal columns the query does not provide
+        val static = i.partitionSpec.collect {
+          case (k, Some(value)) => k -> value }.toSeq
+        val staticKeys = static.map(_._1).toSet
+        require(i.partitionSpec.keySet.subsetOf(
+          store.partitionColumns.toSet),
+          s"PARTITION spec names ${i.partitionSpec.keys.mkString(", ")}" +
+            s" but the table partitions by " +
+            s"${store.partitionColumns.mkString(", ")}")
         // SQL INSERT maps the query's output POSITIONALLY onto the
         // target's column order (or the user's column list) — a bare
         // `VALUES (...)` row arrives named col1/col2/… and must not
-        // land under those names
-        val df =
+        // land under those names. Static partition columns are excluded
+        // from the positional mapping (the spec provides them).
+        val df1 =
           if (i.userSpecifiedCols.nonEmpty) {
             require(i.userSpecifiedCols.size == df0.columns.length,
               s"INSERT column list has ${i.userSpecifiedCols.size} " +
@@ -117,13 +125,41 @@ object StoreSql {
             df0.toDF(i.userSpecifiedCols: _*)
           } else if (store.currentVersion(spark) > 0) {
             val target = store.read(spark).columns
-              .filterNot(_ == "batch_id").toSeq
+              .filterNot(c => c == "batch_id" || staticKeys.contains(c))
+              .toSeq
             require(df0.columns.length == target.size,
               s"INSERT provides ${df0.columns.length} columns, table " +
                 s"has ${target.size} (${target.mkString(", ")})")
             df0.toDF(target: _*)
           } else df0 // empty table: the insert defines the schema
-        store.append(df, requiredBatchId("INSERT"))
+        val df = static.foldLeft(df1) { case (d, (k, value)) =>
+          d.withColumn(k, org.apache.spark.sql.functions.lit(value)
+            .cast(if (store.currentVersion(spark) > 0)
+              store.read(spark).schema(k).dataType
+            else org.apache.spark.sql.types.StringType))
+        }
+        val bid = requiredBatchId(
+          if (i.overwrite) "INSERT OVERWRITE" else "INSERT")
+        if (!i.overwrite) {
+          require(i.partitionSpec.isEmpty,
+            "INSERT INTO with a PARTITION spec is not supported; " +
+              "provide the partition column in the query")
+          store.append(df, bid)
+        } else if (store.partitionColumns.isEmpty) {
+          store.overwrite(df, bid) // unpartitioned: full replacement
+        } else if (i.partitionSpec.nonEmpty) {
+          // an explicit PARTITION spec scopes the overwrite to exactly
+          // the named (or, with dynamic keys, carried) partitions
+          store.overwritePartitions(df, bid)
+        } else {
+          // Spark's own mode switch: static truncates the table,
+          // dynamic replaces only the partitions the batch carries
+          val mode = spark.conf.getOption(
+            "spark.sql.sources.partitionOverwriteMode")
+            .getOrElse("static").toLowerCase
+          if (mode == "dynamic") store.overwritePartitions(df, bid)
+          else store.overwrite(df, bid)
+        }
       case m: MergeIntoTable =>
         val key = m.mergeCondition match {
           case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)

@@ -367,6 +367,22 @@ final class ManifestTableStore(path: String,
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir)
+    // a PARTITIONED write of zero rows lays down no part files at all
+    // (there are no partition values to create dirs for), leaving a
+    // dir whose schema cannot be inferred — re-write inline so every
+    // committed dir is a readable (possibly empty) table. Reached when
+    // a rewrite empties a whole dir (e.g. dynamic partition overwrite
+    // replacing every partition a dir held).
+    if (partitionBy.nonEmpty) {
+      val f = new HPath(dir).getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val it = f.listFiles(new HPath(dir), true)
+      var hasData = false
+      while (!hasData && it.hasNext)
+        hasData = it.next().getPath.getName.endsWith(".parquet")
+      if (!hasData)
+        df.limit(0).write.mode("overwrite").parquet(dir)
+    }
   }
 
   override def append(df: DataFrame, batchId: Long): Unit = synchronized {
@@ -389,6 +405,120 @@ final class ManifestTableStore(path: String,
       lines = nlines; v = nv
       next = math.max(nv + 1, next + 1)
     }
+  }
+
+  /** Exposed partition layout (for SQL routing of
+    * `INSERT OVERWRITE` / `PARTITION (...)` specs).
+    */
+  def partitionColumns: Seq[String] = partitionBy
+
+  /** FULL-TABLE `INSERT OVERWRITE`: one commit whose entry list is
+    * exactly the new batch — the idempotent batch-write every
+    * lakehouse job uses to republish a computed table. Replayed batch
+    * ids no-op like [[append]]; the superseded state stays readable AS
+    * OF its version (rollback via [[restore]]) until [[vacuum]].
+    * Overwrite conflicts with ANY concurrent write (Delta's
+    * serializable rule for blind overwrites): losing the version race
+    * throws rather than silently clobbering a commit that landed
+    * between snapshot and publish — the freshly-written dir stays an
+    * invisible orphan for vacuum.
+    */
+  def overwrite(df: DataFrame, batchId: Long): Unit = synchronized {
+    require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    val spark = df.sparkSession
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    if (lines.exists(_.batchId == batchId)) return // replay → no-op
+    val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+    write(df.withColumn("batch_id", lit(batchId)), dataDir)
+    val entry = Entry(batchId, dataDir, collectStats(spark, dataDir))
+    beforeDmlCommit()
+    if (!tryCommit(f, v + 1, Seq(entry))) {
+      val (_, nlines) = current(f)
+      if (nlines.exists(_.batchId == batchId)) return // competitor replayed
+      throw new java.util.ConcurrentModificationException(
+        s"overwrite of $path aborted: a concurrent write committed " +
+          "after this overwrite's snapshot; nothing was applied — " +
+          "re-read and retry")
+    }
+  }
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta/Spark
+    * `partitionOverwriteMode=dynamic`): replace ONLY the partitions the
+    * new batch actually carries; every other partition's rows carry
+    * forward. The bread-and-butter idempotent daily batch write — at
+    * 100 TB, "recompute yesterday" must rewrite yesterday's partition,
+    * not the table.
+    *
+    * Mechanics: the batch lands hive-partitioned in its own dir; the
+    * touched partition TUPLES are read off that dir's subdir names
+    * (metadata only — the write already laid them out), and only
+    * committed dirs whose OWN hive layout shows an overlapping
+    * partition are rewritten, with the touched partitions filtered out
+    * (the filter is on partition columns, so each rewrite scan prunes
+    * to exactly the overlapping subdirs). One commit via the same
+    * optimistic [[rewriteDirs]] protocol as DML: concurrent appends
+    * rebase around it, concurrent maintenance aborts it cleanly.
+    * Replayed batch ids no-op BEFORE any file is written.
+    */
+  def overwritePartitions(df: DataFrame, batchId: Long): Unit =
+    synchronized {
+      require(partitionBy.nonEmpty,
+        "dynamic partition overwrite needs a partitioned table " +
+          "(partitionBy); use overwrite() for full-table replacement")
+      require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+      val spark = df.sparkSession
+      val f = fs(spark)
+      val (v, lines) = current(f)
+      requireNoDeleteFiles(lines, "overwritePartitions")
+      if (lines.exists(_.batchId == batchId)) return // replay → no-op
+      val dataDir =
+        s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
+      write(df.withColumn("batch_id", lit(batchId)), dataDir)
+      val entry = Entry(batchId, dataDir, collectStats(spark, dataDir))
+      val touchedTuples = partitionTuples(f, dataDir)
+      require(touchedTuples.nonEmpty,
+        "dynamic partition overwrite with an EMPTY batch is refused " +
+          "(it would replace nothing; a full truncate must be the " +
+          "explicit full-table overwrite)")
+      val touched = lines.map(_.dir).distinct
+        .filter(d => partitionTuples(f, d).exists(touchedTuples))
+        .toSet
+      val keep = !touchedTuples.toSeq.map(t =>
+        partitionBy.zip(t).map { case (c, value) =>
+          col(c).cast("string") === lit(value)
+        }.reduce(_ && _)).reduce(_ || _)
+      rewriteDirs(spark, f, v, lines, touched, "overwrite",
+        _.filter(keep), extra = Seq(entry))
+    }
+
+  /** The hive partition tuples a data dir holds, read off its directory
+    * names — zero files opened. Decodes hive's %XX escaping.
+    */
+  private def partitionTuples(f: FileSystem,
+      dir: String): Set[Seq[String]] = {
+    def decode(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16)
+            .toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def walk(p: HPath, depth: Int): Seq[Seq[String]] =
+      if (depth == partitionBy.size) Seq(Nil)
+      else f.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(partitionBy(depth) + "="))
+          walk(st.getPath, depth + 1)
+            .map(decode(n.substring(partitionBy(depth).length + 1)) +: _)
+        else Nil
+      }
+    walk(new HPath(dir), 0).toSet
   }
 
   // ---- Write-audit-publish (Iceberg's WAP pattern) -------------------

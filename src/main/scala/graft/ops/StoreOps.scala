@@ -339,6 +339,52 @@ object StoreOps {
     store.read(s).createOrReplaceTempView("silver_ins")
   }
 
+  /** The INSERT-OVERWRITE store (q212): orders PARTITIONED by
+    * o_orderpriority, seeded whole, then ONE dynamic-partition
+    * `INSERT OVERWRITE` recomputing the 1-URGENT partition re-priced
+    * (+100) — the idempotent "recompute yesterday's partition" batch
+    * write. The statement is issued TWICE under one batch id, so the
+    * served state itself hash-checks the replay no-op (a double apply
+    * would re-price +200); only the 1-URGENT partition's dirs are
+    * rewritten (StoreOverwriteSpec pins the physical scope).
+    */
+  def registerOverwriteSqlView(s: SparkSession,
+      dir: String): ManifestTableStore = {
+    val store = new ManifestTableStore(
+      Materialize.keyedPath(s, "orders_store_ovw", dir),
+      partitionBy = Seq("o_orderpriority"),
+      statsColumns = Seq("o_orderdate"))
+    val orders = Tables(s, dir, "orders")
+    if (store.currentVersion(s) == 0L) store.append(orders, 0L)
+    graft.engine.SqlEntry.registerViews(s, dir)
+    val cols = store.read(s).columns.filterNot(_ == "batch_id")
+    val sel = cols.map {
+      case "o_totalprice" => "o_totalprice + 100.0 AS o_totalprice"
+      case c => c
+    }.mkString(", ")
+    val stmt = s"INSERT OVERWRITE silver_ovw SELECT $sel FROM orders " +
+      "WHERE o_orderpriority = '1-URGENT'"
+    if (store.currentVersion(s) == 1L) {
+      val prev = s.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        graft.engine.StoreSql.exec(s, Map("silver_ovw" -> store),
+          stmt, batchId = Some(1L))
+        // replay: same text, same batch id — must be a no-op
+        graft.engine.StoreSql.exec(s, Map("silver_ovw" -> store),
+          stmt, batchId = Some(1L))
+      } finally prev match {
+        case Some(m) =>
+          s.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None =>
+          s.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+    }
+    store.read(s).createOrReplaceTempView("silver_ovw")
+    store
+  }
+
   /** The branch-workflow store (q208): main holds the pre-1998 batches;
     * an `etl-run` BRANCH stages a whole pipeline run — two more appends
     * and a CoW delete of low-priority 2000+ orders — invisible to main
