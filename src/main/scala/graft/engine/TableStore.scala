@@ -1413,12 +1413,22 @@ final class ManifestTableStore(path: String,
 
   /** FAST-FORWARD main to `name`'s head: one atomic commit of the
     * branch's current entries as main's next version. Requires main to
-    * still equal the branch's recorded base (v1 of the branch chain) —
-    * the ancestor condition Iceberg's fast-forward enforces; if main
-    * advanced since the branch point, publishing would silently drop
-    * those commits, so it is refused. Batch ids travel with the
-    * entries, so replay refusal and CDF attribution survive the
-    * publish. The branch chain is left intact (drop it separately).
+    * still be LOGICALLY at the branch's recorded base (v1 of the branch
+    * chain) — Iceberg's ancestry condition. "Logically" means byte
+    * equality OR a pure maintenance transform of it: compaction /
+    * clustering / z-order carry every data batch id forward and
+    * preserve row content, so a fast-forward over them drops no commit
+    * — refusing there (as byte-equality did) would block every publish
+    * after routine table maintenance. The check is (a) the DATA
+    * batch-id sets match the base and (b) every main entry not in the
+    * base is a maintenance-rewrite dir (compact-/cluster-/zorder-
+    * prefixed — the store's own naming); anything else that moved main
+    * — an append (new id), row-level DML (delete-/update-/merge- dirs,
+    * same ids but changed content), a merge-on-read delete entry, an
+    * overwrite — refuses, because publishing would silently undo it.
+    * Batch ids travel with the entries, so replay refusal and CDF
+    * attribution survive the publish. The branch chain is left intact
+    * (drop it separately).
     */
   def fastForward(spark: SparkSession, name: String): Unit =
     synchronized {
@@ -1431,12 +1441,25 @@ final class ManifestTableStore(path: String,
         s"unknown branch '$name' on $path"))
       val (bv, bLines) = b.current(f)
       require(bv >= 1L, s"branch '$name' on $path has no commits")
+      val baseDataIds = base.filterNot(isDeleteEntry).map(_.batchId).toSet
+      val baseDirs = base.map(_.dir).toSet
+      val maintPrefixes = Seq("compact-", "cluster-", "zorder-")
       var done = false
       while (!done) {
         val (mv, mLines) = current(f)
-        require(mLines.toSet == base.toSet,
+        val mDataIds = mLines.filterNot(isDeleteEntry)
+          .map(_.batchId).toSet
+        val maintenanceOnly = mDataIds == baseDataIds &&
+          mLines.filterNot(e => baseDirs.contains(e.dir)).forall { e =>
+            !isDeleteEntry(e) && {
+              val seg = e.dir.split("/data/").last.split('/').head
+              maintPrefixes.exists(seg.startsWith)
+            }
+          }
+        require(maintenanceOnly,
           s"cannot fast-forward '$name': main advanced past the " +
-            "branch point — recreate the branch from the new head")
+            "branch point (a non-maintenance commit landed) — " +
+            "recreate the branch from the new head")
         done = tryCommit(f, mv + 1, bLines)
       }
     }

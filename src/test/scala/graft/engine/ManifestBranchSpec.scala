@@ -71,6 +71,41 @@ class ManifestBranchSpec extends SparkSpec {
       == Set(("a", 1), ("b", 2), ("x", 10)))
   }
 
+  test("fast-forward tolerates MAINTENANCE on main (ancestry, not " +
+      "byte-equality): compaction carries batch ids and content, so " +
+      "the publish proceeds; row-level DML on main still refuses") {
+    val (_, store) = newStore()
+    store.createBranch(spark, "run", 1L)
+    store.branch("run").append(Seq(("x", 10)).toDF("k", "n"), 5L)
+    // routine maintenance moves main's dirs but no logical commit
+    store.compact(spark)
+    store.fastForward(spark, "run")
+    assert(state(store) == Set(("a", 1), ("b", 2), ("x", 10)))
+    // but a DML rewrite on main is a REAL commit: same batch ids,
+    // changed content — publishing over it would silently undo it
+    val (_, store2) = newStore()
+    store2.createBranch(spark, "run2", 1L)
+    store2.branch("run2").append(Seq(("y", 11)).toDF("k", "n"), 5L)
+    store2.delete(spark, "k = 'a'")
+    intercept[IllegalArgumentException] {
+      store2.fastForward(spark, "run2")
+    }
+    assert(state(store2) == Set(("b", 2))) // the delete survived
+    // and a merge-on-read delete entry on main refuses the same way
+    val p3 = java.nio.file.Files.createTempDirectory("branch3-")
+    p3.toFile.deleteOnExit()
+    val store3 = new ManifestTableStore(p3.toString,
+      statsColumns = Seq("n"), morDeleteKey = Some("k"))
+    store3.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    store3.createBranch(spark, "run3", 1L)
+    store3.branch("run3").append(Seq(("z", 12)).toDF("k", "n"), 5L)
+    store3.deleteMoR(spark, "k = 'a'", "k")
+    intercept[IllegalArgumentException] {
+      store3.fastForward(spark, "run3")
+    }
+    assert(state(store3) == Set(("b", 2)))
+  }
+
   test("main vacuum retains branch-head data (ref-retention); " +
       "dropBranch releases it for the next vacuum") {
     val (path, store) = newStore()

@@ -146,11 +146,12 @@ class StoreSqlSpec extends SparkSpec {
       "INSERT INTO t SELECT 'd' AS k, 4 AS n", batchId = Some(1L))
     assert(store.currentVersion(spark) == v)
     assert(store.read(spark).count() == 4)
-    // INSERT OVERWRITE is outside the surface
-    intercept[IllegalArgumentException] {
-      StoreSql.exec(spark, Map("t" -> store),
-        "INSERT OVERWRITE t SELECT 'e' AS k, 5 AS n", batchId = Some(2L))
-    }
+    // INSERT OVERWRITE on an unpartitioned store replaces the table
+    // in one commit (round 10; StoreOverwriteSpec has the full
+    // partitioned/dynamic/static surface)
+    StoreSql.exec(spark, Map("t" -> store),
+      "INSERT OVERWRITE t SELECT 'e' AS k, 5 AS n", batchId = Some(2L))
+    assert(state(store) == Set(("e", 5)))
   }
 
   test("bare INSERT INTO ... VALUES maps positionally onto the table " +
