@@ -1,4 +1,4 @@
-package graft.ops
+package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._

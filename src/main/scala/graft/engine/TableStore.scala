@@ -732,26 +732,42 @@ final class ManifestTableStore(path: String,
     * with fresh min/max stats on every `zorderBy` column. Points close
     * in Z are close in every dimension, so each dir covers a narrow
     * range of EACH column and [[readWhere]] prunes on any of them —
-    * the property one-dimensional clustering cannot give. The global
-    * rank sorts are the one-time maintenance cost, exactly as in
-    * Delta's OPTIMIZE. Commits via [[commitRewrite]]; batch ids carry
-    * forward (replay refusal and time travel survive).
+    * the property one-dimensional clustering cannot give. The exact
+    * quantile ranks are the one-time maintenance cost, exactly as in
+    * Delta's OPTIMIZE — computed DISTRIBUTED: each column's
+    * value→rank map comes from [[ExactRank]] (range-partitioned sort,
+    * min position per value = SQL `rank()`, so the codes are
+    * bit-identical to what `percent_rank` over a global window
+    * produced) and joins back on the value — table/n rows per task
+    * instead of the whole table through one window task. Commits via
+    * [[commitRewrite]]; batch ids carry forward (replay refusal and
+    * time travel survive).
     */
   def compactZOrder(spark: SparkSession, zorderBy: Seq[String],
       buckets: Int): Unit = synchronized {
     require(zorderBy.nonEmpty, "compactZOrder needs at least one column")
-    import org.apache.spark.sql.expressions.Window
     val f = fs(spark)
     val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "compactZOrder")
     if (lines.isEmpty) return
     val bitsPer = 12
     val n = zorderBy.size
-    val ranked = zorderBy.zipWithIndex.foldLeft(
-      readDirs(spark, lines.map(_.dir).distinct)) { case (d, (c, i)) =>
-      d.withColumn(s"__r$i",
-        (percent_rank().over(Window.orderBy(col(c))) *
-          ((1 << bitsPer) - 1)).cast("int"))
+    val base0 = readDirs(spark, lines.map(_.dir).distinct)
+    val total = base0.count()
+    val denom = math.max(total - 1L, 1L).toDouble
+    val ranked = zorderBy.zipWithIndex.foldLeft(base0) {
+      case (d, (c, i)) =>
+        // rank() = min ExactRank position among a value's ties;
+        // percent_rank = (rank-1)/(n-1). NULLs order first under a
+        // window, so a left-join miss codes to rank 0 — identical.
+        val rmap = ExactRank.ranked(base0.select(col(c)), c)
+          .groupBy("v").agg(min("pos").as(s"__minpos$i"))
+          .withColumnRenamed("v", c)
+        d.join(rmap, Seq(c), "left")
+          .withColumn(s"__r$i",
+            ((coalesce(col(s"__minpos$i"), lit(1L)) - 1L) / denom *
+              ((1 << bitsPer) - 1)).cast("int"))
+          .drop(s"__minpos$i")
     }
     // interleave: bit b of column i lands at position b*n + i
     val zExpr = (0 until bitsPer).flatMap(b => (0 until n).map(i =>

@@ -684,7 +684,7 @@ object EventOps {
       // exact 5th-percentile edge ranks via the distributed rank-select
       // ([[ExactRank]]): same (v, pos) pairs as a global row_number
       // window, none of its move-every-user-into-one-task funnel
-      val ru = ExactRank.ranked(u.select(col("um")), "um")
+      val ru = graft.engine.ExactRank.ranked(u.select(col("um")), "um")
       val kt = u.agg(count(lit(1)).as("n"))
         .select(expr("(n - 1) div 20 + 1").as("lo"),
           expr("(n - 1) % 20").as("rem"))

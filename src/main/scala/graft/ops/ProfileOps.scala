@@ -585,7 +585,7 @@ object ProfileOps {
       // range-partitioned rank-select (distributed sort + per-partition
       // offsets) — see [[ExactRank]]. (v, pos) pairs are identical to
       // the window's (ties share v), so the oracle hash is unchanged.
-      def ranked(c: String) = ExactRank.ranked(d.select(col(c)), c)
+      def ranked(c: String) = graft.engine.ExactRank.ranked(d.select(col(c)), c)
       val ke = d.agg(count(lit(1)).as("n"))
         .select(explode(sequence(lit(1), lit(4))).as("k"), col("n"))
         .select(col("k"), expr("(n - 1) * 2 * k div 10 + 1").as("lo"),
