@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.engine.Pin.Pinnable
 
 /** Scale-safe EXACT global rank — the replacement for
   * `row_number().over(Window.orderBy(v))`, which Spark executes by
@@ -49,7 +50,7 @@ object ExactRank {
       .repartitionByRange(n, col("v"))
       .sortWithinPartitions("v")
       .withColumn("__mid", monotonically_increasing_id())
-      .localCheckpoint(true)
+      .pinned
     val counts = local
       .groupBy((shiftright(col("__mid"), 33)).as("__pid"))
       .agg(count(lit(1)).as("__cnt"))

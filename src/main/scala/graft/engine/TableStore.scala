@@ -1,6 +1,7 @@
 package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.engine.Pin.Pinnable
 
 /** Silver-table sink. The reference appends micro-batches to an Iceberg
   * table (`bronze_assets_to_silver_assets.py:275-277`); Iceberg/Delta jars
@@ -961,7 +962,7 @@ final class ManifestTableStore(path: String,
     // non-deterministic source (rand/uuid, a re-read view) would apply
     // DIFFERENT rows per evaluation — inconsistent dirs inside one
     // commit. Delta materializes the merge source for the same reason.
-    val src = source.localCheckpoint(true)
+    val src = source.pinned
     // SQL MERGE refuses a target row matching more than one source row
     // (nondeterministic update) — enforced on the small side
     require(src.groupBy(col(key)).count()

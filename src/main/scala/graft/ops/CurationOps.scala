@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
+import graft.engine.Pin.Pinnable
 
 /** Data-curation operators a production training-data pipeline runs between
   * ingestion and packing: PII detection/redaction, heuristic quality
@@ -334,7 +335,7 @@ object CurationOps {
       val c = Tables(s, dir, "documents").groupBy("source")
         .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
           .as("src_tokens"))
-        .localCheckpoint(true)
+        .pinned
       val t = broadcast(c.agg(
         sum(col("src_tokens")).cast("double").as("total")))
       val w = c.crossJoin(t).withColumn("wt",
@@ -891,7 +892,7 @@ object CurationOps {
       val c = docs.groupBy("source")
         .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
           .as("src_tokens"))
-        .localCheckpoint(true)
+        .pinned
       val t = broadcast(c.agg(
         sum(col("src_tokens")).cast("double").as("total")))
       val w = c.crossJoin(t).withColumn("wt",
@@ -971,7 +972,7 @@ object CurationOps {
       val c = docs.groupBy("source")
         .agg(expr("cast(sum(size(split(text, ' '))) as bigint)")
           .as("src_tokens"))
-        .localCheckpoint(true)
+        .pinned
       val t = broadcast(c.agg(
         sum(col("src_tokens")).cast("double").as("total")))
       val w = c.crossJoin(t).withColumn("wt",
@@ -1148,7 +1149,7 @@ object CurationOps {
         .select(col("source"), explode(split(col("text"), " ")).as("wd"))
         .filter(col("wd") =!= "")
         .groupBy("source", "wd").agg(count(lit(1)).as("sc"))
-        .localCheckpoint(true)
+        .pinned
       val g = sw.groupBy("wd").agg(sum("sc").as("gc"))
       val tot = sw.groupBy("source").agg(sum("sc").as("stot"))
       val gt = broadcast(sw.agg(sum("sc").as("gtot")))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.QueryDef
 import graft.engine.Tables
+import graft.engine.Pin.Pinnable
 
 /** Deduplication operators for a training-data pipeline: exact hashing,
   * minhash signatures, LSH banding for near-dup candidate generation,
@@ -377,7 +378,7 @@ object DedupOps {
       val th = Seq(0.5, 0.6, 0.7, 0.8, 0.9).toDF("t")
       val e = cand.crossJoin(broadcast(th))
         .filter(col("est_jaccard") >= col("t"))
-        .localCheckpoint(true)
+        .pinned
       val f = e.groupBy("t").agg(count(lit(1)).as("n_edges"))
       val fd = e.select(col("t"), col("a_id").as("id"))
         .unionByName(e.select(col("t"), col("b_id").as("id")))
@@ -1603,9 +1604,9 @@ object DedupOps {
     val Seq(ea, eb) = edges.columns.toSeq
     val sym = edges.select(col(ea).as("u"), col(eb).as("v"))
       .union(edges.select(col(eb).as("u"), col(ea).as("v")))
-      .localCheckpoint(true)
+      .pinned
     var labels = sym.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("lbl")).localCheckpoint(true)
+      .select(col("node"), col("node").as("lbl")).pinned
     var iter = 0
     var converged = false
     while (!converged) {
@@ -1624,7 +1625,7 @@ object DedupOps {
         .select(col("node"),
           least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"),
           (coalesce(col("nlbl"), col("lbl")) < col("lbl")).as("changed"))
-        .localCheckpoint(true)
+        .pinned
       converged = next.filter(col("changed")).isEmpty
       labels = next.select("node", "lbl")
     }
@@ -1668,7 +1669,7 @@ object DedupOps {
         least(col("u"), col("v")).as("lo"))
       .distinct()
     var e = canon(edges.select(col(ea).as("u"), col(eb).as("v")))
-      .localCheckpoint(true)
+      .pinned
     // DECIMAL sum: exact, order-free, and immune to the ANSI long
     // overflow a 64-bit-hash sum trips immediately.
     def fingerprint(d: DataFrame): (Long, java.math.BigDecimal) = {
@@ -1700,7 +1701,7 @@ object DedupOps {
         large.select(col("hi").as("u"), col("lo").as("v"))
           .union(large.select(col("hi").as("u"), col("hi").as("v")))
           .join(mS, "u").select(col("v").as("u"), col("m").as("v")))
-        .localCheckpoint(true)
+        .pinned
       val fpN = fingerprint(small)
       converged = fpN == fp
       fp = fpN

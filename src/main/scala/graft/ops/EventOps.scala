@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
+import graft.engine.Pin.Pinnable
 
 /** Event-time analytics in batch form — the oracle-checkable analogs of the
   * streaming operators in `graft.streaming.EventStreams` (same semantics,
@@ -338,9 +339,9 @@ object EventOps {
       // totals on cur): checkpoint the skinny 2-column frames once
       // instead of re-scanning events per consumer.
       val ref = ev.filter(col("ts") < split).drop("ts")
-        .localCheckpoint(true)
+        .pinned
       val cur = ev.filter(col("ts") >= split).drop("ts")
-        .localCheckpoint(true)
+        .pinned
       // exact deciles in INTEGER space: ranked micro-int values, edge =
       // a·10 + (b−a)·rem deci-micro units — no float interpolation (see
       // the SQL twin's comment; both engines compute identical longs)
@@ -680,7 +681,7 @@ object EventOps {
             .as("mean_loglik"))
         .withColumn("um", round(col("mean_loglik") * 1000000)
           .cast("long"))
-        .localCheckpoint(true)
+        .pinned
       // exact 5th-percentile edge ranks via the distributed rank-select
       // ([[ExactRank]]): same (v, pos) pairs as a global row_number
       // window, none of its move-every-user-into-one-task funnel

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.QueryDef
 import graft.engine.Tables
+import graft.engine.Pin.Pinnable
 
 /** Multimodal columns: image/audio/video treated as opaque `binary`
   * payloads with typed metadata, exactly as a 100 TB training-data lake
@@ -339,7 +340,7 @@ object MultimodalOps {
       val pairs = phashBandPairs(s, dir)
         .select(col("a_id"), col("b_id"),
           col("hamming").cast("int").as("hamming"))
-        .localCheckpoint(true)
+        .pinned
       val dw = Tables(s, dir, "documents")
         .filter(expr("cast(doc_id % 3 as int) = 0"))
         .select(col("doc_id"), explode(split(col("text"), " ")).as("wd"))

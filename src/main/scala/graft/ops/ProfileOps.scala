@@ -6,6 +6,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
+import graft.engine.Pin.Pinnable
 
 /** Declarative data profiling + constraint verification — the Deequ /
   * Great-Expectations surface a production lakehouse runs before every
@@ -580,7 +581,7 @@ object ProfileOps {
         expr(s"cast(round(least(1.0, size($words) / 100.0) * (1.0 - " +
           s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
           s" / size($words)) * 1000000) as bigint)").as("qm"))
-        .localCheckpoint(true)
+        .pinned
       // exact rank WITHOUT the single-partition window funnel: the
       // range-partitioned rank-select (distributed sort + per-partition
       // offsets) — see [[ExactRank]]. (v, pos) pairs are identical to

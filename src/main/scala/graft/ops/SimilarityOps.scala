@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.QueryDef
 import graft.engine.Tables
+import graft.engine.Pin.Pinnable
 
 /** Similarity search over the `embeddings` table (`Array[Float]` column).
   *
@@ -1000,7 +1001,7 @@ object SimilarityOps {
       // it each re-expands the corpus-sized nearest-centroid pass.
       val lab = assign.join(
         Tables(s, dir, "embeddings").select("vec_id", "label"), "vec_id")
-        .localCheckpoint(true)
+        .pinned
       val counts = lab.groupBy("c_id", "label")
         .agg(count(lit(1)).as("n"))
       val wM = Window.partitionBy("c_id")
@@ -1575,7 +1576,7 @@ object SimilarityOps {
           .agg(round(
             sum(col("x").cast(DecimalType(38, 20))).cast("double") /
               count(lit(1)), 6).as("m"))
-          .localCheckpoint(true)
+          .pinned
         c = means
           .groupBy("c_id")
           .agg(transform(

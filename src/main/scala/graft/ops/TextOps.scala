@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.QueryDef
 import graft.engine.{Materialize, Tables}
+import graft.engine.Pin.Pinnable
 
 /** Text-analysis operators for a training-data pipeline (builder brief:
   * language-ID heuristic, quality scoring, token counting, document
@@ -585,7 +586,7 @@ object TextOps {
         .select(col("doc_id"), explode(expr(words)).as("wd"))
         .filter(col("wd") =!= "")
         .groupBy("doc_id", "wd").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true)
+        .pinned
       val staleEnc = applyMerges(expr(enc0), restPairs)
       val tokr = dwb.select("wd").distinct()
         .select(col("wd"), staleEnc.as("enc"))
@@ -799,7 +800,7 @@ object TextOps {
         .filter(col("wd") =!= "")
         .groupBy("wd").agg(count(lit(1)).as("freq"))
         .select(col("wd"), expr(enc0).as("enc"), col("freq"))
-        .localCheckpoint(true)
+        .pinned
       val learned =
         scala.collection.mutable.ArrayBuffer.empty[(Int, String, String,
           String, Long)]
@@ -827,7 +828,7 @@ object TextOps {
         vocab = vocab.select(col("wd"),
           call_function("replace", col("enc"),
             lit(s" $l  $r "), lit(s" $l$r ")).as("enc"),
-          col("freq")).localCheckpoint(true)
+          col("freq")).pinned
         k += 1
       }
       learned.toSeq.toDF("merge_rank", "lhs", "rhs", "merged", "pair_n")
