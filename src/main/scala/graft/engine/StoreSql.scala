@@ -299,7 +299,8 @@ object StoreSql {
             val df = (ver, ts) match {
               case (Some(v), None) if v.forall(_.isDigit) =>
                 store.readVersion(spark, v.toLong)
-              case (Some(tag), None) => store.readTag(spark, tag)
+              case (Some(ref), None) =>
+                store.readRef(spark, ref) // tag or branch head
               case (None, Some(e)) =>
                 // evaluate the parsed instant through Spark itself —
                 // same literal/expression semantics as any TIMESTAMP

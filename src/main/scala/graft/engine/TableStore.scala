@@ -1265,6 +1265,20 @@ final class ManifestTableStore(path: String,
     readVersion(spark, resolveTag(spark, name))
   }
 
+  /** Read through a NAMED REF — a tag, or a BRANCH head (Iceberg's
+    * unified ref namespace: `VERSION AS OF 'audit'` and
+    * `VERSION AS OF 'etl-run'` both work). Tags win on a name
+    * collision (they are immutable pins; a branch head moves).
+    */
+  def readRef(spark: SparkSession, name: String): DataFrame = {
+    require(isMain, "refs resolve from the main handle")
+    if (fs(spark).exists(tagPath(name))) readTag(spark, name)
+    else if (listBranches(spark).contains(name))
+      branch(name).read(spark)
+    else throw new IllegalArgumentException(
+      s"unknown ref '$name' on $path (no such tag or branch)")
+  }
+
   /** Every tag as (name, version), name-sorted — metadata only. */
   def listTags(spark: SparkSession): Seq[(String, Long)] = {
     val f = fs(spark)

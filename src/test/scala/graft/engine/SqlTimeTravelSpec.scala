@@ -43,16 +43,22 @@ class SqlTimeTravelSpec extends SparkSpec {
         .stripMargin)) == Set("d"))
   }
 
-  test("VERSION AS OF 'name' resolves a TAG (Iceberg's ref-in-the-" +
-      "version-slot); unknown tags and versions refuse") {
+  test("VERSION AS OF 'name' resolves a TAG or a BRANCH head " +
+      "(Iceberg's unified ref namespace); unknown refs and versions " +
+      "refuse") {
     val store = mkStore()
     store.tag(spark, "audit", 2L)
     val t = Map("t" -> store)
     assert(ks(StoreSql.query(spark, t,
       "SELECT k FROM t VERSION AS OF 'audit'")) == Set("a", "b", "c"))
+    // a branch head resolves through the same slot
+    store.createBranch(spark, "wip", 2L)
+    store.branch("wip").append(Seq(("z", 9)).toDF("k", "n"), 7L)
+    assert(ks(StoreSql.query(spark, t,
+      "SELECT k FROM t VERSION AS OF 'wip'")) == Set("a", "b", "c", "z"))
     intercept[IllegalArgumentException] {
       StoreSql.query(spark, t,
-        "SELECT k FROM t VERSION AS OF 'no-such-tag'").collect()
+        "SELECT k FROM t VERSION AS OF 'no-such-ref'").collect()
     }
     intercept[IllegalArgumentException] {
       StoreSql.query(spark, t,
