@@ -1451,15 +1451,23 @@ final class ManifestTableStore(path: String,
     * preserve row content, so a fast-forward over them drops no commit
     * — refusing there (as byte-equality did) would block every publish
     * after routine table maintenance. The check is (a) the DATA
-    * batch-id sets match the base and (b) every main entry not in the
+    * batch-id sets match the base, (b) every main entry not in the
     * base is a maintenance-rewrite dir (compact-/cluster-/zorder-
-    * prefixed — the store's own naming); anything else that moved main
-    * — an append (new id), row-level DML (delete-/update-/merge- dirs,
-    * same ids but changed content), a merge-on-read delete entry, an
-    * overwrite — refuses, because publishing would silently undo it.
-    * Batch ids travel with the entries, so replay refusal and CDF
-    * attribution survive the publish. The branch chain is left intact
-    * (drop it separately).
+    * prefixed — the store's own naming), and (c) the manifest-recorded
+    * TOTAL ROW COUNTS match (both sides' counts must be recorded;
+    * pre-stats manifests refuse conservatively). (c) closes the one
+    * content-changing path that passes (a)+(b): a `compact` that FOLDS
+    * a merge-on-read delete writes compact- dirs with every id carried
+    * but fewer rows — publishing over it would resurrect the deleted
+    * rows. Anything else that moved main — an append (new id),
+    * row-level DML (delete-/update-/merge-/delfold- dirs), a pending
+    * merge-on-read delete entry, an overwrite — refuses, because
+    * publishing would silently undo it. (A content-preserving UPDATE
+    * that sets columns to identical values is indistinguishable from a
+    * no-op and still refuses via (b) — conservative.) Batch ids travel
+    * with the entries, so replay refusal and CDF attribution survive
+    * the publish. The branch chain is left intact (drop it
+    * separately).
     */
   def fastForward(spark: SparkSession, name: String): Unit =
     synchronized {
@@ -1475,18 +1483,29 @@ final class ManifestTableStore(path: String,
       val baseDataIds = base.filterNot(isDeleteEntry).map(_.batchId).toSet
       val baseDirs = base.map(_.dir).toSet
       val maintPrefixes = Seq("compact-", "cluster-", "zorder-")
+      def totalCount(es: Seq[Entry]): Option[Long] = {
+        val per = es.filterNot(isDeleteEntry).groupBy(_.dir)
+          .map(_._2.head.statsJson).toSeq
+          .map(ManifestTableStore.parseCount)
+        if (per.nonEmpty && per.forall(_.isDefined)) Some(per.flatten.sum)
+        else None
+      }
+      val baseCount = totalCount(base)
       var done = false
       while (!done) {
         val (mv, mLines) = current(f)
         val mDataIds = mLines.filterNot(isDeleteEntry)
           .map(_.batchId).toSet
-        val maintenanceOnly = mDataIds == baseDataIds &&
+        val byteEqual = mLines.toSet == base.toSet
+        val mCount = totalCount(mLines)
+        val maintenanceOnly = byteEqual || (mDataIds == baseDataIds &&
           mLines.filterNot(e => baseDirs.contains(e.dir)).forall { e =>
             !isDeleteEntry(e) && {
               val seg = e.dir.split("/data/").last.split('/').head
               maintPrefixes.exists(seg.startsWith)
             }
-          }
+          } &&
+          baseCount.isDefined && mCount.isDefined && baseCount == mCount)
         require(maintenanceOnly,
           s"cannot fast-forward '$name': main advanced past the " +
             "branch point (a non-maintenance commit landed) — " +
@@ -1824,13 +1843,67 @@ final class ManifestTableStore(path: String,
     }
   }
 
+  /** Fold pending merge-on-read delete files into data — TARGETED
+    * (Iceberg's rewrite-delete-files maintenance at equality-delete
+    * granularity): only data dirs a delete can actually touch are
+    * rewritten — the dir must hold a batch id inside the delete's
+    * sequence scope AND its recorded key-range stats must admit one of
+    * the delete's keys (the same pruning a keyed merge uses; no-stats
+    * dirs conservatively touched). Everything else carries forward
+    * byte-identical and the delete entries drop out, in ONE commit.
+    * Where [[compact]] answers "fold the deletes" by rewriting the
+    * WHOLE table, this costs O(dirs the purge touched) — at 100 TB the
+    * difference between folding a key purge and rewriting petabytes.
+    *
+    * Folded dirs are named `delfold-`, NOT a maintenance prefix:
+    * folding materializes a deletion, so a branch fast-forward over it
+    * must refuse (the fold is content-neutral only relative to the
+    * post-delete state). Commits via [[commitRewrite]]: concurrent
+    * appends rebase around it (scoped deletes never mask them), a
+    * competing maintenance rewrite aborts cleanly.
+    */
+  def compactDeletes(spark: SparkSession): Unit = synchronized {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    val (dels, datas) = lines.partition(isDeleteEntry)
+    if (dels.isEmpty) return
+    val touched: Set[String] = dels.distinctBy(_.dir).flatMap { d =>
+      val keys = spark.read.parquet(d.dir)
+      val kc = keys.schema.fields.head.name
+      val candidates = ManifestTableStore.parseApplies(d.statsJson) match {
+        case Some(ids) => datas.filter(e => ids.contains(e.batchId))
+        case None => datas
+      }
+      mergeTouchedDirs(keys, kc, candidates)
+    }.toSet
+    val rewritten: Map[String, (String, String)] = touched.map { dir =>
+      val nd = s"$path/data/delfold-${java.util.UUID.randomUUID()}"
+      write(applyDeletes(spark,
+        spark.read.option("mergeSchema", "true").parquet(dir), dels), nd)
+      dir -> (nd, collectStats(spark, nd))
+    }.toMap
+    beforeDmlCommit()
+    val committed = commitRewrite(f, v + 1, lines, snap =>
+      snap.filterNot(isDeleteEntry).map { e =>
+        rewritten.get(e.dir) match {
+          case Some((nd, st)) => Entry(e.batchId, nd, st)
+          case None => e
+        }
+      })
+    if (!committed) throw new java.util.ConcurrentModificationException(
+      s"compactDeletes on $path aborted: a concurrent maintenance " +
+        "rewrite moved this snapshot's dirs; nothing was applied — " +
+        "re-read and retry")
+  }
+
   /** Rewrite ops and row-level DML assume entries are data dirs; with
     * pending delete files their rewrite scope would be wrong. The
     * contract (as in Iceberg) is: fold deletes in first.
     */
   private def requireNoDeleteFiles(lines: Seq[Entry], op: String): Unit =
     require(!lines.exists(isDeleteEntry),
-      s"$op with pending merge-on-read delete files: run compact() " +
+      s"$op with pending merge-on-read delete files: run " +
+        "compactDeletes() (targeted) or compact() (whole-table) " +
         "first to fold them into data")
 
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
