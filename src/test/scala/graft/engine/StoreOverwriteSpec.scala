@@ -137,6 +137,25 @@ class StoreOverwriteSpec extends SparkSpec {
     }
   }
 
+  test("multi-column partitioning: the touched tuple is the FULL " +
+      "(day, region) pair — sibling partitions sharing one day carry") {
+    val p = Files.createTempDirectory("ovw2-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      partitionBy = Seq("day", "region"))
+    store.append(Seq(
+      ("d1", "eu", "a", 1), ("d1", "us", "b", 2),
+      ("d2", "eu", "c", 3)).toDF("day", "region", "k", "n"), 0L)
+    store.overwritePartitions(
+      Seq(("d1", "eu", "x", 10)).toDF("day", "region", "k", "n"), 1L)
+    val state = store.read(spark).select("day", "region", "k", "n")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getInt(3))).toSet
+    assert(state == Set(("d1", "eu", "x", 10), ("d1", "us", "b", 2),
+      ("d2", "eu", "c", 3)),
+      "only the exact (d1,eu) tuple may be replaced")
+  }
+
   test("an empty dynamic-overwrite batch and a PARTITION spec on an " +
       "unknown column are refused") {
     val store = partStore()
