@@ -24,6 +24,19 @@ object PlanShim {
   def planOf(df: DataFrame): LogicalPlan =
     df.asInstanceOf[Dataset[_]].queryExecution.analyzed
 
+  /** Re-plan a batch DataFrame as a STREAMING one (`isStreaming=true`)
+    * — what a V1 streaming `Source.getBatch` must return
+    * (MicroBatchExecution asserts it). The batch plan's physical RDD
+    * is wrapped via `internalCreateDataFrame` (`private[sql]`), the
+    * same route Spark's own FileStreamSource and Delta's source take.
+    * The RDD is lazy: nothing computes until the micro-batch runs.
+    */
+  def asStreaming(spark: SparkSession, df: DataFrame): DataFrame = {
+    val qe = df.asInstanceOf[Dataset[_]].queryExecution
+    spark.asInstanceOf[CSpark]
+      .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
+  }
+
   /** A Spark-configured local scratch dir (`spark.local.dir` /
     * `SPARK_LOCAL_DIRS` — on YARN/K8s the container's own disks, exactly
     * where shuffle and hash-aggregate spills go), falling back to

@@ -1,0 +1,140 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.engine.ManifestTableStore
+
+/** The manifest store as a streaming SOURCE: commits become
+  * micro-batches (offset = manifest version), resumption is
+  * checkpoint-exact, maintenance rewrites are silent, and CDF mode
+  * delivers retirements.
+  */
+class StoreChangeSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def newStore(): (String, ManifestTableStore) = {
+    val p = Files.createTempDirectory("srcstore-")
+    p.toFile.deleteOnExit()
+    (p.toString, new ManifestTableStore(p.toString,
+      statsColumns = Seq("k")))
+  }
+
+  test("commits stream as micro-batches; a compaction emits nothing; " +
+      "new appends keep flowing") {
+    val (path, store) = newStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-store").option("path", path)
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("src-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= df.select("k", "v").as[(Long, String)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    assert(sink.toSet == Set((1L, "a"), (2L, "b")))
+    store.append(Seq((3L, "c")).toDF("k", "v"), 1L)
+    q.processAllAvailable()
+    assert(sink.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    store.compact(spark) // maintenance: must deliver NOTHING
+    q.processAllAvailable()
+    assert(sink.size == 3, s"compaction re-delivered rows: $sink")
+    store.append(Seq((4L, "d")).toDF("k", "v"), 2L)
+    q.processAllAvailable()
+    assert(sink.toSet == Set((1L, "a"), (2L, "b"), (3L, "c"),
+      (4L, "d")))
+    q.stop()
+  }
+
+  test("restart resumes from the checkpointed version — no re-delivery, " +
+      "no gap") {
+    val (path, store) = newStore()
+    val ckpt = Files.createTempDirectory("src-ckpt-").toString
+    store.append(Seq((1L, "a")).toDF("k", "v"), 0L)
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-store")
+        .option("path", path).load()
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          sink.synchronized {
+            sink ++= df.select("k", "v").as[(Long, String)].collect()
+          }
+          ()
+        }
+        .trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(sink.toSet == Set((1L, "a")))
+    // commits land while the stream is DOWN
+    store.append(Seq((2L, "b")).toDF("k", "v"), 1L)
+    store.append(Seq((3L, "c")).toDF("k", "v"), 2L)
+    run()
+    assert(sink.toSeq.sorted ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      s"restart must deliver exactly the missed window once: $sink")
+  }
+
+  test("readChangeFeed=true streams retirements: a CoW delete arrives " +
+      "as _change_type=delete rows") {
+    val (path, store) = newStore()
+    store.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    val sink =
+      new scala.collection.mutable.ArrayBuffer[(Long, String, String)]()
+    val q = spark.readStream.format("graft-store").option("path", path)
+      .option("readChangeFeed", "true").load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("src-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= df.select("k", "v", "_change_type")
+            .as[(Long, String, String)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    assert(sink.toSet ==
+      Set((1L, "a", "insert"), (2L, "b", "insert")))
+    store.delete(spark, "k = 2")
+    q.processAllAvailable()
+    assert(sink.toSet == Set((1L, "a", "insert"), (2L, "b", "insert"),
+      (2L, "b", "delete")),
+      s"the retirement must arrive as a delete row: $sink")
+    q.stop()
+  }
+
+  test("getBatch windows are version-pinned (a replayed window " +
+      "re-reads identical rows); missing path refuses") {
+    val (path, store) = newStore()
+    store.append(Seq((1L, "a")).toDF("k", "v"), 0L)
+    store.append(Seq((2L, "b")).toDF("k", "v"), 1L)
+    val src = new StoreChangeSourceProvider().createSource(
+      spark.sqlContext, "", None, "graft-store", Map("path" -> path))
+    // the engine requires isStreaming=true of a V1 getBatch result
+    assert(src.getBatch(Some(LongOffset(1)), LongOffset(2)).isStreaming)
+    def window(from: Long, to: Long): Set[(Long, String)] =
+      store.readChanges(spark, from, to) // what getBatch wraps
+        .select("k", "v").as[(Long, String)].collect().toSet
+    assert(window(1, 2) == Set((2L, "b")))
+    store.append(Seq((3L, "c")).toDF("k", "v"), 2L) // later commit
+    assert(window(1, 2) == Set((2L, "b")),
+      "a replayed window must be unaffected by later commits")
+    intercept[IllegalArgumentException] {
+      spark.readStream.format("graft-store").load()
+    }
+  }
+}
