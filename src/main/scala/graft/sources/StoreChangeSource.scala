@@ -1,11 +1,12 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim.PlanShim
 import org.apache.spark.sql.sources.{DataSourceRegister,
-  StreamSourceProvider}
+  StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 import graft.engine.ManifestTableStore
@@ -36,9 +37,52 @@ import graft.engine.ManifestTableStore
   * exactly the incremental cost a 100 TB table demands from a tailer.
   */
 final class StoreChangeSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
+
+  /** The WRITE side of the pair:
+    * `writeStream.format("graft-store").option("path", ...)` — each
+    * micro-batch commits as one manifest append under a WRITER-SCOPED
+    * batch id (`writerBase(writerId) + batchId`, Delta's transactional
+    * writer), so a crash between commit and checkpoint replays into a
+    * write-time no-op and two queries with distinct `writerId`s can
+    * feed one table without colliding in the flat id space. Composed
+    * with the source above, a table-to-table incremental pipeline is
+    * pure DataFrame API:
+    * readStream(graft-store) → transforms → writeStream(graft-store).
+    * Options: `path` (required), `writerId` (default
+    * "graft-store-sink"), `statsColumns` (comma list recorded per
+    * commit for data skipping). `partitionBy(...)` on the writer lays
+    * batches out hive-style.
+    */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    require(outputMode == OutputMode.Append(),
+      s"graft-store sink is append-only (manifest commits); got " +
+        s"$outputMode — aggregate-update shapes go through " +
+        "foreachBatch + merge (StreamingUpsert)")
+    val path = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "graft-store sink requires option 'path'"))
+    val statsCols = parameters.get("statsColumns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Nil)
+    val store = new ManifestTableStore(path,
+      partitionBy = partitionColumns, statsColumns = statsCols)
+    val writerId = parameters.getOrElse("writerId", "graft-store-sink")
+    new Sink {
+      override def addBatch(batchId: Long, data: DataFrame): Unit = {
+        // the engine hands a streaming-flagged frame; re-plan it batch
+        // (ForeachBatchSink's wrapping) so the store's .write applies
+        val batch = PlanShim.asBatch(data.sparkSession, data)
+        val base = store.writerBase(data.sparkSession, writerId)
+        store.append(batch, base + batchId)
+      }
+      override def toString: String = s"GraftStoreSink[$path]"
+    }
+  }
 
   private def storeOf(parameters: Map[String, String]) =
     new ManifestTableStore(parameters.getOrElse("path",

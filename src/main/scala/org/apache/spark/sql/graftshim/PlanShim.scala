@@ -37,6 +37,16 @@ object PlanShim {
       .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = true)
   }
 
+  /** The inverse: re-plan a streaming micro-batch as a BATCH frame so
+    * a V1 `Sink.addBatch` body can use batch-only APIs (`.write`) on
+    * it — ForeachBatchSink's own wrapping, re-exported.
+    */
+  def asBatch(spark: SparkSession, df: DataFrame): DataFrame = {
+    val qe = df.asInstanceOf[Dataset[_]].queryExecution
+    spark.asInstanceOf[CSpark]
+      .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
+  }
+
   /** A Spark-configured local scratch dir (`spark.local.dir` /
     * `SPARK_LOCAL_DIRS` — on YARN/K8s the container's own disks, exactly
     * where shuffle and hash-aggregate spills go), falling back to

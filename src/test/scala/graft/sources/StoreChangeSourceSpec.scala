@@ -117,6 +117,63 @@ class StoreChangeSourceSpec extends SparkSpec {
     q.stop()
   }
 
+  test("table-to-table incremental pipeline in pure DataFrame API: " +
+      "readStream(graft-store) -> transform -> " +
+      "writeStream(graft-store), exactly-once across restart") {
+    val (upPath, up) = newStore()
+    val downPath = Files.createTempDirectory("sinkstore-").toString
+    val down = new ManifestTableStore(downPath)
+    val ckpt = Files.createTempDirectory("pipe-ckpt-").toString
+    up.append(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), 0L)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-store")
+        .option("path", upPath).load()
+        .filter($"k" =!= 2L) // the transform
+        .select("k", "v")
+        .writeStream.format("graft-store")
+        .option("path", downPath)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    assert(down.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (3L, "c")))
+    // commits land while the pipeline is DOWN; restart picks up the
+    // window once (engine checkpoint + write-time replay refusal)
+    up.append(Seq((4L, "d"), (2L, "x")).toDF("k", "v"), 1L)
+    run()
+    run() // a second idle restart must change nothing
+    assert(down.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (3L, "c"), (4L, "d")))
+    // distinct writerIds namespace their batch ids: a SECOND pipeline
+    // into the same table does not replay-collide with the first
+    val q2 = spark.readStream.format("graft-store")
+      .option("path", upPath).load()
+      .filter($"k" === 2L).select("k", "v")
+      .writeStream.format("graft-store")
+      .option("path", downPath).option("writerId", "second")
+      .option("checkpointLocation",
+        Files.createTempDirectory("pipe2-ckpt-").toString)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert(down.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toSet ==
+      Set((1L, "a"), (3L, "c"), (4L, "d"), (2L, "b"), (2L, "x")))
+    // update-mode shapes are refused loudly
+    intercept[Exception] {
+      spark.readStream.format("graft-store").option("path", upPath)
+        .load().groupBy("k").count()
+        .writeStream.format("graft-store").option("path", downPath)
+        .outputMode("complete")
+        .option("checkpointLocation",
+          Files.createTempDirectory("pipe3-ckpt-").toString)
+        .start()
+    }
+  }
+
   test("getBatch windows are version-pinned (a replayed window " +
       "re-reads identical rows); missing path refuses") {
     val (path, store) = newStore()
