@@ -5,7 +5,7 @@ import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.graftshim.PlanShim
 import org.apache.spark.sql.sources.{DataSourceRegister,
-  StreamSinkProvider, StreamSourceProvider}
+  RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
@@ -37,9 +37,19 @@ import graft.engine.ManifestTableStore
   * exactly the incremental cost a 100 TB table demands from a tailer.
   */
 final class StoreChangeSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+    with StreamSinkProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-store"
+
+  /** The BATCH read side — `spark.read.format("graft-store")` with
+    * Delta-named time-travel options and pushed-filter manifest
+    * pruning; see [[StoreRelation]].
+    */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.sources.BaseRelation =
+    new StoreRelation(sqlContext, storeOf(parameters), parameters)
 
   /** The WRITE side of the pair:
     * `writeStream.format("graft-store").option("path", ...)` — each

@@ -1,0 +1,122 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.engine.ManifestTableStore
+
+/** BATCH reads of the manifest store through the standard DataSource
+  * API — the third leg of the `graft-store` format (streaming source +
+  * streaming sink + this):
+  *
+  *   spark.read.format("graft-store").option("path", p).load()
+  *     .option("versionAsOf", 2)        // Delta's exact option names
+  *     .option("timestampAsOf", "2026-01-01 00:00:00")
+  *     .option("ref", "audit-2026")     // tag or branch head
+  *
+  * Current-state reads implement [[PrunedFilteredScan]]: the filters
+  * Spark pushes translate (where expressible) into one predicate for
+  * `readWhere`, so MANIFEST-LEVEL data skipping — min/max stats and
+  * bloom membership pruning whole dirs — happens behind the standard
+  * API with zero store-specific calls in user code. Translation is
+  * best-effort and purely an optimization: Spark re-applies every
+  * filter after the scan (the default `unhandledFilters` contract), so
+  * an untranslatable predicate costs pruning, never correctness.
+  * Column pruning projects before the union read. Time-travel reads
+  * serve the resolved version (TableScan shape — historical audits are
+  * version-bounded already).
+  */
+final class StoreRelation(val sqlContext: SQLContext,
+    store: ManifestTableStore, parameters: Map[String, String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  /** The frame this relation serves: a resolved historical state, or
+    * None = current state (the readWhere-prunable path).
+    */
+  private lazy val historical: Option[DataFrame] = {
+    val picks = Seq("versionAsOf", "timestampAsOf", "ref")
+      .flatMap(k => parameters.get(k).map(k -> _))
+    require(picks.size <= 1,
+      s"at most one of versionAsOf/timestampAsOf/ref, got " +
+        picks.map(_._1).mkString(", "))
+    picks.headOption.map {
+      case ("versionAsOf", v) => store.readVersion(spark, v.toLong)
+      case ("timestampAsOf", t) =>
+        val ts = spark.sql(s"SELECT CAST('${t.replace("'", "''")}' " +
+          "AS TIMESTAMP)").head()
+        require(!ts.isNullAt(0), s"timestampAsOf '$t' is not a timestamp")
+        store.readAsOfTimestamp(spark, ts.getTimestamp(0).getTime)
+      case ("ref", name) => store.readRef(spark, name)
+      case other => throw new IllegalStateException(other.toString)
+    }
+  }
+
+  override lazy val schema: StructType =
+    historical.getOrElse(store.read(spark)).schema
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = historical.getOrElse {
+      StoreRelation.predicateSql(filters) match {
+        case Some(p) => store.readWhere(spark, p)
+        case None => store.read(spark)
+      }
+    }
+    base.select(requiredColumns.map(col).toSeq: _*).rdd
+  }
+}
+
+object StoreRelation {
+
+  /** Best-effort SQL rendering of Spark's pushed filters (implicitly
+    * ANDed) — only fully-expressible conjuncts are included; None when
+    * nothing is. Values render as SQL literals with string escaping;
+    * exotic value types (or filter shapes) simply drop out of the
+    * pruning predicate.
+    */
+  private[sources] def predicateSql(filters: Array[Filter])
+      : Option[String] = {
+    def lit(v: Any): Option[String] = v match {
+      case null => None
+      case s: String => Some(s"'${s.replace("'", "''")}'")
+      case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+      case d: java.sql.Date => Some(s"DATE '$d'")
+      case i: java.time.Instant =>
+        Some(s"TIMESTAMP '${java.sql.Timestamp.from(i)}'")
+      case d: java.time.LocalDate => Some(s"DATE '$d'")
+      case b: Boolean => Some(b.toString)
+      case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float |
+          _: Double) => Some(n.toString)
+      case d: java.math.BigDecimal => Some(d.toPlainString)
+      case d: BigDecimal => Some(d.toString)
+      case _ => None
+    }
+    def q(a: String): String = s"`$a`"
+    def render(f: Filter): Option[String] = f match {
+      case EqualTo(a, v) => lit(v).map(l => s"${q(a)} = $l")
+      case GreaterThan(a, v) => lit(v).map(l => s"${q(a)} > $l")
+      case GreaterThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} >= $l")
+      case LessThan(a, v) => lit(v).map(l => s"${q(a)} < $l")
+      case LessThanOrEqual(a, v) => lit(v).map(l => s"${q(a)} <= $l")
+      case In(a, vs) =>
+        val ls = vs.toSeq.map(lit)
+        if (ls.nonEmpty && ls.forall(_.isDefined))
+          Some(s"${q(a)} IN (${ls.flatten.mkString(", ")})")
+        else None
+      case IsNotNull(a) => Some(s"${q(a)} IS NOT NULL")
+      case IsNull(a) => Some(s"${q(a)} IS NULL")
+      case And(l, r) => for (a <- render(l); b <- render(r))
+        yield s"($a AND $b)"
+      case Or(l, r) => for (a <- render(l); b <- render(r))
+        yield s"($a OR $b)"
+      case _ => None
+    }
+    val parts = filters.toSeq.flatMap(f => render(f))
+    if (parts.isEmpty) None else Some(parts.mkString(" AND "))
+  }
+}

@@ -1,0 +1,96 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.engine.ManifestTableStore
+
+/** Batch reads through `spark.read.format("graft-store")`: current
+  * state, Delta-named time travel options, and pushed filters pruning
+  * whole dirs through the manifest stats — behind the STANDARD API.
+  */
+class StoreRelationSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkStore(): (String, ManifestTableStore) = {
+    val p = Files.createTempDirectory("relstore-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"))
+    store.append((1 to 100).map(n => (n, s"v$n")).toDF("n", "v"), 0L)
+    store.append((1000 to 1100).map(n => (n, s"v$n")).toDF("n", "v"), 1L)
+    (p.toString, store)
+  }
+
+  test("current-state read equals store.read; filters and projections " +
+      "apply through the standard API") {
+    val (path, store) = mkStore()
+    val df = spark.read.format("graft-store").option("path", path).load()
+    assert(df.count() == store.read(spark).count())
+    assert(df.filter($"n" >= 1000).count() == 101)
+    assert(df.select("v").columns.toSeq == Seq("v"))
+  }
+
+  test("pushed filters prune whole dirs via manifest stats: a " +
+      "range predicate never opens the out-of-range dir's files") {
+    val (path, _) = mkStore()
+    val scanned = spark.read.format("graft-store").option("path", path)
+      .load().filter($"n" >= 1000).select("n", "v")
+    assert(scanned.count() == 101)
+    // the same predicate through readWhere is the pruning oracle:
+    // batch-0's dir (n in [1,100]) must not be among the input files
+    val files = new ManifestTableStore(path, statsColumns = Seq("n"))
+      .readWhere(spark, "n >= 1000").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("batch-1")),
+      s"expected only batch-1 files, got ${files.toSeq}")
+  }
+
+  test("filter translation renders exactly the expressible conjuncts " +
+      "(the rest drop out of pruning, never out of correctness)") {
+    import org.apache.spark.sql.sources._
+    assert(StoreRelation.predicateSql(Array(
+      GreaterThanOrEqual("n", 1000), IsNotNull("n")))
+      == Some("`n` >= 1000 AND `n` IS NOT NULL"))
+    assert(StoreRelation.predicateSql(Array(
+      EqualTo("v", "it's"), In("n", Array(1, 2))))
+      == Some("`v` = 'it''s' AND `n` IN (1, 2)"))
+    assert(StoreRelation.predicateSql(Array(
+      Or(LessThan("n", 5), GreaterThan("n", 10))))
+      == Some("(`n` < 5 OR `n` > 10)"))
+    // an untranslatable filter drops; an untranslatable OR side kills
+    // the whole OR (an OR is only sound when both sides render)
+    assert(StoreRelation.predicateSql(Array(
+      StringContains("v", "x"), EqualTo("n", 1)))
+      == Some("`n` = 1"))
+    assert(StoreRelation.predicateSql(Array(
+      Or(StringContains("v", "x"), EqualTo("n", 1)))) == None)
+  }
+
+  test("versionAsOf / timestampAsOf / ref options resolve history; " +
+      "combining them refuses") {
+    val (path, store) = mkStore()
+    store.tag(spark, "first", 1L)
+    val v1 = spark.read.format("graft-store").option("path", path)
+      .option("versionAsOf", "1").load()
+    assert(v1.count() == 100)
+    val tagged = spark.read.format("graft-store").option("path", path)
+      .option("ref", "first").load()
+    assert(tagged.count() == 100)
+    val t1 = store.versionTimestampMs(spark, 1L)
+    // pin distinct commit times, then AS OF v1's instant resolves v1
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.setTimes(new org.apache.hadoop.fs.Path(s"$path/manifest/v2"),
+      t1 + 3600000L, -1)
+    val asOf = spark.read.format("graft-store").option("path", path)
+      .option("timestampAsOf",
+        new java.sql.Timestamp(t1).toString).load()
+    assert(asOf.count() == 100)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft-store").option("path", path)
+        .option("versionAsOf", "1").option("ref", "first").load()
+        .count()
+    }
+  }
+}
