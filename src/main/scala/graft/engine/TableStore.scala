@@ -1684,9 +1684,13 @@ final class ManifestTableStore(path: String,
     * dirs untouched for at least `minAgeMs` are eligible; a writer whose
     * data write outlives the horizon should use a larger one (the same
     * contract as `delta.deletedFileRetentionDuration`).
+    *
+    * `dryRun` (Delta's `VACUUM ... DRY RUN`): report exactly what a
+    * real run would delete — data dirs and delete files — touching
+    * nothing; superseded manifests are likewise left in place.
     */
   def vacuum(spark: SparkSession, retainLast: Int = 1,
-      minAgeMs: Long = 600000L): Seq[String] =
+      minAgeMs: Long = 600000L, dryRun: Boolean = false): Seq[String] =
     synchronized {
       val f = fs(spark)
       val (v, _) = current(f)
@@ -1720,7 +1724,8 @@ final class ManifestTableStore(path: String,
       if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
         if (!referenced.contains(st.getPath.getName) &&
             st.getModificationTime < cutoff) {
-          f.delete(st.getPath, true); deleted += st.getPath.toString
+          if (!dryRun) f.delete(st.getPath, true)
+          deleted += st.getPath.toString
         }
       }
       // equality-delete files retire by the same retention rule: once no
@@ -1735,10 +1740,11 @@ final class ManifestTableStore(path: String,
       if (f.exists(delRoot)) f.listStatus(delRoot).foreach { st =>
         if (!referencedDel.contains(st.getPath.getName) &&
             st.getModificationTime < cutoff) {
-          f.delete(st.getPath, true); deleted += st.getPath.toString
+          if (!dryRun) f.delete(st.getPath, true)
+          deleted += st.getPath.toString
         }
       }
-      f.listStatus(manifestDir).foreach { st =>
+      if (!dryRun) f.listStatus(manifestDir).foreach { st =>
         val n = st.getPath.getName
         if (n.startsWith("v") && n.drop(1).toLong < horizon &&
             !tagged.contains(n.drop(1).toLong))

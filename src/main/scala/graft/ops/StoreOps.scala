@@ -1129,6 +1129,48 @@ object StoreOps {
            |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // The STANDARD DataSource route (spark.read.format("graft-store")):
+    // the same manifest store q78/q86 exercise through the Scala API,
+    // read through format().option() — a pushed-filter slice of
+    // current state (the filter renders into readWhere, so the
+    // 1995-1997 dirs prune from the manifest before any file opens;
+    // StoreRelationSpec pins the file set) UNION a versionAsOf slice
+    // (Delta's option name). A user who knows only the DataFrame
+    // reader gets data skipping and time travel with zero
+    // store-specific calls.
+    QueryDef(
+      "q214_format_read",
+      """SELECT 'current' AS slice, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-07-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'v2' AS slice, o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY slice, o_orderstatus""".stripMargin) { (s, dir) =>
+      ordersStore(s, dir) // ensure the shared store is materialized
+      val path = Materialize.keyedPath(s, "orders_store", dir)
+      def agg(df: DataFrame, slice: String) = df
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .select(lit(slice).as("slice"), col("o_orderstatus"),
+          col("n_orders"), col("total"))
+      val cur = s.read.format("graft-store").option("path", path).load()
+        .filter(col("o_orderdate") >=
+          lit("1998-07-01 00:00:00").cast("timestamp"))
+      val v2 = s.read.format("graft-store").option("path", path)
+        .option("versionAsOf", "2").load()
+      agg(cur, "current").unionByName(agg(v2, "v2"))
+        .orderBy("slice", "o_orderstatus")
+    },
+
     // TARGETED merge-on-read fold (compactDeletes): four KEY-ranged
     // batches, a GDPR-style purge of keys inside ONE batch's range
     // (MoR: one small delete file, zero data rewritten), then the fold

@@ -35,14 +35,18 @@ final class StoreRelation(val sqlContext: SQLContext,
 
   private def spark = sqlContext.sparkSession
 
-  /** The frame this relation serves: a resolved historical state, or
-    * None = current state (the readWhere-prunable path).
+  /** The frame this relation serves: a metadata table, a resolved
+    * historical state, or None = current state (the readWhere-prunable
+    * path). `metaTable` is Iceberg's metadata-table idea
+    * (`t.history` / `t.refs`) as an option: `history` (the DESCRIBE
+    * HISTORY ledger), `tags`, `branches` — all manifest-only, zero
+    * data files opened.
     */
   private lazy val historical: Option[DataFrame] = {
-    val picks = Seq("versionAsOf", "timestampAsOf", "ref")
+    val picks = Seq("versionAsOf", "timestampAsOf", "ref", "metaTable")
       .flatMap(k => parameters.get(k).map(k -> _))
     require(picks.size <= 1,
-      s"at most one of versionAsOf/timestampAsOf/ref, got " +
+      s"at most one of versionAsOf/timestampAsOf/ref/metaTable, got " +
         picks.map(_._1).mkString(", "))
     picks.headOption.map {
       case ("versionAsOf", v) => store.readVersion(spark, v.toLong)
@@ -52,6 +56,19 @@ final class StoreRelation(val sqlContext: SQLContext,
         require(!ts.isNullAt(0), s"timestampAsOf '$t' is not a timestamp")
         store.readAsOfTimestamp(spark, ts.getTimestamp(0).getTime)
       case ("ref", name) => store.readRef(spark, name)
+      case ("metaTable", "history") => store.history(spark)
+      case ("metaTable", "tags") =>
+        val s = spark
+        import s.implicits._
+        store.listTags(s).toDF("tag", "version")
+      case ("metaTable", "branches") =>
+        val s = spark
+        import s.implicits._
+        store.listBranches(s)
+          .map(n => (n, store.branch(n).currentVersion(s)))
+          .toDF("branch", "head_version")
+      case ("metaTable", other) => throw new IllegalArgumentException(
+        s"unknown metaTable '$other' (history, tags, branches)")
       case other => throw new IllegalStateException(other.toString)
     }
   }

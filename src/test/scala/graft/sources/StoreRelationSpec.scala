@@ -46,6 +46,37 @@ class StoreRelationSpec extends SparkSpec {
       s"expected only batch-1 files, got ${files.toSeq}")
   }
 
+  test("metaTable options serve the manifest-only metadata tables: " +
+      "history, tags, branches") {
+    val (path, store) = mkStore()
+    store.tag(spark, "first", 1L)
+    store.createBranch(spark, "wip", 2L)
+    store.branch("wip").append(Seq((7, "x")).toDF("n", "v"), 7L)
+    def meta(t: String) = spark.read.format("graft-store")
+      .option("path", path).option("metaTable", t).load()
+    assert(meta("history").count() == 2) // v1, v2
+    assert(meta("tags").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet == Set(("first", 1L)))
+    assert(meta("branches").collect().map(r =>
+      (r.getString(0), r.getLong(1))).toSet == Set(("wip", 2L)))
+    intercept[IllegalArgumentException] { meta("nope").count() }
+  }
+
+  test("vacuum dryRun reports exactly what a real run would delete, " +
+      "touching nothing") {
+    val (path, store) = mkStore()
+    store.compact(spark) // supersedes both batch dirs
+    val wouldDelete = store.vacuum(spark, retainLast = 0,
+      minAgeMs = 0L, dryRun = true)
+    assert(wouldDelete.size == 2,
+      s"both superseded batch dirs should report: $wouldDelete")
+    // nothing moved: history intact, superseded version still readable
+    assert(store.readVersion(spark, 2L).count() == 201)
+    val deleted = store.vacuum(spark, retainLast = 0, minAgeMs = 0L)
+    assert(deleted.toSet == wouldDelete.toSet,
+      "the real run must delete exactly the dry-run report")
+  }
+
   test("filter translation renders exactly the expressible conjuncts " +
       "(the rest drop out of pruning, never out of correctness)") {
     import org.apache.spark.sql.sources._
