@@ -364,6 +364,92 @@ final class ManifestTableStore(path: String,
     b.result()
   }
 
+  // ---- CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT) ----------
+  // Schema-on-write quality gates at the COMMIT layer: a registered
+  // predicate every written row must satisfy, enforced at the single
+  // choke point all write paths share (append, merge inserts, DML
+  // rewrites, overwrites, staged batches) — a violating batch never
+  // becomes table state, which is the entire point of putting the gate
+  // at the store instead of in each pipeline. Constraints persist as
+  // one file per name under checks/ (same atomic create-if-absent as
+  // tags); enforcement is one pruned columnar scan of the
+  // freshly-written dir per write — the bytes just written, read back
+  // exactly as stats collection already does.
+
+  private def checksDir = new HPath(s"$path/checks")
+
+  private def checkPath(name: String): HPath = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit ||
+      c == '-' || c == '_' || c == '.'),
+      s"check name must be [A-Za-z0-9._-]+, got '$name'")
+    new HPath(checksDir, name)
+  }
+
+  /** Register a CHECK constraint. Like Delta, the CURRENT table must
+    * already satisfy it (a constraint the data violates would make
+    * every later maintenance rewrite fail); re-adding the same
+    * predicate is an idempotent no-op, changing it requires dropCheck.
+    */
+  def addCheck(spark: SparkSession, name: String,
+      predicateSql: String): Unit = {
+    val f = fs(spark)
+    val (_, lines) = current(f)
+    if (lines.nonEmpty) {
+      val bad = readEntries(spark, lines).filter(!expr(predicateSql))
+      require(bad.isEmpty,
+        s"cannot add check '$name': existing rows violate " +
+          s"($predicateSql)")
+    }
+    if (!AtomicCreate.publish(f, checkPath(name),
+        predicateSql.getBytes("UTF-8"))) {
+      val existing = listChecks(spark).toMap.apply(name)
+      require(existing == predicateSql,
+        s"check '$name' already holds '$existing' (dropCheck first)")
+    }
+  }
+
+  /** Registered checks as (name, predicateSql), name-sorted. */
+  def listChecks(spark: SparkSession): Seq[(String, String)] = {
+    val f = fs(spark)
+    if (!f.exists(checksDir)) return Nil
+    f.listStatus(checksDir).map(_.getPath).sortBy(_.getName).toSeq
+      .map { p =>
+        val st = f.getFileStatus(p)
+        val in = f.open(p)
+        try {
+          val buf = new Array[Byte](st.getLen.toInt)
+          in.readFully(buf)
+          p.getName -> new String(buf, "UTF-8")
+        } finally in.close()
+      }
+  }
+
+  /** Drop a constraint; later writes stop enforcing it. */
+  def dropCheck(spark: SparkSession, name: String): Unit =
+    require(fs(spark).delete(checkPath(name), false),
+      s"unknown check '$name' on $path")
+
+  /** Enforcement at the write choke point: the freshly-written dir is
+    * verified against every registered check BEFORE any commit can
+    * reference it; a violation deletes the dir and throws — the batch
+    * never existed. One filter-aggregate per check over just-written
+    * bytes (columnar, predicate-pruned).
+    */
+  private def enforceChecks(spark: SparkSession, dir: String): Unit = {
+    val checks = listChecks(spark)
+    if (checks.isEmpty) return
+    lazy val df = spark.read.parquet(dir)
+    checks.foreach { case (name, pred) =>
+      val violations = df.filter(!expr(pred)).count()
+      if (violations > 0) {
+        fs(spark).delete(new HPath(dir), true)
+        throw new IllegalArgumentException(
+          s"check constraint '$name' ($pred) violated by $violations " +
+            s"row(s); the batch was not committed")
+      }
+    }
+  }
+
   private def write(df: DataFrame, dir: String): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -384,6 +470,7 @@ final class ManifestTableStore(path: String,
       if (!hasData)
         df.limit(0).write.mode("overwrite").parquet(dir)
     }
+    enforceChecks(df.sparkSession, dir)
   }
 
   override def append(df: DataFrame, batchId: Long): Unit = synchronized {

@@ -1129,6 +1129,51 @@ object StoreOps {
            |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
+    // a registered predicate every written row must satisfy, enforced
+    // at the one choke point all write paths share. Two conforming
+    // appends commit; a VIOLATING batch (the 2000+ slice with negated
+    // prices) is refused atomically — the emitted `refused` flag and
+    // current_version pin both the refusal and that nothing leaked
+    // into table state (a leak would also shift every aggregate).
+    // StoreChecksSpec pins the other write paths (merge/update/
+    // overwrite/SQL), existing-row validation, and branch coverage.
+    QueryDef(
+      "q215_store_check_gate",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS refused, CAST(2 AS BIGINT) AS current_version
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_checked", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      if (store.currentVersion(s) == 0L)
+        store.append(orders.filter(upTo("1998-01-01")), 0L)
+      store.addCheck(s, "positive-price", "o_totalprice > 0")
+      if (store.currentVersion(s) == 1L)
+        store.append(
+          orders.filter(!upTo("1998-01-01") && upTo("2000-01-01")), 1L)
+      val refused =
+        try {
+          store.append(orders.filter(!upTo("2000-01-01"))
+            .withColumn("o_totalprice", -col("o_totalprice")), 2L)
+          0
+        } catch { case _: IllegalArgumentException => 1 }
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .withColumn("refused", lit(refused))
+        .withColumn("current_version", lit(store.currentVersion(s)))
+        .orderBy("o_orderstatus")
+    },
+
     // The STANDARD DataSource route (spark.read.format("graft-store")):
     // the same manifest store q78/q86 exercise through the Scala API,
     // read through format().option() — a pushed-filter slice of
