@@ -258,6 +258,16 @@ object StoreSql {
             m.notMatchedActions.map(insertOf),
             m.notMatchedBySourceActions.map(clauseOf), bid)
         }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AddColumns =>
+        // governed schema evolution as DDL: commits a zero-row schema
+        // marker; existing rows read the new columns null-padded
+        val store = storeOf(a.table)
+        store.addColumns(spark, a.columnsToAdd.map { c =>
+          require(c.path.isEmpty,
+            s"nested ADD COLUMNS path ${c.name.mkString(".")} is not " +
+              "supported")
+          c.colName -> c.dataType
+        })
       case other => throw new IllegalArgumentException(
         s"not a store DML statement: ${other.getClass.getSimpleName}")
     }
@@ -326,6 +336,8 @@ object StoreSql {
 
   private def relationName(plan: LogicalPlan): Option[String] = plan match {
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
+    case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(t.multipartIdentifier.last)
     case SubqueryAlias(_, child) => relationName(child)
     case _ => None
   }

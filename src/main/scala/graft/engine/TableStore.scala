@@ -609,6 +609,59 @@ final class ManifestTableStore(path: String,
     walk(new HPath(dir), 0).toSet
   }
 
+  /** Governed `ALTER TABLE ... ADD COLUMNS`: schema evolution as an
+    * EXPLICIT commit, not a side effect of whichever batch happens to
+    * carry a new field first. The mechanics cost nothing the store
+    * doesn't already have: the new columns commit as a ZERO-ROW schema
+    * marker dir (reserved batch id, outside the caller id space), and
+    * the established mergeSchema/union-by-name read exposes them
+    * null-padded on every existing row — exactly how a new column
+    * reads after Delta's metadata-only ADD COLUMNS. Idempotent when
+    * ALL requested columns already exist with the same types (safe
+    * re-runs); refuses partial overlap or a type change. Refused on an
+    * empty table (the first batch defines the schema) — and the marker
+    * is a real commit, so a branch fast-forward over a post-base ALTER
+    * correctly refuses.
+    */
+  def addColumns(spark: SparkSession,
+      cols: Seq[(String, org.apache.spark.sql.types.DataType)]): Unit =
+    synchronized {
+      require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+      val f = fs(spark)
+      var (v, lines) = current(f)
+      require(lines.nonEmpty,
+        "ALTER ... ADD COLUMNS on an empty table is refused: the " +
+          "first appended batch defines the schema")
+      val existing = readEntries(spark, lines).schema
+      val (present, fresh) = cols.partition(c =>
+        existing.fieldNames.exists(_.equalsIgnoreCase(c._1)))
+      present.foreach { case (n, t) =>
+        val have = existing.fields
+          .find(_.name.equalsIgnoreCase(n)).get.dataType
+        require(have == t,
+          s"column '$n' already exists as $have (requested $t); type " +
+            "changes are not supported")
+      }
+      if (fresh.isEmpty) return // all present with matching types
+      val schema = org.apache.spark.sql.types.StructType(fresh.map {
+        case (n, t) =>
+          org.apache.spark.sql.types.StructField(n, t, nullable = true)
+      })
+      val dir = s"$path/data/schema-${java.util.UUID.randomUUID()}"
+      write(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("batch_id",
+          lit(ManifestTableStore.SchemaBatchId)), dir)
+      val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+        collectStats(spark, dir))
+      var next = v + 1
+      while (!tryCommit(f, next, lines :+ entry)) {
+        val (nv, nlines) = current(f)
+        lines = nlines; v = nv
+        next = math.max(nv + 1, next + 1)
+      }
+    }
+
   // ---- Write-audit-publish (Iceberg's WAP pattern) -------------------
   // The single-step manifest protocol makes WAP free: data files are
   // only table state once a manifest references them, so "stage" is an
@@ -2200,6 +2253,13 @@ object ManifestTableStore {
     * pending delete can never shadow a data batch in replay detection.
     */
   private[engine] val DeleteBatchId = -1L
+
+  /** Reserved batch id of zero-row schema-marker entries
+    * ([[ManifestTableStore.addColumns]]) — outside the caller id space
+    * like [[DeleteBatchId]], so a schema commit can never shadow a
+    * data batch in replay detection.
+    */
+  private[engine] val SchemaBatchId = -2L
 
   /** Stats-JSON key of a delete entry's applicable data batch ids. */
   private[engine] val AppliesKey = "__applies__"

@@ -1129,6 +1129,60 @@ object StoreOps {
            |ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // ALTER TABLE ... ADD COLUMNS as DDL (q96 pins evolution-by-batch;
+    // this pins evolution BY STATEMENT): the column exists — and reads
+    // null-padded on every pre-DDL row — before any batch carries it,
+    // then an INSERT populates it for the new slice. The ALTER is
+    // idempotent (safe re-runs), the marker is a zero-row commit
+    // (SchemaDdlSpec pins CDF/count/compaction neutrality), and the
+    // grouped output exercises exactly the null-padding contract.
+    QueryDef(
+      "q216_sql_add_columns",
+      """WITH t AS (
+        |  SELECT 'none' AS priority_flag, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT substr(o_orderpriority, 1, 1), o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT priority_flag, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total
+        |FROM t GROUP BY priority_flag
+        |ORDER BY priority_flag""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_ddl", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      if (store.currentVersion(s) == 0L)
+        store.append(orders.filter(upTo("1998-01-01")), 0L)
+      val t = Map("silver_ddl" -> store)
+      graft.engine.StoreSql.exec(s, t, // idempotent under re-runs
+        "ALTER TABLE silver_ddl ADD COLUMNS (priority_flag STRING)")
+      if (store.currentVersion(s) == 2L) {
+        graft.engine.SqlEntry.registerViews(s, dir)
+        val cols = store.read(s).columns.filterNot(_ == "batch_id")
+        val sel = cols.map {
+          case "priority_flag" =>
+            "substr(o_orderpriority, 1, 1) AS priority_flag"
+          case c => c
+        }.mkString(", ")
+        graft.engine.StoreSql.exec(s, t,
+          s"INSERT INTO silver_ddl SELECT $sel FROM orders " +
+            "WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00' " +
+            "AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'",
+          batchId = Some(1L))
+      }
+      store.read(s)
+        .groupBy(coalesce(col("priority_flag"), lit("none"))
+          .as("priority_flag"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .orderBy("priority_flag")
+    },
+
     // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
     // a registered predicate every written row must satisfy, enforced
     // at the one choke point all write paths share. Two conforming

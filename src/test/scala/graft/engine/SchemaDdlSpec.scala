@@ -1,0 +1,77 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.{IntegerType, StringType}
+
+import graft.SparkSpec
+
+/** `ALTER TABLE ... ADD COLUMNS` as governed schema evolution: a
+  * zero-row schema-marker commit exposes the new columns null-padded
+  * on every existing row, idempotently and loudly.
+  */
+class SchemaDdlSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkStore(): ManifestTableStore = {
+    val p = Files.createTempDirectory("ddl-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString)
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    store
+  }
+
+  test("ADD COLUMNS through SQL: existing rows read null-padded, the " +
+      "next append can carry values, evolution composes with reads") {
+    val store = mkStore()
+    StoreSql.exec(spark, Map("t" -> store),
+      "ALTER TABLE t ADD COLUMNS (score INT, lang STRING)")
+    val afterDdl = store.read(spark)
+    assert(afterDdl.columns.toSet ==
+      Set("k", "n", "batch_id", "score", "lang"))
+    assert(afterDdl.filter("score IS NULL AND lang IS NULL").count() == 2)
+    store.append(Seq(("c", 3, 9, "en")).toDF("k", "n", "score", "lang"),
+      1L)
+    assert(store.read(spark).filter("score = 9").count() == 1)
+    // the marker is a real commit: history advanced by one version
+    assert(store.currentVersion(spark) == 3L)
+  }
+
+  test("idempotent when all columns exist with matching types; " +
+      "refuses partial overlap, type changes, nesting, empty tables") {
+    val store = mkStore()
+    store.addColumns(spark, Seq("score" -> IntegerType))
+    val v = store.currentVersion(spark)
+    store.addColumns(spark, Seq("score" -> IntegerType)) // no-op
+    assert(store.currentVersion(spark) == v)
+    intercept[IllegalArgumentException] {
+      store.addColumns(spark, Seq("score" -> StringType)) // type change
+    }
+    intercept[IllegalArgumentException] { // existing data column
+      store.addColumns(spark, Seq("n" -> StringType))
+    }
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "ALTER TABLE t ADD COLUMNS (meta.x INT)") // nested path
+    }
+    val empty = new ManifestTableStore(
+      Files.createTempDirectory("ddl2-").toString)
+    intercept[IllegalArgumentException] {
+      empty.addColumns(spark, Seq("x" -> IntegerType))
+    }
+  }
+
+  test("the schema marker survives maintenance and never surfaces as " +
+      "rows: compaction folds it, counts and CDF stay row-exact") {
+    val store = mkStore()
+    store.addColumns(spark, Seq("score" -> IntegerType))
+    assert(store.countRows(spark) == Some(2L))
+    assert(store.readChanges(spark, 1, 2).count() == 0,
+      "the ALTER version adds no rows to the change feed")
+    store.compact(spark)
+    assert(store.read(spark).count() == 2)
+    assert(store.read(spark).columns.contains("score"),
+      "the evolved column survives compaction")
+  }
+}
