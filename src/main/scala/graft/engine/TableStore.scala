@@ -2042,6 +2042,27 @@ final class ManifestTableStore(path: String,
         "re-read and retry")
   }
 
+  /** ONE-CALL maintenance (the scheduled OPTIMIZE habit): fold any
+    * pending merge-on-read delete files (targeted, [[compactDeletes]])
+    * then merge data dirs below `smallBytes` ([[compactSmall]]).
+    * Returns the actions that actually committed — both steps no-op on
+    * a clean table, so a cron-driven `maintain()` costs two manifest
+    * reads at steady state. Deliberately NOT clustering/z-ordering:
+    * layout choices depend on the query workload and stay explicit.
+    */
+  def maintain(spark: SparkSession,
+      smallBytes: Long = 32L << 20): Seq[String] = {
+    val actions = Seq.newBuilder[String]
+    if (current(fs(spark))._2.exists(isDeleteEntry)) {
+      compactDeletes(spark)
+      actions += "compactDeletes"
+    }
+    val before = currentVersion(spark)
+    compactSmall(spark, smallBytes)
+    if (currentVersion(spark) != before) actions += "compactSmall"
+    actions.result()
+  }
+
   /** Rewrite ops and row-level DML assume entries are data dirs; with
     * pending delete files their rewrite scope would be wrong. The
     * contract (as in Iceberg) is: fold deletes in first.

@@ -81,6 +81,20 @@ class CompactDeletesSpec extends SparkSpec {
     assert(vs == Set("reborn"))
   }
 
+  test("maintain() runs exactly the needed steps: fold when deletes " +
+      "pend, small-file merge when crumbs exist, nothing when clean") {
+    val store = mkStore()
+    store.deleteMoR(spark, "k = 5", "k")
+    // both dirs are tiny, so the small-file pass merges them too
+    assert(store.maintain(spark) ==
+      Seq("compactDeletes", "compactSmall"))
+    assert(store.read(spark).count() == 100)
+    assert(store.maintain(spark) == Nil,
+      "a clean table's maintenance is two manifest reads")
+    val v = store.currentVersion(spark)
+    assert(store.currentVersion(spark) == v)
+  }
+
   test("fast-forward refuses over a FOLDED deletion on main — both " +
       "the targeted fold (delfold- dirs) and whole-table compact " +
       "(row-count guard): publishing would resurrect deleted rows") {

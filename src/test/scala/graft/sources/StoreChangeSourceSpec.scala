@@ -174,6 +174,28 @@ class StoreChangeSourceSpec extends SparkSpec {
     }
   }
 
+  test("Trigger.AvailableNow drains the backlog and stops — the " +
+      "run-as-a-batch-job shape for scheduled incremental pipelines") {
+    val (path, store) = newStore()
+    store.append(Seq((1L, "a")).toDF("k", "v"), 0L)
+    store.append(Seq((2L, "b")).toDF("k", "v"), 1L)
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-store").option("path", path)
+      .load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("an-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= df.select("k", "v").as[(Long, String)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "AvailableNow must terminate")
+    assert(sink.toSet == Set((1L, "a"), (2L, "b")))
+  }
+
   test("getBatch windows are version-pinned (a replayed window " +
       "re-reads identical rows); missing path refuses") {
     val (path, store) = newStore()
