@@ -76,6 +76,10 @@ final class StoreRelation(val sqlContext: SQLContext,
   override lazy val schema: StructType =
     historical.getOrElse(store.read(spark)).schema
 
+  // rows flow as InternalRow straight from the underlying scans — no
+  // external-Row conversion pass (the file-relation bridge)
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val base = historical.getOrElse {
@@ -84,7 +88,9 @@ final class StoreRelation(val sqlContext: SQLContext,
         case None => store.read(spark)
       }
     }
-    base.select(requiredColumns.map(col).toSeq: _*).rdd
+    org.apache.spark.sql.graftshim.PlanShim
+      .internalRdd(base.select(requiredColumns.map(col).toSeq: _*))
+      .asInstanceOf[RDD[Row]]
   }
 }
 

@@ -47,6 +47,15 @@ object PlanShim {
       .internalCreateDataFrame(qe.toRdd, df.schema, isStreaming = false)
   }
 
+  /** A DataFrame's executed plan as its InternalRow RDD — for a
+    * `BaseRelation` with `needConversion=false` (the zero-copy bridge
+    * file-based relations use: rows flow through without an
+    * external-Row conversion pass).
+    */
+  def internalRdd(df: DataFrame)
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow] =
+    df.asInstanceOf[Dataset[_]].queryExecution.toRdd
+
   /** A Spark-configured local scratch dir (`spark.local.dir` /
     * `SPARK_LOCAL_DIRS` — on YARN/K8s the container's own disks, exactly
     * where shuffle and hash-aggregate spills go), falling back to
