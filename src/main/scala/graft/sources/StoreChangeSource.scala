@@ -79,8 +79,15 @@ final class StoreChangeSourceProvider extends StreamSourceProvider
     val statsCols = parameters.get("statsColumns")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Nil)
-    val store = new ManifestTableStore(path,
+    val main = new ManifestTableStore(path,
       partitionBy = partitionColumns, statsColumns = statsCols)
+    // stream INTO A BRANCH (the audit-branch/WAP pattern through the
+    // format API): micro-batches stage on the branch chain, invisible
+    // to main readers until a fastForward publishes the run
+    val store = parameters.get("branch") match {
+      case Some(name) => main.branch(name)
+      case None => main
+    }
     val writerId = parameters.getOrElse("writerId", "graft-store-sink")
     new Sink {
       override def addBatch(batchId: Long, data: DataFrame): Unit = {
@@ -121,12 +128,16 @@ final class StoreChangeSourceProvider extends StreamSourceProvider
     new StoreChangeSource(sqlContext.sparkSession,
       storeOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
-      cdf(parameters))
+      cdf(parameters),
+      // Delta's startingVersion: begin the tail AT a version instead
+      // of re-delivering the table's whole history — the shape for
+      // attaching a new consumer to a long-lived table
+      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
 }
 
 final class StoreChangeSource(spark: SparkSession,
     store: ManifestTableStore, override val schema: StructType,
-    cdf: Boolean) extends Source {
+    cdf: Boolean, startingVersion: Long = 0L) extends Source {
 
   import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 
@@ -138,7 +149,7 @@ final class StoreChangeSource(spark: SparkSession,
   private def version(o: Offset): Long = o.json.toLong
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val from = start.map(version).getOrElse(0L)
+    val from = start.map(version).getOrElse(startingVersion)
     val to = version(end)
     val raw =
       if (cdf) store.readChangeFeed(spark, from, to)

@@ -174,6 +174,57 @@ class StoreChangeSourceSpec extends SparkSpec {
     }
   }
 
+  test("startingVersion attaches a new consumer mid-history: nothing " +
+      "before the version is re-delivered") {
+    val (path, store) = newStore()
+    store.append(Seq((1L, "old")).toDF("k", "v"), 0L)   // v1
+    store.append(Seq((2L, "new")).toDF("k", "v"), 1L)   // v2
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-store").option("path", path)
+      .option("startingVersion", "1").load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("sv-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= df.select("k", "v").as[(Long, String)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    assert(sink.toSet == Set((2L, "new")),
+      s"only post-v1 commits may deliver: $sink")
+  }
+
+  test("the sink streams INTO A BRANCH: main readers see nothing " +
+      "until fastForward publishes the staged run") {
+    val (upPath, up) = newStore()
+    val downPath = Files.createTempDirectory("brsink-").toString
+    val down = new ManifestTableStore(downPath)
+    down.append(Seq((0L, "base")).toDF("k", "v"), 100L)
+    down.createBranch(spark, "ingest", 1L)
+    up.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    val q = spark.readStream.format("graft-store")
+      .option("path", upPath).load().select("k", "v")
+      .writeStream.format("graft-store")
+      .option("path", downPath).option("branch", "ingest")
+      .option("checkpointLocation",
+        Files.createTempDirectory("br-ckpt-").toString)
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    q.stop()
+    // staged, not published
+    assert(down.read(spark).count() == 1,
+      "main must not see the streamed batches before publish")
+    assert(down.branch("ingest").read(spark).count() == 3)
+    down.fastForward(spark, "ingest")
+    assert(down.read(spark).select("k", "v").as[(Long, String)]
+      .collect().toSet ==
+      Set((0L, "base"), (1L, "a"), (2L, "b")))
+  }
+
   test("Trigger.AvailableNow drains the backlog and stops — the " +
       "run-as-a-batch-job shape for scheduled incremental pipelines") {
     val (path, store) = newStore()
