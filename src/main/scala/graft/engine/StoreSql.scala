@@ -268,6 +268,20 @@ object StoreSql {
               "supported")
           c.colName -> c.dataType
         })
+      case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>
+        // versioned metadata-only drop: a zero-row marker commit; time
+        // travel before it still shows the column
+        val store = storeOf(d.table)
+        d.columnsToDrop.foreach {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedFieldName =>
+            require(u.name.size == 1,
+              s"nested DROP COLUMN path ${u.name.mkString(".")} is " +
+                "not supported")
+            store.dropColumn(spark, u.name.head)
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP COLUMN reference: $other")
+        }
       case other => throw new IllegalArgumentException(
         s"not a store DML statement: ${other.getClass.getSimpleName}")
     }

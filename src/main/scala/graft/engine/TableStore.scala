@@ -643,17 +643,78 @@ final class ManifestTableStore(path: String,
             "changes are not supported")
       }
       if (fresh.isEmpty) return // all present with matching types
+      val retired = dropsOf(lines)
+      fresh.foreach { case (n, _) =>
+        require(!retired.exists(_.equalsIgnoreCase(n)),
+          s"column name '$n' was DROPPED and is retired: old data " +
+            "files still hold its values, and without field-id column " +
+            "mapping a re-add would resurrect them (compact() first " +
+            "to materialize the drop, then re-add)")
+      }
       val schema = org.apache.spark.sql.types.StructType(fresh.map {
         case (n, t) =>
           org.apache.spark.sql.types.StructField(n, t, nullable = true)
       })
       val dir = s"$path/data/schema-${java.util.UUID.randomUUID()}"
-      write(spark.createDataFrame(
+      // direct unpartitioned write: a zero-row marker has no partition
+      // values and nothing for checks to see
+      spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .withColumn("batch_id",
-          lit(ManifestTableStore.SchemaBatchId)), dir)
+        .withColumn("batch_id", lit(ManifestTableStore.SchemaBatchId))
+        .write.mode("overwrite").parquet(dir)
       val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
         collectStats(spark, dir))
+      var next = v + 1
+      while (!tryCommit(f, next, lines :+ entry)) {
+        val (nv, nlines) = current(f)
+        lines = nlines; v = nv
+        next = math.max(nv + 1, next + 1)
+      }
+    }
+
+  /** Governed `ALTER TABLE ... DROP COLUMN` — metadata-only, like
+    * Iceberg's column drop: no data file is rewritten; a zero-row DROP
+    * MARKER entry records the retired name in the manifest, and every
+    * read of a version that carries the marker projects the column
+    * away. Because the marker is a manifest entry, the drop is
+    * VERSIONED: time travel to a pre-drop version still shows the
+    * column with its data — exactly what an auditor expects. A later
+    * [[compact]] materializes the drop physically (the rewrite reads
+    * the projected state). Re-ADDING a dropped name is refused — the
+    * old parquet files still hold the old values, and without
+    * field-id column mapping (Iceberg's mechanism) a re-add would
+    * resurrect them into the new column. Partition columns, the
+    * merge-on-read key, and `batch_id` cannot drop.
+    */
+  def dropColumn(spark: SparkSession, name: String): Unit =
+    synchronized {
+      val f = fs(spark)
+      var (v, lines) = current(f)
+      require(lines.nonEmpty, s"no committed batches under $path")
+      val schema = readEntries(spark, lines).schema
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"unknown column '$name'")
+      require(!name.equalsIgnoreCase("batch_id"),
+        "batch_id is the store's replay-attribution column")
+      require(!partitionBy.exists(_.equalsIgnoreCase(name)),
+        s"'$name' is a partition column")
+      require(!morDeleteKey.exists(_.equalsIgnoreCase(name)),
+        s"'$name' is the merge-on-read delete key")
+      val canonical = schema.fieldNames
+        .find(_.equalsIgnoreCase(name)).get
+      val dir = s"$path/data/dropcol-${java.util.UUID.randomUUID()}"
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType))))
+        .write.mode("overwrite").parquet(dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      root.put(ManifestTableStore.DropColKey, canonical)
+      root.put(ManifestTableStore.CountKey, 0L)
+      val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+        mapper.writeValueAsString(root))
       var next = v + 1
       while (!tryCommit(f, next, lines :+ entry)) {
         val (nv, nlines) = current(f)
@@ -758,8 +819,11 @@ final class ManifestTableStore(path: String,
       val f = fs(spark)
       val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "compactSmall")
-      val small = lines.map(_.dir).distinct.filter(d =>
-        f.getContentSummary(new HPath(d)).getLength < smallBytes)
+      // drop markers carry verbatim: merging one into a data dir would
+      // lose the drop while untouched dirs still hold the column
+      val small = lines.filterNot(isDropMarker).map(_.dir).distinct
+        .filter(d =>
+          f.getContentSummary(new HPath(d)).getLength < smallBytes)
       if (small.size < 2) return
       val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
       write(readDirs(spark, small), dataDir)
@@ -841,7 +905,7 @@ final class ManifestTableStore(path: String,
       requireNoDeleteFiles(lines, "compactClustered")
     if (lines.isEmpty) return
     val base = s"$path/data/cluster-${java.util.UUID.randomUUID()}"
-    val clustered = readDirs(spark, lines.map(_.dir).distinct)
+    val clustered = readEntries(spark, lines) // drops materialize here
       .repartitionByRange(buckets, col(clusterBy))
       .withColumn("__cluster", spark_partition_id())
     val w = clustered.write.mode("overwrite")
@@ -893,7 +957,7 @@ final class ManifestTableStore(path: String,
     if (lines.isEmpty) return
     val bitsPer = 12
     val n = zorderBy.size
-    val base0 = readDirs(spark, lines.map(_.dir).distinct)
+    val base0 = readEntries(spark, lines) // drops materialize here
     val total = base0.count()
     val denom = math.max(total - 1L, 1L).toDouble
     val ranked = zorderBy.zipWithIndex.foldLeft(base0) {
@@ -956,7 +1020,8 @@ final class ManifestTableStore(path: String,
       val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "delete")
       if (lines.isEmpty) return
-      val (touched, _) = pruneEntries(spark, predicateSql, lines)
+      val (touched, _) = pruneEntries(spark, predicateSql,
+        lines.filterNot(isDropMarker))
       if (touched.isEmpty) return // stats prove no row matches: no-op
       val keep = !expr(predicateSql)
       rewriteDirs(spark, f, v, lines, touched.toSet, "delete",
@@ -978,7 +1043,8 @@ final class ManifestTableStore(path: String,
       val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "update")
       if (lines.isEmpty) return
-      val (touched, _) = pruneEntries(spark, predicateSql, lines)
+      val (touched, _) = pruneEntries(spark, predicateSql,
+        lines.filterNot(isDropMarker))
       if (touched.isEmpty) return
       val hit = expr(predicateSql)
       rewriteDirs(spark, f, v, lines, touched.toSet, "update", { df =>
@@ -1025,9 +1091,12 @@ final class ManifestTableStore(path: String,
     * comparison is representation-free.
     */
   private def mergeTouchedDirs(source: DataFrame, key: String,
-      lines: Seq[Entry]): Set[String] = {
+      lines0: Seq[Entry]): Set[String] = {
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
+    // drop markers are structural, never data: a key join cannot run
+    // against their batch_id-only files
+    val lines = lines0.filterNot(isDropMarker)
     val kt = source.schema(key).dataType
     val isTs = kt == TimestampType || kt == TimestampNTZType
     def norm(c: org.apache.spark.sql.Column) =
@@ -1112,7 +1181,8 @@ final class ManifestTableStore(path: String,
       d.withColumnRenamed(c, s"__src_$c"))
     val touched: Set[String] =
       if (matched.isEmpty && bySource.isEmpty) Set.empty // insert-only
-      else if (bySource.nonEmpty) lines.map(_.dir).toSet
+      else if (bySource.nonEmpty)
+        lines.filterNot(isDropMarker).map(_.dir).toSet
       else mergeTouchedDirs(src, key, lines)
     // index of the first clause (declaration order) whose condition
     // holds, -1 when none does — SQL MERGE's first-match-wins
@@ -1719,7 +1789,8 @@ final class ManifestTableStore(path: String,
     if (newIds.isEmpty)
       return readDirs(spark, to.map(_.dir).distinct).filter(lit(false))
     val dirs = to.filter(e => newIds.contains(e.batchId)).map(_.dir).distinct
-    readDirs(spark, dirs).filter(col("batch_id").isInCollection(newIds))
+    dropsOf(to).foldLeft(readDirs(spark, dirs)
+      .filter(col("batch_id").isInCollection(newIds)))(_.drop(_))
   }
 
   /** FULL change-data-feed between two versions — Delta CDF shaped:
@@ -1792,11 +1863,14 @@ final class ManifestTableStore(path: String,
     val oldS = scoped(fromDel, fromData)
     val newS = scoped(toDel, toData)
     // align schemas across evolution (columns added between versions)
+    // the feed serves the END version's schema (Delta's CDF rule):
+    // columns its drop markers retired are projected off both sides
+    val toDrops = dropsOf(toE).map(_.toLowerCase).toSet
     val allFields = (oldS.toSeq ++ newS.toSeq).flatMap(_.schema.fields)
       .foldLeft(Vector.empty[org.apache.spark.sql.types.StructField]) {
         (acc, fld) =>
           if (acc.exists(_.name == fld.name)) acc else acc :+ fld
-      }
+      }.filterNot(f => toDrops.contains(f.name.toLowerCase))
     def aligned(dfo: Option[DataFrame]): DataFrame = {
       val base = dfo.getOrElse(
         (oldS.orElse(newS)).get.filter(lit(false)))
@@ -1927,10 +2001,28 @@ final class ManifestTableStore(path: String,
   private def isDeleteEntry(e: Entry): Boolean =
     e.dir.startsWith(s"$path/deletes/")
 
+  /** A zero-row DROP-COLUMN marker ([[dropColumn]]): structural, never
+    * data — rewrite scopes must skip it (its file holds only batch_id,
+    * so a predicate/join over data columns cannot run against it) and
+    * incremental compaction must carry it VERBATIM (folding it into a
+    * merged dir would lose the drop while untouched dirs still hold
+    * the column physically).
+    */
+  private def isDropMarker(e: Entry): Boolean =
+    e.batchId == ManifestTableStore.SchemaBatchId &&
+      ManifestTableStore.parseDropCol(e.statsJson).isDefined
+
+  /** The column names a snapshot's drop markers retire. */
+  private def dropsOf(lines: Seq[Entry]): Seq[String] =
+    lines.flatMap(e => ManifestTableStore.parseDropCol(e.statsJson))
+      .distinct
+
   private def readEntries(spark: SparkSession,
       lines: Seq[Entry]): DataFrame = {
     val (dels, datas) = lines.partition(isDeleteEntry)
-    applyDeletes(spark, readDirs(spark, datas.map(_.dir).distinct), dels)
+    dropsOf(lines).foldLeft(
+      applyDeletes(spark, readDirs(spark, datas.map(_.dir).distinct),
+        dels))(_.drop(_))
   }
 
   private def applyDeletes(spark: SparkSession, base: DataFrame,
@@ -2092,12 +2184,14 @@ final class ManifestTableStore(path: String,
     // version's data dirs with an old version's delete files
     val (_, lines) = current(fs(spark))
     val (dels, datas) = lines.partition(isDeleteEntry)
-    val (kept, _) = pruneEntries(spark, predicateSql, datas)
+    val (kept, _) =
+      pruneEntries(spark, predicateSql, datas.filterNot(isDropMarker))
     val base =
       if (kept.isEmpty) readEntries(spark, lines) // footers skip the rest
-      else applyDeletes(spark, kept
+      else dropsOf(lines).foldLeft(applyDeletes(spark, kept
         .map(d => spark.read.option("mergeSchema", "true").parquet(d))
-        .reduce(_.unionByName(_, allowMissingColumns = true)), dels)
+        .reduce(_.unionByName(_, allowMissingColumns = true)), dels))(
+        _.drop(_))
     base.filter(expr(predicateSql))
   }
 
@@ -2276,11 +2370,25 @@ object ManifestTableStore {
   private[engine] val DeleteBatchId = -1L
 
   /** Reserved batch id of zero-row schema-marker entries
-    * ([[ManifestTableStore.addColumns]]) — outside the caller id space
+    * ([[ManifestTableStore.addColumns]] /
+    * [[ManifestTableStore.dropColumn]]) — outside the caller id space
     * like [[DeleteBatchId]], so a schema commit can never shadow a
     * data batch in replay detection.
     */
   private[engine] val SchemaBatchId = -2L
+
+  /** Stats-JSON key of a DROP-COLUMN marker entry: the retired column
+    * name. A version carrying such an entry serves reads WITHOUT the
+    * column; versions before it still show it (versioned drop).
+    */
+  private[engine] val DropColKey = "__dropcol__"
+
+  private[engine] def parseDropCol(json: String): Option[String] = {
+    if (json.isEmpty || !json.contains(DropColKey)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json).get(DropColKey)
+    if (n != null && n.isTextual) Some(n.asText()) else None
+  }
 
   /** Stats-JSON key of a delete entry's applicable data batch ids. */
   private[engine] val AppliesKey = "__applies__"

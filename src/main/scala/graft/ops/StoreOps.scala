@@ -1183,6 +1183,50 @@ object StoreOps {
         .orderBy("priority_flag")
     },
 
+    // DROP COLUMN as versioned metadata (q216's inverse): the custkey
+    // column is retired by ONE zero-row marker commit — no data file
+    // rewritten — and the same query reads BOTH sides of the drop:
+    // current state (column gone; the grouped aggregate runs on what
+    // remains) and the pre-drop version via time travel (the audit
+    // slice proving the data still exists AS OF v1, here the count of
+    // distinct custkeys). A drop that leaked into history, or one that
+    // rewrote/damaged data, hash-mismatches one side or the other.
+    QueryDef(
+      "q217_sql_drop_column",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  (SELECT COUNT(DISTINCT o_custkey) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |    AS custkeys_asof_v1,
+        |  1 AS custkey_dropped
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_dropcol", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      if (store.currentVersion(s) == 0L)
+        store.append(orders.filter(
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp")), 0L)
+      if (store.currentVersion(s) == 1L)
+        graft.engine.StoreSql.exec(s, Map("silver_drop" -> store),
+          "ALTER TABLE silver_drop DROP COLUMN o_custkey")
+      val dropped =
+        if (store.read(s).columns.contains("o_custkey")) 0 else 1
+      val keysV1 = store.readVersion(s, 1L)
+        .select(countDistinct(col("o_custkey"))).head().getLong(0)
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .withColumn("custkeys_asof_v1", lit(keysV1))
+        .withColumn("custkey_dropped", lit(dropped))
+        .orderBy("o_orderstatus")
+    },
+
     // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
     // a registered predicate every written row must satisfy, enforced
     // at the one choke point all write paths share. Two conforming

@@ -62,6 +62,59 @@ class SchemaDdlSpec extends SparkSpec {
     }
   }
 
+  test("DROP COLUMN is versioned metadata: current reads hide the " +
+      "column, time travel before the drop still shows it, filters " +
+      "and DML on remaining columns keep working") {
+    val store = mkStore() // v1: (k, n)
+    StoreSql.exec(spark, Map("t" -> store),
+      "ALTER TABLE t DROP COLUMN n") // v2
+    assert(store.read(spark).columns.toSet == Set("k", "batch_id"))
+    assert(store.readVersion(spark, 1L).columns.contains("n"),
+      "the pre-drop version must still carry the column and its data")
+    assert(store.readVersion(spark, 1L).filter("n = 2").count() == 1)
+    // remaining-column surface unaffected
+    assert(store.readWhere(spark, "k = 'a'").count() == 1)
+    store.delete(spark, "k = 'b'")
+    assert(store.read(spark).select("k").as[String].collect().toSet
+      == Set("a"))
+    // a new append without the dropped column works; querying the
+    // dropped name fails like any unknown column
+    store.append(Seq(Tuple1("c")).toDF("k"), 1L)
+    assert(store.read(spark).count() == 2)
+    intercept[Exception] { store.read(spark).select("n").collect() }
+  }
+
+  test("a dropped name is RETIRED until a compact materializes the " +
+      "drop; maintenance never resurrects the column") {
+    val store = mkStore()
+    store.dropColumn(spark, "n")
+    intercept[IllegalArgumentException] {
+      store.addColumns(spark,
+        Seq("n" -> org.apache.spark.sql.types.IntegerType))
+    }
+    // incremental compaction must NOT fold the marker away (the big
+    // dirs still hold the column physically)
+    store.append(Seq(Tuple1("c")).toDF("k"), 1L)
+    store.compactSmall(spark, 1L << 30)
+    assert(!store.read(spark).columns.contains("n"),
+      "compactSmall must not resurrect a dropped column")
+    // whole-table compact materializes the drop; the name frees up
+    store.compact(spark)
+    assert(!store.read(spark).columns.contains("n"))
+    store.addColumns(spark,
+      Seq("n" -> org.apache.spark.sql.types.StringType))
+    assert(store.read(spark).filter("n IS NULL").count() ==
+      store.read(spark).count(),
+      "the re-added column starts empty — no resurrected values")
+    // refusals: partition/batch_id/unknown columns
+    intercept[IllegalArgumentException] {
+      store.dropColumn(spark, "batch_id")
+    }
+    intercept[IllegalArgumentException] {
+      store.dropColumn(spark, "nope")
+    }
+  }
+
   test("the schema marker survives maintenance and never surfaces as " +
       "rows: compaction folds it, counts and CDF stay row-exact") {
     val store = mkStore()
