@@ -46,6 +46,22 @@ class PinSpec extends SparkSpec {
     assert(viaCheckpoint == viaPersist)
   }
 
+  test("REAL pin-using oracle pipelines are mode-independent: the " +
+      "iterative near-dup clustering and the rank-select histogram " +
+      "return identical rows under persist") {
+    val dir = "/root/testdata/sf0.001"
+    def run(q: String): Seq[String] =
+      graft.SparkEntry.queries(q)(spark, dir)
+        .collect().map(_.toString).sorted.toSeq
+    val queries =
+      Seq("q193_length_quality_hist", "q49_neardup_reps")
+    val default = queries.map(q => q -> run(q)).toMap
+    spark.conf.set(Pin.ModeKey, "persist")
+    try queries.foreach { q =>
+      assert(run(q) == default(q), s"$q diverged under persist mode")
+    } finally spark.conf.unset(Pin.ModeKey)
+  }
+
   test("an unknown mode refuses loudly") {
     spark.conf.set(Pin.ModeKey, "nope")
     try intercept[IllegalArgumentException] {
