@@ -450,7 +450,19 @@ final class ManifestTableStore(path: String,
     }
   }
 
-  private def write(df: DataFrame, dir: String): Unit = {
+  private def write(df0: DataFrame, dir: String): Unit = {
+    // a rewrite of a dir whose partition column held ONLY nulls reads
+    // back VOID-typed (hive inference over a lone
+    // __HIVE_DEFAULT_PARTITION__ dir name carries no type) and a void
+    // partition column refuses to write — cast to string, which is
+    // type-neutral on disk (partition values live in dir names and
+    // re-infer on read)
+    val df = partitionBy.foldLeft(df0) { (d, c) =>
+      if (d.schema.fields.exists(fld => fld.name.equalsIgnoreCase(c) &&
+          fld.dataType == org.apache.spark.sql.types.NullType))
+        d.withColumn(c, col(c).cast("string"))
+      else d
+    }
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(dir)
@@ -572,9 +584,20 @@ final class ManifestTableStore(path: String,
       val touched = lines.map(_.dir).distinct
         .filter(d => partitionTuples(f, d).exists(touchedTuples))
         .toSet
+      // null-safe per column: hive encodes a NULL partition value as the
+      // __HIVE_DEFAULT_PARTITION__ dir name, and a plain === against ANY
+      // literal evaluates to NULL for null-valued rows — the negated
+      // filter would then silently DROP null-partition rows from every
+      // rewritten dir (and never replace existing null-partition rows).
+      // <=> against the decoded value (null for the hive sentinel) keeps
+      // the predicate two-valued for every row.
       val keep = !touchedTuples.toSeq.map(t =>
         partitionBy.zip(t).map { case (c, value) =>
-          col(c).cast("string") === lit(value)
+          val decoded =
+            if (value == ManifestTableStore.HiveNullPartition)
+              lit(null).cast("string")
+            else lit(value)
+          col(c).cast("string") <=> decoded
         }.reduce(_ && _)).reduce(_ || _)
       rewriteDirs(spark, f, v, lines, touched, "overwrite",
         _.filter(keep), extra = Seq(entry))
@@ -1862,6 +1885,13 @@ final class ManifestTableStore(path: String,
     }
     val oldS = scoped(fromDel, fromData)
     val newS = scoped(toDel, toData)
+    // nothing changed between the versions (e.g. fromVersion ==
+    // toVersion, or only metadata markers moved): an EMPTY feed in the
+    // end-version's schema, not a NoSuchElementException from the
+    // alignment fallback below
+    if (oldS.isEmpty && newS.isEmpty)
+      return readEntries(spark, if (toE.nonEmpty) toE else fromE)
+        .filter(lit(false)).withColumn("_change_type", lit("insert"))
     // align schemas across evolution (columns added between versions)
     // the feed serves the END version's schema (Delta's CDF rule):
     // columns its drop markers retired are projected off both sides
@@ -2389,6 +2419,27 @@ object ManifestTableStore {
     val n = mapper.readTree(json).get(DropColKey)
     if (n != null && n.isTextual) Some(n.asText()) else None
   }
+
+  /** Stats-JSON key of a RENAME-COLUMN marker entry: an object
+    * `{"f": old, "t": new}`. A version carrying it serves reads under
+    * the NEW name (old physical files project through a coalesce of the
+    * two); versions before it still show the old name (versioned
+    * rename, Iceberg's rename-by-field-id semantics without field ids).
+    */
+  private[engine] val RenameColKey = "__renamecol__"
+
+  private[engine] def parseRenameCol(json: String)
+      : Option[(String, String)] = {
+    if (json.isEmpty || !json.contains(RenameColKey)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json).get(RenameColKey)
+    if (n != null && n.has("f") && n.has("t"))
+      Some((n.get("f").asText(), n.get("t").asText()))
+    else None
+  }
+
+  /** Hive's directory name for a NULL partition value. */
+  private[engine] val HiveNullPartition = "__HIVE_DEFAULT_PARTITION__"
 
   /** Stats-JSON key of a delete entry's applicable data batch ids. */
   private[engine] val AppliesKey = "__applies__"

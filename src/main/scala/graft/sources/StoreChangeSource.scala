@@ -129,10 +129,14 @@ final class StoreChangeSourceProvider extends StreamSourceProvider
       storeOf(parameters),
       sourceSchema(sqlContext, schema, providerName, parameters)._2,
       cdf(parameters),
-      // Delta's startingVersion: begin the tail AT a version instead
-      // of re-delivering the table's whole history — the shape for
-      // attaching a new consumer to a long-lived table
-      parameters.get("startingVersion").map(_.toLong).getOrElse(0L))
+      // Delta's startingVersion: begin the tail AT a version (INCLUSIVE
+      // of that version's own commit, matching Delta's same-named
+      // option) instead of re-delivering the table's whole history —
+      // the shape for attaching a new consumer to a long-lived table.
+      // Batch windows are (exclusiveFrom, to], so inclusive-of-v means
+      // the first window opens at v - 1.
+      parameters.get("startingVersion")
+        .map(s => math.max(0L, s.toLong - 1L)).getOrElse(0L))
 }
 
 final class StoreChangeSource(spark: SparkSession,

@@ -83,7 +83,8 @@ final class StoreRelation(val sqlContext: SQLContext,
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val base = historical.getOrElse {
-      StoreRelation.predicateSql(filters) match {
+      StoreRelation.predicateSql(filters,
+          spark.sessionState.conf.sessionLocalTimeZone) match {
         case Some(p) => store.readWhere(spark, p)
         case None => store.read(spark)
       }
@@ -102,15 +103,25 @@ object StoreRelation {
     * exotic value types (or filter shapes) simply drop out of the
     * pruning predicate.
     */
-  private[sources] def predicateSql(filters: Array[Filter])
-      : Option[String] = {
+  private[sources] def predicateSql(filters: Array[Filter],
+      sessionTimeZone: String = "UTC"): Option[String] = {
+    // Timestamp/Instant literals render in the SESSION timezone, never
+    // via java.sql.Timestamp.toString (which formats in the JVM-default
+    // zone): readWhere's predicate is a ROW filter as well as a pruning
+    // hint, and when the two zones differ a default-zone rendering
+    // re-parses to a SHIFTED instant — Spark's re-applied residual
+    // filter cannot restore rows a wrong pushed filter already dropped.
+    val zone = java.time.ZoneId.of(sessionTimeZone)
+    val tsFmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS").withZone(zone)
     def lit(v: Any): Option[String] = v match {
       case null => None
       case s: String => Some(s"'${s.replace("'", "''")}'")
-      case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+      case t: java.sql.Timestamp =>
+        Some(s"TIMESTAMP '${tsFmt.format(t.toInstant)}'")
       case d: java.sql.Date => Some(s"DATE '$d'")
       case i: java.time.Instant =>
-        Some(s"TIMESTAMP '${java.sql.Timestamp.from(i)}'")
+        Some(s"TIMESTAMP '${tsFmt.format(i)}'")
       case d: java.time.LocalDate => Some(s"DATE '$d'")
       case b: Boolean => Some(b.toString)
       case n @ (_: Byte | _: Short | _: Int | _: Long | _: Float |

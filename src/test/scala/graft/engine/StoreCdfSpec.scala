@@ -115,4 +115,13 @@ class StoreCdfSpec extends SparkSpec {
       store.readChangeFeed(spark, 0, 0)
     }
   }
+
+  test("an UNCHANGED window (from == to on a non-empty table) is an " +
+      "empty feed in the end-version's schema, not an exception") {
+    val store = mkStore()
+    val v = store.currentVersion(spark)
+    val f = store.readChangeFeed(spark, v, v)
+    assert(f.columns.contains("_change_type"))
+    assert(f.count() == 0, "nothing changed, nothing may report")
+  }
 }

@@ -62,6 +62,37 @@ class StoreOverwriteSpec extends SparkSpec {
       "the d3-only dir must carry forward byte-identical")
   }
 
+  test("NULL partition values are null-safe under dynamic overwrite: " +
+      "untouched null-partition rows carry forward, and a batch " +
+      "carrying the null partition REPLACES existing null rows") {
+    val p = Files.createTempDirectory("ovwnull-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      partitionBy = Seq("day"))
+    store.append(
+      Seq((Option("d1"), "a", 1), (Option.empty[String], "n1", 2),
+        (Option.empty[String], "n2", 3)).toDF("day", "k", "n"), 0L)
+    def st(): Set[(Option[String], String, Int)] =
+      store.read(spark).select("day", "k", "n").collect()
+        .map(r => (Option(r.getString(0)), r.getString(1), r.getInt(2)))
+        .toSet
+    // overwriting d1 rewrites the shared dir; a plain === keep filter
+    // evaluates NULL for the null-day rows and would silently DROP them
+    store.overwritePartitions(
+      Seq(("d1", "x", 10)).toDF("day", "k", "n"), 1L)
+    assert(st() == Set((Some("d1"), "x", 10), (None, "n1", 2),
+      (None, "n2", 3)),
+      "null-partition rows must survive an overwrite of another partition")
+    // a batch CARRYING the null partition (hive dir
+    // __HIVE_DEFAULT_PARTITION__) must replace the existing null rows,
+    // not duplicate alongside them
+    store.overwritePartitions(
+      Seq(("n9", 9)).toDF("k", "n")
+        .selectExpr("CAST(NULL AS STRING) AS day", "k", "n"), 2L)
+    assert(st() == Set((Some("d1"), "x", 10), (None, "n9", 9)),
+      "the null partition must replace, not duplicate")
+  }
+
   test("full-table overwrite replaces everything in one commit and " +
       "conflicts with a concurrent write instead of clobbering it") {
     val store = partStore()

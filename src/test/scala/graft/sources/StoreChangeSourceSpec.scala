@@ -174,28 +174,38 @@ class StoreChangeSourceSpec extends SparkSpec {
     }
   }
 
-  test("startingVersion attaches a new consumer mid-history: nothing " +
-      "before the version is re-delivered") {
+  test("startingVersion attaches a new consumer mid-history, INCLUSIVE " +
+      "of the named version (Delta's contract): nothing before it is " +
+      "re-delivered, the version's own commit is") {
     val (path, store) = newStore()
     store.append(Seq((1L, "old")).toDF("k", "v"), 0L)   // v1
     store.append(Seq((2L, "new")).toDF("k", "v"), 1L)   // v2
-    val sink = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
-    val q = spark.readStream.format("graft-store").option("path", path)
-      .option("startingVersion", "1").load()
-      .writeStream
-      .option("checkpointLocation",
-        Files.createTempDirectory("sv-ckpt-").toString)
-      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
-        sink.synchronized {
-          sink ++= df.select("k", "v").as[(Long, String)].collect()
+    def drain(fromVersion: Long): Set[(Long, String)] = {
+      val sink =
+        new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+      val q = spark.readStream.format("graft-store").option("path", path)
+        .option("startingVersion", fromVersion.toString).load()
+        .writeStream
+        .option("checkpointLocation",
+          Files.createTempDirectory("sv-ckpt-").toString)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          sink.synchronized {
+            sink ++= df.select("k", "v").as[(Long, String)].collect()
+          }
+          ()
         }
-        ()
-      }
-      .trigger(Trigger.ProcessingTime(0)).start()
-    q.processAllAvailable()
-    q.stop()
-    assert(sink.toSet == Set((2L, "new")),
-      s"only post-v1 commits may deliver: $sink")
+        .trigger(Trigger.ProcessingTime(0)).start()
+      q.processAllAvailable()
+      q.stop()
+      sink.toSet
+    }
+    // AT version 2: only v2's commit delivers — v1 is never re-read
+    assert(drain(2L) == Set((2L, "new")),
+      "startingVersion 2 must deliver exactly version 2's commit")
+    // AT version 1: version 1's OWN rows deliver too — a consumer
+    // ported from Delta must not silently lose one commit
+    assert(drain(1L) == Set((1L, "old"), (2L, "new")),
+      "startingVersion is inclusive of the named version")
   }
 
   test("the sink streams INTO A BRANCH: main readers see nothing " +

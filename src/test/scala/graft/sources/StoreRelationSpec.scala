@@ -124,4 +124,41 @@ class StoreRelationSpec extends SparkSpec {
         .count()
     }
   }
+
+  test("timestamp filters render in the SESSION timezone, not the " +
+      "JVM default: a pushed row filter keeps the right rows even " +
+      "when the two zones disagree") {
+    import org.apache.spark.sql.sources.GreaterThan
+    val inst = java.time.Instant.parse("2026-01-02T03:04:05.123456Z")
+    val defaultTz = java.util.TimeZone.getDefault
+    try {
+      // a JVM default 8h behind UTC: Timestamp.toString would render
+      // '2026-01-01 19:04:05…', which a UTC session re-parses as a
+      // DIFFERENT instant — rows between the two instants would be
+      // wrongly dropped by the pushed (row-level) filter
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("Etc/GMT+8"))
+      assert(StoreRelation.predicateSql(
+        Array(GreaterThan("ts", java.sql.Timestamp.from(inst))), "UTC")
+        == Some("`ts` > TIMESTAMP '2026-01-02 03:04:05.123456'"))
+      assert(StoreRelation.predicateSql(
+        Array(GreaterThan("ts", inst)), "UTC")
+        == Some("`ts` > TIMESTAMP '2026-01-02 03:04:05.123456'"))
+      // end-to-end under the skewed default zone: the format read with
+      // a timestamp predicate returns exactly the rows a plain read +
+      // filter does
+      val p = Files.createTempDirectory("reltz-")
+      p.toFile.deleteOnExit()
+      val store = new ManifestTableStore(p.toString,
+        statsColumns = Seq("ts"))
+      store.append(
+        Seq("2026-01-02 00:00:00", "2026-01-02 06:00:00")
+          .toDF("s").selectExpr("CAST(s AS TIMESTAMP) AS ts"), 0L)
+      val got = spark.read.format("graft-store")
+        .option("path", p.toString).load()
+        .filter($"ts" > java.sql.Timestamp.from(inst))
+      assert(got.count() == 1,
+        "only the 06:00 UTC row is after 03:04:05 UTC")
+    } finally java.util.TimeZone.setDefault(defaultTz)
+  }
 }
