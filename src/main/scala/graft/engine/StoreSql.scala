@@ -282,6 +282,21 @@ object StoreSql {
           case other => throw new IllegalArgumentException(
             s"unsupported DROP COLUMN reference: $other")
         }
+      case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
+        // versioned metadata-only rename (the third governed-evolution
+        // leg): a zero-row marker commit; time travel before it shows
+        // the old name, resurrection of either name is refused
+        val store = storeOf(r.table)
+        r.column match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedFieldName =>
+            require(u.name.size == 1,
+              s"nested RENAME COLUMN path ${u.name.mkString(".")} is " +
+                "not supported")
+            store.renameColumn(spark, u.name.head, r.newName)
+          case other => throw new IllegalArgumentException(
+            s"unsupported RENAME COLUMN reference: $other")
+        }
       case other => throw new IllegalArgumentException(
         s"not a store DML statement: ${other.getClass.getSimpleName}")
     }

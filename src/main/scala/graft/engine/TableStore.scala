@@ -666,13 +666,14 @@ final class ManifestTableStore(path: String,
             "changes are not supported")
       }
       if (fresh.isEmpty) return // all present with matching types
-      val retired = dropsOf(lines)
+      val retired = retiredNames(lines)
       fresh.foreach { case (n, _) =>
         require(!retired.exists(_.equalsIgnoreCase(n)),
-          s"column name '$n' was DROPPED and is retired: old data " +
-            "files still hold its values, and without field-id column " +
-            "mapping a re-add would resurrect them (compact() first " +
-            "to materialize the drop, then re-add)")
+          s"column name '$n' was DROPPED or RENAMED AWAY and is " +
+            "retired: old data files still hold its values, and " +
+            "without field-id column mapping a re-add would resurrect " +
+            "them (compact() first to materialize the schema, then " +
+            "re-add)")
       }
       val schema = org.apache.spark.sql.types.StructType(fresh.map {
         case (n, t) =>
@@ -735,6 +736,88 @@ final class ManifestTableStore(path: String,
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val root = mapper.createObjectNode()
       root.put(ManifestTableStore.DropColKey, canonical)
+      root.put(ManifestTableStore.CountKey, 0L)
+      val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+        mapper.writeValueAsString(root))
+      var next = v + 1
+      while (!tryCommit(f, next, lines :+ entry)) {
+        val (nv, nlines) = current(f)
+        lines = nlines; v = nv
+        next = math.max(nv + 1, next + 1)
+      }
+    }
+
+  /** Governed `ALTER TABLE ... RENAME COLUMN` — metadata-only, the
+    * third leg of schema evolution after ADD ([[addColumns]]) and DROP
+    * ([[dropColumn]]): no data file is rewritten; a zero-row RENAME
+    * MARKER records (old, new) in the manifest and every read of a
+    * version carrying it serves the column under the NEW name (old
+    * physical files project through [[applyRenames]]' coalesce). The
+    * rename is VERSIONED: time travel before the marker still shows the
+    * old name with its data. DML rewrites materialize the new name
+    * incrementally; [[compact]] materializes it table-wide.
+    *
+    * Resurrection guards, both directions (the field-id-free analogue
+    * of Iceberg's rename): the old name joins the RETIRED set — old
+    * parquet files still hold its values, so re-ADDing (or renaming
+    * another column onto) it before a compact would resurrect them —
+    * and the new name must be fresh: not present, not itself retired.
+    * Partition columns, the merge-on-read key, `batch_id`, and columns
+    * referenced by a registered CHECK constraint cannot rename (the
+    * check's predicate text would silently stop matching writes).
+    * Stats/bloom skipping on dirs written before the rename keys off
+    * the old physical name, so a predicate on the new name reads those
+    * dirs conservatively until maintenance rewrites them — correctness
+    * is unaffected (unprunable dirs are scanned, not skipped).
+    */
+  def renameColumn(spark: SparkSession, from: String, to: String): Unit =
+    synchronized {
+      val f = fs(spark)
+      var (v, lines) = current(f)
+      require(lines.nonEmpty, s"no committed batches under $path")
+      val schema = readEntries(spark, lines).schema
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+        s"unknown column '$from'")
+      require(!from.equalsIgnoreCase(to),
+        s"RENAME COLUMN to the same name '$from' is a no-op; refused")
+      require(!from.equalsIgnoreCase("batch_id") &&
+        !to.equalsIgnoreCase("batch_id"),
+        "batch_id is the store's replay-attribution column")
+      require(!partitionBy.exists(_.equalsIgnoreCase(from)),
+        s"'$from' is a partition column")
+      require(!morDeleteKey.exists(_.equalsIgnoreCase(from)),
+        s"'$from' is the merge-on-read delete key")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+        s"column '$to' already exists")
+      val retired = retiredNames(lines)
+      require(!retired.exists(_.equalsIgnoreCase(to)),
+        s"column name '$to' was dropped or renamed away and is " +
+          "retired: old data files still hold its values, and without " +
+          "field-id column mapping reusing the name would resurrect " +
+          "them (compact() first to materialize the schema, then " +
+          "rename)")
+      listChecks(spark).foreach { case (name, pred) =>
+        require(!("(?i).*\\b" +
+          java.util.regex.Pattern.quote(from) + "\\b.*").r
+          .matches(pred),
+          s"column '$from' is referenced by check constraint '$name' " +
+            s"($pred); dropCheck first, rename, then re-add the check " +
+            "against the new name")
+      }
+      val canonical = schema.fieldNames
+        .find(_.equalsIgnoreCase(from)).get
+      val dir = s"$path/data/renamecol-${java.util.UUID.randomUUID()}"
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("batch_id",
+              org.apache.spark.sql.types.LongType))))
+        .write.mode("overwrite").parquet(dir)
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.createObjectNode()
+      val rn = root.putObject(ManifestTableStore.RenameColKey)
+      rn.put("f", canonical)
+      rn.put("t", to)
       root.put(ManifestTableStore.CountKey, 0L)
       val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
         mapper.writeValueAsString(root))
@@ -842,9 +925,10 @@ final class ManifestTableStore(path: String,
       val f = fs(spark)
       val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "compactSmall")
-      // drop markers carry verbatim: merging one into a data dir would
-      // lose the drop while untouched dirs still hold the column
-      val small = lines.filterNot(isDropMarker).map(_.dir).distinct
+      // schema markers (drop/rename) carry verbatim: merging one into a
+      // data dir would lose the change while untouched dirs still hold
+      // the old physical column
+      val small = lines.filterNot(isSchemaMarker).map(_.dir).distinct
         .filter(d =>
           f.getContentSummary(new HPath(d)).getLength < smallBytes)
       if (small.size < 2) return
@@ -1044,7 +1128,7 @@ final class ManifestTableStore(path: String,
       requireNoDeleteFiles(lines, "delete")
       if (lines.isEmpty) return
       val (touched, _) = pruneEntries(spark, predicateSql,
-        lines.filterNot(isDropMarker))
+        lines.filterNot(isSchemaMarker))
       if (touched.isEmpty) return // stats prove no row matches: no-op
       val keep = !expr(predicateSql)
       rewriteDirs(spark, f, v, lines, touched.toSet, "delete",
@@ -1067,7 +1151,7 @@ final class ManifestTableStore(path: String,
       requireNoDeleteFiles(lines, "update")
       if (lines.isEmpty) return
       val (touched, _) = pruneEntries(spark, predicateSql,
-        lines.filterNot(isDropMarker))
+        lines.filterNot(isSchemaMarker))
       if (touched.isEmpty) return
       val hit = expr(predicateSql)
       rewriteDirs(spark, f, v, lines, touched.toSet, "update", { df =>
@@ -1117,9 +1201,9 @@ final class ManifestTableStore(path: String,
       lines0: Seq[Entry]): Set[String] = {
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
-    // drop markers are structural, never data: a key join cannot run
+    // schema markers are structural, never data: a key join cannot run
     // against their batch_id-only files
-    val lines = lines0.filterNot(isDropMarker)
+    val lines = lines0.filterNot(isSchemaMarker)
     val kt = source.schema(key).dataType
     val isTs = kt == TimestampType || kt == TimestampNTZType
     def norm(c: org.apache.spark.sql.Column) =
@@ -1205,7 +1289,7 @@ final class ManifestTableStore(path: String,
     val touched: Set[String] =
       if (matched.isEmpty && bySource.isEmpty) Set.empty // insert-only
       else if (bySource.nonEmpty)
-        lines.filterNot(isDropMarker).map(_.dir).toSet
+        lines.filterNot(isSchemaMarker).map(_.dir).toSet
       else mergeTouchedDirs(src, key, lines)
     // index of the first clause (declaration order) whose condition
     // holds, -1 when none does — SQL MERGE's first-match-wins
@@ -1272,7 +1356,8 @@ final class ManifestTableStore(path: String,
     // marker costs one empty parquet footer; compact folds it away.
     val tSchema =
       if (lines.isEmpty) src.schema
-      else readDirs(spark, lines.map(_.dir).distinct).schema
+      else applyRenames(
+        readDirs(spark, lines.map(_.dir).distinct), lines).schema
     val insRows: DataFrame =
       if (notMatched.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -1281,7 +1366,8 @@ final class ManifestTableStore(path: String,
       else {
         val unmatched =
           if (lines.isEmpty) src
-          else src.join(readDirs(spark, lines.map(_.dir).distinct)
+          else src.join(applyRenames(
+              readDirs(spark, lines.map(_.dir).distinct), lines)
             .select(key).distinct(), Seq(key), "left_anti")
         val iIdx = notMatched.zipWithIndex
           .foldRight(lit(-1): org.apache.spark.sql.Column) {
@@ -1339,8 +1425,13 @@ final class ManifestTableStore(path: String,
       extra: Seq[Entry] = Nil): Unit = {
     val rewritten: Map[String, (String, String)] = touched.map { d =>
       val nd = s"$path/data/$tag-${java.util.UUID.randomUUID()}"
-      write(xform(
-        spark.read.option("mergeSchema", "true").parquet(d)), nd)
+      // pending renames project onto each dir BEFORE the transform:
+      // the caller's predicates/joins reference current (renamed)
+      // names, and old dirs still hold the old physical column — the
+      // rewrite also materializes the new name (with fresh stats), so
+      // DML incrementally completes a metadata-only rename
+      write(xform(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(d), lines)), nd)
       d -> (nd, collectStats(spark, nd))
     }.toMap
     beforeDmlCommit()
@@ -1812,8 +1903,8 @@ final class ManifestTableStore(path: String,
     if (newIds.isEmpty)
       return readDirs(spark, to.map(_.dir).distinct).filter(lit(false))
     val dirs = to.filter(e => newIds.contains(e.batchId)).map(_.dir).distinct
-    dropsOf(to).foldLeft(readDirs(spark, dirs)
-      .filter(col("batch_id").isInCollection(newIds)))(_.drop(_))
+    dropsOf(to).foldLeft(applyRenames(readDirs(spark, dirs)
+      .filter(col("batch_id").isInCollection(newIds)), to))(_.drop(_))
   }
 
   /** FULL change-data-feed between two versions — Delta CDF shaped:
@@ -1880,7 +1971,12 @@ final class ManifestTableStore(path: String,
       val dirs = datas.filter(e => affected.contains(e.batchId))
         .map(_.dir).distinct
       if (dirs.isEmpty) None
-      else Some(applyDeletes(spark, readDirs(spark, dirs), dels)
+      // both sides serve the END version's rename chain (Delta's CDF
+      // rule: the feed speaks the end schema) — a metadata-only rename
+      // between the versions then diffs to ZERO change rows
+      else Some(applyRenames(
+        applyDeletes(spark, readDirs(spark, dirs), dels),
+        if (toE.nonEmpty) toE else fromE)
         .filter(col("batch_id").isInCollection(affected)))
     }
     val oldS = scoped(fromDel, fromData)
@@ -2042,17 +2138,69 @@ final class ManifestTableStore(path: String,
     e.batchId == ManifestTableStore.SchemaBatchId &&
       ManifestTableStore.parseDropCol(e.statsJson).isDefined
 
+  /** A zero-row RENAME-COLUMN marker ([[renameColumn]]): structural
+    * like a drop marker — rewrite scopes skip it, incremental
+    * compaction carries it verbatim.
+    */
+  private def isRenameMarker(e: Entry): Boolean =
+    e.batchId == ManifestTableStore.SchemaBatchId &&
+      ManifestTableStore.parseRenameCol(e.statsJson).isDefined
+
+  /** Any zero-row schema marker (drop or rename): structural, never
+    * data — the set rewrite scopes and key joins must exclude.
+    */
+  private def isSchemaMarker(e: Entry): Boolean =
+    isDropMarker(e) || isRenameMarker(e)
+
   /** The column names a snapshot's drop markers retire. */
   private def dropsOf(lines: Seq[Entry]): Seq[String] =
     lines.flatMap(e => ManifestTableStore.parseDropCol(e.statsJson))
       .distinct
 
+  /** A snapshot's (from, to) renames IN COMMIT ORDER — chained renames
+    * (a→b then b→c) must fold in sequence.
+    */
+  private def renamesOf(lines: Seq[Entry]): Seq[(String, String)] =
+    lines.flatMap(e => ManifestTableStore.parseRenameCol(e.statsJson))
+
+  /** Project a snapshot's rename markers onto a raw (physical-name)
+    * frame. Renames are metadata-only, so physical files on BOTH sides
+    * of a rename coexist: dirs written before the marker hold the old
+    * name, dirs after hold the new one, and a union-by-name read pads
+    * each side's missing column with null — each row carries its value
+    * under exactly one of the two names, so `coalesce(new, old)` is the
+    * row's value and the old column projects away. Dirs rewritten by
+    * DML materialize the new name incrementally; once no old-name file
+    * remains (e.g. after [[compact]]) the fold is a no-op.
+    */
+  private def applyRenames(df: DataFrame, lines: Seq[Entry]): DataFrame =
+    renamesOf(lines).foldLeft(df) { case (d, (from, to)) =>
+      val fromC = d.columns.find(_.equalsIgnoreCase(from))
+      val toC = d.columns.find(_.equalsIgnoreCase(to))
+      (fromC, toC) match {
+        case (None, _) => d // fully materialized already
+        case (Some(fc), None) => d.withColumnRenamed(fc, to)
+        case (Some(fc), Some(tc)) =>
+          d.withColumn(tc, coalesce(col(tc), col(fc))).drop(fc)
+      }
+    }
+
+  /** Names old data files may still physically hold although the
+    * current schema no longer shows them: dropped columns and the
+    * SOURCE side of every rename. Without field-id column mapping
+    * (Iceberg's mechanism), re-introducing such a name would resurrect
+    * the old values through the union-by-name read — refused until a
+    * [[compact]] materializes the schema physically.
+    */
+  private def retiredNames(lines: Seq[Entry]): Seq[String] =
+    (dropsOf(lines) ++ renamesOf(lines).map(_._1)).distinct
+
   private def readEntries(spark: SparkSession,
       lines: Seq[Entry]): DataFrame = {
     val (dels, datas) = lines.partition(isDeleteEntry)
-    dropsOf(lines).foldLeft(
+    dropsOf(lines).foldLeft(applyRenames(
       applyDeletes(spark, readDirs(spark, datas.map(_.dir).distinct),
-        dels))(_.drop(_))
+        dels), lines))(_.drop(_))
   }
 
   private def applyDeletes(spark: SparkSession, base: DataFrame,
@@ -2215,13 +2363,13 @@ final class ManifestTableStore(path: String,
     val (_, lines) = current(fs(spark))
     val (dels, datas) = lines.partition(isDeleteEntry)
     val (kept, _) =
-      pruneEntries(spark, predicateSql, datas.filterNot(isDropMarker))
+      pruneEntries(spark, predicateSql, datas.filterNot(isSchemaMarker))
     val base =
       if (kept.isEmpty) readEntries(spark, lines) // footers skip the rest
-      else dropsOf(lines).foldLeft(applyDeletes(spark, kept
+      else dropsOf(lines).foldLeft(applyRenames(applyDeletes(spark, kept
         .map(d => spark.read.option("mergeSchema", "true").parquet(d))
-        .reduce(_.unionByName(_, allowMissingColumns = true)), dels))(
-        _.drop(_))
+        .reduce(_.unionByName(_, allowMissingColumns = true)), dels),
+        lines))(_.drop(_))
     base.filter(expr(predicateSql))
   }
 

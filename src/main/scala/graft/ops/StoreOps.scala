@@ -1227,6 +1227,60 @@ object StoreOps {
         .orderBy("o_orderstatus")
     },
 
+    // RENAME COLUMN as versioned metadata (the third governed-evolution
+    // leg after q216 ADD / q217 DROP): one zero-row marker commit
+    // renames o_totalprice to price — no data file rewritten — then an
+    // append lands under the NEW physical name, so the grouped total
+    // aggregates across BOTH physical generations through the
+    // read-side coalesce. The same query also reads the PRE-rename
+    // version by time travel (the old name, with its data — the audit
+    // side) and pins the rename with a schema flag. A rename that
+    // leaked into history, lost rows across generations, or dropped
+    // values hash-mismatches one side or the other.
+    QueryDef(
+      "q218_sql_rename_column",
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+        |     AS DOUBLE) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |    AS total_asof_v1,
+        |  1 AS renamed
+        |FROM t GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_rename", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      if (store.currentVersion(s) == 0L)
+        store.append(orders.filter(upTo("1998-01-01")), 0L)
+      if (store.currentVersion(s) == 1L)
+        graft.engine.StoreSql.exec(s, Map("silver_rename" -> store),
+          "ALTER TABLE silver_rename RENAME COLUMN o_totalprice TO price")
+      if (store.currentVersion(s) == 2L)
+        store.append(
+          orders.filter(!upTo("1998-01-01") && upTo("2000-01-01"))
+            .withColumnRenamed("o_totalprice", "price"), 1L)
+      val cols = store.read(s).columns
+      val renamed =
+        if (cols.contains("price") && !cols.contains("o_totalprice")) 1
+        else 0
+      val asofV1 = store.readVersion(s, 1L)
+        .agg(dsum(col("o_totalprice"))).head().getDouble(0)
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("price")).as("total_price"))
+        .withColumn("total_asof_v1", lit(asofV1))
+        .withColumn("renamed", lit(renamed))
+        .orderBy("o_orderstatus")
+    },
+
     // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
     // a registered predicate every written row must satisfy, enforced
     // at the one choke point all write paths share. Two conforming

@@ -127,4 +127,108 @@ class SchemaDdlSpec extends SparkSpec {
     assert(store.read(spark).columns.contains("score"),
       "the evolved column survives compaction")
   }
+
+  test("RENAME COLUMN is versioned metadata: current reads serve the " +
+      "new name with the old values, time travel shows the old name, " +
+      "appends and chained renames compose, mixed-generation dirs " +
+      "merge cleanly") {
+    val store = mkStore() // k, n
+    StoreSql.exec(spark, Map("t" -> store),
+      "ALTER TABLE t RENAME COLUMN n TO qty")
+    val cur = store.read(spark)
+    assert(cur.columns.toSet == Set("k", "qty", "batch_id"))
+    assert(cur.select("k", "qty").as[(String, Int)].collect().toSet ==
+      Set(("a", 1), ("b", 2)), "values must survive the rename")
+    // the marker is a real commit; the PRE-rename version still serves
+    // the old name with its data
+    assert(store.currentVersion(spark) == 2L)
+    val v1 = store.readVersion(spark, 1L)
+    assert(v1.columns.contains("n") && !v1.columns.contains("qty"))
+    // an append under the NEW name: both physical generations coexist
+    // (old files hold 'n', new hold 'qty') and read as one column
+    store.append(Seq(("c", 3)).toDF("k", "qty"), 1L)
+    assert(store.read(spark).select("k", "qty").as[(String, Int)]
+      .collect().toSet == Set(("a", 1), ("b", 2), ("c", 3)))
+    // chained rename folds in commit order
+    store.renameColumn(spark, "qty", "amount")
+    assert(store.read(spark).select("k", "amount").as[(String, Int)]
+      .collect().toSet == Set(("a", 1), ("b", 2), ("c", 3)))
+    // small-file compaction merges a mixed-generation pair; the marker
+    // carries verbatim and the read stays name-correct
+    store.compactSmall(spark, 1L << 30)
+    assert(store.read(spark).columns.toSet ==
+      Set("k", "amount", "batch_id"))
+    assert(store.read(spark).select("k", "amount").as[(String, Int)]
+      .collect().toSet == Set(("a", 1), ("b", 2), ("c", 3)))
+  }
+
+  test("rename resurrection guards: the old name is RETIRED (for ADD " +
+      "and as a rename target) until compact materializes; partition, " +
+      "batch_id, and check-referenced columns refuse") {
+    val store = mkStore()
+    store.renameColumn(spark, "n", "qty")
+    intercept[IllegalArgumentException] { // re-ADD of the old name
+      store.addColumns(spark, Seq("n" -> IntegerType))
+    }
+    intercept[IllegalArgumentException] { // rename ONTO the old name
+      store.renameColumn(spark, "k", "n")
+    }
+    intercept[IllegalArgumentException] { // rename-back without compact
+      store.renameColumn(spark, "qty", "n")
+    }
+    intercept[IllegalArgumentException] { // target already exists
+      store.renameColumn(spark, "qty", "k")
+    }
+    intercept[IllegalArgumentException] { // unknown source
+      store.renameColumn(spark, "nope", "x")
+    }
+    intercept[IllegalArgumentException] { // identity rename
+      store.renameColumn(spark, "qty", "qty")
+    }
+    intercept[IllegalArgumentException] {
+      store.renameColumn(spark, "batch_id", "x")
+    }
+    // compact materializes 'qty' physically; the old name frees up and
+    // a re-add starts EMPTY — no resurrected values
+    store.compact(spark)
+    store.addColumns(spark, Seq("n" -> IntegerType))
+    assert(store.read(spark).filter("n IS NULL").count() ==
+      store.read(spark).count())
+    // a partition column cannot rename (its values live in dir names)
+    val pp = Files.createTempDirectory("ddl-rn-")
+    pp.toFile.deleteOnExit()
+    val ps = new ManifestTableStore(pp.toString,
+      partitionBy = Seq("day"))
+    ps.append(Seq(("d1", "a", 1)).toDF("day", "k", "n"), 0L)
+    intercept[IllegalArgumentException] {
+      ps.renameColumn(spark, "day", "dt")
+    }
+    // a registered CHECK pins its column's name
+    val cs = mkStore()
+    cs.addCheck(spark, "pos-n", "n > 0")
+    intercept[IllegalArgumentException] {
+      cs.renameColumn(spark, "n", "qty")
+    }
+  }
+
+  test("DML after a rename: predicates on the NEW name rewrite " +
+      "old-generation dirs (materializing the rename incrementally); " +
+      "the rename window's CDF is empty") {
+    import org.apache.spark.sql.functions.lit
+    val store = mkStore()                 // v1: physical 'n'
+    store.renameColumn(spark, "n", "qty") // v2: marker only
+    assert(store.readChangeFeed(spark, 1L, 2L).count() == 0,
+      "a metadata-only rename must emit no change rows")
+    // UPDATE through the new name hits rows stored under the old one
+    store.update(spark, "qty = 1", Map("qty" -> lit(10)))
+    assert(store.read(spark).select("k", "qty").as[(String, Int)]
+      .collect().toSet == Set(("a", 10), ("b", 2)))
+    store.delete(spark, "qty = 2")
+    assert(store.read(spark).select("k", "qty").as[(String, Int)]
+      .collect().toSet == Set(("a", 10)))
+    // the rewritten dir carries the new physical name: no old-name
+    // column remains anywhere
+    assert(store.read(spark).columns.toSet ==
+      Set("k", "qty", "batch_id"))
+  }
 }
