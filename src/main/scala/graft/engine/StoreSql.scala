@@ -39,13 +39,25 @@ import org.apache.spark.sql.functions.expr
   */
 object StoreSql {
 
-  /** Execute one DML statement against `tables` (view name → store).
-    * `batchId` is the commit id a MERGE's inserted rows / an INSERT's
-    * batch land under (replay-refused like any append; unused — and
-    * ignored — by DELETE/UPDATE). MERGE and INSERT throw without it.
+  /** Execute one DML/DDL/maintenance statement against `tables` (view
+    * name → store). `batchId` is the commit id a MERGE's inserted rows
+    * / an INSERT's batch land under (replay-refused like any append;
+    * unused — and ignored — by DELETE/UPDATE). MERGE and INSERT throw
+    * without it.
+    *
+    * Returns the statement's RESULT frame, Delta-style: `OPTIMIZE`
+    * reports the maintenance actions that committed, `VACUUM` the
+    * reclaimable/reclaimed paths; every other statement returns an
+    * empty frame (callers that treat exec as a command simply discard
+    * it).
     */
   def exec(spark: SparkSession, tables: Map[String, ManifestTableStore],
-      sql: String, batchId: Option[Long] = None): Unit = {
+      sql: String, batchId: Option[Long] = None)
+      : org.apache.spark.sql.DataFrame = {
+    maintenance(spark, tables, sql) match {
+      case Some(result) => return result
+      case None =>
+    }
     import ManifestTableStore.{DeleteClause, InsertClause, UpdateClause}
     def storeOf(rel: LogicalPlan): ManifestTableStore = {
       val name = relationName(rel).getOrElse(
@@ -299,6 +311,66 @@ object StoreSql {
         }
       case other => throw new IllegalArgumentException(
         s"not a store DML statement: ${other.getClass.getSimpleName}")
+    }
+    spark.emptyDataFrame
+  }
+
+  // Delta's maintenance statement shapes. OPTIMIZE/VACUUM are not in
+  // Spark's grammar (Delta injects them via its own parser extension),
+  // so these two verbs — and ONLY these — are recognized up front;
+  // everything else still goes through Spark's parser, no dialect
+  // drift.
+  private val OptimizeStmt =
+    """(?is)OPTIMIZE\s+([A-Za-z0-9_\.]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?""".r
+  private val VacuumStmt =
+    """(?is)VACUUM\s+([A-Za-z0-9_\.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN)?""".r
+
+  /** Route `OPTIMIZE <t> [ZORDER BY (cols)]` and
+    * `VACUUM <t> [RETAIN n HOURS] [DRY RUN]` — the Delta statement
+    * shapes a SQL-only operator schedules — onto the store's
+    * maintenance surface: plain OPTIMIZE = [[ManifestTableStore.maintain]]
+    * (targeted delete folding + small-file compaction), the ZORDER
+    * form = fold pending deletes then
+    * [[ManifestTableStore.compactZOrder]] with the session's shuffle
+    * parallelism as the bucket count, VACUUM =
+    * [[ManifestTableStore.vacuum]] against the CURRENT version
+    * (Delta's retention model) with `RETAIN n HOURS` as the
+    * modification-time horizon (default: the store's 10-minute
+    * in-flight-writer guard). Returns Delta-shaped result frames:
+    * OPTIMIZE → `action` rows, VACUUM → `path` rows.
+    */
+  private def maintenance(spark: SparkSession,
+      tables: Map[String, ManifestTableStore], sql: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import spark.implicits._
+    def storeNamed(name: String): ManifestTableStore =
+      tables.getOrElse(name, throw new IllegalArgumentException(
+        s"unknown maintenance target '$name' (known: " +
+          s"${tables.keys.mkString(", ")})"))
+    sql.trim match {
+      case OptimizeStmt(t, zcols) =>
+        val store = storeNamed(t)
+        val actions =
+          if (zcols == null) store.maintain(spark)
+          else {
+            val cols = zcols.split(",")
+              .map(_.trim.stripPrefix("`").stripSuffix("`"))
+              .filter(_.nonEmpty).toSeq
+            // ZORDER rewrites the table anyway; fold pending
+            // merge-on-read deletes first (no-op when none)
+            store.compactDeletes(spark)
+            store.compactZOrder(spark, cols,
+              spark.sessionState.conf.numShufflePartitions)
+            Seq(s"compactZOrder(${cols.mkString(", ")})")
+          }
+        Some(actions.toDF("action"))
+      case VacuumStmt(t, hours, dry) =>
+        val store = storeNamed(t)
+        val minAge = Option(hours).map(_.toLong * 3600000L)
+          .getOrElse(600000L)
+        Some(store.vacuum(spark, retainLast = 0, minAgeMs = minAge,
+          dryRun = dry != null).toDF("path"))
+      case _ => None
     }
   }
 

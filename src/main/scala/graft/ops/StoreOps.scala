@@ -1281,6 +1281,56 @@ object StoreOps {
         .orderBy("o_orderstatus")
     },
 
+    // SQL-TEXT maintenance (Delta's OPTIMIZE/VACUUM verbs through
+    // StoreSql): two key-interleaved appends leave useless per-dir
+    // stats, `OPTIMIZE ... ZORDER BY (o_orderdate, o_custkey)` —
+    // issued as SQL text, zero API calls — restores two-dimensional
+    // skippability (pinned: the custkey+date slice opens FEWER files
+    // than the full table, q105's assertion through SQL), and
+    // `VACUUM ... RETAIN 0 HOURS DRY RUN` reports EXACTLY the two
+    // superseded pre-zorder batch dirs without touching anything
+    // (pinned as a count; a dry run that deleted, or a vacuum that
+    // reclaimed a referenced dir, shifts the count or breaks the
+    // aggregate). current_version pins that OPTIMIZE committed once.
+    QueryDef(
+      "q219_sql_maintenance",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS skipped_some, CAST(2 AS BIGINT) AS vacuum_reclaimable,
+        |  CAST(3 AS BIGINT) AS current_version
+        |FROM orders
+        |WHERE o_custkey < 200
+        |  AND o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
+      (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_sqlmaint", dir),
+        statsColumns = Seq("o_orderdate", "o_custkey"))
+      val orders = Tables(s, dir, "orders")
+      store.append(orders.filter(col("o_orderkey") % 2 === 0), 0L)
+      store.append(orders.filter(col("o_orderkey") % 2 === 1), 1L)
+      val t = Map("silver_maint" -> store)
+      if (store.currentVersion(s) == 2L)
+        graft.engine.StoreSql.exec(s, t,
+          "OPTIMIZE silver_maint ZORDER BY (o_orderdate, o_custkey)")
+      val reclaimable = graft.engine.StoreSql.exec(s, t,
+        "VACUUM silver_maint RETAIN 0 HOURS DRY RUN").count()
+      val allFiles = store.read(s).inputFiles.length
+      def slice = store.readWhere(s,
+        "o_custkey < 200 AND o_orderdate >= '1998-01-01 00:00:00'")
+      val sliceFiles = slice.inputFiles.length
+      val skipped = if (sliceFiles > 0 && sliceFiles < allFiles) 1 else 0
+      slice
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .withColumn("skipped_some", lit(skipped))
+        .withColumn("vacuum_reclaimable", lit(reclaimable))
+        .withColumn("current_version", lit(store.currentVersion(s)))
+        .orderBy("o_orderstatus")
+    },
+
     // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
     // a registered predicate every written row must satisfy, enforced
     // at the one choke point all write paths share. Two conforming

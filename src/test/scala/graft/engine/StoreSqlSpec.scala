@@ -217,4 +217,57 @@ class StoreSqlSpec extends SparkSpec {
       StoreSql.exec(spark, Map("t" -> store), "SELECT * FROM t")
     }
   }
+
+  test("SQL-text maintenance: OPTIMIZE folds pending MoR deletes and " +
+      "merges small files, OPTIMIZE ZORDER restores skippability, " +
+      "VACUUM DRY RUN reports without touching, VACUUM reclaims") {
+    val p = Files.createTempDirectory("sqlmaint-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"), morDeleteKey = Some("k"))
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    store.append(Seq(("c", 3), ("d", 4)).toDF("k", "n"), 1L)
+    StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t WHERE n = 2")
+    // plain OPTIMIZE = maintain(): delete fold + small-file merge
+    val actions = StoreSql.exec(spark, Map("t" -> store), "OPTIMIZE t")
+      .as[String].collect().toSet
+    assert(actions == Set("compactDeletes", "compactSmall"),
+      s"got $actions")
+    assert(state(store) == Set(("a", 1), ("c", 3), ("d", 4)))
+    // superseded pre-maintenance dirs: DRY RUN reports them, touches
+    // nothing (the pre-fold version must stay readable)
+    val vBefore = store.currentVersion(spark)
+    val dry = StoreSql.exec(spark, Map("t" -> store),
+      "VACUUM t RETAIN 0 HOURS DRY RUN").as[String].collect().toSet
+    assert(dry.nonEmpty, "superseded dirs must report")
+    assert(store.currentVersion(spark) == vBefore)
+    val real = StoreSql.exec(spark, Map("t" -> store),
+      "VACUUM t RETAIN 0 HOURS").as[String].collect().toSet
+    assert(real == dry, "the real run must reclaim the dry-run report")
+    assert(state(store) == Set(("a", 1), ("c", 3), ("d", 4)),
+      "current state survives vacuum")
+    // ZORDER form: interleaved appends kill stats; the SQL statement
+    // restores per-dir skippability on the named column
+    val zp = Files.createTempDirectory("sqlz-")
+    zp.toFile.deleteOnExit()
+    val zs = new ManifestTableStore(zp.toString,
+      statsColumns = Seq("n"))
+    zs.append((1 to 400).filter(_ % 2 == 0).map(n => (s"k$n", n))
+      .toDF("k", "n"), 0L)
+    zs.append((1 to 400).filter(_ % 2 == 1).map(n => (s"k$n", n))
+      .toDF("k", "n"), 1L)
+    val allDirs = zs.read(spark).inputFiles.length
+    val act = StoreSql.exec(spark, Map("z" -> zs),
+      "OPTIMIZE z ZORDER BY (n)").as[String].collect().toSeq
+    assert(act == Seq("compactZOrder(n)"))
+    val pruned = zs.readWhere(spark, "n <= 20").inputFiles.length
+    assert(pruned < allDirs && pruned > 0,
+      s"a narrow range must open fewer files after ZORDER " +
+        s"($pruned vs $allDirs)")
+    assert(zs.readWhere(spark, "n <= 20").count() == 20)
+    // unknown maintenance target refuses
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store), "OPTIMIZE nope")
+    }
+  }
 }
