@@ -1,0 +1,180 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier
+import org.apache.spark.sql.catalyst.plans.logical.{ColumnDefinition,
+  CreateTable, CreateTableAsSelect, LogicalPlan, UnresolvedTableSpec}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+
+/** A mutable name → store registry rooted at a base path — the piece a
+  * SQL-ONLY session needs on top of [[StoreSql]]: `CREATE TABLE` and
+  * `CREATE TABLE ... AS SELECT` construct and register
+  * [[ManifestTableStore]]s from Spark's own parsed DDL, so an operator
+  * can create, load (INSERT), maintain (OPTIMIZE/VACUUM), and query a
+  * store with zero API calls. Every other statement delegates to
+  * [[StoreSql.exec]] / [[StoreSql.query]] against the current registry.
+  *
+  * Store physical options travel as TBLPROPERTIES (the Delta/Iceberg
+  * convention for table-format knobs):
+  *
+  *   CREATE TABLE t (k STRING, n INT, CONSTRAINT pos CHECK (n > 0))
+  *   USING graft_store
+  *   PARTITIONED BY (k)
+  *   TBLPROPERTIES ('statsColumns'='n', 'bloomColumns'='k',
+  *                  'morDeleteKey'='k')
+  *
+  * `location` overrides the default `basePath/<name>` path. Declared
+  * CHECK constraints register at create time (Spark 4 parses them
+  * natively). `CREATE TABLE` commits the declared schema as a zero-row
+  * version-1 marker ([[ManifestTableStore.createEmpty]]), so the empty
+  * table is immediately readable and INSERT's positional mapping has a
+  * target; CTAS appends the routed SELECT (which may read other
+  * registered stores, time travel included) as batch `batchId` —
+  * required explicitly, like every committing statement in StoreSql.
+  * `IF NOT EXISTS` on an existing table is a registering no-op.
+  */
+final class StoreCatalog(basePath: String) {
+
+  private val reg =
+    new scala.collection.concurrent.TrieMap[String, ManifestTableStore]()
+
+  /** Register an externally-constructed store under a name. */
+  def register(name: String, store: ManifestTableStore): this.type = {
+    reg.put(name, store); this
+  }
+
+  /** The current registry as the immutable map [[StoreSql]] takes. */
+  def tables: Map[String, ManifestTableStore] = reg.toMap
+
+  def store(name: String): ManifestTableStore =
+    reg.getOrElse(name, throw new IllegalArgumentException(
+      s"unknown table '$name' (known: ${reg.keys.mkString(", ")})"))
+
+  /** Execute one statement: CREATE TABLE / CTAS are handled here;
+    * everything else — DML, DDL, maintenance, including statements
+    * Spark's parser rejects (OPTIMIZE/VACUUM) — delegates to
+    * [[StoreSql.exec]] with the current registry.
+    */
+  def exec(spark: SparkSession, sql: String,
+      batchId: Option[Long] = None): DataFrame = {
+    val parsed: Option[LogicalPlan] =
+      try Some(spark.sessionState.sqlParser.parsePlan(sql))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    parsed match {
+      case Some(ct: CreateTable) =>
+        val name = identOf(ct.name)
+        existing(spark, name, ct.partitioning, ct.tableSpec,
+            ct.ignoreIfExists) match {
+          case Some(_) => // IF NOT EXISTS: keep the existing table
+          case None =>
+            val store = build(name, ct.partitioning, ct.tableSpec)
+            store.createEmpty(spark, StructType(ct.columns.map {
+              c: ColumnDefinition =>
+                StructField(c.name, c.dataType, c.nullable)
+            }))
+            checksOf(ct.tableSpec).foreach { case (n, pred) =>
+              store.addCheck(spark, n, pred) }
+            reg.put(name, store)
+        }
+        spark.emptyDataFrame
+      case Some(ctas: CreateTableAsSelect) =>
+        val name = identOf(ctas.name)
+        existing(spark, name, ctas.partitioning, ctas.tableSpec,
+            ctas.ignoreIfExists) match {
+          case Some(_) =>
+          case None =>
+            val store = build(name, ctas.partitioning, ctas.tableSpec)
+            // checks BEFORE the load: the batch passes the same
+            // write-time gate every later INSERT will
+            checksOf(ctas.tableSpec).foreach { case (n, pred) =>
+              store.addCheck(spark, n, pred) }
+            val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
+              spark, StoreSql.route(spark, tables, ctas.query))
+            store.append(df, batchId.getOrElse(
+              throw new IllegalArgumentException(
+                "CTAS requires an explicit batchId: the loaded rows " +
+                  "commit under it, exactly like INSERT")))
+            reg.put(name, store)
+        }
+        spark.emptyDataFrame
+      case _ => StoreSql.exec(spark, tables, sql, batchId)
+    }
+  }
+
+  /** Read-side SQL (time travel included) against the registry. */
+  def query(spark: SparkSession, sql: String): DataFrame =
+    StoreSql.query(spark, tables, sql)
+
+  /** The already-present store for `name` — registered in THIS catalog
+    * OR committed on disk at its path (a table survives the session
+    * that created it; a fresh catalog's `IF NOT EXISTS` must see it
+    * and must not clobber it) — or None when creation should proceed.
+    * Refuses (Delta's TABLE_OR_VIEW_ALREADY_EXISTS shape) when the
+    * table exists and IF NOT EXISTS was not given; the re-attached
+    * store registers either way.
+    */
+  private def existing(spark: SparkSession, name: String,
+      partitioning: Seq[Transform],
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical
+        .TableSpecBase,
+      ignoreIfExists: Boolean): Option[ManifestTableStore] = {
+    val present = reg.get(name).orElse {
+      val onDisk = build(name, partitioning, tableSpec)
+      if (onDisk.currentVersion(spark) > 0) Some(onDisk) else None
+    }
+    present.foreach { s =>
+      require(ignoreIfExists,
+        s"table '$name' already exists (use IF NOT EXISTS)")
+      reg.put(name, s)
+    }
+    present
+  }
+
+  private def identOf(name: LogicalPlan): String = name match {
+    case u: UnresolvedIdentifier =>
+      require(u.nameParts.size == 1,
+        s"store tables are single-part names, got " +
+          u.nameParts.mkString("."))
+      u.nameParts.head
+    case other => throw new IllegalArgumentException(
+      s"unsupported CREATE TABLE name: $other")
+  }
+
+  private def build(name: String, partitioning: Seq[Transform],
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical
+        .TableSpecBase): ManifestTableStore = {
+    val partitionBy = partitioning.map { t =>
+      // structural match on the connector Transform interface (the
+      // case classes are private[sql]): identity over one column
+      require(t.name == "identity" && t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+        s"only PARTITIONED BY (column) is supported, got $t")
+      t.references.head.fieldNames.head
+    }
+    val (props, location) = tableSpec match {
+      case u: UnresolvedTableSpec => (u.properties, u.location)
+      case other => (Map.empty[String, String], None)
+    }
+    def csv(key: String): Seq[String] = props.get(key).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    new ManifestTableStore(
+      location.getOrElse(s"$basePath/$name"),
+      partitionBy = partitionBy,
+      statsColumns = csv("statsColumns"),
+      bloomColumns = csv("bloomColumns"),
+      morDeleteKey = props.get("morDeleteKey"))
+  }
+
+  private def checksOf(tableSpec: org.apache.spark.sql.catalyst.plans
+      .logical.TableSpecBase): Seq[(String, String)] = tableSpec match {
+    case u: UnresolvedTableSpec =>
+      u.constraints.zipWithIndex.collect {
+        case (c: org.apache.spark.sql.catalyst.expressions
+            .CheckConstraint, i) =>
+          (Option(c.userProvidedName).getOrElse(s"check-$i"),
+            c.condition)
+      }
+    case _ => Nil
+  }
+}

@@ -294,6 +294,29 @@ object StoreSql {
           case other => throw new IllegalArgumentException(
             s"unsupported DROP COLUMN reference: $other")
         }
+      case a: org.apache.spark.sql.catalyst.plans.logical
+          .AddCheckConstraint =>
+        // ALTER TABLE ... ADD CONSTRAINT name CHECK (pred): Spark's own
+        // parsed constraint routes to the store's write-choke-point
+        // gate; the current rows must already satisfy it (addCheck's
+        // contract, same as Delta)
+        val c = a.checkConstraint
+        val cname = Option(c.userProvidedName)
+          .getOrElse("check-" + math.abs(c.condition.hashCode).toString)
+        // the parsed plan wraps the table in Filter(NOT cond) — the
+        // analyzer's existing-rows validation scaffold; unwrap to the
+        // relation
+        val rel = a.child.collectFirst {
+          case r: UnresolvedRelation => r
+        }.getOrElse(throw new IllegalArgumentException(
+          s"ADD CONSTRAINT target must be a table, got: ${a.child}"))
+        storeOf(rel).addCheck(spark, cname, c.condition)
+      case d: org.apache.spark.sql.catalyst.plans.logical
+          .DropConstraint =>
+        val store = storeOf(d.table)
+        if (d.ifExists &&
+            !store.listChecks(spark).exists(_._1 == d.name)) ()
+        else store.dropCheck(spark, d.name)
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         // versioned metadata-only rename (the third governed-evolution
         // leg): a zero-row marker commit; time travel before it shows
@@ -399,10 +422,21 @@ object StoreSql {
     */
   def query(spark: SparkSession,
       tables: Map[String, ManifestTableStore], sql: String)
-      : org.apache.spark.sql.DataFrame = {
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+      route(spark, tables,
+        spark.sessionState.sqlParser.parsePlan(sql)))
+
+  /** Substitute store reads (current-state and time-travel) for bare
+    * references to registered store names anywhere in a parsed plan —
+    * shared by [[query]] and a CTAS's SELECT ([[StoreCatalog.exec]]).
+    */
+  private[engine] def route(spark: SparkSession,
+      tables: Map[String, ManifestTableStore], plan: LogicalPlan)
+      : LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     import org.apache.spark.sql.graftshim.PlanShim
-    val routed = spark.sessionState.sqlParser.parsePlan(sql).transform {
+    plan.transform {
       case tt @ RelationTimeTravel(rel, ts, ver) =>
         relationName(rel).flatMap(tables.get) match {
           case None => tt // not a store — let the analyzer report it
@@ -432,7 +466,6 @@ object StoreSql {
             tables.contains(u.multipartIdentifier.last) =>
         PlanShim.planOf(tables(u.multipartIdentifier.last).read(spark))
     }
-    PlanShim.ofRows(spark, routed)
   }
 
   private def relationName(plan: LogicalPlan): Option[String] = plan match {

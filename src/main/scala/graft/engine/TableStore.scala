@@ -747,6 +747,45 @@ final class ManifestTableStore(path: String,
       }
     }
 
+  /** `CREATE TABLE (cols)` — commit the DECLARED schema as version 1,
+    * a zero-row typed marker (same mechanics as [[addColumns]], carrying
+    * the whole schema): the table is immediately readable (empty, typed)
+    * and INSERT's positional column mapping has a target before any
+    * data lands — the first statement of every SQL-only onboarding
+    * flow. The marker commits via the atomic create-if-absent
+    * primitive, so two concurrent CREATEs resolve to one winner; the
+    * loser sees "already has commits". Refused on a table with any
+    * committed version (CREATE of an existing table is the caller's
+    * IF NOT EXISTS decision).
+    */
+  def createEmpty(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    synchronized {
+      val f = fs(spark)
+      val (v, lines) = current(f)
+      require(v == 0L && lines.isEmpty,
+        s"table at $path already has commits (version $v)")
+      require(schema.nonEmpty, "CREATE TABLE needs at least one column")
+      partitionBy.foreach { c =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"PARTITIONED BY column '$c' is not among the declared columns")
+      }
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase("batch_id")),
+        "batch_id is the store's replay-attribution column")
+      val dir = s"$path/data/schema-${java.util.UUID.randomUUID()}"
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .withColumn("batch_id", lit(ManifestTableStore.SchemaBatchId))
+        .write.mode("overwrite").parquet(dir)
+      val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+        collectStats(spark, dir))
+      if (!tryCommit(f, 1L, Seq(entry))) {
+        f.delete(new HPath(dir), true)
+        throw new java.util.ConcurrentModificationException(
+          s"CREATE TABLE at $path lost to a concurrent first commit")
+      }
+    }
+
   /** Governed `ALTER TABLE ... RENAME COLUMN` — metadata-only, the
     * third leg of schema evolution after ADD ([[addColumns]]) and DROP
     * ([[dropColumn]]): no data file is rewritten; a zero-row RENAME

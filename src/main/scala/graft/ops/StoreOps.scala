@@ -1331,6 +1331,72 @@ object StoreOps {
         .orderBy("o_orderstatus")
     },
 
+    // The SQL-ONLY onboarding flow (StoreCatalog): CREATE TABLE with a
+    // declared schema + CHECK constraint + TBLPROPERTIES, INSERT from
+    // the corpus, a CTAS deriving a second table FROM the first, and
+    // the final read — zero Scala API calls anywhere. Pins: the
+    // grouped totals (the INSERT loaded positionally and completely),
+    // the CTAS-derived count (the routed SELECT read the catalog
+    // table), and that the declared CHECK refused a violating batch
+    // atomically (a leak would also shift the totals). Re-invocation
+    // converges: IF NOT EXISTS re-attaches the on-disk table, the
+    // violating INSERT never commits, batch ids replay-refuse.
+    QueryDef(
+      "q220_sql_create_table",
+      """WITH src AS (
+        |  SELECT o_orderstatus, o_orderpriority, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  (SELECT COUNT(*) FROM src
+        |   WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  1 AS check_refused
+        |FROM src GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val cat = new graft.engine.StoreCatalog(
+        Materialize.keyedPath(s, "sql_catalog", dir))
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS orders_silver (
+          |  o_orderstatus STRING, o_orderpriority STRING,
+          |  o_totalprice DOUBLE,
+          |  CONSTRAINT positive_price CHECK (o_totalprice > 0))
+          |USING graft_store
+          |TBLPROPERTIES ('statsColumns'='o_totalprice')""".stripMargin)
+      if (cat.store("orders_silver").currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO orders_silver
+            |SELECT o_orderstatus, o_orderpriority, o_totalprice
+            |FROM orders
+            |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(0L))
+      val refused =
+        try {
+          cat.exec(s,
+            "INSERT INTO orders_silver VALUES ('X', 'NONE', -1.0)",
+            batchId = Some(1L))
+          0
+        } catch { case _: IllegalArgumentException => 1 }
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS urgent_counts
+          |USING graft_store AS
+          |SELECT COUNT(*) AS n FROM orders_silver
+          |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
+        batchId = Some(0L))
+      val urgent = cat.query(s, "SELECT n FROM urgent_counts")
+        .head().getLong(0)
+      cat.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM orders_silver GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("n_urgent", lit(urgent))
+        .withColumn("check_refused", lit(refused))
+    },
+
     // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
     // a registered predicate every written row must satisfy, enforced
     // at the one choke point all write paths share. Two conforming

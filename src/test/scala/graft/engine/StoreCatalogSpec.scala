@@ -1,0 +1,139 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** A SQL-ONLY session against the store catalog: CREATE TABLE / CTAS
+  * construct stores from Spark's parsed DDL, INSERT loads them, SQL
+  * queries (with time travel) read them, OPTIMIZE/VACUUM maintain them
+  * — zero API calls end to end.
+  */
+class StoreCatalogSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshCatalog(): StoreCatalog = {
+    val p = Files.createTempDirectory("catalog-")
+    p.toFile.deleteOnExit()
+    new StoreCatalog(p.toString)
+  }
+
+  test("CREATE TABLE declares a readable empty schema; INSERT loads " +
+      "it positionally; the declared CHECK gates writes; TBLPROPERTIES " +
+      "configure stats columns") {
+    val cat = freshCatalog()
+    cat.exec(spark,
+      """CREATE TABLE events (k STRING, n INT,
+        |  CONSTRAINT positive CHECK (n > 0))
+        |USING graft_store
+        |TBLPROPERTIES ('statsColumns'='n')""".stripMargin)
+    // empty but typed: readable before any data
+    val empty = cat.query(spark, "SELECT * FROM events")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSet == Set("k", "n", "batch_id"))
+    cat.exec(spark, "INSERT INTO events VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    assert(cat.query(spark,
+      "SELECT k, n FROM events ORDER BY n").as[(String, Int)]
+      .collect().toSeq == Seq(("a", 1), ("b", 2)))
+    // the declared constraint is live at the write choke point
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "INSERT INTO events VALUES ('c', -3)",
+        batchId = Some(1L))
+    }
+    // statsColumns property took: a narrow predicate prunes the
+    // violating-range dir set once more batches land
+    cat.exec(spark, "INSERT INTO events VALUES ('c', 1000)",
+      batchId = Some(2L))
+    val pruned = cat.store("events").readWhere(spark, "n <= 2")
+    assert(pruned.count() == 2)
+    // a second CREATE refuses; IF NOT EXISTS no-ops
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "CREATE TABLE events (x INT) USING graft_store")
+    }
+    cat.exec(spark,
+      "CREATE TABLE IF NOT EXISTS events (x INT) USING graft_store")
+    assert(cat.query(spark, "SELECT * FROM events").count() == 3)
+  }
+
+  test("a table survives the catalog that created it: a FRESH catalog " +
+      "over the same base path sees it via IF NOT EXISTS (no clobber) " +
+      "and refuses a bare CREATE") {
+    val base = Files.createTempDirectory("catalog2-")
+    base.toFile.deleteOnExit()
+    val cat1 = new StoreCatalog(base.toString)
+    cat1.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    cat1.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    val cat2 = new StoreCatalog(base.toString)
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    }
+    cat2.exec(spark,
+      "CREATE TABLE IF NOT EXISTS t (k STRING, n INT) USING graft_store")
+    assert(cat2.query(spark, "SELECT k, n FROM t").as[(String, Int)]
+      .collect().toSeq == Seq(("a", 1)),
+      "the re-attached table serves the ORIGINAL data")
+  }
+
+  test("CTAS loads the routed SELECT (reading other catalog tables) " +
+      "under an explicit batchId; PARTITIONED BY lays out hive dirs; " +
+      "the whole lifecycle including OPTIMIZE/VACUUM runs SQL-only") {
+    val cat = freshCatalog()
+    cat.exec(spark,
+      "CREATE TABLE src (day STRING, n INT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO src VALUES ('d1', 1), ('d1', 2), ('d2', 3)",
+      batchId = Some(0L))
+    // CTAS without a batchId refuses (committing statement)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE TABLE agg AS SELECT day, SUM(n) AS total FROM src " +
+          "GROUP BY day")
+    }
+    cat.exec(spark,
+      """CREATE TABLE agg USING graft_store PARTITIONED BY (day)
+        |AS SELECT day, CAST(SUM(n) AS INT) AS total FROM src
+        |GROUP BY day""".stripMargin, batchId = Some(0L))
+    assert(cat.query(spark,
+      "SELECT day, total FROM agg ORDER BY day").as[(String, Int)]
+      .collect().toSeq == Seq(("d1", 3), ("d2", 3)))
+    // hive layout: the partition value appears in the data paths
+    assert(cat.store("agg").read(spark).inputFiles
+      .exists(_.contains("day=d1")))
+    // SQL-only maintenance against the created table
+    cat.exec(spark, "INSERT INTO src VALUES ('d3', 4)",
+      batchId = Some(1L))
+    val actions = cat.exec(spark, "OPTIMIZE src").as[String]
+      .collect().toSet
+    assert(actions == Set("compactSmall"))
+    assert(cat.exec(spark, "VACUUM src RETAIN 0 HOURS DRY RUN")
+      .count() >= 2)
+    assert(cat.query(spark, "SELECT * FROM src").count() == 4)
+  }
+
+  test("ALTER TABLE ADD CONSTRAINT / DROP CONSTRAINT route Spark's " +
+      "parsed constraint to the store's check registry") {
+    val cat = freshCatalog()
+    cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark,
+      "ALTER TABLE t ADD CONSTRAINT positive CHECK (n > 0)")
+    assert(cat.store("t").listChecks(spark)
+      .exists(_._1 == "positive"))
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "INSERT INTO t VALUES ('bad', -1)",
+        batchId = Some(1L))
+    }
+    // a constraint the existing rows violate refuses to register
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE t ADD CONSTRAINT big CHECK (n > 10)")
+    }
+    cat.exec(spark, "ALTER TABLE t DROP CONSTRAINT positive")
+    cat.exec(spark, "INSERT INTO t VALUES ('neg', -1)",
+      batchId = Some(2L))
+    assert(cat.query(spark, "SELECT * FROM t").count() == 2)
+    // DROP CONSTRAINT IF EXISTS on a missing name no-ops
+    cat.exec(spark, "ALTER TABLE t DROP CONSTRAINT IF EXISTS nope")
+  }
+}
