@@ -1549,7 +1549,15 @@ final class ManifestTableStore(path: String,
     * manifest-dir listing); refuses an instant before the first
     * commit, exactly like Delta.
     */
-  def readAsOfTimestamp(spark: SparkSession, tsMillis: Long): DataFrame = {
+  def readAsOfTimestamp(spark: SparkSession, tsMillis: Long): DataFrame =
+    readVersion(spark, versionAsOfTimestamp(spark, tsMillis))
+
+  /** The version `TIMESTAMP AS OF` resolves to at an instant — the
+    * LATEST complete version committed at or before `tsMillis`
+    * (Delta's rule). Metadata-only; exposed so a pruned time-travel
+    * read can resolve once and route through [[readVersionWhere]].
+    */
+  def versionAsOfTimestamp(spark: SparkSession, tsMillis: Long): Long = {
     val f = fs(spark)
     val eligible =
       if (!f.exists(manifestDir)) None
@@ -1562,7 +1570,7 @@ final class ManifestTableStore(path: String,
     require(eligible.nonEmpty,
       s"no version of $path was committed at or before epoch-ms " +
         s"$tsMillis (the table's history starts later)")
-    readVersion(spark, eligible.get)
+    eligible.get
   }
 
   // ---- Named refs (Iceberg TAGS) -------------------------------------
@@ -1608,6 +1616,10 @@ final class ManifestTableStore(path: String,
           s"immutable; dropTag first to move it to $version)")
     }
   }
+
+  /** Whether a tag with this name exists — one metadata probe. */
+  def hasTag(spark: SparkSession, name: String): Boolean =
+    fs(spark).exists(tagPath(name))
 
   /** The version a tag names. */
   def resolveTag(spark: SparkSession, name: String): Long = {
@@ -2400,6 +2412,14 @@ final class ManifestTableStore(path: String,
     // current() reads could straddle a concurrent commit and pair a new
     // version's data dirs with an old version's delete files
     val (_, lines) = current(fs(spark))
+    readWhereEntries(spark, lines, predicateSql)
+  }
+
+  /** [[readWhere]] against an explicit manifest snapshot — the shared
+    * core of the current-state and time-travel pruned-read paths.
+    */
+  private def readWhereEntries(spark: SparkSession, lines: Seq[Entry],
+      predicateSql: String): DataFrame = {
     val (dels, datas) = lines.partition(isDeleteEntry)
     val (kept, _) =
       pruneEntries(spark, predicateSql, datas.filterNot(isSchemaMarker))
@@ -2410,6 +2430,24 @@ final class ManifestTableStore(path: String,
         .reduce(_.unionByName(_, allowMissingColumns = true)), dels),
         lines))(_.drop(_))
     base.filter(expr(predicateSql))
+  }
+
+  /** [[readWhere]] of a HISTORICAL version: the same manifest-stats
+    * pruning the current-state path has, against the versioned
+    * snapshot's own entries — a `versionAsOf` audit of a large
+    * historical state keeps data skipping instead of falling back to a
+    * full scan. Results are exactly `readVersion(v).filter(pred)`.
+    */
+  def readVersionWhere(spark: SparkSession, version: Long,
+      predicateSql: String): DataFrame = {
+    val entries = (try readManifest(fs(spark), version) catch {
+      case _: java.io.FileNotFoundException =>
+        throw new IllegalArgumentException(
+          s"version $version of $path does not exist")
+    }).getOrElse(throw new IllegalArgumentException(
+        s"version $version of $path is incomplete (writer died mid-commit)"))
+    require(entries.nonEmpty, s"version $version of $path is empty")
+    readWhereEntries(spark, entries, predicateSql)
   }
 
   /** (kept, skipped) data dirs for a predicate — the pruning decision

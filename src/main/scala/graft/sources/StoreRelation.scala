@@ -17,17 +17,18 @@ import graft.engine.ManifestTableStore
   *     .option("timestampAsOf", "2026-01-01 00:00:00")
   *     .option("ref", "audit-2026")     // tag or branch head
   *
-  * Current-state reads implement [[PrunedFilteredScan]]: the filters
-  * Spark pushes translate (where expressible) into one predicate for
-  * `readWhere`, so MANIFEST-LEVEL data skipping — min/max stats and
-  * bloom membership pruning whole dirs — happens behind the standard
-  * API with zero store-specific calls in user code. Translation is
-  * best-effort and purely an optimization: Spark re-applies every
-  * filter after the scan (the default `unhandledFilters` contract), so
-  * an untranslatable predicate costs pruning, never correctness.
-  * Column pruning projects before the union read. Time-travel reads
-  * serve the resolved version (TableScan shape — historical audits are
-  * version-bounded already).
+  * All data reads implement [[PrunedFilteredScan]]: the filters Spark
+  * pushes translate (where expressible) into one predicate for
+  * `readWhere` — and for TIME-TRAVEL reads into `readVersionWhere`
+  * against the resolved version's own manifest — so MANIFEST-LEVEL
+  * data skipping (min/max stats and bloom membership pruning whole
+  * dirs) happens behind the standard API with zero store-specific
+  * calls in user code, on historical audits as much as current state.
+  * Translation is best-effort and purely an optimization: Spark
+  * re-applies every filter after the scan (the default
+  * `unhandledFilters` contract), so an untranslatable predicate costs
+  * pruning, never correctness. Column pruning projects before the
+  * union read.
   */
 final class StoreRelation(val sqlContext: SQLContext,
     store: ManifestTableStore, parameters: Map[String, String])
@@ -35,27 +36,47 @@ final class StoreRelation(val sqlContext: SQLContext,
 
   private def spark = sqlContext.sparkSession
 
-  /** The frame this relation serves: a metadata table, a resolved
-    * historical state, or None = current state (the readWhere-prunable
-    * path). `metaTable` is Iceberg's metadata-table idea
-    * (`t.history` / `t.refs`) as an option: `history` (the DESCRIBE
-    * HISTORY ledger), `tags`, `branches` — all manifest-only, zero
-    * data files opened.
-    */
-  private lazy val historical: Option[DataFrame] = {
-    val picks = Seq("versionAsOf", "timestampAsOf", "ref", "metaTable")
+  private lazy val picks: Seq[(String, String)] = {
+    val ps = Seq("versionAsOf", "timestampAsOf", "ref", "metaTable")
       .flatMap(k => parameters.get(k).map(k -> _))
-    require(picks.size <= 1,
+    require(ps.size <= 1,
       s"at most one of versionAsOf/timestampAsOf/ref/metaTable, got " +
-        picks.map(_._1).mkString(", "))
+        ps.map(_._1).mkString(", "))
+    ps
+  }
+
+  /** The frame this relation serves: a metadata table, a resolved
+    * historical state (stats-pruned by `pred` where one is pushed —
+    * versioned reads keep the SAME manifest skipping the current-state
+    * path has, via `readVersionWhere`), or None = current state.
+    * `metaTable` is Iceberg's metadata-table idea (`t.history` /
+    * `t.refs`) as an option: `history` (the DESCRIBE HISTORY ledger),
+    * `tags`, `branches` — all manifest-only, zero data files opened.
+    */
+  private def resolve(pred: Option[String]): Option[DataFrame] = {
+    def versioned(v: Long): DataFrame = pred match {
+      case Some(p) => store.readVersionWhere(spark, v, p)
+      case None => store.readVersion(spark, v)
+    }
     picks.headOption.map {
-      case ("versionAsOf", v) => store.readVersion(spark, v.toLong)
+      case ("versionAsOf", v) => versioned(v.toLong)
       case ("timestampAsOf", t) =>
         val ts = spark.sql(s"SELECT CAST('${t.replace("'", "''")}' " +
           "AS TIMESTAMP)").head()
         require(!ts.isNullAt(0), s"timestampAsOf '$t' is not a timestamp")
-        store.readAsOfTimestamp(spark, ts.getTimestamp(0).getTime)
-      case ("ref", name) => store.readRef(spark, name)
+        versioned(store.versionAsOfTimestamp(spark,
+          ts.getTimestamp(0).getTime))
+      case ("ref", name) =>
+        // tags win on a name collision, as in readRef; a branch head is
+        // that branch's current state — its own readWhere prunes it
+        if (store.hasTag(spark, name))
+          versioned(store.resolveTag(spark, name))
+        else if (store.listBranches(spark).contains(name)) pred match {
+          case Some(p) => store.branch(name).readWhere(spark, p)
+          case None => store.branch(name).read(spark)
+        }
+        else throw new IllegalArgumentException(
+          s"unknown ref '$name' on the store (no such tag or branch)")
       case ("metaTable", "history") => store.history(spark)
       case ("metaTable", "tags") =>
         val s = spark
@@ -74,7 +95,7 @@ final class StoreRelation(val sqlContext: SQLContext,
   }
 
   override lazy val schema: StructType =
-    historical.getOrElse(store.read(spark)).schema
+    resolve(None).getOrElse(store.read(spark)).schema
 
   // rows flow as InternalRow straight from the underlying scans — no
   // external-Row conversion pass (the file-relation bridge)
@@ -82,9 +103,13 @@ final class StoreRelation(val sqlContext: SQLContext,
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
-    val base = historical.getOrElse {
-      StoreRelation.predicateSql(filters,
-          spark.sessionState.conf.sessionLocalTimeZone) match {
+    val pred = StoreRelation.predicateSql(filters,
+      spark.sessionState.conf.sessionLocalTimeZone)
+    // metaTable reads are manifest-only frames with no readWhere
+    // surface; Spark applies the filters after the scan
+    val base = resolve(
+      if (parameters.contains("metaTable")) None else pred).getOrElse {
+      pred match {
         case Some(p) => store.readWhere(spark, p)
         case None => store.read(spark)
       }

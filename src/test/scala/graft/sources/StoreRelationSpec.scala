@@ -125,6 +125,36 @@ class StoreRelationSpec extends SparkSpec {
     }
   }
 
+  test("pushed filters prune TIME-TRAVEL reads too: a versionAsOf / " +
+      "timestampAsOf / tag read with a range predicate opens only the " +
+      "stats-admitted dirs of THAT version") {
+    val (path, store) = mkStore() // v1: n 1-100; v2: + n 1000-1100
+    store.tag(spark, "both", 2L)
+    // a third batch the historical reads must never see
+    store.append((5000 to 5100).map(n => (n, s"v$n")).toDF("n", "v"), 2L)
+    def readOpt(k: String, v: String) = spark.read.format("graft-store")
+      .option("path", path).option(k, v).load()
+      .filter($"n" >= 1000).select("n", "v")
+    for ((k, value) <- Seq("versionAsOf" -> "2", "ref" -> "both")) {
+      assert(readOpt(k, value).count() == 101,
+        s"$k=$value must serve version 2")
+    }
+    // the pruning oracle (readVersionWhere is what the relation routes
+    // to; the DataFrame served through the format bridges to an RDD, so
+    // inputFiles must be asserted on the store read): batch-0's dir
+    // (n in [1,100]) never opens, batch-2 is not in version 2 at all
+    val files = store.readVersionWhere(spark, 2L, "n >= 1000").inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("batch-1")),
+      s"only version 2's batch-1 dir may open, got ${files.toSeq}")
+    // the version-bound holds under pruning: batch-2 (n 5000+) is in
+    // CURRENT state, matches the predicate, and must stay invisible
+    assert(readOpt("versionAsOf", "2").filter($"n" >= 5000).count() == 0)
+    // correctness oracle: pruned time travel == unpruned time travel
+    assert(readOpt("versionAsOf", "2").collect().toSet ==
+      store.readVersion(spark, 2L).filter($"n" >= 1000)
+        .select("n", "v").collect().toSet)
+  }
+
   test("timestamp filters render in the SESSION timezone, not the " +
       "JVM default: a pushed row filter keeps the right rows even " +
       "when the two zones disagree") {
