@@ -430,41 +430,69 @@ object StoreSql {
   /** Substitute store reads (current-state and time-travel) for bare
     * references to registered store names anywhere in a parsed plan —
     * shared by [[query]] and a CTAS's SELECT ([[StoreCatalog.exec]]).
+    *
+    * Main-ref stores splice in as `graft-store` FORMAT reads
+    * ([[graft.sources.StoreRelation]], a PrunedFilteredScan), not as
+    * pre-resolved frames: Catalyst then pushes the statement's OWN
+    * WHERE clauses into the relation, which renders them into
+    * `readWhere`/`readVersionWhere` — so SQL-text reads, time travel
+    * included, get the same manifest min/max + bloom dir pruning the
+    * Scala API gets, with the version resolved HERE once (metadata
+    * only). Branch handles share the main path (a path-only format
+    * read would serve main state), so they splice as resolved frames —
+    * branch reads are working-copy-sized by design.
     */
   private[engine] def route(spark: SparkSession,
       tables: Map[String, ManifestTableStore], plan: LogicalPlan)
       : LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
     import org.apache.spark.sql.graftshim.PlanShim
+    def formatRead(store: ManifestTableStore,
+        opts: Map[String, String]): LogicalPlan =
+      PlanShim.planOf(opts.foldLeft(
+          spark.read.format("graft-store")
+            .option("path", store.tablePath)) {
+          case (r, (k, v)) => r.option(k, v)
+        }.load())
     plan.transform {
       case tt @ RelationTimeTravel(rel, ts, ver) =>
         relationName(rel).flatMap(tables.get) match {
           case None => tt // not a store — let the analyzer report it
+          case Some(store) if !store.isMainRef =>
+            throw new IllegalArgumentException(
+              "time travel over a branch handle is not supported; " +
+                "register the main store and use VERSION AS OF " +
+                "'<branch>' to read a branch head")
           case Some(store) =>
-            val df = (ver, ts) match {
+            (ver, ts) match {
               case (Some(v), None) if v.forall(_.isDigit) =>
-                store.readVersion(spark, v.toLong)
-              case (Some(ref), None) =>
-                store.readRef(spark, ref) // tag or branch head
+                formatRead(store, Map("versionAsOf" -> v))
+              case (Some(ref), None) => // tag or branch head
+                formatRead(store, Map("ref" -> ref))
               case (None, Some(e)) =>
                 // evaluate the parsed instant through Spark itself —
-                // same literal/expression semantics as any TIMESTAMP
+                // same literal/expression semantics as any TIMESTAMP —
+                // then resolve the version HERE (metadata-only) so the
+                // spliced relation is version-pinned
                 val t = spark
                   .sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()
                 require(!t.isNullAt(0),
                   s"TIMESTAMP AS OF ${e.sql} does not evaluate to a " +
                     "timestamp")
-                store.readAsOfTimestamp(spark, t.getTimestamp(0).getTime)
+                val v = store.versionAsOfTimestamp(spark,
+                  t.getTimestamp(0).getTime)
+                formatRead(store, Map("versionAsOf" -> v.toString))
               case _ => throw new IllegalArgumentException(
                 "time travel needs exactly one of VERSION AS OF / " +
                   "TIMESTAMP AS OF")
             }
-            PlanShim.planOf(df)
         }
       case u: UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
             tables.contains(u.multipartIdentifier.last) =>
-        PlanShim.planOf(tables(u.multipartIdentifier.last).read(spark))
+        val store = tables(u.multipartIdentifier.last)
+        if (store.isMainRef) formatRead(store, Map.empty)
+        else PlanShim.planOf(store.read(spark))
     }
   }
 

@@ -126,6 +126,17 @@ final class ManifestTableStore(path: String,
 
   private def isMain: Boolean = refDir == "manifest"
 
+  /** The table's root path — the `path` option a
+    * `spark.read.format("graft-store")` read of this table takes.
+    */
+  private[graft] def tablePath: String = path
+
+  /** Whether this handle commits to the main ref (vs a branch chain —
+    * [[branch]] handles share the path, so a path-only format read of
+    * a branch handle would serve MAIN state).
+    */
+  private[graft] def isMainRef: Boolean = isMain
+
   private def fs(spark: SparkSession): FileSystem =
     new HPath(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -108,4 +108,35 @@ class SqlTimeTravelSpec extends SparkSpec {
         "SELECT k FROM plainview VERSION AS OF 1").collect()
     }
   }
+
+  test("SQL-text store reads splice as graft-store FORMAT relations " +
+      "(main ref, time travel included), so the statement's WHERE " +
+      "pushes into manifest pruning; branch handles stay resolved " +
+      "frames") {
+    val store = mkStore()
+    val t = Map("t" -> store)
+    def relations(sql: String) =
+      StoreSql.query(spark, t, sql).queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.datasources
+            .LogicalRelation => l.relation
+      }
+    for (q <- Seq("SELECT k FROM t WHERE n >= 3",
+        "SELECT k FROM t VERSION AS OF 2 WHERE n >= 3")) {
+      val rels = relations(q)
+      assert(rels.nonEmpty &&
+        rels.forall(_.isInstanceOf[graft.sources.StoreRelation]),
+        s"$q must read through the PrunedFilteredScan relation, " +
+          s"got $rels")
+    }
+    // results identical to the resolved-frame reads
+    assert(ks(StoreSql.query(spark, t,
+      "SELECT k FROM t VERSION AS OF 2 WHERE n >= 3")) == Set("c"))
+    // a registered BRANCH handle still serves the branch chain (a
+    // path-only format read would wrongly serve main)
+    store.createBranch(spark, "wip", 3L)
+    val br = store.branch("wip")
+    br.append(Seq(("z", 9)).toDF("k", "n"), 10L)
+    assert(ks(StoreSql.query(spark, Map("b" -> br),
+      "SELECT k FROM b")) == Set("a", "b", "c", "d", "z"))
+  }
 }
