@@ -53,6 +53,11 @@ final class StoreRelation(val sqlContext: SQLContext,
     * `t.refs`) as an option: `history` (the DESCRIBE HISTORY ledger),
     * `tags`, `branches` — all manifest-only, zero data files opened.
     */
+  // the unfiltered resolution is shared by `schema` and every
+  // no-pushed-predicate scan — resolving it once per relation halves
+  // the fixed frame-construction cost of a time-travel read
+  private lazy val unfiltered: Option[DataFrame] = resolve(None)
+
   private def resolve(pred: Option[String]): Option[DataFrame] = {
     def versioned(v: Long): DataFrame = pred match {
       case Some(p) => store.readVersionWhere(spark, v, p)
@@ -95,7 +100,7 @@ final class StoreRelation(val sqlContext: SQLContext,
   }
 
   override lazy val schema: StructType =
-    resolve(None).getOrElse(store.read(spark)).schema
+    unfiltered.getOrElse(store.read(spark)).schema
 
   // rows flow as InternalRow straight from the underlying scans — no
   // external-Row conversion pass (the file-relation bridge)
@@ -107,8 +112,12 @@ final class StoreRelation(val sqlContext: SQLContext,
       spark.sessionState.conf.sessionLocalTimeZone)
     // metaTable reads are manifest-only frames with no readWhere
     // surface; Spark applies the filters after the scan
-    val base = resolve(
-      if (parameters.contains("metaTable")) None else pred).getOrElse {
+    val effective =
+      if (parameters.contains("metaTable")) None else pred
+    val base = (effective match {
+      case None => unfiltered
+      case some => resolve(some)
+    }).getOrElse {
       pred match {
         case Some(p) => store.readWhere(spark, p)
         case None => store.read(spark)
