@@ -338,29 +338,37 @@ object StoreSql {
     spark.emptyDataFrame
   }
 
-  // Delta's maintenance statement shapes. OPTIMIZE/VACUUM are not in
-  // Spark's grammar (Delta injects them via its own parser extension),
-  // so these two verbs — and ONLY these — are recognized up front;
-  // everything else still goes through Spark's parser, no dialect
-  // drift.
+  // Delta's operational statement shapes. OPTIMIZE/VACUUM/RESTORE/
+  // DESCRIBE HISTORY are not in Spark's grammar (Delta injects them via
+  // its own parser extension), so these verbs — and ONLY these — are
+  // recognized up front; everything else still goes through Spark's
+  // parser, no dialect drift.
   private val OptimizeStmt =
     """(?is)OPTIMIZE\s+([A-Za-z0-9_\.]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?""".r
   private val VacuumStmt =
     """(?is)VACUUM\s+([A-Za-z0-9_\.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN)?""".r
+  private val RestoreStmt =
+    """(?is)RESTORE\s+(?:TABLE\s+)?([A-Za-z0-9_\.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val HistoryStmt =
+    """(?is)DESCRIBE\s+HISTORY\s+([A-Za-z0-9_\.]+)""".r
 
-  /** Route `OPTIMIZE <t> [ZORDER BY (cols)]` and
-    * `VACUUM <t> [RETAIN n HOURS] [DRY RUN]` — the Delta statement
-    * shapes a SQL-only operator schedules — onto the store's
-    * maintenance surface: plain OPTIMIZE = [[ManifestTableStore.maintain]]
-    * (targeted delete folding + small-file compaction), the ZORDER
-    * form = fold pending deletes then
-    * [[ManifestTableStore.compactZOrder]] with the session's shuffle
-    * parallelism as the bucket count, VACUUM =
+  /** Route the Delta operational verbs a SQL-only operator schedules —
+    * `OPTIMIZE <t> [ZORDER BY (cols)]`,
+    * `VACUUM <t> [RETAIN n HOURS] [DRY RUN]`,
+    * `RESTORE [TABLE] <t> TO VERSION AS OF n`, and
+    * `DESCRIBE HISTORY <t>` — onto the store surface: plain OPTIMIZE =
+    * [[ManifestTableStore.maintain]] (targeted delete folding +
+    * small-file compaction), the ZORDER form = fold pending deletes
+    * then [[ManifestTableStore.compactZOrder]] with the session's
+    * shuffle parallelism as the bucket count, VACUUM =
     * [[ManifestTableStore.vacuum]] against the CURRENT version
     * (Delta's retention model) with `RETAIN n HOURS` as the
     * modification-time horizon (default: the store's 10-minute
-    * in-flight-writer guard). Returns Delta-shaped result frames:
-    * OPTIMIZE → `action` rows, VACUUM → `path` rows.
+    * in-flight-writer guard), RESTORE = the metadata-only rollback
+    * commit, DESCRIBE HISTORY = the commit-ledger frame. Returns
+    * Delta-shaped result frames: OPTIMIZE → `action` rows, VACUUM →
+    * `path` rows, RESTORE → the restored version row, DESCRIBE
+    * HISTORY → the ledger.
     */
   private def maintenance(spark: SparkSession,
       tables: Map[String, ManifestTableStore], sql: String)
@@ -371,6 +379,12 @@ object StoreSql {
         s"unknown maintenance target '$name' (known: " +
           s"${tables.keys.mkString(", ")})"))
     sql.trim match {
+      case RestoreStmt(t, v) =>
+        val store = storeNamed(t)
+        store.restore(spark, v.toLong)
+        Some(Seq((v.toLong, store.currentVersion(spark)))
+          .toDF("restored_to", "current_version"))
+      case HistoryStmt(t) => Some(storeNamed(t).history(spark))
       case OptimizeStmt(t, zcols) =>
         val store = storeNamed(t)
         val actions =

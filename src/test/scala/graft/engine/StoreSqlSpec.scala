@@ -270,4 +270,22 @@ class StoreSqlSpec extends SparkSpec {
       StoreSql.exec(spark, Map("t" -> store), "OPTIMIZE nope")
     }
   }
+
+  test("RESTORE TABLE ... TO VERSION AS OF and DESCRIBE HISTORY run " +
+      "as SQL text: rollback is metadata-only and audited, the ledger " +
+      "is a result frame") {
+    val store = freshStore()                       // v1: a,b,c
+    StoreSql.exec(spark, Map("t" -> store), "DELETE FROM t WHERE n >= 2")
+    assert(state(store) == Set(("a", 1)))          // v2: the bad job
+    val res = StoreSql.exec(spark, Map("t" -> store),
+      "RESTORE TABLE t TO VERSION AS OF 1")
+    assert(res.select("restored_to", "current_version")
+      .as[(Long, Long)].head() == ((1L, 3L)),
+      "restore commits a NEW version referencing v1's state")
+    assert(state(store) == Set(("a", 1), ("b", 2), ("c", 3)))
+    // the audit trail survives: history shows all three versions
+    val hist = StoreSql.exec(spark, Map("t" -> store),
+      "DESCRIBE HISTORY t")
+    assert(hist.columns.contains("version") && hist.count() == 3)
+  }
 }
