@@ -68,11 +68,14 @@ final class StoreCatalog(basePath: String) {
             ct.ignoreIfExists) match {
           case Some(_) => // IF NOT EXISTS: keep the existing table
           case None =>
-            val store = build(name, ct.partitioning, ct.tableSpec)
+            val (path, pb, props) =
+              physical(name, ct.partitioning, ct.tableSpec)
+            val store = mk(path, pb, props)
             store.createEmpty(spark, StructType(ct.columns.map {
               c: ColumnDefinition =>
                 StructField(c.name, c.dataType, c.nullable)
             }))
+            persistSpec(spark, path, pb, props)
             checksOf(ct.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
             reg.put(name, store)
@@ -84,7 +87,9 @@ final class StoreCatalog(basePath: String) {
             ctas.ignoreIfExists) match {
           case Some(_) =>
           case None =>
-            val store = build(name, ctas.partitioning, ctas.tableSpec)
+            val (path, pb, props) =
+              physical(name, ctas.partitioning, ctas.tableSpec)
+            val store = mk(path, pb, props)
             // checks BEFORE the load: the batch passes the same
             // write-time gate every later INSERT will
             checksOf(ctas.tableSpec).foreach { case (n, pred) =>
@@ -95,6 +100,7 @@ final class StoreCatalog(basePath: String) {
               throw new IllegalArgumentException(
                 "CTAS requires an explicit batchId: the loaded rows " +
                   "commit under it, exactly like INSERT")))
+            persistSpec(spark, path, pb, props)
             reg.put(name, store)
         }
         spark.emptyDataFrame
@@ -110,9 +116,14 @@ final class StoreCatalog(basePath: String) {
     * OR committed on disk at its path (a table survives the session
     * that created it; a fresh catalog's `IF NOT EXISTS` must see it
     * and must not clobber it) — or None when creation should proceed.
-    * Refuses (Delta's TABLE_OR_VIEW_ALREADY_EXISTS shape) when the
-    * table exists and IF NOT EXISTS was not given; the re-attached
-    * store registers either way.
+    * An on-disk table re-attaches FROM ITS PERSISTED SPEC (the
+    * creation-time partitioning/properties sidecar), never from the
+    * re-attaching statement's spec: a bare `CREATE TABLE IF NOT
+    * EXISTS t (...)` must not silently strip the original
+    * partitioning, stats columns, or merge-on-read key. Refuses
+    * (Delta's TABLE_OR_VIEW_ALREADY_EXISTS shape) when the table
+    * exists and IF NOT EXISTS was not given; the re-attached store
+    * registers either way.
     */
   private def existing(spark: SparkSession, name: String,
       partitioning: Seq[Transform],
@@ -120,7 +131,9 @@ final class StoreCatalog(basePath: String) {
         .TableSpecBase,
       ignoreIfExists: Boolean): Option[ManifestTableStore] = {
     val present = reg.get(name).orElse {
-      val onDisk = build(name, partitioning, tableSpec)
+      val (path, pb, props) = physical(name, partitioning, tableSpec)
+      val (epb, eprops) = loadSpec(spark, path).getOrElse((pb, props))
+      val onDisk = mk(path, epb, eprops)
       if (onDisk.currentVersion(spark) > 0) Some(onDisk) else None
     }
     present.foreach { s =>
@@ -129,6 +142,43 @@ final class StoreCatalog(basePath: String) {
       reg.put(name, s)
     }
     present
+  }
+
+  /** Persist the creation-time physical spec beside the table (atomic
+    * create-if-absent) — what [[existing]] re-attaches from.
+    */
+  private def persistSpec(spark: SparkSession, path: String,
+      partitionBy: Seq[String], props: Map[String, String]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val pb = root.putArray("partitionBy")
+    partitionBy.foreach(pb.add)
+    Seq("statsColumns", "bloomColumns", "morDeleteKey")
+      .foreach(k => props.get(k).foreach(v => root.put(k, v)))
+    val hp = new org.apache.hadoop.fs.Path(path, "table_spec")
+    AtomicCreate.publish(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
+      mapper.writeValueAsString(root).getBytes("UTF-8"))
+  }
+
+  private def loadSpec(spark: SparkSession, path: String)
+      : Option[(Seq[String], Map[String, String])] = {
+    val hp = new org.apache.hadoop.fs.Path(path, "table_spec")
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) return None
+    val in = f.open(hp)
+    val text =
+      try {
+        val buf = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
+        in.readFully(buf); new String(buf, "UTF-8")
+      } finally in.close()
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text)
+    val pb = Option(root.get("partitionBy")).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+    val props = Seq("statsColumns", "bloomColumns", "morDeleteKey")
+      .flatMap(k => Option(root.get(k)).map(k -> _.asText())).toMap
+    Some((pb, props))
   }
 
   private def identOf(name: LogicalPlan): String = name match {
@@ -141,9 +191,12 @@ final class StoreCatalog(basePath: String) {
       s"unsupported CREATE TABLE name: $other")
   }
 
-  private def build(name: String, partitioning: Seq[Transform],
+  /** (path, partitionBy, store props) as a CREATE statement declares
+    * them — the spec [[persistSpec]] records and [[mk]] instantiates.
+    */
+  private def physical(name: String, partitioning: Seq[Transform],
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
-        .TableSpecBase): ManifestTableStore = {
+        .TableSpecBase): (String, Seq[String], Map[String, String]) = {
     val partitionBy = partitioning.map { t =>
       // structural match on the connector Transform interface (the
       // case classes are private[sql]): identity over one column
@@ -156,10 +209,14 @@ final class StoreCatalog(basePath: String) {
       case u: UnresolvedTableSpec => (u.properties, u.location)
       case other => (Map.empty[String, String], None)
     }
+    (location.getOrElse(s"$basePath/$name"), partitionBy, props)
+  }
+
+  private def mk(path: String, partitionBy: Seq[String],
+      props: Map[String, String]): ManifestTableStore = {
     def csv(key: String): Seq[String] = props.get(key).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
-    new ManifestTableStore(
-      location.getOrElse(s"$basePath/$name"),
+    new ManifestTableStore(path,
       partitionBy = partitionBy,
       statsColumns = csv("statsColumns"),
       bloomColumns = csv("bloomColumns"),

@@ -112,8 +112,10 @@ object StoreSql {
         storeOf(u.table).update(spark, pred, set)
       case i: InsertIntoStatement =>
         val store = storeOf(i.table)
+        // the source SELECT may read OTHER registered stores (the
+        // bronze->silver derive shape) — route them like a query
         val df0 = org.apache.spark.sql.graftshim.PlanShim
-          .ofRows(spark, i.query)
+          .ofRows(spark, route(spark, tables, i.query))
         // static partition values from a `PARTITION (k='v')` spec
         // become literal columns the query does not provide
         val static = i.partitionSpec.collect {
@@ -184,6 +186,10 @@ object StoreSql {
         val srcName = relationName(m.sourceTable).getOrElse(
           throw new IllegalArgumentException(
             s"MERGE source must be a named view/table, got: ${m.sourceTable}"))
+        // a registered store is a valid MERGE source (CDC between two
+        // catalog tables); session views/tables resolve as before
+        val srcFrame = tables.get(srcName).map(_.read(spark))
+          .getOrElse(spark.table(srcName))
         val store = storeOf(m.targetTable)
         val bid = requiredBatchId("MERGE")
         val starForm = m.matchedActions == Seq(UpdateStarAction(None)) &&
@@ -193,7 +199,7 @@ object StoreSql {
           // unconditioned SET * / INSERT * — the anti-join fast path
           // (matched rows replaced wholesale, all source rows written
           // once)
-          store.merge(spark, spark.table(srcName), key, bid)
+          store.merge(spark, srcFrame, key, bid)
         } else {
           // qualifier rewrite for the general path: references resolve
           // against the PARSED aliases plus the two relations' actual
@@ -202,7 +208,7 @@ object StoreSql {
           // over bare source rows)
           val tNames = sideNames(m.targetTable)
           val sNames = sideNames(m.sourceTable)
-          val sCols = spark.table(srcName).columns
+          val sCols = srcFrame.columns
             .map(_.toLowerCase).toSet
           // an EMPTY target (insert-only seeding via notMatched
           // clauses, which mergeClauses supports) has no readable
@@ -265,7 +271,7 @@ object StoreSql {
             case other => throw new IllegalArgumentException(
               s"unsupported NOT MATCHED action: $other")
           }
-          store.mergeClauses(spark, spark.table(srcName), key,
+          store.mergeClauses(spark, srcFrame, key,
             m.matchedActions.map(clauseOf),
             m.notMatchedActions.map(insertOf),
             m.notMatchedBySourceActions.map(clauseOf), bid)
@@ -405,8 +411,20 @@ object StoreSql {
         val store = storeNamed(t)
         val minAge = Option(hours).map(_.toLong * 3600000L)
           .getOrElse(600000L)
-        Some(store.vacuum(spark, retainLast = 0, minAgeMs = minAge,
-          dryRun = dry != null).toDF("path"))
+        // RETAIN n HOURS is a TIME-TRAVEL horizon, not only a data-dir
+        // age guard: Delta keeps the log under the retention window;
+        // the manifest analogue keeps every version COMMITTED within
+        // the horizon readable (retainLast = count of such versions),
+        // so `VACUUM t RETAIN 168 HOURS` preserves a week of history
+        // instead of instantly deleting every superseded manifest.
+        val cutoff = System.currentTimeMillis() - minAge
+        val v = store.currentVersion(spark)
+        val recent = (1L to v).count(ver =>
+          (try Some(store.versionTimestampMs(spark, ver))
+          catch { case _: IllegalArgumentException => None })
+            .exists(_ >= cutoff))
+        Some(store.vacuum(spark, retainLast = recent,
+          minAgeMs = minAge, dryRun = dry != null).toDF("path"))
       case _ => None
     }
   }
@@ -473,10 +491,26 @@ object StoreSql {
         relationName(rel).flatMap(tables.get) match {
           case None => tt // not a store — let the analyzer report it
           case Some(store) if !store.isMainRef =>
-            throw new IllegalArgumentException(
-              "time travel over a branch handle is not supported; " +
-                "register the main store and use VERSION AS OF " +
-                "'<branch>' to read a branch head")
+            // branch handles share the main path (a path-only format
+            // read would serve MAIN state): serve the branch chain's
+            // own versions as resolved frames — correctness over
+            // pushdown, branches are working-copy-sized by design
+            val df = (ver, ts) match {
+              case (Some(v), None) if v.forall(_.isDigit) =>
+                store.readVersion(spark, v.toLong)
+              case (Some(ref), None) => store.readRef(spark, ref)
+              case (None, Some(e)) =>
+                val t = spark
+                  .sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()
+                require(!t.isNullAt(0),
+                  s"TIMESTAMP AS OF ${e.sql} does not evaluate to a " +
+                    "timestamp")
+                store.readAsOfTimestamp(spark, t.getTimestamp(0).getTime)
+              case _ => throw new IllegalArgumentException(
+                "time travel needs exactly one of VERSION AS OF / " +
+                  "TIMESTAMP AS OF")
+            }
+            PlanShim.planOf(df)
           case Some(store) =>
             (ver, ts) match {
               case (Some(v), None) if v.forall(_.isDigit) =>

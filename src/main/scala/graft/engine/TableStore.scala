@@ -847,7 +847,7 @@ final class ManifestTableStore(path: String,
           "them (compact() first to materialize the schema, then " +
           "rename)")
       listChecks(spark).foreach { case (name, pred) =>
-        require(!("(?i).*\\b" +
+        require(!("(?is).*\\b" +
           java.util.regex.Pattern.quote(from) + "\\b.*").r
           .matches(pred),
           s"column '$from' is referenced by check constraint '$name' " +
@@ -1508,8 +1508,12 @@ final class ManifestTableStore(path: String,
     import spark.implicits._
     val f = fs(spark)
     val (cur, _) = current(f)
+    // vacuumed (deleted) manifests are skipped like in-flight ones —
+    // the ledger lists the versions that still exist, it never throws
     (1L to cur).flatMap { v =>
-      readManifest(f, v).map { es =>
+      (try readManifest(f, v) catch {
+        case _: java.io.FileNotFoundException => None
+      }).map { es =>
         val counts = es.groupBy(_.dir).map(_._2.head.statsJson).toSeq
           .map(ManifestTableStore.parseCount)
         (v, es.map(_.batchId).distinct.size.toLong,
@@ -1525,7 +1529,14 @@ final class ManifestTableStore(path: String,
     * immutable once renamed in; superseded data dirs remain until
     * [[vacuum]]).
     */
-  def readVersion(spark: SparkSession, version: Long): DataFrame = {
+  def readVersion(spark: SparkSession, version: Long): DataFrame =
+    readEntries(spark, versionEntries(spark, version)) // + delete files
+
+  /** The entries of one COMPLETE historical version, with the missing /
+    * incomplete / empty refusals every time-travel entry point shares.
+    */
+  private def versionEntries(spark: SparkSession,
+      version: Long): Seq[Entry] = {
     val entries = (try readManifest(fs(spark), version) catch {
       case _: java.io.FileNotFoundException =>
         throw new IllegalArgumentException(
@@ -1533,7 +1544,7 @@ final class ManifestTableStore(path: String,
     }).getOrElse(throw new IllegalArgumentException(
         s"version $version of $path is incomplete (writer died mid-commit)"))
     require(entries.nonEmpty, s"version $version of $path is empty")
-    readEntries(spark, entries) // applies that version's delete files
+    entries
   }
 
   /** Current manifest version (0 = no commits yet). */
@@ -1962,8 +1973,10 @@ final class ManifestTableStore(path: String,
       else entriesOf(fromVersion).map(_.batchId).toSet
     val to = entriesOf(toVersion)
     val newIds = to.map(_.batchId).toSet -- fromIds
-    if (newIds.isEmpty)
-      return readDirs(spark, to.map(_.dir).distinct).filter(lit(false))
+    if (newIds.isEmpty) // zero rows, but in the END version's schema
+      return dropsOf(to).foldLeft(applyRenames(
+        readDirs(spark, to.map(_.dir).distinct), to))(_.drop(_))
+        .filter(lit(false))
     val dirs = to.filter(e => newIds.contains(e.batchId)).map(_.dir).distinct
     dropsOf(to).foldLeft(applyRenames(readDirs(spark, dirs)
       .filter(col("batch_id").isInCollection(newIds)), to))(_.drop(_))
@@ -2450,16 +2463,8 @@ final class ManifestTableStore(path: String,
     * full scan. Results are exactly `readVersion(v).filter(pred)`.
     */
   def readVersionWhere(spark: SparkSession, version: Long,
-      predicateSql: String): DataFrame = {
-    val entries = (try readManifest(fs(spark), version) catch {
-      case _: java.io.FileNotFoundException =>
-        throw new IllegalArgumentException(
-          s"version $version of $path does not exist")
-    }).getOrElse(throw new IllegalArgumentException(
-        s"version $version of $path is incomplete (writer died mid-commit)"))
-    require(entries.nonEmpty, s"version $version of $path is empty")
-    readWhereEntries(spark, entries, predicateSql)
-  }
+      predicateSql: String): DataFrame =
+    readWhereEntries(spark, versionEntries(spark, version), predicateSql)
 
   /** (kept, skipped) data dirs for a predicate — the pruning decision
     * [[readWhere]] acts on, exposed for tests/inspection. Only top-level

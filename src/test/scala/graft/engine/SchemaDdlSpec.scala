@@ -230,5 +230,12 @@ class SchemaDdlSpec extends SparkSpec {
     // column remains anywhere
     assert(store.read(spark).columns.toSet ==
       Set("k", "qty", "batch_id"))
+    // an EMPTY change window also serves the renamed schema — a caller
+    // selecting the new name on an unchanged window must not get
+    // UNRESOLVED_COLUMN
+    val v = store.currentVersion(spark)
+    val empty = store.readChanges(spark, v, v)
+    assert(empty.columns.contains("qty") && !empty.columns.contains("n"))
+    assert(empty.count() == 0)
   }
 }

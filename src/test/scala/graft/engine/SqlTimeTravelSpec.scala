@@ -138,5 +138,11 @@ class SqlTimeTravelSpec extends SparkSpec {
     br.append(Seq(("z", 9)).toDF("k", "n"), 10L)
     assert(ks(StoreSql.query(spark, Map("b" -> br),
       "SELECT k FROM b")) == Set("a", "b", "c", "d", "z"))
+    // ... including HISTORICAL branch versions: VERSION AS OF on the
+    // branch handle reads the branch chain's own version, not main's
+    val bv = br.currentVersion(spark)
+    assert(ks(StoreSql.query(spark, Map("b" -> br),
+      s"SELECT k FROM b VERSION AS OF $bv")) ==
+      Set("a", "b", "c", "d", "z"))
   }
 }

@@ -76,6 +76,95 @@ class StoreCatalogSpec extends SparkSpec {
       "the re-attached table serves the ORIGINAL data")
   }
 
+  test("re-attach uses the PERSISTED creation spec, not the " +
+      "re-attaching statement's: a bare IF NOT EXISTS cannot strip " +
+      "partitioning or the merge-on-read key") {
+    val base = Files.createTempDirectory("catalog3-")
+    base.toFile.deleteOnExit()
+    val cat1 = new StoreCatalog(base.toString)
+    cat1.exec(spark,
+      """CREATE TABLE t (day STRING, k STRING, n INT)
+        |USING graft_store PARTITIONED BY (day)
+        |TBLPROPERTIES ('morDeleteKey'='k', 'statsColumns'='n')"""
+        .stripMargin)
+    cat1.exec(spark, "INSERT INTO t VALUES ('d1', 'a', 1)",
+      batchId = Some(0L))
+    // fresh catalog, PROPERTY-LESS re-attach
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark,
+      "CREATE TABLE IF NOT EXISTS t (day STRING, k STRING, n INT) " +
+        "USING graft_store")
+    // partitioning survived: a new batch lays out hive dirs
+    cat2.exec(spark, "INSERT INTO t VALUES ('d2', 'b', 2)",
+      batchId = Some(1L))
+    assert(cat2.store("t").read(spark).inputFiles
+      .exists(_.contains("day=d2")),
+      "the re-attached table must still partition by day")
+    // the merge-on-read key survived: DELETE takes the MoR path (a
+    // delete FILE commits; no data dir is rewritten)
+    cat2.exec(spark, "DELETE FROM t WHERE k = 'a'")
+    assert(cat2.query(spark, "SELECT k FROM t").as[String]
+      .collect().toSeq == Seq("b"))
+    assert(cat2.store("t").read(spark).inputFiles
+      .exists(_.contains("day=d1")),
+      "MoR delete must not rewrite the d1 data dir")
+  }
+
+  test("catalog INSERT ... SELECT and MERGE read OTHER catalog " +
+      "tables: the bronze-to-silver derive works without any view " +
+      "registration") {
+    val cat = freshCatalog()
+    cat.exec(spark, "CREATE TABLE bronze (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO bronze VALUES ('a', 1), ('b', -2)",
+      batchId = Some(0L))
+    cat.exec(spark, "CREATE TABLE silver (k STRING, n INT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO silver SELECT k, n FROM bronze WHERE n > 0",
+      batchId = Some(0L))
+    assert(cat.query(spark, "SELECT k, n FROM silver")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1)))
+    // MERGE with a catalog table as the SOURCE
+    cat.exec(spark, "INSERT INTO bronze VALUES ('a', 10)",
+      batchId = Some(1L)) // bronze now has a twice — dedupe via merge?
+    cat.exec(spark, "CREATE TABLE delta_src (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO delta_src VALUES ('a', 100), ('z', 9)",
+      batchId = Some(0L))
+    cat.exec(spark,
+      """MERGE INTO silver USING delta_src ON silver.k = delta_src.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      batchId = Some(1L))
+    assert(cat.query(spark, "SELECT k, n FROM silver ORDER BY k")
+      .as[(String, Int)].collect().toSeq ==
+      Seq(("a", 100), ("z", 9)))
+  }
+
+  test("VACUUM RETAIN n HOURS is a version-retention horizon: recent " +
+      "history stays time-travelable, RETAIN 0 reclaims it, and " +
+      "DESCRIBE HISTORY lists the survivors instead of crashing") {
+    val cat = freshCatalog()
+    cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO t VALUES ('b', 2)", batchId = Some(1L))
+    val st = cat.store("t")
+    st.compact(spark) // supersede the small dirs (v4)
+    // a WEEK-long horizon: nothing reclaimed, history fully readable
+    assert(cat.exec(spark, "VACUUM t RETAIN 168 HOURS").count() == 0,
+      "every version is within the horizon — nothing may be deleted")
+    assert(st.readVersion(spark, 2L).count() == 1,
+      "v2 must remain time-travelable under the horizon")
+    assert(cat.exec(spark, "DESCRIBE HISTORY t").count() == 4)
+    // horizon 0: superseded manifests + dirs reclaim; the ledger
+    // lists the SURVIVING version instead of throwing
+    assert(cat.exec(spark, "VACUUM t RETAIN 0 HOURS").count() > 0)
+    val hist = cat.exec(spark, "DESCRIBE HISTORY t")
+    assert(hist.count() == 1 &&
+      hist.select("version").as[Long].head() == 4L,
+      "post-vacuum history = the current version only, no exception")
+    assert(cat.query(spark, "SELECT count(*) AS c FROM t")
+      .as[Long].head() == 2L)
+  }
+
   test("CTAS loads the routed SELECT (reading other catalog tables) " +
       "under an explicit batchId; PARTITIONED BY lays out hive dirs; " +
       "the whole lifecycle including OPTIMIZE/VACUUM runs SQL-only") {
