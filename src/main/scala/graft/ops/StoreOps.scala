@@ -1397,6 +1397,59 @@ object StoreOps {
         .withColumn("check_refused", lit(refused))
     },
 
+    // The SQL-only ROLLBACK DRILL (q162's restore, driven entirely by
+    // statements): two date-sliced INSERTs, a destructive DELETE (the
+    // bad job), then `RESTORE TABLE ... TO VERSION AS OF 2` — a
+    // metadata-only commit re-referencing v2's dirs — and
+    // `DESCRIBE HISTORY` proving the rollback did NOT destroy the
+    // audit trail (all four versions still in the ledger). The grouped
+    // aggregate equals the pre-delete state the oracle recomputes; a
+    // restore that leaked the delete, replayed an insert, or vacuumed
+    // history shifts a pinned column.
+    QueryDef(
+      "q221_sql_restore",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(4 AS BIGINT) AS n_versions,
+        |  CAST(2 AS BIGINT) AS restored_to
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_sqlrestore", dir),
+        statsColumns = Seq("o_orderdate"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      val t = Map("silver_restore" -> store)
+      if (store.currentVersion(s) == 0L)
+        store.append(orders.filter(upTo("1998-01-01")), 0L)
+      if (store.currentVersion(s) == 1L)
+        store.append(
+          orders.filter(!upTo("1998-01-01") && upTo("2000-01-01")), 1L)
+      if (store.currentVersion(s) == 2L) // the bad job
+        graft.engine.StoreSql.exec(s, t,
+          "DELETE FROM silver_restore WHERE o_orderdate >= " +
+            "TIMESTAMP '1998-01-01 00:00:00'")
+      val restoredTo =
+        if (store.currentVersion(s) == 3L)
+          graft.engine.StoreSql.exec(s, t,
+            "RESTORE TABLE silver_restore TO VERSION AS OF 2")
+            .select("restored_to").head().getLong(0)
+        else 2L // replay: already restored
+      val nVersions = graft.engine.StoreSql.exec(s, t,
+        "DESCRIBE HISTORY silver_restore").count()
+      graft.engine.StoreSql.query(s, t,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM silver_restore GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("n_versions", lit(nVersions))
+        .withColumn("restored_to", lit(restoredTo))
+    },
+
     // CHECK-constraint gate (Delta ADD CONSTRAINT): the store carries
     // a registered predicate every written row must satisfy, enforced
     // at the one choke point all write paths share. Two conforming
