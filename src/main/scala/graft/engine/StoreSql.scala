@@ -300,6 +300,12 @@ object StoreSql {
           case other => throw new IllegalArgumentException(
             s"unsupported DROP COLUMN reference: $other")
         }
+      case a: org.apache.spark.sql.catalyst.plans.logical.AnalyzeTable =>
+        // refresh manifest stats/bloom against the current schema —
+        // restores data skipping on renamed columns for pre-rename
+        // dirs, no data rewritten. NOSCAN has nothing to do (row
+        // counts are already recorded at every commit).
+        if (!a.noScan) storeOf(a.child).refreshStats(spark)
       case a: org.apache.spark.sql.catalyst.plans.logical
           .AddCheckConstraint =>
         // ALTER TABLE ... ADD CONSTRAINT name CHECK (pred): Spark's own
@@ -547,6 +553,9 @@ object StoreSql {
   private def relationName(plan: LogicalPlan): Option[String] = plan match {
     case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
     case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      Some(t.multipartIdentifier.last)
+    case t: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedTableOrView =>
       Some(t.multipartIdentifier.last)
     case SubqueryAlias(_, child) => relationName(child)
     case _ => None

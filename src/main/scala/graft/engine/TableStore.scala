@@ -221,10 +221,16 @@ final class ManifestTableStore(path: String,
     * string columns only; anything else (or an all-null dir) simply
     * yields no stats — pruning stays conservative.
     */
-  private def collectStats(spark: SparkSession, dir: String): String = {
+  private def collectStats(spark: SparkSession, dir: String): String =
+    collectStatsOf(spark.read.parquet(dir))
+
+  /** [[collectStats]] over an arbitrary frame — the shared core, also
+    * used by [[refreshStats]] to recompute a dir's stats through the
+    * snapshot's rename projection.
+    */
+  private def collectStatsOf(df: DataFrame): String = {
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
-    val df = spark.read.parquet(dir)
     def isTs(dt: org.apache.spark.sql.types.DataType) =
       dt == TimestampType || dt == TimestampNTZType
     val present = statsColumns.filter(c => df.schema.fields.exists(f =>
@@ -878,6 +884,41 @@ final class ManifestTableStore(path: String,
         next = math.max(nv + 1, next + 1)
       }
     }
+
+  /** `ANALYZE TABLE ... COMPUTE STATISTICS` — refresh every data dir's
+    * manifest stats/bloom against the CURRENT schema without rewriting
+    * a byte of data: each dir re-scans (stats columns only) through
+    * the snapshot's rename projection and its statsJson is replaced in
+    * ONE optimistic commit (dirs and batch ids unchanged, so the
+    * refresh is ancestry-neutral for branch fast-forward and invisible
+    * to CDF). This is the operational verb that RESTORES data skipping
+    * on a renamed column for dirs written before the rename — their
+    * recorded stats are keyed to the old physical name and prune
+    * nothing until refreshed or rewritten. Stats columns come from
+    * THIS handle's `statsColumns`, which must name the current
+    * (post-rename) schema. No-op on an empty table; a lost race
+    * against concurrent maintenance is shrugged off (re-running a
+    * stats refresh is free).
+    */
+  def refreshStats(spark: SparkSession): Unit = synchronized {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    if (lines.isEmpty) return
+    val dataDirs = lines
+      .filterNot(e => isDeleteEntry(e) || isSchemaMarker(e))
+      .map(_.dir).distinct
+    val fresh: Map[String, String] = dataDirs.map { d =>
+      d -> collectStatsOf(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(d), lines))
+    }.toMap
+    commitRewrite(f, v + 1, lines, snap => snap.map { e =>
+      if (isDeleteEntry(e) || isSchemaMarker(e)) e
+      else fresh.get(e.dir) match {
+        case Some(st) => Entry(e.batchId, e.dir, st)
+        case None => e
+      }
+    })
+  }
 
   // ---- Write-audit-publish (Iceberg's WAP pattern) -------------------
   // The single-step manifest protocol makes WAP free: data files are

@@ -238,4 +238,36 @@ class SchemaDdlSpec extends SparkSpec {
     assert(empty.columns.contains("qty") && !empty.columns.contains("n"))
     assert(empty.count() == 0)
   }
+
+  test("ANALYZE TABLE COMPUTE STATISTICS restores data skipping on a " +
+      "renamed column: pre-rename dirs prune again, no data rewritten") {
+    val p = Files.createTempDirectory("ddl-an-")
+    p.toFile.deleteOnExit()
+    val before = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"))
+    before.append((1 to 100).map(i => (s"k$i", i)).toDF("k", "n"), 0L)
+    before.append((1000 to 1100).map(i => (s"k$i", i)).toDF("k", "n"), 1L)
+    before.renameColumn(spark, "n", "qty")
+    // the handle whose statsColumns name the CURRENT schema
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("qty"))
+    // pre-refresh: old dirs' stats are keyed to 'n' — a qty predicate
+    // cannot prune them (conservative: both dirs open)
+    val beforeFiles = store.readWhere(spark, "qty >= 1000").inputFiles
+    assert(beforeFiles.exists(_.contains("batch-0")),
+      "before ANALYZE, the out-of-range dir is conservatively read")
+    val dirsBefore = store.read(spark).inputFiles.toSet
+    StoreSql.exec(spark, Map("t" -> store),
+      "ANALYZE TABLE t COMPUTE STATISTICS")
+    // post-refresh: stats live under 'qty'; batch-0 (1..100) prunes
+    val afterFiles = store.readWhere(spark, "qty >= 1000").inputFiles
+    assert(afterFiles.nonEmpty && afterFiles.forall(_.contains("batch-1")),
+      s"after ANALYZE, only batch-1 may open, got ${afterFiles.toSeq}")
+    assert(store.readWhere(spark, "qty >= 1000").count() == 101)
+    // metadata-only: the data dirs are byte-identical
+    assert(store.read(spark).inputFiles.toSet == dirsBefore,
+      "a stats refresh must not rewrite or move any data file")
+    // the refresh is a real commit but ancestry-neutral: history grew
+    assert(store.currentVersion(spark) == 4L)
+  }
 }
