@@ -104,6 +104,38 @@ final class StoreCatalog(basePath: String) {
             reg.put(name, store)
         }
         spark.emptyDataFrame
+      case Some(dt: org.apache.spark.sql.catalyst.plans.logical
+          .DropTable) =>
+        // DROP TABLE [IF EXISTS] — the lifecycle's other end:
+        // unregister and delete the table root (manifest chain, data,
+        // tags, checks, spec sidecar). Unlike vacuum this is the
+        // explicit, named destruction of the WHOLE table; the atomic
+        // unit is the directory.
+        val name = dt.child match {
+          case u: UnresolvedIdentifier if u.nameParts.size == 1 =>
+            u.nameParts.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP TABLE name: $other")
+        }
+        val known = reg.get(name).map(_.tablePath)
+          .orElse {
+            val p = s"$basePath/$name"
+            val hp = new org.apache.hadoop.fs.Path(p)
+            val f = hp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            if (f.exists(hp)) Some(p) else None
+          }
+        known match {
+          case Some(p) =>
+            val hp = new org.apache.hadoop.fs.Path(p)
+            hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .delete(hp, true)
+            reg.remove(name)
+          case None =>
+            require(dt.ifExists, s"unknown table '$name' " +
+              "(use DROP TABLE IF EXISTS)")
+        }
+        spark.emptyDataFrame
       case _ => StoreSql.exec(spark, tables, sql, batchId)
     }
   }

@@ -201,6 +201,25 @@ class StoreCatalogSpec extends SparkSpec {
     assert(cat.query(spark, "SELECT * FROM src").count() == 4)
   }
 
+  test("DROP TABLE completes the lifecycle: the table unregisters and " +
+      "its root deletes; IF EXISTS no-ops on a missing name; the name " +
+      "is then free to CREATE again, empty") {
+    val cat = freshCatalog()
+    cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark, "DROP TABLE t")
+    intercept[Exception] { // unrouted name -> analyzer's NOT_FOUND
+      cat.query(spark, "SELECT * FROM t").collect()
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "DROP TABLE t") // already gone
+    }
+    cat.exec(spark, "DROP TABLE IF EXISTS t") // no-op
+    // re-creation starts from nothing — no resurrected rows or spec
+    cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    assert(cat.query(spark, "SELECT * FROM t").count() == 0)
+  }
+
   test("ALTER TABLE ADD CONSTRAINT / DROP CONSTRAINT route Spark's " +
       "parsed constraint to the store's check registry") {
     val cat = freshCatalog()
