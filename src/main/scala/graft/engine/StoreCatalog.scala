@@ -71,11 +71,16 @@ final class StoreCatalog(basePath: String) {
             val (path, pb, props) =
               physical(name, ct.partitioning, ct.tableSpec)
             val store = mk(path, pb, props)
+            // spec + name pointer publish BEFORE the first commit: a
+            // crash between commit and sidecar must not leave a table
+            // that re-attaches spec-less (silently stripped
+            // partitioning/properties)
+            persistSpec(spark, path, pb, props)
+            persistPointer(spark, name, path)
             store.createEmpty(spark, StructType(ct.columns.map {
               c: ColumnDefinition =>
                 StructField(c.name, c.dataType, c.nullable)
             }))
-            persistSpec(spark, path, pb, props)
             checksOf(ct.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
             reg.put(name, store)
@@ -90,17 +95,20 @@ final class StoreCatalog(basePath: String) {
             val (path, pb, props) =
               physical(name, ctas.partitioning, ctas.tableSpec)
             val store = mk(path, pb, props)
+            val bid = batchId.getOrElse(
+              throw new IllegalArgumentException(
+                "CTAS requires an explicit batchId: the loaded rows " +
+                  "commit under it, exactly like INSERT"))
+            // spec + pointer BEFORE the (long) load — see CREATE above
+            persistSpec(spark, path, pb, props)
+            persistPointer(spark, name, path)
             // checks BEFORE the load: the batch passes the same
             // write-time gate every later INSERT will
             checksOf(ctas.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
             val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
               spark, StoreSql.route(spark, tables, ctas.query))
-            store.append(df, batchId.getOrElse(
-              throw new IllegalArgumentException(
-                "CTAS requires an explicit batchId: the loaded rows " +
-                  "commit under it, exactly like INSERT")))
-            persistSpec(spark, path, pb, props)
+            store.append(df, bid)
             reg.put(name, store)
         }
         spark.emptyDataFrame
@@ -118,6 +126,7 @@ final class StoreCatalog(basePath: String) {
             s"unsupported DROP TABLE name: $other")
         }
         val known = reg.get(name).map(_.tablePath)
+          .orElse(readPointer(spark, name))
           .orElse {
             val p = s"$basePath/$name"
             val hp = new org.apache.hadoop.fs.Path(p)
@@ -128,12 +137,17 @@ final class StoreCatalog(basePath: String) {
         known match {
           case Some(p) =>
             val hp = new org.apache.hadoop.fs.Path(p)
-            hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-              .delete(hp, true)
+            val f = hp.getFileSystem(
+              spark.sparkContext.hadoopConfiguration)
+            f.delete(hp, true)
+            f.delete(new org.apache.hadoop.fs.Path(
+              s"$basePath/_catalog/$name"), false)
             reg.remove(name)
           case None =>
             require(dt.ifExists, s"unknown table '$name' " +
-              "(use DROP TABLE IF EXISTS)")
+              "(use DROP TABLE IF EXISTS; note: a custom-LOCATION " +
+              "table created before name pointers must be dropped " +
+              "from the catalog that registered it)")
         }
         spark.emptyDataFrame
       case _ => StoreSql.exec(spark, tables, sql, batchId)
@@ -163,7 +177,13 @@ final class StoreCatalog(basePath: String) {
         .TableSpecBase,
       ignoreIfExists: Boolean): Option[ManifestTableStore] = {
     val present = reg.get(name).orElse {
-      val (path, pb, props) = physical(name, partitioning, tableSpec)
+      val (declaredPath, pb, props) =
+        physical(name, partitioning, tableSpec)
+      // a custom-LOCATION table re-attaches through its name pointer
+      // even when the re-attaching statement omits LOCATION
+      val path =
+        if (declaredPath != s"$basePath/$name") declaredPath
+        else readPointer(spark, name).getOrElse(declaredPath)
       val (epb, eprops) = loadSpec(spark, path).getOrElse((pb, props))
       val onDisk = mk(path, epb, eprops)
       if (onDisk.currentVersion(spark) > 0) Some(onDisk) else None
@@ -191,6 +211,30 @@ final class StoreCatalog(basePath: String) {
     AtomicCreate.publish(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
       mapper.writeValueAsString(root).getBytes("UTF-8"))
+  }
+
+  /** Durable name → path pointer under `basePath/_catalog/` so a
+    * custom-LOCATION table stays addressable (IF NOT EXISTS re-attach,
+    * DROP TABLE) from catalogs that did not create it.
+    */
+  private def persistPointer(spark: SparkSession, name: String,
+      path: String): Unit = {
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
+    AtomicCreate.publish(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
+      path.getBytes("UTF-8"))
+  }
+
+  private def readPointer(spark: SparkSession,
+      name: String): Option[String] = {
+    val hp = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) return None
+    val in = f.open(hp)
+    try {
+      val buf = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
+      in.readFully(buf); Some(new String(buf, "UTF-8").trim)
+    } finally in.close()
   }
 
   private def loadSpec(spark: SparkSession, path: String)

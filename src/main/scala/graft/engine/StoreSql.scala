@@ -187,8 +187,11 @@ object StoreSql {
           throw new IllegalArgumentException(
             s"MERGE source must be a named view/table, got: ${m.sourceTable}"))
         // a registered store is a valid MERGE source (CDC between two
-        // catalog tables); session views/tables resolve as before
-        val srcFrame = tables.get(srcName).map(_.read(spark))
+        // catalog tables); session views/tables resolve as before.
+        // The store's internal batch_id column drops out — a MERGE
+        // source's attribution column must never reach SET */INSERT *
+        val srcFrame = tables.get(srcName)
+          .map(_.read(spark).drop("batch_id"))
           .getOrElse(spark.table(srcName))
         val store = storeOf(m.targetTable)
         val bid = requiredBatchId("MERGE")
@@ -423,12 +426,18 @@ object StoreSql {
         // the horizon readable (retainLast = count of such versions),
         // so `VACUUM t RETAIN 168 HOURS` preserves a week of history
         // instead of instantly deleting every superseded manifest.
+        // ONE manifest-dir listing yields every version's commit time
+        // (no per-version manifest reads — O(1) metadata ops).
         val cutoff = System.currentTimeMillis() - minAge
-        val v = store.currentVersion(spark)
-        val recent = (1L to v).count(ver =>
-          (try Some(store.versionTimestampMs(spark, ver))
-          catch { case _: IllegalArgumentException => None })
-            .exists(_ >= cutoff))
+        val mdir = new org.apache.hadoop.fs.Path(
+          s"${store.tablePath}/manifest")
+        val mfs = mdir.getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val recent =
+          if (!mfs.exists(mdir)) 0
+          else mfs.listStatus(mdir).count(st =>
+            st.getPath.getName.startsWith("v") &&
+              st.getModificationTime >= cutoff)
         Some(store.vacuum(spark, retainLast = recent,
           minAgeMs = minAge, dryRun = dry != null).toDF("path"))
       case _ => None
@@ -504,7 +513,10 @@ object StoreSql {
             val df = (ver, ts) match {
               case (Some(v), None) if v.forall(_.isDigit) =>
                 store.readVersion(spark, v.toLong)
-              case (Some(ref), None) => store.readRef(spark, ref)
+              case (Some(ref), None) => throw new IllegalArgumentException(
+                s"VERSION AS OF '$ref': named refs (tags/branches) " +
+                  "resolve from the MAIN handle; a branch handle " +
+                  "serves its own numeric versions and timestamps")
               case (None, Some(e)) =>
                 val t = spark
                   .sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()

@@ -1419,8 +1419,14 @@ final class ManifestTableStore(path: String,
                 val assigned = set match {
                   case Some(s) =>
                     s.collectFirst { case (tc, e) if tc == c => expr(e) }
-                  case None => // SET *: same-named source column
-                    if (src.columns.contains(c))
+                  case None => // SET *: same-named source column.
+                    // batch_id NEVER assigns from the source: it is
+                    // the store's replay-attribution column — a store
+                    // frame used as a MERGE source carries one, and
+                    // adopting it would desynchronize row attribution
+                    // from the manifest entry (CDF/replay corruption).
+                    // The insert path already excludes it.
+                    if (c != "batch_id" && src.columns.contains(c))
                       Some(col(s"__src_$c"))
                     else None
                 }
@@ -2170,8 +2176,13 @@ final class ManifestTableStore(path: String,
       // names are unique (uuid-suffixed), so retention compares the
       // first segment after "/data/" — robust to qualified-URI vs
       // raw-path forms
+      // versions inside the keep window that an EARLIER, more
+      // aggressive vacuum already deleted simply contribute nothing —
+      // a retention horizon must never crash on its own history
       val referenced = (keepVersions.flatMap(kv =>
-        readManifest(f, kv).toSeq.flatten.map(
+        (try readManifest(f, kv) catch {
+          case _: java.io.FileNotFoundException => None
+        }).toSeq.flatten.map(
           _.dir.split("/data/").last.split('/').head)) ++
         branchEntries.filterNot(isDeleteEntry).map(
           _.dir.split("/data/").last.split('/').head)).toSet
@@ -2188,7 +2199,9 @@ final class ManifestTableStore(path: String,
       // retained version references one (compact folded it in), it is
       // garbage like any superseded data dir
       val referencedDel = (keepVersions.flatMap(kv =>
-        readManifest(f, kv).toSeq.flatten.filter(isDeleteEntry).map(
+        (try readManifest(f, kv) catch {
+          case _: java.io.FileNotFoundException => None
+        }).toSeq.flatten.filter(isDeleteEntry).map(
           _.dir.split("/deletes/").last.split('/').head)) ++
         branchEntries.filter(isDeleteEntry).map(
           _.dir.split("/deletes/").last.split('/').head)).toSet

@@ -53,10 +53,19 @@ final class StoreRelation(val sqlContext: SQLContext,
     * `t.refs`) as an option: `history` (the DESCRIBE HISTORY ledger),
     * `tags`, `branches` — all manifest-only, zero data files opened.
     */
-  // the unfiltered resolution is shared by `schema` and every
-  // no-pushed-predicate scan — resolving it once per relation halves
-  // the fixed frame-construction cost of a time-travel read
+  // The unfiltered resolution is shared by `schema` and — ONLY for
+  // version-pinned reads (versionAsOf / an instant-resolved
+  // timestampAsOf, both immutable) — by every no-pushed-predicate
+  // scan, halving the fixed frame-construction cost of a time-travel
+  // read. Mutable targets (current state, ref/branch heads,
+  // metaTables) resolve FRESH per scan: a cached head would serve
+  // stale data on unfiltered scans while filtered scans of the same
+  // DataFrame saw new commits.
   private lazy val unfiltered: Option[DataFrame] = resolve(None)
+
+  private def versionPinned: Boolean =
+    parameters.contains("versionAsOf") ||
+      parameters.contains("timestampAsOf")
 
   private def resolve(pred: Option[String]): Option[DataFrame] = {
     def versioned(v: Long): DataFrame = pred match {
@@ -115,7 +124,7 @@ final class StoreRelation(val sqlContext: SQLContext,
     val effective =
       if (parameters.contains("metaTable")) None else pred
     val base = (effective match {
-      case None => unfiltered
+      case None => if (versionPinned) unfiltered else resolve(None)
       case some => resolve(some)
     }).getOrElse {
       pred match {

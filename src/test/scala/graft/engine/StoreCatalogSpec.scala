@@ -129,14 +129,73 @@ class StoreCatalogSpec extends SparkSpec {
     cat.exec(spark, "CREATE TABLE delta_src (k STRING, n INT) USING graft_store")
     cat.exec(spark, "INSERT INTO delta_src VALUES ('a', 100), ('z', 9)",
       batchId = Some(0L))
+    // the CONDITIONAL clause forces the general mergeClauses path
+    // (the unconditioned star form takes the anti-join fast path,
+    // where replaced rows legitimately re-attribute to the new batch)
     cat.exec(spark,
       """MERGE INTO silver USING delta_src ON silver.k = delta_src.k
-        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN MATCHED AND delta_src.n > 0 THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
       batchId = Some(1L))
     assert(cat.query(spark, "SELECT k, n FROM silver ORDER BY k")
       .as[(String, Int)].collect().toSeq ==
       Seq(("a", 100), ("z", 9)))
+    // batch_id attribution survives a STORE-sourced SET *: the updated
+    // row keeps its ORIGINAL id (the source store's own batch_id must
+    // never assign through the star — CDF/replay attribution would
+    // corrupt), the inserted row carries the merge's id
+    assert(cat.store("silver").read(spark)
+      .select("k", "batch_id").as[(String, Long)].collect().toSet ==
+      Set(("a", 0L), ("z", 1L)),
+      "SET * from a store source must not clobber batch_id")
+  }
+
+  test("a second VACUUM never crashes on history a more aggressive " +
+      "earlier vacuum already deleted") {
+    val cat = freshCatalog()
+    cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO t VALUES ('b', 2)", batchId = Some(1L))
+    cat.store("t").compact(spark)
+    cat.exec(spark, "VACUUM t RETAIN 0 HOURS") // deletes v1..v3
+    cat.exec(spark, "INSERT INTO t VALUES ('c', 3)", batchId = Some(2L))
+    // default horizon (10 min) keeps every existing version; the keep
+    // window spans the deleted v1..v3 — must not throw
+    assert(cat.exec(spark, "VACUUM t").count() == 0)
+    assert(cat.query(spark, "SELECT count(*) AS c FROM t")
+      .as[Long].head() == 3L)
+    assert(cat.exec(spark, "DESCRIBE HISTORY t").count() == 2)
+  }
+
+  test("custom-LOCATION tables stay addressable across catalogs via " +
+      "the name pointer: property-less re-attach and DROP both work") {
+    val base = Files.createTempDirectory("catalog4-")
+    base.toFile.deleteOnExit()
+    val loc = Files.createTempDirectory("external-loc-")
+    loc.toFile.deleteOnExit()
+    val extPath = s"${loc.toString}/tbl"
+    val cat1 = new StoreCatalog(base.toString)
+    cat1.exec(spark,
+      s"""CREATE TABLE ext (k STRING, n INT) USING graft_store
+         |LOCATION '$extPath'
+         |TBLPROPERTIES ('statsColumns'='n')""".stripMargin)
+    cat1.exec(spark, "INSERT INTO ext VALUES ('a', 1)",
+      batchId = Some(0L))
+    // a FRESH catalog with no LOCATION in the statement finds it
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark,
+      "CREATE TABLE IF NOT EXISTS ext (k STRING, n INT) USING graft_store")
+    assert(cat2.query(spark, "SELECT k, n FROM ext").as[(String, Int)]
+      .collect().toSeq == Seq(("a", 1)),
+      "the pointer must re-attach the external location")
+    // ... and can DROP it: the external dir actually deletes
+    val cat3 = new StoreCatalog(base.toString)
+    cat3.exec(spark, "DROP TABLE ext")
+    val f = new org.apache.hadoop.fs.Path(extPath).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(extPath)),
+      "DROP TABLE must delete the external root, not report success " +
+        "while leaving it intact")
   }
 
   test("VACUUM RETAIN n HOURS is a version-retention horizon: recent " +

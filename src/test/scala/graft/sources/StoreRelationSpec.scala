@@ -155,6 +155,29 @@ class StoreRelationSpec extends SparkSpec {
         .select("n", "v").collect().toSet)
   }
 
+  test("a mutable-target DataFrame (current state / ref head) serves " +
+      "the SAME state on filtered and unfiltered scans after new " +
+      "commits; version-pinned reads stay cached") {
+    val (path, store) = mkStore()
+    store.createBranch(spark, "head", 2L)
+    val refDf = spark.read.format("graft-store").option("path", path)
+      .option("ref", "head").load()
+    assert(refDf.count() == 201)
+    store.branch("head").append(
+      (1 to 7).map(n => (9000 + n, s"x$n")).toDF("n", "v"), 50L)
+    // BOTH scan shapes must see the new branch commit
+    assert(refDf.count() == 208,
+      "an unfiltered re-scan must not serve a stale cached head")
+    assert(refDf.filter($"n" >= 9000).count() == 7,
+      "a filtered re-scan resolves the same (fresh) state")
+    // current-state reads: same freshness contract
+    val cur = spark.read.format("graft-store").option("path", path).load()
+    assert(cur.count() == 201)
+    store.append(Seq((99999, "zz")).toDF("n", "v"), 60L)
+    assert(cur.count() == 202)
+    assert(cur.filter($"n" >= 99999).count() == 1)
+  }
+
   test("timestamp filters render in the SESSION timezone, not the " +
       "JVM default: a pushed row filter keeps the right rows even " +
       "when the two zones disagree") {
