@@ -70,11 +70,17 @@ final class StoreCatalog(basePath: String) {
           case None =>
             val (path, pb, props) =
               physical(name, ct.partitioning, ct.tableSpec)
+            validateProps(ct.columns.map(_.name), pb, props)
             val store = mk(path, pb, props)
             // spec + name pointer publish BEFORE the first commit: a
             // crash between commit and sidecar must not leave a table
             // that re-attaches spec-less (silently stripped
-            // partitioning/properties)
+            // partitioning/properties). A crashed EARLIER create (spec
+            // published, zero committed versions — exactly the case
+            // where `existing` returned None) left a sidecar that may
+            // disagree with THIS declaration; republish, don't let a
+            // stale spec win the create-if-absent race.
+            clearStaleSidecars(spark, name, path)
             persistSpec(spark, path, pb, props)
             persistPointer(spark, name, path)
             store.createEmpty(spark, StructType(ct.columns.map {
@@ -99,15 +105,20 @@ final class StoreCatalog(basePath: String) {
               throw new IllegalArgumentException(
                 "CTAS requires an explicit batchId: the loaded rows " +
                   "commit under it, exactly like INSERT"))
-            // spec + pointer BEFORE the (long) load — see CREATE above
+            // building the frame is cheap (lazy) and yields the CTAS
+            // schema the TBLPROPERTIES must name columns of
+            val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
+              spark, StoreSql.route(spark, tables, ctas.query))
+            validateProps(df.columns.toSeq, pb, props)
+            // spec + pointer BEFORE the (long) load — see CREATE above,
+            // including the stale-sidecar republish
+            clearStaleSidecars(spark, name, path)
             persistSpec(spark, path, pb, props)
             persistPointer(spark, name, path)
             // checks BEFORE the load: the batch passes the same
             // write-time gate every later INSERT will
             checksOf(ctas.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
-            val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
-              spark, StoreSql.route(spark, tables, ctas.query))
             store.append(df, bid)
             reg.put(name, store)
         }
@@ -125,6 +136,10 @@ final class StoreCatalog(basePath: String) {
           case other => throw new IllegalArgumentException(
             s"unsupported DROP TABLE name: $other")
         }
+        require(name != "_catalog",
+          "'_catalog' is reserved: it is the catalog's own " +
+            "name-pointer directory and holds every custom-LOCATION " +
+            "table's pointer")
         val known = reg.get(name).map(_.tablePath)
           .orElse(readPointer(spark, name))
           .orElse {
@@ -139,6 +154,17 @@ final class StoreCatalog(basePath: String) {
             val hp = new org.apache.hadoop.fs.Path(p)
             val f = hp.getFileSystem(
               spark.sparkContext.hadoopConfiguration)
+            // recursive delete ONLY with evidence the directory is a
+            // graft table — a manifest chain, branches, or at least the
+            // creation spec (a crashed pre-first-commit CREATE). A bare
+            // name collision with an unrelated directory under basePath
+            // must never wipe it.
+            require(!f.exists(hp) ||
+              Seq("manifest", "branches", "table_spec").exists(s =>
+                f.exists(new org.apache.hadoop.fs.Path(hp, s))),
+              s"refusing DROP TABLE '$name': $p exists but carries no " +
+                "manifest/branches/table_spec — not a graft table " +
+                "(name collision?); delete it manually if intended")
             f.delete(hp, true)
             f.delete(new org.apache.hadoop.fs.Path(
               s"$basePath/_catalog/$name"), false)
@@ -168,8 +194,9 @@ final class StoreCatalog(basePath: String) {
     * EXISTS t (...)` must not silently strip the original
     * partitioning, stats columns, or merge-on-read key. Refuses
     * (Delta's TABLE_OR_VIEW_ALREADY_EXISTS shape) when the table
-    * exists and IF NOT EXISTS was not given; the re-attached store
-    * registers either way.
+    * exists and IF NOT EXISTS was not given — a refused CREATE has no
+    * side effects, so registration is SKIPPED on refusal; only the
+    * IF-NOT-EXISTS re-attach registers.
     */
   private def existing(spark: SparkSession, name: String,
       partitioning: Seq[Transform],
@@ -262,9 +289,54 @@ final class StoreCatalog(basePath: String) {
       require(u.nameParts.size == 1,
         s"store tables are single-part names, got " +
           u.nameParts.mkString("."))
+      require(u.nameParts.head != "_catalog",
+        "'_catalog' is reserved: it is the catalog's own name-pointer " +
+          "directory")
       u.nameParts.head
     case other => throw new IllegalArgumentException(
       s"unsupported CREATE TABLE name: $other")
+  }
+
+  /** Refuse TBLPROPERTIES whose store knobs name columns the table does
+    * not declare — a typo'd `statsColumns` would otherwise silently
+    * collect no stats and the table would never prune.
+    */
+  private def validateProps(declared: Seq[String],
+      partitionBy: Seq[String], props: Map[String, String]): Unit = {
+    def known(c: String) =
+      declared.exists(_.equalsIgnoreCase(c))
+    partitionBy.foreach(c => require(known(c),
+      s"PARTITIONED BY column '$c' is not among the declared columns " +
+        s"(${declared.mkString(", ")})"))
+    Seq("statsColumns", "bloomColumns").foreach { k =>
+      props.get(k).toSeq.flatMap(_.split(",")).map(_.trim)
+        .filter(_.nonEmpty).foreach(c => require(known(c),
+          s"TBLPROPERTIES $k names column '$c' which the table does " +
+            s"not declare (${declared.mkString(", ")}); stats/bloom on " +
+            "a missing column would silently never prune"))
+    }
+    props.get("morDeleteKey").map(_.trim).filter(_.nonEmpty)
+      .foreach(c => require(known(c),
+        s"TBLPROPERTIES morDeleteKey names column '$c' which the " +
+          s"table does not declare (${declared.mkString(", ")})"))
+  }
+
+  /** Delete the spec + pointer sidecars of a table that has ZERO
+    * committed versions — the crash window of an earlier CREATE/CTAS
+    * (sidecars published, first commit never landed). The caller is
+    * about to republish from ITS declaration; the stale sidecar must
+    * not win the create-if-absent publish and silently re-attach later
+    * sessions with the dead create's partitioning/properties.
+    */
+  private def clearStaleSidecars(spark: SparkSession, name: String,
+      path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val spec = new org.apache.hadoop.fs.Path(path, "table_spec")
+    val sf = spec.getFileSystem(conf)
+    if (sf.exists(spec)) sf.delete(spec, false)
+    val ptr = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
+    val pf = ptr.getFileSystem(conf)
+    if (pf.exists(ptr)) pf.delete(ptr, false)
   }
 
   /** (path, partitionBy, store props) as a CREATE statement declares

@@ -87,11 +87,7 @@ object StoreSql {
           case _ => false
         }
         if (trivialTrue) {
-          val cleaned = sql
-            .replaceAll("(?s)/\\*.*?\\*/", " ")
-            .replaceAll("--[^\r\n]*", " ")
-            .replaceAll("'(?:[^']|'')*'", " ")
-          require("(?is).*\\bwhere\\b.*".r.matches(cleaned),
+          require("(?is).*\\bwhere\\b.*".r.matches(stripInert(sql)),
             "DELETE without WHERE is refused (full-table delete); " +
               "add WHERE true if intended")
         }
@@ -353,11 +349,23 @@ object StoreSql {
     spark.emptyDataFrame
   }
 
+  /** `sql` with comments (`/* */`, `--`) and single-quoted string
+    * literals blanked — the INERT text a routing heuristic must never
+    * read. Shared by the full-table-DELETE guard and the maintenance
+    * verbs: `OPTIMIZE t -- nightly` routes on `OPTIMIZE t`, and a table
+    * name smuggled inside a comment or string cannot confuse a regex.
+    */
+  private def stripInert(sql: String): String = sql
+    .replaceAll("(?s)/\\*.*?\\*/", " ")
+    .replaceAll("--[^\r\n]*", " ")
+    .replaceAll("'(?:[^']|'')*'", " ")
+
   // Delta's operational statement shapes. OPTIMIZE/VACUUM/RESTORE/
   // DESCRIBE HISTORY are not in Spark's grammar (Delta injects them via
   // its own parser extension), so these verbs — and ONLY these — are
-  // recognized up front; everything else still goes through Spark's
-  // parser, no dialect drift.
+  // recognized up front — against the statement with comments and
+  // string literals stripped (see [[stripInert]]); everything else
+  // still goes through Spark's parser, no dialect drift.
   private val OptimizeStmt =
     """(?is)OPTIMIZE\s+([A-Za-z0-9_\.]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?""".r
   private val VacuumStmt =
@@ -378,9 +386,13 @@ object StoreSql {
     * shuffle parallelism as the bucket count, VACUUM =
     * [[ManifestTableStore.vacuum]] against the CURRENT version
     * (Delta's retention model) with `RETAIN n HOURS` as the
-    * modification-time horizon (default: the store's 10-minute
-    * in-flight-writer guard), RESTORE = the metadata-only rollback
-    * commit, DESCRIBE HISTORY = the commit-ledger frame. Returns
+    * modification-time horizon (default **168 hours** — Delta's
+    * `deletedFileRetentionDuration` — so a bare `VACUUM t` ported from
+    * a Delta runbook keeps a week of time travel, not minutes; a
+    * sub-default RETAIN is refused unless
+    * `spark.graft.vacuum.retentionCheck.enabled=false`, mirroring
+    * Delta's retentionDurationCheck), RESTORE = the metadata-only
+    * rollback commit, DESCRIBE HISTORY = the commit-ledger frame. Returns
     * Delta-shaped result frames: OPTIMIZE → `action` rows, VACUUM →
     * `path` rows, RESTORE → the restored version row, DESCRIBE
     * HISTORY → the ledger.
@@ -393,7 +405,7 @@ object StoreSql {
       tables.getOrElse(name, throw new IllegalArgumentException(
         s"unknown maintenance target '$name' (known: " +
           s"${tables.keys.mkString(", ")})"))
-    sql.trim match {
+    stripInert(sql).trim match {
       case RestoreStmt(t, v) =>
         val store = storeNamed(t)
         store.restore(spark, v.toLong)
@@ -418,8 +430,23 @@ object StoreSql {
         Some(actions.toDF("action"))
       case VacuumStmt(t, hours, dry) =>
         val store = storeNamed(t)
-        val minAge = Option(hours).map(_.toLong * 3600000L)
-          .getOrElse(600000L)
+        // Delta's retention contract: a bare VACUUM keeps 168 hours of
+        // history, and an EXPLICIT sub-default horizon — which
+        // irreversibly destroys time travel inside the window — is
+        // refused unless the operator disables the check (Delta's
+        // retentionDurationCheck switch). `VACUUM t` ported from a
+        // Delta runbook must never silently keep 10 minutes.
+        val retainHours = Option(hours).map(_.toLong).getOrElse(168L)
+        val checkOn = spark.conf
+          .getOption("spark.graft.vacuum.retentionCheck.enabled")
+          .forall(_.trim.equalsIgnoreCase("true"))
+        require(retainHours >= 168L || !checkOn,
+          s"VACUUM RETAIN $retainHours HOURS is below the 168-hour " +
+            "default retention: versions committed inside the window " +
+            "become unreadable and the deletion is irreversible. Set " +
+            "spark.graft.vacuum.retentionCheck.enabled=false to " +
+            "override (Delta's retentionDurationCheck semantics)")
+        val minAge = retainHours * 3600000L
         // RETAIN n HOURS is a TIME-TRAVEL horizon, not only a data-dir
         // age guard: Delta keeps the log under the retention window;
         // the manifest analogue keeps every version COMMITTED within

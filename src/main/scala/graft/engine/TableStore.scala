@@ -708,6 +708,19 @@ final class ManifestTableStore(path: String,
       var next = v + 1
       while (!tryCommit(f, next, lines :+ entry)) {
         val (nv, nlines) = current(f)
+        // rebase = new table state: a concurrent append may have
+        // introduced one of the fresh names, a concurrent drop/rename
+        // may have retired it — re-run the guards before retrying
+        val sch = readEntries(spark, nlines).schema
+        val ret = retiredNames(nlines)
+        fresh.foreach { case (n, _) =>
+          require(!sch.fieldNames.exists(_.equalsIgnoreCase(n)),
+            s"column '$n' was introduced concurrently; ADD COLUMNS " +
+              "rebase refused")
+          require(!ret.exists(_.equalsIgnoreCase(n)),
+            s"column name '$n' was retired concurrently; ADD COLUMNS " +
+              "rebase refused (compact() first)")
+        }
         lines = nlines; v = nv
         next = math.max(nv + 1, next + 1)
       }
@@ -759,6 +772,12 @@ final class ManifestTableStore(path: String,
       var next = v + 1
       while (!tryCommit(f, next, lines :+ entry)) {
         val (nv, nlines) = current(f)
+        // rebase: a concurrent rename may have moved the column away —
+        // re-check it still exists under this name before retrying
+        require(readEntries(spark, nlines).schema.fieldNames
+          .exists(_.equalsIgnoreCase(canonical)),
+          s"column '$canonical' changed concurrently; DROP COLUMN " +
+            "rebase refused")
         lines = nlines; v = nv
         next = math.max(nv + 1, next + 1)
       }
@@ -830,36 +849,47 @@ final class ManifestTableStore(path: String,
     synchronized {
       val f = fs(spark)
       var (v, lines) = current(f)
-      require(lines.nonEmpty, s"no committed batches under $path")
-      val schema = readEntries(spark, lines).schema
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
-        s"unknown column '$from'")
-      require(!from.equalsIgnoreCase(to),
-        s"RENAME COLUMN to the same name '$from' is a no-op; refused")
-      require(!from.equalsIgnoreCase("batch_id") &&
-        !to.equalsIgnoreCase("batch_id"),
-        "batch_id is the store's replay-attribution column")
-      require(!partitionBy.exists(_.equalsIgnoreCase(from)),
-        s"'$from' is a partition column")
-      require(!morDeleteKey.exists(_.equalsIgnoreCase(from)),
-        s"'$from' is the merge-on-read delete key")
-      require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
-        s"column '$to' already exists")
-      val retired = retiredNames(lines)
-      require(!retired.exists(_.equalsIgnoreCase(to)),
-        s"column name '$to' was dropped or renamed away and is " +
-          "retired: old data files still hold its values, and without " +
-          "field-id column mapping reusing the name would resurrect " +
-          "them (compact() first to materialize the schema, then " +
-          "rename)")
-      listChecks(spark).foreach { case (name, pred) =>
-        require(!("(?is).*\\b" +
-          java.util.regex.Pattern.quote(from) + "\\b.*").r
-          .matches(pred),
-          s"column '$from' is referenced by check constraint '$name' " +
-            s"($pred); dropCheck first, rename, then re-add the check " +
-            "against the new name")
+      // The full precondition set, re-runnable against a REBASED
+      // snapshot: a lost commit race means a competitor changed table
+      // state between our validation and our commit — a concurrent
+      // append may have introduced `to`, a concurrent rename/drop may
+      // have retired it — so the guards must re-run on the winner's
+      // entries before every retry, not just once up front.
+      def validate(ls: Seq[Entry])
+          : org.apache.spark.sql.types.StructType = {
+        require(ls.nonEmpty, s"no committed batches under $path")
+        val schema = readEntries(spark, ls).schema
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(from)),
+          s"unknown column '$from'")
+        require(!from.equalsIgnoreCase(to),
+          s"RENAME COLUMN to the same name '$from' is a no-op; refused")
+        require(!from.equalsIgnoreCase("batch_id") &&
+          !to.equalsIgnoreCase("batch_id"),
+          "batch_id is the store's replay-attribution column")
+        require(!partitionBy.exists(_.equalsIgnoreCase(from)),
+          s"'$from' is a partition column")
+        require(!morDeleteKey.exists(_.equalsIgnoreCase(from)),
+          s"'$from' is the merge-on-read delete key")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists")
+        val retired = retiredNames(ls)
+        require(!retired.exists(_.equalsIgnoreCase(to)),
+          s"column name '$to' was dropped or renamed away and is " +
+            "retired: old data files still hold its values, and without " +
+            "field-id column mapping reusing the name would resurrect " +
+            "them (compact() first to materialize the schema, then " +
+            "rename)")
+        listChecks(spark).foreach { case (name, pred) =>
+          require(!("(?is).*\\b" +
+            java.util.regex.Pattern.quote(from) + "\\b.*").r
+            .matches(pred),
+            s"column '$from' is referenced by check constraint '$name' " +
+              s"($pred); dropCheck first, rename, then re-add the check " +
+              "against the new name")
+        }
+        schema
       }
+      val schema = validate(lines)
       val canonical = schema.fieldNames
         .find(_.equalsIgnoreCase(from)).get
       val dir = s"$path/data/renamecol-${java.util.UUID.randomUUID()}"
@@ -880,6 +910,7 @@ final class ManifestTableStore(path: String,
       var next = v + 1
       while (!tryCommit(f, next, lines :+ entry)) {
         val (nv, nlines) = current(f)
+        validate(nlines) // rebase = new table state: re-run the guards
         lines = nlines; v = nv
         next = math.max(nv + 1, next + 1)
       }

@@ -1314,8 +1314,14 @@ object StoreOps {
       if (store.currentVersion(s) == 2L)
         graft.engine.StoreSql.exec(s, t,
           "OPTIMIZE silver_maint ZORDER BY (o_orderdate, o_custkey)")
-      val reclaimable = graft.engine.StoreSql.exec(s, t,
-        "VACUUM silver_maint RETAIN 0 HOURS DRY RUN").count()
+      // sub-default RETAIN needs the explicit retention-check opt-out
+      // (Delta's retentionDurationCheck semantics) — and this is a DRY
+      // RUN anyway, nothing is deleted
+      s.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+      val reclaimable =
+        try graft.engine.StoreSql.exec(s, t,
+          "VACUUM silver_maint RETAIN 0 HOURS DRY RUN").count()
+        finally s.conf.unset("spark.graft.vacuum.retentionCheck.enabled")
       val allFiles = store.read(s).inputFiles.length
       def slice = store.readWhere(s,
         "o_custkey < 200 AND o_orderdate >= '1998-01-01 00:00:00'")

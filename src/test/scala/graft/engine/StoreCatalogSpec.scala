@@ -153,13 +153,14 @@ class StoreCatalogSpec extends SparkSpec {
   test("a second VACUUM never crashes on history a more aggressive " +
       "earlier vacuum already deleted") {
     val cat = freshCatalog()
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
     cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
     cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
     cat.exec(spark, "INSERT INTO t VALUES ('b', 2)", batchId = Some(1L))
     cat.store("t").compact(spark)
     cat.exec(spark, "VACUUM t RETAIN 0 HOURS") // deletes v1..v3
     cat.exec(spark, "INSERT INTO t VALUES ('c', 3)", batchId = Some(2L))
-    // default horizon (10 min) keeps every existing version; the keep
+    // default horizon (168 h) keeps every existing version; the keep
     // window spans the deleted v1..v3 — must not throw
     assert(cat.exec(spark, "VACUUM t").count() == 0)
     assert(cat.query(spark, "SELECT count(*) AS c FROM t")
@@ -202,6 +203,7 @@ class StoreCatalogSpec extends SparkSpec {
       "history stays time-travelable, RETAIN 0 reclaims it, and " +
       "DESCRIBE HISTORY lists the survivors instead of crashing") {
     val cat = freshCatalog()
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
     cat.exec(spark, "CREATE TABLE t (k STRING, n INT) USING graft_store")
     cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
     cat.exec(spark, "INSERT INTO t VALUES ('b', 2)", batchId = Some(1L))
@@ -228,6 +230,7 @@ class StoreCatalogSpec extends SparkSpec {
       "under an explicit batchId; PARTITIONED BY lays out hive dirs; " +
       "the whole lifecycle including OPTIMIZE/VACUUM runs SQL-only") {
     val cat = freshCatalog()
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
     cat.exec(spark,
       "CREATE TABLE src (day STRING, n INT) USING graft_store")
     cat.exec(spark,
@@ -302,5 +305,92 @@ class StoreCatalogSpec extends SparkSpec {
     assert(cat.query(spark, "SELECT * FROM t").count() == 2)
     // DROP CONSTRAINT IF EXISTS on a missing name no-ops
     cat.exec(spark, "ALTER TABLE t DROP CONSTRAINT IF EXISTS nope")
+  }
+
+  test("DROP TABLE refuses a name-colliding directory that is not a " +
+      "graft table, and the '_catalog' name is reserved both ways") {
+    val base = Files.createTempDirectory("catalog-guard-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    // an unrelated directory under basePath — a DROP by name must not
+    // recursively wipe it
+    val f = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val stray = new org.apache.hadoop.fs.Path(s"$base/notatable")
+    f.mkdirs(stray)
+    val inner = new org.apache.hadoop.fs.Path(stray, "precious.txt")
+    val out = f.create(inner); out.write(42); out.close()
+    val e = intercept[IllegalArgumentException] {
+      cat.exec(spark, "DROP TABLE notatable")
+    }
+    assert(e.getMessage.contains("not a graft table"))
+    assert(f.exists(inner), "the stray directory must survive")
+    // '_catalog' is the pointer directory, never a table name
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "DROP TABLE _catalog")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE TABLE _catalog (k STRING) USING graft_store")
+    }
+    // a REAL table still drops
+    cat.exec(spark, "CREATE TABLE t (k STRING) USING graft_store")
+    cat.exec(spark, "DROP TABLE t")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$base/t")))
+  }
+
+  test("a crashed CREATE's stale spec sidecar does not survive a " +
+      "re-CREATE with a different declaration") {
+    val base = Files.createTempDirectory("catalog-stale-")
+    base.toFile.deleteOnExit()
+    val f = new org.apache.hadoop.fs.Path(base.toString).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate the crash window: spec + pointer published, first commit
+    // never landed (zero versions on disk)
+    val tdir = new org.apache.hadoop.fs.Path(s"$base/t")
+    f.mkdirs(tdir)
+    AtomicCreate.publish(f, new org.apache.hadoop.fs.Path(tdir,
+      "table_spec"),
+      """{"partitionBy":["k"],"statsColumns":"k"}"""
+        .getBytes("UTF-8"))
+    val cat = new StoreCatalog(base.toString)
+    // the re-CREATE declares DIFFERENT physicals: unpartitioned, stats
+    // on n
+    cat.exec(spark,
+      """CREATE TABLE t (k STRING, n INT) USING graft_store
+        |TBLPROPERTIES ('statsColumns'='n')""".stripMargin)
+    cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    // a FRESH catalog re-attaches from the persisted spec — it must see
+    // the re-create's declaration, not the dead create's
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark,
+      "CREATE TABLE IF NOT EXISTS t (k STRING, n INT) USING graft_store")
+    assert(cat2.query(spark, "SELECT k, n FROM t").as[(String, Int)]
+      .collect().toSeq == Seq(("a", 1)))
+    val spec = new String(f.open(new org.apache.hadoop.fs.Path(tdir,
+      "table_spec")).readAllBytes(), "UTF-8")
+    assert(spec.contains("\"statsColumns\":\"n\"") &&
+      !spec.contains("\"k\""),
+      s"the stale spec must be replaced by the live declaration: $spec")
+  }
+
+  test("TBLPROPERTIES naming columns the table does not declare are " +
+      "refused at create time") {
+    val cat = freshCatalog()
+    Seq(
+      "TBLPROPERTIES ('statsColumns'='typo')",
+      "TBLPROPERTIES ('bloomColumns'='n,typo')",
+      "TBLPROPERTIES ('morDeleteKey'='typo')").foreach { props =>
+      val e = intercept[IllegalArgumentException] {
+        cat.exec(spark,
+          s"CREATE TABLE bad (k STRING, n INT) USING graft_store $props")
+      }
+      assert(e.getMessage.contains("typo"), s"$props must name the typo")
+    }
+    // valid properties still create (case-insensitive match)
+    cat.exec(spark,
+      """CREATE TABLE ok (k STRING, n INT) USING graft_store
+        |TBLPROPERTIES ('statsColumns'='N', 'morDeleteKey'='k')"""
+        .stripMargin)
   }
 }

@@ -223,6 +223,19 @@ class StoreSqlSpec extends SparkSpec {
       "VACUUM DRY RUN reports without touching, VACUUM reclaims") {
     val p = Files.createTempDirectory("sqlmaint-")
     p.toFile.deleteOnExit()
+    // sub-default RETAIN below needs the explicit opt-out (Delta's
+    // retentionDurationCheck) — and the guard itself must refuse first
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "true")
+    val guardStore = new ManifestTableStore(
+      Files.createTempDirectory("sqlmaint-guard-").toString)
+    guardStore.append(Seq(("a", 1)).toDF("k", "n"), 0L)
+    val e = intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("g" -> guardStore),
+        "VACUUM g RETAIN 0 HOURS")
+    }
+    assert(e.getMessage.contains("168"),
+      "sub-default retention must refuse with the Delta-check message")
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
     val store = new ManifestTableStore(p.toString,
       statsColumns = Seq("n"), morDeleteKey = Some("k"))
     store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
@@ -287,5 +300,32 @@ class StoreSqlSpec extends SparkSpec {
     val hist = StoreSql.exec(spark, Map("t" -> store),
       "DESCRIBE HISTORY t")
     assert(hist.columns.contains("version") && hist.count() == 3)
+  }
+
+  test("maintenance verbs route on the statement with comments and " +
+      "string literals stripped: trailing comments are tolerated, a " +
+      "table name smuggled inside a comment cannot confuse the router") {
+    val p = Files.createTempDirectory("sqlmaint-comments-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString)
+    store.append(Seq(("a", 1)).toDF("k", "n"), 0L)
+    store.append(Seq(("b", 2)).toDF("k", "n"), 1L)
+    val t = Map("t" -> store)
+    // a trailing line comment must not defeat the verb match
+    val actions = StoreSql.exec(spark, t,
+      "OPTIMIZE t -- nightly job, see runbook").as[String].collect()
+    assert(actions.nonEmpty, "commented OPTIMIZE must still route")
+    // a block comment between tokens is inert
+    assert(StoreSql.exec(spark, t,
+      "DESCRIBE /* audit */ HISTORY t").count() >= 1)
+    // DRY RUN after a comment still parses as part of the statement
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    StoreSql.exec(spark, t,
+      "VACUUM t RETAIN 0 HOURS /* keep nothing */ DRY RUN")
+    // a verb smuggled INSIDE a comment is not a maintenance statement:
+    // the text falls through to Spark's parser, which refuses it as SQL
+    intercept[Exception] {
+      StoreSql.exec(spark, t, "SELECT 1 -- OPTIMIZE t")
+    }
   }
 }
