@@ -328,6 +328,28 @@ object StoreSql {
         if (d.ifExists &&
             !store.listChecks(spark).exists(_._1 == d.name)) ()
         else store.dropCheck(spark, d.name)
+      case a: org.apache.spark.sql.catalyst.plans.logical.AlterColumns =>
+        // governed LOSSLESS type widening (the fourth evolution leg):
+        // `ALTER TABLE t ALTER COLUMN c TYPE BIGINT` — a zero-row
+        // marker commit; reads serve the column cast to the new type,
+        // time travel before it shows the old type, narrowing refuses
+        val store = storeOf(a.table)
+        a.specs.foreach { spec =>
+          val newType = spec.newDataType.getOrElse(
+            throw new IllegalArgumentException(
+              "only ALTER COLUMN ... TYPE is supported (no comment/" +
+                "position/nullability changes)"))
+          require(spec.newNullability.isEmpty && spec.newComment.isEmpty
+            && spec.newPosition.isEmpty &&
+            spec.newDefaultExpression.isEmpty && !spec.dropDefault,
+            "only ALTER COLUMN ... TYPE is supported (no comment/" +
+              "position/nullability/default changes)")
+          val parts = spec.column.name
+          require(parts.size == 1,
+            s"nested ALTER COLUMN path ${parts.mkString(".")} is not " +
+              "supported")
+          store.widenColumn(spark, parts.head, newType)
+        }
       case r: org.apache.spark.sql.catalyst.plans.logical.RenameColumn =>
         // versioned metadata-only rename (the third governed-evolution
         // leg): a zero-row marker commit; time travel before it shows

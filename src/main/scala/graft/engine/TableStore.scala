@@ -916,6 +916,96 @@ final class ManifestTableStore(path: String,
       }
     }
 
+  /** Governed `ALTER TABLE ... ALTER COLUMN ... TYPE` — metadata-only
+    * LOSSLESS type widening, the FOURTH evolution leg after ADD / DROP /
+    * RENAME (Iceberg's type-promotion matrix: int→long, float→double,
+    * decimal growth; plus the sub-long→double and integral→decimal
+    * promotions Delta's type-widening feature adds): no data file is
+    * rewritten; a zero-row WIDEN MARKER records (column, new type) in
+    * the manifest and every read of a version carrying it serves the
+    * column CAST to the new type. Old dirs keep the narrow physical
+    * type — the per-dir union-by-name read coerces mixed generations to
+    * the widest present type and the marker cast pins the DECLARED
+    * type even before any wide file lands. The widen is VERSIONED:
+    * time travel before the marker shows the old type. DML rewrites
+    * materialize the wide type incrementally; [[compact]] table-wide.
+    *
+    * Manifest min/max stats survive: they compare as numbers
+    * ([[ManifestTableStore.NumV]] is a BigDecimal), and integral bloom
+    * probes canonicalize to plain digits — so dirs written before the
+    * widen keep pruning afterwards with NO stats refresh.
+    *
+    * Guards: NARROWING (or any lossy/lateral change) is refused —
+    * that's a rewrite, not metadata; partition columns are refused
+    * (their values are directory names — hive layout and partition
+    * pruning key off the creation-time type); the merge-on-read delete
+    * key is refused (committed equality-delete files hold the narrow
+    * type); `batch_id` is refused. Widening to the CURRENT type is an
+    * idempotent no-op (safe re-runs). A retired (dropped/renamed-away)
+    * name is inherently refused — it is not in the current schema.
+    */
+  def widenColumn(spark: SparkSession, name: String,
+      to: org.apache.spark.sql.types.DataType): Unit = synchronized {
+    val f = fs(spark)
+    var (v, lines) = current(f)
+    // Re-runnable against a rebased snapshot — same contract as
+    // renameColumn: a lost commit race means table state changed, so
+    // the guards re-run on the winner's entries before every retry.
+    // Returns the column's canonical current name, or None for the
+    // idempotent already-wide case.
+    def validate(ls: Seq[Entry]): Option[String] = {
+      require(ls.nonEmpty, s"no committed batches under $path")
+      val schema = readEntries(spark, ls).schema
+      val fld = schema.fields.find(_.name.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"unknown column '$name'"))
+      require(!name.equalsIgnoreCase("batch_id"),
+        "batch_id is the store's replay-attribution column")
+      require(!partitionBy.exists(_.equalsIgnoreCase(name)),
+        s"'$name' is a partition column: its values are directory " +
+          "names, and hive layout + partition pruning key off the " +
+          "creation-time type")
+      require(!morDeleteKey.exists(_.equalsIgnoreCase(name)),
+        s"'$name' is the merge-on-read delete key: committed " +
+          "equality-delete files hold the narrow type")
+      if (fld.dataType == to) return None // already wide: no-op
+      require(ManifestTableStore.isWidening(fld.dataType, to),
+        s"ALTER COLUMN '$name' TYPE $to is not a lossless widening of " +
+          s"${fld.dataType} (allowed: the integral up-chain, " +
+          "float→double, sub-long integrals→double, integrals→decimal " +
+          "with enough integer digits, decimal growth); a narrowing " +
+          "or lateral change rewrites data — refused")
+      Some(fld.name)
+    }
+    val canonical = validate(lines) match {
+      case None => return
+      case Some(c) => c
+    }
+    val dir = s"$path/data/widencol-${java.util.UUID.randomUUID()}"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
+      .write.mode("overwrite").parquet(dir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    val wn = root.putObject(ManifestTableStore.WidenColKey)
+    wn.put("c", canonical)
+    wn.put("t", to.sql)
+    root.put(ManifestTableStore.CountKey, 0L)
+    val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+      mapper.writeValueAsString(root))
+    var next = v + 1
+    while (!tryCommit(f, next, lines :+ entry)) {
+      val (nv, nlines) = current(f)
+      if (validate(nlines).isEmpty) { f.delete(new HPath(dir), true)
+        return } // a concurrent identical widen landed: converged
+      lines = nlines; v = nv
+      next = math.max(nv + 1, next + 1)
+    }
+  }
+
   /** `ANALYZE TABLE ... COMPUTE STATISTICS` — refresh every data dir's
     * manifest stats/bloom against the CURRENT schema without rewriting
     * a byte of data: each dir re-scans (stats columns only) through
@@ -939,8 +1029,9 @@ final class ManifestTableStore(path: String,
       .filterNot(e => isDeleteEntry(e) || isSchemaMarker(e))
       .map(_.dir).distinct
     val fresh: Map[String, String] = dataDirs.map { d =>
-      d -> collectStatsOf(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(d), lines))
+      d -> collectStatsOf(applyWidens(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(d), lines),
+        lines))
     }.toMap
     commitRewrite(f, v + 1, lines, snap => snap.map { e =>
       if (isDeleteEntry(e) || isSchemaMarker(e)) e
@@ -1484,8 +1575,8 @@ final class ManifestTableStore(path: String,
     // marker costs one empty parquet footer; compact folds it away.
     val tSchema =
       if (lines.isEmpty) src.schema
-      else applyRenames(
-        readDirs(spark, lines.map(_.dir).distinct), lines).schema
+      else applyWidens(applyRenames(
+        readDirs(spark, lines.map(_.dir).distinct), lines), lines).schema
     val insRows: DataFrame =
       if (notMatched.isEmpty)
         spark.createDataFrame(spark.sparkContext
@@ -1494,8 +1585,8 @@ final class ManifestTableStore(path: String,
       else {
         val unmatched =
           if (lines.isEmpty) src
-          else src.join(applyRenames(
-              readDirs(spark, lines.map(_.dir).distinct), lines)
+          else src.join(applyWidens(applyRenames(
+              readDirs(spark, lines.map(_.dir).distinct), lines), lines)
             .select(key).distinct(), Seq(key), "left_anti")
         val iIdx = notMatched.zipWithIndex
           .foldRight(lit(-1): org.apache.spark.sql.Column) {
@@ -1553,13 +1644,15 @@ final class ManifestTableStore(path: String,
       extra: Seq[Entry] = Nil): Unit = {
     val rewritten: Map[String, (String, String)] = touched.map { d =>
       val nd = s"$path/data/$tag-${java.util.UUID.randomUUID()}"
-      // pending renames project onto each dir BEFORE the transform:
-      // the caller's predicates/joins reference current (renamed)
-      // names, and old dirs still hold the old physical column — the
-      // rewrite also materializes the new name (with fresh stats), so
-      // DML incrementally completes a metadata-only rename
-      write(xform(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(d), lines)), nd)
+      // pending renames AND widens project onto each dir BEFORE the
+      // transform: the caller's predicates/joins reference current
+      // (renamed, widened) names and types, and old dirs still hold
+      // the old physical column — the rewrite also materializes the
+      // new name/type (with fresh stats), so DML incrementally
+      // completes a metadata-only rename or widen
+      write(xform(applyWidens(applyRenames(
+        spark.read.option("mergeSchema", "true").parquet(d), lines),
+        lines)), nd)
       d -> (nd, collectStats(spark, nd))
     }.toMap
     beforeDmlCommit()
@@ -2046,18 +2139,26 @@ final class ManifestTableStore(path: String,
       readManifest(f, v).getOrElse(throw new IllegalArgumentException(
         s"version $v of $path is missing or incomplete"))
         .filterNot(isDeleteEntry) // CDF here is the INSERT stream only
+    // zero-row schema markers (add/drop/rename/widen) are structure,
+    // never data: a metadata-only evolution commit contributes NO new
+    // batch ids — otherwise its marker dir (schema: batch_id only)
+    // masquerades as an insert batch and the "new rows" come out with
+    // the data columns missing. The FULL entry set still drives the
+    // rename/widen/drop projection (the feed speaks the end schema).
     val fromIds =
       if (fromVersion == 0L) Set.empty[Long]
-      else entriesOf(fromVersion).map(_.batchId).toSet
+      else entriesOf(fromVersion).filterNot(isSchemaMarker)
+        .map(_.batchId).toSet
     val to = entriesOf(toVersion)
-    val newIds = to.map(_.batchId).toSet -- fromIds
+    val newIds = to.filterNot(isSchemaMarker)
+      .map(_.batchId).toSet -- fromIds
     if (newIds.isEmpty) // zero rows, but in the END version's schema
-      return dropsOf(to).foldLeft(applyRenames(
-        readDirs(spark, to.map(_.dir).distinct), to))(_.drop(_))
+      return dropsOf(to).foldLeft(applyWidens(applyRenames(
+        readDirs(spark, to.map(_.dir).distinct), to), to))(_.drop(_))
         .filter(lit(false))
     val dirs = to.filter(e => newIds.contains(e.batchId)).map(_.dir).distinct
-    dropsOf(to).foldLeft(applyRenames(readDirs(spark, dirs)
-      .filter(col("batch_id").isInCollection(newIds)), to))(_.drop(_))
+    dropsOf(to).foldLeft(applyWidens(applyRenames(readDirs(spark, dirs)
+      .filter(col("batch_id").isInCollection(newIds)), to), to))(_.drop(_))
   }
 
   /** FULL change-data-feed between two versions — Delta CDF shaped:
@@ -2101,8 +2202,16 @@ final class ManifestTableStore(path: String,
     val toE = entriesOf(toVersion)
     require(fromE.nonEmpty || toE.nonEmpty,
       s"no data in either version $fromVersion or $toVersion of $path")
-    val (fromDel, fromData) = fromE.partition(isDeleteEntry)
-    val (toDel, toData) = toE.partition(isDeleteEntry)
+    val (fromDel, fromData0) = fromE.partition(isDeleteEntry)
+    val (toDel, toData0) = toE.partition(isDeleteEntry)
+    // zero-row schema markers (add/drop/rename/widen) are structure,
+    // never data: a metadata-only evolution commit must not mark its
+    // reserved batch id "affected" — its marker dir (schema: batch_id
+    // only) would masquerade as changed rows' home and the empty feed
+    // would lose the data columns. The full entry sets still drive the
+    // rename/widen/drop projection below.
+    val fromData = fromData0.filterNot(isSchemaMarker)
+    val toData = toData0.filterNot(isSchemaMarker)
     // affected ids: dirs present on exactly one side, plus the scopes
     // of delete entries present on exactly one side (an unscoped
     // legacy delete entry masks everything → all ids conservatively)
@@ -2124,13 +2233,16 @@ final class ManifestTableStore(path: String,
       val dirs = datas.filter(e => affected.contains(e.batchId))
         .map(_.dir).distinct
       if (dirs.isEmpty) None
-      // both sides serve the END version's rename chain (Delta's CDF
-      // rule: the feed speaks the end schema) — a metadata-only rename
-      // between the versions then diffs to ZERO change rows
-      else Some(applyRenames(
-        applyDeletes(spark, readDirs(spark, dirs), dels),
-        if (toE.nonEmpty) toE else fromE)
-        .filter(col("batch_id").isInCollection(affected)))
+      // both sides serve the END version's rename AND widen chain
+      // (Delta's CDF rule: the feed speaks the end schema) — a
+      // metadata-only rename or widen between the versions then diffs
+      // to ZERO change rows
+      else {
+        val end = if (toE.nonEmpty) toE else fromE
+        Some(applyWidens(applyRenames(
+          applyDeletes(spark, readDirs(spark, dirs), dels), end), end)
+          .filter(col("batch_id").isInCollection(affected)))
+      }
     }
     val oldS = scoped(fromDel, fromData)
     val newS = scoped(toDel, toData)
@@ -2306,11 +2418,19 @@ final class ManifestTableStore(path: String,
     e.batchId == ManifestTableStore.SchemaBatchId &&
       ManifestTableStore.parseRenameCol(e.statsJson).isDefined
 
-  /** Any zero-row schema marker (drop or rename): structural, never
-    * data — the set rewrite scopes and key joins must exclude.
+  /** A zero-row WIDEN-COLUMN marker ([[widenColumn]]): structural like
+    * the others — rewrite scopes skip it, incremental compaction
+    * carries it verbatim.
+    */
+  private def isWidenMarker(e: Entry): Boolean =
+    e.batchId == ManifestTableStore.SchemaBatchId &&
+      ManifestTableStore.parseWidenCol(e.statsJson).isDefined
+
+  /** Any zero-row schema marker (drop, rename, or widen): structural,
+    * never data — the set rewrite scopes and key joins must exclude.
     */
   private def isSchemaMarker(e: Entry): Boolean =
-    isDropMarker(e) || isRenameMarker(e)
+    isDropMarker(e) || isRenameMarker(e) || isWidenMarker(e)
 
   /** The column names a snapshot's drop markers retire. */
   private def dropsOf(lines: Seq[Entry]): Seq[String] =
@@ -2355,12 +2475,53 @@ final class ManifestTableStore(path: String,
   private def retiredNames(lines: Seq[Entry]): Seq[String] =
     (dropsOf(lines) ++ renamesOf(lines).map(_._1)).distinct
 
+  /** A snapshot's effective (column, widened type) pairs — each widen
+    * marker's recorded name projected through every rename committed
+    * AFTER it (the cast must land on the column's CURRENT name), then
+    * deduplicated keeping the LAST widen per column: a widening chain
+    * guarantees the final type contains every earlier one, and casting
+    * through an intermediate type would narrow data already written
+    * wide.
+    */
+  private def widensOf(lines: Seq[Entry])
+      : Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val acc = scala.collection.mutable.ArrayBuffer
+      .empty[(String, org.apache.spark.sql.types.DataType)]
+    lines.foreach { e =>
+      ManifestTableStore.parseWidenCol(e.statsJson).foreach(acc += _)
+      ManifestTableStore.parseRenameCol(e.statsJson).foreach {
+        case (from, to) => acc.indices.foreach { i =>
+          if (acc(i)._1.equalsIgnoreCase(from)) acc(i) = (to, acc(i)._2)
+        }
+      }
+    }
+    acc.zipWithIndex.filter { case ((c, _), i) =>
+      !acc.drop(i + 1).exists(_._1.equalsIgnoreCase(c))
+    }.map(_._1).toSeq
+  }
+
+  /** Project a snapshot's widen markers onto a frame: cast each widened
+    * column to its declared type. Physical files on both sides of a
+    * widen coexist (old dirs narrow, post-widen dirs wide — the per-dir
+    * union already coerced them to the widest PRESENT type); the cast
+    * pins the DECLARED type even when no wide file exists yet, and
+    * no-ops once maintenance materializes it physically.
+    */
+  private def applyWidens(df: DataFrame, lines: Seq[Entry]): DataFrame =
+    widensOf(lines).foldLeft(df) { case (d, (name, t)) =>
+      d.columns.find(_.equalsIgnoreCase(name)) match {
+        case Some(c) if d.schema(c).dataType != t =>
+          d.withColumn(c, col(c).cast(t))
+        case _ => d
+      }
+    }
+
   private def readEntries(spark: SparkSession,
       lines: Seq[Entry]): DataFrame = {
     val (dels, datas) = lines.partition(isDeleteEntry)
-    dropsOf(lines).foldLeft(applyRenames(
+    dropsOf(lines).foldLeft(applyWidens(applyRenames(
       applyDeletes(spark, readDirs(spark, datas.map(_.dir).distinct),
-        dels), lines))(_.drop(_))
+        dels), lines), lines))(_.drop(_))
   }
 
   private def applyDeletes(spark: SparkSession, base: DataFrame,
@@ -2534,10 +2695,11 @@ final class ManifestTableStore(path: String,
       pruneEntries(spark, predicateSql, datas.filterNot(isSchemaMarker))
     val base =
       if (kept.isEmpty) readEntries(spark, lines) // footers skip the rest
-      else dropsOf(lines).foldLeft(applyRenames(applyDeletes(spark, kept
-        .map(d => spark.read.option("mergeSchema", "true").parquet(d))
-        .reduce(_.unionByName(_, allowMissingColumns = true)), dels),
-        lines))(_.drop(_))
+      else dropsOf(lines).foldLeft(applyWidens(applyRenames(
+        applyDeletes(spark, kept
+          .map(d => spark.read.option("mergeSchema", "true").parquet(d))
+          .reduce(_.unionByName(_, allowMissingColumns = true)), dels),
+        lines), lines))(_.drop(_))
     base.filter(expr(predicateSql))
   }
 
@@ -2762,6 +2924,63 @@ object ManifestTableStore {
     if (n != null && n.has("f") && n.has("t"))
       Some((n.get("f").asText(), n.get("t").asText()))
     else None
+  }
+
+  /** Stats-JSON key of a WIDEN-COLUMN marker entry: an object
+    * `{"c": column, "t": ddl}`. A version carrying it serves the
+    * column CAST to the wider type (old physical files keep the narrow
+    * type; the per-dir union coerces and the read-side cast pins the
+    * declared type even before any wide file exists); versions before
+    * it still show the old type (versioned widen, the fourth
+    * governed-evolution leg — Iceberg's type-promotion matrix).
+    */
+  private[engine] val WidenColKey = "__widencol__"
+
+  private[engine] def parseWidenCol(json: String)
+      : Option[(String, org.apache.spark.sql.types.DataType)] = {
+    if (json.isEmpty || !json.contains(WidenColKey)) return None
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val n = mapper.readTree(json).get(WidenColKey)
+    if (n != null && n.has("c") && n.has("t"))
+      Some((n.get("c").asText(),
+        org.apache.spark.sql.types.DataType.fromDDL(n.get("t").asText())))
+    else None
+  }
+
+  /** Whether `to` is a LOSSLESS widening of `from` — the only type
+    * changes a metadata-only marker can serve (anything else needs a
+    * rewrite): the integral up-chain, float→double, sub-long
+    * integrals→double (exact in a 52-bit mantissa), integrals→decimal
+    * with enough integer digits, and decimal→decimal growing both the
+    * integer-digit budget and the scale. Mirrors Iceberg's
+    * schema-evolution promotion matrix plus Delta's type-widening
+    * feature table.
+    */
+  private[engine] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3)
+      case ShortType => Some(5)
+      case IntegerType => Some(10)
+      case LongType => Some(19)
+      case _ => None
+    }
+    (from, to) match {
+      case (f, t) if f == t => false
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (f, t: DecimalType) if intDigits(f).isDefined =>
+        t.precision - t.scale >= intDigits(f).get
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          t.precision - t.scale >= f.precision - f.scale
+      case _ => false
+    }
   }
 
   /** Hive's directory name for a NULL partition value. */

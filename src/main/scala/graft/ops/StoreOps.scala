@@ -1634,5 +1634,60 @@ object StoreOps {
         .agg(count(lit(1)).as("n_rows"),
           dsum(col("o_totalprice")).as("total"))
         .orderBy("change_type", "priority")
+    },
+
+    // ALTER COLUMN TYPE widening (the FOURTH governed-evolution leg
+    // after q216 ADD / q217 DROP / q218 RENAME): `ALTER TABLE ...
+    // ALTER COLUMN ckey TYPE BIGINT` — issued as SQL text — commits
+    // one zero-row marker; no data file is rewritten. The post-widen
+    // append carries values an INT cannot hold (custkey + 5e9), so the
+    // grouped SUM aggregates across BOTH physical generations through
+    // the read-side cast — a widen that corrupted, truncated, or
+    // failed to serve the narrow generation shifts the total. The same
+    // query time-travels to the PRE-widen version and pins its type
+    // (the widen is versioned) plus the current schema's type flag.
+    QueryDef(
+      "q222_sql_widen_column",
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_custkey AS ckey FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_custkey + 5000000000 AS ckey
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(ckey) AS BIGINT) AS sum_ckey,
+        |  1 AS widened, 'INT' AS type_asof_v1
+        |FROM t GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      val store = new ManifestTableStore(
+        Materialize.keyedPath(s, "orders_store_widen", dir),
+        statsColumns = Seq("o_orderdate", "ckey"))
+      val orders = Tables(s, dir, "orders")
+      def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
+      if (store.currentVersion(s) == 0L)
+        store.append(orders.filter(upTo("1998-01-01"))
+          .select(col("o_orderstatus"), col("o_orderdate"),
+            col("o_custkey").cast("int").as("ckey")), 0L)
+      if (store.currentVersion(s) == 1L)
+        graft.engine.StoreSql.exec(s, Map("silver_widen" -> store),
+          "ALTER TABLE silver_widen ALTER COLUMN ckey TYPE BIGINT")
+      if (store.currentVersion(s) == 2L)
+        store.append(
+          orders.filter(!upTo("1998-01-01") && upTo("2000-01-01"))
+            .select(col("o_orderstatus"), col("o_orderdate"),
+              (col("o_custkey") + lit(5000000000L)).as("ckey")), 1L)
+      val widened =
+        if (store.read(s).schema("ckey").dataType ==
+          org.apache.spark.sql.types.LongType) 1 else 0
+      val v1Type = store.readVersion(s, 1L).schema("ckey").dataType.sql
+      store.read(s)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("ckey")).as("sum_ckey"))
+        .withColumn("widened", lit(widened))
+        .withColumn("type_asof_v1", lit(v1Type))
+        .orderBy("o_orderstatus")
     })
 }
