@@ -51,6 +51,77 @@ final class StoreCatalog(basePath: String) {
     reg.getOrElse(name, throw new IllegalArgumentException(
       s"unknown table '$name' (known: ${reg.keys.mkString(", ")})"))
 
+  /** Every table name this catalog can serve: the in-session registry,
+    * plus durable name pointers under `_catalog/`, plus basePath
+    * subdirectories that carry table evidence (a manifest chain or a
+    * creation spec) — the discoverability a SQL-only session needs to
+    * find tables OTHER sessions created (reference
+    * docs/schema_inferer.md:72-84 presumes exactly this read-back).
+    */
+  def listTables(spark: SparkSession): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(basePath)
+    val f = base.getFileSystem(conf)
+    val pointers = {
+      val cdir = new org.apache.hadoop.fs.Path(s"$basePath/_catalog")
+      if (!f.exists(cdir)) Nil
+      else f.listStatus(cdir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+    }
+    val onDisk =
+      if (!f.exists(base)) Nil
+      else f.listStatus(base).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName != "_catalog")
+        .filter(st =>
+          Seq("manifest", "table_spec").exists(s =>
+            f.exists(new org.apache.hadoop.fs.Path(st.getPath, s))) ||
+            specFiles(f, st.getPath.toString).nonEmpty)
+        .map(_.getPath.getName)
+    (reg.keys.toSeq ++ pointers ++ onDisk).distinct.sorted
+  }
+
+  /** The store for `name`, attaching from disk (pointer or basePath
+    * dir, re-attached from its persisted spec) when the registry does
+    * not hold it — the lazy leg of [[listTables]]' discoverability.
+    */
+  def resolve(spark: SparkSession,
+      name: String): Option[ManifestTableStore] =
+    reg.get(name).orElse {
+      if (name == "_catalog") None
+      else {
+        val path = readPointer(spark, name).getOrElse(s"$basePath/$name")
+        loadSpec(spark, path) match {
+          case Some((pb, props)) =>
+            val s = mk(path, pb, props)
+            if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
+            else None
+          case None => // legacy/no-spec table: attach bare if committed
+            val s = mk(path, Nil, Map.empty)
+            if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
+            else None
+        }
+      }
+    }
+
+  /** Attach every on-disk table a parsed plan references by bare name —
+    * so a SQL-only session can SELECT/INSERT/MERGE against tables it
+    * never created in THIS session.
+    */
+  private def attachReferenced(spark: SparkSession,
+      plan: LogicalPlan): Unit =
+    plan.foreach {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 =>
+        resolve(spark, u.multipartIdentifier.head)
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if t.multipartIdentifier.size == 1 =>
+        resolve(spark, t.multipartIdentifier.head)
+      case t: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableOrView if t.multipartIdentifier.size == 1 =>
+        resolve(spark, t.multipartIdentifier.head)
+      case _ =>
+    }
+
   /** Execute one statement: CREATE TABLE / CTAS are handled here;
     * everything else — DML, DDL, maintenance, including statements
     * Spark's parser rejects (OPTIMIZE/VACUUM) — delegates to
@@ -61,6 +132,15 @@ final class StoreCatalog(basePath: String) {
     val parsed: Option[LogicalPlan] =
       try Some(spark.sessionState.sqlParser.parsePlan(sql))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
+    // lazy discoverability: every bare table name the statement
+    // references (or the maintenance verb targets) attaches from disk
+    // before dispatch, so a session can operate on tables it never
+    // created
+    parsed match {
+      case Some(p) => attachReferenced(spark, p)
+      case None => StoreSql.maintenanceTarget(sql)
+        .foreach(resolve(spark, _))
+    }
     parsed match {
       case Some(ct: CreateTable) =>
         val name = identOf(ct.name)
@@ -176,13 +256,136 @@ final class StoreCatalog(basePath: String) {
               "from the catalog that registered it)")
         }
         spark.emptyDataFrame
+      case Some(st: org.apache.spark.sql.catalyst.plans.logical
+          .ShowTables) =>
+        // SHOW TABLES [LIKE 'pat']: Spark's own output shape
+        // (namespace, tableName, isTemporary). Namespace is the
+        // catalog's base path — the one address that lets an operator
+        // find the table on disk.
+        import spark.implicits._
+        val pat = st.pattern.map(p =>
+          ("(?i)" + p.split("\\|").map(s =>
+            java.util.regex.Pattern.quote(s).replace("*", "\\E.*\\Q"))
+            .mkString("|")).r)
+        listTables(spark)
+          .filter(n => pat.forall(_.matches(n)))
+          .map(n => (basePath, n, false))
+          .toDF("namespace", "tableName", "isTemporary")
+      case Some(d: org.apache.spark.sql.catalyst.plans.logical
+          .DescribeRelation) =>
+        import spark.implicits._
+        require(d.partitionSpec.isEmpty,
+          "DESCRIBE TABLE PARTITION is not supported")
+        val name = d.relation match {
+          case t: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView =>
+            require(t.multipartIdentifier.size == 1,
+              "store tables are single-part names, got " +
+                t.multipartIdentifier.mkString("."))
+            t.multipartIdentifier.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported DESCRIBE target: $other")
+        }
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(
+            s"unknown table '$name' (known: " +
+              s"${listTables(spark).mkString(", ")})"))
+        val cols = s.read(spark).schema.fields.toSeq.map(f =>
+          (f.name, f.dataType.sql.toLowerCase,
+            if (f.name == "batch_id")
+              "store attribution column (exactly-once commits)"
+            else ""))
+        val detail =
+          if (!d.isExtended) Nil
+          else {
+            def csv(xs: Seq[String]) =
+              if (xs.isEmpty) "" else xs.mkString(",")
+            Seq(("", "", ""),
+              ("# Detailed Table Information", "", ""),
+              ("Name", name, ""),
+              ("Type", "graft_store", ""),
+              ("Location", s.tablePath, ""),
+              ("Partition Columns", csv(s.partitionColumns), ""),
+              ("statsColumns", csv(s.statsColumnNames), ""),
+              ("bloomColumns", csv(s.bloomColumnNames), ""),
+              ("morDeleteKey", s.morDeleteKey.getOrElse(""), ""),
+              ("Current Version",
+                s.currentVersion(spark).toString, "")) ++
+              s.listChecks(spark).map { case (n, pred) =>
+                (s"Constraint $n", pred, "") }
+          }
+        (cols ++ detail).toDF("col_name", "data_type", "comment")
+      case Some(sp: org.apache.spark.sql.catalyst.plans.logical
+          .SetTableProperties) =>
+        alterProps(spark, sp.table) { props =>
+          props ++ sp.properties
+        }
+      case Some(up: org.apache.spark.sql.catalyst.plans.logical
+          .UnsetTableProperties) =>
+        alterProps(spark, up.table) { props =>
+          val unknown = up.propertyKeys.filterNot(props.contains)
+          require(up.ifExists || unknown.isEmpty,
+            s"table property ${unknown.mkString(", ")} is not set " +
+              "(use UNSET TBLPROPERTIES IF EXISTS)")
+          props -- up.propertyKeys
+        }
       case _ => StoreSql.exec(spark, tables, sql, batchId)
     }
   }
 
-  /** Read-side SQL (time travel included) against the registry. */
-  def query(spark: SparkSession, sql: String): DataFrame =
-    StoreSql.query(spark, tables, sql)
+  /** Shared SET/UNSET TBLPROPERTIES leg: transform the persisted
+    * store-knob properties, validate against the live schema, publish
+    * the next spec generation, re-register a handle built from it, and
+    * refresh manifest stats when the stats/bloom configuration changed
+    * — so a post-create bloom/stats column STARTS PRUNING immediately
+    * and a fresh catalog re-attaches with the updated spec.
+    */
+  private def alterProps(spark: SparkSession, table: LogicalPlan)(
+      xform: Map[String, String] => Map[String, String]): DataFrame = {
+    val name = table match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if t.multipartIdentifier.size == 1 =>
+        t.multipartIdentifier.head
+      case other => throw new IllegalArgumentException(
+        s"unsupported ALTER TABLE target: $other")
+    }
+    val s = resolve(spark, name).getOrElse(
+      throw new IllegalArgumentException(s"unknown table '$name'"))
+    val knobs = Seq("statsColumns", "bloomColumns", "morDeleteKey")
+    val current: Map[String, String] = Map(
+      "statsColumns" -> s.statsColumnNames.mkString(","),
+      "bloomColumns" -> s.bloomColumnNames.mkString(","),
+      "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
+      .filter(_._2.nonEmpty)
+    val next = xform(current)
+    val foreign = next.keySet.filterNot(knobs.contains)
+    require(foreign.isEmpty,
+      s"unsupported table properties ${foreign.mkString(", ")}: the " +
+        s"store's physical knobs are ${knobs.mkString(", ")} — a " +
+        "property this catalog cannot serve must not silently persist")
+    validateProps(s.read(spark).columns.toSeq, s.partitionColumns, next)
+    updateSpec(spark, s.tablePath, s.partitionColumns, next)
+    val fresh = mk(s.tablePath, s.partitionColumns, next)
+    reg.put(name, fresh)
+    // stats/bloom config changed → recompute every dir's manifest
+    // stats under the NEW configuration (metadata-only, no data
+    // rewrite); pruning on the new columns is live from here on
+    if (next.get("statsColumns") != current.get("statsColumns") ||
+        next.get("bloomColumns") != current.get("bloomColumns"))
+      fresh.refreshStats(spark)
+    spark.emptyDataFrame
+  }
+
+  /** Read-side SQL (time travel included) against the registry — bare
+    * table names the statement references attach lazily from disk
+    * first, so a fresh session queries any table the catalog lists.
+    */
+  def query(spark: SparkSession, sql: String): DataFrame = {
+    val plan = spark.sessionState.sqlParser.parsePlan(sql)
+    attachReferenced(spark, plan)
+    org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+      StoreSql.route(spark, tables, plan))
+  }
 
   /** The already-present store for `name` — registered in THIS catalog
     * OR committed on disk at its path (a table survives the session
@@ -223,21 +426,64 @@ final class StoreCatalog(basePath: String) {
     present
   }
 
-  /** Persist the creation-time physical spec beside the table (atomic
-    * create-if-absent) — what [[existing]] re-attaches from.
-    */
-  private def persistSpec(spark: SparkSession, path: String,
-      partitionBy: Seq[String], props: Map[String, String]): Unit = {
+  private def specJson(partitionBy: Seq[String],
+      props: Map[String, String]): Array[Byte] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val pb = root.putArray("partitionBy")
     partitionBy.foreach(pb.add)
     Seq("statsColumns", "bloomColumns", "morDeleteKey")
       .foreach(k => props.get(k).foreach(v => root.put(k, v)))
+    mapper.writeValueAsString(root).getBytes("UTF-8")
+  }
+
+  /** Persist the creation-time physical spec beside the table (atomic
+    * create-if-absent) — what [[existing]] re-attaches from.
+    */
+  private def persistSpec(spark: SparkSession, path: String,
+      partitionBy: Seq[String], props: Map[String, String]): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path, "table_spec")
     AtomicCreate.publish(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
-      mapper.writeValueAsString(root).getBytes("UTF-8"))
+      specJson(partitionBy, props))
+  }
+
+  /** The spec sidecar generations at `path`, newest last: the creation
+    * file `table_spec` (generation 1) plus `table_spec_v<N>` updates
+    * (SET/UNSET TBLPROPERTIES). Updates are PUBLISHED, never edited in
+    * place — same single-step create-if-absent protocol as manifest
+    * versions, so a spec file either does not exist or is complete and
+    * a crashed update can never leave the table spec-less (the stale
+    * generation simply stays current).
+    */
+  private def specFiles(f: org.apache.hadoop.fs.FileSystem,
+      path: String): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val dir = new org.apache.hadoop.fs.Path(path)
+    if (!f.exists(dir)) return Nil
+    f.listStatus(dir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n == "table_spec") Some((1L, st.getPath))
+      else if (n.startsWith("table_spec_v"))
+        n.stripPrefix("table_spec_v").toLongOption.map((_, st.getPath))
+      else None
+    }.sortBy(_._1)
+  }
+
+  /** Publish the NEXT spec generation (optimistic on the generation
+    * number, like a manifest commit) — SET/UNSET TBLPROPERTIES' durable
+    * leg.
+    */
+  private def updateSpec(spark: SparkSession, path: String,
+      partitionBy: Seq[String], props: Map[String, String]): Unit = {
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val bytes = specJson(partitionBy, props)
+    var next = math.max(specFiles(f, path).map(_._1).maxOption
+      .getOrElse(0L), 1L) + 1L
+    while (!AtomicCreate.publish(f,
+        new org.apache.hadoop.fs.Path(path, s"table_spec_v$next"),
+        bytes))
+      next += 1L
   }
 
   /** Durable name → path pointer under `basePath/_catalog/` so a
@@ -264,11 +510,14 @@ final class StoreCatalog(basePath: String) {
     } finally in.close()
   }
 
+  /** The NEWEST spec generation at `path` (see [[specFiles]]). */
   private def loadSpec(spark: SparkSession, path: String)
       : Option[(Seq[String], Map[String, String])] = {
-    val hp = new org.apache.hadoop.fs.Path(path, "table_spec")
-    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(hp)) return None
+    val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hp = specFiles(f, path).lastOption.map(_._2).getOrElse {
+      return None
+    }
     val in = f.open(hp)
     val text =
       try {
@@ -331,9 +580,8 @@ final class StoreCatalog(basePath: String) {
   private def clearStaleSidecars(spark: SparkSession, name: String,
       path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val spec = new org.apache.hadoop.fs.Path(path, "table_spec")
-    val sf = spec.getFileSystem(conf)
-    if (sf.exists(spec)) sf.delete(spec, false)
+    val sf = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    specFiles(sf, path).foreach { case (_, p) => sf.delete(p, false) }
     val ptr = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
     val pf = ptr.getFileSystem(conf)
     if (pf.exists(ptr)) pf.delete(ptr, false)

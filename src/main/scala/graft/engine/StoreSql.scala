@@ -397,6 +397,19 @@ object StoreSql {
   private val HistoryStmt =
     """(?is)DESCRIBE\s+HISTORY\s+([A-Za-z0-9_\.]+)""".r
 
+  /** The table a maintenance-verb statement targets, if `sql` is one —
+    * lets [[StoreCatalog]] lazily attach an on-disk table before
+    * delegating a statement Spark's parser cannot see into.
+    */
+  private[engine] def maintenanceTarget(sql: String): Option[String] =
+    stripInert(sql).trim match {
+      case RestoreStmt(t, _) => Some(t)
+      case HistoryStmt(t) => Some(t)
+      case OptimizeStmt(t, _) => Some(t)
+      case VacuumStmt(t, _, _) => Some(t)
+      case _ => None
+    }
+
   /** Route the Delta operational verbs a SQL-only operator schedules —
     * `OPTIMIZE <t> [ZORDER BY (cols)]`,
     * `VACUUM <t> [RETAIN n HOURS] [DRY RUN]`,

@@ -529,6 +529,12 @@ final class ManifestTableStore(path: String,
     */
   def partitionColumns: Seq[String] = partitionBy
 
+  /** Exposed physical knobs (DESCRIBE TABLE EXTENDED / TBLPROPERTIES
+    * round-trips).
+    */
+  def statsColumnNames: Seq[String] = statsColumns
+  def bloomColumnNames: Seq[String] = bloomColumns
+
   /** FULL-TABLE `INSERT OVERWRITE`: one commit whose entry list is
     * exactly the new batch — the idempotent batch-write every
     * lakehouse job uses to republish a computed table. Replayed batch

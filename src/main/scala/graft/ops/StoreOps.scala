@@ -1689,5 +1689,124 @@ object StoreOps {
         .withColumn("widened", lit(widened))
         .withColumn("type_asof_v1", lit(v1Type))
         .orderBy("o_orderstatus")
+    },
+
+    // SQL-only DISCOVERABILITY (the reference's read-back onboarding,
+    // docs/schema_inferer.md:72-84): a writer session creates and
+    // loads a catalog table; a COMPLETELY FRESH catalog — no registry
+    // state, zero CREATE statements — lists it via SHOW TABLES,
+    // inspects its physicals via DESCRIBE TABLE EXTENDED (partition
+    // layout, stats columns, store type — all served from the
+    // persisted spec sidecar), and queries it by bare name through the
+    // lazy attach. The pinned metadata columns make the discovery
+    // hash-checkable: a catalog that lost the spec, attached the wrong
+    // path, or failed to list shifts a pin; the grouped aggregate
+    // proves the attached handle reads the same rows the writer loaded.
+    QueryDef(
+      "q223_sql_show_describe",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  'disc_orders' AS tables_listed,
+        |  'o_totalprice' AS stats_cols,
+        |  'graft_store' AS store_type
+        |FROM orders
+        |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_catalog_disc", dir)
+      val writer = new graft.engine.StoreCatalog(base)
+      writer.exec(s,
+        """CREATE TABLE IF NOT EXISTS disc_orders (
+          |  o_orderstatus STRING, o_totalprice DOUBLE)
+          |USING graft_store
+          |TBLPROPERTIES ('statsColumns'='o_totalprice')""".stripMargin)
+      if (writer.store("disc_orders").currentVersion(s) == 1L)
+        writer.exec(s,
+          """INSERT INTO disc_orders
+            |SELECT o_orderstatus, o_totalprice FROM orders
+            |WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(0L))
+      // --- the fresh session: discovery with zero prior state ---
+      val reader = new graft.engine.StoreCatalog(base)
+      val listed = reader.exec(s, "SHOW TABLES")
+        .select("tableName").orderBy("tableName")
+        .collect().map(_.getString(0)).mkString(",")
+      val ext = reader.exec(s, "DESCRIBE TABLE EXTENDED disc_orders")
+        .select("col_name", "data_type").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      reader.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM disc_orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("tables_listed", lit(listed))
+        .withColumn("stats_cols", lit(ext("statsColumns")))
+        .withColumn("store_type", lit(ext("Type")))
+    },
+
+    // SET TBLPROPERTIES on a LIVE table (Delta/Iceberg's post-hoc
+    // physical tuning): the table is created WITHOUT stats columns —
+    // nothing prunes — then `ALTER TABLE ... SET TBLPROPERTIES
+    // ('statsColumns'='o_orderdate')` re-points the knob, publishes
+    // the next spec generation, and refreshes every dir's manifest
+    // stats (metadata-only, zero data rewrite). Pins: pruning is LIVE
+    // (the date slice opens fewer files than the table — q117/q219's
+    // assertion, established AFTER creation), a fresh catalog
+    // re-attaches with the UPDATED spec, and the grouped aggregate
+    // proves the refresh changed no data.
+    QueryDef(
+      "q224_sql_set_tblproperties",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS skipped_some, 'o_orderdate' AS reattached_stats
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_catalog_props", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS tuned_orders (
+          |  o_orderstatus STRING, o_orderdate TIMESTAMP,
+          |  o_totalprice DOUBLE)
+          |USING graft_store""".stripMargin)
+      def ins(bid: Long, lo: String, hi: String): Unit = cat.exec(s,
+        s"""INSERT INTO tuned_orders
+           |SELECT o_orderstatus, o_orderdate, o_totalprice FROM orders
+           |WHERE o_orderdate >= TIMESTAMP '$lo 00:00:00'
+           |  AND o_orderdate < TIMESTAMP '$hi 00:00:00'"""
+          .stripMargin, batchId = Some(bid))
+      if (cat.store("tuned_orders").currentVersion(s) == 1L)
+        ins(0L, "1992-01-01", "1998-01-01")
+      if (cat.store("tuned_orders").currentVersion(s) == 2L)
+        ins(1L, "1998-01-01", "2000-01-01")
+      // idempotent: only re-point when the knob is still unset (the
+      // SET publishes a spec generation + stats refresh each run)
+      if (cat.store("tuned_orders").statsColumnNames.isEmpty)
+        cat.exec(s, "ALTER TABLE tuned_orders SET TBLPROPERTIES " +
+          "('statsColumns'='o_orderdate')")
+      val live = cat.store("tuned_orders")
+      val slice = live.readWhere(s,
+        "o_orderdate >= '1998-01-01 00:00:00'")
+      val skipped =
+        if (slice.inputFiles.length > 0 &&
+          slice.inputFiles.length < live.read(s).inputFiles.length) 1
+        else 0
+      // a FRESH catalog re-attaches from the UPDATED spec generation
+      val reattached = new graft.engine.StoreCatalog(base)
+        .resolve(s, "tuned_orders").get.statsColumnNames.mkString(",")
+      slice
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total"))
+        .withColumn("skipped_some", lit(skipped))
+        .withColumn("reattached_stats", lit(reattached))
+        .orderBy("o_orderstatus")
     })
 }

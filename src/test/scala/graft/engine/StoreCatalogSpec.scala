@@ -307,6 +307,103 @@ class StoreCatalogSpec extends SparkSpec {
     cat.exec(spark, "ALTER TABLE t DROP CONSTRAINT IF EXISTS nope")
   }
 
+  test("SQL-only discoverability: a FRESH session lists, inspects, and " +
+      "queries tables it never created — SHOW TABLES, DESCRIBE TABLE " +
+      "[EXTENDED], lazy attach on reference") {
+    val base = Files.createTempDirectory("catalog-disc-")
+    base.toFile.deleteOnExit()
+    val writer = new StoreCatalog(base.toString)
+    writer.exec(spark,
+      """CREATE TABLE sensors (site STRING, reading INT,
+        |  CONSTRAINT nonneg CHECK (reading >= 0))
+        |USING graft_store PARTITIONED BY (site)
+        |TBLPROPERTIES ('statsColumns'='reading')""".stripMargin)
+    writer.exec(spark,
+      "INSERT INTO sensors VALUES ('a', 1), ('b', 2)", batchId = Some(0L))
+    writer.exec(spark, "CREATE TABLE other (k STRING) USING graft_store")
+    // --- a completely fresh session: no registry state ---
+    val reader = new StoreCatalog(base.toString)
+    val listed = reader.exec(spark, "SHOW TABLES")
+    assert(listed.columns.toSeq ==
+      Seq("namespace", "tableName", "isTemporary"))
+    assert(listed.select("tableName").as[String].collect().toSet ==
+      Set("sensors", "other"))
+    // LIKE pattern filters
+    assert(reader.exec(spark, "SHOW TABLES LIKE 'sen*'")
+      .select("tableName").as[String].collect().toSeq == Seq("sensors"))
+    // DESCRIBE: schema rows for a table this session never attached
+    val desc = reader.exec(spark, "DESCRIBE TABLE sensors")
+    val types = desc.select("col_name", "data_type").as[(String, String)]
+      .collect().toMap
+    assert(types("site") == "string" && types("reading") == "int" &&
+      types.contains("batch_id"))
+    // EXTENDED: partitioning, location, properties, constraints
+    val ext = reader.exec(spark, "DESCRIBE TABLE EXTENDED sensors")
+      .select("col_name", "data_type").as[(String, String)]
+      .collect().toMap
+    assert(ext("Partition Columns") == "site")
+    assert(ext("statsColumns") == "reading")
+    assert(ext("Type") == "graft_store")
+    assert(ext("Constraint nonneg").contains("reading"))
+    assert(ext("Location").contains("sensors"))
+    // ...and QUERY it, lazily attached by name — zero CREATE statements
+    assert(reader.query(spark,
+      "SELECT site, reading FROM sensors ORDER BY reading")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1), ("b", 2)))
+    // the attached handle carries the spec: partition layout + check
+    intercept[IllegalArgumentException] {
+      reader.exec(spark, "INSERT INTO sensors VALUES ('c', -1)",
+        batchId = Some(1L))
+    }
+  }
+
+  test("SET/UNSET TBLPROPERTIES re-point the physical knobs on a LIVE " +
+      "table: a post-create stats column starts pruning, the updated " +
+      "spec survives re-attach, unknown keys refuse") {
+    val base = Files.createTempDirectory("catalog-props-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      "CREATE TABLE t (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO t SELECT 'k' || i, CAST(i AS INT) " +
+      "FROM range(1, 101) AS r(i)", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO t SELECT 'k' || i, CAST(i AS INT) " +
+      "FROM range(1000, 1101) AS r(i)", batchId = Some(1L))
+    // created WITHOUT statsColumns: nothing prunes
+    val all = cat.store("t").read(spark).inputFiles.length
+    assert(cat.store("t").readWhere(spark, "n >= 1000")
+      .inputFiles.length == all, "no stats yet — nothing may prune")
+    // post-create re-point: stats on n, live immediately
+    cat.exec(spark,
+      "ALTER TABLE t SET TBLPROPERTIES ('statsColumns'='n')")
+    val slice = cat.store("t").readWhere(spark, "n >= 1000")
+    assert(slice.count() == 101)
+    assert(slice.inputFiles.length < all,
+      "SET TBLPROPERTIES + refreshStats must restore pruning " +
+        "without any data rewrite")
+    // a fresh catalog re-attaches with the UPDATED spec
+    val cat2 = new StoreCatalog(base.toString)
+    assert(cat2.resolve(spark, "t").get.statsColumnNames == Seq("n"))
+    // typo'd column and foreign keys refuse
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('statsColumns'='typo')")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "ALTER TABLE t SET TBLPROPERTIES ('retention'='7d')")
+    }
+    // UNSET drops the knob; IF EXISTS tolerates a missing key
+    cat.exec(spark, "ALTER TABLE t UNSET TBLPROPERTIES ('statsColumns')")
+    assert(new StoreCatalog(base.toString).resolve(spark, "t").get
+      .statsColumnNames.isEmpty)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE t UNSET TBLPROPERTIES ('nope')")
+    }
+    cat.exec(spark,
+      "ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('nope')")
+  }
+
   test("DROP TABLE refuses a name-colliding directory that is not a " +
       "graft table, and the '_catalog' name is reserved both ways") {
     val base = Files.createTempDirectory("catalog-guard-")
