@@ -1808,5 +1808,99 @@ object StoreOps {
         .withColumn("skipped_some", lit(skipped))
         .withColumn("reattached_stats", lit(reattached))
         .orderBy("o_orderstatus")
+    },
+
+    // The reference's two jobs wired to the catalog END TO END with
+    // ZERO hand-written schema (scripts/schema_inferer.py:154-176 →
+    // bronze_assets_to_silver_assets.py:275-296): bronze JSON lands,
+    // SchemaRegistry INFERS each topic's schema, the silver schema is
+    // DERIVED mechanically from the normalize plan over the inferred
+    // bronze schema and becomes a CREATE TABLE through StoreCatalog,
+    // then StreamRunner streams both sources' normalized rows into the
+    // created store (checkpointed, writer-scoped batch namespaces) and
+    // the result is queried back through the catalog. The oracle
+    // recomputes every surviving row's deterministic surrogate key
+    // (sha256 over the null-skipping concat of canonicalized uid
+    // parts) from first principles — corrupt records must drop, the
+    // case/whitespace variant must collide onto the full record's uid,
+    // and null key parts must skip, or a row's hash shifts.
+    QueryDef(
+      "q225_sql_onboarding",
+      """WITH exp(source_system, asset_name, uid_src) AS (VALUES
+        |  ('rapid7', 'WEB-01.example.local',
+        |   'web-01.example.local|10.0.0.17|101'),
+        |  ('rapid7', '  web-01.Example.LOCAL ',
+        |   'web-01.example.local|10.0.0.17|101'),
+        |  ('rapid7', 'bare-host', 'bare-host'),
+        |  ('rapid7', '(none)', '5'),
+        |  ('fortisiem', 'core-fw-01',
+        |   'core-fw-01|172.16.5.20|64f1a2b3c4d5e6f7a8b9c0d1'),
+        |  ('fortisiem', 'edge-sw-02',
+        |   'edge-sw-02|64f1a2b3c4d5e6f7a8b9c0d2'))
+        |SELECT source_system, asset_name,
+        |  sha256(uid_src) AS asset_uid
+        |FROM exp
+        |ORDER BY source_system, asset_uid, asset_name""".stripMargin) {
+      (s, dir) =>
+      import graft.engine.{CanonicalSchema, Fixtures, Normalize,
+        SchemaRegistry, SourceSpec, StoreCatalog, StreamRunner}
+      val base = Materialize.keyedPath(s, "sql_onboarding_v2", dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val f = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      // bronze landing, one document per file (multiLine contract);
+      // write-once so the streaming checkpoint's seen-file set stays
+      // valid across re-invocations
+      def land(topic: String, records: Seq[String]): Unit =
+        records.zipWithIndex.foreach { case (r, i) =>
+          val hp = new org.apache.hadoop.fs.Path(
+            s"$base/bronze/$topic/rec-$i.json")
+          if (!f.exists(hp)) {
+            val out = f.create(hp)
+            out.write(r.getBytes("UTF-8")); out.close()
+          }
+        }
+      land("rapid7_assets", Fixtures.rapid7Records)
+      land("fortisiem_assets", Fixtures.fortisiemRecords)
+      // job A: governed schema inference over the bronze topics — full
+      // sampling (SAMPLING_RATIO=1.0, the reference's own knob): a
+      // handful of fixture documents is no place for a 20% sample
+      val registry = new SchemaRegistry(s, s"$base/bronze",
+        s"$base/schemas",
+        SchemaRegistry.Config(maxFilesForInference = 0,
+          samplingRatio = 1.0))
+      registry.runOnce()
+      def specOf(topic: String, proto: SourceSpec): SourceSpec = {
+        val inferred = registry.readSchema(topic).getOrElse(
+          sys.error(s"no inferred schema for $topic"))
+        proto.copy(schema =
+          if (inferred.fieldNames.contains(CanonicalSchema.CorruptCol))
+            inferred
+          else inferred.add(CanonicalSchema.CorruptCol,
+            org.apache.spark.sql.types.StringType))
+      }
+      val r7 = specOf("rapid7_assets", SourceSpec.rapid7)
+      val fsm = specOf("fortisiem_assets", SourceSpec.fortisiem)
+      // the silver schema is DERIVED from the normalize plan over the
+      // inferred bronze schema — the union contract makes it identical
+      // for both sources, so one derivation seeds the shared table
+      val silverSchema = Normalize(
+        s.createDataFrame(s.sparkContext
+          .emptyRDD[org.apache.spark.sql.Row], r7.schema), r7,
+        to_timestamp(lit("2026-01-01 00:00:00"))).schema
+      val cat = new StoreCatalog(s"$base/catalog")
+      cat.exec(s, s"CREATE TABLE IF NOT EXISTS silver_assets " +
+        s"(${silverSchema.toDDL}) USING graft_store")
+      // job B: both sources stream into the created store
+      // (AvailableNow drains and terminates; checkpoints + writer
+      // namespaces make re-invocation exactly-once)
+      StreamRunner.runAvailableNow(s, Seq(
+        (r7, s"$base/bronze/rapid7_assets", s"$base/ckpt/rapid7"),
+        (fsm, s"$base/bronze/fortisiem_assets", s"$base/ckpt/forti")),
+        cat.store("silver_assets"))
+      cat.query(s,
+        """SELECT source_system,
+          |  coalesce(asset_name, '(none)') AS asset_name, asset_uid
+          |FROM silver_assets
+          |ORDER BY source_system, asset_uid, asset_name""".stripMargin)
     })
 }
