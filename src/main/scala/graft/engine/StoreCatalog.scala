@@ -315,6 +315,46 @@ final class StoreCatalog(basePath: String) {
                 (s"Constraint $n", pred, "") }
           }
         (cols ++ detail).toDF("col_name", "data_type", "comment")
+      case Some(sc: org.apache.spark.sql.catalyst.plans.logical
+          .ShowCreateTable) =>
+        // SHOW CREATE TABLE: reconstruct runnable DDL from the live
+        // store + persisted spec — the statement a user needs to clone
+        // the table (schema WITHOUT the internal batch_id column,
+        // constraints, partitioning, knobs, location).
+        import spark.implicits._
+        val name = sc.child match {
+          case t: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedTableOrView =>
+            require(t.multipartIdentifier.size == 1,
+              "store tables are single-part names, got " +
+                t.multipartIdentifier.mkString("."))
+            t.multipartIdentifier.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported SHOW CREATE TABLE target: $other")
+        }
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$name'"))
+        val colDdl = s.read(spark).schema.fields.toSeq
+          .filterNot(_.name == "batch_id")
+          .map(f => s"  ${f.name} ${f.dataType.sql}")
+        val checks = s.listChecks(spark).map { case (n, pred) =>
+          s"  CONSTRAINT $n CHECK ($pred)" }
+        val props = Seq(
+          "statsColumns" -> s.statsColumnNames.mkString(","),
+          "bloomColumns" -> s.bloomColumnNames.mkString(","),
+          "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
+          .filter(_._2.nonEmpty)
+          .map { case (k, v) => s"'$k'='$v'" }
+        val stmt = Seq(
+          Some(s"CREATE TABLE $name (\n" +
+            (colDdl ++ checks).mkString(",\n") + ")"),
+          Some("USING graft_store"),
+          Option(s.partitionColumns).filter(_.nonEmpty)
+            .map(pb => s"PARTITIONED BY (${pb.mkString(", ")})"),
+          Option(props).filter(_.nonEmpty)
+            .map(p => s"TBLPROPERTIES (${p.mkString(", ")})"),
+          Some(s"LOCATION '${s.tablePath}'")).flatten.mkString("\n")
+        Seq(stmt).toDF("createtab_stmt")
       case Some(sp: org.apache.spark.sql.catalyst.plans.logical
           .SetTableProperties) =>
         alterProps(spark, sp.table) { props =>

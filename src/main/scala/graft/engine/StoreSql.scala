@@ -142,12 +142,13 @@ object StoreSql {
                 s"has ${target.size} (${target.mkString(", ")})")
             df0.toDF(target: _*)
           } else df0 // empty table: the insert defines the schema
-        val df = static.foldLeft(df1) { case (d, (k, value)) =>
+        val df2 = static.foldLeft(df1) { case (d, (k, value)) =>
           d.withColumn(k, org.apache.spark.sql.functions.lit(value)
             .cast(if (store.currentVersion(spark) > 0)
               store.read(spark).schema(k).dataType
             else org.apache.spark.sql.types.StringType))
         }
+        val df = reconcileInsert(spark, store, df2)
         val bid = requiredBatchId(
           if (i.overwrite) "INSERT OVERWRITE" else "INSERT")
         if (!i.overwrite) {
@@ -396,6 +397,58 @@ object StoreSql {
     """(?is)RESTORE\s+(?:TABLE\s+)?([A-Za-z0-9_\.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val HistoryStmt =
     """(?is)DESCRIBE\s+HISTORY\s+([A-Za-z0-9_\.]+)""".r
+
+  /** Schema ENFORCEMENT at the SQL INSERT boundary (Delta's insert
+    * semantics): every inserted column must exist in the table, and its
+    * value type must either match the table column or store LOSSLESSLY
+    * into it — narrower inputs up-cast (int values into a BIGINT
+    * column), everything else refuses with the governed remediation
+    * (`ALTER TABLE ... ALTER COLUMN ... TYPE` to widen the table, or an
+    * explicit cast in the query). Without this, inserting a DOUBLE into
+    * an INT column writes a wide physical file and the union-by-name
+    * read silently serves the column wide — an UNGOVERNED widen
+    * bypassing [[ManifestTableStore.widenColumn]]'s marker, guards, and
+    * versioning; and a typo'd column name would silently ADD a column
+    * outside `ALTER TABLE ADD COLUMNS`. No-op on an empty (pre-v1,
+    * store-API-seeded) table, where the first batch defines the schema.
+    */
+  private def reconcileInsert(spark: SparkSession,
+      store: ManifestTableStore,
+      df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, NullType}
+    if (store.currentVersion(spark) == 0L) return df
+    val target = store.read(spark).schema
+    def storesLosslessly(from: org.apache.spark.sql.types.DataType,
+        to: org.apache.spark.sql.types.DataType): Boolean =
+      from == NullType || ManifestTableStore.isWidening(from, to) ||
+        ((from, to) match {
+          // a small-precision decimal literal (VALUES (-1.0) parses as
+          // DECIMAL(2,1)) is exact in a double's 15 significant digits
+          case (f: DecimalType, DoubleType) => f.precision <= 15
+          case _ => false
+        })
+    val cols = df.columns.toSeq.map { c =>
+      val tf = target.fields
+        .find(f => f.name.equalsIgnoreCase(c) && f.name != "batch_id")
+        .getOrElse(throw new IllegalArgumentException(
+          s"INSERT column '$c' does not exist in the table (" +
+            target.fieldNames.filterNot(_ == "batch_id")
+              .mkString(", ") +
+            "); ALTER TABLE ... ADD COLUMNS to evolve the schema first"))
+      val st = df.schema(c).dataType
+      if (st == tf.dataType) org.apache.spark.sql.functions.col(c)
+      else if (storesLosslessly(st, tf.dataType))
+        org.apache.spark.sql.functions.col(c).cast(tf.dataType)
+          .as(tf.name)
+      else throw new IllegalArgumentException(
+        s"INSERT value of type ${st.sql} does not losslessly store " +
+          s"into column '${tf.name}' ${tf.dataType.sql}: cast " +
+          "explicitly in the query, or widen the table column first " +
+          s"(ALTER TABLE ... ALTER COLUMN ${tf.name} TYPE ...)")
+    }
+    df.select(cols: _*)
+  }
 
   /** The table a maintenance-verb statement targets, if `sql` is one —
     * lets [[StoreCatalog]] lazily attach an on-disk table before

@@ -404,6 +404,41 @@ class StoreCatalogSpec extends SparkSpec {
       "ALTER TABLE t UNSET TBLPROPERTIES IF EXISTS ('nope')")
   }
 
+  test("SHOW CREATE TABLE reconstructs runnable DDL that CLONES the " +
+      "table: schema sans batch_id, constraints, partitioning, knobs") {
+    val base = Files.createTempDirectory("catalog-showcreate-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      """CREATE TABLE src (site STRING, n BIGINT,
+        |  CONSTRAINT nonneg CHECK (n >= 0))
+        |USING graft_store PARTITIONED BY (site)
+        |TBLPROPERTIES ('statsColumns'='n')""".stripMargin)
+    cat.exec(spark, "INSERT INTO src VALUES ('a', 1)", batchId = Some(0L))
+    val stmt = cat.exec(spark, "SHOW CREATE TABLE src")
+      .select("createtab_stmt").as[String].head()
+    assert(!stmt.contains("batch_id"),
+      "the internal attribution column must not leak into the DDL")
+    // the emitted DDL is RUNNABLE: clone under a new name in a fresh
+    // catalog and verify the physicals carried over
+    val base2 = Files.createTempDirectory("catalog-showcreate2-")
+    base2.toFile.deleteOnExit()
+    val cat2 = new StoreCatalog(base2.toString)
+    cat2.exec(spark, stmt
+      .replace("CREATE TABLE src", "CREATE TABLE clone")
+      .replaceAll("(?s)\nLOCATION '[^']*'", "")) // clone gets its own dir
+    val clone = cat2.store("clone")
+    assert(clone.partitionColumns == Seq("site"))
+    assert(clone.statsColumnNames == Seq("n"))
+    assert(clone.listChecks(spark).exists(_._1 == "nonneg"))
+    assert(clone.read(spark).schema.fieldNames.toSet ==
+      Set("site", "n", "batch_id"))
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark, "INSERT INTO clone VALUES ('x', -1)",
+        batchId = Some(0L))
+    }
+  }
+
   test("DROP TABLE refuses a name-colliding directory that is not a " +
       "graft table, and the '_catalog' name is reserved both ways") {
     val base = Files.createTempDirectory("catalog-guard-")

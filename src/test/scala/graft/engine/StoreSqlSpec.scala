@@ -302,6 +302,51 @@ class StoreSqlSpec extends SparkSpec {
     assert(hist.columns.contains("version") && hist.count() == 3)
   }
 
+  test("SQL INSERT enforces the table schema: narrower values up-cast " +
+      "losslessly, wider/lateral values refuse with the widen " +
+      "remediation, unknown columns refuse instead of silently " +
+      "evolving") {
+    val p = Files.createTempDirectory("sqlinsert-schema-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString)
+    store.append(Seq(("a", 1L, 0.5)).toDF("k", "n", "x"), 0L)
+    val t = Map("t" -> store)
+    // int literal into a BIGINT column: lossless up-cast, and the
+    // written physical file is ALREADY wide (no mixed generations)
+    StoreSql.exec(spark, t, "INSERT INTO t VALUES ('b', 2, 1.5)",
+      batchId = Some(1L))
+    assert(store.read(spark).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(store.read(spark).select("k", "n").as[(String, Long)]
+      .collect().toSet == Set(("a", 1L), ("b", 2L)))
+    // a DOUBLE into the BIGINT column is an ungoverned widen: refused
+    // with the ALTER COLUMN remediation
+    val e = intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, t, "INSERT INTO t VALUES ('c', 3.7, 0.0)",
+        batchId = Some(2L))
+    }
+    assert(e.getMessage.contains("ALTER COLUMN"), e.getMessage)
+    // a column the table does not have refuses instead of silently
+    // adding it outside ADD COLUMNS
+    val e2 = intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, t,
+        "INSERT INTO t (k, n, x, extra) VALUES ('d', 4, 0.0, 9)",
+        batchId = Some(3L))
+    }
+    assert(e2.getMessage.contains("ADD COLUMNS"), e2.getMessage)
+    // NULL literals store into any column type
+    StoreSql.exec(spark, t, "INSERT INTO t VALUES ('e', NULL, NULL)",
+      batchId = Some(4L))
+    assert(store.read(spark).count() == 3)
+    // after a governed widen the same wide value is welcome
+    store.widenColumn(spark, "n",
+      org.apache.spark.sql.types.DecimalType(38, 1))
+    StoreSql.exec(spark, t, "INSERT INTO t VALUES ('f', 3.7, 0.0)",
+      batchId = Some(5L))
+    assert(store.read(spark).filter($"k" === "f")
+      .select($"n".cast("double")).as[Double].head() == 3.7)
+  }
+
   test("maintenance verbs route on the statement with comments and " +
       "string literals stripped: trailing comments are tolerated, a " +
       "table name smuggled inside a comment cannot confuse the router") {
