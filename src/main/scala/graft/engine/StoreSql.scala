@@ -416,7 +416,8 @@ object StoreSql {
       store: ManifestTableStore,
       df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.{DecimalType, DoubleType, NullType}
+    import org.apache.spark.sql.types.{DecimalType, DoubleType, NullType,
+      TimestampNTZType, TimestampType}
     if (store.currentVersion(spark) == 0L) return df
     val target = store.read(spark).schema
     def storesLosslessly(from: org.apache.spark.sql.types.DataType,
@@ -426,6 +427,12 @@ object StoreSql {
           // a small-precision decimal literal (VALUES (-1.0) parses as
           // DECIMAL(2,1)) is exact in a double's 15 significant digits
           case (f: DecimalType, DoubleType) => f.precision <= 15
+          // sessions pin UTC engine-wide (Sessions.local), so the NTZ
+          // local value IS the UTC instant — the cast is
+          // value-preserving in both directions (arrow/pandas parquet
+          // writes NTZ; the same convention collectStats documents)
+          case (TimestampNTZType, TimestampType) => true
+          case (TimestampType, TimestampNTZType) => true
           case _ => false
         })
     val cols = df.columns.toSeq.map { c =>
