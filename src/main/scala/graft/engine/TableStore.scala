@@ -1144,9 +1144,9 @@ final class ManifestTableStore(path: String,
       val f = fs(spark)
       val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "compactSmall")
-      // schema markers (drop/rename) carry verbatim: merging one into a
-      // data dir would lose the change while untouched dirs still hold
-      // the old physical column
+      // schema markers (add/drop/rename/widen/create) carry verbatim:
+      // merging one into a data dir would lose the change while
+      // untouched dirs still hold the old physical column
       val small = lines.filterNot(isSchemaMarker).map(_.dir).distinct
         .filter(d =>
           f.getContentSummary(new HPath(d)).getLength < smallBytes)
@@ -2162,7 +2162,16 @@ final class ManifestTableStore(path: String,
       return dropsOf(to).foldLeft(applyWidens(applyRenames(
         readDirs(spark, to.map(_.dir).distinct), to), to))(_.drop(_))
         .filter(lit(false))
-    val dirs = to.filter(e => newIds.contains(e.batchId)).map(_.dir).distinct
+    // pure (zero-row) marker dirs join the SCAN set but never the
+    // attribution: a window holding both an ADD COLUMNS and a real
+    // append must serve the full end schema even when no new data dir
+    // carries the added column yet — the marker is its only physical
+    // holder. The batch_id filter keeps their row contribution at zero.
+    val toDataDirs = to.filterNot(isSchemaMarker).map(_.dir).toSet
+    val schemaDirs = to.filter(isSchemaMarker).map(_.dir).distinct
+      .filterNot(toDataDirs.contains)
+    val dirs = (to.filter(e => newIds.contains(e.batchId)).map(_.dir) ++
+      schemaDirs).distinct
     dropsOf(to).foldLeft(applyWidens(applyRenames(readDirs(spark, dirs)
       .filter(col("batch_id").isInCollection(newIds)), to), to))(_.drop(_))
   }
@@ -2235,7 +2244,8 @@ final class ManifestTableStore(path: String,
           ManifestTableStore.parseApplies(e.statsJson).get)
     // the visible state of one version, restricted to the affected ids
     // (post-compaction dirs can mix ids — the row filter re-separates)
-    def scoped(dels: Seq[Entry], datas: Seq[Entry]): Option[DataFrame] = {
+    def scoped(dels: Seq[Entry], datas: Seq[Entry],
+        all0: Seq[Entry]): Option[DataFrame] = {
       val dirs = datas.filter(e => affected.contains(e.batchId))
         .map(_.dir).distinct
       if (dirs.isEmpty) None
@@ -2244,14 +2254,22 @@ final class ManifestTableStore(path: String,
       // metadata-only rename or widen between the versions then diffs
       // to ZERO change rows
       else {
+        // pure (zero-row) marker dirs join the scan but never the
+        // attribution: a window with BOTH an ADD COLUMNS and a data
+        // change must still speak the full end schema even before any
+        // data dir carries the added column (see readChanges)
+        val dataDirs = datas.map(_.dir).toSet
+        val markerDirs = all0.filter(isSchemaMarker).map(_.dir)
+          .distinct.filterNot(dataDirs.contains)
         val end = if (toE.nonEmpty) toE else fromE
         Some(applyWidens(applyRenames(
-          applyDeletes(spark, readDirs(spark, dirs), dels), end), end)
-          .filter(col("batch_id").isInCollection(affected)))
+          applyDeletes(spark,
+            readDirs(spark, (dirs ++ markerDirs).distinct), dels), end),
+          end).filter(col("batch_id").isInCollection(affected)))
       }
     }
-    val oldS = scoped(fromDel, fromData)
-    val newS = scoped(toDel, toData)
+    val oldS = scoped(fromDel, fromData, fromData0)
+    val newS = scoped(toDel, toData, toData0)
     // nothing changed between the versions (e.g. fromVersion ==
     // toVersion, or only metadata markers moved): an EMPTY feed in the
     // end-version's schema, not a NoSuchElementException from the
@@ -2432,11 +2450,21 @@ final class ManifestTableStore(path: String,
     e.batchId == ManifestTableStore.SchemaBatchId &&
       ManifestTableStore.parseWidenCol(e.statsJson).isDefined
 
-  /** Any zero-row schema marker (drop, rename, or widen): structural,
-    * never data — the set rewrite scopes and key joins must exclude.
+  /** Any zero-row schema marker: structural, never data — the set
+    * rewrite scopes, key joins, and CDF batch attribution must exclude.
+    * EVERY entry committed under [[ManifestTableStore.SchemaBatchId]]
+    * is such a marker: drop/rename/widen (payload-keyed), ADD COLUMNS,
+    * and [[createEmpty]]'s declared-schema anchor — the last two carry
+    * no payload key, so matching on the batch id (rather than the
+    * payload parses) is what keeps a metadata-only ADD COLUMNS commit
+    * from masquerading as an insert batch in [[readChanges]] (its
+    * marker dir holds only the new columns + batch_id; attributing it
+    * as "new rows" would serve a feed with every pre-existing data
+    * column missing). The schema PROJECTION is unaffected: the read
+    * path unions all dirs unfiltered.
     */
   private def isSchemaMarker(e: Entry): Boolean =
-    isDropMarker(e) || isRenameMarker(e) || isWidenMarker(e)
+    e.batchId == ManifestTableStore.SchemaBatchId
 
   /** The column names a snapshot's drop markers retire. */
   private def dropsOf(lines: Seq[Entry]): Seq[String] =
@@ -2699,10 +2727,21 @@ final class ManifestTableStore(path: String,
     val (dels, datas) = lines.partition(isDeleteEntry)
     val (kept, _) =
       pruneEntries(spark, predicateSql, datas.filterNot(isSchemaMarker))
+    // zero-row schema-marker dirs never participate in PRUNING (they
+    // are structure, not data) but always participate in the UNION:
+    // an ADD COLUMNS marker is the only physical holder of a column no
+    // data dir carries yet, and a pruned read right after the add must
+    // still serve the full snapshot schema. Zero rows — no scan cost.
+    // Only PURE marker dirs: after a compact, marker entries point at
+    // the shared materialized data dir (which already carries the full
+    // schema), and re-adding it here would defeat the stats pruning.
+    val dataDirs = datas.filterNot(isSchemaMarker).map(_.dir).toSet
+    val markerDirs = datas.filter(isSchemaMarker).map(_.dir).distinct
+      .filterNot(d => dataDirs.contains(d) || kept.contains(d))
     val base =
       if (kept.isEmpty) readEntries(spark, lines) // footers skip the rest
       else dropsOf(lines).foldLeft(applyWidens(applyRenames(
-        applyDeletes(spark, kept
+        applyDeletes(spark, (kept ++ markerDirs)
           .map(d => spark.read.option("mergeSchema", "true").parquet(d))
           .reduce(_.unionByName(_, allowMissingColumns = true)), dels),
         lines), lines))(_.drop(_))

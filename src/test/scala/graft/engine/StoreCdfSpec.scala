@@ -124,4 +124,46 @@ class StoreCdfSpec extends SparkSpec {
     assert(f.columns.contains("_change_type"))
     assert(f.count() == 0, "nothing changed, nothing may report")
   }
+
+  test("a metadata-only ADD COLUMNS window is an EMPTY feed in the " +
+      "full end schema — the add marker must not masquerade as an " +
+      "insert batch (its dir holds only the new column + batch_id)") {
+    val store = mkStore()
+    val v = store.currentVersion(spark)
+    store.addColumns(spark,
+      Seq("extra" -> org.apache.spark.sql.types.LongType))
+    // insert stream: zero rows, EVERY column (pre-existing k/n AND the
+    // added one) — not a k/n-less frame built from the marker dir alone
+    val ins = store.readChanges(spark, v, v + 1)
+    assert(ins.count() == 0, "a marker commit contributes no rows")
+    assert(Set("k", "n", "extra").subsetOf(ins.columns.toSet),
+      s"insert stream lost data columns: ${ins.columns.mkString(",")}")
+    // full feed: same contract
+    val f = store.readChangeFeed(spark, v, v + 1)
+    assert(f.count() == 0)
+    assert(Set("k", "n", "extra").subsetOf(f.columns.toSet),
+      s"change feed lost data columns: ${f.columns.mkString(",")}")
+  }
+
+  test("a MIXED window (ADD COLUMNS + an append that does not carry " +
+      "the new column) still speaks the full end schema — the marker " +
+      "dir is the column's only physical holder") {
+    val store = mkStore()
+    val v = store.currentVersion(spark)
+    store.addColumns(spark,
+      Seq("extra" -> org.apache.spark.sql.types.LongType))
+    store.append(Seq(("e", 5)).toDF("k", "n"), 7L)
+    val ins = store.readChanges(spark, v, v + 2)
+    assert(Set("k", "n", "extra").subsetOf(ins.columns.toSet),
+      s"insert stream lost the added column: ${ins.columns.mkString(",")}")
+    val rows = ins.select("k", "n").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(rows == Set(("e", 5)), "exactly the appended row")
+    val f = store.readChangeFeed(spark, v, v + 2)
+    assert(Set("k", "n", "extra").subsetOf(f.columns.toSet),
+      s"change feed lost the added column: ${f.columns.mkString(",")}")
+    assert(f.select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("insert", "e")))
+  }
 }
