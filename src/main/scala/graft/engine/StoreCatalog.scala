@@ -41,7 +41,7 @@ final class StoreCatalog(basePath: String) {
 
   /** Register an externally-constructed store under a name. */
   def register(name: String, store: ManifestTableStore): this.type = {
-    reg.put(name, store); this
+    absent.remove(name); reg.put(name, store); this
   }
 
   /** The current registry as the immutable map [[StoreSql]] takes. */
@@ -73,12 +73,33 @@ final class StoreCatalog(basePath: String) {
       else f.listStatus(base).toSeq
         .filter(st => st.isDirectory && st.getPath.getName != "_catalog")
         .filter(st =>
-          Seq("manifest", "table_spec").exists(s =>
-            f.exists(new org.apache.hadoop.fs.Path(st.getPath, s))) ||
+          // table evidence: a manifest chain, or any spec-sidecar
+          // generation (specFiles' listing already detects both
+          // `table_spec` and `table_spec_v<N>` — no separate probe)
+          f.exists(new org.apache.hadoop.fs.Path(st.getPath,
+            "manifest")) ||
             specFiles(f, st.getPath.toString).nonEmpty)
         .map(_.getPath.getName)
     (reg.keys.toSeq ++ pointers ++ onDisk).distinct.sorted
   }
+
+  /** Names that resolved to NOTHING (no pointer, no spec, no commits)
+    * since this catalog last registered a table — so statements full of
+    * temp-view references don't re-pay the 3+ filesystem probes per
+    * view name per statement ([[resolve]] is called for every bare
+    * unresolved name in every plan). Any registration through THIS
+    * catalog clears the cached miss for that name; a table created by
+    * a DIFFERENT session after the miss needs [[refresh]] (or a fresh
+    * catalog) to become visible — the same staleness contract as
+    * Spark's own relation cache.
+    */
+  private val absent =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Forget cached negative lookups (tables another session created
+    * after this catalog first probed their names).
+    */
+  def refresh(): Unit = absent.clear()
 
   /** The store for `name`, attaching from disk (pointer or basePath
     * dir, re-attached from its persisted spec) when the registry does
@@ -87,10 +108,10 @@ final class StoreCatalog(basePath: String) {
   def resolve(spark: SparkSession,
       name: String): Option[ManifestTableStore] =
     reg.get(name).orElse {
-      if (name == "_catalog") None
+      if (name == "_catalog" || absent.contains(name)) None
       else {
         val path = readPointer(spark, name).getOrElse(s"$basePath/$name")
-        loadSpec(spark, path) match {
+        val attached = loadSpec(spark, path) match {
           case Some((pb, props)) =>
             val s = mk(path, pb, props)
             if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
@@ -100,6 +121,8 @@ final class StoreCatalog(basePath: String) {
             if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
             else None
         }
+        if (attached.isEmpty) absent.add(name)
+        attached
       }
     }
 
@@ -119,6 +142,18 @@ final class StoreCatalog(basePath: String) {
       case t: org.apache.spark.sql.catalyst.analysis
           .UnresolvedTableOrView if t.multipartIdentifier.size == 1 =>
         resolve(spark, t.multipartIdentifier.head)
+      // RelationTimeTravel is an UnresolvedLeafNode — foreach does NOT
+      // descend into its inner relation, so `SELECT ... FROM t VERSION
+      // AS OF n` must be matched here or a fresh session's time-travel
+      // query never lazy-attaches t while the plain SELECT does
+      case tt: org.apache.spark.sql.catalyst.analysis
+          .RelationTimeTravel =>
+        tt.relation match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+            resolve(spark, u.multipartIdentifier.head)
+          case _ =>
+        }
       case _ =>
     }
 
@@ -169,7 +204,7 @@ final class StoreCatalog(basePath: String) {
             }))
             checksOf(ct.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
-            reg.put(name, store)
+            absent.remove(name); reg.put(name, store)
         }
         spark.emptyDataFrame
       case Some(ctas: CreateTableAsSelect) =>
@@ -200,7 +235,7 @@ final class StoreCatalog(basePath: String) {
             checksOf(ctas.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
             store.append(df, bid)
-            reg.put(name, store)
+            absent.remove(name); reg.put(name, store)
         }
         spark.emptyDataFrame
       case Some(dt: org.apache.spark.sql.catalyst.plans.logical
@@ -356,6 +391,35 @@ final class StoreCatalog(basePath: String) {
           Some(s"LOCATION '${s.tablePath}'")).flatten.mkString("\n")
         Seq(stmt).toDF("createtab_stmt")
       case Some(sp: org.apache.spark.sql.catalyst.plans.logical
+          .ShowTableProperties) =>
+        // SHOW TBLPROPERTIES t ['key']: the knob map SET/UNSET edit and
+        // DESCRIBE EXTENDED embeds, as its own statement (Delta/Spark
+        // output shape: key, value rows; a named missing key refuses)
+        import spark.implicits._
+        val name = tableNameOf(sp.table, "SHOW TBLPROPERTIES")
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$name'"))
+        val props = Seq(
+          "statsColumns" -> s.statsColumnNames.mkString(","),
+          "bloomColumns" -> s.bloomColumnNames.mkString(","),
+          "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
+          .filter(_._2.nonEmpty)
+        sp.propertyKey match {
+          case Some(k) =>
+            val v = props.toMap.getOrElse(k,
+              throw new IllegalArgumentException(
+                s"table '$name' does not have property '$k'"))
+            Seq((k, v)).toDF("key", "value")
+          case None => props.toDF("key", "value")
+        }
+      case Some(sc: org.apache.spark.sql.catalyst.plans.logical
+          .ShowColumns) =>
+        import spark.implicits._
+        val name = tableNameOf(sc.child, "SHOW COLUMNS")
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$name'"))
+        s.read(spark).columns.toSeq.toDF("col_name")
+      case Some(sp: org.apache.spark.sql.catalyst.plans.logical
           .SetTableProperties) =>
         alterProps(spark, sp.table) { props =>
           props ++ sp.properties
@@ -403,7 +467,13 @@ final class StoreCatalog(basePath: String) {
       s"unsupported table properties ${foreign.mkString(", ")}: the " +
         s"store's physical knobs are ${knobs.mkString(", ")} — a " +
         "property this catalog cannot serve must not silently persist")
-    validateProps(s.read(spark).columns.toSeq, s.partitionColumns, next)
+    // validate against the DECLARED columns only — the read schema
+    // appends the internal batch_id attribution column, and accepting
+    // 'statsColumns'='batch_id' here would let ALTER persist a spec the
+    // CREATE path itself refuses (non-round-trippable SHOW CREATE TABLE)
+    validateProps(
+      s.read(spark).columns.toSeq.filterNot(_ == "batch_id"),
+      s.partitionColumns, next)
     updateSpec(spark, s.tablePath, s.partitionColumns, next)
     val fresh = mk(s.tablePath, s.partitionColumns, next)
     reg.put(name, fresh)
@@ -449,19 +519,24 @@ final class StoreCatalog(basePath: String) {
     val present = reg.get(name).orElse {
       val (declaredPath, pb, props) =
         physical(name, partitioning, tableSpec)
-      // a custom-LOCATION table re-attaches through its name pointer
-      // even when the re-attaching statement omits LOCATION
-      val path =
-        if (declaredPath != s"$basePath/$name") declaredPath
-        else readPointer(spark, name).getOrElse(declaredPath)
-      val (epb, eprops) = loadSpec(spark, path).getOrElse((pb, props))
-      val onDisk = mk(path, epb, eprops)
-      if (onDisk.currentVersion(spark) > 0) Some(onDisk) else None
+      // candidate roots, pointer target FIRST: a custom-LOCATION table
+      // re-attaches through its durable name pointer even when the
+      // re-attaching statement omits LOCATION or declares a DIFFERENT
+      // one — a plain `CREATE TABLE t ... LOCATION '/new'` must refuse
+      // over (not silently re-point away from) a live committed table
+      // the pointer addresses at '/old'
+      val candidates =
+        (readPointer(spark, name).toSeq :+ declaredPath).distinct
+      candidates.flatMap { path =>
+        val (epb, eprops) = loadSpec(spark, path).getOrElse((pb, props))
+        val onDisk = mk(path, epb, eprops)
+        if (onDisk.currentVersion(spark) > 0) Some(onDisk) else None
+      }.headOption
     }
     present.foreach { s =>
       require(ignoreIfExists,
         s"table '$name' already exists (use IF NOT EXISTS)")
-      reg.put(name, s)
+      absent.remove(name); reg.put(name, s)
     }
     present
   }
@@ -573,6 +648,24 @@ final class StoreCatalog(basePath: String) {
     Some((pb, props))
   }
 
+  /** The single-part table name a SHOW/DESCRIBE-style statement
+    * targets (parsers wrap it as UnresolvedTable or
+    * UnresolvedTableOrView depending on the verb).
+    */
+  private def tableNameOf(rel: LogicalPlan, verb: String): String = {
+    val parts = rel match {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier
+      case t: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableOrView => t.multipartIdentifier
+      case other => throw new IllegalArgumentException(
+        s"unsupported $verb target: $other")
+    }
+    require(parts.size == 1,
+      s"store tables are single-part names, got ${parts.mkString(".")}")
+    parts.head
+  }
+
   private def identOf(name: LogicalPlan): String = name match {
     case u: UnresolvedIdentifier =>
       require(u.nameParts.size == 1,
@@ -624,7 +717,19 @@ final class StoreCatalog(basePath: String) {
     specFiles(sf, path).foreach { case (_, p) => sf.delete(p, false) }
     val ptr = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
     val pf = ptr.getFileSystem(conf)
-    if (pf.exists(ptr)) pf.delete(ptr, false)
+    if (pf.exists(ptr)) {
+      // the zero-committed-versions precondition enforced at the
+      // deletion itself, not just in [[existing]]: a table another
+      // session committed at the pointer's target between our
+      // existence check and here must refuse, not be orphaned (its
+      // pointer is the only address of a custom-LOCATION table)
+      readPointer(spark, name).filter(_ != path).foreach { target =>
+        require(mk(target, Nil, Map.empty).currentVersion(spark) == 0L,
+          s"table '$name' was committed concurrently at $target; " +
+            "refusing CREATE (the name pointer addresses a live table)")
+      }
+      pf.delete(ptr, false)
+    }
   }
 
   /** (path, partitionBy, store props) as a CREATE statement declares

@@ -525,4 +525,106 @@ class StoreCatalogSpec extends SparkSpec {
         |TBLPROPERTIES ('statsColumns'='N', 'morDeleteKey'='k')"""
         .stripMargin)
   }
+
+  test("a plain CREATE declaring a DIFFERENT location over a live " +
+      "custom-LOCATION table refuses — it must not silently re-point " +
+      "the name and orphan the committed data") {
+    val base = Files.createTempDirectory("catalog-")
+    val oldLoc = Files.createTempDirectory("loc-old-")
+    val newLoc = Files.createTempDirectory("loc-new-")
+    Seq(base, oldLoc, newLoc).foreach(_.toFile.deleteOnExit())
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark, s"CREATE TABLE t (k STRING, n INT) " +
+      s"USING graft_store LOCATION '$oldLoc'")
+    cat.exec(spark, "INSERT INTO t VALUES ('a', 1)", batchId = Some(0L))
+    // a FRESH catalog (empty registry) sees the table ONLY through its
+    // name pointer; the declared path itself has zero commits — the
+    // exact shape that used to slip past the existence check
+    val cat2 = new StoreCatalog(base.toString)
+    val e = intercept[IllegalArgumentException] {
+      cat2.exec(spark, s"CREATE TABLE t (k STRING, n INT) " +
+        s"USING graft_store LOCATION '$newLoc'")
+    }
+    assert(e.getMessage.contains("already exists"))
+    // the pointer survived the refused CREATE: the name still serves
+    // the ORIGINAL data from a fresh catalog
+    val cat3 = new StoreCatalog(base.toString)
+    assert(cat3.query(spark, "SELECT k, n FROM t").as[(String, Int)]
+      .collect().toSeq == Seq(("a", 1)))
+    // IF NOT EXISTS with the divergent location re-attaches the
+    // EXISTING table (pointer target), never the declared path
+    cat3.exec(spark, s"CREATE TABLE IF NOT EXISTS t (k STRING, n INT) " +
+      s"USING graft_store LOCATION '$newLoc'")
+    assert(cat3.store("t").tablePath == oldLoc.toString)
+  }
+
+  test("a fresh session's FIRST statement can be time travel: the " +
+      "VERSION AS OF relation lazy-attaches from disk like a plain " +
+      "SELECT (RelationTimeTravel is a leaf node)") {
+    val base = Files.createTempDirectory("catalog-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark, "CREATE TABLE tt (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO tt VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO tt VALUES ('b', 2)", batchId = Some(1L))
+    val cat2 = new StoreCatalog(base.toString)
+    assert(cat2.query(spark, "SELECT k, n FROM tt VERSION AS OF 2")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1)))
+  }
+
+  test("SET TBLPROPERTIES refuses the internal batch_id column — the " +
+      "same gate the CREATE path applies") {
+    val cat = freshCatalog()
+    cat.exec(spark, "CREATE TABLE p (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO p VALUES ('a', 1)", batchId = Some(0L))
+    val e = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "ALTER TABLE p SET TBLPROPERTIES ('statsColumns'='batch_id')")
+    }
+    assert(e.getMessage.contains("batch_id"))
+  }
+
+  test("SHOW TBLPROPERTIES / SHOW COLUMNS serve the live knob map and " +
+      "column list as their own statements; a named missing key " +
+      "refuses; UNSET shows through") {
+    val cat = freshCatalog()
+    cat.exec(spark,
+      """CREATE TABLE st (k STRING, n INT) USING graft_store
+        |TBLPROPERTIES ('statsColumns'='n', 'morDeleteKey'='k')"""
+        .stripMargin)
+    val props = cat.exec(spark, "SHOW TBLPROPERTIES st").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props == Map("statsColumns" -> "n", "morDeleteKey" -> "k"))
+    assert(cat.exec(spark, "SHOW TBLPROPERTIES st ('statsColumns')")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("statsColumns", "n")))
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "SHOW TBLPROPERTIES st ('nope')")
+    }
+    assert(cat.exec(spark, "SHOW COLUMNS IN st").collect()
+      .map(_.getString(0)).toSet == Set("k", "n", "batch_id"))
+    cat.exec(spark, "ALTER TABLE st UNSET TBLPROPERTIES ('morDeleteKey')")
+    assert(cat.exec(spark, "SHOW TBLPROPERTIES st").collect()
+      .map(_.getString(0)).toSet == Set("statsColumns"))
+  }
+
+  test("negative lookups are cached per catalog; this catalog's own " +
+      "CREATE clears them and refresh() forgets cross-session misses") {
+    val base = Files.createTempDirectory("catalog-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    assert(cat.resolve(spark, "ghost").isEmpty)
+    // the miss cache must not mask our own later create
+    cat.exec(spark, "CREATE TABLE ghost (k STRING) USING graft_store")
+    assert(cat.resolve(spark, "ghost").nonEmpty)
+    // a table ANOTHER catalog creates after this one cached the miss
+    // stays invisible until refresh() — the documented staleness
+    // contract (same as Spark's relation cache)
+    val cat2 = new StoreCatalog(base.toString)
+    assert(cat2.resolve(spark, "late").isEmpty)
+    cat.exec(spark, "CREATE TABLE late (k STRING) USING graft_store")
+    assert(cat2.resolve(spark, "late").isEmpty, "miss is cached")
+    cat2.refresh()
+    assert(cat2.resolve(spark, "late").nonEmpty)
+  }
 }
