@@ -39,6 +39,14 @@ import org.apache.spark.sql.functions.expr
   */
 object StoreSql {
 
+  /** Session conf gating automatic schema evolution at the SQL INSERT
+    * boundary (Delta's `spark.databricks.delta.schema.autoMerge
+    * .enabled` analogue, default off): named new columns auto-ADD,
+    * legally-widenable value types auto-widen — both via the governed
+    * evolution verbs.
+    */
+  val AutoMergeConf = "spark.graft.schema.autoMerge.enabled"
+
   /** Execute one DML/DDL/maintenance statement against `tables` (view
     * name → store). `batchId` is the commit id a MERGE's inserted rows
     * / an INSERT's batch land under (replay-refused like any append;
@@ -122,6 +130,15 @@ object StoreSql {
           s"PARTITION spec names ${i.partitionSpec.keys.mkString(", ")}" +
             s" but the table partitions by " +
             s"${store.partitionColumns.mkString(", ")}")
+        // resolve the target's (version, schema) ONCE: each
+        // `store.read` rebuilds the union-by-name frame over every
+        // data dir (parquet footer reads per dir), and this statement
+        // needs the schema in three places — positional mapping,
+        // static-partition cast, and the reconcile gate
+        val targetSchema: Option[org.apache.spark.sql.types.StructType] =
+          if (store.currentVersion(spark) > 0)
+            Some(store.read(spark).schema)
+          else None // empty table: the insert defines the schema
         // SQL INSERT maps the query's output POSITIONALLY onto the
         // target's column order (or the user's column list) — a bare
         // `VALUES (...)` row arrives named col1/col2/… and must not
@@ -133,22 +150,61 @@ object StoreSql {
               s"INSERT column list has ${i.userSpecifiedCols.size} " +
                 s"names for ${df0.columns.length} query columns")
             df0.toDF(i.userSpecifiedCols: _*)
-          } else if (store.currentVersion(spark) > 0) {
-            val target = store.read(spark).columns
-              .filterNot(c => c == "batch_id" || staticKeys.contains(c))
-              .toSeq
-            require(df0.columns.length == target.size,
-              s"INSERT provides ${df0.columns.length} columns, table " +
-                s"has ${target.size} (${target.mkString(", ")})")
-            df0.toDF(target: _*)
-          } else df0 // empty table: the insert defines the schema
+          } else targetSchema match {
+            case Some(ts) =>
+              val target = ts.fieldNames
+                .filterNot(c =>
+                  c == "batch_id" || staticKeys.contains(c)).toSeq
+              require(df0.columns.length == target.size,
+                s"INSERT provides ${df0.columns.length} columns, " +
+                  s"table has ${target.size} (${target.mkString(", ")})")
+              df0.toDF(target: _*)
+            case None => df0
+          }
         val df2 = static.foldLeft(df1) { case (d, (k, value)) =>
           d.withColumn(k, org.apache.spark.sql.functions.lit(value)
-            .cast(if (store.currentVersion(spark) > 0)
-              store.read(spark).schema(k).dataType
-            else org.apache.spark.sql.types.StringType))
+            .cast(targetSchema.map(_(k).dataType)
+              .getOrElse(org.apache.spark.sql.types.StringType)))
         }
-        val df = reconcileInsert(spark, store, df2)
+        // automatic schema evolution at the INSERT boundary (Delta's
+        // spark.databricks.delta.schema.autoMerge.enabled, default
+        // OFF): with the conf on, an INSERT whose COLUMN LIST names
+        // columns the table lacks auto-ADDs them, and a value type the
+        // target column could legally WIDEN to auto-widens — both
+        // through the GOVERNED evolution verbs (versioned markers,
+        // guards, time travel), never by slipping a wide/extra
+        // physical file past them. Positional INSERTs cannot evolve:
+        // the mapping above already bound every query column to an
+        // existing target column (Delta's rule too — evolution needs
+        // names). With the conf off, [[reconcileInsert]] refuses
+        // exactly as before.
+        val evolvedSchema =
+          if (!spark.conf.getOption(AutoMergeConf).exists(_.toBoolean))
+            targetSchema
+          else targetSchema.map { ts =>
+            def fieldOf(c: String) = ts.fields.find(f =>
+              f.name.equalsIgnoreCase(c) && f.name != "batch_id")
+            val missing = df2.columns.toSeq.filter(fieldOf(_).isEmpty)
+            if (missing.nonEmpty)
+              store.addColumns(spark,
+                missing.map(c => c -> df2.schema(c).dataType))
+            val widens = df2.columns.toSeq.flatMap { c =>
+              fieldOf(c) match {
+                case Some(tf)
+                    if tf.dataType != df2.schema(c).dataType &&
+                      ManifestTableStore.isWidening(tf.dataType,
+                        df2.schema(c).dataType) =>
+                  Some(tf.name -> df2.schema(c).dataType)
+                case _ => None
+              }
+            }
+            widens.foreach { case (n, t) =>
+              store.widenColumn(spark, n, t) }
+            if (missing.nonEmpty || widens.nonEmpty)
+              store.read(spark).schema
+            else ts
+          }
+        val df = reconcileInsert(df2, evolvedSchema)
         val bid = requiredBatchId(
           if (i.overwrite) "INSERT OVERWRITE" else "INSERT")
         if (!i.overwrite) {
@@ -412,14 +468,12 @@ object StoreSql {
     * outside `ALTER TABLE ADD COLUMNS`. No-op on an empty (pre-v1,
     * store-API-seeded) table, where the first batch defines the schema.
     */
-  private def reconcileInsert(spark: SparkSession,
-      store: ManifestTableStore,
-      df: org.apache.spark.sql.DataFrame)
+  private def reconcileInsert(df: org.apache.spark.sql.DataFrame,
+      targetSchema: Option[org.apache.spark.sql.types.StructType])
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types.{DecimalType, DoubleType, NullType,
       TimestampNTZType, TimestampType}
-    if (store.currentVersion(spark) == 0L) return df
-    val target = store.read(spark).schema
+    val target = targetSchema.getOrElse(return df)
     def storesLosslessly(from: org.apache.spark.sql.types.DataType,
         to: org.apache.spark.sql.types.DataType): Boolean =
       from == NullType || ManifestTableStore.isWidening(from, to) ||

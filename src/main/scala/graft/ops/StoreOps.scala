@@ -1902,5 +1902,102 @@ object StoreOps {
           |  coalesce(asset_name, '(none)') AS asset_name, asset_uid
           |FROM silver_assets
           |ORDER BY source_system, asset_uid, asset_name""".stripMargin)
+    },
+
+    // Automatic schema evolution at the SQL INSERT boundary (Delta's
+    // schema.autoMerge.enabled): with the conf OFF an INSERT naming a
+    // column the table lacks REFUSES (pinned) — with it ON the same
+    // statement auto-ADDs the named column through the governed ADD
+    // COLUMNS marker, and a later INSERT carrying BIGINT values into
+    // the INT column auto-WIDENS through the governed widen marker —
+    // never an ungoverned wide/extra physical file. The grouped
+    // aggregate spans all three physical generations (no o_year /
+    // INT o_year / BIGINT o_year beyond int range), so a broken
+    // evolution shifts sum_year; the end type is pinned as a column.
+    QueryDef(
+      "q226_sql_auto_evolve",
+      """WITH t AS (
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(NULL AS BIGINT) AS o_year
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_totalprice,
+        |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) + 5000000000
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+        |SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  CAST(SUM(o_year) AS BIGINT) AS sum_year,
+        |  1 AS refused_off, 'BIGINT' AS year_type
+        |FROM t GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_auto_evolve", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS evo_orders (
+          |  o_orderstatus STRING, o_totalprice DOUBLE)
+          |USING graft_store""".stripMargin)
+      val store = cat.store("evo_orders")
+      if (store.currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO evo_orders
+            |SELECT o_orderstatus, o_totalprice FROM orders
+            |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(0L))
+      val evolvingInsert =
+        """INSERT INTO evo_orders (o_orderstatus, o_totalprice, o_year)
+          |SELECT o_orderstatus, o_totalprice,
+          |  CAST(year(o_orderdate) AS INT) AS o_year
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""
+          .stripMargin
+      // conf OFF (default): the named-new-column insert REFUSES — the
+      // pre-existing governance contract, pinned (gated to the first
+      // build; a refused statement commits nothing, so the gate stays
+      // at v2 until the evolving insert below moves it)
+      val refusedOff =
+        if (store.currentVersion(s) == 2L)
+          (try { cat.exec(s, evolvingInsert, batchId = Some(1L)); 0 }
+          catch { case _: IllegalArgumentException => 1 })
+        else 1
+      if (store.currentVersion(s) == 2L) {
+        s.conf.set(graft.engine.StoreSql.AutoMergeConf, "true")
+        try // same statement now evolves: ADD marker (v3) + data (v4)
+          cat.exec(s, evolvingInsert, batchId = Some(1L))
+        finally s.conf.unset(graft.engine.StoreSql.AutoMergeConf)
+      }
+      if (store.currentVersion(s) == 4L) {
+        s.conf.set(graft.engine.StoreSql.AutoMergeConf, "true")
+        try // BIGINT values into the INT column: widen (v5) + data (v6)
+          cat.exec(s,
+            """INSERT INTO evo_orders
+              |  (o_orderstatus, o_totalprice, o_year)
+              |SELECT o_orderstatus, o_totalprice,
+              |  CAST(year(o_orderdate) AS BIGINT) + 5000000000
+              |FROM orders
+              |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
+              .stripMargin, batchId = Some(2L))
+        finally s.conf.unset(graft.engine.StoreSql.AutoMergeConf)
+      }
+      val yearType = store.read(s).schema("o_year").dataType.sql
+      cat.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total,
+          |  SUM(o_year) AS sum_year
+          |FROM evo_orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("refused_off", lit(refusedOff))
+        .withColumn("year_type", lit(yearType))
     })
 }

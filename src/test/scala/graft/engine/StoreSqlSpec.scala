@@ -347,6 +347,63 @@ class StoreSqlSpec extends SparkSpec {
       .select($"n".cast("double")).as[Double].head() == 3.7)
   }
 
+  test("schema auto-merge at the INSERT boundary: with the conf ON a " +
+      "named new column auto-ADDs and a widenable value auto-widens " +
+      "through the GOVERNED verbs (versioned, time-travelable); " +
+      "positional inserts never evolve; OFF refuses exactly as before") {
+    val p = Files.createTempDirectory("sqlinsert-automerge-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString)
+    store.append(Seq(("a", 1)).toDF("k", "n"), 0L) // n is INT
+    val t = Map("t" -> store)
+    try {
+      spark.conf.set(StoreSql.AutoMergeConf, "true")
+      // a NAMED new column: one governed ADD COLUMNS marker commit,
+      // then the data commit — never an ungoverned wide file
+      val v0 = store.currentVersion(spark)
+      StoreSql.exec(spark, t,
+        "INSERT INTO t (k, n, extra) VALUES ('b', 2, 9)",
+        batchId = Some(1L))
+      assert(store.read(spark).columns.contains("extra"))
+      assert(store.currentVersion(spark) == v0 + 2,
+        "marker + data = exactly two commits")
+      // the evolution is versioned: pre-insert state has no 'extra'
+      assert(!store.readVersion(spark, v0).columns.contains("extra"))
+      // a widenable value type: INT column accepts a BIGINT value via
+      // the governed widen (marker + cast across generations)
+      StoreSql.exec(spark, t,
+        "INSERT INTO t (k, n) VALUES ('c', 6000000000)",
+        batchId = Some(2L))
+      assert(store.read(spark).schema("n").dataType ==
+        org.apache.spark.sql.types.LongType)
+      assert(store.read(spark).filter($"k" === "c").select("n")
+        .as[Long].head() == 6000000000L)
+      // the pre-widen rows still read correctly through the cast
+      assert(store.read(spark).filter($"k" === "a").select("n")
+        .as[Long].head() == 1L)
+      // positional (no column list) cannot evolve — Delta's rule:
+      // evolution needs names
+      intercept[IllegalArgumentException] {
+        StoreSql.exec(spark, t, "INSERT INTO t VALUES ('d', 4, 1, 2)",
+          batchId = Some(3L))
+      }
+      // a LATERAL type mismatch stays refused even with the conf on
+      intercept[IllegalArgumentException] {
+        StoreSql.exec(spark, t,
+          "INSERT INTO t (k, n) VALUES ('e', 'not-a-number')",
+          batchId = Some(4L))
+      }
+    } finally spark.conf.unset(StoreSql.AutoMergeConf)
+    // conf OFF (default): unknown columns refuse with the ADD COLUMNS
+    // remediation, exactly the pre-existing contract
+    val e = intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, t,
+        "INSERT INTO t (k, n, more) VALUES ('f', 5, 1)",
+        batchId = Some(5L))
+    }
+    assert(e.getMessage.contains("ADD COLUMNS"), e.getMessage)
+  }
+
   test("maintenance verbs route on the statement with comments and " +
       "string literals stripped: trailing comments are tolerated, a " +
       "table name smuggled inside a comment cannot confuse the router") {
