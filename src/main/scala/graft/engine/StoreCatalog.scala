@@ -420,6 +420,18 @@ final class StoreCatalog(basePath: String) {
           throw new IllegalArgumentException(s"unknown table '$name'"))
         s.read(spark).columns.toSeq.toDF("col_name")
       case Some(sp: org.apache.spark.sql.catalyst.plans.logical
+          .ShowPartitions) =>
+        // SHOW PARTITIONS t: the hive-layout partition values from the
+        // current version's data dirs (Spark's single `partition`
+        // column of k=v[/k2=v2] strings) — listings only, no data I/O
+        import spark.implicits._
+        require(sp.pattern.isEmpty,
+          "SHOW PARTITIONS with a PARTITION spec is not supported")
+        val name = tableNameOf(sp.table, "SHOW PARTITIONS")
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$name'"))
+        s.listPartitions(spark).toDF("partition")
+      case Some(sp: org.apache.spark.sql.catalyst.plans.logical
           .SetTableProperties) =>
         alterProps(spark, sp.table) { props =>
           props ++ sp.properties

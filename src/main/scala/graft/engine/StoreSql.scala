@@ -105,6 +105,13 @@ object StoreSql {
             store.deleteMoR(spark, d.condition.sql, keyCol)
           case None => store.delete(spark, d.condition.sql)
         }
+      case tt: org.apache.spark.sql.catalyst.plans.logical
+          .TruncateTable =>
+        // TRUNCATE TABLE: the one-commit metadata truncation — schema
+        // kept, rows gone, pre-truncate versions time-travelable (and
+        // RESTORE-able) until vacuum. The cheap form of "DELETE all":
+        // no data file is read or rewritten.
+        storeOf(tt.table).truncate(spark)
       case u: UpdateTable =>
         val pred = u.condition.getOrElse(
           throw new IllegalArgumentException(

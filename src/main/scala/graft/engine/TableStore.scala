@@ -566,6 +566,74 @@ final class ManifestTableStore(path: String,
     }
   }
 
+  /** `TRUNCATE TABLE` — one METADATA commit that empties the table
+    * while keeping its schema: the new version's only entry is a
+    * zero-row marker carrying the current (rename/widen-projected)
+    * schema, so the truncated table stays readable, INSERT-able (the
+    * positional mapping still has a target), and fully time-travelable
+    * (the pre-truncate version serves every row until [[vacuum]]
+    * reclaims it past the retention horizon — [[restore]] undoes a
+    * mistaken truncate). No data file is read, rewritten, or deleted
+    * at truncate time: at 100 TB this is one empty-footer write + one
+    * manifest commit, vs DELETE WHERE true's full-table rewrite.
+    * Conflicts like [[overwrite]] (Delta's serializable rule for blind
+    * replacements): losing the race throws rather than clobbering a
+    * commit that landed between snapshot and publish. No-op on an
+    * empty (zero-version) table.
+    */
+  def truncate(spark: SparkSession): Unit = synchronized {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    if (lines.isEmpty) return
+    // the truncated table's schema anchor: the CURRENT logical schema
+    // (renames/widens/drops applied), materialized like createEmpty's
+    val schema = readEntries(spark, lines).schema
+    val dir = s"$path/data/schema-${java.util.UUID.randomUUID()}"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .write.mode("overwrite").parquet(dir)
+    val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+      collectStats(spark, dir))
+    beforeDmlCommit()
+    if (!tryCommit(f, v + 1, Seq(entry))) {
+      f.delete(new HPath(dir), true)
+      throw new java.util.ConcurrentModificationException(
+        s"TRUNCATE of $path aborted: a concurrent write committed " +
+          "after this truncate's snapshot; nothing was applied — " +
+          "re-read and retry")
+    }
+  }
+
+  /** `SHOW PARTITIONS` — the table's partition values as Spark's
+    * `k=v[/k2=v2]` strings, derived from the CURRENT version's data
+    * dirs by walking their hive layout: one listStatus per data dir
+    * per partition level, zero data I/O (metadata-bounded like every
+    * discovery verb). Physical listing, so a partition whose rows a
+    * merge-on-read delete masked still lists until the delete folds —
+    * the same contract as metastore-backed SHOW PARTITIONS, which
+    * lists registered partitions, not non-empty ones.
+    */
+  def listPartitions(spark: SparkSession): Seq[String] = {
+    require(partitionBy.nonEmpty,
+      s"SHOW PARTITIONS is not allowed on the non-partitioned table " +
+        s"at $path")
+    val f = fs(spark)
+    val (_, lines) = current(f)
+    val dataDirs = lines
+      .filterNot(e => isDeleteEntry(e) || isSchemaMarker(e))
+      .map(_.dir).distinct
+    def walk(dir: HPath, depth: Int): Seq[String] =
+      if (depth == partitionBy.size) Seq("")
+      else f.listStatus(dir).toSeq
+        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+        .flatMap { st =>
+          walk(st.getPath, depth + 1).map(rest =>
+            if (rest.isEmpty) st.getPath.getName
+            else s"${st.getPath.getName}/$rest")
+        }
+    dataDirs.flatMap(d => walk(new HPath(d), 0)).distinct.sorted
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (Delta/Spark
     * `partitionOverwriteMode=dynamic`): replace ONLY the partitions the
     * new batch actually carries; every other partition's rows carry

@@ -1999,5 +1999,68 @@ object StoreOps {
           |ORDER BY o_orderstatus""".stripMargin)
         .withColumn("refused_off", lit(refusedOff))
         .withColumn("year_type", lit(yearType))
+    },
+
+    // TRUNCATE TABLE + SHOW PARTITIONS: truncate is ONE metadata
+    // commit (schema kept, rows gone, nothing read or rewritten — at
+    // 100 TB the only affordable "empty the table", vs DELETE WHERE
+    // true's full rewrite), and it is VERSIONED: the pre-truncate
+    // version still serves every row and the truncated version serves
+    // zero (both pinned). The reloaded table's hive partition values
+    // come back through SHOW PARTITIONS (pure listings, no data I/O).
+    QueryDef(
+      "q227_sql_truncate_partitions",
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  (SELECT COUNT(*) FROM orders) AS n_pre_truncate,
+        |  CAST(0 AS BIGINT) AS n_asof_truncated,
+        |  (SELECT string_agg('o_orderstatus=' || s, ',' ORDER BY s)
+        |   FROM (SELECT DISTINCT o_orderstatus AS s FROM orders
+        |         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'))
+        |    AS partitions_now
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_truncate_parts", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS part_orders (
+          |  o_orderstatus STRING, o_orderdate TIMESTAMP,
+          |  o_totalprice DOUBLE)
+          |USING graft_store
+          |PARTITIONED BY (o_orderstatus)""".stripMargin)
+      val store = cat.store("part_orders")
+      if (store.currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO part_orders
+            |SELECT o_orderstatus, o_orderdate, o_totalprice
+            |FROM orders""".stripMargin, batchId = Some(0L))
+      if (store.currentVersion(s) == 2L)
+        cat.exec(s, "TRUNCATE TABLE part_orders") // v3: metadata only
+      if (store.currentVersion(s) == 3L)
+        cat.exec(s,
+          """INSERT INTO part_orders
+            |SELECT o_orderstatus, o_orderdate, o_totalprice
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(1L))
+      // versioned pins, re-observable on every invocation: the full
+      // load before the truncate, zero at the truncate itself
+      val nPre = store.readVersion(s, 2L).count()
+      val nTrunc = store.readVersion(s, 3L).count()
+      val partsNow = cat.exec(s, "SHOW PARTITIONS part_orders")
+        .collect().map(_.getString(0)).mkString(",")
+      cat.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n_orders,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM part_orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("n_pre_truncate", lit(nPre))
+        .withColumn("n_asof_truncated", lit(nTrunc))
+        .withColumn("partitions_now", lit(partsNow))
     })
 }

@@ -608,6 +608,24 @@ class StoreCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("statsColumns"))
   }
 
+  test("SHOW PARTITIONS lists the hive-layout partition values from " +
+      "listings alone; multi-batch duplicates collapse; a " +
+      "non-partitioned table refuses") {
+    val cat = freshCatalog()
+    cat.exec(spark,
+      """CREATE TABLE pt (k STRING, n INT) USING graft_store
+        |PARTITIONED BY (k)""".stripMargin)
+    cat.exec(spark, "INSERT INTO pt VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO pt VALUES ('a', 3)", batchId = Some(1L))
+    assert(cat.exec(spark, "SHOW PARTITIONS pt").collect()
+      .map(_.getString(0)).toSeq == Seq("k=a", "k=b"))
+    cat.exec(spark, "CREATE TABLE np (k STRING) USING graft_store")
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "SHOW PARTITIONS np")
+    }
+  }
+
   test("negative lookups are cached per catalog; this catalog's own " +
       "CREATE clears them and refresh() forgets cross-session misses") {
     val base = Files.createTempDirectory("catalog-")

@@ -347,6 +347,35 @@ class StoreSqlSpec extends SparkSpec {
       .select($"n".cast("double")).as[Double].head() == 3.7)
   }
 
+  test("TRUNCATE TABLE is ONE metadata commit: schema kept, rows " +
+      "gone, the pre-truncate version time-travels, CDF reports the " +
+      "retirements, INSERT still has a target, restore undoes it") {
+    val store = freshStore() // v1: a/b/c
+    val t = Map("t" -> store)
+    val v = store.currentVersion(spark)
+    StoreSql.exec(spark, t, "TRUNCATE TABLE t")
+    assert(store.currentVersion(spark) == v + 1,
+      "truncate is exactly one commit")
+    val now = store.read(spark)
+    assert(now.count() == 0 &&
+      now.columns.toSet == Set("k", "n", "batch_id"),
+      "empty but fully typed")
+    // no data file was touched: the pre-truncate version serves all rows
+    assert(store.readVersion(spark, v).count() == 3)
+    // CDC: the truncation travels as retirements of every row
+    assert(store.readChangeFeed(spark, v, v + 1)
+      .select("_change_type", "k").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("delete", "a"), ("delete", "b"), ("delete", "c")))
+    // the truncated table is still a positional INSERT target
+    StoreSql.exec(spark, t, "INSERT INTO t VALUES ('z', 9)",
+      batchId = Some(5L))
+    assert(state(store) == Set(("z", 9)))
+    // a mistaken truncate rolls back
+    store.restore(spark, v)
+    assert(state(store) == Set(("a", 1), ("b", 2), ("c", 3)))
+  }
+
   test("schema auto-merge at the INSERT boundary: with the conf ON a " +
       "named new column auto-ADDs and a widenable value auto-widens " +
       "through the GOVERNED verbs (versioned, time-travelable); " +
