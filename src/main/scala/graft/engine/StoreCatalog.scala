@@ -204,6 +204,15 @@ final class StoreCatalog(basePath: String) {
             }))
             checksOf(ct.tableSpec).foreach { case (n, pred) =>
               store.addCheck(spark, n, pred) }
+            // NOT NULL column constraints enforce through the same
+            // write-time check gate (Delta enforces NOT NULL as an
+            // invariant; expressing it as a named CHECK keeps SHOW
+            // CREATE TABLE runnable and the enforcement machinery ONE
+            // thing). The declared nullability itself also lands in
+            // the schema marker above.
+            ct.columns.filterNot(_.nullable).foreach { c =>
+              store.addCheck(spark, s"${c.name}_not_null",
+                s"${c.name} IS NOT NULL") }
             absent.remove(name); reg.put(name, store)
         }
         spark.emptyDataFrame

@@ -185,33 +185,8 @@ object StoreSql {
         // existing target column (Delta's rule too — evolution needs
         // names). With the conf off, [[reconcileInsert]] refuses
         // exactly as before.
-        val evolvedSchema =
-          if (!spark.conf.getOption(AutoMergeConf).exists(_.toBoolean))
-            targetSchema
-          else targetSchema.map { ts =>
-            def fieldOf(c: String) = ts.fields.find(f =>
-              f.name.equalsIgnoreCase(c) && f.name != "batch_id")
-            val missing = df2.columns.toSeq.filter(fieldOf(_).isEmpty)
-            if (missing.nonEmpty)
-              store.addColumns(spark,
-                missing.map(c => c -> df2.schema(c).dataType))
-            val widens = df2.columns.toSeq.flatMap { c =>
-              fieldOf(c) match {
-                case Some(tf)
-                    if tf.dataType != df2.schema(c).dataType &&
-                      ManifestTableStore.isWidening(tf.dataType,
-                        df2.schema(c).dataType) =>
-                  Some(tf.name -> df2.schema(c).dataType)
-                case _ => None
-              }
-            }
-            widens.foreach { case (n, t) =>
-              store.widenColumn(spark, n, t) }
-            if (missing.nonEmpty || widens.nonEmpty)
-              store.read(spark).schema
-            else ts
-          }
-        val df = reconcileInsert(df2, evolvedSchema)
+        val df = reconcileInsert(df2,
+          evolveTarget(spark, store, df2, targetSchema))
         val bid = requiredBatchId(
           if (i.overwrite) "INSERT OVERWRITE" else "INSERT")
         if (!i.overwrite) {
@@ -261,8 +236,21 @@ object StoreSql {
         if (starForm) {
           // unconditioned SET * / INSERT * — the anti-join fast path
           // (matched rows replaced wholesale, all source rows written
-          // once)
-          store.merge(spark, srcFrame, key, bid)
+          // once). The source passes the SAME schema gate as INSERT
+          // first: the star form writes the source frame verbatim, so
+          // an extra source column or a wider value type would
+          // otherwise slip an UNGOVERNED schema change into the table
+          // as a physical file (the general clause path is immune — it
+          // projects onto the target schema). With [[AutoMergeConf]]
+          // on, the extra/wider columns evolve through the governed
+          // verbs instead (MERGE is inherently by-name).
+          val targetSchema =
+            if (store.currentVersion(spark) > 0)
+              Some(store.read(spark).schema)
+            else None
+          val src = reconcileInsert(srcFrame,
+            evolveTarget(spark, store, srcFrame, targetSchema))
+          store.merge(spark, src, key, bid)
         } else {
           // qualifier rewrite for the general path: references resolve
           // against the PARSED aliases plus the two relations' actual
@@ -453,7 +441,7 @@ object StoreSql {
   // string literals stripped (see [[stripInert]]); everything else
   // still goes through Spark's parser, no dialect drift.
   private val OptimizeStmt =
-    """(?is)OPTIMIZE\s+([A-Za-z0-9_\.]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?""".r
+    """(?is)OPTIMIZE\s+([A-Za-z0-9_\.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*""".r
   private val VacuumStmt =
     """(?is)VACUUM\s+([A-Za-z0-9_\.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN)?""".r
   private val RestoreStmt =
@@ -475,6 +463,45 @@ object StoreSql {
     * outside `ALTER TABLE ADD COLUMNS`. No-op on an empty (pre-v1,
     * store-API-seeded) table, where the first batch defines the schema.
     */
+  /** The target schema AFTER conf-gated auto-evolution for a by-name
+    * write of `df` into `store` (see [[AutoMergeConf]]): columns `df`
+    * carries that the table lacks auto-ADD, value types the target
+    * column can legally widen to auto-widen — both through the
+    * governed verbs, so the evolution is versioned and guarded exactly
+    * like an explicit ALTER. With the conf off (default) the schema
+    * passes through untouched and [[reconcileInsert]] refuses as
+    * before. `targetSchema` None = empty table (the first write
+    * defines the schema; nothing to evolve).
+    */
+  private def evolveTarget(spark: SparkSession,
+      store: ManifestTableStore, df: org.apache.spark.sql.DataFrame,
+      targetSchema: Option[org.apache.spark.sql.types.StructType])
+      : Option[org.apache.spark.sql.types.StructType] =
+    if (!spark.conf.getOption(AutoMergeConf).exists(_.toBoolean))
+      targetSchema
+    else targetSchema.map { ts =>
+      def fieldOf(c: String) = ts.fields.find(f =>
+        f.name.equalsIgnoreCase(c) && f.name != "batch_id")
+      val missing = df.columns.toSeq
+        .filter(c => c != "batch_id" && fieldOf(c).isEmpty)
+      if (missing.nonEmpty)
+        store.addColumns(spark,
+          missing.map(c => c -> df.schema(c).dataType))
+      val widens = df.columns.toSeq.flatMap { c =>
+        fieldOf(c) match {
+          case Some(tf)
+              if tf.dataType != df.schema(c).dataType &&
+                ManifestTableStore.isWidening(tf.dataType,
+                  df.schema(c).dataType) =>
+            Some(tf.name -> df.schema(c).dataType)
+          case _ => None
+        }
+      }
+      widens.foreach { case (n, t) => store.widenColumn(spark, n, t) }
+      if (missing.nonEmpty || widens.nonEmpty) store.read(spark).schema
+      else ts
+    }
+
   private def reconcileInsert(df: org.apache.spark.sql.DataFrame,
       targetSchema: Option[org.apache.spark.sql.types.StructType])
       : org.apache.spark.sql.DataFrame = {
@@ -526,7 +553,7 @@ object StoreSql {
     stripInert(sql).trim match {
       case RestoreStmt(t, _) => Some(t)
       case HistoryStmt(t) => Some(t)
-      case OptimizeStmt(t, _) => Some(t)
+      case OptimizeStmt(t, _, _) => Some(t)
       case VacuumStmt(t, _, _) => Some(t)
       case _ => None
     }
@@ -568,11 +595,22 @@ object StoreSql {
         Some(Seq((v.toLong, store.currentVersion(spark)))
           .toDF("restored_to", "current_version"))
       case HistoryStmt(t) => Some(storeNamed(t).history(spark))
-      case OptimizeStmt(t, zcols) =>
+      case OptimizeStmt(t, where, zcols) =>
         val store = storeNamed(t)
         val actions =
-          if (zcols == null) store.maintain(spark)
+          if (zcols == null)
+            // `OPTIMIZE t [WHERE pred]` — the predicate scopes the
+            // small-file merge to dirs whose stats admit a match
+            // (Delta's partition-scoped OPTIMIZE): "optimize today's
+            // ingest" reads today's small dirs, not the table's
+            store.maintain(spark,
+              predicateSql = Option(where).map(_.trim))
           else {
+            require(where == null,
+              "OPTIMIZE ... WHERE ... ZORDER BY is not supported: " +
+                "the z-order rewrite is whole-table (its clustering " +
+                "spans the key space); run the scoped OPTIMIZE WHERE " +
+                "and the ZORDER as separate statements")
             val cols = zcols.split(",")
               .map(_.trim.stripPrefix("`").stripSuffix("`"))
               .filter(_.nonEmpty).toSeq

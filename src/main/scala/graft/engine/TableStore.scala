@@ -1208,6 +1208,18 @@ final class ManifestTableStore(path: String,
     * dirs.
     */
   def compactSmall(spark: SparkSession, smallBytes: Long): Unit =
+    compactSmallWhere(spark, smallBytes, None)
+
+  /** [[compactSmall]] scoped by a predicate (Delta's `OPTIMIZE t WHERE
+    * pred`): only small dirs whose manifest stats ADMIT a match merge;
+    * every dir the predicate provably cannot touch carries forward
+    * byte-identical — at 100 TB "optimize today's ingest" reads
+    * today's small dirs, not every small dir in the table. Dirs with
+    * no stats for a referenced column are conservatively in scope
+    * (same rule as [[readWhere]]).
+    */
+  def compactSmallWhere(spark: SparkSession, smallBytes: Long,
+      predicateSql: Option[String]): Unit =
     synchronized {
       val f = fs(spark)
       val (v, lines) = current(f)
@@ -1215,9 +1227,17 @@ final class ManifestTableStore(path: String,
       // schema markers (add/drop/rename/widen/create) carry verbatim:
       // merging one into a data dir would lose the change while
       // untouched dirs still hold the old physical column
-      val small = lines.filterNot(isSchemaMarker).map(_.dir).distinct
+      val smallAll = lines.filterNot(isSchemaMarker).map(_.dir).distinct
         .filter(d =>
           f.getContentSummary(new HPath(d)).getLength < smallBytes)
+      val small = predicateSql match {
+        case None => smallAll
+        case Some(p) =>
+          val (kept, _) = pruneEntries(spark, p,
+            lines.filterNot(isSchemaMarker)
+              .filter(e => smallAll.contains(e.dir)))
+          smallAll.filter(kept.contains)
+      }
       if (small.size < 2) return
       val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
       write(readDirs(spark, small), dataDir)
@@ -2744,15 +2764,18 @@ final class ManifestTableStore(path: String,
     * layout choices depend on the query workload and stay explicit.
     */
   def maintain(spark: SparkSession,
-      smallBytes: Long = 32L << 20): Seq[String] = {
+      smallBytes: Long = 32L << 20,
+      predicateSql: Option[String] = None): Seq[String] = {
     val actions = Seq.newBuilder[String]
     if (current(fs(spark))._2.exists(isDeleteEntry)) {
       compactDeletes(spark)
       actions += "compactDeletes"
     }
     val before = currentVersion(spark)
-    compactSmall(spark, smallBytes)
-    if (currentVersion(spark) != before) actions += "compactSmall"
+    compactSmallWhere(spark, smallBytes, predicateSql)
+    if (currentVersion(spark) != before)
+      actions += predicateSql.fold("compactSmall")(p =>
+        s"compactSmall(where $p)")
     actions.result()
   }
 

@@ -608,6 +608,30 @@ class StoreCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("statsColumns"))
   }
 
+  test("NOT NULL column constraints enforce at the write gate like " +
+      "declared CHECKs, and survive re-attach") {
+    val base = Files.createTempDirectory("catalog-nn-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      "CREATE TABLE nn (k STRING NOT NULL, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO nn VALUES ('a', 1)", batchId = Some(0L))
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "INSERT INTO nn VALUES (NULL, 2)",
+        batchId = Some(1L))
+    }
+    // a NULL in the nullable column is fine
+    cat.exec(spark, "INSERT INTO nn VALUES ('b', NULL)",
+      batchId = Some(2L))
+    assert(cat.query(spark, "SELECT k FROM nn").count() == 2)
+    // enforcement is durable: a fresh catalog's attach still refuses
+    val cat2 = new StoreCatalog(base.toString)
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark, "INSERT INTO nn VALUES (NULL, 3)",
+        batchId = Some(3L))
+    }
+  }
+
   test("SHOW PARTITIONS lists the hive-layout partition values from " +
       "listings alone; multi-batch duplicates collapse; a " +
       "non-partitioned table refuses") {

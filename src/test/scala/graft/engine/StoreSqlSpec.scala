@@ -347,6 +347,67 @@ class StoreSqlSpec extends SparkSpec {
       .select($"n".cast("double")).as[Double].head() == 3.7)
   }
 
+  test("OPTIMIZE t WHERE pred scopes the small-file merge to " +
+      "stats-admitted dirs: out-of-scope dirs carry forward " +
+      "byte-identical, rows survive exactly, WHERE+ZORDER refuses") {
+    val p = Files.createTempDirectory("optwhere-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"))
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    store.append(Seq(("c", 1000)).toDF("k", "n"), 1L)
+    store.append(Seq(("d", 1001)).toDF("k", "n"), 2L)
+    val t = Map("t" -> store)
+    val before = store.read(spark).inputFiles.toSet
+    val lowFiles = before.filter(_.contains("batch-0-"))
+    assert(lowFiles.nonEmpty)
+    val actions = StoreSql.exec(spark, t, "OPTIMIZE t WHERE n >= 1000")
+      .collect().map(_.getString(0)).toSeq
+    assert(actions.exists(_.contains("where")), actions.mkString(","))
+    val after = store.read(spark).inputFiles.toSet
+    assert(lowFiles.subsetOf(after),
+      "the dir the predicate cannot touch must carry byte-identical")
+    assert(after.exists(_.contains("/compact-")),
+      "the in-scope small dirs must have merged")
+    assert(!after.exists(f =>
+      f.contains("batch-1-") || f.contains("batch-2-")))
+    assert(state(store) ==
+      Set(("a", 1), ("b", 2), ("c", 1000), ("d", 1001)))
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, t, "OPTIMIZE t WHERE n >= 1 ZORDER BY (n)")
+    }
+  }
+
+  test("the star-form MERGE source passes the INSERT schema gate: an " +
+      "extra source column or wider value type refuses (conf off) " +
+      "instead of slipping an ungoverned physical schema change in, " +
+      "and evolves through the governed verbs with the conf on") {
+    val store = freshStore() // k STRING, n INT
+    val t = Map("t" -> store)
+    Seq(("a", 10L, "x")).toDF("k", "n", "flag")
+      .createOrReplaceTempView("msrc") // n BIGINT + an extra column
+    val mergeSql =
+      """MERGE INTO t USING msrc ON t.k = msrc.k
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, t, mergeSql, batchId = Some(7L))
+    }
+    assert(!store.read(spark).columns.contains("flag"),
+      "the refused merge must not have evolved anything")
+    try {
+      spark.conf.set(StoreSql.AutoMergeConf, "true")
+      StoreSql.exec(spark, t, mergeSql, batchId = Some(7L))
+    } finally spark.conf.unset(StoreSql.AutoMergeConf)
+    assert(store.read(spark).schema("n").dataType ==
+      org.apache.spark.sql.types.LongType, "governed widen")
+    assert(store.read(spark).columns.contains("flag"), "governed add")
+    val rows = store.read(spark).select("k", "n", "flag").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)).getOrElse("-"))).toSet
+    assert(rows == Set(("a", 10L, "x"), ("b", 2L, "-"), ("c", 3L, "-")))
+  }
+
   test("TRUNCATE TABLE is ONE metadata commit: schema kept, rows " +
       "gone, the pre-truncate version time-travels, CDF reports the " +
       "retirements, INSERT still has a target, restore undoes it") {
