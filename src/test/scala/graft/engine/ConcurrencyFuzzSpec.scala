@@ -147,4 +147,70 @@ class ConcurrencyFuzzSpec extends SparkSpec {
     assert(store.history(spark).count() ==
       store.currentVersion(spark))
   }
+
+  test("TRUNCATE races an append storm: it commits exactly once " +
+      "(retrying its blind-replacement conflicts), the truncated " +
+      "version is empty, and the final state is EXACTLY the " +
+      "post-truncate insert stream") {
+    val p = Files.createTempDirectory("fuzztrunc-")
+    p.toFile.deleteOnExit()
+    val nWriters = 6
+    val perWriter = 3
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    new ManifestTableStore(p.toString, statsColumns = Seq("n"))
+      .append(Seq(("seed", 0, -9L)).toDF("k", "n", "expect_id"), 999L)
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          val mine = new ManifestTableStore(p.toString,
+            statsColumns = Seq("n"))
+          (0 until perWriter).foreach { b =>
+            val id = w * 100L + b
+            mine.append(Seq((s"w$w-b$b", w * 1000 + b, id))
+              .toDF("k", "n", "expect_id"), id)
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val truncator = new Thread(() => {
+      try {
+        val mine = new ManifestTableStore(p.toString,
+          statsColumns = Seq("n"))
+        Thread.sleep(60)
+        var done = false
+        while (!done)
+          try { mine.truncate(spark); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+          } // a lost race applied NOTHING — retry is safe
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (writers :+ truncator).foreach(_.start())
+    (writers :+ truncator).foreach(_.join(300000))
+    assert(errors.isEmpty, s"unexpected failures: ${errors}")
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"))
+    val cur = store.currentVersion(spark)
+    // the truncate landed exactly once: precisely ONE empty version
+    val emptyVersions = (1L to cur).filter(v =>
+      store.readVersion(spark, v).count() == 0)
+    assert(emptyVersions.size == 1,
+      s"expected exactly one truncated version, got $emptyVersions")
+    val tv = emptyVersions.head
+    // nothing doubled; the final state is exactly the insert stream
+    // SINCE the truncate (appends that lost the race rebased AFTER it)
+    val finalRows = store.read(spark).select("k")
+      .as[String].collect().toSet
+    assert(finalRows.size == store.read(spark).count(),
+      "a rebase duplicated a batch")
+    val sinceTruncate = store.readChanges(spark, tv, cur)
+      .select("k").as[String].collect().toSet
+    assert(finalRows == sinceTruncate,
+      s"final state must equal the post-truncate stream: " +
+        s"${finalRows.diff(sinceTruncate)} vs " +
+        s"${sinceTruncate.diff(finalRows)}")
+    // the chain stayed complete through the race
+    assert(store.history(spark).count() == cur)
+  }
 }
