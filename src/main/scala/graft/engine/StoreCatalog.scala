@@ -39,6 +39,19 @@ final class StoreCatalog(basePath: String) {
   private val reg =
     new scala.collection.concurrent.TrieMap[String, ManifestTableStore]()
 
+  /** Column DEFAULT expressions by table (name → column → the
+    * declaration's original SQL): a CATALOG concern, persisted in the
+    * spec sidecar and filled at the SQL INSERT boundary — the store
+    * itself never sees them (defaults are write-time sugar, not data;
+    * Delta's semantics: existing rows read NULL, only new writes that
+    * OMIT the column get the default).
+    */
+  private val defaultsReg =
+    new scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+
+  /** The current defaults registry ([[StoreSql.exec]]'s shape). */
+  def defaults: Map[String, Map[String, String]] = defaultsReg.toMap
+
   /** Register an externally-constructed store under a name. */
   def register(name: String, store: ManifestTableStore): this.type = {
     absent.remove(name); reg.put(name, store); this
@@ -112,10 +125,11 @@ final class StoreCatalog(basePath: String) {
       else {
         val path = readPointer(spark, name).getOrElse(s"$basePath/$name")
         val attached = loadSpec(spark, path) match {
-          case Some((pb, props)) =>
+          case Some((pb, props, dfl)) =>
             val s = mk(path, pb, props)
-            if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
-            else None
+            if (s.currentVersion(spark) > 0) {
+              defaultsReg.put(name, dfl); reg.put(name, s); Some(s)
+            } else None
           case None => // legacy/no-spec table: attach bare if committed
             val s = mk(path, Nil, Map.empty)
             if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
@@ -149,6 +163,18 @@ final class StoreCatalog(basePath: String) {
       case tt: org.apache.spark.sql.catalyst.analysis
           .RelationTimeTravel =>
         tt.relation match {
+          case u: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedRelation if u.multipartIdentifier.size == 1 =>
+            resolve(spark, u.multipartIdentifier.head)
+          case _ =>
+        }
+      // InsertIntoStatement is a UnaryNode whose only child is the
+      // QUERY — the target `table` plan is a plain field, so foreach
+      // never descends into it; without this case a fresh session's
+      // INSERT never lazy-attaches its target (SELECTs do)
+      case ins: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement =>
+        ins.table match {
           case u: org.apache.spark.sql.catalyst.analysis
               .UnresolvedRelation if u.multipartIdentifier.size == 1 =>
             resolve(spark, u.multipartIdentifier.head)
@@ -195,8 +221,18 @@ final class StoreCatalog(basePath: String) {
             // where `existing` returned None) left a sidecar that may
             // disagree with THIS declaration; republish, don't let a
             // stale spec win the create-if-absent race.
+            // column DEFAULTs: persisted as their declaration's own
+            // SQL (re-parsed with expr() at fill time); validated to
+            // parse NOW so a broken default refuses at create, not at
+            // the first omitting INSERT
+            val colDefaults = ct.columns.flatMap { c =>
+              c.defaultValue.map { d =>
+                org.apache.spark.sql.functions.expr(d.originalSQL)
+                c.name -> d.originalSQL
+              }
+            }.toMap
             clearStaleSidecars(spark, name, path)
-            persistSpec(spark, path, pb, props)
+            persistSpec(spark, path, pb, props, colDefaults)
             persistPointer(spark, name, path)
             store.createEmpty(spark, StructType(ct.columns.map {
               c: ColumnDefinition =>
@@ -213,6 +249,7 @@ final class StoreCatalog(basePath: String) {
             ct.columns.filterNot(_.nullable).foreach { c =>
               store.addCheck(spark, s"${c.name}_not_null",
                 s"${c.name} IS NOT NULL") }
+            defaultsReg.put(name, colDefaults)
             absent.remove(name); reg.put(name, store)
         }
         spark.emptyDataFrame
@@ -237,7 +274,7 @@ final class StoreCatalog(basePath: String) {
             // spec + pointer BEFORE the (long) load — see CREATE above,
             // including the stale-sidecar republish
             clearStaleSidecars(spark, name, path)
-            persistSpec(spark, path, pb, props)
+            persistSpec(spark, path, pb, props, Map.empty)
             persistPointer(spark, name, path)
             // checks BEFORE the load: the batch passes the same
             // write-time gate every later INSERT will
@@ -378,9 +415,11 @@ final class StoreCatalog(basePath: String) {
         }
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
+        val dfl = defaultsReg.getOrElse(name, Map.empty)
         val colDdl = s.read(spark).schema.fields.toSeq
           .filterNot(_.name == "batch_id")
-          .map(f => s"  ${f.name} ${f.dataType.sql}")
+          .map(f => s"  ${f.name} ${f.dataType.sql}" +
+            dfl.get(f.name).fold("")(d => s" DEFAULT $d"))
         val checks = s.listChecks(spark).map { case (n, pred) =>
           s"  CONSTRAINT $n CHECK ($pred)" }
         val props = Seq(
@@ -454,7 +493,7 @@ final class StoreCatalog(basePath: String) {
               "(use UNSET TBLPROPERTIES IF EXISTS)")
           props -- up.propertyKeys
         }
-      case _ => StoreSql.exec(spark, tables, sql, batchId)
+      case _ => StoreSql.exec(spark, tables, sql, batchId, defaults)
     }
   }
 
@@ -495,7 +534,10 @@ final class StoreCatalog(basePath: String) {
     validateProps(
       s.read(spark).columns.toSeq.filterNot(_ == "batch_id"),
       s.partitionColumns, next)
-    updateSpec(spark, s.tablePath, s.partitionColumns, next)
+    // column defaults carry through unchanged — SET/UNSET edits only
+    // the physical knobs, and a republished spec must not drop them
+    updateSpec(spark, s.tablePath, s.partitionColumns, next,
+      defaultsReg.getOrElse(name, Map.empty))
     val fresh = mk(s.tablePath, s.partitionColumns, next)
     reg.put(name, fresh)
     // stats/bloom config changed → recompute every dir's manifest
@@ -549,9 +591,12 @@ final class StoreCatalog(basePath: String) {
       val candidates =
         (readPointer(spark, name).toSeq :+ declaredPath).distinct
       candidates.flatMap { path =>
-        val (epb, eprops) = loadSpec(spark, path).getOrElse((pb, props))
+        val (epb, eprops, edfl) = loadSpec(spark, path)
+          .getOrElse((pb, props, Map.empty[String, String]))
         val onDisk = mk(path, epb, eprops)
-        if (onDisk.currentVersion(spark) > 0) Some(onDisk) else None
+        if (onDisk.currentVersion(spark) > 0) {
+          defaultsReg.put(name, edfl); Some(onDisk)
+        } else None
       }.headOption
     }
     present.foreach { s =>
@@ -563,13 +608,19 @@ final class StoreCatalog(basePath: String) {
   }
 
   private def specJson(partitionBy: Seq[String],
-      props: Map[String, String]): Array[Byte] = {
+      props: Map[String, String],
+      defaults: Map[String, String]): Array[Byte] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val pb = root.putArray("partitionBy")
     partitionBy.foreach(pb.add)
     Seq("statsColumns", "bloomColumns", "morDeleteKey")
       .foreach(k => props.get(k).foreach(v => root.put(k, v)))
+    if (defaults.nonEmpty) {
+      val d = root.putObject("defaults")
+      defaults.toSeq.sortBy(_._1).foreach { case (c, sql) =>
+        d.put(c, sql) }
+    }
     mapper.writeValueAsString(root).getBytes("UTF-8")
   }
 
@@ -577,11 +628,12 @@ final class StoreCatalog(basePath: String) {
     * create-if-absent) — what [[existing]] re-attaches from.
     */
   private def persistSpec(spark: SparkSession, path: String,
-      partitionBy: Seq[String], props: Map[String, String]): Unit = {
+      partitionBy: Seq[String], props: Map[String, String],
+      defaults: Map[String, String]): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path, "table_spec")
     AtomicCreate.publish(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
-      specJson(partitionBy, props))
+      specJson(partitionBy, props, defaults))
   }
 
   /** The spec sidecar generations at `path`, newest last: the creation
@@ -610,10 +662,11 @@ final class StoreCatalog(basePath: String) {
     * leg.
     */
   private def updateSpec(spark: SparkSession, path: String,
-      partitionBy: Seq[String], props: Map[String, String]): Unit = {
+      partitionBy: Seq[String], props: Map[String, String],
+      defaults: Map[String, String]): Unit = {
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bytes = specJson(partitionBy, props)
+    val bytes = specJson(partitionBy, props, defaults)
     var next = math.max(specFiles(f, path).map(_._1).maxOption
       .getOrElse(0L), 1L) + 1L
     while (!AtomicCreate.publish(f,
@@ -648,7 +701,8 @@ final class StoreCatalog(basePath: String) {
 
   /** The NEWEST spec generation at `path` (see [[specFiles]]). */
   private def loadSpec(spark: SparkSession, path: String)
-      : Option[(Seq[String], Map[String, String])] = {
+      : Option[(Seq[String], Map[String, String],
+        Map[String, String])] = {
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val hp = specFiles(f, path).lastOption.map(_._2).getOrElse {
@@ -666,7 +720,13 @@ final class StoreCatalog(basePath: String) {
       .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
     val props = Seq("statsColumns", "bloomColumns", "morDeleteKey")
       .flatMap(k => Option(root.get(k)).map(k -> _.asText())).toMap
-    Some((pb, props))
+    val defaults = Option(root.get("defaults")).map { d =>
+      val it = d.fieldNames()
+      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+        .takeWhile(_.isDefined).flatten
+        .map(c => c -> d.get(c).asText()).toMap
+    }.getOrElse(Map.empty[String, String])
+    Some((pb, props, defaults))
   }
 
   /** The single-part table name a SHOW/DESCRIBE-style statement

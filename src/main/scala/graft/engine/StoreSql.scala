@@ -60,7 +60,8 @@ object StoreSql {
     * it).
     */
   def exec(spark: SparkSession, tables: Map[String, ManifestTableStore],
-      sql: String, batchId: Option[Long] = None)
+      sql: String, batchId: Option[Long] = None,
+      defaults: Map[String, Map[String, String]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     maintenance(spark, tables, sql) match {
       case Some(result) => return result
@@ -185,8 +186,27 @@ object StoreSql {
         // existing target column (Delta's rule too — evolution needs
         // names). With the conf off, [[reconcileInsert]] refuses
         // exactly as before.
-        val df = reconcileInsert(df2,
-          evolveTarget(spark, store, df2, targetSchema))
+        // column DEFAULTs (catalog-declared): target columns this
+        // INSERT omits fill with their declared expression instead of
+        // NULL. Write-time only — existing rows are untouched (Delta's
+        // semantics); a full-width INSERT never consults them.
+        val tableDefaults = relationName(i.table)
+          .flatMap(defaults.get).getOrElse(Map.empty)
+        val df3 = targetSchema match {
+          case Some(ts) if tableDefaults.nonEmpty =>
+            ts.fieldNames.toSeq
+              .filter(c => c != "batch_id" &&
+                !df2.columns.exists(_.equalsIgnoreCase(c)))
+              .foldLeft(df2) { (d, c) =>
+                tableDefaults.collectFirst {
+                  case (dc, dSql) if dc.equalsIgnoreCase(c) =>
+                    d.withColumn(c, expr(dSql).cast(ts(c).dataType))
+                }.getOrElse(d)
+              }
+          case _ => df2
+        }
+        val df = reconcileInsert(df3,
+          evolveTarget(spark, store, df3, targetSchema))
         val bid = requiredBatchId(
           if (i.overwrite) "INSERT OVERWRITE" else "INSERT")
         if (!i.overwrite) {

@@ -2062,5 +2062,62 @@ object StoreOps {
         .withColumn("n_pre_truncate", lit(nPre))
         .withColumn("n_asof_truncated", lit(nTrunc))
         .withColumn("partitions_now", lit(partsNow))
+    },
+
+    // Column DEFAULTs at the SQL INSERT boundary (Delta/Iceberg
+    // DEFAULT semantics, write-time sugar): a catalog-declared DEFAULT
+    // fills exactly the columns an INSERT OMITS — a full-width INSERT
+    // never consults it, and the declaration round-trips through the
+    // spec sidecar into SHOW CREATE TABLE (pinned). The grouped result
+    // spans one omitting and one full-width batch, so a default
+    // leaking into full rows (or an omitted column landing NULL)
+    // shifts the route groups.
+    QueryDef(
+      "q228_sql_column_defaults",
+      """WITH t AS (
+        |  SELECT o_orderstatus, 'unrouted' AS route, 0 AS hops
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderpriority AS route, 7 AS hops
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+        |SELECT o_orderstatus, route, COUNT(*) AS n,
+        |  CAST(SUM(hops) AS BIGINT) AS sum_hops, 1 AS ddl_roundtrip
+        |FROM t GROUP BY o_orderstatus, route
+        |ORDER BY o_orderstatus, route""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_col_defaults", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS dfl_orders (
+          |  o_orderstatus STRING,
+          |  route STRING DEFAULT 'unrouted',
+          |  hops INT DEFAULT 0)
+          |USING graft_store""".stripMargin)
+      val store = cat.store("dfl_orders")
+      if (store.currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO dfl_orders (o_orderstatus)
+            |SELECT o_orderstatus FROM orders
+            |WHERE o_orderdate < TIMESTAMP '1995-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(0L))
+      if (store.currentVersion(s) == 2L)
+        cat.exec(s,
+          """INSERT INTO dfl_orders
+            |SELECT o_orderstatus, o_orderpriority, 7 FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(1L))
+      val ddl = cat.exec(s, "SHOW CREATE TABLE dfl_orders")
+        .head().getString(0)
+      val roundtrip =
+        if (ddl.contains("route STRING DEFAULT 'unrouted'") &&
+          ddl.contains("hops INT DEFAULT 0")) 1 else 0
+      cat.query(s,
+        """SELECT o_orderstatus, route, COUNT(*) AS n,
+          |  SUM(hops) AS sum_hops
+          |FROM dfl_orders GROUP BY o_orderstatus, route
+          |ORDER BY o_orderstatus, route""".stripMargin)
+        .withColumn("ddl_roundtrip", lit(roundtrip))
     })
 }

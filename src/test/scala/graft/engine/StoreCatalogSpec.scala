@@ -632,6 +632,40 @@ class StoreCatalogSpec extends SparkSpec {
     }
   }
 
+  test("column DEFAULTs fill omitted INSERT columns, render in SHOW " +
+      "CREATE TABLE, and survive re-attach and SET TBLPROPERTIES") {
+    val base = Files.createTempDirectory("catalog-dfl-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      """CREATE TABLE d (k STRING, n INT DEFAULT 42,
+        |  tag STRING DEFAULT 'none') USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO d (k) VALUES ('a')", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO d VALUES ('b', 7, 'x')",
+      batchId = Some(1L))
+    def rows(c: StoreCatalog) = c.query(spark,
+      "SELECT k, n, tag FROM d ORDER BY k")
+      .as[(String, Int, String)].collect().toSeq
+    assert(rows(cat) == Seq(("a", 42, "none"), ("b", 7, "x")),
+      "omitted columns fill with defaults; full-width inserts ignore them")
+    val ddl = cat.exec(spark, "SHOW CREATE TABLE d")
+      .head().getString(0)
+    assert(ddl.contains("n INT DEFAULT 42") &&
+      ddl.contains("tag STRING DEFAULT 'none'"), ddl)
+    // a FRESH catalog re-attaches the defaults from the spec sidecar
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark, "INSERT INTO d (k) VALUES ('c')",
+      batchId = Some(2L))
+    assert(rows(cat2).contains(("c", 42, "none")))
+    // SET TBLPROPERTIES republishes the spec WITHOUT dropping defaults
+    cat2.exec(spark, "ALTER TABLE d SET TBLPROPERTIES " +
+      "('statsColumns'='n')")
+    val cat3 = new StoreCatalog(base.toString)
+    cat3.exec(spark, "INSERT INTO d (k) VALUES ('e')",
+      batchId = Some(3L))
+    assert(rows(cat3).contains(("e", 42, "none")))
+  }
+
   test("SHOW PARTITIONS lists the hive-layout partition values from " +
       "listings alone; multi-batch duplicates collapse; a " +
       "non-partitioned table refuses") {
