@@ -168,6 +168,19 @@ final class StoreCatalog(basePath: String) {
             resolve(spark, u.multipartIdentifier.head)
           case _ =>
         }
+      // table_changes('t', ...): the table is a string LITERAL, not a
+      // relation node — resolve it so a fresh session's batch-CDF
+      // query lazy-attaches like any other read
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") &&
+            tvf.functionArgs.nonEmpty =>
+        tvf.functionArgs.head match {
+          case org.apache.spark.sql.catalyst.expressions
+              .Literal(v, _) if v != null =>
+            resolve(spark, String.valueOf(v))
+          case _ =>
+        }
       // InsertIntoStatement is a UnaryNode whose only child is the
       // QUERY — the target `table` plan is a plain field, so foreach
       // never descends into it; without this case a fresh session's

@@ -800,7 +800,66 @@ object StoreSql {
         val store = tables(u.multipartIdentifier.last)
         if (store.isMainRef) formatRead(store, Map.empty)
         else PlanShim.planOf(store.read(spark))
+      // Delta's batch-CDF table-valued function: `SELECT ... FROM
+      // table_changes('t', startV[, endV])` — inclusive commit range
+      // startV..endV (endV defaults to current), served as the state
+      // diff from version startV-1 to endV, so the feed carries NET
+      // changes (Iceberg's net_changes CDC mode): a row inserted and
+      // deleted inside the window nets out. The feed is
+      // [[ManifestTableStore.readChangeFeed]]'s: end-version schema +
+      // `_change_type` in {insert, delete} — spliced as a resolved
+      // frame (the window bounds the read; a CDF scan opens only the
+      // affected batches' dirs)
+      case tvf: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedTableValuedFunction
+          if tvf.name.map(_.toLowerCase) == Seq("table_changes") =>
+        val (store, from, to) = tableChangesArgs(spark, tables, tvf)
+        PlanShim.planOf(store.readChangeFeed(spark, from, to))
     }
+  }
+
+  /** Resolve `table_changes('t', startV[, endV])` arguments: literal
+    * table name (a registered store) and integer commit versions,
+    * Delta's inclusive commit-range convention mapped onto the store's
+    * state-diff feed (`readChangeFeed(startV - 1, endV)`).
+    */
+  private def tableChangesArgs(spark: SparkSession,
+      tables: Map[String, ManifestTableStore],
+      tvf: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedTableValuedFunction)
+      : (ManifestTableStore, Long, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val args = tvf.functionArgs
+    require(args.size == 2 || args.size == 3,
+      "table_changes(table, startVersion[, endVersion]) takes a table " +
+        s"name and 1-2 versions, got ${args.size} arguments")
+    def litOf(e: Expression, what: String): Any = e match {
+      case Literal(v, _) if v != null => v
+      case other => throw new IllegalArgumentException(
+        s"table_changes: $what must be a non-null literal, got " +
+          other.sql)
+    }
+    val tname = String.valueOf(litOf(args.head, "the table name"))
+    val store = tables.getOrElse(tname,
+      throw new IllegalArgumentException(
+        s"table_changes: unknown store table '$tname' (known: " +
+          tables.keys.toSeq.sorted.mkString(", ") + ")"))
+    def ver(e: Expression, what: String): Long =
+      litOf(e, what) match {
+        case n: java.lang.Number => n.longValue()
+        case other => throw new IllegalArgumentException(
+          s"table_changes: $what must be an integer version, got " +
+            s"$other")
+      }
+    val start = ver(args(1), "startVersion")
+    require(start >= 1,
+      s"table_changes: startVersion must be >= 1, got $start")
+    val end =
+      if (args.size == 3) ver(args(2), "endVersion")
+      else store.currentVersion(spark)
+    require(end >= start,
+      s"table_changes: endVersion $end precedes startVersion $start")
+    (store, start - 1L, end)
   }
 
   private def relationName(plan: LogicalPlan): Option[String] = plan match {

@@ -2119,5 +2119,77 @@ object StoreOps {
           |FROM dfl_orders GROUP BY o_orderstatus, route
           |ORDER BY o_orderstatus, route""".stripMargin)
         .withColumn("ddl_roundtrip", lit(roundtrip))
+    },
+
+    // Batch CDF through pure SQL: Delta's `table_changes('t', s[, e])`
+    // TVF over the store's change feed — inclusive commit range, NET
+    // semantics (Iceberg's net_changes CDC mode: intra-window churn
+    // nets out), end defaulting to current. The window diffs the
+    // post-first-insert state against the post-delete state, so the
+    // feed must carry the second batch's rows as inserts MINUS the
+    // deleted status, and the first batch's deleted rows as deletes —
+    // an attribution error on either side shifts the groups. The
+    // 2-arg default-window form is pinned equal to the explicit one.
+    QueryDef(
+      "q229_sql_table_changes",
+      """WITH ins AS (
+        |  SELECT 'insert' AS _change_type, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderstatus <> 'F'),
+        |del AS (
+        |  SELECT 'delete' AS _change_type, o_orderstatus, o_totalprice
+        |  FROM orders
+        |  WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderstatus = 'F'),
+        |t AS (SELECT * FROM ins UNION ALL SELECT * FROM del)
+        |SELECT _change_type, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS default_window_match
+        |FROM t GROUP BY _change_type, o_orderstatus
+        |ORDER BY _change_type, o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_table_changes", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS cdc_orders (
+          |  o_orderstatus STRING, o_orderdate TIMESTAMP,
+          |  o_totalprice DOUBLE)
+          |USING graft_store""".stripMargin)
+      val store = cat.store("cdc_orders")
+      if (store.currentVersion(s) == 1L) // v2: the pre-1996 load
+        cat.exec(s,
+          """INSERT INTO cdc_orders
+            |SELECT o_orderstatus, o_orderdate, o_totalprice
+            |FROM orders
+            |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(0L))
+      if (store.currentVersion(s) == 2L) // v3: the 1996+ load
+        cat.exec(s,
+          """INSERT INTO cdc_orders
+            |SELECT o_orderstatus, o_orderdate, o_totalprice
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(1L))
+      if (store.currentVersion(s) == 3L) // v4: CoW delete of status F
+        cat.exec(s, "DELETE FROM cdc_orders WHERE o_orderstatus = 'F'")
+      // the 2-arg form (end defaults to CURRENT = 4) must serve the
+      // same window as the explicit 3..4
+      val explicitN = cat.query(s,
+        "SELECT COUNT(*) AS n FROM table_changes('cdc_orders', 3, 4)")
+        .head().getLong(0)
+      val defaultN = cat.query(s,
+        "SELECT COUNT(*) AS n FROM table_changes('cdc_orders', 3)")
+        .head().getLong(0)
+      cat.query(s,
+        """SELECT _change_type, o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM table_changes('cdc_orders', 3, 4)
+          |GROUP BY _change_type, o_orderstatus
+          |ORDER BY _change_type, o_orderstatus""".stripMargin)
+        .withColumn("default_window_match",
+          lit(if (explicitN == defaultN) 1 else 0))
     })
 }

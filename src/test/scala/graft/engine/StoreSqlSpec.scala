@@ -520,4 +520,51 @@ class StoreSqlSpec extends SparkSpec {
       StoreSql.exec(spark, t, "SELECT 1 -- OPTIMIZE t")
     }
   }
+
+  test("table_changes('t', start[, end]) serves the batch change feed " +
+      "through pure SQL: commit-range semantics, end defaults to " +
+      "current, deletes carry _change_type='delete', bad args refuse") {
+    val store = freshStore() // v1: a/b/c (commit 1)
+    val t = Map("t" -> store)
+    store.append(Seq(("d", 4)).toDF("k", "n"), 1L) // v2
+    StoreSql.exec(spark, t, "DELETE FROM t WHERE k = 'a'") // v3
+    def feed(sql: String): Set[(String, String)] =
+      StoreSql.query(spark, t, sql)
+        .select("k", "_change_type").as[(String, String)]
+        .collect().toSet
+    // commits 2..3: the d-insert and the a-delete
+    assert(feed("SELECT k, _change_type FROM table_changes('t', 2, 3)")
+      == Set(("d", "insert"), ("a", "delete")))
+    // 2-arg form: end defaults to the current version
+    assert(feed("SELECT k, _change_type FROM table_changes('t', 2)")
+      == Set(("d", "insert"), ("a", "delete")))
+    // commit 1 alone: the seed batch, all inserts
+    assert(feed("SELECT k, _change_type FROM table_changes('t', 1, 1)")
+      == Set(("a", "insert"), ("b", "insert"), ("c", "insert")))
+    // NET semantics (Iceberg's net_changes mode): 'a' was inserted at
+    // commit 1 AND deleted at commit 3, so over the 1..3 window it
+    // nets out entirely — the feed reports b/c/d as the net inserts,
+    // and composes with ordinary SQL (WHERE + aggregate)
+    assert(feed("SELECT k, _change_type FROM table_changes('t', 1, 3)")
+      == Set(("b", "insert"), ("c", "insert"), ("d", "insert")))
+    val n = StoreSql.query(spark, t,
+      """SELECT COUNT(*) AS n FROM table_changes('t', 1, 3)
+        |WHERE _change_type = 'insert'""".stripMargin)
+      .as[Long].head()
+    assert(n == 3L, "b/c/d net-inserted across the window")
+    // refusals: version 0, inverted window, unknown table, non-literal
+    intercept[IllegalArgumentException] {
+      StoreSql.query(spark, t, "SELECT * FROM table_changes('t', 0, 1)")
+    }
+    intercept[IllegalArgumentException] {
+      StoreSql.query(spark, t, "SELECT * FROM table_changes('t', 3, 2)")
+    }
+    intercept[IllegalArgumentException] {
+      StoreSql.query(spark, t, "SELECT * FROM table_changes('x', 1)")
+    }
+    intercept[IllegalArgumentException] {
+      StoreSql.query(spark, t,
+        "SELECT * FROM table_changes('t', 1 + 1)")
+    }
+  }
 }
