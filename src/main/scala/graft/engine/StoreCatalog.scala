@@ -222,48 +222,8 @@ final class StoreCatalog(basePath: String) {
             ct.ignoreIfExists) match {
           case Some(_) => // IF NOT EXISTS: keep the existing table
           case None =>
-            val (path, pb, props) =
-              physical(name, ct.partitioning, ct.tableSpec)
-            validateProps(ct.columns.map(_.name), pb, props)
-            val store = mk(path, pb, props)
-            // spec + name pointer publish BEFORE the first commit: a
-            // crash between commit and sidecar must not leave a table
-            // that re-attaches spec-less (silently stripped
-            // partitioning/properties). A crashed EARLIER create (spec
-            // published, zero committed versions — exactly the case
-            // where `existing` returned None) left a sidecar that may
-            // disagree with THIS declaration; republish, don't let a
-            // stale spec win the create-if-absent race.
-            // column DEFAULTs: persisted as their declaration's own
-            // SQL (re-parsed with expr() at fill time); validated to
-            // parse NOW so a broken default refuses at create, not at
-            // the first omitting INSERT
-            val colDefaults = ct.columns.flatMap { c =>
-              c.defaultValue.map { d =>
-                org.apache.spark.sql.functions.expr(d.originalSQL)
-                c.name -> d.originalSQL
-              }
-            }.toMap
-            clearStaleSidecars(spark, name, path)
-            persistSpec(spark, path, pb, props, colDefaults)
-            persistPointer(spark, name, path)
-            store.createEmpty(spark, StructType(ct.columns.map {
-              c: ColumnDefinition =>
-                StructField(c.name, c.dataType, c.nullable)
-            }))
-            checksOf(ct.tableSpec).foreach { case (n, pred) =>
-              store.addCheck(spark, n, pred) }
-            // NOT NULL column constraints enforce through the same
-            // write-time check gate (Delta enforces NOT NULL as an
-            // invariant; expressing it as a named CHECK keeps SHOW
-            // CREATE TABLE runnable and the enforcement machinery ONE
-            // thing). The declared nullability itself also lands in
-            // the schema marker above.
-            ct.columns.filterNot(_.nullable).foreach { c =>
-              store.addCheck(spark, s"${c.name}_not_null",
-                s"${c.name} IS NOT NULL") }
-            defaultsReg.put(name, colDefaults)
-            absent.remove(name); reg.put(name, store)
+            createFresh(spark, name, ct.columns, ct.partitioning,
+              ct.tableSpec)
         }
         spark.emptyDataFrame
       case Some(ctas: CreateTableAsSelect) =>
@@ -272,29 +232,74 @@ final class StoreCatalog(basePath: String) {
             ctas.ignoreIfExists) match {
           case Some(_) =>
           case None =>
-            val (path, pb, props) =
-              physical(name, ctas.partitioning, ctas.tableSpec)
-            val store = mk(path, pb, props)
+            ctasFresh(spark, name, ctas.partitioning, ctas.tableSpec,
+              ctas.query, batchId)
+        }
+        spark.emptyDataFrame
+      case Some(rt: org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTable) =>
+        // [CREATE OR] REPLACE TABLE — Delta's replace rule: one
+        // metadata commit retires every row and redeclares the schema
+        // IN PLACE (same version chain; pre-replace versions stay
+        // time-travelable), never a drop+create (which would destroy
+        // the history). Bare REPLACE refuses on a missing table;
+        // CREATE OR REPLACE falls back to a plain create.
+        val name = identOf(rt.name)
+        existing(spark, name, rt.partitioning, rt.tableSpec,
+            ignoreIfExists = true) match {
+          case Some(s) =>
+            replaceAt(spark, name, s, rt.columns, rt.partitioning,
+              rt.tableSpec)
+          case None =>
+            require(rt.orCreate, s"REPLACE TABLE '$name': no such " +
+              "table (use CREATE OR REPLACE TABLE to create it)")
+            createFresh(spark, name, rt.columns, rt.partitioning,
+              rt.tableSpec)
+        }
+        spark.emptyDataFrame
+      case Some(rtas: org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTableAsSelect) =>
+        // [CREATE OR] REPLACE TABLE ... AS SELECT: the replace commit
+        // (schema = the SELECT's), then the load as an ordinary
+        // exactly-once batch — two versions (redeclare, data), so a
+        // crash between them leaves an empty typed table, never a
+        // half-replaced one
+        val name = identOf(rtas.name)
+        existing(spark, name, rtas.partitioning, rtas.tableSpec,
+            ignoreIfExists = true) match {
+          case Some(s) =>
             val bid = batchId.getOrElse(
               throw new IllegalArgumentException(
-                "CTAS requires an explicit batchId: the loaded rows " +
-                  "commit under it, exactly like INSERT"))
-            // building the frame is cheap (lazy) and yields the CTAS
-            // schema the TBLPROPERTIES must name columns of
+                "REPLACE TABLE AS SELECT requires an explicit " +
+                  "batchId: the loaded rows commit under it, exactly " +
+                  "like INSERT"))
+            // the load executes AFTER the replace commit, so a
+            // SELF-REFERENTIAL RTAS (`... r AS SELECT ... FROM r`)
+            // would otherwise scan the already-emptied state: pin
+            // bare references to the replaced table at its
+            // PRE-replace version (Delta's rule — the SELECT sees the
+            // snapshot the statement started from). Explicit time
+            // travel is untouched (RelationTimeTravel is a leaf;
+            // transform does not descend into its inner relation).
+            val preV = s.currentVersion(spark).toString
+            val pinned = rtas.query.transform {
+              case u: org.apache.spark.sql.catalyst.analysis
+                  .UnresolvedRelation
+                  if u.multipartIdentifier.size == 1 &&
+                    u.multipartIdentifier.head == name =>
+                new org.apache.spark.sql.catalyst.analysis
+                  .RelationTimeTravel(u, None, Some(preV))
+            }
             val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
-              spark, StoreSql.route(spark, tables, ctas.query))
-            validateProps(df.columns.toSeq, pb, props)
-            // spec + pointer BEFORE the (long) load — see CREATE above,
-            // including the stale-sidecar republish
-            clearStaleSidecars(spark, name, path)
-            persistSpec(spark, path, pb, props, Map.empty)
-            persistPointer(spark, name, path)
-            // checks BEFORE the load: the batch passes the same
-            // write-time gate every later INSERT will
-            checksOf(ctas.tableSpec).foreach { case (n, pred) =>
-              store.addCheck(spark, n, pred) }
-            store.append(df, bid)
-            absent.remove(name); reg.put(name, store)
+              spark, StoreSql.route(spark, tables, pinned))
+            val fresh = replaceAt(spark, name, s, Nil,
+              rtas.partitioning, rtas.tableSpec, Some(df.schema))
+            fresh.append(df, bid)
+          case None =>
+            require(rtas.orCreate, s"REPLACE TABLE '$name': no such " +
+              "table (use CREATE OR REPLACE TABLE to create it)")
+            ctasFresh(spark, name, rtas.partitioning, rtas.tableSpec,
+              rtas.query, batchId)
         }
         spark.emptyDataFrame
       case Some(dt: org.apache.spark.sql.catalyst.plans.logical
@@ -829,6 +834,127 @@ final class StoreCatalog(basePath: String) {
   /** (path, partitionBy, store props) as a CREATE statement declares
     * them — the spec [[persistSpec]] records and [[mk]] instantiates.
     */
+  /** The CREATE TABLE body once [[existing]] ruled out a live table:
+    * publish spec + name pointer BEFORE the first commit (a crash
+    * between commit and sidecar must not leave a table that
+    * re-attaches spec-less — silently stripped partitioning/
+    * properties), then the declared schema as the v1 zero-row marker.
+    * A crashed EARLIER create (spec published, zero committed
+    * versions — exactly the case where `existing` returned None) left
+    * a sidecar that may disagree with THIS declaration; republish,
+    * don't let a stale spec win the create-if-absent race. Column
+    * DEFAULTs persist as their declaration's own SQL (re-parsed with
+    * expr() at fill time), validated to parse NOW so a broken default
+    * refuses at create, not at the first omitting INSERT.
+    */
+  private def createFresh(spark: SparkSession, name: String,
+      columns: Seq[ColumnDefinition], partitioning: Seq[Transform],
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical
+        .TableSpecBase): Unit = {
+    val (path, pb, props) = physical(name, partitioning, tableSpec)
+    validateProps(columns.map(_.name), pb, props)
+    val store = mk(path, pb, props)
+    val colDefaults = defaultsOf(columns)
+    clearStaleSidecars(spark, name, path)
+    persistSpec(spark, path, pb, props, colDefaults)
+    persistPointer(spark, name, path)
+    store.createEmpty(spark, StructType(columns.map {
+      c: ColumnDefinition => StructField(c.name, c.dataType, c.nullable)
+    }))
+    installChecks(spark, store, columns, tableSpec)
+    defaultsReg.put(name, colDefaults)
+    absent.remove(name); reg.put(name, store)
+  }
+
+  /** The CTAS body once [[existing]] ruled out a live table — spec +
+    * pointer BEFORE the (long) load (see [[createFresh]]), checks
+    * BEFORE the load (the batch passes the same write-time gate every
+    * later INSERT will), then the SELECT as one exactly-once batch.
+    */
+  private def ctasFresh(spark: SparkSession, name: String,
+      partitioning: Seq[Transform],
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical
+        .TableSpecBase,
+      query: LogicalPlan, batchId: Option[Long]): Unit = {
+    val (path, pb, props) = physical(name, partitioning, tableSpec)
+    val store = mk(path, pb, props)
+    val bid = batchId.getOrElse(
+      throw new IllegalArgumentException(
+        "CTAS requires an explicit batchId: the loaded rows commit " +
+          "under it, exactly like INSERT"))
+    // building the frame is cheap (lazy) and yields the CTAS schema
+    // the TBLPROPERTIES must name columns of
+    val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
+      spark, StoreSql.route(spark, tables, query))
+    validateProps(df.columns.toSeq, pb, props)
+    clearStaleSidecars(spark, name, path)
+    persistSpec(spark, path, pb, props, Map.empty)
+    persistPointer(spark, name, path)
+    checksOf(tableSpec).foreach { case (n, pred) =>
+      store.addCheck(spark, n, pred) }
+    store.append(df, bid)
+    absent.remove(name); reg.put(name, store)
+  }
+
+  /** The REPLACE body against a live table `s`: ONE metadata commit
+    * redeclares the schema and retires every row IN PLACE
+    * ([[ManifestTableStore.replaceSchema]] — history preserved), then
+    * the unversioned write-time surface swaps wholesale: checks (old
+    * gates dropped, the replacing declaration's installed), column
+    * DEFAULTs, and the spec sidecar (partitioning/properties), with
+    * the registry handle re-instantiated under the new physical
+    * config. `declaredSchema` overrides the column list for RTAS
+    * (schema = the SELECT's, no declared columns or defaults).
+    * Returns the fresh handle so RTAS can load into it.
+    */
+  private def replaceAt(spark: SparkSession, name: String,
+      s: ManifestTableStore, columns: Seq[ColumnDefinition],
+      partitioning: Seq[Transform],
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical
+        .TableSpecBase,
+      declaredSchema: Option[StructType] = None): ManifestTableStore = {
+    val (_, pb, props) = physical(name, partitioning, tableSpec)
+    val schema = declaredSchema.getOrElse(StructType(columns.map {
+      c: ColumnDefinition => StructField(c.name, c.dataType, c.nullable)
+    }))
+    validateProps(schema.fieldNames.toSeq, pb, props)
+    val colDefaults = defaultsOf(columns)
+    s.replaceSchema(spark, schema, pb)
+    s.listChecks(spark).foreach { case (n, _) => s.dropCheck(spark, n) }
+    val fresh = mk(s.tablePath, pb, props)
+    installChecks(spark, fresh, columns, tableSpec)
+    updateSpec(spark, s.tablePath, pb, props, colDefaults)
+    defaultsReg.put(name, colDefaults)
+    absent.remove(name); reg.put(name, fresh)
+    fresh
+  }
+
+  private def defaultsOf(columns: Seq[ColumnDefinition])
+      : Map[String, String] =
+    columns.flatMap { c =>
+      c.defaultValue.map { d =>
+        org.apache.spark.sql.functions.expr(d.originalSQL)
+        c.name -> d.originalSQL
+      }
+    }.toMap
+
+  /** Declared CHECK constraints plus NOT NULL columns as named checks
+    * (Delta enforces NOT NULL as an invariant; expressing it as a
+    * named CHECK keeps SHOW CREATE TABLE runnable and the enforcement
+    * machinery ONE thing — the declared nullability itself also lands
+    * in the schema marker).
+    */
+  private def installChecks(spark: SparkSession,
+      store: ManifestTableStore, columns: Seq[ColumnDefinition],
+      tableSpec: org.apache.spark.sql.catalyst.plans.logical
+        .TableSpecBase): Unit = {
+    checksOf(tableSpec).foreach { case (n, pred) =>
+      store.addCheck(spark, n, pred) }
+    columns.filterNot(_.nullable).foreach { c =>
+      store.addCheck(spark, s"${c.name}_not_null",
+        s"${c.name} IS NOT NULL") }
+  }
+
   private def physical(name: String, partitioning: Seq[Transform],
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
         .TableSpecBase): (String, Seq[String], Map[String, String]) = {

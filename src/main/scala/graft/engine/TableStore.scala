@@ -896,6 +896,54 @@ final class ManifestTableStore(path: String,
       }
     }
 
+  /** `CREATE OR REPLACE TABLE` — ONE metadata commit that retires
+    * every current row AND redeclares the schema: the new version's
+    * only entry is a zero-row marker carrying the DECLARED schema
+    * (where [[truncate]] carries the current one), so the replaced
+    * table is immediately readable (empty, typed) and INSERT-able
+    * under the new declaration while every pre-replace version stays
+    * fully time-travelable until [[vacuum]] reclaims it (Delta's
+    * REPLACE rule: a replace is a new table state, not a new table —
+    * the history survives). No resurrection hazard from reusing old
+    * column names: the new version's manifest references NO old data
+    * dir, so nothing can leak through a name collision. No data file
+    * is read, rewritten, or deleted at replace time. `newPartitionBy`
+    * is the REPLACING declaration's partitioning — validated here
+    * against the declared columns; the caller re-instantiates its
+    * handle with it (this instance's layout config is creation-time).
+    */
+  def replaceSchema(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      newPartitionBy: Seq[String]): Unit = synchronized {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    require(v > 0L && lines.nonEmpty,
+      s"table at $path has no commits; REPLACE needs an existing " +
+        "table (CREATE OR REPLACE falls back to CREATE)")
+    require(schema.nonEmpty, "REPLACE TABLE needs at least one column")
+    newPartitionBy.foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"PARTITIONED BY column '$c' is not among the declared columns")
+    }
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase("batch_id")),
+      "batch_id is the store's replay-attribution column")
+    val dir = s"$path/data/schema-${java.util.UUID.randomUUID()}"
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .withColumn("batch_id", lit(ManifestTableStore.SchemaBatchId))
+      .write.mode("overwrite").parquet(dir)
+    val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
+      collectStats(spark, dir))
+    beforeDmlCommit()
+    if (!tryCommit(f, v + 1, Seq(entry))) {
+      f.delete(new HPath(dir), true)
+      throw new java.util.ConcurrentModificationException(
+        s"REPLACE of $path aborted: a concurrent write committed " +
+          "after this replace's snapshot; nothing was applied — " +
+          "re-read and retry")
+    }
+  }
+
   /** Governed `ALTER TABLE ... RENAME COLUMN` — metadata-only, the
     * third leg of schema evolution after ADD ([[addColumns]]) and DROP
     * ([[dropColumn]]): no data file is rewritten; a zero-row RENAME

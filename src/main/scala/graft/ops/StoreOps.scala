@@ -2191,5 +2191,66 @@ object StoreOps {
           |ORDER BY _change_type, o_orderstatus""".stripMargin)
         .withColumn("default_window_match",
           lit(if (explicitN == defaultN) 1 else 0))
+    },
+
+    // CREATE OR REPLACE TABLE: the replace is ONE metadata commit in
+    // the SAME version chain — the redeclared table serves only
+    // post-replace loads (with the new schema's DEFAULT filling an
+    // omitting insert), while the pre-replace version still serves
+    // every original row (pinned as n_pre_replace). A replace
+    // implemented as drop+create would lose the history and zero the
+    // pin; a replace that leaked old rows would shift the groups.
+    QueryDef(
+      "q230_sql_replace_table",
+      """SELECT o_orderstatus,
+        |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  (SELECT COUNT(*) FROM orders
+        |   WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |    AS n_pre_replace
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY o_orderstatus, o_year
+        |ORDER BY o_orderstatus, o_year""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_replace_table", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS rep_orders (
+          |  o_orderstatus STRING, o_totalprice DOUBLE)
+          |USING graft_store""".stripMargin)
+      val v1 = cat.store("rep_orders")
+      if (v1.currentVersion(s) == 1L) // v2: the pre-1996 load
+        cat.exec(s,
+          """INSERT INTO rep_orders
+            |SELECT o_orderstatus, o_totalprice FROM orders
+            |WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(0L))
+      if (v1.currentVersion(s) == 2L) // v3: redeclare with o_year
+        cat.exec(s,
+          """CREATE OR REPLACE TABLE rep_orders (
+            |  o_orderstatus STRING, o_year BIGINT,
+            |  o_totalprice DOUBLE)
+            |USING graft_store""".stripMargin)
+      val store = cat.store("rep_orders")
+      if (store.currentVersion(s) == 3L) // v4: the 1996+ load
+        cat.exec(s,
+          """INSERT INTO rep_orders
+            |SELECT o_orderstatus,
+            |  CAST(year(o_orderdate) AS BIGINT) AS o_year,
+            |  o_totalprice
+            |FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(1L))
+      val nPre = store.readVersion(s, 2L).count()
+      cat.query(s,
+        """SELECT o_orderstatus, o_year, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM rep_orders GROUP BY o_orderstatus, o_year
+          |ORDER BY o_orderstatus, o_year""".stripMargin)
+        .withColumn("n_pre_replace", lit(nPre))
     })
 }

@@ -666,6 +666,61 @@ class StoreCatalogSpec extends SparkSpec {
     assert(rows(cat3).contains(("e", 42, "none")))
   }
 
+  test("CREATE OR REPLACE TABLE redeclares the schema in place: rows " +
+      "retired but time-travelable, checks and defaults swap, bare " +
+      "REPLACE refuses on a missing table, self-referential RTAS " +
+      "reads the pre-replace snapshot") {
+    val base = Files.createTempDirectory("catalog-replace-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      """CREATE TABLE r (k STRING, n INT,
+        |  CONSTRAINT n_pos CHECK (n > 0)) USING graft_store"""
+        .stripMargin)
+    cat.exec(spark, "INSERT INTO r VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L)) // v2
+    cat.exec(spark,
+      """CREATE OR REPLACE TABLE r (id BIGINT NOT NULL,
+        |  tag STRING DEFAULT 'fresh') USING graft_store""".stripMargin)
+    // the replaced table: empty, NEW schema, same version chain (v3)
+    assert(cat.query(spark, "SELECT id, tag FROM r").count() == 0)
+    assert(cat.store("r").currentVersion(spark) == 3L)
+    // pre-replace history survives in place
+    assert(cat.query(spark,
+      "SELECT k, n FROM r VERSION AS OF 2").as[(String, Int)]
+      .collect().toSet == Set(("a", 1), ("b", 2)))
+    // the OLD check (n_pos) is gone — n no longer exists; the NEW
+    // NOT NULL gate is live; the NEW default fills
+    intercept[Exception] {
+      cat.exec(spark, "INSERT INTO r VALUES (CAST(NULL AS BIGINT), 'y')",
+        batchId = Some(1L))
+    }
+    cat.exec(spark, "INSERT INTO r (id) VALUES (7)", batchId = Some(1L))
+    assert(cat.query(spark, "SELECT id, tag FROM r")
+      .as[(Long, String)].collect().toSeq == Seq((7L, "fresh")))
+    // a FRESH catalog re-attaches the REPLACED spec (defaults live)
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark, "INSERT INTO r (id) VALUES (8)", batchId = Some(2L))
+    assert(cat2.query(spark,
+      "SELECT id, tag FROM r WHERE id = 8").as[(Long, String)]
+      .collect().toSeq == Seq((8L, "fresh")))
+    // bare REPLACE TABLE refuses on a missing table; CREATE OR
+    // REPLACE of a missing table is a plain create
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "REPLACE TABLE nope (k STRING) USING graft_store")
+    }
+    cat.exec(spark,
+      "CREATE OR REPLACE TABLE born (k STRING) USING graft_store")
+    assert(cat.query(spark, "SELECT k FROM born").count() == 0)
+    // self-referential RTAS: the SELECT reads the PRE-replace rows
+    cat.exec(spark,
+      """CREATE OR REPLACE TABLE r USING graft_store AS
+        |SELECT id * 10 AS id10 FROM r""".stripMargin,
+      batchId = Some(3L))
+    assert(cat.query(spark, "SELECT id10 FROM r").as[Long]
+      .collect().toSet == Set(70L, 80L))
+  }
+
   test("SHOW PARTITIONS lists the hive-layout partition values from " +
       "listings alone; multi-batch duplicates collapse; a " +
       "non-partitioned table refuses") {
