@@ -212,9 +212,13 @@ final class StoreCatalog(basePath: String) {
     // created
     parsed match {
       case Some(p) => attachReferenced(spark, p)
-      case None => StoreSql.maintenanceTarget(sql)
-        .foreach(resolve(spark, _))
+      case None =>
     }
+    // ALWAYS consult the maintenance verbs too, not only on parse
+    // failure: `DESCRIBE DETAIL t` parses in Spark's grammar (as a
+    // column-describe of table `DETAIL`) yet routes as a maintenance
+    // verb — its real target must lazy-attach like any other
+    StoreSql.maintenanceTarget(sql).foreach(resolve(spark, _))
     parsed match {
       case Some(ct: CreateTable) =>
         val name = identOf(ct.name)

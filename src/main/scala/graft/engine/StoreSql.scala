@@ -468,6 +468,11 @@ object StoreSql {
     """(?is)RESTORE\s+(?:TABLE\s+)?([A-Za-z0-9_\.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r
   private val HistoryStmt =
     """(?is)DESCRIBE\s+HISTORY\s+([A-Za-z0-9_\.]+)""".r
+  // must be matched BEFORE Spark's parser sees the text: the grammar
+  // would read `DESCRIBE DETAIL t` as DESCRIBE COLUMN `t` OF TABLE
+  // `DETAIL` — the maintenance pass running first is load-bearing here
+  private val DetailStmt =
+    """(?is)DESCRIBE\s+DETAIL\s+([A-Za-z0-9_\.]+)""".r
 
   /** Schema ENFORCEMENT at the SQL INSERT boundary (Delta's insert
     * semantics): every inserted column must exist in the table, and its
@@ -573,6 +578,7 @@ object StoreSql {
     stripInert(sql).trim match {
       case RestoreStmt(t, _) => Some(t)
       case HistoryStmt(t) => Some(t)
+      case DetailStmt(t) => Some(t)
       case OptimizeStmt(t, _, _) => Some(t)
       case VacuumStmt(t, _, _) => Some(t)
       case _ => None
@@ -615,6 +621,7 @@ object StoreSql {
         Some(Seq((v.toLong, store.currentVersion(spark)))
           .toDF("restored_to", "current_version"))
       case HistoryStmt(t) => Some(storeNamed(t).history(spark))
+      case DetailStmt(t) => Some(storeNamed(t).describeDetail(spark))
       case OptimizeStmt(t, where, zcols) =>
         val store = storeNamed(t)
         val actions =

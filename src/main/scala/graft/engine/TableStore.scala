@@ -634,6 +634,49 @@ final class ManifestTableStore(path: String,
     dataDirs.flatMap(d => walk(new HPath(d), 0)).distinct.sorted
   }
 
+  /** `DESCRIBE DETAIL` — ONE row of table-level physical metadata
+    * (Delta's verb and column spirit): format, location, current
+    * version, partition/stats/bloom columns and the merge-on-read key
+    * as declared, the CURRENT version's live data file count and byte
+    * size, registered check count, and created/last-modified instants
+    * from the manifest chain's own mtimes. Metadata-bounded: one
+    * recursive listing per live data dir, no data file is opened — at
+    * 100 TB this answers "how big is this table, how is it laid out"
+    * without a scan.
+    */
+  def describeDetail(spark: SparkSession): DataFrame = {
+    val f = fs(spark)
+    val (v, lines) = current(f)
+    val dataDirs = lines
+      .filterNot(e => isDeleteEntry(e) || isSchemaMarker(e))
+      .map(_.dir).distinct
+    def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Seq(st) }
+    val files = dataDirs.flatMap(d => walk(new HPath(d)))
+      .filter(_.getPath.getName.endsWith(".parquet"))
+    def manifestMtime(version: Long): Option[Long] =
+      try Some(f.getFileStatus(new HPath(manifestDir, s"v$version"))
+        .getModificationTime)
+      catch { case _: java.io.FileNotFoundException => None }
+    // oldest SURVIVING manifest = creation (or the vacuum horizon)
+    val createdAt = (1L to v).iterator.map(manifestMtime)
+      .collectFirst { case Some(t) => t }
+    import spark.implicits._
+    Seq((
+      "graft-store", path, v,
+      partitionBy.mkString(","),
+      files.size.toLong, files.map(_.getLen).sum,
+      statsColumns.mkString(","), bloomColumns.mkString(","),
+      morDeleteKey.getOrElse(""),
+      listChecks(spark).size.toLong,
+      new java.sql.Timestamp(createdAt.getOrElse(0L)),
+      new java.sql.Timestamp(manifestMtime(v).getOrElse(0L))
+    )).toDF("format", "location", "version", "partition_columns",
+      "num_files", "size_in_bytes", "stats_columns", "bloom_columns",
+      "mor_delete_key", "num_checks", "created_at", "last_modified")
+  }
+
   /** DYNAMIC PARTITION OVERWRITE (Delta/Spark
     * `partitionOverwriteMode=dynamic`): replace ONLY the partitions the
     * new batch actually carries; every other partition's rows carry

@@ -2252,5 +2252,56 @@ object StoreOps {
           |FROM rep_orders GROUP BY o_orderstatus, o_year
           |ORDER BY o_orderstatus, o_year""".stripMargin)
         .withColumn("n_pre_replace", lit(nPre))
+    },
+
+    // DESCRIBE DETAIL through SQL text: one metadata-bounded row —
+    // format, declared layout (partitioning / stats columns), version,
+    // check count — with zero data I/O (only dir listings). The
+    // deterministic fields pin as columns next to a real aggregate
+    // over the same table; the file-count/byte-size fields (write-
+    // parallelism-dependent) pin only as existence booleans.
+    QueryDef(
+      "q231_sql_describe_detail",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  'graft-store' AS d_format, CAST(2 AS BIGINT) AS d_version,
+        |  'o_orderstatus' AS d_partition_columns,
+        |  'o_totalprice' AS d_stats_columns,
+        |  CAST(1 AS BIGINT) AS d_num_checks, 1 AS d_has_files
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_describe_detail", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS det_orders (
+          |  o_orderstatus STRING, o_totalprice DOUBLE,
+          |  CONSTRAINT price_pos CHECK (o_totalprice > 0))
+          |USING graft_store
+          |PARTITIONED BY (o_orderstatus)
+          |TBLPROPERTIES ('statsColumns'='o_totalprice')""".stripMargin)
+      if (cat.store("det_orders").currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO det_orders
+            |SELECT o_orderstatus, o_totalprice FROM orders"""
+            .stripMargin, batchId = Some(0L))
+      val d = cat.exec(s, "DESCRIBE DETAIL det_orders").head()
+      cat.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM det_orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("d_format", lit(d.getAs[String]("format")))
+        .withColumn("d_version", lit(d.getAs[Long]("version")))
+        .withColumn("d_partition_columns",
+          lit(d.getAs[String]("partition_columns")))
+        .withColumn("d_stats_columns",
+          lit(d.getAs[String]("stats_columns")))
+        .withColumn("d_num_checks", lit(d.getAs[Long]("num_checks")))
+        .withColumn("d_has_files",
+          lit(if (d.getAs[Long]("num_files") > 0L &&
+            d.getAs[Long]("size_in_bytes") > 0L) 1 else 0))
     })
 }

@@ -721,6 +721,19 @@ class StoreCatalogSpec extends SparkSpec {
       .collect().toSet == Set(70L, 80L))
   }
 
+  test("DESCRIBE DETAIL lazy-attaches its target in a fresh session " +
+      "even though the text parses in Spark's grammar") {
+    val base = Files.createTempDirectory("catalog-detail-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark, "CREATE TABLE dd (k STRING) USING graft_store")
+    cat.exec(spark, "INSERT INTO dd VALUES ('a')", batchId = Some(0L))
+    val fresh = new StoreCatalog(base.toString)
+    val r = fresh.exec(spark, "DESCRIBE DETAIL dd").head()
+    assert(r.getAs[String]("format") == "graft-store" &&
+      r.getAs[Long]("version") == 2L)
+  }
+
   test("SHOW PARTITIONS lists the hive-layout partition values from " +
       "listings alone; multi-batch duplicates collapse; a " +
       "non-partitioned table refuses") {

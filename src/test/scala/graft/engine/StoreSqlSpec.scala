@@ -521,6 +521,35 @@ class StoreSqlSpec extends SparkSpec {
     }
   }
 
+  test("DESCRIBE DETAIL returns one row of physical table metadata " +
+      "without opening a data file, and wins over Spark's " +
+      "DESCRIBE-column parse") {
+    val p = Files.createTempDirectory("sqldetail-")
+    p.toFile.deleteOnExit()
+    val store = new ManifestTableStore(p.toString,
+      partitionBy = Seq("k"), statsColumns = Seq("n"),
+      bloomColumns = Seq("k"))
+    store.append(Seq(("a", 1), ("b", 2)).toDF("k", "n"), 0L)
+    store.append(Seq(("c", 3)).toDF("k", "n"), 1L)
+    store.addCheck(spark, "n_pos", "n > 0")
+    val d = StoreSql.exec(spark, Map("t" -> store),
+      "DESCRIBE DETAIL t").collect()
+    assert(d.length == 1)
+    val r = d.head
+    assert(r.getAs[String]("format") == "graft-store")
+    assert(r.getAs[String]("location") == p.toString)
+    assert(r.getAs[Long]("version") == 2L)
+    assert(r.getAs[String]("partition_columns") == "k")
+    assert(r.getAs[String]("stats_columns") == "n")
+    assert(r.getAs[String]("bloom_columns") == "k")
+    assert(r.getAs[Long]("num_checks") == 1L)
+    assert(r.getAs[Long]("num_files") >= 2L,
+      "two committed batches mean at least two live parquet files")
+    assert(r.getAs[Long]("size_in_bytes") > 0L)
+    assert(!r.getAs[java.sql.Timestamp]("created_at")
+      .after(r.getAs[java.sql.Timestamp]("last_modified")))
+  }
+
   test("table_changes('t', start[, end]) serves the batch change feed " +
       "through pure SQL: commit-range semantics, end defaults to " +
       "current, deletes carry _change_type='delete', bad args refuse") {
