@@ -515,6 +515,53 @@ final class StoreCatalog(basePath: String) {
               "(use UNSET TBLPROPERTIES IF EXISTS)")
           props -- up.propertyKeys
         }
+      case Some(a: org.apache.spark.sql.catalyst.plans.logical
+          .AlterColumns) if a.specs.exists(sp =>
+            sp.newDefaultExpression.nonEmpty || sp.dropDefault) =>
+        // ALTER COLUMN ... SET/DROP DEFAULT — a CATALOG edit, not a
+        // store commit: defaults are write-time sugar filled at the
+        // SQL INSERT boundary (Delta's semantics — existing rows are
+        // untouched, no version is created), so the change lands in
+        // the defaults registry + the spec sidecar, exactly where
+        // CREATE TABLE's declarations live
+        require(a.specs.forall(sp => sp.newDataType.isEmpty &&
+          sp.newNullability.isEmpty && sp.newComment.isEmpty &&
+          sp.newPosition.isEmpty),
+          "SET/DROP DEFAULT cannot combine with TYPE/comment/" +
+            "position/nullability changes in one statement")
+        val name = tableNameOf(a.table, "ALTER COLUMN ... DEFAULT")
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$name'"))
+        val schemaCols = s.read(spark).schema.fieldNames.toSeq
+          .filterNot(_ == "batch_id")
+        val next = a.specs.foldLeft(
+            defaultsReg.getOrElse(name, Map.empty)) { (m, sp) =>
+          val parts = sp.column.name
+          require(parts.size == 1,
+            s"nested column path ${parts.mkString(".")} is not " +
+              "supported")
+          val col = schemaCols.find(_.equalsIgnoreCase(parts.head))
+            .getOrElse(throw new IllegalArgumentException(
+              s"ALTER COLUMN: no column '${parts.head}' in table " +
+                s"'$name' (${schemaCols.mkString(", ")})"))
+          sp.newDefaultExpression match {
+            case Some(d) =>
+              // validated to parse NOW (see CREATE)
+              org.apache.spark.sql.functions.expr(d.originalSQL)
+              m + (col -> d.originalSQL)
+            case None => m - col // DROP DEFAULT: no-op when absent
+          }
+        }
+        // physical knobs carry through unchanged (mirror of
+        // alterProps carrying defaults through unchanged)
+        val props: Map[String, String] = Map(
+          "statsColumns" -> s.statsColumnNames.mkString(","),
+          "bloomColumns" -> s.bloomColumnNames.mkString(","),
+          "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
+          .filter(_._2.nonEmpty)
+        updateSpec(spark, s.tablePath, s.partitionColumns, props, next)
+        defaultsReg.put(name, next)
+        spark.emptyDataFrame
       case _ => StoreSql.exec(spark, tables, sql, batchId, defaults)
     }
   }

@@ -2067,11 +2067,13 @@ object StoreOps {
     // Column DEFAULTs at the SQL INSERT boundary (Delta/Iceberg
     // DEFAULT semantics, write-time sugar): a catalog-declared DEFAULT
     // fills exactly the columns an INSERT OMITS — a full-width INSERT
-    // never consults it, and the declaration round-trips through the
-    // spec sidecar into SHOW CREATE TABLE (pinned). The grouped result
-    // spans one omitting and one full-width batch, so a default
-    // leaking into full rows (or an omitted column landing NULL)
-    // shifts the route groups.
+    // never consults it, the declaration round-trips through the spec
+    // sidecar into SHOW CREATE TABLE (pinned), and `ALTER COLUMN ...
+    // SET DEFAULT` (no version, no rewrite) changes the fill for
+    // LATER omitting inserts only. Three batches — omitting,
+    // full-width, omitting-after-alter — so a default leaking into
+    // full rows, an omitted column landing NULL, or the alter
+    // retroactively touching batch one all shift the route groups.
     QueryDef(
       "q228_sql_column_defaults",
       """WITH t AS (
@@ -2081,13 +2083,18 @@ object StoreOps {
         |  UNION ALL
         |  SELECT o_orderstatus, o_orderpriority AS route, 7 AS hops
         |  FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00')
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT o_orderstatus, 'rerouted' AS route, 3 AS hops
+        |  FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
         |SELECT o_orderstatus, route, COUNT(*) AS n,
         |  CAST(SUM(hops) AS BIGINT) AS sum_hops, 1 AS ddl_roundtrip
         |FROM t GROUP BY o_orderstatus, route
         |ORDER BY o_orderstatus, route""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_col_defaults", dir)
+      val base = Materialize.keyedPath(s, "sql_col_defaults_v2", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS dfl_orders (
@@ -2106,12 +2113,25 @@ object StoreOps {
         cat.exec(s,
           """INSERT INTO dfl_orders
             |SELECT o_orderstatus, o_orderpriority, 7 FROM orders
-            |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'"""
+            |WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+            |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'"""
             .stripMargin, batchId = Some(1L))
+      if (store.currentVersion(s) == 3L) {
+        // the alter itself commits NOTHING (version stays 3 — the
+        // gate re-checks); only the following omitting insert moves it
+        cat.exec(s,
+          "ALTER TABLE dfl_orders ALTER COLUMN route " +
+            "SET DEFAULT 'rerouted'")
+        cat.exec(s,
+          """INSERT INTO dfl_orders (o_orderstatus, hops)
+            |SELECT o_orderstatus, 3 FROM orders
+            |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'"""
+            .stripMargin, batchId = Some(2L))
+      }
       val ddl = cat.exec(s, "SHOW CREATE TABLE dfl_orders")
         .head().getString(0)
-      val roundtrip =
-        if (ddl.contains("route STRING DEFAULT 'unrouted'") &&
+      val roundtrip = // the ALTERED default is what round-trips now
+        if (ddl.contains("route STRING DEFAULT 'rerouted'") &&
           ddl.contains("hops INT DEFAULT 0")) 1 else 0
       cat.query(s,
         """SELECT o_orderstatus, route, COUNT(*) AS n,

@@ -664,6 +664,29 @@ class StoreCatalogSpec extends SparkSpec {
     cat3.exec(spark, "INSERT INTO d (k) VALUES ('e')",
       batchId = Some(3L))
     assert(rows(cat3).contains(("e", 42, "none")))
+    // ALTER COLUMN SET DEFAULT changes the fill for LATER omitting
+    // inserts only (no version, no rewrite — write-time sugar); DROP
+    // DEFAULT reverts the column to NULL-fill; both survive a fresh
+    // catalog, and the TBLPROPERTIES knob set from above carries
+    // through the republished spec
+    cat3.exec(spark, "ALTER TABLE d ALTER COLUMN n SET DEFAULT 99")
+    cat3.exec(spark, "ALTER TABLE d ALTER COLUMN tag DROP DEFAULT")
+    val v = cat3.store("d").currentVersion(spark)
+    val cat4 = new StoreCatalog(base.toString)
+    cat4.exec(spark, "INSERT INTO d (k) VALUES ('f')",
+      batchId = Some(4L))
+    assert(cat4.store("d").currentVersion(spark) == v + 1,
+      "the default edits themselves committed no version")
+    val f = cat4.query(spark,
+      "SELECT n, tag FROM d WHERE k = 'f'").collect().head
+    assert(f.getInt(0) == 99 && f.isNullAt(1),
+      s"new default fills, dropped default NULL-fills: $f")
+    assert(rows(cat4).contains(("e", 42, "none")),
+      "earlier rows keep the values they were written with")
+    // unknown column / combined TYPE+DEFAULT refuse
+    intercept[IllegalArgumentException] {
+      cat4.exec(spark, "ALTER TABLE d ALTER COLUMN zz SET DEFAULT 1")
+    }
   }
 
   test("CREATE OR REPLACE TABLE redeclares the schema in place: rows " +
