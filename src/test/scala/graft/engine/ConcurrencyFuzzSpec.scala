@@ -213,4 +213,76 @@ class ConcurrencyFuzzSpec extends SparkSpec {
     // the chain stayed complete through the race
     assert(store.history(spark).count() == cur)
   }
+
+  test("REPLACE races an append storm: the redeclare commits exactly " +
+      "once (blind-replacement conflicts retried), the replaced " +
+      "version is empty with the DECLARED schema, and the final " +
+      "state is exactly the post-replace insert stream") {
+    val p = Files.createTempDirectory("fuzzreplace-")
+    p.toFile.deleteOnExit()
+    val nWriters = 6
+    val perWriter = 3
+    val errors =
+      new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    new ManifestTableStore(p.toString, statsColumns = Seq("n"))
+      .append(Seq(("seed", 0, -9L)).toDF("k", "n", "expect_id"), 999L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("expect_id",
+        org.apache.spark.sql.types.LongType)))
+    val writers = (0 until nWriters).map { w =>
+      new Thread(() => {
+        try {
+          val mine = new ManifestTableStore(p.toString,
+            statsColumns = Seq("n"))
+          (0 until perWriter).foreach { b =>
+            val id = w * 100L + b
+            mine.append(Seq((s"w$w-b$b", w * 1000 + b, id))
+              .toDF("k", "n", "expect_id"), id)
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    val replacer = new Thread(() => {
+      try {
+        val mine = new ManifestTableStore(p.toString,
+          statsColumns = Seq("n"))
+        Thread.sleep(60)
+        var done = false
+        while (!done)
+          try { mine.replaceSchema(spark, schema, Nil); done = true }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+          } // a lost race applied NOTHING — retry is safe
+      } catch { case t: Throwable => errors.add(t) }
+    })
+    (writers :+ replacer).foreach(_.start())
+    (writers :+ replacer).foreach(_.join(300000))
+    assert(errors.isEmpty, s"unexpected failures: ${errors}")
+    val store = new ManifestTableStore(p.toString,
+      statsColumns = Seq("n"))
+    val cur = store.currentVersion(spark)
+    val emptyVersions = (1L to cur).filter(v =>
+      store.readVersion(spark, v).count() == 0)
+    assert(emptyVersions.size == 1,
+      s"expected exactly one replaced version, got $emptyVersions")
+    val rv = emptyVersions.head
+    assert(store.readVersion(spark, rv).schema.fieldNames.toSet
+      == Set("k", "n", "expect_id", "batch_id"),
+      "the replaced version serves the DECLARED schema")
+    val finalRows = store.read(spark).select("k")
+      .as[String].collect().toSet
+    assert(finalRows.size == store.read(spark).count(),
+      "a rebase duplicated a batch")
+    val sinceReplace = store.readChanges(spark, rv, cur)
+      .select("k").as[String].collect().toSet
+    assert(finalRows == sinceReplace,
+      s"final state must equal the post-replace stream: " +
+        s"${finalRows.diff(sinceReplace)} vs " +
+        s"${sinceReplace.diff(finalRows)}")
+    assert(store.history(spark).count() == cur)
+  }
 }
