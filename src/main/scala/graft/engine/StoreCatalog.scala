@@ -54,6 +54,9 @@ final class StoreCatalog(basePath: String) {
 
   /** Register an externally-constructed store under a name. */
   def register(name: String, store: ManifestTableStore): this.type = {
+    // an external handle carries no default declarations — a stale
+    // entry from a same-named earlier table must not leak into it
+    defaultsReg.remove(name)
     absent.remove(name); reg.put(name, store); this
   }
 
@@ -132,8 +135,10 @@ final class StoreCatalog(basePath: String) {
             } else None
           case None => // legacy/no-spec table: attach bare if committed
             val s = mk(path, Nil, Map.empty)
-            if (s.currentVersion(spark) > 0) { reg.put(name, s); Some(s) }
-            else None
+            if (s.currentVersion(spark) > 0) {
+              defaultsReg.remove(name) // no spec = no defaults
+              reg.put(name, s); Some(s)
+            } else None
         }
         if (attached.isEmpty) absent.add(name)
         attached
@@ -296,8 +301,14 @@ final class StoreCatalog(basePath: String) {
             }
             val df = org.apache.spark.sql.graftshim.PlanShim.ofRows(
               spark, StoreSql.route(spark, tables, pinned))
+            // a star-select over a store relation carries the internal
+            // batch_id attribution column — append re-stamps it anyway
+            // (exactly as CTAS), so the DECLARED schema must not
+            // include it or replaceSchema's own guard refuses
+            val declared = StructType(
+              df.schema.filterNot(_.name == "batch_id"))
             val fresh = replaceAt(spark, name, s, Nil,
-              rtas.partitioning, rtas.tableSpec, Some(df.schema))
+              rtas.partitioning, rtas.tableSpec, Some(declared))
             fresh.append(df, bid)
           case None =>
             require(rtas.orCreate, s"REPLACE TABLE '$name': no such " +
@@ -352,6 +363,8 @@ final class StoreCatalog(basePath: String) {
             f.delete(new org.apache.hadoop.fs.Path(
               s"$basePath/_catalog/$name"), false)
             reg.remove(name)
+            defaultsReg.remove(name) // a recreated same-name table
+            // must not inherit the dead table's column defaults
           case None =>
             require(dt.ifExists, s"unknown table '$name' " +
               "(use DROP TABLE IF EXISTS; note: a custom-LOCATION " +
@@ -379,16 +392,7 @@ final class StoreCatalog(basePath: String) {
         import spark.implicits._
         require(d.partitionSpec.isEmpty,
           "DESCRIBE TABLE PARTITION is not supported")
-        val name = d.relation match {
-          case t: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedTableOrView =>
-            require(t.multipartIdentifier.size == 1,
-              "store tables are single-part names, got " +
-                t.multipartIdentifier.mkString("."))
-            t.multipartIdentifier.head
-          case other => throw new IllegalArgumentException(
-            s"unsupported DESCRIBE target: $other")
-        }
+        val name = tableNameOf(d.relation, "DESCRIBE")
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(
             s"unknown table '$name' (known: " +
@@ -425,16 +429,7 @@ final class StoreCatalog(basePath: String) {
         // the table (schema WITHOUT the internal batch_id column,
         // constraints, partitioning, knobs, location).
         import spark.implicits._
-        val name = sc.child match {
-          case t: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedTableOrView =>
-            require(t.multipartIdentifier.size == 1,
-              "store tables are single-part names, got " +
-                t.multipartIdentifier.mkString("."))
-            t.multipartIdentifier.head
-          case other => throw new IllegalArgumentException(
-            s"unsupported SHOW CREATE TABLE target: $other")
-        }
+        val name = tableNameOf(sc.child, "SHOW CREATE TABLE")
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
         val dfl = defaultsReg.getOrElse(name, Map.empty)
@@ -444,12 +439,7 @@ final class StoreCatalog(basePath: String) {
             dfl.get(f.name).fold("")(d => s" DEFAULT $d"))
         val checks = s.listChecks(spark).map { case (n, pred) =>
           s"  CONSTRAINT $n CHECK ($pred)" }
-        val props = Seq(
-          "statsColumns" -> s.statsColumnNames.mkString(","),
-          "bloomColumns" -> s.bloomColumnNames.mkString(","),
-          "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
-          .filter(_._2.nonEmpty)
-          .map { case (k, v) => s"'$k'='$v'" }
+        val props = knobsOf(s).map { case (k, v) => s"'$k'='$v'" }
         val stmt = Seq(
           Some(s"CREATE TABLE $name (\n" +
             (colDdl ++ checks).mkString(",\n") + ")"),
@@ -469,11 +459,7 @@ final class StoreCatalog(basePath: String) {
         val name = tableNameOf(sp.table, "SHOW TBLPROPERTIES")
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
-        val props = Seq(
-          "statsColumns" -> s.statsColumnNames.mkString(","),
-          "bloomColumns" -> s.bloomColumnNames.mkString(","),
-          "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
-          .filter(_._2.nonEmpty)
+        val props = knobsOf(s)
         sp.propertyKey match {
           case Some(k) =>
             val v = props.toMap.getOrElse(k,
@@ -532,34 +518,32 @@ final class StoreCatalog(basePath: String) {
         val name = tableNameOf(a.table, "ALTER COLUMN ... DEFAULT")
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
-        val schemaCols = s.read(spark).schema.fieldNames.toSeq
-          .filterNot(_ == "batch_id")
+        val schemaFields = s.read(spark).schema.fields.toSeq
+          .filterNot(_.name == "batch_id")
         val next = a.specs.foldLeft(
             defaultsReg.getOrElse(name, Map.empty)) { (m, sp) =>
           val parts = sp.column.name
           require(parts.size == 1,
             s"nested column path ${parts.mkString(".")} is not " +
               "supported")
-          val col = schemaCols.find(_.equalsIgnoreCase(parts.head))
+          val fld = schemaFields.find(_.name.equalsIgnoreCase(parts.head))
             .getOrElse(throw new IllegalArgumentException(
               s"ALTER COLUMN: no column '${parts.head}' in table " +
-                s"'$name' (${schemaCols.mkString(", ")})"))
+                s"'$name' (${schemaFields.map(_.name).mkString(", ")})"))
           sp.newDefaultExpression match {
             case Some(d) =>
-              // validated to parse NOW (see CREATE)
-              org.apache.spark.sql.functions.expr(d.originalSQL)
-              m + (col -> d.originalSQL)
-            case None => m - col // DROP DEFAULT: no-op when absent
+              // full declaration-time validation (constant, lossless
+              // cast to the LIVE column type) — see [[validateDefault]]
+              validateDefault(spark, fld.name, d.originalSQL,
+                fld.dataType)
+              m + (fld.name -> d.originalSQL)
+            case None => m - fld.name // DROP DEFAULT: no-op when absent
           }
         }
         // physical knobs carry through unchanged (mirror of
         // alterProps carrying defaults through unchanged)
-        val props: Map[String, String] = Map(
-          "statsColumns" -> s.statsColumnNames.mkString(","),
-          "bloomColumns" -> s.bloomColumnNames.mkString(","),
-          "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
-          .filter(_._2.nonEmpty)
-        updateSpec(spark, s.tablePath, s.partitionColumns, props, next)
+        updateSpec(spark, s.tablePath, s.partitionColumns,
+          knobsOf(s).toMap, next)
         defaultsReg.put(name, next)
         spark.emptyDataFrame
       case _ => StoreSql.exec(spark, tables, sql, batchId, defaults)
@@ -585,11 +569,7 @@ final class StoreCatalog(basePath: String) {
     val s = resolve(spark, name).getOrElse(
       throw new IllegalArgumentException(s"unknown table '$name'"))
     val knobs = Seq("statsColumns", "bloomColumns", "morDeleteKey")
-    val current: Map[String, String] = Map(
-      "statsColumns" -> s.statsColumnNames.mkString(","),
-      "bloomColumns" -> s.bloomColumnNames.mkString(","),
-      "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
-      .filter(_._2.nonEmpty)
+    val current: Map[String, String] = knobsOf(s).toMap
     val next = xform(current)
     val foreign = next.keySet.filterNot(knobs.contains)
     require(foreign.isEmpty,
@@ -648,7 +628,8 @@ final class StoreCatalog(basePath: String) {
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
         .TableSpecBase,
       ignoreIfExists: Boolean): Option[ManifestTableStore] = {
-    val present = reg.get(name).orElse {
+    val present: Option[(ManifestTableStore, Option[Map[String,
+        String]])] = reg.get(name).map(s => (s, None)).orElse {
       val (declaredPath, pb, props) =
         physical(name, partitioning, tableSpec)
       // candidate roots, pointer target FIRST: a custom-LOCATION table
@@ -656,25 +637,42 @@ final class StoreCatalog(basePath: String) {
       // re-attaching statement omits LOCATION or declares a DIFFERENT
       // one — a plain `CREATE TABLE t ... LOCATION '/new'` must refuse
       // over (not silently re-point away from) a live committed table
-      // the pointer addresses at '/old'
+      // the pointer addresses at '/old'. LAZY over the candidates: the
+      // second root's manifest probe (and its defaults) must not run —
+      // let alone win — when the pointer target resolves first.
       val candidates =
         (readPointer(spark, name).toSeq :+ declaredPath).distinct
-      candidates.flatMap { path =>
+      candidates.iterator.flatMap { path =>
         val (epb, eprops, edfl) = loadSpec(spark, path)
           .getOrElse((pb, props, Map.empty[String, String]))
         val onDisk = mk(path, epb, eprops)
-        if (onDisk.currentVersion(spark) > 0) {
-          defaultsReg.put(name, edfl); Some(onDisk)
-        } else None
-      }.headOption
+        if (onDisk.currentVersion(spark) > 0)
+          Some((onDisk, Some(edfl)))
+        else None
+      }.nextOption()
     }
-    present.foreach { s =>
+    present.foreach { case (s, dfl) =>
       require(ignoreIfExists,
         s"table '$name' already exists (use IF NOT EXISTS)")
+      // registration (defaults included) ONLY on the accepted path —
+      // a refused CREATE has no side effects
+      dfl.foreach(defaultsReg.put(name, _))
       absent.remove(name); reg.put(name, s)
     }
-    present
+    present.map(_._1)
   }
+
+  /** The store's physical-knob properties as ONE ordered list every
+    * SHOW/ALTER surface serves — a new knob lands here once, or SHOW
+    * CREATE TABLE, SHOW TBLPROPERTIES, and the ALTER legs silently
+    * drift apart.
+    */
+  private def knobsOf(s: ManifestTableStore): Seq[(String, String)] =
+    Seq(
+      "statsColumns" -> s.statsColumnNames.mkString(","),
+      "bloomColumns" -> s.bloomColumnNames.mkString(","),
+      "morDeleteKey" -> s.morDeleteKey.getOrElse(""))
+      .filter(_._2.nonEmpty)
 
   private def specJson(partitionBy: Seq[String],
       props: Map[String, String],
@@ -905,7 +903,7 @@ final class StoreCatalog(basePath: String) {
     val (path, pb, props) = physical(name, partitioning, tableSpec)
     validateProps(columns.map(_.name), pb, props)
     val store = mk(path, pb, props)
-    val colDefaults = defaultsOf(columns)
+    val colDefaults = defaultsOf(spark, columns)
     clearStaleSidecars(spark, name, path)
     persistSpec(spark, path, pb, props, colDefaults)
     persistPointer(spark, name, path)
@@ -944,6 +942,9 @@ final class StoreCatalog(basePath: String) {
     checksOf(tableSpec).foreach { case (n, pred) =>
       store.addCheck(spark, n, pred) }
     store.append(df, bid)
+    // a CTAS table declares no column defaults — a same-named earlier
+    // table's entries must not survive into it
+    defaultsReg.put(name, Map.empty)
     absent.remove(name); reg.put(name, store)
   }
 
@@ -969,7 +970,7 @@ final class StoreCatalog(basePath: String) {
       c: ColumnDefinition => StructField(c.name, c.dataType, c.nullable)
     }))
     validateProps(schema.fieldNames.toSeq, pb, props)
-    val colDefaults = defaultsOf(columns)
+    val colDefaults = defaultsOf(spark, columns)
     s.replaceSchema(spark, schema, pb)
     s.listChecks(spark).foreach { case (n, _) => s.dropCheck(spark, n) }
     val fresh = mk(s.tablePath, pb, props)
@@ -980,14 +981,42 @@ final class StoreCatalog(basePath: String) {
     fresh
   }
 
-  private def defaultsOf(columns: Seq[ColumnDefinition])
-      : Map[String, String] =
+  private def defaultsOf(spark: SparkSession,
+      columns: Seq[ColumnDefinition]): Map[String, String] =
     columns.flatMap { c =>
       c.defaultValue.map { d =>
-        org.apache.spark.sql.functions.expr(d.originalSQL)
+        validateDefault(spark, c.name, d.originalSQL, c.dataType)
         c.name -> d.originalSQL
       }
     }.toMap
+
+  /** A DEFAULT must be a CONSTANT the column's type can represent
+    * (Delta's declaration-time rule): a column reference would resolve
+    * PER-ROW against the INSERT frame at fill time (silently copying
+    * another column), and a lossy cast would fill NULL instead of the
+    * declared value. Both refuse HERE, at DDL time — the doc promise
+    * "a broken default refuses at create" covers more than parsing.
+    */
+  private def validateDefault(spark: SparkSession, col: String,
+      sql: String, dt: org.apache.spark.sql.types.DataType): Unit = {
+    val e = spark.sessionState.sqlParser.parseExpression(sql)
+    val refs = e.collect {
+      case a: org.apache.spark.sql.catalyst.analysis
+        .UnresolvedAttribute => a.name
+    }
+    require(refs.isEmpty,
+      s"DEFAULT ($sql) for column '$col' references " +
+        s"${refs.mkString(", ")}: a default must be a constant " +
+        "expression")
+    // one local evaluation: a non-null default value must survive the
+    // cast to the column's declared type
+    val lossy = spark.sql(
+        s"SELECT ($sql) IS NOT NULL AND CAST(($sql) AS ${dt.sql}) " +
+          "IS NULL").head().getBoolean(0)
+    require(!lossy,
+      s"DEFAULT ($sql) for column '$col' does not cast losslessly " +
+        s"to ${dt.sql}")
+  }
 
   /** Declared CHECK constraints plus NOT NULL columns as named checks
     * (Delta enforces NOT NULL as an invariant; expressing it as a

@@ -449,10 +449,12 @@ object StoreSql {
     * verbs: `OPTIMIZE t -- nightly` routes on `OPTIMIZE t`, and a table
     * name smuggled inside a comment or string cannot confuse a regex.
     */
-  private def stripInert(sql: String): String = sql
+  private def stripComments(sql: String): String = sql
     .replaceAll("(?s)/\\*.*?\\*/", " ")
     .replaceAll("--[^\r\n]*", " ")
-    .replaceAll("'(?:[^']|'')*'", " ")
+
+  private def stripInert(sql: String): String =
+    stripComments(sql).replaceAll("'(?:[^']|'')*'", " ")
 
   // Delta's operational statement shapes. OPTIMIZE/VACUUM/RESTORE/
   // DESCRIBE HISTORY are not in Spark's grammar (Delta injects them via
@@ -509,6 +511,15 @@ object StoreSql {
         f.name.equalsIgnoreCase(c) && f.name != "batch_id")
       val missing = df.columns.toSeq
         .filter(c => c != "batch_id" && fieldOf(c).isEmpty)
+      // a bare NULL literal arrives as NullType (void) — parquet has
+      // no such type, so the marker write would crash ungoverned deep
+      // in the commit path; refuse with the remediation instead
+      missing.foreach { c =>
+        require(df.schema(c).dataType !=
+          org.apache.spark.sql.types.NullType,
+          s"cannot auto-ADD column '$c' from an untyped NULL value — " +
+            "CAST the value to the intended column type")
+      }
       if (missing.nonEmpty)
         store.addColumns(spark,
           missing.map(c => c -> df.schema(c).dataType))
@@ -622,7 +633,17 @@ object StoreSql {
           .toDF("restored_to", "current_version"))
       case HistoryStmt(t) => Some(storeNamed(t).history(spark))
       case DetailStmt(t) => Some(storeNamed(t).describeDetail(spark))
-      case OptimizeStmt(t, where, zcols) =>
+      case OptimizeStmt(t, _, _) =>
+        // ROUTED on the inert text (a table name inside a string
+        // cannot confuse the verb match) but CAPTURED from the
+        // comment-stripped ORIGINAL: the WHERE predicate's own string
+        // and timestamp literals must survive — `OPTIMIZE t WHERE
+        // o_orderdate >= '1998-01-01'` is the verb's headline use
+        val (where, zcols) = stripComments(sql).trim match {
+          case OptimizeStmt(_, w, z) => (w, z)
+          case other => throw new IllegalArgumentException(
+            s"cannot extract the OPTIMIZE predicate from: $other")
+        }
         val store = storeNamed(t)
         val actions =
           if (zcols == null)

@@ -655,13 +655,18 @@ final class ManifestTableStore(path: String,
         if (st.isDirectory) walk(st.getPath) else Seq(st) }
     val files = dataDirs.flatMap(d => walk(new HPath(d)))
       .filter(_.getPath.getName.endsWith(".parquet"))
-    def manifestMtime(version: Long): Option[Long] =
-      try Some(f.getFileStatus(new HPath(manifestDir, s"v$version"))
-        .getModificationTime)
-      catch { case _: java.io.FileNotFoundException => None }
-    // oldest SURVIVING manifest = creation (or the vacuum horizon)
-    val createdAt = (1L to v).iterator.map(manifestMtime)
-      .collectFirst { case Some(t) => t }
+    // ONE manifest-dir listing serves both instants (probing v1..v
+    // one getFileStatus at a time would be a version-count-bounded FS
+    // storm on a long-lived table): oldest SURVIVING manifest =
+    // creation (or the vacuum horizon), the current one = last write
+    val manifests = f.listStatus(manifestDir).toSeq
+      .filter(_.getPath.getName.startsWith("v"))
+    val createdAt = manifests
+      .minByOption(_.getPath.getName.drop(1).toLong)
+      .map(_.getModificationTime)
+    def manifestMtime(version: Long): Option[Long] = manifests
+      .find(_.getPath.getName == s"v$version")
+      .map(_.getModificationTime)
     import spark.implicits._
     Seq((
       "graft-store", path, v,

@@ -742,6 +742,45 @@ class StoreCatalogSpec extends SparkSpec {
       batchId = Some(3L))
     assert(cat.query(spark, "SELECT id10 FROM r").as[Long]
       .collect().toSet == Set(70L, 80L))
+    // star-select RTAS over a store relation: the frame carries the
+    // internal batch_id column — the replace must shed it (append
+    // re-stamps it), exactly as CTAS does
+    cat.exec(spark,
+      "CREATE OR REPLACE TABLE born USING graft_store AS " +
+        "SELECT * FROM r", batchId = Some(4L))
+    assert(cat.query(spark, "SELECT id10 FROM born").as[Long]
+      .collect().toSet == Set(70L, 80L))
+  }
+
+  test("a recreated same-name table does not inherit the dropped " +
+      "table's column DEFAULTs, and broken defaults refuse at DDL " +
+      "time (non-constant, lossy cast)") {
+    val base = Files.createTempDirectory("catalog-dfl-leak-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      "CREATE TABLE lk (k STRING, n INT DEFAULT 42) USING graft_store")
+    cat.exec(spark, "DROP TABLE lk")
+    cat.exec(spark, "CREATE TABLE lk (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO lk (k) VALUES ('a')",
+      batchId = Some(0L))
+    assert(cat.query(spark, "SELECT n FROM lk").head().isNullAt(0),
+      "the dead table's DEFAULT 42 must not fill the recreated table")
+    // a default referencing a column would copy per-row values at
+    // fill time — refused at declaration (Delta's constancy rule)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE TABLE bad1 (a INT, b INT DEFAULT a) USING graft_store")
+    }
+    // a default the column type cannot represent would silently fill
+    // NULL — refused at declaration
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE TABLE bad2 (c INT DEFAULT 'abc') USING graft_store")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE lk ALTER COLUMN n SET DEFAULT 'xy'")
+    }
   }
 
   test("DESCRIBE DETAIL lazy-attaches its target in a fresh session " +

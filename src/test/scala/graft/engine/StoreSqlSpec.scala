@@ -376,6 +376,15 @@ class StoreSqlSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       StoreSql.exec(spark, t, "OPTIMIZE t WHERE n >= 1 ZORDER BY (n)")
     }
+    // the predicate's OWN string literals must survive routing (the
+    // verb match strips literals; the capture must not): the headline
+    // "optimize today's ingest" shape is a quoted literal
+    val lit = StoreSql.exec(spark, t, "OPTIMIZE t WHERE k = 'zzz'")
+      .collect().map(_.getString(0)).toSeq
+    assert(lit.exists(_.contains("where")),
+      s"string-literal predicate must route and parse: $lit")
+    assert(state(store) ==
+      Set(("a", 1), ("b", 2), ("c", 1000), ("d", 1001)))
   }
 
   test("the star-form MERGE source passes the INSERT schema gate: an " +
@@ -483,6 +492,15 @@ class StoreSqlSpec extends SparkSpec {
           "INSERT INTO t (k, n) VALUES ('e', 'not-a-number')",
           batchId = Some(4L))
       }
+      // an untyped NULL (void) cannot auto-ADD: targeted refusal with
+      // the CAST remediation, not a parquet void-type crash mid-commit
+      val nul = intercept[IllegalArgumentException] {
+        StoreSql.exec(spark, t,
+          "INSERT INTO t (k, n, ghost) VALUES ('g', 7, NULL)",
+          batchId = Some(6L))
+      }
+      assert(nul.getMessage.contains("CAST"), nul.getMessage)
+      assert(!store.read(spark).columns.contains("ghost"))
     } finally spark.conf.unset(StoreSql.AutoMergeConf)
     // conf OFF (default): unknown columns refuse with the ADD COLUMNS
     // remediation, exactly the pre-existing contract
