@@ -39,24 +39,39 @@ final class StoreCatalog(basePath: String) {
   private val reg =
     new scala.collection.concurrent.TrieMap[String, ManifestTableStore]()
 
-  /** Column DEFAULT expressions by table (name → column → the
-    * declaration's original SQL): a CATALOG concern, persisted in the
-    * spec sidecar and filled at the SQL INSERT boundary — the store
-    * itself never sees them (defaults are write-time sugar, not data;
-    * Delta's semantics: existing rows read NULL, only new writes that
-    * OMIT the column get the default).
+  /** Per-table COLUMN metadata the CATALOG owns (the store never sees
+    * it): DEFAULT expressions (filled at the SQL INSERT boundary for
+    * omitted columns — Delta's write-time sugar: existing rows read
+    * NULL, full-width inserts never consult them), GENERATED
+    * expressions (computed at the SQL INSERT boundary for omitted
+    * columns; supplied values are enforced equal by an auto-registered
+    * write-time check, so API writes are governed too), and COMMENTs
+    * (DESCRIBE/SHOW CREATE rendering). Persisted in the spec sidecar;
+    * ONE registry so create/drop/re-attach/replace lifecycle is ONE
+    * code path for all three.
     */
-  private val defaultsReg =
-    new scala.collection.concurrent.TrieMap[String, Map[String, String]]()
+  private val metaReg =
+    new scala.collection.concurrent.TrieMap[String,
+      StoreCatalog.TableMeta]()
+
+  private def metaOf(name: String): StoreCatalog.TableMeta =
+    metaReg.getOrElse(name, StoreCatalog.TableMeta())
 
   /** The current defaults registry ([[StoreSql.exec]]'s shape). */
-  def defaults: Map[String, Map[String, String]] = defaultsReg.toMap
+  def defaults: Map[String, Map[String, String]] =
+    metaReg.toMap.map { case (t, m) => t -> m.defaults }
+
+  /** The current generated-column registry ([[StoreSql.exec]]'s
+    * shape).
+    */
+  def generated: Map[String, Map[String, String]] =
+    metaReg.toMap.map { case (t, m) => t -> m.generated }
 
   /** Register an externally-constructed store under a name. */
   def register(name: String, store: ManifestTableStore): this.type = {
-    // an external handle carries no default declarations — a stale
-    // entry from a same-named earlier table must not leak into it
-    defaultsReg.remove(name)
+    // an external handle carries no column declarations — stale
+    // metadata from a same-named earlier table must not leak into it
+    metaReg.remove(name)
     absent.remove(name); reg.put(name, store); this
   }
 
@@ -128,15 +143,15 @@ final class StoreCatalog(basePath: String) {
       else {
         val path = readPointer(spark, name).getOrElse(s"$basePath/$name")
         val attached = loadSpec(spark, path) match {
-          case Some((pb, props, dfl)) =>
+          case Some((pb, props, meta)) =>
             val s = mk(path, pb, props)
             if (s.currentVersion(spark) > 0) {
-              defaultsReg.put(name, dfl); reg.put(name, s); Some(s)
+              metaReg.put(name, meta); reg.put(name, s); Some(s)
             } else None
           case None => // legacy/no-spec table: attach bare if committed
             val s = mk(path, Nil, Map.empty)
             if (s.currentVersion(spark) > 0) {
-              defaultsReg.remove(name) // no spec = no defaults
+              metaReg.remove(name) // no spec = no column metadata
               reg.put(name, s); Some(s)
             } else None
         }
@@ -363,8 +378,8 @@ final class StoreCatalog(basePath: String) {
             f.delete(new org.apache.hadoop.fs.Path(
               s"$basePath/_catalog/$name"), false)
             reg.remove(name)
-            defaultsReg.remove(name) // a recreated same-name table
-            // must not inherit the dead table's column defaults
+            metaReg.remove(name) // a recreated same-name table must
+            // not inherit the dead table's column metadata
           case None =>
             require(dt.ifExists, s"unknown table '$name' " +
               "(use DROP TABLE IF EXISTS; note: a custom-LOCATION " +
@@ -397,11 +412,14 @@ final class StoreCatalog(basePath: String) {
           throw new IllegalArgumentException(
             s"unknown table '$name' (known: " +
               s"${listTables(spark).mkString(", ")})"))
+        val meta = metaOf(name)
         val cols = s.read(spark).schema.fields.toSeq.map(f =>
           (f.name, f.dataType.sql.toLowerCase,
             if (f.name == "batch_id")
               "store attribution column (exactly-once commits)"
-            else ""))
+            else meta.comments.getOrElse(f.name,
+              meta.generated.get(f.name)
+                .fold("")(g => s"generated: $g"))))
         val detail =
           if (!d.isExtended) Nil
           else {
@@ -432,13 +450,23 @@ final class StoreCatalog(basePath: String) {
         val name = tableNameOf(sc.child, "SHOW CREATE TABLE")
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
-        val dfl = defaultsReg.getOrElse(name, Map.empty)
+        val meta = metaOf(name)
         val colDdl = s.read(spark).schema.fields.toSeq
           .filterNot(_.name == "batch_id")
           .map(f => s"  ${f.name} ${f.dataType.sql}" +
-            dfl.get(f.name).fold("")(d => s" DEFAULT $d"))
-        val checks = s.listChecks(spark).map { case (n, pred) =>
-          s"  CONSTRAINT $n CHECK ($pred)" }
+            meta.generated.get(f.name)
+              .fold("")(g => s" GENERATED ALWAYS AS ($g)") +
+            meta.defaults.get(f.name).fold("")(d => s" DEFAULT $d") +
+            meta.comments.get(f.name)
+              .fold("")(c => s" COMMENT '${c.replace("'", "''")}'"))
+        // the auto-registered `<col>_generated` invariant re-derives
+        // from the GENERATED clause when this DDL is replayed — it
+        // must not ALSO render as a CONSTRAINT line (the replay would
+        // register it twice)
+        val genChecks = meta.generated.keySet.map(c => s"${c}_generated")
+        val checks = s.listChecks(spark)
+          .filterNot { case (n, _) => genChecks.contains(n) }
+          .map { case (n, pred) => s"  CONSTRAINT $n CHECK ($pred)" }
         val props = knobsOf(s).map { case (k, v) => s"'$k'='$v'" }
         val stmt = Seq(
           Some(s"CREATE TABLE $name (\n" +
@@ -520,8 +548,8 @@ final class StoreCatalog(basePath: String) {
           throw new IllegalArgumentException(s"unknown table '$name'"))
         val schemaFields = s.read(spark).schema.fields.toSeq
           .filterNot(_.name == "batch_id")
-        val next = a.specs.foldLeft(
-            defaultsReg.getOrElse(name, Map.empty)) { (m, sp) =>
+        val meta = metaOf(name)
+        val next = a.specs.foldLeft(meta.defaults) { (m, sp) =>
           val parts = sp.column.name
           require(parts.size == 1,
             s"nested column path ${parts.mkString(".")} is not " +
@@ -530,6 +558,9 @@ final class StoreCatalog(basePath: String) {
             .getOrElse(throw new IllegalArgumentException(
               s"ALTER COLUMN: no column '${parts.head}' in table " +
                 s"'$name' (${schemaFields.map(_.name).mkString(", ")})"))
+          require(!meta.generated.contains(fld.name),
+            s"column '${fld.name}' is GENERATED — it has no DEFAULT " +
+              "to set or drop")
           sp.newDefaultExpression match {
             case Some(d) =>
               // full declaration-time validation (constant, lossless
@@ -540,13 +571,15 @@ final class StoreCatalog(basePath: String) {
             case None => m - fld.name // DROP DEFAULT: no-op when absent
           }
         }
-        // physical knobs carry through unchanged (mirror of
-        // alterProps carrying defaults through unchanged)
+        // physical knobs and the other column metadata carry through
+        // unchanged (mirror of alterProps carrying defaults through)
+        val nextMeta = meta.copy(defaults = next)
         updateSpec(spark, s.tablePath, s.partitionColumns,
-          knobsOf(s).toMap, next)
-        defaultsReg.put(name, next)
+          knobsOf(s).toMap, nextMeta)
+        metaReg.put(name, nextMeta)
         spark.emptyDataFrame
-      case _ => StoreSql.exec(spark, tables, sql, batchId, defaults)
+      case _ =>
+        StoreSql.exec(spark, tables, sql, batchId, defaults, generated)
     }
   }
 
@@ -583,10 +616,10 @@ final class StoreCatalog(basePath: String) {
     validateProps(
       s.read(spark).columns.toSeq.filterNot(_ == "batch_id"),
       s.partitionColumns, next)
-    // column defaults carry through unchanged — SET/UNSET edits only
-    // the physical knobs, and a republished spec must not drop them
+    // column metadata carries through unchanged — SET/UNSET edits
+    // only the physical knobs, and a republished spec must not drop it
     updateSpec(spark, s.tablePath, s.partitionColumns, next,
-      defaultsReg.getOrElse(name, Map.empty))
+      metaOf(name))
     val fresh = mk(s.tablePath, s.partitionColumns, next)
     reg.put(name, fresh)
     // stats/bloom config changed → recompute every dir's manifest
@@ -628,8 +661,9 @@ final class StoreCatalog(basePath: String) {
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
         .TableSpecBase,
       ignoreIfExists: Boolean): Option[ManifestTableStore] = {
-    val present: Option[(ManifestTableStore, Option[Map[String,
-        String]])] = reg.get(name).map(s => (s, None)).orElse {
+    val present: Option[(ManifestTableStore,
+        Option[StoreCatalog.TableMeta])] =
+      reg.get(name).map(s => (s, None)).orElse {
       val (declaredPath, pb, props) =
         physical(name, partitioning, tableSpec)
       // candidate roots, pointer target FIRST: a custom-LOCATION table
@@ -644,7 +678,7 @@ final class StoreCatalog(basePath: String) {
         (readPointer(spark, name).toSeq :+ declaredPath).distinct
       candidates.iterator.flatMap { path =>
         val (epb, eprops, edfl) = loadSpec(spark, path)
-          .getOrElse((pb, props, Map.empty[String, String]))
+          .getOrElse((pb, props, StoreCatalog.TableMeta()))
         val onDisk = mk(path, epb, eprops)
         if (onDisk.currentVersion(spark) > 0)
           Some((onDisk, Some(edfl)))
@@ -656,7 +690,7 @@ final class StoreCatalog(basePath: String) {
         s"table '$name' already exists (use IF NOT EXISTS)")
       // registration (defaults included) ONLY on the accepted path —
       // a refused CREATE has no side effects
-      dfl.foreach(defaultsReg.put(name, _))
+      dfl.foreach(metaReg.put(name, _))
       absent.remove(name); reg.put(name, s)
     }
     present.map(_._1)
@@ -676,18 +710,21 @@ final class StoreCatalog(basePath: String) {
 
   private def specJson(partitionBy: Seq[String],
       props: Map[String, String],
-      defaults: Map[String, String]): Array[Byte] = {
+      meta: StoreCatalog.TableMeta): Array[Byte] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val root = mapper.createObjectNode()
     val pb = root.putArray("partitionBy")
     partitionBy.foreach(pb.add)
     Seq("statsColumns", "bloomColumns", "morDeleteKey")
       .foreach(k => props.get(k).foreach(v => root.put(k, v)))
-    if (defaults.nonEmpty) {
-      val d = root.putObject("defaults")
-      defaults.toSeq.sortBy(_._1).foreach { case (c, sql) =>
-        d.put(c, sql) }
-    }
+    def obj(key: String, m: Map[String, String]): Unit =
+      if (m.nonEmpty) {
+        val d = root.putObject(key)
+        m.toSeq.sortBy(_._1).foreach { case (c, v) => d.put(c, v) }
+      }
+    obj("defaults", meta.defaults)
+    obj("generated", meta.generated)
+    obj("comments", meta.comments)
     mapper.writeValueAsString(root).getBytes("UTF-8")
   }
 
@@ -696,11 +733,11 @@ final class StoreCatalog(basePath: String) {
     */
   private def persistSpec(spark: SparkSession, path: String,
       partitionBy: Seq[String], props: Map[String, String],
-      defaults: Map[String, String]): Unit = {
+      meta: StoreCatalog.TableMeta): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path, "table_spec")
     AtomicCreate.publish(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
-      specJson(partitionBy, props, defaults))
+      specJson(partitionBy, props, meta))
   }
 
   /** The spec sidecar generations at `path`, newest last: the creation
@@ -730,10 +767,10 @@ final class StoreCatalog(basePath: String) {
     */
   private def updateSpec(spark: SparkSession, path: String,
       partitionBy: Seq[String], props: Map[String, String],
-      defaults: Map[String, String]): Unit = {
+      meta: StoreCatalog.TableMeta): Unit = {
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bytes = specJson(partitionBy, props, defaults)
+    val bytes = specJson(partitionBy, props, meta)
     var next = math.max(specFiles(f, path).map(_._1).maxOption
       .getOrElse(0L), 1L) + 1L
     while (!AtomicCreate.publish(f,
@@ -769,7 +806,7 @@ final class StoreCatalog(basePath: String) {
   /** The NEWEST spec generation at `path` (see [[specFiles]]). */
   private def loadSpec(spark: SparkSession, path: String)
       : Option[(Seq[String], Map[String, String],
-        Map[String, String])] = {
+        StoreCatalog.TableMeta)] = {
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val hp = specFiles(f, path).lastOption.map(_._2).getOrElse {
@@ -787,13 +824,16 @@ final class StoreCatalog(basePath: String) {
       .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
     val props = Seq("statsColumns", "bloomColumns", "morDeleteKey")
       .flatMap(k => Option(root.get(k)).map(k -> _.asText())).toMap
-    val defaults = Option(root.get("defaults")).map { d =>
-      val it = d.fieldNames()
-      Iterator.continually(if (it.hasNext) Some(it.next()) else None)
-        .takeWhile(_.isDefined).flatten
-        .map(c => c -> d.get(c).asText()).toMap
-    }.getOrElse(Map.empty[String, String])
-    Some((pb, props, defaults))
+    def obj(key: String): Map[String, String] =
+      Option(root.get(key)).map { d =>
+        val it = d.fieldNames()
+        Iterator.continually(if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten
+          .map(c => c -> d.get(c).asText()).toMap
+      }.getOrElse(Map.empty[String, String])
+    Some((pb, props, StoreCatalog.TableMeta(
+      defaults = obj("defaults"), generated = obj("generated"),
+      comments = obj("comments"))))
   }
 
   /** The single-part table name a SHOW/DESCRIBE-style statement
@@ -903,15 +943,15 @@ final class StoreCatalog(basePath: String) {
     val (path, pb, props) = physical(name, partitioning, tableSpec)
     validateProps(columns.map(_.name), pb, props)
     val store = mk(path, pb, props)
-    val colDefaults = defaultsOf(spark, columns)
+    val meta = metaFromColumns(spark, columns)
     clearStaleSidecars(spark, name, path)
-    persistSpec(spark, path, pb, props, colDefaults)
+    persistSpec(spark, path, pb, props, meta)
     persistPointer(spark, name, path)
     store.createEmpty(spark, StructType(columns.map {
       c: ColumnDefinition => StructField(c.name, c.dataType, c.nullable)
     }))
-    installChecks(spark, store, columns, tableSpec)
-    defaultsReg.put(name, colDefaults)
+    installChecks(spark, store, columns, tableSpec, meta)
+    metaReg.put(name, meta)
     absent.remove(name); reg.put(name, store)
   }
 
@@ -937,14 +977,14 @@ final class StoreCatalog(basePath: String) {
       spark, StoreSql.route(spark, tables, query))
     validateProps(df.columns.toSeq, pb, props)
     clearStaleSidecars(spark, name, path)
-    persistSpec(spark, path, pb, props, Map.empty)
+    persistSpec(spark, path, pb, props, StoreCatalog.TableMeta())
     persistPointer(spark, name, path)
     checksOf(tableSpec).foreach { case (n, pred) =>
       store.addCheck(spark, n, pred) }
     store.append(df, bid)
-    // a CTAS table declares no column defaults — a same-named earlier
+    // a CTAS table declares no column metadata — a same-named earlier
     // table's entries must not survive into it
-    defaultsReg.put(name, Map.empty)
+    metaReg.put(name, StoreCatalog.TableMeta())
     absent.remove(name); reg.put(name, store)
   }
 
@@ -970,25 +1010,78 @@ final class StoreCatalog(basePath: String) {
       c: ColumnDefinition => StructField(c.name, c.dataType, c.nullable)
     }))
     validateProps(schema.fieldNames.toSeq, pb, props)
-    val colDefaults = defaultsOf(spark, columns)
+    val meta = metaFromColumns(spark, columns)
     s.replaceSchema(spark, schema, pb)
     s.listChecks(spark).foreach { case (n, _) => s.dropCheck(spark, n) }
     val fresh = mk(s.tablePath, pb, props)
-    installChecks(spark, fresh, columns, tableSpec)
-    updateSpec(spark, s.tablePath, pb, props, colDefaults)
-    defaultsReg.put(name, colDefaults)
+    installChecks(spark, fresh, columns, tableSpec, meta)
+    updateSpec(spark, s.tablePath, pb, props, meta)
+    metaReg.put(name, meta)
     absent.remove(name); reg.put(name, fresh)
     fresh
   }
 
-  private def defaultsOf(spark: SparkSession,
-      columns: Seq[ColumnDefinition]): Map[String, String] =
-    columns.flatMap { c =>
-      c.defaultValue.map { d =>
-        validateDefault(spark, c.name, d.originalSQL, c.dataType)
-        c.name -> d.originalSQL
+  /** Collect + validate the declaration's catalog-owned column
+    * metadata: DEFAULTs (constant, losslessly castable), GENERATED
+    * expressions (must reference only OTHER non-generated declared
+    * columns — Delta's rule; self- or chained references would make
+    * the fill order ambiguous), and COMMENTs. A column cannot carry
+    * BOTH a DEFAULT and a generation (Delta refuses too — one fill
+    * rule per column). IDENTITY columns refuse loudly: correct
+    * distributed identity needs a high-water mark committed with the
+    * manifest, which this catalog does not implement — a silent
+    * best-effort would hand out colliding ids.
+    */
+  private def metaFromColumns(spark: SparkSession,
+      columns: Seq[ColumnDefinition]): StoreCatalog.TableMeta = {
+    columns.foreach { c =>
+      require(c.identityColumnSpec.isEmpty,
+        s"column '${c.name}': GENERATED ... AS IDENTITY is not " +
+          "supported (distributed identity needs a committed " +
+          "high-water mark); use a sha2/uuid surrogate or an " +
+          "explicit id column")
+      require(!(c.defaultValue.nonEmpty &&
+        c.generationExpression.nonEmpty),
+        s"column '${c.name}' declares both DEFAULT and GENERATED " +
+          "ALWAYS AS — a column has one fill rule")
+    }
+    val generatedNames =
+      columns.filter(_.generationExpression.nonEmpty)
+        .map(_.name.toLowerCase).toSet
+    val declared = columns.map(_.name.toLowerCase).toSet
+    val generated = columns.flatMap { c =>
+      c.generationExpression.map { g =>
+        val refs = spark.sessionState.sqlParser.parseExpression(g)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedAttribute => a.name
+          }
+        require(refs.nonEmpty,
+          s"GENERATED ALWAYS AS ($g) for column '${c.name}' " +
+            "references no column — declare a DEFAULT instead")
+        refs.foreach { r =>
+          require(declared.contains(r.toLowerCase),
+            s"GENERATED ALWAYS AS ($g) for column '${c.name}' " +
+              s"references undeclared column '$r'")
+          require(!generatedNames.contains(r.toLowerCase),
+            s"GENERATED ALWAYS AS ($g) for column '${c.name}' " +
+              s"references generated column '$r': generation " +
+              "expressions may only reference non-generated columns")
+        }
+        c.name -> g
       }
     }.toMap
+    StoreCatalog.TableMeta(
+      defaults = columns.flatMap { c =>
+        c.defaultValue.map { d =>
+          validateDefault(spark, c.name, d.originalSQL, c.dataType)
+          c.name -> d.originalSQL
+        }
+      }.toMap,
+      generated = generated,
+      comments = columns.flatMap(c =>
+        c.comment.map(c.name -> _)).toMap)
+  }
 
   /** A DEFAULT must be a CONSTANT the column's type can represent
     * (Delta's declaration-time rule): a column reference would resolve
@@ -1027,12 +1120,20 @@ final class StoreCatalog(basePath: String) {
   private def installChecks(spark: SparkSession,
       store: ManifestTableStore, columns: Seq[ColumnDefinition],
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
-        .TableSpecBase): Unit = {
+        .TableSpecBase,
+      meta: StoreCatalog.TableMeta = StoreCatalog.TableMeta())
+      : Unit = {
     checksOf(tableSpec).foreach { case (n, pred) =>
       store.addCheck(spark, n, pred) }
     columns.filterNot(_.nullable).foreach { c =>
       store.addCheck(spark, s"${c.name}_not_null",
         s"${c.name} IS NOT NULL") }
+    // a GENERATED column's contract enforces as a write-time check
+    // (Delta registers the same invariant): an explicitly SUPPLIED
+    // value must equal the expression — covering API appends too, not
+    // only the SQL fill path. `<=>` so NULL source columns compare.
+    meta.generated.foreach { case (c, g) =>
+      store.addCheck(spark, s"${c}_generated", s"$c <=> ($g)") }
   }
 
   private def physical(name: String, partitioning: Seq[Transform],
@@ -1074,5 +1175,19 @@ final class StoreCatalog(basePath: String) {
             c.condition)
       }
     case _ => Nil
+  }
+}
+
+object StoreCatalog {
+  /** Catalog-owned column metadata for one table — see
+    * [[StoreCatalog.metaReg]]. All three maps key by the column's
+    * declared name.
+    */
+  final case class TableMeta(
+      defaults: Map[String, String] = Map.empty,
+      generated: Map[String, String] = Map.empty,
+      comments: Map[String, String] = Map.empty) {
+    def isEmpty: Boolean =
+      defaults.isEmpty && generated.isEmpty && comments.isEmpty
   }
 }

@@ -61,7 +61,8 @@ object StoreSql {
     */
   def exec(spark: SparkSession, tables: Map[String, ManifestTableStore],
       sql: String, batchId: Option[Long] = None,
-      defaults: Map[String, Map[String, String]] = Map.empty)
+      defaults: Map[String, Map[String, String]] = Map.empty,
+      generated: Map[String, Map[String, String]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     maintenance(spark, tables, sql) match {
       case Some(result) => return result
@@ -190,15 +191,24 @@ object StoreSql {
         // INSERT omits fill with their declared expression instead of
         // NULL. Write-time only — existing rows are untouched (Delta's
         // semantics); a full-width INSERT never consults them.
-        val tableDefaults = relationName(i.table)
-          .flatMap(defaults.get).getOrElse(Map.empty)
+        // GENERATED columns fill the same way but their expressions
+        // REFERENCE the insert frame's other columns (that's their
+        // point — a derived partition day from an event timestamp);
+        // supplied values pass through here and meet the table's
+        // auto-registered equality check at the write gate.
+        val tname = relationName(i.table)
+        val tableDefaults = tname.flatMap(defaults.get)
+          .getOrElse(Map.empty)
+        val tableGenerated = tname.flatMap(generated.get)
+          .getOrElse(Map.empty)
+        val fills = tableDefaults ++ tableGenerated
         val df3 = targetSchema match {
-          case Some(ts) if tableDefaults.nonEmpty =>
+          case Some(ts) if fills.nonEmpty =>
             ts.fieldNames.toSeq
               .filter(c => c != "batch_id" &&
                 !df2.columns.exists(_.equalsIgnoreCase(c)))
               .foldLeft(df2) { (d, c) =>
-                tableDefaults.collectFirst {
+                fills.collectFirst {
                   case (dc, dSql) if dc.equalsIgnoreCase(c) =>
                     d.withColumn(c, expr(dSql).cast(ts(c).dataType))
                 }.getOrElse(d)

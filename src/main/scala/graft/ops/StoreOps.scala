@@ -2323,5 +2323,68 @@ object StoreOps {
         .withColumn("d_has_files",
           lit(if (d.getAs[Long]("num_files") > 0L &&
             d.getAs[Long]("size_in_bytes") > 0L) 1 else 0))
+    },
+
+    // GENERATED columns: the derived-partition pattern (Iceberg's
+    // month() transform, Delta's generated partition column) — the
+    // table declares o_month GENERATED ALWAYS AS the truncated order
+    // date and PARTITIONS by it; the INSERT omits it entirely, the
+    // fill computes it from the insert frame, and the rows land in
+    // their hive month dirs. A supplied MISMATCH refuses at the write
+    // gate (the generation contract is an auto-registered check, so
+    // API writes are governed too — pinned as a flag), and the
+    // declaration round-trips through SHOW CREATE TABLE.
+    QueryDef(
+      "q232_sql_generated_columns",
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+        |    AS o_month,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS ddl_generated, 1 AS refused_mismatch
+        |FROM orders GROUP BY o_month
+        |ORDER BY o_month""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_generated_cols", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS gen_orders (
+          |  o_orderdate TIMESTAMP COMMENT 'order timestamp',
+          |  o_month DATE GENERATED ALWAYS AS
+          |    (CAST(date_trunc('MONTH', o_orderdate) AS DATE)),
+          |  o_totalprice DOUBLE)
+          |USING graft_store
+          |PARTITIONED BY (o_month)""".stripMargin)
+      val store = cat.store("gen_orders")
+      if (store.currentVersion(s) == 1L) // v2: o_month OMITTED — fills
+        cat.exec(s,
+          """INSERT INTO gen_orders (o_orderdate, o_totalprice)
+            |SELECT o_orderdate, o_totalprice FROM orders"""
+            .stripMargin, batchId = Some(0L))
+      // a supplied mismatching month must refuse at the write gate
+      // and commit nothing (re-observable: version stays put)
+      val v = store.currentVersion(s)
+      val refused =
+        try {
+          cat.exec(s,
+            """INSERT INTO gen_orders
+              |  (o_orderdate, o_month, o_totalprice)
+              |SELECT o_orderdate, DATE '1990-01-01', o_totalprice
+              |FROM orders LIMIT 1""".stripMargin,
+            batchId = Some(1L))
+          0
+        } catch { case _: Exception =>
+          if (store.currentVersion(s) == v) 1 else 0 }
+      val ddl = cat.exec(s, "SHOW CREATE TABLE gen_orders")
+        .head().getString(0)
+      cat.query(s,
+        """SELECT o_month, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM gen_orders GROUP BY o_month
+          |ORDER BY o_month""".stripMargin)
+        .withColumn("ddl_generated",
+          lit(if (ddl.contains("GENERATED ALWAYS AS")) 1 else 0))
+        .withColumn("refused_mismatch", lit(refused))
     })
 }

@@ -796,6 +796,93 @@ class StoreCatalogSpec extends SparkSpec {
       r.getAs[Long]("version") == 2L)
   }
 
+  test("GENERATED columns + column COMMENTs: omitted generated " +
+      "columns fill from the insert frame, supplied mismatches refuse " +
+      "at the write gate, partition-by-generated lays out hive dirs, " +
+      "declarations round-trip and survive re-attach, identity and " +
+      "broken declarations refuse") {
+    val base = Files.createTempDirectory("catalog-gen-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      """CREATE TABLE g (
+        |  ts TIMESTAMP COMMENT 'event time',
+        |  day DATE GENERATED ALWAYS AS (CAST(ts AS DATE)),
+        |  v INT) USING graft_store PARTITIONED BY (day)""".stripMargin)
+    // omitted generated column computes FROM THE INSERT FRAME (the
+    // derived-partition-day pattern) and the row lands in its hive dir
+    cat.exec(spark,
+      "INSERT INTO g (ts, v) VALUES " +
+        "(TIMESTAMP '2026-02-03 04:05:06', 1)", batchId = Some(0L))
+    assert(cat.query(spark, "SELECT CAST(day AS STRING) AS day, v FROM g")
+      .as[(String, Int)].collect().toSeq == Seq(("2026-02-03", 1)))
+    assert(cat.exec(spark, "SHOW PARTITIONS g").collect()
+      .map(_.getString(0)).contains("day=2026-02-03"))
+    // a supplied value that MATCHES the expression passes
+    cat.exec(spark,
+      "INSERT INTO g (ts, day, v) VALUES " +
+        "(TIMESTAMP '2026-02-04 00:00:01', DATE '2026-02-04', 2)",
+      batchId = Some(1L))
+    // a supplied MISMATCH refuses at the write gate (the invariant is
+    // a check, so API writes are governed too) and commits nothing
+    val v = cat.store("g").currentVersion(spark)
+    intercept[Exception] {
+      cat.exec(spark,
+        "INSERT INTO g (ts, day, v) VALUES " +
+          "(TIMESTAMP '2026-02-05 00:00:01', DATE '1999-01-01', 3)",
+        batchId = Some(2L))
+    }
+    assert(cat.store("g").currentVersion(spark) == v)
+    // DESCRIBE carries the comment and the generation expression
+    val desc = cat.exec(spark, "DESCRIBE TABLE g").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("ts") == "event time")
+    assert(desc("day").startsWith("generated:"), desc("day"))
+    // SHOW CREATE TABLE renders both clauses, and the generated
+    // invariant does NOT double-render as a CONSTRAINT line
+    val ddl = cat.exec(spark, "SHOW CREATE TABLE g")
+      .head().getString(0)
+    assert(ddl.contains("GENERATED ALWAYS AS") &&
+      ddl.contains("COMMENT 'event time'") &&
+      !ddl.contains("CONSTRAINT day_generated"), ddl)
+    // a FRESH catalog re-attaches the declarations from the sidecar
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark,
+      "INSERT INTO g (ts, v) VALUES " +
+        "(TIMESTAMP '2026-02-06 12:00:00', 4)", batchId = Some(3L))
+    assert(cat2.query(spark,
+      "SELECT CAST(day AS STRING) AS day FROM g WHERE v = 4")
+      .as[String].head() == "2026-02-06")
+    // refusals: identity, generated-referencing-generated, undeclared
+    // reference, constant generation
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark,
+        """CREATE TABLE idt (id BIGINT GENERATED ALWAYS AS IDENTITY,
+          |  x INT) USING graft_store""".stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark,
+        """CREATE TABLE gg (a INT,
+          |  b INT GENERATED ALWAYS AS (a + 1),
+          |  c INT GENERATED ALWAYS AS (b + 1)) USING graft_store"""
+          .stripMargin)
+    }
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark,
+        "CREATE TABLE gu (a INT, b INT GENERATED ALWAYS AS (zz + 1)) " +
+          "USING graft_store")
+    }
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark,
+        "CREATE TABLE gc (a INT, b INT GENERATED ALWAYS AS (1)) " +
+          "USING graft_store")
+    }
+    // SET DEFAULT on a generated column refuses
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark, "ALTER TABLE g ALTER COLUMN day SET DEFAULT 'x'")
+    }
+  }
+
   test("SHOW PARTITIONS lists the hive-layout partition values from " +
       "listings alone; multi-batch duplicates collapse; a " +
       "non-partitioned table refuses") {
