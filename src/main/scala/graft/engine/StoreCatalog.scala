@@ -223,6 +223,15 @@ final class StoreCatalog(basePath: String) {
     */
   def exec(spark: SparkSession, sql: String,
       batchId: Option[Long] = None): DataFrame = {
+    // SHALLOW CLONE is not in Spark's grammar (Delta injects it via
+    // its own parser) — matched FIRST on the inert text, like the
+    // maintenance verbs
+    StoreSql.stripInert(sql).trim match {
+      case StoreCatalog.CloneStmt(ine, tgt, src, ver) =>
+        return cloneTable(spark, tgt, src,
+          Option(ver).map(_.toLong), ifNotExists = ine != null)
+      case _ =>
+    }
     val parsed: Option[LogicalPlan] =
       try Some(spark.sessionState.sqlParser.parsePlan(sql))
       catch { case _: org.apache.spark.sql.AnalysisException => None }
@@ -1021,6 +1030,54 @@ final class StoreCatalog(basePath: String) {
     fresh
   }
 
+  /** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n]` — the
+    * ZERO-COPY table copy: the clone's version 1 is the source's
+    * manifest at the clone point (one footer write, no data read,
+    * copied, or moved — at 100 TB this is the only affordable "give
+    * me a dev copy"), and every configuration surface travels with
+    * it: partitioning, physical knobs, column metadata (defaults/
+    * generated/comments), and write-time checks. Source and clone
+    * diverge freely from there — the clone's own writes land under
+    * its own root; `compact()` on the clone severs the last physical
+    * tie. Delta's documented caveat applies and is inherited
+    * deliberately: VACUUM on the SOURCE does not see clone references
+    * (sever first or tag the source version); VACUUM on the CLONE is
+    * structurally safe (its candidate set lists only the clone's own
+    * data dir).
+    */
+  private def cloneTable(spark: SparkSession, target: String,
+      source: String, versionAsOf: Option[Long],
+      ifNotExists: Boolean): DataFrame = {
+    val src = resolve(spark, source).getOrElse(
+      throw new IllegalArgumentException(
+        s"SHALLOW CLONE: unknown source table '$source' (known: " +
+          s"${listTables(spark).mkString(", ")})"))
+    resolve(spark, target) match {
+      case Some(_) =>
+        require(ifNotExists,
+          s"table '$target' already exists (use IF NOT EXISTS)")
+        return spark.emptyDataFrame // registered by resolve already
+      case None =>
+    }
+    val path = s"$basePath/$target"
+    val pb = src.partitionColumns
+    val props = knobsOf(src).toMap
+    val meta = metaOf(source)
+    // spec + pointer BEFORE the commit, exactly like CREATE
+    clearStaleSidecars(spark, target, path)
+    persistSpec(spark, path, pb, props, meta)
+    persistPointer(spark, target, path)
+    val store = mk(path, pb, props)
+    src.shallowCloneTo(spark, store, versionAsOf)
+    // write-time gates travel with the clone (CHECKs, NOT NULLs, the
+    // generated-column invariants — all stored as named checks)
+    src.listChecks(spark).foreach { case (n, p) =>
+      store.addCheck(spark, n, p) }
+    metaReg.put(target, meta)
+    absent.remove(target); reg.put(target, store)
+    spark.emptyDataFrame
+  }
+
   /** Collect + validate the declaration's catalog-owned column
     * metadata: DEFAULTs (constant, losslessly castable), GENERATED
     * expressions (must reference only OTHER non-generated declared
@@ -1190,4 +1247,12 @@ object StoreCatalog {
     def isEmpty: Boolean =
       defaults.isEmpty && generated.isEmpty && comments.isEmpty
   }
+
+  /** `CREATE TABLE [IF NOT EXISTS] t2 SHALLOW CLONE t1
+    * [VERSION AS OF n]` — Delta's verb shape, outside Spark's grammar.
+    */
+  private[engine] val CloneStmt =
+    ("(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
+      "([A-Za-z0-9_]+)\\s+SHALLOW\\s+CLONE\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*").r
 }

@@ -463,7 +463,7 @@ object StoreSql {
     .replaceAll("(?s)/\\*.*?\\*/", " ")
     .replaceAll("--[^\r\n]*", " ")
 
-  private def stripInert(sql: String): String =
+  private[engine] def stripInert(sql: String): String =
     stripComments(sql).replaceAll("'(?:[^']|'')*'", " ")
 
   // Delta's operational statement shapes. OPTIMIZE/VACUUM/RESTORE/

@@ -634,6 +634,45 @@ final class ManifestTableStore(path: String,
     dataDirs.flatMap(d => walk(new HPath(d), 0)).distinct.sorted
   }
 
+  /** `SHALLOW CLONE` — commit THIS table's current (or `versionAsOf`)
+    * manifest entries as VERSION 1 of the empty table at `target`:
+    * one manifest write, ZERO data copied or moved. The clone serves
+    * the same physical files (its entries carry the source's absolute
+    * dirs); every later write — insert, CoW delete, compact — lands
+    * under the clone's OWN root, so source and clone diverge freely
+    * from the clone point (Delta's shallow-clone contract: the
+    * dev/test copy of a 100 TB table costs one footer write).
+    * `compact()` on the clone materializes everything under its own
+    * root — the "sever" operation. Caveat, same as Delta's: VACUUM on
+    * the SOURCE does not know about clone references and can delete
+    * dirs a clone still serves — sever first, or tag the source
+    * version. VACUUM on the CLONE is safe by construction: its
+    * candidate set is a listing of the clone's own data/ directory,
+    * which never contains source dirs.
+    */
+  def shallowCloneTo(spark: SparkSession, target: ManifestTableStore,
+      versionAsOf: Option[Long] = None): Unit = {
+    val f = fs(spark)
+    val entries = versionAsOf match {
+      case Some(v) => readManifest(f, v).getOrElse(
+        throw new IllegalArgumentException(
+          s"version $v of $path is missing or incomplete"))
+      case None =>
+        val (v, lines) = current(f)
+        require(v > 0L, s"cannot clone $path: no committed versions")
+        lines
+    }
+    val tf = target.fs(spark)
+    val (tv, _) = target.current(tf)
+    require(tv == 0L,
+      s"clone target ${target.tablePath} already has commits " +
+        s"(version $tv)")
+    if (!target.tryCommit(tf, 1L, entries))
+      throw new java.util.ConcurrentModificationException(
+        s"SHALLOW CLONE to ${target.tablePath} lost to a concurrent " +
+          "first commit")
+  }
+
   /** `DESCRIBE DETAIL` — ONE row of table-level physical metadata
     * (Delta's verb and column spirit): format, location, current
     * version, partition/stats/bloom columns and the merge-on-read key

@@ -2386,5 +2386,60 @@ object StoreOps {
         .withColumn("ddl_generated",
           lit(if (ddl.contains("GENERATED ALWAYS AS")) 1 else 0))
         .withColumn("refused_mismatch", lit(refused))
+    },
+
+    // SHALLOW CLONE: the zero-copy table copy — the clone's version 1
+    // IS the source's manifest (one footer write; pinned: every input
+    // file of clone v1 lives under the SOURCE's root), then the two
+    // diverge freely: a CoW delete on the clone rewrites under the
+    // clone's own root and the source keeps serving every row
+    // (pinned as n_source). At 100 TB this is the only affordable
+    // "give me a dev copy of the table".
+    QueryDef(
+      "q233_sql_shallow_clone",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  (SELECT COUNT(*) FROM orders) AS n_source, 1 AS zero_copy
+        |FROM orders WHERE o_orderstatus <> 'F'
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_shallow_clone", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS src_cl (
+          |  o_orderstatus STRING, o_totalprice DOUBLE)
+          |USING graft_store""".stripMargin)
+      if (cat.store("src_cl").currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO src_cl
+            |SELECT o_orderstatus, o_totalprice FROM orders"""
+            .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        "CREATE TABLE IF NOT EXISTS cl_orders SHALLOW CLONE src_cl")
+      val clone = cat.store("cl_orders")
+      // zero-copy pin on the CLONE POINT itself (version 1 stays the
+      // source manifest even after later divergence); scheme-normalize
+      // both sides (file:/ vs file:/// render of the same path)
+      def norm(p: String): String =
+        new org.apache.hadoop.fs.Path(p).toUri.getPath
+      val srcRoot = norm(cat.store("src_cl").tablePath)
+      val v1Files = clone.readVersion(s, 1L).inputFiles
+      val zeroCopy =
+        if (v1Files.nonEmpty &&
+          v1Files.forall(f => norm(f).startsWith(srcRoot))) 1 else 0
+      if (clone.currentVersion(s) == 1L) // v2: diverge on the clone
+        cat.exec(s, "DELETE FROM cl_orders WHERE o_orderstatus = 'F'")
+      val nSource = cat.query(s,
+        "SELECT COUNT(*) AS c FROM src_cl").head().getLong(0)
+      cat.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM cl_orders GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("n_source", lit(nSource))
+        .withColumn("zero_copy", lit(zeroCopy))
     })
 }

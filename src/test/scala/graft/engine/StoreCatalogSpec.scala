@@ -883,6 +883,79 @@ class StoreCatalogSpec extends SparkSpec {
     }
   }
 
+  test("SHALLOW CLONE: zero-copy clone point, free divergence both " +
+      "ways, config and checks travel, compact severs, clone vacuum " +
+      "never touches source files, VERSION AS OF clones history") {
+    val base = Files.createTempDirectory("catalog-clone-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      """CREATE TABLE src (k STRING, n INT DEFAULT 7,
+        |  CONSTRAINT n_pos CHECK (n > 0))
+        |USING graft_store TBLPROPERTIES ('statsColumns'='n')"""
+        .stripMargin)
+    cat.exec(spark, "INSERT INTO src VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO src VALUES ('b', 2)", batchId = Some(1L))
+    cat.exec(spark, "CREATE TABLE cl SHALLOW CLONE src")
+    // the clone point: same rows, and ZERO copied data — every input
+    // file of the clone's first version lives under the SOURCE's root
+    val srcPath = cat.store("src").tablePath
+    assert(cat.query(spark, "SELECT k, n FROM cl ORDER BY k")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1), ("b", 2)))
+    val cloneFiles = cat.store("cl").read(spark).inputFiles
+    assert(cloneFiles.nonEmpty && cloneFiles.forall(_.contains(srcPath)),
+      s"zero-copy: clone v1 must serve the source's files: " +
+        cloneFiles.mkString(","))
+    // divergence: writes on either side do not see each other; the
+    // clone's DEFAULT and CHECK travelled
+    cat.exec(spark, "INSERT INTO cl (k) VALUES ('c')", batchId = Some(5L))
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "INSERT INTO cl VALUES ('x', -1)",
+        batchId = Some(6L))
+    }
+    cat.exec(spark, "DELETE FROM cl WHERE k = 'a'")
+    assert(cat.query(spark, "SELECT k, n FROM cl ORDER BY k")
+      .as[(String, Int)].collect().toSeq == Seq(("b", 2), ("c", 7)))
+    assert(cat.query(spark, "SELECT k FROM src ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b"),
+      "the clone's insert+delete must not leak into the source")
+    cat.exec(spark, "INSERT INTO src VALUES ('s', 9)", batchId = Some(2L))
+    assert(cat.query(spark, "SELECT COUNT(*) AS c FROM cl").as[Long]
+      .head() == 2L, "the source's insert must not leak into the clone")
+    // sever: compact materializes the clone under its OWN root; an
+    // aggressive clone vacuum then reclaims only clone-rooted dirs —
+    // the source's files all survive
+    cat.store("cl").compact(spark)
+    val severed = cat.store("cl").read(spark).inputFiles
+    assert(severed.nonEmpty && !severed.exists(_.contains(srcPath)))
+    spark.conf.set("spark.graft.vacuum.retentionCheck.enabled", "false")
+    try cat.exec(spark, "VACUUM cl RETAIN 0 HOURS")
+    finally spark.conf
+      .unset("spark.graft.vacuum.retentionCheck.enabled")
+    assert(cat.query(spark, "SELECT k FROM src ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b", "s"),
+      "clone vacuum must never delete source data")
+    // VERSION AS OF: clone the source's v2 (first insert only)
+    cat.exec(spark,
+      "CREATE TABLE cl2 SHALLOW CLONE src VERSION AS OF 2")
+    assert(cat.query(spark, "SELECT k, n FROM cl2")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1)))
+    // a FRESH catalog re-attaches the clone with its travelled spec
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark, "INSERT INTO cl2 (k) VALUES ('d')",
+      batchId = Some(1L))
+    assert(cat2.query(spark, "SELECT n FROM cl2 WHERE k = 'd'")
+      .as[Int].head() == 7, "the DEFAULT must survive re-attach")
+    // refusals: existing target, unknown source
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark, "CREATE TABLE cl SHALLOW CLONE src")
+    }
+    cat2.exec(spark, "CREATE TABLE IF NOT EXISTS cl SHALLOW CLONE src")
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark, "CREATE TABLE nn SHALLOW CLONE ghost")
+    }
+  }
+
   test("SHOW PARTITIONS lists the hive-layout partition values from " +
       "listings alone; multi-batch duplicates collapse; a " +
       "non-partitioned table refuses") {
