@@ -1059,6 +1059,15 @@ final class StoreCatalog(basePath: String) {
         return spark.emptyDataFrame // registered by resolve already
       case None =>
     }
+    // validate the requested version BEFORE any sidecar persists — a
+    // refused clone must leave nothing behind (vacuumed/incomplete
+    // manifests still refuse inside shallowCloneTo itself)
+    versionAsOf.foreach { v =>
+      val cur = src.currentVersion(spark)
+      require(v >= 1 && v <= cur,
+        s"SHALLOW CLONE: version $v of '$source' does not exist " +
+          s"(current version: $cur)")
+    }
     val path = s"$basePath/$target"
     val pb = src.partitionColumns
     val props = knobsOf(src).toMap
@@ -1070,9 +1079,12 @@ final class StoreCatalog(basePath: String) {
     val store = mk(path, pb, props)
     src.shallowCloneTo(spark, store, versionAsOf)
     // write-time gates travel with the clone (CHECKs, NOT NULLs, the
-    // generated-column invariants — all stored as named checks)
+    // generated-column invariants — all stored as named checks);
+    // validateExisting=false: the cloned rows were WRITTEN through
+    // these exact gates at the source — re-scanning the whole clone
+    // per check would defeat the zero-copy contract
     src.listChecks(spark).foreach { case (n, p) =>
-      store.addCheck(spark, n, p) }
+      store.addCheck(spark, n, p, validateExisting = false) }
     metaReg.put(target, meta)
     absent.remove(target); reg.put(target, store)
     spark.emptyDataFrame
@@ -1125,6 +1137,21 @@ final class StoreCatalog(basePath: String) {
               s"references generated column '$r': generation " +
               "expressions may only reference non-generated columns")
         }
+        // DETERMINISTIC only (Delta's declaration-time rule): the
+        // expression evaluates once at fill and AGAIN in the write
+        // gate's equality check — a rand()/uuid() generation would
+        // refuse every omitting insert it just filled. Probed on an
+        // analyzed empty frame of the non-generated columns.
+        val probe = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(columns.filter(_.generationExpression.isEmpty)
+            .map(cd => StructField(cd.name, cd.dataType, cd.nullable))))
+          .selectExpr(g)
+        require(probe.queryExecution.analyzed.expressions
+          .forall(_.deterministic),
+          s"GENERATED ALWAYS AS ($g) for column '${c.name}' is " +
+            "non-deterministic: the fill and the write-gate equality " +
+            "check would evaluate it to different values")
         c.name -> g
       }
     }.toMap
@@ -1178,8 +1205,7 @@ final class StoreCatalog(basePath: String) {
       store: ManifestTableStore, columns: Seq[ColumnDefinition],
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
         .TableSpecBase,
-      meta: StoreCatalog.TableMeta = StoreCatalog.TableMeta())
-      : Unit = {
+      meta: StoreCatalog.TableMeta): Unit = {
     checksOf(tableSpec).foreach { case (n, pred) =>
       store.addCheck(spark, n, pred) }
     columns.filterNot(_.nullable).foreach { c =>
@@ -1243,10 +1269,7 @@ object StoreCatalog {
   final case class TableMeta(
       defaults: Map[String, String] = Map.empty,
       generated: Map[String, String] = Map.empty,
-      comments: Map[String, String] = Map.empty) {
-    def isEmpty: Boolean =
-      defaults.isEmpty && generated.isEmpty && comments.isEmpty
-  }
+      comments: Map[String, String] = Map.empty)
 
   /** `CREATE TABLE [IF NOT EXISTS] t2 SHALLOW CLONE t1
     * [VERSION AS OF n]` — Delta's verb shape, outside Spark's grammar.

@@ -201,18 +201,39 @@ object StoreSql {
           .getOrElse(Map.empty)
         val tableGenerated = tname.flatMap(generated.get)
           .getOrElse(Map.empty)
-        val fills = tableDefaults ++ tableGenerated
         val df3 = targetSchema match {
-          case Some(ts) if fills.nonEmpty =>
-            ts.fieldNames.toSeq
-              .filter(c => c != "batch_id" &&
-                !df2.columns.exists(_.equalsIgnoreCase(c)))
-              .foldLeft(df2) { (d, c) =>
-                fills.collectFirst {
-                  case (dc, dSql) if dc.equalsIgnoreCase(c) =>
-                    d.withColumn(c, expr(dSql).cast(ts(c).dataType))
-                }.getOrElse(d)
+          case Some(ts)
+              if tableDefaults.nonEmpty || tableGenerated.nonEmpty =>
+            def omitted(d: org.apache.spark.sql.DataFrame) =
+              ts.fieldNames.toSeq.filter(c => c != "batch_id" &&
+                !d.columns.exists(_.equalsIgnoreCase(c)))
+            def fill(d: org.apache.spark.sql.DataFrame,
+                m: Map[String, String]) =
+              omitted(d).foldLeft(d) { (acc, c) =>
+                m.collectFirst {
+                  case (mc, mSql) if mc.equalsIgnoreCase(c) =>
+                    acc.withColumn(c, expr(mSql).cast(ts(c).dataType))
+                }.getOrElse(acc)
               }
+            // TWO phases, defaults first: a generated expression may
+            // reference any non-generated column, including one this
+            // INSERT omits — such a reference must see the column's
+            // DEFAULT (or an explicit NULL of the right type, Delta's
+            // rule) rather than fail to resolve, and the outcome must
+            // not depend on column declaration order
+            val withDefaults = fill(df2, tableDefaults)
+            val genRefs = tableGenerated.values.flatMap(g =>
+              spark.sessionState.sqlParser.parseExpression(g).collect {
+                case a: UnresolvedAttribute => a.name.toLowerCase
+              }).toSet
+            val withRefs = omitted(withDefaults)
+              .filter(c => genRefs.contains(c.toLowerCase))
+              .foldLeft(withDefaults) { (acc, c) =>
+                acc.withColumn(c,
+                  org.apache.spark.sql.functions.lit(null)
+                    .cast(ts(c).dataType))
+              }
+            fill(withRefs, tableGenerated)
           case _ => df2
         }
         val df = reconcileInsert(df3,

@@ -406,12 +406,17 @@ final class ManifestTableStore(path: String,
     * already satisfy it (a constraint the data violates would make
     * every later maintenance rewrite fail); re-adding the same
     * predicate is an idempotent no-op, changing it requires dropCheck.
+    * `validateExisting = false` skips the current-rows scan — ONLY for
+    * callers that can prove the rows already passed this exact gate
+    * (SHALLOW CLONE copying the source's checks: the cloned rows were
+    * written through them; re-scanning 100 TB to re-prove it would
+    * defeat the zero-copy contract).
     */
   def addCheck(spark: SparkSession, name: String,
-      predicateSql: String): Unit = {
+      predicateSql: String, validateExisting: Boolean = true): Unit = {
     val f = fs(spark)
     val (_, lines) = current(f)
-    if (lines.nonEmpty) {
+    if (lines.nonEmpty && validateExisting) {
       val bad = readEntries(spark, lines).filter(!expr(predicateSql))
       require(bad.isEmpty,
         s"cannot add check '$name': existing rows violate " +
@@ -424,6 +429,38 @@ final class ManifestTableStore(path: String,
         s"check '$name' already holds '$existing' (dropCheck first)")
     }
   }
+
+  @volatile private var inheritedIdsCache: Option[Set[Long]] = None
+
+  /** Batch ids a SHALLOW CLONE inherited from its source (empty for
+    * every non-clone; cached — the ledger is written once at clone
+    * time and never changes): physically baked into the cloned parquet
+    * files, so they are OCCUPIED in this table's id space, but they
+    * must never satisfy a write's replay no-op — a NEW pipeline
+    * reusing one would be silently swallowed as an "idempotent
+    * replay" of data it never wrote.
+    */
+  private def inheritedIds(f: FileSystem): Set[Long] =
+    inheritedIdsCache.getOrElse {
+      val p = new HPath(s"$path/clone_inherited_ids")
+      val ids: Set[Long] =
+        if (!f.exists(p)) Set.empty
+        else {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .map(_.trim).filter(_.nonEmpty).map(_.toLong).toSet
+          finally in.close()
+        }
+      inheritedIdsCache = Some(ids)
+      ids
+    }
+
+  private def guardInheritedId(f: FileSystem, batchId: Long): Unit =
+    require(!inheritedIds(f).contains(batchId),
+      s"batch id $batchId is INHERITED from this table's " +
+        "shallow-clone source (the cloned files carry it; clone " +
+        "application ids do not transfer — Delta's clone contract): " +
+        "pick a fresh batch id for writes to the clone")
 
   /** Registered checks as (name, predicateSql), name-sorted. */
   def listChecks(spark: SparkSession): Seq[(String, String)] = {
@@ -506,6 +543,7 @@ final class ManifestTableStore(path: String,
     require(batchId >= 0, // negative ids are reserved (delete entries)
       s"batchId must be >= 0, got $batchId")
     val f = fs(df.sparkSession)
+    guardInheritedId(f, batchId)
     var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return // replay → idempotent no-op
     val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
@@ -550,6 +588,7 @@ final class ManifestTableStore(path: String,
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val spark = df.sparkSession
     val f = fs(spark)
+    guardInheritedId(f, batchId)
     val (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
     val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
@@ -654,8 +693,10 @@ final class ManifestTableStore(path: String,
       versionAsOf: Option[Long] = None): Unit = {
     val f = fs(spark)
     val entries = versionAsOf match {
-      case Some(v) => readManifest(f, v).getOrElse(
-        throw new IllegalArgumentException(
+      case Some(v) =>
+        (try readManifest(f, v) catch {
+          case _: java.io.FileNotFoundException => None
+        }).getOrElse(throw new IllegalArgumentException(
           s"version $v of $path is missing or incomplete"))
       case None =>
         val (v, lines) = current(f)
@@ -667,6 +708,20 @@ final class ManifestTableStore(path: String,
     require(tv == 0L,
       s"clone target ${target.tablePath} already has commits " +
         s"(version $tv)")
+    // the INHERITED batch-id ledger, published BEFORE the commit (a
+    // crash between them leaves an inert ledger beside a zero-version
+    // table): the cloned entries carry the SOURCE's batch ids — they
+    // are physically in the cloned parquet files, so they cannot be
+    // remapped without copying data — and the exactly-once replay
+    // no-op must NOT silently swallow a NEW pipeline's write that
+    // happens to reuse one (Delta's clone contract: application
+    // transaction ids do not carry over). Appends consult this ledger
+    // and REFUSE loudly on an inherited id.
+    val inherited = entries.map(_.batchId).distinct
+      .filterNot(_ == ManifestTableStore.SchemaBatchId)
+    AtomicCreate.publish(tf,
+      new HPath(s"${target.tablePath}/clone_inherited_ids"),
+      inherited.sorted.mkString("\n").getBytes("UTF-8"))
     if (!target.tryCommit(tf, 1L, entries))
       throw new java.util.ConcurrentModificationException(
         s"SHALLOW CLONE to ${target.tablePath} lost to a concurrent " +
@@ -747,6 +802,7 @@ final class ManifestTableStore(path: String,
       require(batchId >= 0, s"batchId must be >= 0, got $batchId")
       val spark = df.sparkSession
       val f = fs(spark)
+      guardInheritedId(f, batchId)
       val (v, lines) = current(f)
       requireNoDeleteFiles(lines, "overwritePartitions")
       if (lines.exists(_.batchId == batchId)) return // replay → no-op
@@ -915,6 +971,17 @@ final class ManifestTableStore(path: String,
         s"'$name' is a partition column")
       require(!morDeleteKey.exists(_.equalsIgnoreCase(name)),
         s"'$name' is the merge-on-read delete key")
+      // same guard as renameColumn: a check referencing the dropped
+      // column (declared, NOT NULL, or a generated-column invariant —
+      // all stored as named checks) would survive the drop and make
+      // every later write fail at the gate with an unresolvable column
+      listChecks(spark).foreach { case (cname, pred) =>
+        require(!("(?is).*\\b" +
+          java.util.regex.Pattern.quote(name) + "\\b.*").r
+          .matches(pred),
+          s"column '$name' is referenced by check constraint " +
+            s"'$cname' ($pred); dropCheck first, then drop the column")
+      }
       val canonical = schema.fieldNames
         .find(_.equalsIgnoreCase(name)).get
       val dir = s"$path/data/dropcol-${java.util.UUID.randomUUID()}"
@@ -1288,6 +1355,7 @@ final class ManifestTableStore(path: String,
       batchId: Long): Unit = synchronized {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val f = fs(spark)
+    guardInheritedId(f, batchId)
     var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return
     val entry = Entry(batchId, stagedDir, collectStats(spark, stagedDir))
@@ -1620,6 +1688,7 @@ final class ManifestTableStore(path: String,
       batchId: Long): Unit = synchronized {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val f = fs(spark)
+    guardInheritedId(f, batchId)
     val (v, lines) = current(f)
     requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
@@ -1710,6 +1779,7 @@ final class ManifestTableStore(path: String,
     import ManifestTableStore.{DeleteClause, UpdateClause}
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val f = fs(spark)
+    guardInheritedId(f, batchId)
     val (v, lines) = current(f)
     requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op

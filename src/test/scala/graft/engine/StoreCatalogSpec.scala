@@ -881,6 +881,34 @@ class StoreCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       cat2.exec(spark, "ALTER TABLE g ALTER COLUMN day SET DEFAULT 'x'")
     }
+    // DROP COLUMN of the generation's SOURCE refuses (the invariant
+    // check references it; dropping would leave the table unwritable)
+    val dc = intercept[IllegalArgumentException] {
+      cat2.exec(spark, "ALTER TABLE g DROP COLUMN ts")
+    }
+    assert(dc.getMessage.contains("check constraint"), dc.getMessage)
+    // a NON-DETERMINISTIC generation refuses at declaration (the fill
+    // and the write-gate check would evaluate it differently)
+    intercept[IllegalArgumentException] {
+      cat2.exec(spark,
+        "CREATE TABLE gr (a INT, b DOUBLE GENERATED ALWAYS AS " +
+          "(a + rand())) USING graft_store")
+    }
+    // declaration ORDER does not matter, and a generated expression
+    // referencing an OMITTED column sees its DEFAULT (or a typed NULL
+    // when it has none) — never an unresolved-column error
+    cat2.exec(spark,
+      """CREATE TABLE gord (
+        |  gen INT GENERATED ALWAYS AS (a + 1),
+        |  a INT DEFAULT 5,
+        |  gnull INT GENERATED ALWAYS AS (b + 1),
+        |  b INT, v INT) USING graft_store""".stripMargin)
+    cat2.exec(spark, "INSERT INTO gord (v) VALUES (1)",
+      batchId = Some(0L))
+    val r = cat2.query(spark,
+      "SELECT gen, a, gnull, b, v FROM gord").collect().head
+    assert(r.getInt(0) == 6 && r.getInt(1) == 5 &&
+      r.isNullAt(2) && r.isNullAt(3) && r.getInt(4) == 1, r.toString)
   }
 
   test("SHALLOW CLONE: zero-copy clone point, free divergence both " +
@@ -906,6 +934,15 @@ class StoreCatalogSpec extends SparkSpec {
     assert(cloneFiles.nonEmpty && cloneFiles.forall(_.contains(srcPath)),
       s"zero-copy: clone v1 must serve the source's files: " +
         cloneFiles.mkString(","))
+    // an INHERITED batch id (0 came with the source's files) REFUSES
+    // loudly instead of silently no-op'ing as an "idempotent replay"
+    // of data this pipeline never wrote — Delta's clone contract:
+    // application transaction ids do not transfer
+    val inh = intercept[IllegalArgumentException] {
+      cat.exec(spark, "INSERT INTO cl (k) VALUES ('zz')",
+        batchId = Some(0L))
+    }
+    assert(inh.getMessage.contains("INHERITED"), inh.getMessage)
     // divergence: writes on either side do not see each other; the
     // clone's DEFAULT and CHECK travelled
     cat.exec(spark, "INSERT INTO cl (k) VALUES ('c')", batchId = Some(5L))
