@@ -540,25 +540,26 @@ final class StoreCatalog(basePath: String) {
         }
       case Some(a: org.apache.spark.sql.catalyst.plans.logical
           .AlterColumns) if a.specs.exists(sp =>
-            sp.newDefaultExpression.nonEmpty || sp.dropDefault) =>
-        // ALTER COLUMN ... SET/DROP DEFAULT — a CATALOG edit, not a
-        // store commit: defaults are write-time sugar filled at the
-        // SQL INSERT boundary (Delta's semantics — existing rows are
-        // untouched, no version is created), so the change lands in
-        // the defaults registry + the spec sidecar, exactly where
-        // CREATE TABLE's declarations live
+            sp.newDefaultExpression.nonEmpty || sp.dropDefault ||
+              sp.newComment.nonEmpty) =>
+        // ALTER COLUMN ... SET/DROP DEFAULT / COMMENT — CATALOG edits,
+        // not store commits: defaults are write-time sugar filled at
+        // the SQL INSERT boundary and comments are pure metadata
+        // (Delta's semantics — existing rows are untouched, no version
+        // is created), so the change lands in the column-metadata
+        // registry + the spec sidecar, exactly where CREATE TABLE's
+        // declarations live
         require(a.specs.forall(sp => sp.newDataType.isEmpty &&
-          sp.newNullability.isEmpty && sp.newComment.isEmpty &&
-          sp.newPosition.isEmpty),
-          "SET/DROP DEFAULT cannot combine with TYPE/comment/" +
+          sp.newNullability.isEmpty && sp.newPosition.isEmpty),
+          "SET/DROP DEFAULT and COMMENT cannot combine with TYPE/" +
             "position/nullability changes in one statement")
-        val name = tableNameOf(a.table, "ALTER COLUMN ... DEFAULT")
+        val name = tableNameOf(a.table, "ALTER COLUMN")
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
         val schemaFields = s.read(spark).schema.fields.toSeq
           .filterNot(_.name == "batch_id")
         val meta = metaOf(name)
-        val next = a.specs.foldLeft(meta.defaults) { (m, sp) =>
+        val nextMeta = a.specs.foldLeft(meta) { (m, sp) =>
           val parts = sp.column.name
           require(parts.size == 1,
             s"nested column path ${parts.mkString(".")} is not " +
@@ -567,22 +568,66 @@ final class StoreCatalog(basePath: String) {
             .getOrElse(throw new IllegalArgumentException(
               s"ALTER COLUMN: no column '${parts.head}' in table " +
                 s"'$name' (${schemaFields.map(_.name).mkString(", ")})"))
-          require(!meta.generated.contains(fld.name),
-            s"column '${fld.name}' is GENERATED — it has no DEFAULT " +
-              "to set or drop")
-          sp.newDefaultExpression match {
+          val withDefault = sp.newDefaultExpression match {
             case Some(d) =>
+              require(!meta.generated.contains(fld.name),
+                s"column '${fld.name}' is GENERATED — it has no " +
+                  "DEFAULT to set or drop")
               // full declaration-time validation (constant, lossless
               // cast to the LIVE column type) — see [[validateDefault]]
               validateDefault(spark, fld.name, d.originalSQL,
                 fld.dataType)
-              m + (fld.name -> d.originalSQL)
-            case None => m - fld.name // DROP DEFAULT: no-op when absent
+              m.copy(defaults = m.defaults + (fld.name -> d.originalSQL))
+            case None if sp.dropDefault =>
+              require(!meta.generated.contains(fld.name),
+                s"column '${fld.name}' is GENERATED — it has no " +
+                  "DEFAULT to set or drop")
+              m.copy(defaults = m.defaults - fld.name)
+            case None => m
+          }
+          sp.newComment match {
+            case Some(c) => withDefault.copy(
+              comments = withDefault.comments + (fld.name -> c))
+            case None => withDefault
           }
         }
-        // physical knobs and the other column metadata carry through
+        // physical knobs and untouched column metadata carry through
         // unchanged (mirror of alterProps carrying defaults through)
-        val nextMeta = meta.copy(defaults = next)
+        updateSpec(spark, s.tablePath, s.partitionColumns,
+          knobsOf(s).toMap, nextMeta)
+        metaReg.put(name, nextMeta)
+        spark.emptyDataFrame
+      case Some(ac: org.apache.spark.sql.catalyst.plans.logical
+          .AddColumns) if ac.columnsToAdd.exists(c =>
+            c.default.nonEmpty || c.comment.nonEmpty) =>
+        // ADD COLUMNS carrying DEFAULT/COMMENT declarations: the
+        // governed store marker commits the TYPES (delegating the
+        // schema change to the same verb a bare ADD uses), and the
+        // declarations land in the catalog registry + sidecar — the
+        // bare StoreSql surface refuses these instead of silently
+        // dropping them
+        val name = tableNameOf(ac.table, "ADD COLUMNS")
+        val s = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(s"unknown table '$name'"))
+        val meta = metaOf(name)
+        // validate EVERYTHING before the marker commits: a refused
+        // declaration must not leave the column half-added
+        ac.columnsToAdd.foreach { c =>
+          require(c.path.isEmpty,
+            s"nested ADD COLUMNS path ${c.name.mkString(".")} is " +
+              "not supported")
+          c.default.foreach(d =>
+            validateDefault(spark, c.colName, d.originalSQL,
+              c.dataType))
+        }
+        s.addColumns(spark,
+          ac.columnsToAdd.map(c => c.colName -> c.dataType))
+        val nextMeta = ac.columnsToAdd.foldLeft(meta) { (m, c) =>
+          val withD = c.default.fold(m)(d =>
+            m.copy(defaults = m.defaults + (c.colName -> d.originalSQL)))
+          c.comment.fold(withD)(cm =>
+            withD.copy(comments = withD.comments + (c.colName -> cm)))
+        }
         updateSpec(spark, s.tablePath, s.partitionColumns,
           knobsOf(s).toMap, nextMeta)
         metaReg.put(name, nextMeta)

@@ -386,6 +386,15 @@ object StoreSql {
           require(c.path.isEmpty,
             s"nested ADD COLUMNS path ${c.name.mkString(".")} is not " +
               "supported")
+          // the bare store surface has no column-metadata registry —
+          // silently dropping a declared DEFAULT/COMMENT would be
+          // worse than refusing (the catalog's own AddColumns case
+          // intercepts these before delegating here)
+          require(c.default.isEmpty && c.comment.isEmpty,
+            s"ADD COLUMNS '${c.colName}' declares a DEFAULT/COMMENT: " +
+              "run the statement through the StoreCatalog (which " +
+              "persists column metadata), not the bare StoreSql " +
+              "surface")
           c.colName -> c.dataType
         })
       case d: org.apache.spark.sql.catalyst.plans.logical.DropColumns =>

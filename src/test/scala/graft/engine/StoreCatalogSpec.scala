@@ -687,6 +687,35 @@ class StoreCatalogSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       cat4.exec(spark, "ALTER TABLE d ALTER COLUMN zz SET DEFAULT 1")
     }
+    // ADD COLUMNS with DEFAULT/COMMENT: the type evolves through the
+    // governed marker AND the declarations land in the registry —
+    // existing rows read NULL (the default is write-time only), a
+    // later omitting insert fills, and the sidecar persists both
+    cat4.exec(spark,
+      "ALTER TABLE d ADD COLUMNS (grade INT DEFAULT 3 " +
+        "COMMENT 'quality tier')")
+    assert(cat4.query(spark, "SELECT grade FROM d WHERE k = 'a'")
+      .collect().head.isNullAt(0),
+      "pre-existing rows read NULL, never the new default")
+    val cat5 = new StoreCatalog(base.toString)
+    cat5.exec(spark, "INSERT INTO d (k) VALUES ('g')",
+      batchId = Some(5L))
+    assert(cat5.query(spark,
+      "SELECT grade FROM d WHERE k = 'g'").as[Int].head() == 3)
+    // ALTER COLUMN ... COMMENT is a catalog edit too
+    cat5.exec(spark,
+      "ALTER TABLE d ALTER COLUMN k COMMENT 'the key'")
+    val desc = cat5.exec(spark, "DESCRIBE TABLE d").collect()
+      .map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(desc("k") == "the key" && desc("grade") == "quality tier",
+      desc.toString)
+    // the bare StoreSql surface refuses metadata-carrying ADD COLUMNS
+    // instead of silently dropping the declarations
+    val bare = intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("d" -> cat5.store("d")),
+        "ALTER TABLE d ADD COLUMNS (oops INT DEFAULT 1)")
+    }
+    assert(bare.getMessage.contains("StoreCatalog"), bare.getMessage)
   }
 
   test("CREATE OR REPLACE TABLE redeclares the schema in place: rows " +
