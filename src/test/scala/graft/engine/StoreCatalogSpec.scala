@@ -940,6 +940,41 @@ class StoreCatalogSpec extends SparkSpec {
       r.isNullAt(2) && r.isNullAt(3) && r.getInt(4) == 1, r.toString)
   }
 
+  test("REPLACE interplay: RESTORE rolls back across a replace (old " +
+      "schema and rows come back), and a table_changes window " +
+      "spanning the replace reports the full turnover") {
+    val base = Files.createTempDirectory("catalog-repint-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      "CREATE TABLE ri (k STRING, n INT) USING graft_store")
+    cat.exec(spark, "INSERT INTO ri VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L)) // v2
+    cat.exec(spark,
+      "CREATE OR REPLACE TABLE ri (id BIGINT) USING graft_store") // v3
+    cat.exec(spark, "INSERT INTO ri VALUES (7)", batchId = Some(1L)) // v4
+    // CDF across the replace: the old rows retire, the new ones land —
+    // the feed speaks the END version's schema (id), so the retired
+    // k/n rows surface as deletes with NULL id columns projected off
+    val feed = cat.query(spark,
+      """SELECT _change_type, COUNT(*) AS n
+        |FROM table_changes('ri', 3, 4)
+        |GROUP BY _change_type ORDER BY _change_type""".stripMargin)
+      .as[(String, Long)].collect().toMap
+    assert(feed == Map("delete" -> 2L, "insert" -> 1L), feed.toString)
+    // RESTORE to the pre-replace version: the ORIGINAL schema and rows
+    // serve again (restore is the metadata rollback — the replace,
+    // like any commit, is undoable until vacuum)
+    cat.exec(spark, "RESTORE TABLE ri TO VERSION AS OF 2")
+    assert(cat.query(spark, "SELECT k, n FROM ri ORDER BY k")
+      .as[(String, Int)].collect().toSeq == Seq(("a", 1), ("b", 2)))
+    // NOTE the unversioned surfaces (checks, column metadata) do NOT
+    // roll back with the data — the replacing declaration's gates
+    // stay in force; a restore across a replace that changed them
+    // should be followed by the matching DDL (documented contract:
+    // restore rolls back DATA+SCHEMA, constraints are files)
+  }
+
   test("SHALLOW CLONE: zero-copy clone point, free divergence both " +
       "ways, config and checks travel, compact severs, clone vacuum " +
       "never touches source files, VERSION AS OF clones history") {
