@@ -940,6 +940,47 @@ class StoreCatalogSpec extends SparkSpec {
       r.isNullAt(2) && r.isNullAt(3) && r.getInt(4) == 1, r.toString)
   }
 
+  test("MERGE into a generated-column table is governed by the write " +
+      "gate: a correct explicit value passes, a wrong or missing one " +
+      "refuses loudly and commits nothing — never silent corruption") {
+    val base = Files.createTempDirectory("catalog-genmerge-")
+    base.toFile.deleteOnExit()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      """CREATE TABLE gm (k STRING,
+        |  klen INT GENERATED ALWAYS AS (length(k)),
+        |  v INT) USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO gm (k, v) VALUES ('ab', 1)",
+      batchId = Some(0L))
+    spark.createDataFrame(Seq(("xyz", 2))).toDF("k", "v")
+      .createOrReplaceTempView("gm_src")
+    // the MERGE fill path does not run the catalog's INSERT-boundary
+    // fill — the invariant CHECK is what governs it: a correct
+    // explicit value commits
+    cat.exec(spark,
+      """MERGE INTO gm USING gm_src ON gm.k = gm_src.k
+        |WHEN NOT MATCHED THEN INSERT (k, klen, v)
+        |VALUES (gm_src.k, length(gm_src.k), gm_src.v)""".stripMargin,
+      batchId = Some(1L))
+    assert(cat.query(spark, "SELECT k, klen, v FROM gm ORDER BY k")
+      .as[(String, Int, Int)].collect().toSeq ==
+      Seq(("ab", 2, 1), ("xyz", 3, 2)))
+    // a WRONG explicit value refuses at the gate, nothing commits
+    spark.createDataFrame(Seq(("qq", 9))).toDF("k", "v")
+      .createOrReplaceTempView("gm_src2")
+    val v = cat.store("gm").currentVersion(spark)
+    intercept[Exception] {
+      cat.exec(spark,
+        """MERGE INTO gm USING gm_src2 ON gm.k = gm_src2.k
+          |WHEN NOT MATCHED THEN INSERT (k, klen, v)
+          |VALUES (gm_src2.k, 99, gm_src2.v)""".stripMargin,
+        batchId = Some(2L))
+    }
+    assert(cat.store("gm").currentVersion(spark) == v)
+    assert(cat.query(spark, "SELECT COUNT(*) AS c FROM gm")
+      .as[Long].head() == 2L)
+  }
+
   test("REPLACE interplay: RESTORE rolls back across a replace (old " +
       "schema and rows come back), and a table_changes window " +
       "spanning the replace reports the full turnover") {
