@@ -277,4 +277,49 @@ class StoreChangeSourceSpec extends SparkSpec {
       spark.readStream.format("graft-store").load()
     }
   }
+
+  test("a SHALLOW CLONE streams like any table: the clone point's " +
+      "inherited content is one catch-up batch, the clone's own " +
+      "writes keep flowing, and the source's post-clone writes never " +
+      "reach the clone's stream") {
+    val (srcPath, src) = newStore()
+    src.append(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), 0L)
+    val base = Files.createTempDirectory("clonestream-")
+    base.toFile.deleteOnExit()
+    val cat = new graft.engine.StoreCatalog(base.toString)
+    cat.register("src", src)
+    cat.exec(spark, "CREATE TABLE cl SHALLOW CLONE src")
+    val clonePath = cat.store("cl").tablePath
+    val sink = new scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = spark.readStream.format("graft-store")
+      .option("path", clonePath).load()
+      .writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("clone-ckpt-").toString)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        sink.synchronized {
+          sink ++= df.select("k", "v").as[(Long, String)].collect()
+        }
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    q.processAllAvailable()
+    assert(sink.toSet == Set((1L, "a"), (2L, "b")),
+      "the clone point's content is the stream's catch-up")
+    // divergence: the source's new write is invisible to the clone's
+    // stream; the clone's own write flows
+    src.append(Seq((9L, "src-only")).toDF("k", "v"), 1L)
+    cat.exec(spark, "INSERT INTO cl VALUES (3, 'c')",
+      batchId = Some(10L))
+    q.processAllAvailable()
+    assert(sink.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"source writes must not reach the clone's stream: $sink")
+    q.stop()
+    // batch CDF over the clone composes too: the window from the
+    // clone point to current is exactly the clone's own insert
+    val feed = cat.query(spark,
+      """SELECT k, _change_type FROM table_changes('cl', 2, 2)"""
+        .stripMargin).as[(Long, String)].collect().toSet
+    assert(feed == Set((3L, "insert")), feed.toString)
+  }
 }
