@@ -166,7 +166,10 @@ final class StoreCatalog(basePath: String) {
     */
   private def attachReferenced(spark: SparkSession,
       plan: LogicalPlan): Unit =
-    plan.foreach {
+    // subquery plans live inside EXPRESSIONS — plan.foreach never
+    // visits them, so a fresh session's `WHERE x > (SELECT avg(n)
+    // FROM t2)` must walk subqueriesAll or t2 never lazy-attaches
+    (plan +: plan.subqueriesAll).foreach(_.foreach {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 =>
         resolve(spark, u.multipartIdentifier.head)
@@ -214,7 +217,7 @@ final class StoreCatalog(basePath: String) {
           case _ =>
         }
       case _ =>
-    }
+    })
 
   /** Execute one statement: CREATE TABLE / CTAS are handled here;
     * everything else — DML, DDL, maintenance, including statements
@@ -314,8 +317,12 @@ final class StoreCatalog(basePath: String) {
             // snapshot the statement started from). Explicit time
             // travel is untouched (RelationTimeTravel is a leaf;
             // transform does not descend into its inner relation).
+            // transformWithSubqueries, not transform: a scalar
+            // subquery `(SELECT max(x) FROM r)` lives in an
+            // EXPRESSION plan that bare transform never visits — it
+            // would read the already-emptied post-replace state.
             val preV = s.currentVersion(spark).toString
-            val pinned = rtas.query.transform {
+            val pinned = rtas.query.transformWithSubqueries {
               case u: org.apache.spark.sql.catalyst.analysis
                   .UnresolvedRelation
                   if u.multipartIdentifier.size == 1 &&
@@ -558,43 +565,44 @@ final class StoreCatalog(basePath: String) {
           throw new IllegalArgumentException(s"unknown table '$name'"))
         val schemaFields = s.read(spark).schema.fields.toSeq
           .filterNot(_.name == "batch_id")
-        val meta = metaOf(name)
-        val nextMeta = a.specs.foldLeft(meta) { (m, sp) =>
-          val parts = sp.column.name
-          require(parts.size == 1,
-            s"nested column path ${parts.mkString(".")} is not " +
-              "supported")
-          val fld = schemaFields.find(_.name.equalsIgnoreCase(parts.head))
-            .getOrElse(throw new IllegalArgumentException(
-              s"ALTER COLUMN: no column '${parts.head}' in table " +
-                s"'$name' (${schemaFields.map(_.name).mkString(", ")})"))
-          val withDefault = sp.newDefaultExpression match {
-            case Some(d) =>
-              require(!meta.generated.contains(fld.name),
-                s"column '${fld.name}' is GENERATED — it has no " +
-                  "DEFAULT to set or drop")
-              // full declaration-time validation (constant, lossless
-              // cast to the LIVE column type) — see [[validateDefault]]
-              validateDefault(spark, fld.name, d.originalSQL,
-                fld.dataType)
-              m.copy(defaults = m.defaults + (fld.name -> d.originalSQL))
-            case None if sp.dropDefault =>
-              require(!meta.generated.contains(fld.name),
-                s"column '${fld.name}' is GENERATED — it has no " +
-                  "DEFAULT to set or drop")
-              m.copy(defaults = m.defaults - fld.name)
-            case None => m
+        val metaXf = (m0: StoreCatalog.TableMeta) =>
+          a.specs.foldLeft(m0) { (m, sp) =>
+            val parts = sp.column.name
+            require(parts.size == 1,
+              s"nested column path ${parts.mkString(".")} is not " +
+                "supported")
+            val fld = schemaFields.find(_.name.equalsIgnoreCase(parts.head))
+              .getOrElse(throw new IllegalArgumentException(
+                s"ALTER COLUMN: no column '${parts.head}' in table " +
+                  s"'$name' (${schemaFields.map(_.name).mkString(", ")})"))
+            val withDefault = sp.newDefaultExpression match {
+              case Some(d) =>
+                require(!m.generated.contains(fld.name),
+                  s"column '${fld.name}' is GENERATED — it has no " +
+                    "DEFAULT to set or drop")
+                // full declaration-time validation (constant, lossless
+                // cast to the LIVE column type) — see [[validateDefault]]
+                validateDefault(spark, fld.name, d.originalSQL,
+                  fld.dataType)
+                m.copy(defaults = m.defaults + (fld.name -> d.originalSQL))
+              case None if sp.dropDefault =>
+                require(!m.generated.contains(fld.name),
+                  s"column '${fld.name}' is GENERATED — it has no " +
+                    "DEFAULT to set or drop")
+                m.copy(defaults = m.defaults - fld.name)
+              case None => m
+            }
+            sp.newComment match {
+              case Some(c) => withDefault.copy(
+                comments = withDefault.comments + (fld.name -> c))
+              case None => withDefault
+            }
           }
-          sp.newComment match {
-            case Some(c) => withDefault.copy(
-              comments = withDefault.comments + (fld.name -> c))
-            case None => withDefault
-          }
-        }
         // physical knobs and untouched column metadata carry through
         // unchanged (mirror of alterProps carrying defaults through)
-        updateSpec(spark, s.tablePath, s.partitionColumns,
-          knobsOf(s).toMap, nextMeta)
+        val (_, nextMeta) = updateSpec(spark, s.tablePath,
+          s.partitionColumns, identity, metaXf,
+          (knobsOf(s).toMap, metaOf(name)))
         metaReg.put(name, nextMeta)
         spark.emptyDataFrame
       case Some(ac: org.apache.spark.sql.catalyst.plans.logical
@@ -622,14 +630,16 @@ final class StoreCatalog(basePath: String) {
         }
         s.addColumns(spark,
           ac.columnsToAdd.map(c => c.colName -> c.dataType))
-        val nextMeta = ac.columnsToAdd.foldLeft(meta) { (m, c) =>
-          val withD = c.default.fold(m)(d =>
-            m.copy(defaults = m.defaults + (c.colName -> d.originalSQL)))
-          c.comment.fold(withD)(cm =>
-            withD.copy(comments = withD.comments + (c.colName -> cm)))
-        }
-        updateSpec(spark, s.tablePath, s.partitionColumns,
-          knobsOf(s).toMap, nextMeta)
+        val metaXf = (m0: StoreCatalog.TableMeta) =>
+          ac.columnsToAdd.foldLeft(m0) { (m, c) =>
+            val withD = c.default.fold(m)(d =>
+              m.copy(defaults = m.defaults + (c.colName -> d.originalSQL)))
+            c.comment.fold(withD)(cm =>
+              withD.copy(comments = withD.comments + (c.colName -> cm)))
+          }
+        val (_, nextMeta) = updateSpec(spark, s.tablePath,
+          s.partitionColumns, identity, metaXf,
+          (knobsOf(s).toMap, meta))
         metaReg.put(name, nextMeta)
         spark.emptyDataFrame
       case _ =>
@@ -657,23 +667,28 @@ final class StoreCatalog(basePath: String) {
       throw new IllegalArgumentException(s"unknown table '$name'"))
     val knobs = Seq("statsColumns", "bloomColumns", "morDeleteKey")
     val current: Map[String, String] = knobsOf(s).toMap
-    val next = xform(current)
-    val foreign = next.keySet.filterNot(knobs.contains)
-    require(foreign.isEmpty,
-      s"unsupported table properties ${foreign.mkString(", ")}: the " +
-        s"store's physical knobs are ${knobs.mkString(", ")} — a " +
-        "property this catalog cannot serve must not silently persist")
-    // validate against the DECLARED columns only — the read schema
-    // appends the internal batch_id attribution column, and accepting
-    // 'statsColumns'='batch_id' here would let ALTER persist a spec the
-    // CREATE path itself refuses (non-round-trippable SHOW CREATE TABLE)
-    validateProps(
-      s.read(spark).columns.toSeq.filterNot(_ == "batch_id"),
-      s.partitionColumns, next)
+    // validation lives INSIDE the transform so a rebased retry (lost
+    // publish race) re-validates against the winner's properties too
+    val propsXf = (cur: Map[String, String]) => {
+      val next = xform(cur)
+      val foreign = next.keySet.filterNot(knobs.contains)
+      require(foreign.isEmpty,
+        s"unsupported table properties ${foreign.mkString(", ")}: the " +
+          s"store's physical knobs are ${knobs.mkString(", ")} — a " +
+          "property this catalog cannot serve must not silently persist")
+      // validate against the DECLARED columns only — the read schema
+      // appends the internal batch_id attribution column, and accepting
+      // 'statsColumns'='batch_id' here would let ALTER persist a spec the
+      // CREATE path itself refuses (non-round-trippable SHOW CREATE TABLE)
+      validateProps(
+        s.read(spark).columns.toSeq.filterNot(_ == "batch_id"),
+        s.partitionColumns, next)
+      next
+    }
     // column metadata carries through unchanged — SET/UNSET edits
     // only the physical knobs, and a republished spec must not drop it
-    updateSpec(spark, s.tablePath, s.partitionColumns, next,
-      metaOf(name))
+    val (next, _) = updateSpec(spark, s.tablePath, s.partitionColumns,
+      propsXf, identity, (current, metaOf(name)))
     val fresh = mk(s.tablePath, s.partitionColumns, next)
     reg.put(name, fresh)
     // stats/bloom config changed → recompute every dir's manifest
@@ -816,21 +831,37 @@ final class StoreCatalog(basePath: String) {
   }
 
   /** Publish the NEXT spec generation (optimistic on the generation
-    * number, like a manifest commit) — SET/UNSET TBLPROPERTIES' durable
-    * leg.
+    * number, like a manifest commit) — SET/UNSET TBLPROPERTIES' and
+    * the column-metadata verbs' durable leg. Takes TRANSFORMS, not
+    * final bytes: a lost publish race reloads the winner's generation
+    * and re-applies the transform to IT (the manifest tryCommit rebase
+    * contract) — republishing stale bytes would silently revert a
+    * concurrent ALTER's change on the next re-attach. `seed` is the
+    * starting state when no spec sidecar exists yet. Returns what was
+    * actually published so callers update their registries from the
+    * rebased result, never from a pre-race snapshot.
     */
   private def updateSpec(spark: SparkSession, path: String,
-      partitionBy: Seq[String], props: Map[String, String],
-      meta: StoreCatalog.TableMeta): Unit = {
+      partitionBy: Seq[String],
+      propsXf: Map[String, String] => Map[String, String],
+      metaXf: StoreCatalog.TableMeta => StoreCatalog.TableMeta,
+      seed: (Map[String, String], StoreCatalog.TableMeta))
+      : (Map[String, String], StoreCatalog.TableMeta) = {
     val f = new org.apache.hadoop.fs.Path(path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
-    val bytes = specJson(partitionBy, props, meta)
-    var next = math.max(specFiles(f, path).map(_._1).maxOption
-      .getOrElse(0L), 1L) + 1L
-    while (!AtomicCreate.publish(f,
-        new org.apache.hadoop.fs.Path(path, s"table_spec_v$next"),
-        bytes))
-      next += 1L
+    while (true) {
+      val next = math.max(specFiles(f, path).map(_._1).maxOption
+        .getOrElse(0L), 1L) + 1L
+      val (props0, meta0) = loadSpec(spark, path)
+        .map { case (_, p, m) => (p, m) }.getOrElse(seed)
+      val props = propsXf(props0)
+      val meta = metaXf(meta0)
+      if (AtomicCreate.publish(f,
+          new org.apache.hadoop.fs.Path(path, s"table_spec_v$next"),
+          specJson(partitionBy, props, meta)))
+        return (props, meta)
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Durable name → path pointer under `basePath/_catalog/` so a
@@ -1069,7 +1100,10 @@ final class StoreCatalog(basePath: String) {
     s.listChecks(spark).foreach { case (n, _) => s.dropCheck(spark, n) }
     val fresh = mk(s.tablePath, pb, props)
     installChecks(spark, fresh, columns, tableSpec, meta)
-    updateSpec(spark, s.tablePath, pb, props, meta)
+    // REPLACE is a full redeclaration: constant transforms — a lost
+    // race republishes the SAME declaration (replace wins by contract)
+    updateSpec(spark, s.tablePath, pb, _ => props, _ => meta,
+      (props, meta))
     metaReg.put(name, meta)
     absent.remove(name); reg.put(name, fresh)
     fresh
@@ -1093,6 +1127,13 @@ final class StoreCatalog(basePath: String) {
   private def cloneTable(spark: SparkSession, target: String,
       source: String, versionAsOf: Option[Long],
       ifNotExists: Boolean): DataFrame = {
+    // the CREATE path reserves this name through identOf; the clone
+    // verb parses outside Spark's grammar and must reserve it itself —
+    // a '_catalog' clone would write a manifest INTO the name-pointer
+    // directory, corrupting every listTables/readPointer after it
+    require(target != "_catalog" && source != "_catalog",
+      "'_catalog' is reserved: it is the catalog's own name-pointer " +
+        "directory")
     val src = resolve(spark, source).getOrElse(
       throw new IllegalArgumentException(
         s"SHALLOW CLONE: unknown source table '$source' (known: " +
@@ -1112,6 +1153,29 @@ final class StoreCatalog(basePath: String) {
       require(v >= 1 && v <= cur,
         s"SHALLOW CLONE: version $v of '$source' does not exist " +
           s"(current version: $cur)")
+      // the checks copied below are the source's CURRENT set, but a
+      // check added AFTER version v was never validated against v's
+      // rows — without this scan the clone could be born violating its
+      // own gates, and every later DML rewrite on it would fail at the
+      // check choke point. The one place the zero-copy contract bends:
+      // a VERSIONED clone pays one snapshot scan (all checks in a
+      // single aggregate job); a current-version clone stays free
+      // (those rows were WRITTEN through these exact gates).
+      val checks = src.listChecks(spark)
+      if (checks.nonEmpty && v != cur) {
+        import org.apache.spark.sql.functions.{count_if, expr, not}
+        val snap = src.readVersion(spark, v)
+        val counts = checks.map { case (n, p) =>
+          count_if(not(expr(p))).as(n) }
+        val row = snap.agg(counts.head, counts.tail: _*).head()
+        checks.zipWithIndex.foreach { case ((n, p), i) =>
+          require(row.getLong(i) == 0L,
+            s"SHALLOW CLONE VERSION AS OF $v: check '$n' ($p) is " +
+              s"violated by ${row.getLong(i)} row(s) at that version " +
+              "(the check was added after it); clone a version that " +
+              "satisfies it or drop the check on the source first")
+        }
+      }
     }
     val path = s"$basePath/$target"
     val pb = src.partitionColumns
@@ -1231,13 +1295,21 @@ final class StoreCatalog(basePath: String) {
         s"${refs.mkString(", ")}: a default must be a constant " +
         "expression")
     // one local evaluation: a non-null default value must survive the
-    // cast to the column's declared type
+    // cast to the column's declared type — BOTH legs of "losslessly":
+    // a null-producing cast (e.g. 'abc' → INT) AND a truncating cast
+    // that stays non-null (e.g. 1.5 → INT silently fills 1). The
+    // second leg is a round-trip equality probe in the LITERAL's own
+    // type: cast to the column type and back, null-safe compare.
+    val litType = spark.sql(s"SELECT ($sql)").schema.head.dataType
     val lossy = spark.sql(
-        s"SELECT ($sql) IS NOT NULL AND CAST(($sql) AS ${dt.sql}) " +
-          "IS NULL").head().getBoolean(0)
+        s"SELECT ($sql) IS NOT NULL AND (CAST(($sql) AS ${dt.sql}) " +
+          s"IS NULL OR NOT (CAST(CAST(($sql) AS ${dt.sql}) AS " +
+          s"${litType.sql}) <=> ($sql)))").head().getBoolean(0)
     require(!lossy,
       s"DEFAULT ($sql) for column '$col' does not cast losslessly " +
-        s"to ${dt.sql}")
+        s"to ${dt.sql} (a truncating default would silently fill a " +
+        "different value than declared); declare the default in the " +
+        "column's own type")
   }
 
   /** Declared CHECK constraints plus NOT NULL columns as named checks

@@ -810,7 +810,11 @@ object StoreSql {
             .option("path", store.tablePath)) {
           case (r, (k, v)) => r.option(k, v)
         }.load())
-    plan.transform {
+    // transformWithSubqueries, not transform: a scalar/EXISTS/IN
+    // subquery's plan lives inside an EXPRESSION — bare transform
+    // never visits it, so `SELECT (SELECT max(n) FROM store_t) ...`
+    // would reach the analyzer unspliced and fail "table not found"
+    plan.transformWithSubqueries {
       case tt @ RelationTimeTravel(rel, ts, ver) =>
         relationName(rel).flatMap(tables.get) match {
           case None => tt // not a store — let the analyzer report it
