@@ -2441,5 +2441,73 @@ object StoreOps {
           |ORDER BY o_orderstatus""".stripMargin)
         .withColumn("n_source", lit(nSource))
         .withColumn("zero_copy", lit(zeroCopy))
+    },
+
+    // AUTO-MAPPING (reference README.md:40 "Auto-mapping suggests a
+    // canonical (silver) schema" — the q225 onboarding flow's missing
+    // middle): bronze lands, SchemaRegistry INFERS the topic schema,
+    // AutoMapper proposes the canonical mapping from the INFERRED
+    // schema alone (no hand-written spec anywhere), the proposal and
+    // the approved spec persist as sidecars, a fresh load of the
+    // sidecar normalizes the records — and the rows hash-match the
+    // hand-written pipeline's uid math recomputed from first
+    // principles. The pins make the SUGGESTION itself checkable:
+    // 21 mapped / 8 honestly unfilled / 0 ambiguous, and the uid
+    // triple the engine chose. Driver-side metadata work only —
+    // the suggestion costs the same at 100 TB as at 1 MB.
+    QueryDef(
+      "q234_auto_mapping",
+      """WITH exp(asset_name, uid_src) AS (VALUES
+        |  ('WEB-01.example.local',
+        |   'web-01.example.local|10.0.0.17|101'),
+        |  ('  web-01.Example.LOCAL ',
+        |   'web-01.example.local|10.0.0.17|101'),
+        |  ('bare-host', 'bare-host'),
+        |  ('(none)', '5'))
+        |SELECT 'rapid7' AS source_system, asset_name,
+        |  sha256(uid_src) AS asset_uid,
+        |  21 AS n_mapped, 8 AS n_unfilled, 0 AS n_ambiguous,
+        |  'primary_hostname|primary_ip|rapid7_id' AS uid_triple
+        |FROM exp
+        |ORDER BY asset_uid, asset_name""".stripMargin) { (s, dir) =>
+      import graft.engine.{AutoMapper, Fixtures, Normalize,
+        SchemaRegistry}
+      val base = Materialize.keyedPath(s, "auto_mapping_v1", dir)
+      val conf = s.sparkContext.hadoopConfiguration
+      val f = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      Fixtures.rapid7Records.zipWithIndex.foreach { case (r, i) =>
+        val hp = new org.apache.hadoop.fs.Path(
+          s"$base/bronze/rapid7_assets/rec-$i.json")
+        if (!f.exists(hp)) {
+          val out = f.create(hp)
+          out.write(r.getBytes("UTF-8")); out.close()
+        }
+      }
+      val registry = new SchemaRegistry(s, s"$base/bronze",
+        s"$base/schemas",
+        SchemaRegistry.Config(maxFilesForInference = 0,
+          samplingRatio = 1.0))
+      registry.runOnce()
+      val inferred = registry.readSchema("rapid7_assets").getOrElse(
+        sys.error("no inferred schema for rapid7_assets"))
+      val proposal = AutoMapper.suggest("rapid7", inferred)
+      AutoMapper.persistProposal(s, s"$base/mapping", proposal)
+      AutoMapper.approve(s, s"$base/mapping", proposal)
+      // the runnable spec comes from the SIDECAR, as a fresh
+      // session's pipeline would load it
+      val spec = AutoMapper.loadApproved(s, s"$base/mapping").get
+      val rows = Normalize(
+        Normalize.readRecords(s, spec, Fixtures.rapid7Records), spec,
+        to_timestamp(lit("2026-01-01 00:00:00")))
+      rows.select(col("source_system"),
+          coalesce(col("asset_name"), lit("(none)")).as("asset_name"),
+          col("asset_uid"))
+        .withColumn("n_mapped", lit(proposal.suggestions.size))
+        .withColumn("n_unfilled", lit(proposal.unfilled.size))
+        .withColumn("n_ambiguous",
+          lit(proposal.ambiguousTargets.size))
+        .withColumn("uid_triple", lit(Seq(spec.uid.hostnameCol,
+          spec.uid.ipishCol, spec.uid.idCol).mkString("|")))
+        .orderBy("asset_uid", "asset_name")
     })
 }
