@@ -254,6 +254,7 @@ final class StoreCatalog(basePath: String) {
     parsed match {
       case Some(ct: CreateTable) =>
         val name = identOf(ct.name)
+        requireNotView(spark, name)
         existing(spark, name, ct.partitioning, ct.tableSpec,
             ct.ignoreIfExists) match {
           case Some(_) => // IF NOT EXISTS: keep the existing table
@@ -264,12 +265,13 @@ final class StoreCatalog(basePath: String) {
         spark.emptyDataFrame
       case Some(ctas: CreateTableAsSelect) =>
         val name = identOf(ctas.name)
+        requireNotView(spark, name)
         existing(spark, name, ctas.partitioning, ctas.tableSpec,
             ctas.ignoreIfExists) match {
           case Some(_) =>
           case None =>
             ctasFresh(spark, name, ctas.partitioning, ctas.tableSpec,
-              ctas.query, batchId)
+              spliceViews(spark, ctas.query), batchId)
         }
         spark.emptyDataFrame
       case Some(rt: org.apache.spark.sql.catalyst.plans.logical
@@ -281,6 +283,7 @@ final class StoreCatalog(basePath: String) {
         // the history). Bare REPLACE refuses on a missing table;
         // CREATE OR REPLACE falls back to a plain create.
         val name = identOf(rt.name)
+        requireNotView(spark, name)
         existing(spark, name, rt.partitioning, rt.tableSpec,
             ignoreIfExists = true) match {
           case Some(s) =>
@@ -301,6 +304,7 @@ final class StoreCatalog(basePath: String) {
         // crash between them leaves an empty typed table, never a
         // half-replaced one
         val name = identOf(rtas.name)
+        requireNotView(spark, name)
         existing(spark, name, rtas.partitioning, rtas.tableSpec,
             ignoreIfExists = true) match {
           case Some(s) =>
@@ -322,7 +326,8 @@ final class StoreCatalog(basePath: String) {
             // EXPRESSION plan that bare transform never visits — it
             // would read the already-emptied post-replace state.
             val preV = s.currentVersion(spark).toString
-            val pinned = rtas.query.transformWithSubqueries {
+            val pinned = spliceViews(spark, rtas.query)
+              .transformWithSubqueries {
               case u: org.apache.spark.sql.catalyst.analysis
                   .UnresolvedRelation
                   if u.multipartIdentifier.size == 1 &&
@@ -365,6 +370,8 @@ final class StoreCatalog(basePath: String) {
           "'_catalog' is reserved: it is the catalog's own " +
             "name-pointer directory and holds every custom-LOCATION " +
             "table's pointer")
+        require(viewText(spark, name).isEmpty,
+          s"'$name' is a VIEW — use DROP VIEW")
         val known = reg.get(name).map(_.tablePath)
           .orElse(readPointer(spark, name))
           .orElse {
@@ -403,6 +410,75 @@ final class StoreCatalog(basePath: String) {
               "from the catalog that registered it)")
         }
         spark.emptyDataFrame
+      case Some(cv: org.apache.spark.sql.catalyst.plans.logical
+          .CreateView) =>
+        // CREATE [OR REPLACE] VIEW [IF NOT EXISTS] v AS <query> —
+        // persistent, catalog-owned (README.md:42: BI tools query
+        // views over governed tables). The view is its TEXT: persisted
+        // as a sidecar under `_catalog/_views/`, re-parsed and spliced
+        // at read time so it always serves the live (or time-traveled)
+        // state of the underlying tables and inherits their manifest
+        // pruning — a materialized snapshot would silently go stale.
+        val name = cv.child match {
+          case u: UnresolvedIdentifier if u.nameParts.size == 1 =>
+            u.nameParts.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported CREATE VIEW name: $other")
+        }
+        require(name != "_catalog" && name != "_views",
+          s"'$name' is reserved")
+        require(cv.userSpecifiedColumns.isEmpty,
+          "CREATE VIEW with a column list is not supported — alias " +
+            "in the SELECT")
+        require(resolve(spark, name).isEmpty,
+          s"'$name' is a TABLE (views and tables share the namespace); " +
+            "DROP TABLE first or pick another name")
+        val text = cv.originalText.getOrElse(
+          throw new IllegalArgumentException(
+            "CREATE VIEW requires the AS <query> text"))
+        if (viewText(spark, name).isDefined) {
+          if (cv.allowExisting) return spark.emptyDataFrame
+          require(cv.replace,
+            s"view '$name' already exists (use CREATE OR REPLACE " +
+              "VIEW or IF NOT EXISTS)")
+        }
+        // the definition must RESOLVE now (tables exist, SQL is
+        // well-formed) — a broken view refuses at DDL time, exactly
+        // like a broken DEFAULT; validating analyzes against the live
+        // catalog without executing anything
+        org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+          StoreSql.route(spark, tables, spliceViews(spark,
+            attachAndParse(spark, text), depth = 1))).schema
+        publishView(spark, name, text)
+        spark.emptyDataFrame
+      case Some(dv: org.apache.spark.sql.catalyst.plans.logical
+          .DropView) =>
+        val name = dv.child match {
+          case u: UnresolvedIdentifier if u.nameParts.size == 1 =>
+            u.nameParts.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported DROP VIEW name: $other")
+        }
+        val hp = viewPath(name)
+        val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (f.exists(hp)) { f.delete(hp, false); absentViews.remove(name) }
+        else require(dv.ifExists,
+          s"unknown view '$name' (use DROP VIEW IF EXISTS; note: " +
+            "tables drop with DROP TABLE)")
+        spark.emptyDataFrame
+      case Some(sv: org.apache.spark.sql.catalyst.plans.logical
+          .ShowViews) =>
+        // Spark's own output shape (namespace, viewName, isTemporary);
+        // namespace = the catalog base path, same as SHOW TABLES
+        import spark.implicits._
+        val pat = sv.pattern.map(p =>
+          ("(?i)" + p.split("\\|").map(s =>
+            java.util.regex.Pattern.quote(s).replace("*", "\\E.*\\Q"))
+            .mkString("|")).r)
+        listViews(spark)
+          .filter(n => pat.forall(_.matches(n)))
+          .map(n => (basePath, n, false))
+          .toDF("namespace", "viewName", "isTemporary")
       case Some(st: org.apache.spark.sql.catalyst.plans.logical
           .ShowTables) =>
         // SHOW TABLES [LIKE 'pat']: Spark's own output shape
@@ -464,6 +540,11 @@ final class StoreCatalog(basePath: String) {
         // constraints, partitioning, knobs, location).
         import spark.implicits._
         val name = tableNameOf(sc.child, "SHOW CREATE TABLE")
+        // a VIEW round-trips as its definition text
+        viewText(spark, name).foreach { text =>
+          return Seq(s"CREATE VIEW $name AS $text")
+            .toDF("createtab_stmt")
+        }
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
         val meta = metaOf(name)
@@ -705,8 +786,10 @@ final class StoreCatalog(basePath: String) {
     * first, so a fresh session queries any table the catalog lists.
     */
   def query(spark: SparkSession, sql: String): DataFrame = {
-    val plan = spark.sessionState.sqlParser.parsePlan(sql)
-    attachReferenced(spark, plan)
+    val plan = spliceViews(spark,
+      attachAndParse(spark, sql))
+    // spliced view bodies may reference tables the outer statement
+    // does not — attachAndParse inside spliceViews handled those
     org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
       StoreSql.route(spark, tables, plan))
   }
@@ -876,6 +959,112 @@ final class StoreCatalog(basePath: String) {
       path.getBytes("UTF-8"))
   }
 
+  // ---------------------------------------------------------------- views
+
+  /** Persistent views live as TEXT sidecars under `_catalog/_views/`
+    * (a SUBDIRECTORY, so [[listTables]]' pointer listing — files only —
+    * never reads a view as a table pointer). A view is re-parsed and
+    * spliced at READ time: it always serves the live state of its
+    * tables and inherits their manifest pruning; nothing is
+    * materialized. Same atomic create-if-absent protocol as every
+    * sidecar; OR REPLACE deletes-then-publishes explicitly.
+    */
+  private def viewPath(name: String): org.apache.hadoop.fs.Path = {
+    require(name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"view name must be [A-Za-z0-9_-]+, got '$name'")
+    new org.apache.hadoop.fs.Path(s"$basePath/_catalog/_views/$name")
+  }
+
+  /** Negative view-lookup cache, same staleness contract as [[absent]]:
+    * every bare relation name in every read probes for a view sidecar
+    * once, not per statement.
+    */
+  private val absentViews =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def publishView(spark: SparkSession, name: String,
+      text: String): Unit = {
+    val hp = viewPath(name)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (f.exists(hp)) f.delete(hp, false) // OR REPLACE / re-validate path
+    require(AtomicCreate.publish(f, hp, text.getBytes("UTF-8")),
+      s"lost publish race for view '$name'")
+    absentViews.remove(name)
+  }
+
+  /** The persisted definition text of view `name`, if one exists. */
+  def viewText(spark: SparkSession, name: String): Option[String] = {
+    if (absentViews.contains(name) || name == "_catalog") return None
+    if (!name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
+      return None
+    val hp = viewPath(name)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) { absentViews.add(name); return None }
+    val in = f.open(hp)
+    try {
+      val buf = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
+      in.readFully(buf); Some(new String(buf, "UTF-8"))
+    } finally in.close()
+  }
+
+  /** Every persisted view name, sorted — the durable discovery SHOW
+    * VIEWS serves (a fresh session sees views it did not create).
+    */
+  def listViews(spark: SparkSession): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/_views")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** Splice every persisted-view reference in a plan with its parsed
+    * definition (recursively — views over views compose), aliased under
+    * the view's name so column references resolve as they would against
+    * a table. Time travel on a VIEW refuses: a view is a definition,
+    * not data — there is no version chain to travel (Delta refuses
+    * identically); travel the underlying tables inside the view text
+    * instead. Depth-capped so a cyclic definition refuses loudly.
+    */
+  private def spliceViews(spark: SparkSession, plan: LogicalPlan,
+      depth: Int = 0): LogicalPlan =
+    plan.transformWithSubqueries {
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+          if (tt.relation match {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedRelation =>
+              u.multipartIdentifier.size == 1 &&
+                viewText(spark, u.multipartIdentifier.head).isDefined
+            case _ => false
+          }) =>
+        throw new IllegalArgumentException(
+          "time travel on a VIEW is not supported (a view is a " +
+            "definition, not data): apply VERSION AS OF / TIMESTAMP " +
+            "AS OF to the underlying tables in the view definition")
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            viewText(spark, u.multipartIdentifier.head).isDefined =>
+        require(depth < 10,
+          s"view nesting deeper than 10 at " +
+            s"'${u.multipartIdentifier.head}' — cyclic view definition?")
+        val name = u.multipartIdentifier.head
+        val inner = spliceViews(spark,
+          attachAndParse(spark, viewText(spark, name).get), depth + 1)
+        org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias(name, inner)
+    }
+
+  /** Parse a view definition and lazy-attach every table it references
+    * — a fresh session's first statement may be a query over a view of
+    * tables it never touched.
+    */
+  private def attachAndParse(spark: SparkSession,
+      text: String): LogicalPlan = {
+    val p = spark.sessionState.sqlParser.parsePlan(text)
+    attachReferenced(spark, p)
+    p
+  }
+
   private def readPointer(spark: SparkSession,
       name: String): Option[String] = {
     val hp = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
@@ -938,6 +1127,14 @@ final class StoreCatalog(basePath: String) {
       s"store tables are single-part names, got ${parts.mkString(".")}")
     parts.head
   }
+
+  /** Views and tables share the name namespace (Spark/Delta contract):
+    * a table verb aimed at a view name refuses with the right verb.
+    */
+  private def requireNotView(spark: SparkSession, name: String): Unit =
+    require(viewText(spark, name).isEmpty,
+      s"'$name' is a VIEW (views and tables share the namespace); " +
+        "DROP VIEW first or pick another name")
 
   private def identOf(name: LogicalPlan): String = name match {
     case u: UnresolvedIdentifier =>
@@ -1134,6 +1331,10 @@ final class StoreCatalog(basePath: String) {
     require(target != "_catalog" && source != "_catalog",
       "'_catalog' is reserved: it is the catalog's own name-pointer " +
         "directory")
+    requireNotView(spark, target)
+    require(viewText(spark, source).isEmpty,
+      s"SHALLOW CLONE: '$source' is a VIEW — clone the underlying " +
+        "table, or CTAS the view if a materialized copy is intended")
     val src = resolve(spark, source).getOrElse(
       throw new IllegalArgumentException(
         s"SHALLOW CLONE: unknown source table '$source' (known: " +

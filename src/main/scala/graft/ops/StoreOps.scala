@@ -2509,5 +2509,58 @@ object StoreOps {
         .withColumn("uid_triple", lit(Seq(spec.uid.hostnameCol,
           spec.uid.ipishCol, spec.uid.idCol).mkString("|")))
         .orderBy("asset_uid", "asset_name")
+    },
+
+    // PERSISTENT VIEWS (reference README.md:42 — "queryable by Spark,
+    // Trino, or BI tools"; BI surfaces lean on named views over
+    // governed tables): CREATE VIEW persists the definition TEXT as a
+    // catalog sidecar; a FRESH session discovers it (SHOW VIEWS),
+    // round-trips its DDL (SHOW CREATE TABLE), and queries it — the
+    // view re-parses and splices at read time, so it serves the LIVE
+    // table and the statement's WHERE reaches the store scan's
+    // manifest pruning through it (nothing is materialized; at 100 TB
+    // a view costs what its query costs, not a stale copy).
+    QueryDef(
+      "q235_sql_views",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total,
+        |  1 AS n_views, 1 AS roundtrip
+        |FROM orders WHERE o_totalprice > 100000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_views_v1", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS vorders (
+          |  o_orderstatus STRING, o_totalprice DOUBLE)
+          |USING graft_store
+          |TBLPROPERTIES ('statsColumns'='o_totalprice')""".stripMargin)
+      if (cat.store("vorders").currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO vorders
+            |SELECT o_orderstatus, o_totalprice FROM orders"""
+            .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE VIEW IF NOT EXISTS status_totals AS
+          |SELECT o_orderstatus, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM vorders WHERE o_totalprice > 100000
+          |GROUP BY o_orderstatus""".stripMargin)
+      // a FRESH catalog session: discovery, DDL round-trip, query
+      val fresh = new graft.engine.StoreCatalog(base)
+      val views = fresh.exec(s, "SHOW VIEWS").collect()
+        .map(_.getString(1)).toSeq
+      val ddl = fresh.exec(s, "SHOW CREATE TABLE status_totals")
+        .head().getString(0)
+      val roundtrip =
+        if (ddl.startsWith("CREATE VIEW status_totals AS")) 1 else 0
+      fresh.query(s,
+        """SELECT o_orderstatus, n, total FROM status_totals
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("n_views", lit(views.size))
+        .withColumn("roundtrip", lit(roundtrip))
     })
 }
