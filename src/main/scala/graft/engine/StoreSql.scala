@@ -303,6 +303,27 @@ object StoreSql {
             evolveTarget(spark, store, srcFrame, targetSchema))
           store.merge(spark, src, key, bid)
         } else {
+          // MERGE WITH SCHEMA EVOLUTION on the general clause path
+          // (Delta's autoMerge-for-MERGE contract): a SET * / INSERT *
+          // action — conditioned or not — is a BY-NAME write of the
+          // whole source row, so a NEW source column (the CDC batch
+          // that grew a field mid-stream) must either evolve through
+          // the governed ADD/WIDEN verbs (conf on) or REFUSE (conf
+          // off) — silently dropping it, which by-name mapping would
+          // otherwise do, is the lost-data failure mode. Explicit
+          // column-list clauses project onto named target columns and
+          // need no gate. reconcileInsert validates; its projection is
+          // discarded (clause application maps by name with per-column
+          // casts against the freshly-evolved target schema).
+          val starAction = (m.matchedActions ++ m.notMatchedActions)
+            .exists {
+              case UpdateStarAction(_) => true
+              case InsertStarAction(_) => true
+              case _ => false
+            }
+          if (starAction && store.currentVersion(spark) > 0)
+            reconcileInsert(srcFrame, evolveTarget(spark, store,
+              srcFrame, Some(store.read(spark).schema)))
           // qualifier rewrite for the general path: references resolve
           // against the PARSED aliases plus the two relations' actual
           // schemas, then render into the merge-join's namespace

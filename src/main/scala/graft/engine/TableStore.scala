@@ -1814,6 +1814,17 @@ final class ManifestTableStore(path: String,
             when(applicable && cl.cond.map(expr).getOrElse(lit(true)),
               lit(i)).otherwise(els)
         }
+    // the target's CURRENT schema (renames/widens/adds projected) —
+    // computed BEFORE the per-dir rewrites because each rewrite must
+    // emit the FULL current schema, not the dir's own physical one: a
+    // governed ADD that landed just before this merge (schema
+    // evolution) means old dirs lack the new column, and a SET * of it
+    // would otherwise be silently dropped from the rewritten dir.
+    // Schema-only (parquet footers), no data read.
+    val tSchema =
+      if (lines.isEmpty) src.schema
+      else applyWidens(applyRenames(
+        readDirs(spark, lines.map(_.dir).distinct), lines), lines).schema
     def xform(df: DataFrame): DataFrame = {
       val joined = df.join(broadcast(srcPrefixed),
         df(key) === col(s"__src_$key"), "left")
@@ -1830,7 +1841,14 @@ final class ManifestTableStore(path: String,
           else !col("__m").isInCollection(delM))
         .filter(if (delB.isEmpty) lit(true)
           else !col("__b").isInCollection(delB))
-      val outCols = df.columns.map { c =>
+      val outCols = tSchema.fields.map { fld =>
+        val c = fld.name
+        // a column this DIR does not physically hold yet (added by a
+        // marker after the dir was written) reads NULL, exactly as the
+        // scan path fills it
+        val base: org.apache.spark.sql.Column =
+          if (df.columns.contains(c)) col(c)
+          else lit(null).cast(fld.dataType)
         def chain(clauses: Seq[ManifestTableStore.MergeClause],
             idx: org.apache.spark.sql.Column,
             acc: org.apache.spark.sql.Column) =
@@ -1859,7 +1877,7 @@ final class ManifestTableStore(path: String,
             }
           }
         chain(bySource, col("__b"),
-          chain(matched, col("__m"), col(c))).as(c)
+          chain(matched, col("__m"), base)).as(c)
       }
       kept.select(outCols.toSeq: _*)
     }
@@ -1872,10 +1890,6 @@ final class ManifestTableStore(path: String,
     // src.delta) double-apply, and a MATCHED-DELETE batch whose keys
     // all matched first time resurrects them as inserts on replay. The
     // marker costs one empty parquet footer; compact folds it away.
-    val tSchema =
-      if (lines.isEmpty) src.schema
-      else applyWidens(applyRenames(
-        readDirs(spark, lines.map(_.dir).distinct), lines), lines).schema
     val insRows: DataFrame =
       if (notMatched.isEmpty)
         spark.createDataFrame(spark.sparkContext

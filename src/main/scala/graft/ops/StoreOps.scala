@@ -2562,5 +2562,84 @@ object StoreOps {
           |ORDER BY o_orderstatus""".stripMargin)
         .withColumn("n_views", lit(views.size))
         .withColumn("roundtrip", lit(roundtrip))
+    },
+
+    // MERGE WITH SCHEMA EVOLUTION (Delta's autoMerge applied to
+    // MERGE): the CDC batch grew a column mid-stream — with the conf
+    // on, the conditional SET */INSERT * upsert auto-ADDs it through
+    // the SAME governed marker an explicit ALTER uses (versioned,
+    // guarded, time-travelable: pre_cols pins the pre-merge width via
+    // VERSION AS OF), pre-existing rows read NULL for it, and the
+    // update path carries it into rewritten dirs. The oracle replays
+    // the upsert relationally (left join + anti-join union). At 100 TB
+    // the evolution itself is one zero-row marker commit; the merge
+    // cost stays stats-bounded to the dirs the CDC keys touch.
+    QueryDef(
+      "q236_sql_merge_evolution",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey <= 1000),
+        |cdc AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500),
+        |merged AS (
+        |  SELECT b.o_orderkey,
+        |    COALESCE(c.o_orderstatus, b.o_orderstatus) AS o_orderstatus,
+        |    c.price
+        |  FROM base b LEFT JOIN cdc c ON b.o_orderkey = c.o_orderkey
+        |  UNION ALL
+        |  SELECT c.o_orderkey, c.o_orderstatus, c.price FROM cdc c
+        |  WHERE c.o_orderkey NOT IN
+        |    (SELECT o_orderkey FROM base))
+        |SELECT o_orderstatus, COUNT(*) AS n, COUNT(price) AS n_priced,
+        |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_price,
+        |  2 AS pre_cols, 3 AS post_cols
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_merge_evolve_v1", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS mt_evo (
+          |  o_orderkey BIGINT, o_orderstatus STRING)
+          |USING graft_store""".stripMargin)
+      if (cat.store("mt_evo").currentVersion(s) == 1L)
+        cat.exec(s,
+          """INSERT INTO mt_evo
+            |SELECT o_orderkey, o_orderstatus FROM orders
+            |WHERE o_orderkey <= 1000""".stripMargin,
+          batchId = Some(0L)) // v2 — the pre-merge pin target
+      s.sql(
+        """SELECT o_orderkey, o_orderstatus, o_totalprice AS price
+          |FROM orders WHERE o_orderkey > 500 AND o_orderkey <= 1500"""
+          .stripMargin).createOrReplaceTempView("cdc_evo")
+      val confKey = graft.engine.StoreSql.AutoMergeConf
+      val prev = s.conf.getOption(confKey)
+      s.conf.set(confKey, "true")
+      try cat.exec(s,
+        """MERGE INTO mt_evo USING cdc_evo
+          |ON mt_evo.o_orderkey = cdc_evo.o_orderkey
+          |WHEN MATCHED AND cdc_evo.price > 0 THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        batchId = Some(1L))
+      finally prev match {
+        case Some(v) => s.conf.set(confKey, v)
+        case None => s.conf.unset(confKey)
+      }
+      val pre = cat.query(s,
+        "SELECT * FROM mt_evo VERSION AS OF 2").columns
+        .count(_ != "batch_id")
+      val post = cat.query(s, "SELECT * FROM mt_evo").columns
+        .count(_ != "batch_id")
+      cat.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n,
+          |  COUNT(price) AS n_priced,
+          |  CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total_price
+          |FROM mt_evo GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("pre_cols", lit(pre))
+        .withColumn("post_cols", lit(post))
     })
 }
