@@ -722,6 +722,17 @@ final class ManifestTableStore(path: String,
     AtomicCreate.publish(tf,
       new HPath(s"${target.tablePath}/clone_inherited_ids"),
       inherited.sorted.mkString("\n").getBytes("UTF-8"))
+    // CLONE REFERENCE in the SOURCE's root, published BEFORE the
+    // commit (fail-safe ordering: a crash between them leaves an inert
+    // ref that vacuum self-heals, never a live clone without a ref):
+    // the source's vacuum consults clone_refs/ and REFUSES to delete
+    // history an un-severed clone still serves — closing the footgun
+    // Delta documents as a caveat. The ref clears itself the first
+    // time vacuum finds the clone severed (compact moved everything
+    // under the clone's own root) or dropped.
+    AtomicCreate.publish(f,
+      new HPath(s"$path/clone_refs/ref-${java.util.UUID.randomUUID()}"),
+      target.tablePath.getBytes("UTF-8"))
     if (!target.tryCommit(tf, 1L, entries))
       throw new java.util.ConcurrentModificationException(
         s"SHALLOW CLONE to ${target.tablePath} lost to a concurrent " +
@@ -2634,6 +2645,51 @@ final class ManifestTableStore(path: String,
       require(isMain,
         "vacuum runs on the main ref (branch heads are retained from " +
           "there; dropBranch releases a branch's data)")
+      // CLONE-AWARE GUARD: a shallow clone's manifest references THIS
+      // table's data dirs — a source vacuum that deletes them breaks
+      // the clone silently. Each clone_refs/ entry is checked against
+      // the clone's CURRENT manifest: severed (compact moved all dirs
+      // under the clone's root) or dropped refs self-heal away; a LIVE
+      // dependency refuses the vacuum unless the operator explicitly
+      // overrides. DRY RUN stays read-only: it neither refuses nor
+      // self-heals. Metadata-bounded: one manifest read per ref.
+      val refsDir = new HPath(s"$path/clone_refs")
+      val ignoreClones = spark.conf
+        .getOption(ManifestTableStore.VacuumIgnoreClonesConf)
+        .exists(_.toBoolean)
+      if (!dryRun && !ignoreClones && f.exists(refsDir)) {
+        val myRoot = new HPath(path).toUri.getPath + "/"
+        f.listStatus(refsDir).filter(_.isFile).foreach { st =>
+          val in = f.open(st.getPath)
+          val clonePath =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim
+            finally in.close()
+          val cp = new HPath(clonePath)
+          val live =
+            try {
+              val cfs = cp.getFileSystem(
+                spark.sparkContext.hadoopConfiguration)
+              cfs.exists(cp) && {
+                val clone = new ManifestTableStore(clonePath)
+                clone.current(cfs)._2.exists(e =>
+                  new HPath(e.dir).toUri.getPath.startsWith(myRoot))
+              }
+            } catch {
+              case scala.util.control.NonFatal(_) => true
+              // unreachable clone root: FAIL SAFE — treat as live and
+              // refuse (the override conf is the escape hatch)
+            }
+          if (!live) f.delete(st.getPath, false) // self-heal
+          else throw new IllegalStateException(
+            s"VACUUM on $path refused: shallow clone at $clonePath " +
+              "still serves this table's data dirs — sever it first " +
+              "(compact() on the clone), drop it, or set " +
+              s"${ManifestTableStore.VacuumIgnoreClonesConf}=true to " +
+              "accept breaking the clone (Delta's documented caveat " +
+              "behavior)")
+        }
+      }
       val cutoff = System.currentTimeMillis() - minAgeMs
       // tagged versions are retention-exempt (Iceberg ref-retention):
       // their manifests and dirs survive until the tag is dropped
@@ -3187,6 +3243,12 @@ final class ManifestTableStore(path: String,
 }
 
 object ManifestTableStore {
+  /** Session conf overriding the clone-aware vacuum guard: set true to
+    * vacuum a clone SOURCE even while an un-severed clone still serves
+    * its dirs (accepting Delta's documented break-the-clone caveat).
+    */
+  val VacuumIgnoreClonesConf = "spark.graft.vacuum.ignoreClones.enabled"
+
   /** One manifest line: a committed (batchId, dataDir) plus optional
     * per-column min/max stats JSON for the dir ("" = none recorded).
     */
