@@ -67,6 +67,13 @@ final class StoreCatalog(basePath: String) {
   def generated: Map[String, Map[String, String]] =
     metaReg.toMap.map { case (t, m) => t -> m.generated }
 
+  /** The current identity-column registry ([[StoreSql.exec]]'s shape):
+    * table → column → (start, step).
+    */
+  def identityCols: Map[String, Map[String, (Long, Long)]] =
+    metaReg.toMap.map { case (t, m) => t -> m.identity }
+      .filter(_._2.nonEmpty)
+
   /** Register an externally-constructed store under a name. */
   def register(name: String, store: ManifestTableStore): this.type = {
     // an external handle carries no column declarations — stale
@@ -553,6 +560,9 @@ final class StoreCatalog(basePath: String) {
           .map(f => s"  ${f.name} ${f.dataType.sql}" +
             meta.generated.get(f.name)
               .fold("")(g => s" GENERATED ALWAYS AS ($g)") +
+            meta.identity.get(f.name).fold("") { case (st, sp) =>
+              s" GENERATED ALWAYS AS IDENTITY (START WITH $st " +
+                s"INCREMENT BY $sp)" } +
             meta.defaults.get(f.name).fold("")(d => s" DEFAULT $d") +
             meta.comments.get(f.name)
               .fold("")(c => s" COMMENT '${c.replace("'", "''")}'"))
@@ -658,7 +668,8 @@ final class StoreCatalog(basePath: String) {
                   s"'$name' (${schemaFields.map(_.name).mkString(", ")})"))
             val withDefault = sp.newDefaultExpression match {
               case Some(d) =>
-                require(!m.generated.contains(fld.name),
+                require(!m.generated.contains(fld.name) &&
+                  !m.identity.contains(fld.name),
                   s"column '${fld.name}' is GENERATED — it has no " +
                     "DEFAULT to set or drop")
                 // full declaration-time validation (constant, lossless
@@ -724,7 +735,8 @@ final class StoreCatalog(basePath: String) {
         metaReg.put(name, nextMeta)
         spark.emptyDataFrame
       case _ =>
-        StoreSql.exec(spark, tables, sql, batchId, defaults, generated)
+        StoreSql.exec(spark, tables, sql, batchId, defaults, generated,
+          identityCols)
     }
   }
 
@@ -877,6 +889,8 @@ final class StoreCatalog(basePath: String) {
     obj("defaults", meta.defaults)
     obj("generated", meta.generated)
     obj("comments", meta.comments)
+    obj("identity", meta.identity.map { case (c, (s, k)) =>
+      c -> s"$s:$k" })
     mapper.writeValueAsString(root).getBytes("UTF-8")
   }
 
@@ -1107,7 +1121,11 @@ final class StoreCatalog(basePath: String) {
       }.getOrElse(Map.empty[String, String])
     Some((pb, props, StoreCatalog.TableMeta(
       defaults = obj("defaults"), generated = obj("generated"),
-      comments = obj("comments"))))
+      comments = obj("comments"),
+      identity = obj("identity").map { case (c, v) =>
+        val Array(s, k) = v.split(":", 2)
+        c -> (s.toLong, k.toLong)
+      })))
   }
 
   /** The single-part table name a SHOW/DESCRIBE-style statement
@@ -1414,11 +1432,28 @@ final class StoreCatalog(basePath: String) {
   private def metaFromColumns(spark: SparkSession,
       columns: Seq[ColumnDefinition]): StoreCatalog.TableMeta = {
     columns.foreach { c =>
-      require(c.identityColumnSpec.isEmpty,
-        s"column '${c.name}': GENERATED ... AS IDENTITY is not " +
-          "supported (distributed identity needs a committed " +
-          "high-water mark); use a sha2/uuid surrogate or an " +
-          "explicit id column")
+      c.identityColumnSpec.foreach { spec =>
+        // GENERATED ALWAYS AS IDENTITY: ids allocate from a committed
+        // high-water-mark LEDGER beside the manifest (monotonic,
+        // gap-tolerant — Delta's own contract) and fill distributively
+        // at the SQL INSERT boundary. BY DEFAULT (explicit inserts
+        // allowed) is refused: a user-supplied id cannot be checked
+        // against the ledger row-locally, so collisions would be
+        // silent.
+        require(!spec.isAllowExplicitInsert,
+          s"column '${c.name}': GENERATED BY DEFAULT AS IDENTITY is " +
+            "not supported (an explicit id bypasses the ledger and " +
+            "can collide silently); use GENERATED ALWAYS AS IDENTITY")
+        require(c.dataType == org.apache.spark.sql.types.LongType,
+          s"column '${c.name}': IDENTITY requires BIGINT, got " +
+            c.dataType.sql)
+        require(spec.getStep != 0L,
+          s"column '${c.name}': IDENTITY INCREMENT must be non-zero")
+        require(c.defaultValue.isEmpty &&
+          c.generationExpression.isEmpty,
+          s"column '${c.name}' declares IDENTITY plus another fill " +
+            "rule — a column has one")
+      }
       require(!(c.defaultValue.nonEmpty &&
         c.generationExpression.nonEmpty),
         s"column '${c.name}' declares both DEFAULT and GENERATED " +
@@ -1474,7 +1509,9 @@ final class StoreCatalog(basePath: String) {
       }.toMap,
       generated = generated,
       comments = columns.flatMap(c =>
-        c.comment.map(c.name -> _)).toMap)
+        c.comment.map(c.name -> _)).toMap,
+      identity = columns.flatMap(c => c.identityColumnSpec.map(sp =>
+        c.name -> (sp.getStart, sp.getStep))).toMap)
   }
 
   /** A DEFAULT must be a CONSTANT the column's type can represent
@@ -1587,7 +1624,8 @@ object StoreCatalog {
   final case class TableMeta(
       defaults: Map[String, String] = Map.empty,
       generated: Map[String, String] = Map.empty,
-      comments: Map[String, String] = Map.empty)
+      comments: Map[String, String] = Map.empty,
+      identity: Map[String, (Long, Long)] = Map.empty)
 
   /** `CREATE TABLE [IF NOT EXISTS] t2 SHALLOW CLONE t1
     * [VERSION AS OF n]` — Delta's verb shape, outside Spark's grammar.

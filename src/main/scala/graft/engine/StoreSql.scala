@@ -62,7 +62,8 @@ object StoreSql {
   def exec(spark: SparkSession, tables: Map[String, ManifestTableStore],
       sql: String, batchId: Option[Long] = None,
       defaults: Map[String, Map[String, String]] = Map.empty,
-      generated: Map[String, Map[String, String]] = Map.empty)
+      generated: Map[String, Map[String, String]] = Map.empty,
+      identity: Map[String, Map[String, (Long, Long)]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     maintenance(spark, tables, sql) match {
       case Some(result) => return result
@@ -122,9 +123,18 @@ object StoreSql {
         val set = u.assignments.map { case Assignment(k, v) =>
           attrName(k) -> expr(v.sql)
         }.toMap
+        val uIdent = relationName(u.table).flatMap(identity.get)
+          .getOrElse(Map.empty).keys.map(_.toLowerCase).toSet
+        set.keys.filter(k => uIdent.contains(k.toLowerCase))
+          .foreach(k => throw new IllegalArgumentException(
+            s"column '$k' is GENERATED ALWAYS AS IDENTITY — it " +
+              "cannot be assigned"))
         storeOf(u.table).update(spark, pred, set)
       case i: InsertIntoStatement =>
         val store = storeOf(i.table)
+        val tableIdentity = relationName(i.table).flatMap(identity.get)
+          .getOrElse(Map.empty[String, (Long, Long)])
+        val identCols = tableIdentity.keys.map(_.toLowerCase).toSet
         // the source SELECT may read OTHER registered stores (the
         // bronze->silver derive shape) — route them like a query
         val df0 = org.apache.spark.sql.graftshim.PlanShim
@@ -161,9 +171,13 @@ object StoreSql {
             df0.toDF(i.userSpecifiedCols: _*)
           } else targetSchema match {
             case Some(ts) =>
+              // IDENTITY columns are excluded from the positional
+              // mapping (like static partition keys): the engine
+              // allocates them, the query never provides them
               val target = ts.fieldNames
                 .filterNot(c =>
-                  c == "batch_id" || staticKeys.contains(c)).toSeq
+                  c == "batch_id" || staticKeys.contains(c) ||
+                    identCols.contains(c.toLowerCase)).toSeq
               require(df0.columns.length == target.size,
                 s"INSERT provides ${df0.columns.length} columns, " +
                   s"table has ${target.size} (${target.mkString(", ")})")
@@ -236,8 +250,39 @@ object StoreSql {
             fill(withRefs, tableGenerated)
           case _ => df2
         }
-        val df = reconcileInsert(df3,
-          evolveTarget(spark, store, df3, targetSchema))
+        // IDENTITY fill: GENERATED ALWAYS — a supplied value refuses
+        // (it bypasses the ledger and can collide); omitted columns
+        // reserve ONE contiguous range per statement from the
+        // committed high-water ledger and fill distributively via a
+        // per-partition index (zipWithIndex: one count job + the
+        // write pass — batch-sized, not table-sized). A replayed
+        // batchId re-reserves a range the no-op append never uses:
+        // a GAP, which Delta's identity contract explicitly allows.
+        val df3i =
+          if (tableIdentity.isEmpty) df3
+          else {
+            tableIdentity.keys.foreach { c =>
+              require(!df3.columns.exists(_.equalsIgnoreCase(c)),
+                s"column '$c' is GENERATED ALWAYS AS IDENTITY — " +
+                  "values cannot be supplied; omit it (the engine " +
+                  "allocates from the table's identity ledger)")
+            }
+            val n = df3.count()
+            tableIdentity.foldLeft(df3) {
+              case (d, (c, (startV, stepV))) =>
+                val base =
+                  store.allocateIdentity(spark, c, n, startV, stepV)
+                val out = d.rdd.zipWithIndex().map { case (r, idx) =>
+                  org.apache.spark.sql.Row.fromSeq(
+                    r.toSeq :+ (base + idx * stepV))
+                }
+                spark.createDataFrame(out, d.schema.add(c,
+                  org.apache.spark.sql.types.LongType,
+                  nullable = false))
+            }
+          }
+        val df = reconcileInsert(df3i,
+          evolveTarget(spark, store, df3i, targetSchema))
         val bid = requiredBatchId(
           if (i.overwrite) "INSERT OVERWRITE" else "INSERT")
         if (!i.overwrite) {
@@ -280,6 +325,20 @@ object StoreSql {
           .map(_.read(spark).drop("batch_id"))
           .getOrElse(spark.table(srcName))
         val store = storeOf(m.targetTable)
+        // MERGE into an identity table refuses: the insert leg would
+        // need per-row ledger allocation inside the clause plan (a
+        // supplied/NULL id silently breaks uniqueness). CDC into an
+        // identity table routes inserts through INSERT INTO (which
+        // allocates) and updates through UPDATE.
+        relationName(m.targetTable).flatMap(identity.get)
+          .filter(_.nonEmpty).foreach { ids =>
+            throw new IllegalArgumentException(
+              s"MERGE into a table with IDENTITY column(s) " +
+                s"${ids.keys.mkString(", ")} is not supported: the " +
+                "merge insert leg cannot consult the identity ledger " +
+                "row-locally; INSERT new rows (ids allocate) and " +
+                "UPDATE matched ones instead")
+          }
         val bid = requiredBatchId("MERGE")
         val starForm = m.matchedActions == Seq(UpdateStarAction(None)) &&
           m.notMatchedActions == Seq(InsertStarAction(None)) &&

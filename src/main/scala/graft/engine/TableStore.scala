@@ -739,6 +739,52 @@ final class ManifestTableStore(path: String,
           "first commit")
   }
 
+  /** Reserve `n` consecutive IDENTITY values for `col` and return the
+    * range base: ids are `base, base+step, …, base+(n-1)*step`.
+    *
+    * The high-water mark is a LEDGER of immutable range files under
+    * `identity/<col>/` — `r<k>` holds "base:count", and `r<k>`'s base
+    * derives from `r<k-1>`'s end, so allocation is one
+    * create-if-absent publish (the same atomic primitive as a manifest
+    * commit): concurrent writers race on `r<k>`, the loser re-lists
+    * and takes `r<k+1>` with a DISJOINT base — no locks, no
+    * collisions. A writer that crashes (or replays into a no-op)
+    * after reserving leaves a GAP, which is exactly Delta's identity
+    * contract: monotonic and unique, never dense. Metadata-bounded:
+    * one listing + one small read + one publish per allocation.
+    */
+  def allocateIdentity(spark: SparkSession, col: String, n: Long,
+      start: Long, step: Long): Long = {
+    require(n >= 0 && step != 0)
+    val f = fs(spark)
+    val dir = new HPath(s"$path/identity/$col")
+    while (true) {
+      val ks =
+        if (!f.exists(dir)) Nil
+        else f.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filter(_.startsWith("r"))
+          .flatMap(_.stripPrefix("r").toLongOption)
+      val k = ks.maxOption.map(_ + 1L).getOrElse(0L)
+      val base =
+        if (k == 0L) start
+        else {
+          val prev = new HPath(dir, s"r${k - 1}")
+          val in = f.open(prev)
+          val txt =
+            try scala.io.Source.fromInputStream(in, "UTF-8")
+              .mkString.trim
+            finally in.close()
+          val Array(b, c) = txt.split(":", 2)
+          b.toLong + c.toLong * step
+        }
+      if (AtomicCreate.publish(f, new HPath(dir, s"r$k"),
+          s"$base:$n".getBytes("UTF-8")))
+        return base
+      // lost the race: re-list, derive from the winner's range
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** `DESCRIBE DETAIL` — ONE row of table-level physical metadata
     * (Delta's verb and column spirit): format, location, current
     * version, partition/stats/bloom columns and the merge-on-read key

@@ -2641,5 +2641,49 @@ object StoreOps {
           |ORDER BY o_orderstatus""".stripMargin)
         .withColumn("pre_cols", lit(pre))
         .withColumn("post_cols", lit(post))
+    },
+
+    // GENERATED ALWAYS AS IDENTITY: ids reserve from a committed
+    // high-water-mark ledger (one create-if-absent publish per
+    // statement — the same atomic primitive as a manifest commit) and
+    // fill distributively. Each statement takes ONE contiguous range,
+    // consecutive statements stack, so with START 100 / INCREMENT 10
+    // the whole table is an arithmetic sequence the oracle derives
+    // from the row count alone: min, max, sum, and distinctness are
+    // all hash-pinned. Replayed statements re-reserve (a gap, Delta's
+    // allowed shape) but append as exactly-once no-ops, so the pins
+    // hold under re-invocation. At 100 TB: allocation is metadata
+    // (one small file per statement); the fill is one batch-sized
+    // index pass.
+    QueryDef(
+      "q237_sql_identity",
+      """WITH n AS (
+        |  SELECT COUNT(*) AS cnt FROM orders WHERE o_orderkey <= 1600)
+        |SELECT cnt AS n_rows, cnt AS n_distinct,
+        |  CAST(100 AS BIGINT) AS min_id,
+        |  100 + 10 * (cnt - 1) AS max_id,
+        |  100 * cnt + 5 * cnt * (cnt - 1) AS sum_id
+        |FROM n""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_identity_v1", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS idl (
+          |  id BIGINT GENERATED ALWAYS AS IDENTITY (
+          |    START WITH 100 INCREMENT BY 10),
+          |  okey BIGINT) USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO idl (okey)
+          |SELECT o_orderkey FROM orders WHERE o_orderkey <= 800"""
+          .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """INSERT INTO idl (okey)
+          |SELECT o_orderkey FROM orders
+          |WHERE o_orderkey > 800 AND o_orderkey <= 1600"""
+          .stripMargin, batchId = Some(1L))
+      cat.query(s,
+        """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT id) AS n_distinct,
+          |  MIN(id) AS min_id, MAX(id) AS max_id, SUM(id) AS sum_id
+          |FROM idl""".stripMargin)
     })
 }
