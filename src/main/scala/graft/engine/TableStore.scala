@@ -661,17 +661,65 @@ final class ManifestTableStore(path: String,
     val dataDirs = lines
       .filterNot(e => isDeleteEntry(e) || isSchemaMarker(e))
       .map(_.dir).distinct
-    def walk(dir: HPath, depth: Int): Seq[String] =
-      if (depth == partitionBy.size) Seq("")
-      else f.listStatus(dir).toSeq
-        .filter(st => st.isDirectory && st.getPath.getName.contains("="))
-        .flatMap { st =>
-          walk(st.getPath, depth + 1).map(rest =>
-            if (rest.isEmpty) st.getPath.getName
-            else s"${st.getPath.getName}/$rest")
+    val depth = partitionBy.size
+    if (dataDirs.size <= listingThreshold(spark)) {
+      // few dirs: plain driver-side hive walk (no behavior change)
+      def walk(dir: HPath, d: Int): Seq[String] =
+        if (d == depth) Seq("")
+        else f.listStatus(dir).toSeq
+          .filter(st =>
+            st.isDirectory && st.getPath.getName.contains("="))
+          .flatMap { st =>
+            walk(st.getPath, d + 1).map(rest =>
+              if (rest.isEmpty) st.getPath.getName
+              else s"${st.getPath.getName}/$rest")
+          }
+      dataDirs.flatMap(d => walk(new HPath(d), 0)).distinct.sorted
+    } else {
+      // many dirs: the recursive listing runs as a DISTRIBUTED job
+      // (Spark's parallel file-index machinery), the driver sees only
+      // the deduplicated partition strings. Partition dirs are always
+      // the INNERMOST `depth` directory segments (clustered compaction
+      // nests __cluster=k ABOVE them), so the extraction is root-free
+      // — it works identically for a clone serving foreign dirs.
+      import spark.implicits._
+      val keys = partitionBy
+      listFilesDistributed(spark, dataDirs).select("path").as[String]
+        .flatMap { p =>
+          val segs = p.split('/').dropRight(1).takeRight(depth)
+          if (segs.length == depth &&
+            segs.zip(keys).forall { case (s, k) =>
+              s.startsWith(s"$k=") })
+            Some(segs.mkString("/"))
+          else None
         }
-    dataDirs.flatMap(d => walk(new HPath(d), 0)).distinct.sorted
+        .distinct().collect().toSeq.sorted
+    }
   }
+
+  /** Data-dir count above which the metadata verbs (SHOW PARTITIONS,
+    * DESCRIBE DETAIL) switch from a driver-side recursive walk to a
+    * distributed listing — at a million partitions the driver must see
+    * only the aggregated answer, never a per-file FS storm.
+    */
+  private def listingThreshold(spark: SparkSession): Int =
+    spark.conf
+      .getOption(ManifestTableStore.DistributedListingThresholdConf)
+      .flatMap(_.toIntOption).getOrElse(64)
+
+  /** Distributed recursive parquet-file listing over many data dirs:
+    * `binaryFile` with recursive lookup reads ONLY (path, length) —
+    * the content column is pruned, so no data byte moves — and Spark's
+    * file-index machinery parallelizes the listing across the cluster
+    * once the path count crosses its own discovery threshold.
+    */
+  private def listFilesDistributed(spark: SparkSession,
+      dirs: Seq[String]): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .option("pathGlobFilter", "*.parquet")
+      .load(dirs: _*)
+      .select(col("path"), col("length"))
 
   /** `SHALLOW CLONE` — commit THIS table's current (or `versionAsOf`)
     * manifest entries as VERSION 1 of the empty table at `target`:
@@ -801,11 +849,24 @@ final class ManifestTableStore(path: String,
     val dataDirs = lines
       .filterNot(e => isDeleteEntry(e) || isSchemaMarker(e))
       .map(_.dir).distinct
-    def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
-      f.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walk(st.getPath) else Seq(st) }
-    val files = dataDirs.flatMap(d => walk(new HPath(d)))
-      .filter(_.getPath.getName.endsWith(".parquet"))
+    // live file count + bytes: driver walk for small tables, a
+    // distributed (path, length) aggregation beyond the threshold —
+    // DESCRIBE DETAIL on a million-partition table must not be a
+    // driver-side FS storm
+    val (numFiles, sizeBytes) =
+      if (dataDirs.size <= listingThreshold(spark)) {
+        def walk(p: HPath): Seq[org.apache.hadoop.fs.FileStatus] =
+          f.listStatus(p).toSeq.flatMap { st =>
+            if (st.isDirectory) walk(st.getPath) else Seq(st) }
+        val files = dataDirs.flatMap(d => walk(new HPath(d)))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        (files.size.toLong, files.map(_.getLen).sum)
+      } else {
+        val row = listFilesDistributed(spark, dataDirs)
+          .agg(count(lit(1)),
+            coalesce(sum(col("length")), lit(0L))).head()
+        (row.getLong(0), row.getLong(1))
+      }
     // ONE manifest-dir listing serves both instants (probing v1..v
     // one getFileStatus at a time would be a version-count-bounded FS
     // storm on a long-lived table): oldest SURVIVING manifest =
@@ -822,7 +883,7 @@ final class ManifestTableStore(path: String,
     Seq((
       "graft-store", path, v,
       partitionBy.mkString(","),
-      files.size.toLong, files.map(_.getLen).sum,
+      numFiles, sizeBytes,
       statsColumns.mkString(","), bloomColumns.mkString(","),
       morDeleteKey.getOrElse(""),
       listChecks(spark).size.toLong,
@@ -3294,6 +3355,13 @@ object ManifestTableStore {
     * its dirs (accepting Delta's documented break-the-clone caveat).
     */
   val VacuumIgnoreClonesConf = "spark.graft.vacuum.ignoreClones.enabled"
+
+  /** Session conf overriding the data-dir count above which SHOW
+    * PARTITIONS / DESCRIBE DETAIL switch to a distributed listing
+    * (default 64).
+    */
+  val DistributedListingThresholdConf =
+    "spark.graft.metadata.distributedListingThreshold"
 
   /** One manifest line: a committed (batchId, dataDir) plus optional
     * per-column min/max stats JSON for the dir ("" = none recorded).
