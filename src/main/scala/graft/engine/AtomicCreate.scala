@@ -49,4 +49,29 @@ private[engine] object AtomicCreate {
     f.delete(tmp, false) // local: dst hard-links the same inode; HDFS: moved
     won
   }
+
+  /** Replace-publish for sidecars whose updates are DELIBERATE full
+    * replacements (view definitions, approved mapping specs): delete
+    * any existing file, then publish atomically. Shared so the
+    * delete+publish shape lives once.
+    */
+  def replacePublish(f: FileSystem, dst: HPath,
+      content: Array[Byte]): Unit = {
+    if (f.exists(dst)) f.delete(dst, false)
+    require(publish(f, dst, content), s"lost publish race for $dst")
+  }
+
+  /** Read a small sidecar file fully as UTF-8, None when absent — the
+    * one read routine every sidecar consumer (view text, name
+    * pointers, mapping specs) shares.
+    */
+  def readString(f: FileSystem, p: HPath): Option[String] = {
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    try {
+      val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+      in.readFully(buf)
+      Some(new String(buf, "UTF-8"))
+    } finally in.close()
+  }
 }

@@ -481,26 +481,20 @@ object AutoMapper {
     mapper.writeValueAsString(root)
   }
 
+  // sidecar I/O rides the shared AtomicCreate helpers (a re-approval
+  // is a deliberate replace — same contract as a view redefinition)
   private def publish(spark: SparkSession, path: String,
       text: String): Unit = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // explicit replace: a re-approval is a deliberate act
-    if (f.exists(hp)) f.delete(hp, false)
-    require(AtomicCreate.publish(f, hp, text.getBytes("UTF-8")),
-      s"lost publish race for $path")
+    AtomicCreate.replacePublish(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
+      text.getBytes("UTF-8"))
   }
 
   private def readText(spark: SparkSession,
       path: String): Option[String] = {
     val hp = new org.apache.hadoop.fs.Path(path)
-    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(hp)) return None
-    val in = f.open(hp)
-    try {
-      val buf = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
-      in.readFully(buf)
-      Some(new String(buf, "UTF-8"))
-    } finally in.close()
+    AtomicCreate.readString(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
   }
 }

@@ -258,6 +258,13 @@ final class StoreCatalog(basePath: String) {
     // column-describe of table `DETAIL`) yet routes as a maintenance
     // verb — its real target must lazy-attach like any other
     StoreSql.maintenanceTarget(sql).foreach(resolve(spark, _))
+    // an IDENTITY column's metadata lives in the CATALOG while
+    // rename/drop/retype route through StoreSql — without this guard
+    // a rename would strand the identity registry under the old name
+    // (INSERT fills a column the table no longer has; UPDATE's
+    // assignment guard goes blind). Structural edits of identity
+    // columns refuse HERE, before any marker can commit.
+    parsed.foreach(guardIdentityStructuralEdit(spark, _))
     parsed match {
       case Some(ct: CreateTable) =>
         val name = identOf(ct.name)
@@ -468,7 +475,10 @@ final class StoreCatalog(basePath: String) {
         }
         val hp = viewPath(name)
         val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (f.exists(hp)) { f.delete(hp, false); absentViews.remove(name) }
+        if (f.exists(hp)) {
+          f.delete(hp, false)
+          absentViews.remove(name); viewCache.remove(name)
+        }
         else require(dv.ifExists,
           s"unknown view '$name' (use DROP VIEW IF EXISTS; note: " +
             "tables drop with DROP TABLE)")
@@ -478,10 +488,7 @@ final class StoreCatalog(basePath: String) {
         // Spark's own output shape (namespace, viewName, isTemporary);
         // namespace = the catalog base path, same as SHOW TABLES
         import spark.implicits._
-        val pat = sv.pattern.map(p =>
-          ("(?i)" + p.split("\\|").map(s =>
-            java.util.regex.Pattern.quote(s).replace("*", "\\E.*\\Q"))
-            .mkString("|")).r)
+        val pat = sv.pattern.map(likePattern)
         listViews(spark)
           .filter(n => pat.forall(_.matches(n)))
           .map(n => (basePath, n, false))
@@ -493,10 +500,7 @@ final class StoreCatalog(basePath: String) {
         // catalog's base path — the one address that lets an operator
         // find the table on disk.
         import spark.implicits._
-        val pat = st.pattern.map(p =>
-          ("(?i)" + p.split("\\|").map(s =>
-            java.util.regex.Pattern.quote(s).replace("*", "\\E.*\\Q"))
-            .mkString("|")).r)
+        val pat = st.pattern.map(likePattern)
         listTables(spark)
           .filter(n => pat.forall(_.matches(n)))
           .map(n => (basePath, n, false))
@@ -736,7 +740,7 @@ final class StoreCatalog(basePath: String) {
         spark.emptyDataFrame
       case _ =>
         StoreSql.exec(spark, tables, sql, batchId, defaults, generated,
-          identityCols)
+          identityCols, spliceViews(spark, _))
     }
   }
 
@@ -989,36 +993,41 @@ final class StoreCatalog(basePath: String) {
     new org.apache.hadoop.fs.Path(s"$basePath/_catalog/_views/$name")
   }
 
-  /** Negative view-lookup cache, same staleness contract as [[absent]]:
-    * every bare relation name in every read probes for a view sidecar
-    * once, not per statement.
+  /** View-lookup cache — BOTH directions, same staleness contract as
+    * [[absent]] (views another session created/replaced after this
+    * catalog cached need a fresh catalog): every bare relation name in
+    * every read resolves its view text with at most ONE filesystem
+    * probe per catalog lifetime, not 2-3 FS round-trips per reference
+    * per statement (a 5-level view chain over object storage would
+    * otherwise pay ~10 reads per execution).
     */
   private val absentViews =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val viewCache =
+    new scala.collection.concurrent.TrieMap[String, String]()
 
   private def publishView(spark: SparkSession, name: String,
       text: String): Unit = {
     val hp = viewPath(name)
-    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (f.exists(hp)) f.delete(hp, false) // OR REPLACE / re-validate path
-    require(AtomicCreate.publish(f, hp, text.getBytes("UTF-8")),
-      s"lost publish race for view '$name'")
+    AtomicCreate.replacePublish(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
+      text.getBytes("UTF-8"))
     absentViews.remove(name)
+    viewCache.put(name, text)
   }
 
   /** The persisted definition text of view `name`, if one exists. */
   def viewText(spark: SparkSession, name: String): Option[String] = {
+    viewCache.get(name).foreach(t => return Some(t))
     if (absentViews.contains(name) || name == "_catalog") return None
     if (!name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
       return None
     val hp = viewPath(name)
     val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(hp)) { absentViews.add(name); return None }
-    val in = f.open(hp)
-    try {
-      val buf = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
-      in.readFully(buf); Some(new String(buf, "UTF-8"))
-    } finally in.close()
+    AtomicCreate.readString(f, hp) match {
+      case Some(t) => viewCache.put(name, t); Some(t)
+      case None => absentViews.add(name); None
+    }
   }
 
   /** Every persisted view name, sorted — the durable discovery SHOW
@@ -1056,16 +1065,18 @@ final class StoreCatalog(basePath: String) {
             "definition, not data): apply VERSION AS OF / TIMESTAMP " +
             "AS OF to the underlying tables in the view definition")
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-          if u.multipartIdentifier.size == 1 &&
-            viewText(spark, u.multipartIdentifier.head).isDefined =>
-        require(depth < 10,
-          s"view nesting deeper than 10 at " +
-            s"'${u.multipartIdentifier.head}' — cyclic view definition?")
+          if u.multipartIdentifier.size == 1 =>
         val name = u.multipartIdentifier.head
-        val inner = spliceViews(spark,
-          attachAndParse(spark, viewText(spark, name).get), depth + 1)
-        org.apache.spark.sql.catalyst.plans.logical
-          .SubqueryAlias(name, inner)
+        viewText(spark, name) match {
+          case Some(text) =>
+            require(depth < 10,
+              s"view nesting deeper than 10 at '$name' — cyclic view " +
+                "definition?")
+            org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+              name,
+              spliceViews(spark, attachAndParse(spark, text), depth + 1))
+          case None => u // not a view — leave for route/analyzer
+        }
     }
 
   /** Parse a view definition and lazy-attach every table it references
@@ -1082,13 +1093,9 @@ final class StoreCatalog(basePath: String) {
   private def readPointer(spark: SparkSession,
       name: String): Option[String] = {
     val hp = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
-    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(hp)) return None
-    val in = f.open(hp)
-    try {
-      val buf = new Array[Byte](f.getFileStatus(hp).getLen.toInt)
-      in.readFully(buf); Some(new String(buf, "UTF-8").trim)
-    } finally in.close()
+    AtomicCreate.readString(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+      .map(_.trim)
   }
 
   /** The NEWEST spec generation at `path` (see [[specFiles]]). */
@@ -1145,6 +1152,52 @@ final class StoreCatalog(basePath: String) {
       s"store tables are single-part names, got ${parts.mkString(".")}")
     parts.head
   }
+
+  /** Refuse RENAME/DROP/retype of a GENERATED ALWAYS AS IDENTITY
+    * column: its ledger + registry key by the declared name and type,
+    * and the structural verbs route through StoreSql, which cannot see
+    * catalog metadata — an unguarded rename would leave the table
+    * un-insertable with no repairing DDL.
+    */
+  private def guardIdentityStructuralEdit(spark: SparkSession,
+      plan: LogicalPlan): Unit = {
+    def refuse(table: String, col: String, verb: String): Unit = {
+      val ids = metaOf(table).identity
+      ids.keys.find(_.equalsIgnoreCase(col)).foreach { c =>
+        throw new IllegalArgumentException(
+          s"$verb: column '$c' of table '$table' is GENERATED ALWAYS " +
+            "AS IDENTITY — its ledger and registry key by the " +
+            "declared name and type; recreate the table (CREATE OR " +
+            "REPLACE) to restructure it")
+      }
+    }
+    plan match {
+      case rc: org.apache.spark.sql.catalyst.plans.logical
+          .RenameColumn =>
+        refuse(tableNameOf(rc.table, "RENAME COLUMN"),
+          rc.column.name.last, "RENAME COLUMN")
+      case dc: org.apache.spark.sql.catalyst.plans.logical
+          .DropColumns =>
+        val t = tableNameOf(dc.table, "DROP COLUMN")
+        dc.columnsToDrop.foreach(c =>
+          refuse(t, c.name.last, "DROP COLUMN"))
+      case ac: org.apache.spark.sql.catalyst.plans.logical
+          .AlterColumns =>
+        val t = tableNameOf(ac.table, "ALTER COLUMN")
+        ac.specs.filter(_.newDataType.nonEmpty).foreach(sp =>
+          refuse(t, sp.column.name.last, "ALTER COLUMN TYPE"))
+      case _ =>
+    }
+  }
+
+  /** SHOW TABLES/VIEWS LIKE pattern → case-insensitive regex
+    * (`*` wildcard, `|` alternatives — Spark's own semantics). ONE
+    * implementation so the two verbs cannot drift.
+    */
+  private def likePattern(p: String): scala.util.matching.Regex =
+    ("(?i)" + p.split("\\|").map(s =>
+      java.util.regex.Pattern.quote(s).replace("*", "\\E.*\\Q"))
+      .mkString("|")).r
 
   /** Views and tables share the name namespace (Spark/Delta contract):
     * a table verb aimed at a view name refuses with the right verb.

@@ -63,7 +63,8 @@ object StoreSql {
       sql: String, batchId: Option[Long] = None,
       defaults: Map[String, Map[String, String]] = Map.empty,
       generated: Map[String, Map[String, String]] = Map.empty,
-      identity: Map[String, Map[String, (Long, Long)]] = Map.empty)
+      identity: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      resolveViews: LogicalPlan => LogicalPlan = p => p)
       : org.apache.spark.sql.DataFrame = {
     maintenance(spark, tables, sql) match {
       case Some(result) => return result
@@ -136,9 +137,11 @@ object StoreSql {
           .getOrElse(Map.empty[String, (Long, Long)])
         val identCols = tableIdentity.keys.map(_.toLowerCase).toSet
         // the source SELECT may read OTHER registered stores (the
-        // bronze->silver derive shape) — route them like a query
+        // bronze->silver derive shape) — route them like a query;
+        // catalog-persisted VIEWS splice first (the same resolver
+        // query()/CTAS use), so INSERT ... SELECT FROM <view> works
         val df0 = org.apache.spark.sql.graftshim.PlanShim
-          .ofRows(spark, route(spark, tables, i.query))
+          .ofRows(spark, route(spark, tables, resolveViews(i.query)))
         // static partition values from a `PARTITION (k='v')` spec
         // become literal columns the query does not provide
         val static = i.partitionSpec.collect {
@@ -267,8 +270,15 @@ object StoreSql {
                   "values cannot be supplied; omit it (the engine " +
                   "allocates from the table's identity ledger)")
             }
-            val n = df3.count()
-            tableIdentity.foldLeft(df3) {
+            // PIN before counting: the source evaluates three times
+            // (count, zipWithIndex's own count, the write) — a
+            // non-deterministic SELECT could otherwise emit more rows
+            // than the reserved range and spill into the NEXT
+            // statement's ids (the merge-source pin, same reason)
+            import Pin.Pinnable
+            val df3p = df3.pinned
+            val n = df3p.count()
+            tableIdentity.foldLeft(df3p) {
               case (d, (c, (startV, stepV))) =>
                 val base =
                   store.allocateIdentity(spark, c, n, startV, stepV)
@@ -318,12 +328,21 @@ object StoreSql {
           throw new IllegalArgumentException(
             s"MERGE source must be a named view/table, got: ${m.sourceTable}"))
         // a registered store is a valid MERGE source (CDC between two
-        // catalog tables); session views/tables resolve as before.
-        // The store's internal batch_id column drops out — a MERGE
+        // catalog tables); catalog-persisted views splice through the
+        // resolver; session views/tables resolve as before. The
+        // store's internal batch_id column drops out — a MERGE
         // source's attribution column must never reach SET */INSERT *
         val srcFrame = tables.get(srcName)
           .map(_.read(spark).drop("batch_id"))
-          .getOrElse(spark.table(srcName))
+          .getOrElse {
+            val rel = org.apache.spark.sql.catalyst.analysis
+              .UnresolvedRelation(Seq(srcName))
+            val spliced = resolveViews(rel)
+            if (spliced eq rel) spark.table(srcName)
+            else org.apache.spark.sql.graftshim.PlanShim
+              .ofRows(spark, route(spark, tables, spliced))
+              .drop("batch_id")
+          }
         val store = storeOf(m.targetTable)
         // MERGE into an identity table refuses: the insert leg would
         // need per-row ledger allocation inside the clause plan (a

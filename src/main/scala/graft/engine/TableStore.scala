@@ -172,8 +172,12 @@ final class ManifestTableStore(path: String,
     * not table state.
     */
   private def readManifest(f: FileSystem,
-      version: Long): Option[Seq[Entry]] = {
-    val st = f.getFileStatus(new HPath(manifestDir, s"v$version"))
+      version: Long): Option[Seq[Entry]] =
+    readManifestAt(f, new HPath(manifestDir, s"v$version"))
+
+  private def readManifestAt(f: FileSystem,
+      p: HPath): Option[Seq[Entry]] = {
+    val st = f.getFileStatus(p)
     val in = f.open(st.getPath)
     val text = try {
       val buf = new Array[Byte](st.getLen.toInt)
@@ -187,6 +191,29 @@ final class ManifestTableStore(path: String,
           case Array(id, dir, stats) => Entry(id.toLong, dir, stats)
         }
     }.toSeq)
+  }
+
+  /** Whether ANY surviving manifest version — the main chain AND every
+    * branch chain — references a data dir under `rootPrefix`
+    * (URI-path-normalized). The vacuum clone-guard's liveness probe:
+    * a clone's CURRENT state may be fully severed while an older
+    * version, a tag, or a branch head still serves source dirs — time
+    * travel to those would break if the source vacuumed. Cost: one
+    * small read per surviving manifest file (version-count-bounded
+    * metadata, no data I/O).
+    */
+  private[engine] def referencesDirsUnder(f: FileSystem,
+      rootPrefix: String): Boolean = {
+    def chain(dir: HPath): Boolean =
+      f.exists(dir) && f.listStatus(dir).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("v") && n.drop(1).toLongOption.isDefined &&
+          readManifestAt(f, st.getPath).exists(_.exists(e =>
+            new HPath(e.dir).toUri.getPath.startsWith(rootPrefix)))
+      }
+    chain(manifestDir) ||
+      (f.exists(branchesRoot) && f.listStatus(branchesRoot).exists(b =>
+        b.isDirectory && chain(b.getPath)))
   }
 
   /** One optimistic-concurrency commit attempt, SINGLE-STEP: the full
@@ -2777,11 +2804,13 @@ final class ManifestTableStore(path: String,
             try {
               val cfs = cp.getFileSystem(
                 spark.sparkContext.hadoopConfiguration)
-              cfs.exists(cp) && {
-                val clone = new ManifestTableStore(clonePath)
-                clone.current(cfs)._2.exists(e =>
-                  new HPath(e.dir).toUri.getPath.startsWith(myRoot))
-              }
+              // EVERY surviving clone version counts, not just the
+              // current one: a compacted ("severed") clone's older
+              // versions, tags, and branch heads still serve source
+              // dirs until the CLONE's own vacuum retires them — time
+              // travel there would break if this vacuum proceeded
+              cfs.exists(cp) && new ManifestTableStore(clonePath)
+                .referencesDirsUnder(cfs, myRoot)
             } catch {
               case scala.util.control.NonFatal(_) => true
               // unreachable clone root: FAIL SAFE — treat as live and

@@ -49,9 +49,17 @@ class CloneVacuumSpec extends SparkSpec {
     // the clone still reads every row it was born with
     assert(cat.query(spark, "SELECT n FROM vc ORDER BY n").as[Int]
       .collect().toSeq == Seq(1, 2))
-    // sever: compact() materializes the clone under its own root; the
-    // next source vacuum self-heals the ref and proceeds
+    // sever step 1: compact() materializes the clone's CURRENT state
+    // under its own root — but the clone's v1 manifest still serves
+    // source dirs (time travel there would break), so the source
+    // vacuum STILL refuses
     cat.store("vc").compact(spark)
+    intercept[IllegalStateException] {
+      cat.store("vs").vacuum(spark, retainLast = 0, minAgeMs = 0L)
+    }
+    // sever step 2: the clone's own vacuum retires the source-serving
+    // versions; now the ref self-heals and the source vacuum proceeds
+    cat.store("vc").vacuum(spark, retainLast = 0, minAgeMs = 0L)
     val deleted = cat.store("vs")
       .vacuum(spark, retainLast = 0, minAgeMs = 0L)
     assert(deleted.nonEmpty, "expected the superseded dir reclaimed")

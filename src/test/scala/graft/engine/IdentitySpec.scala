@@ -86,6 +86,31 @@ class IdentitySpec extends SparkSpec {
         batchId = Some(2L))
     }
     assert(e.getMessage.contains("IDENTITY"))
+    // structural edits of the identity column refuse — a rename/drop/
+    // retype through StoreSql would strand the catalog's identity
+    // registry (INSERT fills a column the table no longer has)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE ig RENAME COLUMN id TO id2")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE ig DROP COLUMN id")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE ig ALTER COLUMN id TYPE DECIMAL(38,0)")
+    }
+    // and the table still works after the refusals
+    cat.exec(spark, "INSERT INTO ig (v) VALUES ('b')",
+      batchId = Some(3L))
+    assert(cat.query(spark, "SELECT count(DISTINCT id) FROM ig")
+      .head().getLong(0) == 2L)
+    // a NON-DETERMINISTIC source is pinned before counting: the
+    // reserved range always covers exactly the committed rows
+    cat.exec(spark,
+      "INSERT INTO ig (v) SELECT CAST(id AS STRING) FROM range(200) " +
+        "WHERE rand(7) < 0.5", batchId = Some(4L))
+    val idsAfter = cat.query(spark, "SELECT id FROM ig")
+      .as[Long].collect().toSeq
+    assert(idsAfter.distinct.size == idsAfter.size)
     // declaration-time refusals: BY DEFAULT, non-BIGINT, zero step
     intercept[IllegalArgumentException] {
       cat.exec(spark,

@@ -59,6 +59,23 @@ class StoreViewsSpec extends SparkSpec {
       batchId = Some(0L))
     assert(cat2.query(spark, "SELECT k FROM big_mat ORDER BY k")
       .as[String].collect().toSeq == Seq("a", "b"))
+    // DML surfaces splice views too: INSERT ... SELECT FROM <view>
+    // and MERGE ... USING <view>
+    cat2.exec(spark,
+      "CREATE TABLE sink (k STRING, total BIGINT) USING graft_store")
+    cat2.exec(spark, "INSERT INTO sink SELECT k, total FROM top_k",
+      batchId = Some(0L))
+    assert(cat2.query(spark, "SELECT k, total FROM sink ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 4L), ("b", 12L)))
+    cat2.exec(spark, "INSERT INTO ev VALUES ('a', 100)",
+      batchId = Some(2L))
+    cat2.exec(spark,
+      """MERGE INTO sink USING top_k ON sink.k = top_k.k
+        |WHEN MATCHED THEN UPDATE SET total = top_k.total"""
+        .stripMargin, batchId = Some(1L))
+    assert(cat2.query(spark, "SELECT total FROM sink WHERE k = 'a'")
+      .as[Long].collect().toSeq == Seq(104L))
   }
 
   test("view lifecycle edges: OR REPLACE swaps the text, IF NOT EXISTS " +
