@@ -1008,7 +1008,9 @@ object StoreSql {
       case Literal(v, _) if v != null => v
       case other => throw new IllegalArgumentException(
         s"table_changes: $what must be a non-null literal, got " +
-          other.sql)
+          other.sql + " (Delta requires literals here too; for a " +
+          "computed window, read the version numbers from DESCRIBE " +
+          "HISTORY first and splice them as literals)")
     }
     val tname = String.valueOf(litOf(args.head, "the table name"))
     val store = tables.getOrElse(tname,
