@@ -511,6 +511,26 @@ final class StoreCatalog(basePath: String) {
         require(d.partitionSpec.isEmpty,
           "DESCRIBE TABLE PARTITION is not supported")
         val name = tableNameOf(d.relation, "DESCRIBE")
+        // a VIEW describes as its analyzed output schema (what a BI
+        // tool introspects before querying it); EXTENDED adds the
+        // definition text — Spark's own DESCRIBE-view shape
+        viewText(spark, name).foreach { text =>
+          val schema = org.apache.spark.sql.graftshim.PlanShim
+            .ofRows(spark, StoreSql.route(spark, tables,
+              spliceViews(spark, attachAndParse(spark, text),
+                depth = 1))).schema
+          val cols = schema.fields.toSeq.map(f =>
+            (f.name, f.dataType.sql.toLowerCase, ""))
+          val detail =
+            if (!d.isExtended) Nil
+            else Seq(("", "", ""),
+              ("# Detailed View Information", "", ""),
+              ("Name", name, ""),
+              ("Type", "VIEW", ""),
+              ("View Text", text, ""))
+          return (cols ++ detail)
+            .toDF("col_name", "data_type", "comment")
+        }
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(
             s"unknown table '$name' (known: " +
@@ -611,6 +631,12 @@ final class StoreCatalog(basePath: String) {
           .ShowColumns) =>
         import spark.implicits._
         val name = tableNameOf(sc.child, "SHOW COLUMNS")
+        viewText(spark, name).foreach { text =>
+          return org.apache.spark.sql.graftshim.PlanShim
+            .ofRows(spark, StoreSql.route(spark, tables,
+              spliceViews(spark, attachAndParse(spark, text),
+                depth = 1))).columns.toSeq.toDF("col_name")
+        }
         val s = resolve(spark, name).getOrElse(
           throw new IllegalArgumentException(s"unknown table '$name'"))
         s.read(spark).columns.toSeq.toDF("col_name")

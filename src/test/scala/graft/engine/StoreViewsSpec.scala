@@ -45,6 +45,17 @@ class StoreViewsSpec extends SparkSpec {
     val ddl = cat2.exec(spark, "SHOW CREATE TABLE top_k")
       .head().getString(0)
     assert(ddl.startsWith("CREATE VIEW top_k AS"))
+    // DESCRIBE serves the analyzed view schema; EXTENDED adds the
+    // definition; SHOW COLUMNS lists the output columns
+    val desc = cat2.exec(spark, "DESCRIBE TABLE top_k")
+      .as[(String, String, String)].collect().toSeq
+    assert(desc.map(_._1).take(2) == Seq("k", "total"), desc)
+    val ext = cat2.exec(spark, "DESCRIBE TABLE EXTENDED top_k")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ext.get("Type").contains("VIEW") &&
+      ext("View Text").contains("FROM ev"))
+    assert(cat2.exec(spark, "SHOW COLUMNS IN top_k").as[String]
+      .collect().toSeq.take(2) == Seq("k", "total"))
     cat2.exec(spark, "DROP VIEW top_k")
     cat2.exec(spark, ddl.replace("CREATE VIEW", "CREATE VIEW"))
     assert(cat2.query(spark, "SELECT count(*) AS c FROM top_k")
