@@ -134,10 +134,15 @@ final class StoreCatalog(basePath: String) {
   private val absent =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Forget cached negative lookups (tables another session created
-    * after this catalog first probed their names).
+  /** Forget cached lookups — negative table probes AND the view-text
+    * cache (views another session created, replaced, or dropped after
+    * this catalog cached them).
     */
-  def refresh(): Unit = absent.clear()
+  def refresh(): Unit = {
+    absent.clear()
+    absentViews.clear()
+    viewCache.clear()
+  }
 
   /** The store for `name`, attaching from disk (pointer or basePath
     * dir, re-attached from its persisted spec) when the registry does
@@ -473,13 +478,7 @@ final class StoreCatalog(basePath: String) {
           case other => throw new IllegalArgumentException(
             s"unsupported DROP VIEW name: $other")
         }
-        val hp = viewPath(name)
-        val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (f.exists(hp)) {
-          f.delete(hp, false)
-          absentViews.remove(name); viewCache.remove(name)
-        }
-        else require(dv.ifExists,
+        require(dropViewSidecar(spark, name) || dv.ifExists,
           s"unknown view '$name' (use DROP VIEW IF EXISTS; note: " +
             "tables drop with DROP TABLE)")
         spark.emptyDataFrame
@@ -764,6 +763,62 @@ final class StoreCatalog(basePath: String) {
           (knobsOf(s).toMap, meta))
         metaReg.put(name, nextMeta)
         spark.emptyDataFrame
+      case Some(rc: org.apache.spark.sql.catalyst.plans.logical
+          .RenameColumn) =>
+        // delegate the physical rename (governed marker, check-guard
+        // refusals — a GENERATED column or check reference refuses
+        // there), then MIGRATE the catalog-owned metadata: a DEFAULT
+        // or COMMENT keyed by the old name would silently stop
+        // applying after the rename
+        val name = tableNameOf(rc.table, "RENAME COLUMN")
+        val old = rc.column.name.last
+        val out = StoreSql.exec(spark, tables, sql, batchId, defaults,
+          generated, identityCols, spliceViews(spark, _))
+        resolve(spark, name).foreach { s =>
+          val m0 = metaOf(name)
+          if (m0.defaults.keys.exists(_.equalsIgnoreCase(old)) ||
+            m0.comments.keys.exists(_.equalsIgnoreCase(old))) {
+            def mig(m: Map[String, String]) = m.map { case (k, v) =>
+              (if (k.equalsIgnoreCase(old)) rc.newName else k) -> v }
+            val metaXf = (m: StoreCatalog.TableMeta) =>
+              m.copy(defaults = mig(m.defaults),
+                comments = mig(m.comments))
+            val (_, nm) = updateSpec(spark, s.tablePath,
+              s.partitionColumns, identity, metaXf,
+              (knobsOf(s).toMap, m0))
+            metaReg.put(name, nm)
+          }
+        }
+        out
+      case Some(dc: org.apache.spark.sql.catalyst.plans.logical
+          .DropColumns) =>
+        // delegate, then drop the dead columns' catalog metadata — a
+        // stale DEFAULT under a dropped name never applies (the fill
+        // consults the live schema) but must not resurrect if a
+        // same-named column is ever re-added
+        val name = tableNameOf(dc.table, "DROP COLUMN")
+        val dropped = dc.columnsToDrop.map(_.name.last.toLowerCase)
+          .toSet
+        val out = StoreSql.exec(spark, tables, sql, batchId, defaults,
+          generated, identityCols, spliceViews(spark, _))
+        resolve(spark, name).foreach { s =>
+          val m0 = metaOf(name)
+          def hit(m: Map[String, String]) =
+            m.keys.exists(k => dropped.contains(k.toLowerCase))
+          if (hit(m0.defaults) || hit(m0.comments)) {
+            def purge(m: Map[String, String]) =
+              m.filterNot { case (k, _) =>
+                dropped.contains(k.toLowerCase) }
+            val metaXf = (m: StoreCatalog.TableMeta) =>
+              m.copy(defaults = purge(m.defaults),
+                comments = purge(m.comments))
+            val (_, nm) = updateSpec(spark, s.tablePath,
+              s.partitionColumns, identity, metaXf,
+              (knobsOf(s).toMap, m0))
+            metaReg.put(name, nm)
+          }
+        }
+        out
       case _ =>
         StoreSql.exec(spark, tables, sql, batchId, defaults, generated,
           identityCols, spliceViews(spark, _))
@@ -1031,15 +1086,32 @@ final class StoreCatalog(basePath: String) {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val viewCache =
     new scala.collection.concurrent.TrieMap[String, String]()
+  // serializes cache mutations against publish/drop so a concurrent
+  // reader's read-through put cannot resurrect a just-dropped view or
+  // pin pre-replace text over a redefinition; cross-SESSION staleness
+  // is the documented refresh() contract, in-session races are not
+  private val viewLock = new Object
 
   private def publishView(spark: SparkSession, name: String,
-      text: String): Unit = {
+      text: String): Unit = viewLock.synchronized {
     val hp = viewPath(name)
     AtomicCreate.replacePublish(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
       text.getBytes("UTF-8"))
     absentViews.remove(name)
     viewCache.put(name, text)
+  }
+
+  private def dropViewSidecar(spark: SparkSession,
+      name: String): Boolean = viewLock.synchronized {
+    val hp = viewPath(name)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) false
+    else {
+      f.delete(hp, false)
+      absentViews.remove(name); viewCache.remove(name)
+      true
+    }
   }
 
   /** The persisted definition text of view `name`, if one exists. */
@@ -1050,9 +1122,15 @@ final class StoreCatalog(basePath: String) {
       return None
     val hp = viewPath(name)
     val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    AtomicCreate.readString(f, hp) match {
-      case Some(t) => viewCache.put(name, t); Some(t)
-      case None => absentViews.add(name); None
+    viewLock.synchronized {
+      viewCache.get(name) match {
+        case some @ Some(_) => some
+        case None =>
+          AtomicCreate.readString(f, hp) match {
+            case Some(t) => viewCache.put(name, t); Some(t)
+            case None => absentViews.add(name); None
+          }
+      }
     }
   }
 

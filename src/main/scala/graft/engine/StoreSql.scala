@@ -341,6 +341,11 @@ object StoreSql {
             if (spliced eq rel) spark.table(srcName)
             else org.apache.spark.sql.graftshim.PlanShim
               .ofRows(spark, route(spark, tables, spliced))
+              // dropped even from a view that projects it explicitly
+              // — the contract above, and a star-form view source
+              // would otherwise trip the evolution gate on the
+              // attribution column; a clause that genuinely needs it
+              // should alias it in the view (batch_id AS bid)
               .drop("batch_id")
           }
         val store = storeOf(m.targetTable)

@@ -2819,8 +2819,11 @@ final class ManifestTableStore(path: String,
           if (!live) f.delete(st.getPath, false) // self-heal
           else throw new IllegalStateException(
             s"VACUUM on $path refused: shallow clone at $clonePath " +
-              "still serves this table's data dirs — sever it first " +
-              "(compact() on the clone), drop it, or set " +
+              "still serves this table's data dirs (its current " +
+              "state, an older version, a tag, or a branch) — sever " +
+              "it fully first (compact() on the clone, THEN vacuum " +
+              "the clone so its older source-serving versions " +
+              "retire), drop it, or set " +
               s"${ManifestTableStore.VacuumIgnoreClonesConf}=true to " +
               "accept breaking the clone (Delta's documented caveat " +
               "behavior)")

@@ -152,6 +152,38 @@ class CatalogAdviceSpec extends SparkSpec {
       "cat3's new DEFAULT was reverted by cat4's TBLPROPERTIES")
   }
 
+  test("RENAME COLUMN migrates catalog-owned DEFAULT/COMMENT metadata " +
+      "to the new name (and a fresh catalog sees it); DROP COLUMN " +
+      "purges it so a re-added same-name column cannot resurrect it") {
+    val base = freshBase()
+    val cat = new StoreCatalog(base.toString)
+    cat.exec(spark,
+      "CREATE TABLE rm (a INT, c STRING DEFAULT 'x' COMMENT 'note') " +
+        "USING graft_store")
+    cat.exec(spark, "ALTER TABLE rm RENAME COLUMN c TO c2")
+    cat.exec(spark, "INSERT INTO rm (a) VALUES (1)", batchId = Some(0L))
+    assert(cat.query(spark, "SELECT c2 FROM rm").as[String]
+      .collect().toSeq == Seq("x"),
+      "the DEFAULT must follow the rename")
+    assert(cat.exec(spark, "SHOW CREATE TABLE rm").head().getString(0)
+      .contains("c2 STRING DEFAULT 'x' COMMENT 'note'"))
+    // a FRESH catalog re-attaches the migrated spec
+    val cat2 = new StoreCatalog(base.toString)
+    cat2.exec(spark, "INSERT INTO rm (a) VALUES (2)", batchId = Some(1L))
+    assert(cat2.query(spark, "SELECT c2 FROM rm WHERE a = 2")
+      .as[String].collect().toSeq == Seq("x"))
+    // DROP purges: a re-added same-name column fills NULL, not 'x'
+    // (re-adding a retired name needs compact() first — the store's
+    // own documented field-id-less remediation)
+    cat2.exec(spark, "ALTER TABLE rm DROP COLUMN c2")
+    cat2.store("rm").compact(spark)
+    cat2.exec(spark, "ALTER TABLE rm ADD COLUMNS (c2 STRING)")
+    cat2.exec(spark, "INSERT INTO rm (a) VALUES (3)", batchId = Some(2L))
+    assert(cat2.query(spark, "SELECT c2 FROM rm WHERE a = 3")
+      .head().isNullAt(0),
+      "a dropped column's DEFAULT must not resurrect")
+  }
+
   test("self-referential RTAS pins SUBQUERY-EXPRESSION references at " +
       "the pre-replace version too — a scalar subquery over the " +
       "replaced table must not read the emptied post-replace state") {
