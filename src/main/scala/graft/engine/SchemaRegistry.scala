@@ -29,7 +29,22 @@ object SchemaRegistry {
       countSampleRecords: Boolean = false,
       dropAllNullFields: Boolean = false,
       corruptCol: String = CanonicalSchema.CorruptCol,
-      multiLine: Boolean = true)
+      multiLine: Boolean = true,
+      /** When set, every schema CHANGE also emits an [[AutoMapper]]
+        * `mapping_proposal` sidecar beside the topic's schema artifact
+        * — the reference's stated flow (README.md:40 "Auto-mapping
+        * suggests a canonical (silver) schema") wired into the
+        * governance pass itself: drift triggers a fresh reviewable
+        * proposal; nothing auto-applies (approval stays a human act
+        * via [[AutoMapper.approve]]).
+        */
+      autoMapCanonical: Option[StructType] = None,
+      /** Source-system name for a topic (the `source_system` literal
+        * and the namespace-stripping key the matcher uses); default
+        * strips the common `_assets`/`_events` suffixes.
+        */
+      autoMapSourceName: String => String =
+        t => t.stripSuffix("_assets").stripSuffix("_events"))
 
   /** Per-topic persisted state (reference `:236-250`). Serialized with
     * sorted keys so the artifact is byte-stable for identical content.
@@ -227,7 +242,20 @@ final class SchemaRegistry(
       val schemaHash = hashSchema(schemaJson)
       val prevHash = state.schemaHash
       val changed = !prevHash.contains(schemaHash)
-      if (changed) writeSchema(topic, schemaJson)
+      if (changed) {
+        writeSchema(topic, schemaJson)
+        // drift ⇒ a fresh reviewable mapping proposal beside the
+        // schema artifact (replaces any stale one — its confidences
+        // described the OLD shape). Best-effort governance output:
+        // a proposal failure must not fail the inference pass.
+        config.autoMapCanonical.foreach { canonical =>
+          Try(AutoMapper.persistProposal(spark, s"$root$topic",
+            AutoMapper.suggest(config.autoMapSourceName(topic),
+              org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+                .asInstanceOf[StructType],
+              canonical)))
+        }
+      }
 
       val ts = now().toString
       writeState(topic, TopicState(

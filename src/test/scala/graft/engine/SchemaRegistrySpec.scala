@@ -96,6 +96,51 @@ class SchemaRegistrySpec extends SparkSpec {
     assert(st.lastProcessedMtime == 2000L)
   }
 
+  test("autoMapCanonical: a schema CHANGE emits a fresh reviewable " +
+      "mapping_proposal beside the schema artifact; an unchanged pass " +
+      "leaves it alone; drift replaces it (stale confidences described " +
+      "the old shape)") {
+    val bronze = tmp("bronze-"); val wh = tmp("wh-")
+    val topic = Files.createDirectory(bronze.resolve("rapid7_assets"))
+    writeFile(topic, "a.json",
+      """{"id": 1, "ip": "10.0.0.1", "hostName": "h1"}""", 1000L)
+    val reg = new SchemaRegistry(spark, bronze.toString, wh.toString,
+      Config(multiLine = false, samplingRatio = 1.0,
+        autoMapCanonical = Some(CanonicalSchema.schema)),
+      now = () => Instant.parse("2026-01-01T00:00:00Z"))
+    reg.runOnce()
+    val pPath = new org.apache.hadoop.fs.Path(
+      s"$wh/rapid7_assets/mapping_proposal")
+    val f = pPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(f.exists(pPath), "proposal must land beside the schema")
+    def proposalJson() = {
+      val in = f.open(pPath)
+      val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(t)
+    }
+    val p1 = proposalJson()
+    // source name stripped from the topic → 'rapid7' namespacing works
+    assert(p1.get("source").asText() == "rapid7")
+    val targets1 = (0 until p1.get("suggestions").size())
+      .map(i => p1.get("suggestions").get(i).get("target").asText())
+    assert(targets1.toSet ==
+      Set("rapid7_id", "primary_ip", "asset_name", "primary_hostname"))
+    val m1 = f.getFileStatus(pPath).getModificationTime
+    // unchanged pass (mtime watermark) → untouched
+    reg.runOnce()
+    assert(f.getFileStatus(pPath).getModificationTime == m1)
+    // drift: a new field → schema rewrites AND the proposal refreshes
+    writeFile(topic, "b.json",
+      """{"id": 2, "ip": "10.0.0.2", "hostName": "h2",
+        |"riskScore": 5.5}""".stripMargin.replaceAll("\n", ""), 2000L)
+    reg.runOnce()
+    val p2 = proposalJson()
+    val targets2 = (0 until p2.get("suggestions").size())
+      .map(i => p2.get("suggestions").get(i).get("target").asText())
+    assert(targets2.contains("risk_score"), s"drifted proposal: $targets2")
+  }
+
   test("failure path preserves prior progress and records the reason") {
     val bronze = tmp("bronze-"); val wh = tmp("wh-")
     val topic = Files.createDirectory(bronze.resolve("t"))
