@@ -1360,6 +1360,13 @@ final class StoreCatalog(basePath: String) {
     val conf = spark.sparkContext.hadoopConfiguration
     val sf = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     specFiles(sf, path).foreach { case (_, p) => sf.delete(p, false) }
+    // a crashed earlier CREATE may also have left an identity ledger
+    // (allocation publishes ledger files independently of manifest
+    // commits); a stale high-water mark would silently override THIS
+    // declaration's START WITH — the fresh create owns the path
+    // (zero committed versions), so the reset is safe here
+    val idDir = new org.apache.hadoop.fs.Path(s"$path/identity")
+    if (sf.exists(idDir)) sf.delete(idDir, true)
     val ptr = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
     val pf = ptr.getFileSystem(conf)
     if (pf.exists(ptr)) {
@@ -1469,6 +1476,16 @@ final class StoreCatalog(basePath: String) {
     validateProps(schema.fieldNames.toSeq, pb, props)
     val meta = metaFromColumns(spark, columns)
     s.replaceSchema(spark, schema, pb)
+    // REPLACE is a full redeclaration: the retired table's identity
+    // high-water ledger must not override the replacing declaration's
+    // START WITH. Cleared AFTER the replace commit — a crash between
+    // them leaves the stale ledger beside the replaced (empty) table,
+    // so ids would continue past the old watermark: a GAP, which the
+    // identity contract allows; clearing BEFORE could reissue live
+    // ids if the replace commit then lost a race. Pre-replace
+    // versions stay time-travelable with their original ids — the
+    // ledger governs only future allocation.
+    s.clearIdentityLedger(spark)
     s.listChecks(spark).foreach { case (n, _) => s.dropCheck(spark, n) }
     val fresh = mk(s.tablePath, pb, props)
     installChecks(spark, fresh, columns, tableSpec, meta)
@@ -1490,11 +1507,15 @@ final class StoreCatalog(basePath: String) {
     * generated/comments), and write-time checks. Source and clone
     * diverge freely from there — the clone's own writes land under
     * its own root; `compact()` on the clone severs the last physical
-    * tie. Delta's documented caveat applies and is inherited
-    * deliberately: VACUUM on the SOURCE does not see clone references
-    * (sever first or tag the source version); VACUUM on the CLONE is
-    * structurally safe (its candidate set lists only the clone's own
-    * data dir).
+    * tie. Delta's documented VACUUM caveat is CLOSED here, not
+    * inherited: the clone publishes a `clone_refs/` entry in the
+    * source's root, and the source's vacuum refuses to delete history
+    * an un-severed clone still serves (self-healing once the clone
+    * severs or drops). VACUUM on the CLONE is structurally safe (its
+    * candidate set lists only the clone's own data dir). IDENTITY
+    * columns clone safely too: the clone's ledger is seeded with the
+    * source's high-water mark, so its first INSERT continues above
+    * every id the cloned rows already hold.
     */
   private def cloneTable(spark: SparkSession, target: String,
       source: String, versionAsOf: Option[Long],
@@ -1562,6 +1583,22 @@ final class StoreCatalog(basePath: String) {
     persistSpec(spark, path, pb, props, meta)
     persistPointer(spark, target, path)
     val store = mk(path, pb, props)
+    // seed the clone's identity ledger with the SOURCE's high-water
+    // mark BEFORE the clone commit (fail-safe ordering, like
+    // clone_inherited_ids): the cloned rows physically hold ids the
+    // source's ledger allocated — without the seed the clone's first
+    // INSERT would find an empty ledger, restart at START WITH, and
+    // reissue ids the inherited rows already carry (COUNT(DISTINCT)
+    // < COUNT(*)). One small read + one publish per identity column;
+    // a versioned clone seeds the CURRENT watermark — at most a gap,
+    // never a collision. A crash between seed and commit leaves an
+    // inert ledger beside a zero-version table (clearStaleSidecars
+    // resets it on the next create).
+    meta.identity.keys.foreach { c =>
+      src.identityLedgerTip(spark, c).foreach { tip =>
+        store.seedIdentityLedger(spark, c, tip)
+      }
+    }
     src.shallowCloneTo(spark, store, versionAsOf)
     // write-time gates travel with the clone (CHECKs, NOT NULLs, the
     // generated-column invariants — all stored as named checks);
@@ -1581,10 +1618,10 @@ final class StoreCatalog(basePath: String) {
     * columns — Delta's rule; self- or chained references would make
     * the fill order ambiguous), and COMMENTs. A column cannot carry
     * BOTH a DEFAULT and a generation (Delta refuses too — one fill
-    * rule per column). IDENTITY columns refuse loudly: correct
-    * distributed identity needs a high-water mark committed with the
-    * manifest, which this catalog does not implement — a silent
-    * best-effort would hand out colliding ids.
+    * rule per column). GENERATED ALWAYS AS IDENTITY is supported:
+    * ids allocate from a committed high-water-mark ledger beside the
+    * manifest ([[ManifestTableStore.allocateIdentity]]) and fill
+    * distributively at the SQL INSERT boundary.
     */
   private def metaFromColumns(spark: SparkSession,
       columns: Seq[ColumnDefinition]): StoreCatalog.TableMeta = {

@@ -757,10 +757,13 @@ final class ManifestTableStore(path: String,
     * from the clone point (Delta's shallow-clone contract: the
     * dev/test copy of a 100 TB table costs one footer write).
     * `compact()` on the clone materializes everything under its own
-    * root — the "sever" operation. Caveat, same as Delta's: VACUUM on
-    * the SOURCE does not know about clone references and can delete
-    * dirs a clone still serves — sever first, or tag the source
-    * version. VACUUM on the CLONE is safe by construction: its
+    * root — the "sever" operation. Unlike Delta's documented caveat,
+    * VACUUM on the SOURCE is clone-aware here: this method publishes a
+    * `clone_refs/` entry in the source's root BEFORE the commit, and
+    * the source's vacuum refuses to delete history an un-severed clone
+    * still serves (self-healing once the clone severs or drops; an
+    * explicit override conf exists for operators who accept the
+    * breakage). VACUUM on the CLONE is safe by construction: its
     * candidate set is a listing of the clone's own data/ directory,
     * which never contains source dirs.
     */
@@ -858,6 +861,62 @@ final class ManifestTableStore(path: String,
       // lost the race: re-list, derive from the winner's range
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The LAST committed range of `col`'s identity ledger as its raw
+    * "base:count" text, or None if nothing was ever allocated.
+    * [[allocateIdentity]]'s derivation consults only the newest range
+    * (each `r<k>` chains off `r<k-1>`), so this single small file IS
+    * the ledger's entire high-water state — the seed a SHALLOW CLONE
+    * copies so the clone's first INSERT continues ABOVE every id the
+    * cloned rows already physically hold. Metadata-bounded: one
+    * listing + one small read.
+    */
+  def identityLedgerTip(spark: SparkSession,
+      col: String): Option[String] = {
+    val f = fs(spark)
+    val dir = new HPath(s"$path/identity/$col")
+    if (!f.exists(dir)) return None
+    val ks = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(_.startsWith("r"))
+      .flatMap(_.stripPrefix("r").toLongOption)
+    ks.maxOption.map { k =>
+      val in = f.open(new HPath(dir, s"r$k"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    }
+  }
+
+  /** Seed `col`'s identity ledger with `tip` as its `r0` range —
+    * create-if-absent, so a concurrent first allocation can never be
+    * overwritten (the seed loses the race and the clone keeps the
+    * racer's DERIVED ranges, which are already disjoint). Returns
+    * false on a lost race. Used at SHALLOW CLONE time, published
+    * BEFORE the clone commit (fail-safe ordering: a crash between
+    * them leaves an inert ledger beside a zero-version table, never a
+    * committed clone whose first INSERT reissues inherited ids).
+    */
+  def seedIdentityLedger(spark: SparkSession, col: String,
+      tip: String): Boolean =
+    AtomicCreate.publish(fs(spark),
+      new HPath(s"$path/identity/$col/r0"), tip.getBytes("UTF-8"))
+
+  /** Delete `col`'s identity ledger (or every column's when `col` is
+    * None) — the REPLACE TABLE reset: a replacing declaration's START
+    * WITH must win over the retired table's high-water mark. Callers
+    * order this AFTER the replace commit so a crash between them
+    * leaves a stale ledger (ids continue past the old watermark — a
+    * GAP, which the identity contract allows) rather than a cleared
+    * ledger beside a still-live table (reissued ids — a collision).
+    */
+  def clearIdentityLedger(spark: SparkSession,
+      col: Option[String] = None): Unit = {
+    val f = fs(spark)
+    val dir = col match {
+      case Some(c) => new HPath(s"$path/identity/$c")
+      case None => new HPath(s"$path/identity")
+    }
+    if (f.exists(dir)) f.delete(dir, true)
   }
 
   /** `DESCRIBE DETAIL` — ONE row of table-level physical metadata

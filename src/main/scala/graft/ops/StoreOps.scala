@@ -2685,5 +2685,63 @@ object StoreOps {
         """SELECT COUNT(*) AS n_rows, COUNT(DISTINCT id) AS n_distinct,
           |  MIN(id) AS min_id, MAX(id) AS max_id, SUM(id) AS sum_id
           |FROM idl""".stripMargin)
+    },
+
+    // SHALLOW CLONE × IDENTITY (the round-13 latent defect, now
+    // pinned on the board): the clone's ledger is SEEDED with the
+    // source's high-water mark at clone time, so an INSERT into the
+    // clone continues strictly above every id the inherited rows
+    // physically hold — COUNT(DISTINCT id) == COUNT(*) on the clone,
+    // and the post-clone rows form the arithmetic continuation of the
+    // inherited sequence. Without the seed the clone's first INSERT
+    // restarts at START WITH and reissues inherited ids. Ledger seed =
+    // one small read + one create-if-absent publish — the zero-copy
+    // clone contract holds at 100 TB.
+    QueryDef(
+      "q238_sql_clone_identity",
+      """WITH a AS (
+        |  SELECT COUNT(*) AS c1 FROM orders WHERE o_orderkey <= 800),
+        |b AS (
+        |  SELECT COUNT(*) AS c2 FROM orders
+        |  WHERE o_orderkey > 800 AND o_orderkey <= 1600)
+        |SELECT c1 + c2 AS n_rows, c1 + c2 AS n_distinct,
+        |  CAST(100 AS BIGINT) AS min_id,
+        |  100 + 10 * (c1 + c2 - 1) AS max_id,
+        |  c2 AS n_above_watermark
+        |FROM a, b""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_clone_identity", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS ids_src (
+          |  id BIGINT GENERATED ALWAYS AS IDENTITY (
+          |    START WITH 100 INCREMENT BY 10),
+          |  okey BIGINT) USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO ids_src (okey)
+          |SELECT o_orderkey FROM orders WHERE o_orderkey <= 800"""
+          .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        "CREATE TABLE IF NOT EXISTS ids_cl SHALLOW CLONE ids_src")
+      // fresh batch id: the clone inherits the source's batch-id
+      // ledger and refuses appends under an inherited id (exactly-once
+      // replay must not swallow a NEW pipeline's write)
+      cat.exec(s,
+        """INSERT INTO ids_cl (okey)
+          |SELECT o_orderkey FROM orders
+          |WHERE o_orderkey > 800 AND o_orderkey <= 1600"""
+          .stripMargin, batchId = Some(100L))
+      // the source's watermark at the clone point: ids 100, 110, …
+      // over c1 inherited rows — the clone's own inserts must all
+      // land strictly above 100 + 10*(c1-1)
+      val c1 = cat.query(s,
+        "SELECT COUNT(*) AS c FROM ids_src").head().getLong(0)
+      val threshold = 100L + 10L * c1 // first post-watermark id
+      cat.query(s,
+        s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT id) AS n_distinct,
+           |  MIN(id) AS min_id, MAX(id) AS max_id,
+           |  COUNT(CASE WHEN id >= $threshold THEN 1 END)
+           |    AS n_above_watermark
+           |FROM ids_cl""".stripMargin)
     })
 }

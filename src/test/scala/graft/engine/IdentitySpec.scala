@@ -152,4 +152,88 @@ class IdentitySpec extends SparkSpec {
       .collect().toSeq
     assert(all.distinct.size == all.size && all.size == 8)
   }
+
+  test("SHALLOW CLONE seeds the clone's identity ledger: the clone's " +
+      "first INSERT continues strictly above every inherited id — " +
+      "never a reissue — and source/clone diverge without collisions " +
+      "inside each table") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      """CREATE TABLE isrc (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100
+        |    INCREMENT BY 10),
+        |  v STRING) USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO isrc (v) VALUES ('a'), ('b'), ('c')",
+      batchId = Some(0L))
+    cat.exec(spark, "CREATE TABLE icl SHALLOW CLONE isrc")
+    // the defect this pins: without the seeded ledger the clone's
+    // first INSERT restarts at START WITH and reissues 100/110/120.
+    // (Fresh batch id — the clone refuses appends under an id it
+    // inherited from the source.)
+    cat.exec(spark, "INSERT INTO icl (v) VALUES ('d'), ('e')",
+      batchId = Some(50L))
+    val cloneIds = cat.query(spark, "SELECT id FROM icl").as[Long]
+      .collect().toSeq
+    assert(cloneIds.size == 5 && cloneIds.distinct.size == 5,
+      s"clone reissued inherited ids: $cloneIds")
+    val inheritedMax = 120L
+    val newOnClone = cloneIds.filterNot(Seq(100L, 110L, 120L).contains)
+    assert(newOnClone.forall(_ > inheritedMax),
+      s"clone ids not above the source watermark: $newOnClone")
+    // the source keeps its own ledger: its next insert is unique
+    // WITHIN the source (cross-table overlap with the clone is fine —
+    // they are independent tables from the clone point)
+    cat.exec(spark, "INSERT INTO isrc (v) VALUES ('f')",
+      batchId = Some(1L))
+    val srcIds = cat.query(spark, "SELECT id FROM isrc").as[Long]
+      .collect().toSeq
+    assert(srcIds.size == 4 && srcIds.distinct.size == 4, srcIds)
+    // a VERSIONED clone (pre-insert snapshot) still seeds the CURRENT
+    // watermark — fewer inherited rows, ids start above everything
+    cat.exec(spark,
+      "CREATE TABLE icl1 SHALLOW CLONE isrc VERSION AS OF 2")
+    cat.exec(spark, "INSERT INTO icl1 (v) VALUES ('g')",
+      batchId = Some(51L))
+    val v1Ids = cat.query(spark, "SELECT id FROM icl1").as[Long]
+      .collect().toSeq
+    assert(v1Ids.distinct.size == v1Ids.size,
+      s"versioned clone reissued ids: $v1Ids")
+    assert(v1Ids.max > srcIds.max, s"$v1Ids vs ${srcIds.max}")
+  }
+
+  test("REPLACE TABLE resets the identity ledger to the new START; a " +
+      "stale ledger from a crashed earlier create never overrides a " +
+      "fresh declaration's START") {
+    val (cat, base) = freshCat()
+    cat.exec(spark,
+      """CREATE TABLE ir (id BIGINT GENERATED ALWAYS AS IDENTITY
+        |  (START WITH 1 INCREMENT BY 1), v STRING)
+        |USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO ir (v) VALUES ('a'), ('b')",
+      batchId = Some(0L))
+    cat.exec(spark,
+      """CREATE OR REPLACE TABLE ir (id BIGINT GENERATED ALWAYS AS
+        |  IDENTITY (START WITH 500 INCREMENT BY 1), v STRING)
+        |USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO ir (v) VALUES ('c')",
+      batchId = Some(1L))
+    val ids = cat.query(spark, "SELECT id FROM ir").as[Long]
+      .collect().toSeq
+    assert(ids == Seq(500L), s"REPLACE did not reset the ledger: $ids")
+    // crashed-create residue: an identity ledger left at a path with
+    // ZERO committed versions (allocation publishes ledger files
+    // independently of manifest commits) — the fresh CREATE resets it
+    val stale = new org.apache.hadoop.fs.Path(
+      s"$base/irx/identity/id/r0")
+    val f = stale.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicCreate.publish(f, stale, "9000:50".getBytes("UTF-8"))
+    cat.exec(spark,
+      """CREATE TABLE irx (id BIGINT GENERATED ALWAYS AS IDENTITY
+        |  (START WITH 7 INCREMENT BY 1), v STRING)
+        |USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO irx (v) VALUES ('z')",
+      batchId = Some(0L))
+    assert(cat.query(spark, "SELECT id FROM irx").as[Long]
+      .collect().toSeq == Seq(7L))
+  }
 }
