@@ -70,7 +70,7 @@ final class StoreCatalog(basePath: String) {
   /** The current identity-column registry ([[StoreSql.exec]]'s shape):
     * table → column → (start, step).
     */
-  def identityCols: Map[String, Map[String, (Long, Long)]] =
+  def identityCols: Map[String, Map[String, (Long, Long, Boolean)]] =
     metaReg.toMap.map { case (t, m) => t -> m.identity }
       .filter(_._2.nonEmpty)
 
@@ -245,6 +245,8 @@ final class StoreCatalog(basePath: String) {
       case StoreCatalog.CloneStmt(ine, tgt, src, ver) =>
         return cloneTable(spark, tgt, src,
           Option(ver).map(_.toLong), ifNotExists = ine != null)
+      case StoreCatalog.SyncIdentityStmt(tbl, col) =>
+        return syncIdentity(spark, tbl, Option(col))
       case _ =>
     }
     val parsed: Option[LogicalPlan] =
@@ -583,8 +585,9 @@ final class StoreCatalog(basePath: String) {
           .map(f => s"  ${f.name} ${f.dataType.sql}" +
             meta.generated.get(f.name)
               .fold("")(g => s" GENERATED ALWAYS AS ($g)") +
-            meta.identity.get(f.name).fold("") { case (st, sp) =>
-              s" GENERATED ALWAYS AS IDENTITY (START WITH $st " +
+            meta.identity.get(f.name).fold("") { case (st, sp, bd) =>
+              val kind = if (bd) "BY DEFAULT" else "ALWAYS"
+              s" GENERATED $kind AS IDENTITY (START WITH $st " +
                 s"INCREMENT BY $sp)" } +
             meta.defaults.get(f.name).fold("")(d => s" DEFAULT $d") +
             meta.comments.get(f.name)
@@ -974,8 +977,10 @@ final class StoreCatalog(basePath: String) {
     obj("defaults", meta.defaults)
     obj("generated", meta.generated)
     obj("comments", meta.comments)
-    obj("identity", meta.identity.map { case (c, (s, k)) =>
-      c -> s"$s:$k" })
+    // "start:step" (ALWAYS — the pre-BY-DEFAULT shape, kept so older
+    // sidecars load unchanged) or "start:step:d" (BY DEFAULT)
+    obj("identity", meta.identity.map { case (c, (s, k, d)) =>
+      c -> (s"$s:$k" + (if (d) ":d" else "")) })
     mapper.writeValueAsString(root).getBytes("UTF-8")
   }
 
@@ -1234,8 +1239,12 @@ final class StoreCatalog(basePath: String) {
       defaults = obj("defaults"), generated = obj("generated"),
       comments = obj("comments"),
       identity = obj("identity").map { case (c, v) =>
-        val Array(s, k) = v.split(":", 2)
-        c -> (s.toLong, k.toLong)
+        v.split(":", 3) match {
+          case Array(s, k) => c -> ((s.toLong, k.toLong, false))
+          case Array(s, k, "d") => c -> ((s.toLong, k.toLong, true))
+          case other => throw new IllegalArgumentException(
+            s"corrupt identity spec for '$c': '$v'")
+        }
       })))
   }
 
@@ -1269,8 +1278,8 @@ final class StoreCatalog(basePath: String) {
       val ids = metaOf(table).identity
       ids.keys.find(_.equalsIgnoreCase(col)).foreach { c =>
         throw new IllegalArgumentException(
-          s"$verb: column '$c' of table '$table' is GENERATED ALWAYS " +
-            "AS IDENTITY — its ledger and registry key by the " +
+          s"$verb: column '$c' of table '$table' is a GENERATED " +
+            "IDENTITY column — its ledger and registry key by the " +
             "declared name and type; recreate the table (CREATE OR " +
             "REPLACE) to restructure it")
       }
@@ -1612,6 +1621,46 @@ final class StoreCatalog(basePath: String) {
     spark.emptyDataFrame
   }
 
+  /** `ALTER TABLE t [ALTER COLUMN c] SYNC IDENTITY` — Delta's repair
+    * verb: re-derive the identity high-water mark from the DATA after
+    * an out-of-band load bypassed the write boundary (a direct
+    * `store.append`, a restored backup). One single-column pruned
+    * aggregate per identity column (MAX for a positive step, MIN for
+    * a negative one), then a ledger bump past it — the next generated
+    * id is guaranteed unique again. Works for ALWAYS columns too (the
+    * out-of-band load is exactly how an ALWAYS table can drift).
+    */
+  private def syncIdentity(spark: SparkSession, name: String,
+      column: Option[String]): DataFrame = {
+    requireNotView(spark, name)
+    val s = resolve(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"SYNC IDENTITY: unknown table '$name'"))
+    val ids0 = metaOf(name).identity
+    val ids = column match {
+      case Some(c) =>
+        val hit = ids0.filter(_._1.equalsIgnoreCase(c))
+        require(hit.nonEmpty,
+          s"SYNC IDENTITY: column '$c' of '$name' is not an IDENTITY " +
+            s"column (identity: ${ids0.keys.mkString(", ")})")
+        hit
+      case None =>
+        require(ids0.nonEmpty,
+          s"SYNC IDENTITY: table '$name' has no IDENTITY column")
+        ids0
+    }
+    if (s.currentVersion(spark) == 0L) return spark.emptyDataFrame
+    import org.apache.spark.sql.functions.{col => fcol, max, min}
+    val aggs = ids.toSeq.map { case (c, (_, sp, _)) =>
+      (if (sp > 0) max(fcol(c)) else min(fcol(c))).as(c) }
+    val row = s.read(spark).agg(aggs.head, aggs.tail: _*).head()
+    ids.toSeq.zipWithIndex.foreach { case ((c, (st, sp, _)), i) =>
+      if (!row.isNullAt(i))
+        s.bumpIdentityPast(spark, c, row.getLong(i), st, sp)
+    }
+    spark.emptyDataFrame
+  }
+
   /** Collect + validate the declaration's catalog-owned column
     * metadata: DEFAULTs (constant, losslessly castable), GENERATED
     * expressions (must reference only OTHER non-generated declared
@@ -1627,17 +1676,15 @@ final class StoreCatalog(basePath: String) {
       columns: Seq[ColumnDefinition]): StoreCatalog.TableMeta = {
     columns.foreach { c =>
       c.identityColumnSpec.foreach { spec =>
-        // GENERATED ALWAYS AS IDENTITY: ids allocate from a committed
-        // high-water-mark LEDGER beside the manifest (monotonic,
-        // gap-tolerant — Delta's own contract) and fill distributively
-        // at the SQL INSERT boundary. BY DEFAULT (explicit inserts
-        // allowed) is refused: a user-supplied id cannot be checked
-        // against the ledger row-locally, so collisions would be
-        // silent.
-        require(!spec.isAllowExplicitInsert,
-          s"column '${c.name}': GENERATED BY DEFAULT AS IDENTITY is " +
-            "not supported (an explicit id bypasses the ledger and " +
-            "can collide silently); use GENERATED ALWAYS AS IDENTITY")
+        // GENERATED [ALWAYS | BY DEFAULT] AS IDENTITY: ids allocate
+        // from a committed high-water-mark LEDGER beside the manifest
+        // (monotonic, gap-tolerant — Delta's own contract) and fill
+        // distributively at the SQL INSERT boundary. BY DEFAULT also
+        // admits EXPLICIT ids: the write boundary bumps the ledger
+        // past the batch's farthest supplied id (one aggregate over
+        // the batch — cheap batch-locally even though impossible
+        // row-locally), and ALTER TABLE ... SYNC IDENTITY repairs the
+        // watermark after out-of-band loads.
         require(c.dataType == org.apache.spark.sql.types.LongType,
           s"column '${c.name}': IDENTITY requires BIGINT, got " +
             c.dataType.sql)
@@ -1705,7 +1752,8 @@ final class StoreCatalog(basePath: String) {
       comments = columns.flatMap(c =>
         c.comment.map(c.name -> _)).toMap,
       identity = columns.flatMap(c => c.identityColumnSpec.map(sp =>
-        c.name -> (sp.getStart, sp.getStep))).toMap)
+        c.name -> ((sp.getStart, sp.getStep,
+          sp.isAllowExplicitInsert)))).toMap)
   }
 
   /** A DEFAULT must be a CONSTANT the column's type can represent
@@ -1819,7 +1867,9 @@ object StoreCatalog {
       defaults: Map[String, String] = Map.empty,
       generated: Map[String, String] = Map.empty,
       comments: Map[String, String] = Map.empty,
-      identity: Map[String, (Long, Long)] = Map.empty)
+      // col -> (START WITH, INCREMENT BY, allows explicit inserts —
+      // i.e. GENERATED BY DEFAULT rather than ALWAYS)
+      identity: Map[String, (Long, Long, Boolean)] = Map.empty)
 
   /** `CREATE TABLE [IF NOT EXISTS] t2 SHALLOW CLONE t1
     * [VERSION AS OF n]` — Delta's verb shape, outside Spark's grammar.
@@ -1828,4 +1878,12 @@ object StoreCatalog {
     ("(?is)CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?" +
       "([A-Za-z0-9_]+)\\s+SHALLOW\\s+CLONE\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*").r
+
+  /** `ALTER TABLE t [ALTER COLUMN c] SYNC IDENTITY` — Delta's repair
+    * verb after out-of-band loads, outside Spark's grammar.
+    */
+  private[engine] val SyncIdentityStmt =
+    ("(?is)ALTER\\s+TABLE\\s+([A-Za-z0-9_]+)" +
+      "(?:\\s+ALTER\\s+COLUMN\\s+([A-Za-z0-9_]+))?" +
+      "\\s+SYNC\\s+IDENTITY\\s*").r
 }

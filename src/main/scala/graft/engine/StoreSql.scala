@@ -63,7 +63,8 @@ object StoreSql {
       sql: String, batchId: Option[Long] = None,
       defaults: Map[String, Map[String, String]] = Map.empty,
       generated: Map[String, Map[String, String]] = Map.empty,
-      identity: Map[String, Map[String, (Long, Long)]] = Map.empty,
+      identity: Map[String, Map[String, (Long, Long, Boolean)]] =
+        Map.empty,
       resolveViews: LogicalPlan => LogicalPlan = p => p)
       : org.apache.spark.sql.DataFrame = {
     maintenance(spark, tables, sql) match {
@@ -128,13 +129,14 @@ object StoreSql {
           .getOrElse(Map.empty).keys.map(_.toLowerCase).toSet
         set.keys.filter(k => uIdent.contains(k.toLowerCase))
           .foreach(k => throw new IllegalArgumentException(
-            s"column '$k' is GENERATED ALWAYS AS IDENTITY — it " +
-              "cannot be assigned"))
+            s"column '$k' is a GENERATED IDENTITY column — it " +
+              "cannot be assigned (Delta's rule for ALWAYS and BY " +
+              "DEFAULT alike: an update cannot consult the ledger)"))
         storeOf(u.table).update(spark, pred, set)
       case i: InsertIntoStatement =>
         val store = storeOf(i.table)
         val tableIdentity = relationName(i.table).flatMap(identity.get)
-          .getOrElse(Map.empty[String, (Long, Long)])
+          .getOrElse(Map.empty[String, (Long, Long, Boolean)])
         val identCols = tableIdentity.keys.map(_.toLowerCase).toSet
         // the source SELECT may read OTHER registered stores (the
         // bronze->silver derive shape) — route them like a query;
@@ -253,42 +255,78 @@ object StoreSql {
             fill(withRefs, tableGenerated)
           case _ => df2
         }
-        // IDENTITY fill: GENERATED ALWAYS — a supplied value refuses
-        // (it bypasses the ledger and can collide); omitted columns
-        // reserve ONE contiguous range per statement from the
-        // committed high-water ledger and fill distributively via a
-        // per-partition index (zipWithIndex: one count job + the
+        // IDENTITY fill: a supplied value refuses for GENERATED
+        // ALWAYS (it bypasses the ledger and can collide) but is
+        // admitted for GENERATED BY DEFAULT — the write boundary then
+        // BUMPS the ledger strictly past the batch's farthest supplied
+        // id (ONE aggregate over the batch: the collision check that
+        // is impossible row-locally is cheap batch-locally), so later
+        // generated ids never reissue an explicit one. Omitted columns
+        // (either kind) reserve ONE contiguous range per statement
+        // from the committed high-water ledger and fill distributively
+        // via a per-partition index (zipWithIndex: one count job + the
         // write pass — batch-sized, not table-sized). A replayed
         // batchId re-reserves a range the no-op append never uses:
         // a GAP, which Delta's identity contract explicitly allows.
         val df3i =
           if (tableIdentity.isEmpty) df3
           else {
-            tableIdentity.keys.foreach { c =>
-              require(!df3.columns.exists(_.equalsIgnoreCase(c)),
+            val (suppliedId, omittedId) = tableIdentity.partition {
+              case (c, _) => df3.columns.exists(_.equalsIgnoreCase(c))
+            }
+            suppliedId.foreach { case (c, (_, _, byDefault)) =>
+              require(byDefault,
                 s"column '$c' is GENERATED ALWAYS AS IDENTITY — " +
                   "values cannot be supplied; omit it (the engine " +
-                  "allocates from the table's identity ledger)")
+                  "allocates from the table's identity ledger), or " +
+                  "declare GENERATED BY DEFAULT AS IDENTITY to admit " +
+                  "explicit ids")
             }
             // PIN before counting: the source evaluates three times
             // (count, zipWithIndex's own count, the write) — a
             // non-deterministic SELECT could otherwise emit more rows
             // than the reserved range and spill into the NEXT
-            // statement's ids (the merge-source pin, same reason)
+            // statement's ids (the merge-source pin, same reason);
+            // for supplied ids the pin keeps the bumped maximum and
+            // the written values the SAME evaluation
             import Pin.Pinnable
             val df3p = df3.pinned
-            val n = df3p.count()
-            tableIdentity.foldLeft(df3p) {
-              case (d, (c, (startV, stepV))) =>
-                val base =
-                  store.allocateIdentity(spark, c, n, startV, stepV)
-                val out = d.rdd.zipWithIndex().map { case (r, idx) =>
-                  org.apache.spark.sql.Row.fromSeq(
-                    r.toSeq :+ (base + idx * stepV))
-                }
-                spark.createDataFrame(out, d.schema.add(c,
-                  org.apache.spark.sql.types.LongType,
-                  nullable = false))
+            if (suppliedId.nonEmpty) {
+              import org.apache.spark.sql.functions.{
+                col => fcol, count_if, max, min}
+              val aggs = suppliedId.toSeq.flatMap {
+                case (c, (_, stepV, _)) => Seq(
+                  (if (stepV > 0) max(fcol(c)) else min(fcol(c)))
+                    .cast("long").as(s"m_$c"),
+                  count_if(fcol(c).isNull).as(s"n_$c"))
+              }
+              val row = df3p.agg(aggs.head, aggs.tail: _*).head()
+              suppliedId.toSeq.zipWithIndex.foreach {
+                case ((c, (startV, stepV, _)), i) =>
+                  require(row.getLong(2 * i + 1) == 0L,
+                    s"IDENTITY column '$c': explicit NULL supplied " +
+                      "— provide a value or omit the column to let " +
+                      "the engine allocate")
+                  if (!row.isNullAt(2 * i))
+                    store.bumpIdentityPast(spark, c,
+                      row.getLong(2 * i), startV, stepV)
+              }
+            }
+            if (omittedId.isEmpty) df3p
+            else {
+              val n = df3p.count()
+              omittedId.foldLeft(df3p) {
+                case (d, (c, (startV, stepV, _))) =>
+                  val base =
+                    store.allocateIdentity(spark, c, n, startV, stepV)
+                  val out = d.rdd.zipWithIndex().map { case (r, idx) =>
+                    org.apache.spark.sql.Row.fromSeq(
+                      r.toSeq :+ (base + idx * stepV))
+                  }
+                  spark.createDataFrame(out, d.schema.add(c,
+                    org.apache.spark.sql.types.LongType,
+                    nullable = false))
+              }
             }
           }
         val df = reconcileInsert(df3i,
@@ -349,20 +387,52 @@ object StoreSql {
               .drop("batch_id")
           }
         val store = storeOf(m.targetTable)
-        // MERGE into an identity table refuses: the insert leg would
-        // need per-row ledger allocation inside the clause plan (a
-        // supplied/NULL id silently breaks uniqueness). CDC into an
-        // identity table routes inserts through INSERT INTO (which
-        // allocates) and updates through UPDATE.
-        relationName(m.targetTable).flatMap(identity.get)
-          .filter(_.nonEmpty).foreach { ids =>
-            throw new IllegalArgumentException(
-              s"MERGE into a table with IDENTITY column(s) " +
-                s"${ids.keys.mkString(", ")} is not supported: the " +
-                "merge insert leg cannot consult the identity ledger " +
-                "row-locally; INSERT new rows (ids allocate) and " +
-                "UPDATE matched ones instead")
+        // MERGE into a GENERATED ALWAYS identity table refuses: the
+        // insert leg would need per-row ledger allocation inside the
+        // clause plan (a supplied/NULL id silently breaks uniqueness).
+        // CDC into such a table routes inserts through INSERT INTO
+        // (which allocates) and updates through UPDATE. A GENERATED
+        // BY DEFAULT identity table merges when the SOURCE carries the
+        // id column (merge clauses map by name — the source's ids are
+        // the explicit values BY DEFAULT admits); the ledger bumps
+        // past the source's farthest id BEFORE the merge commits, so
+        // a crash between them leaves a gap, never a collision.
+        val mergeIdentity = relationName(m.targetTable)
+          .flatMap(identity.get).getOrElse(Map.empty)
+        mergeIdentity.find(!_._2._3).foreach { case (c, _) =>
+          throw new IllegalArgumentException(
+            s"MERGE into a table with GENERATED ALWAYS AS IDENTITY " +
+              s"column '$c' is not supported: the merge insert leg " +
+              "cannot consult the identity ledger row-locally; " +
+              "INSERT new rows (ids allocate) and UPDATE matched " +
+              "ones instead — or declare GENERATED BY DEFAULT AS " +
+              "IDENTITY and carry explicit ids in the source")
+        }
+        if (mergeIdentity.nonEmpty) {
+          import org.apache.spark.sql.functions.{
+            col => fcol, count_if, max, min}
+          mergeIdentity.keys.foreach { c =>
+            require(srcFrame.columns.exists(_.equalsIgnoreCase(c)),
+              s"MERGE into BY DEFAULT identity table: source must " +
+                s"carry the id column '$c' (clauses map by name; an " +
+                "absent id would write NULL)")
           }
+          val aggs = mergeIdentity.toSeq.flatMap {
+            case (c, (_, stepV, _)) => Seq(
+              (if (stepV > 0) max(fcol(c)) else min(fcol(c)))
+                .cast("long").as(s"m_$c"),
+              count_if(fcol(c).isNull).as(s"n_$c"))
+          }
+          val row = srcFrame.agg(aggs.head, aggs.tail: _*).head()
+          mergeIdentity.toSeq.zipWithIndex.foreach {
+            case ((c, (startV, stepV, _)), i) =>
+              require(row.getLong(2 * i + 1) == 0L,
+                s"MERGE source carries NULL in identity column '$c'")
+              if (!row.isNullAt(2 * i))
+                store.bumpIdentityPast(spark, c, row.getLong(2 * i),
+                  startV, stepV)
+          }
+        }
         val bid = requiredBatchId("MERGE")
         val starForm = m.matchedActions == Seq(UpdateStarAction(None)) &&
           m.notMatchedActions == Seq(InsertStarAction(None)) &&

@@ -837,30 +837,65 @@ final class ManifestTableStore(path: String,
     val f = fs(spark)
     val dir = new HPath(s"$path/identity/$col")
     while (true) {
-      val ks =
-        if (!f.exists(dir)) Nil
-        else f.listStatus(dir).toSeq.map(_.getPath.getName)
-          .filter(_.startsWith("r"))
-          .flatMap(_.stripPrefix("r").toLongOption)
-      val k = ks.maxOption.map(_ + 1L).getOrElse(0L)
-      val base =
-        if (k == 0L) start
-        else {
-          val prev = new HPath(dir, s"r${k - 1}")
-          val in = f.open(prev)
-          val txt =
-            try scala.io.Source.fromInputStream(in, "UTF-8")
-              .mkString.trim
-            finally in.close()
-          val Array(b, c) = txt.split(":", 2)
-          b.toLong + c.toLong * step
-        }
+      val (k, base) = identityLedgerState(f, dir, start, step)
       if (AtomicCreate.publish(f, new HPath(dir, s"r$k"),
           s"$base:$n".getBytes("UTF-8")))
         return base
       // lost the race: re-list, derive from the winner's range
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** The ledger's current frontier: (next range index `k`, the base
+    * the next allocation starts at). One listing + one small read.
+    */
+  private def identityLedgerState(f: FileSystem, dir: HPath,
+      start: Long, step: Long): (Long, Long) = {
+    val ks =
+      if (!f.exists(dir)) Nil
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("r"))
+        .flatMap(_.stripPrefix("r").toLongOption)
+    val k = ks.maxOption.map(_ + 1L).getOrElse(0L)
+    val base =
+      if (k == 0L) start
+      else {
+        val prev = new HPath(dir, s"r${k - 1}")
+        val in = f.open(prev)
+        val txt =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .mkString.trim
+          finally in.close()
+        val Array(b, c) = txt.split(":", 2)
+        b.toLong + c.toLong * step
+      }
+    (k, base)
+  }
+
+  /** Advance `col`'s identity watermark STRICTLY PAST `value` — the
+    * GENERATED BY DEFAULT write boundary (explicit ids landed in the
+    * table; later generated ids must clear them) and the SYNC IDENTITY
+    * repair verb. Publishes one range that covers through `value` in
+    * the step's direction; a no-op when the watermark is already past.
+    * Same create-if-absent race loop as [[allocateIdentity]], so a
+    * concurrent allocation never interleaves INSIDE the bump — the
+    * loser re-derives from the winner's range. Explicit ids need not
+    * align to the START/INCREMENT grid; floorDiv rounds the covering
+    * range so the next base lands past `value` on the grid.
+    */
+  def bumpIdentityPast(spark: SparkSession, col: String, value: Long,
+      start: Long, step: Long): Unit = {
+    require(step != 0)
+    val f = fs(spark)
+    val dir = new HPath(s"$path/identity/$col")
+    while (true) {
+      val (k, base) = identityLedgerState(f, dir, start, step)
+      val n = Math.floorDiv(value - base, step) + 1L
+      if (n <= 0L) return // watermark already strictly past value
+      if (AtomicCreate.publish(f, new HPath(dir, s"r$k"),
+          s"$base:$n".getBytes("UTF-8")))
+        return
+    }
   }
 
   /** The LAST committed range of `col`'s identity ledger as its raw

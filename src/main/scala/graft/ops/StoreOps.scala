@@ -2743,5 +2743,69 @@ object StoreOps {
            |  COUNT(CASE WHEN id >= $threshold THEN 1 END)
            |    AS n_above_watermark
            |FROM ids_cl""".stripMargin)
+    },
+
+    // GENERATED BY DEFAULT AS IDENTITY (Delta's other identity
+    // flavor, round-13 verdict item 5): explicit ids are ADMITTED and
+    // the write boundary bumps the ledger strictly past the batch's
+    // maximum — one aggregate over the batch, the collision check
+    // that is impossible row-locally — so a later omitted INSERT
+    // allocates strictly above every explicit id. The oracle
+    // recomputes the whole id arithmetic relationally: generated ids
+    // are a contiguous 10-step sequence, explicit ids are okey*1000
+    // (disjoint band), the post-bump sequence resumes at
+    // max_explicit + 10 (all values on the 10-grid). Ledger bump =
+    // one small-file publish; at 100 TB the cost is the one batch
+    // aggregate, table-size-independent.
+    QueryDef(
+      "q239_sql_identity_by_default",
+      """WITH a AS (
+        |  SELECT COUNT(*) AS c1 FROM orders WHERE o_orderkey <= 400),
+        |b AS (
+        |  SELECT COUNT(*) AS c2, MAX(o_orderkey) * 1000 AS maxe
+        |  FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 800),
+        |c AS (
+        |  SELECT COUNT(*) AS c3 FROM orders
+        |  WHERE o_orderkey > 800 AND o_orderkey <= 1200)
+        |SELECT c1 + c2 + c3 AS n_rows, c1 + c2 + c3 AS n_distinct,
+        |  CAST(10 AS BIGINT) AS min_id,
+        |  maxe + 10 * c3 AS max_id,
+        |  c3 AS n_after_bump
+        |FROM a, b, c""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_identity_bd", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS idbd (
+          |  id BIGINT GENERATED BY DEFAULT AS IDENTITY (
+          |    START WITH 10 INCREMENT BY 10),
+          |  okey BIGINT) USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO idbd (okey)
+          |SELECT o_orderkey FROM orders WHERE o_orderkey <= 400"""
+          .stripMargin, batchId = Some(0L))
+      // explicit ids: okey*1000 — far above the generated band at
+      // any scale factor (generated max here is 10 * c1 <= 4000 <
+      // 401000); the write boundary bumps the ledger past MAX
+      cat.exec(s,
+        """INSERT INTO idbd (id, okey)
+          |SELECT o_orderkey * 1000, o_orderkey FROM orders
+          |WHERE o_orderkey > 400 AND o_orderkey <= 800"""
+          .stripMargin, batchId = Some(1L))
+      // omitted again: resumes at max_explicit + 10 (grid-aligned)
+      cat.exec(s,
+        """INSERT INTO idbd (okey)
+          |SELECT o_orderkey FROM orders
+          |WHERE o_orderkey > 800 AND o_orderkey <= 1200"""
+          .stripMargin, batchId = Some(2L))
+      val maxE = cat.query(s,
+        """SELECT MAX(o_orderkey) * 1000 AS m FROM orders
+          |WHERE o_orderkey > 400 AND o_orderkey <= 800"""
+          .stripMargin).head().getLong(0)
+      cat.query(s,
+        s"""SELECT COUNT(*) AS n_rows, COUNT(DISTINCT id) AS n_distinct,
+           |  MIN(id) AS min_id, MAX(id) AS max_id,
+           |  COUNT(CASE WHEN id > $maxE THEN 1 END) AS n_after_bump
+           |FROM idbd""".stripMargin)
     })
 }

@@ -111,12 +111,8 @@ class IdentitySpec extends SparkSpec {
     val idsAfter = cat.query(spark, "SELECT id FROM ig")
       .as[Long].collect().toSeq
     assert(idsAfter.distinct.size == idsAfter.size)
-    // declaration-time refusals: BY DEFAULT, non-BIGINT, zero step
-    intercept[IllegalArgumentException] {
-      cat.exec(spark,
-        "CREATE TABLE bad1 (id BIGINT GENERATED BY DEFAULT AS " +
-          "IDENTITY, v STRING) USING graft_store")
-    }
+    // declaration-time refusals: non-BIGINT (BY DEFAULT is supported
+    // since round 14 — see the BY DEFAULT cases below)
     intercept[IllegalArgumentException] {
       cat.exec(spark,
         "CREATE TABLE bad2 (id INT GENERATED ALWAYS AS IDENTITY, " +
@@ -235,5 +231,159 @@ class IdentitySpec extends SparkSpec {
       batchId = Some(0L))
     assert(cat.query(spark, "SELECT id FROM irx").as[Long]
       .collect().toSeq == Seq(7L))
+  }
+
+  test("GENERATED BY DEFAULT AS IDENTITY: explicit ids are admitted " +
+      "and bump the ledger past the batch maximum, omitted inserts " +
+      "still allocate, NULL ids refuse, UPDATE still cannot assign, " +
+      "and SHOW CREATE TABLE round-trips BY DEFAULT") {
+    val (cat, base) = freshCat()
+    cat.exec(spark,
+      """CREATE TABLE bd (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY (START WITH 10
+        |    INCREMENT BY 10),
+        |  v STRING) USING graft_store""".stripMargin)
+    // omitted: allocates 10, 20
+    cat.exec(spark, "INSERT INTO bd (v) VALUES ('a'), ('b')",
+      batchId = Some(0L))
+    // explicit: admitted verbatim, bumps the watermark past 7000
+    cat.exec(spark,
+      "INSERT INTO bd (id, v) VALUES (7000, 'x'), (6995, 'y')",
+      batchId = Some(1L))
+    // omitted again: must land strictly above 7000, on the grid
+    cat.exec(spark, "INSERT INTO bd (v) VALUES ('c')",
+      batchId = Some(2L))
+    val ids = cat.query(spark, "SELECT id FROM bd ORDER BY id")
+      .as[Long].collect().toSeq
+    assert(ids.size == 5 && ids.distinct.size == 5, ids)
+    assert(ids.take(2) == Seq(10L, 20L), ids)
+    assert(ids.contains(7000L) && ids.contains(6995L), ids)
+    assert(ids.max > 7000L, s"generated id did not clear the " +
+      s"explicit maximum: $ids")
+    // NULL explicit id refuses (the column was supplied)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "INSERT INTO bd (id, v) VALUES (CAST(NULL AS BIGINT), 'n')",
+        batchId = Some(3L))
+    }
+    // UPDATE cannot assign identity, BY DEFAULT included
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "UPDATE bd SET id = 1 WHERE v = 'a'")
+    }
+    val ddl = cat.exec(spark, "SHOW CREATE TABLE bd")
+      .head().getString(0)
+    assert(ddl.contains(
+      "GENERATED BY DEFAULT AS IDENTITY (START WITH 10 INCREMENT " +
+        "BY 10)"), ddl)
+    // the BY DEFAULT flag survives a fresh catalog (sidecar round-trip)
+    val cat2 = new StoreCatalog(base)
+    cat2.exec(spark, "INSERT INTO bd (id, v) VALUES (9000, 'z')",
+      batchId = Some(4L))
+    cat2.exec(spark, "INSERT INTO bd (v) VALUES ('w')",
+      batchId = Some(5L))
+    val ids2 = cat2.query(spark, "SELECT id FROM bd").as[Long]
+      .collect().toSeq
+    assert(ids2.distinct.size == ids2.size && ids2.max > 9000L, ids2)
+  }
+
+  test("MERGE into a BY DEFAULT identity table works when the source " +
+      "carries ids (ledger bumps past them); ALWAYS still refuses") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      """CREATE TABLE mbd (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        |  v STRING) USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO mbd (v) VALUES ('a')",
+      batchId = Some(0L))
+    Seq((500L, "up"), (600L, "new")).toDF("id", "v")
+      .createOrReplaceTempView("mbd_src")
+    cat.exec(spark,
+      """MERGE INTO mbd USING mbd_src ON mbd.id = mbd_src.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+      batchId = Some(1L))
+    // generated ids now clear the merged maximum
+    cat.exec(spark, "INSERT INTO mbd (v) VALUES ('b')",
+      batchId = Some(2L))
+    val ids = cat.query(spark, "SELECT id FROM mbd").as[Long]
+      .collect().toSeq
+    assert(ids.size == 4 && ids.distinct.size == 4, ids)
+    assert(ids.max > 600L, ids)
+    // a source WITHOUT the id column refuses with the by-name hint
+    Seq(("q")).toDF("v").createOrReplaceTempView("mbd_src2")
+    val e = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        """MERGE INTO mbd USING mbd_src2 ON mbd.v = mbd_src2.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        batchId = Some(3L))
+    }
+    assert(e.getMessage.contains("carry the id column"), e.getMessage)
+  }
+
+  test("ALTER TABLE ... SYNC IDENTITY re-derives the watermark from " +
+      "the data after an out-of-band load bypassed the write boundary") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      """CREATE TABLE sy (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        |  v STRING) USING graft_store""".stripMargin)
+    cat.exec(spark, "INSERT INTO sy (v) VALUES ('a')",
+      batchId = Some(0L))
+    // out-of-band: a direct store append that never consults the
+    // ledger (the restored-backup / external-writer shape)
+    cat.store("sy").append(
+      Seq((4000L, "oob")).toDF("id", "v"), batchId = 100L)
+    // without sync the next generated id would collide risk-free only
+    // by luck; SYNC re-reads MAX(id) and bumps
+    cat.exec(spark, "ALTER TABLE sy SYNC IDENTITY")
+    cat.exec(spark, "INSERT INTO sy (v) VALUES ('b')",
+      batchId = Some(1L))
+    val ids = cat.query(spark, "SELECT id FROM sy").as[Long]
+      .collect().toSeq
+    assert(ids.size == 3 && ids.distinct.size == 3 && ids.max > 4000L,
+      ids)
+    // column-scoped form + refusals
+    cat.exec(spark, "ALTER TABLE sy ALTER COLUMN id SYNC IDENTITY")
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE sy ALTER COLUMN v SYNC IDENTITY")
+    }
+    cat.exec(spark, "CREATE TABLE plain (x BIGINT) USING graft_store")
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE plain SYNC IDENTITY")
+    }
+  }
+
+  test("concurrent explicit and generated writers never collide: the " +
+      "bump and the allocation race on the same create-if-absent ledger") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      """CREATE TABLE cx (
+        |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
+        |  v STRING) USING graft_store""".stripMargin)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    // 8 writers: evens insert explicit ids in a WIDELY-SPACED far
+    // band (a generated id lands at most a few steps past the last
+    // bump, so wide spacing keeps it off every future explicit — the
+    // documented BY DEFAULT contract: the ledger protects against
+    // PAST explicits; adjacent future explicits are the user's to
+    // avoid, exactly Delta's caveat), odds let the engine allocate
+    val futs = (0 until 8).map { i =>
+      Future {
+        if (i % 2 == 0)
+          cat.exec(spark,
+            s"INSERT INTO cx (id, v) VALUES (${1000000 + i * 1000}, " +
+              s"'e$i')",
+            batchId = Some(10L + i))
+        else
+          cat.exec(spark, s"INSERT INTO cx (v) VALUES ('g$i')",
+            batchId = Some(10L + i))
+      }
+    }
+    Await.result(Future.sequence(futs), 300.seconds)
+    val ids = cat.query(spark, "SELECT id FROM cx").as[Long]
+      .collect().toSeq
+    assert(ids.size == 8 && ids.distinct.size == 8, ids.sorted)
   }
 }
