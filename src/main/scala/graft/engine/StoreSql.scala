@@ -547,6 +547,72 @@ object StoreSql {
             case other => throw new IllegalArgumentException(
               s"unsupported NOT MATCHED action: $other")
           }
+          // MERGE evolution for EXPLICIT column-list clauses too
+          // (Delta admits `UPDATE SET new_col = s.x` and
+          // `INSERT (a, new_col) VALUES ...` under autoMerge): collect
+          // every ASSIGNED target column the table lacks, type each
+          // from its clause expression in the merge-join's own
+          // namespace (zero-row probe — no data moves), and route
+          // through the SAME governed gate as the star path: auto-ADD
+          // under [[AutoMergeConf]], loud refusal with the remediation
+          // without it. Silently writing NULL (or failing deep in the
+          // rewrite) is the lost-data/confusing-error failure mode.
+          if (store.currentVersion(spark) > 0) {
+            val ts0 = store.read(spark).schema
+            def isNew(c: String): Boolean = c != "batch_id" &&
+              !ts0.fields.exists(_.name.equalsIgnoreCase(c))
+            val newAssigns: Seq[(String, String, Boolean)] =
+              (m.matchedActions ++ m.notMatchedBySourceActions)
+                .flatMap {
+                  case UpdateAction(_, assigns, _) => assigns.collect {
+                    case Assignment(k, v) if isNew(attrName(k)) =>
+                      (attrName(k), joinSideSql(v), false)
+                  }
+                  case _ => Nil
+                } ++
+              m.notMatchedActions.flatMap {
+                case InsertAction(_, assigns) => assigns.collect {
+                  case Assignment(k, v) if isNew(attrName(k)) =>
+                    (attrName(k), srcSideSql(v), true)
+                }
+                case _ => Nil
+              }
+            if (newAssigns.nonEmpty) {
+              import org.apache.spark.sql.functions.{col => fcol}
+              val srcProbe = srcFrame.limit(0)
+              val joinProbe = store.read(spark).limit(0)
+                .drop("batch_id")
+                .crossJoin(srcProbe.select(srcProbe.columns.map(c =>
+                  fcol(c).as(s"__src_$c")): _*))
+              val typed = newAssigns
+                .groupBy(_._1.toLowerCase).values.map { as =>
+                  val types = as.map { case (_, sql, ins) =>
+                    (if (ins) srcProbe else joinProbe)
+                      .selectExpr(sql).schema.head.dataType
+                  }.distinct
+                  require(types.size == 1,
+                    s"MERGE clauses assign new column '${as.head._1}' " +
+                      s"with conflicting types ${types.map(_.sql)
+                        .mkString(", ")}; cast the values to one type")
+                  as.head._1 -> types.head
+                }.toSeq.sortBy(_._1)
+              val evoDf = spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(
+                  ts0.fields.filterNot(_.name == "batch_id") ++
+                    typed.map { case (n, dt) =>
+                      org.apache.spark.sql.types.StructField(n, dt) }))
+              val evolved = evolveTarget(spark, store, evoDf, Some(ts0))
+              typed.foreach { case (n, _) =>
+                require(evolved.exists(_.fields.exists(
+                    _.name.equalsIgnoreCase(n))),
+                  s"MERGE clause assigns column '$n' which table " +
+                    s"'${relationName(m.targetTable).getOrElse("?")}' " +
+                    s"lacks; set $AutoMergeConf=true for governed " +
+                    "auto-ADD, or ALTER TABLE ... ADD COLUMNS first")
+              }
+            }
+          }
           store.mergeClauses(spark, srcFrame, key,
             m.matchedActions.map(clauseOf),
             m.notMatchedActions.map(insertOf),

@@ -155,4 +155,95 @@ class MergeEvolutionSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect().toSeq ==
       Seq((1L, 6, 12, "x")))
   }
+
+  test("explicit column-list clauses EVOLVE when they NAME a new " +
+      "column (Delta's rule): UPDATE SET new_col and INSERT " +
+      "(…, new_col) auto-ADD under the conf, refuse loudly without " +
+      "it, and an untouched extra source column still just passes by") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE t4 (k BIGINT, v STRING) USING graft_store")
+    cat.exec(spark, "INSERT INTO t4 VALUES (1, 'a'), (2, 'b')",
+      batchId = Some(0L))
+    Seq((1L, "a2", 7.5), (5L, "e", 8.5))
+      .toDF("k", "v", "score").createOrReplaceTempView("cdc4")
+    // conf OFF: naming the new column refuses with the remediation
+    val e = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        """MERGE INTO t4 USING cdc4 ON t4.k = cdc4.k
+          |WHEN MATCHED THEN UPDATE SET v = cdc4.v, score = cdc4.score
+          |WHEN NOT MATCHED THEN INSERT (k, v, score)
+          |  VALUES (cdc4.k, cdc4.v, cdc4.score)""".stripMargin,
+        batchId = Some(1L))
+    }
+    assert(e.getMessage.contains("score") &&
+      e.getMessage.contains(StoreSql.AutoMergeConf), e.getMessage)
+    assert(cat.query(spark, "SELECT * FROM t4").columns.toSet ==
+      Set("k", "v", "batch_id"))
+    // conf ON: the same statement auto-ADDs through the governed
+    // marker; the unmatched row 2 reads NULL in the new column
+    withConf(on = true) {
+      cat.exec(spark,
+        """MERGE INTO t4 USING cdc4 ON t4.k = cdc4.k
+          |WHEN MATCHED THEN UPDATE SET v = cdc4.v, score = cdc4.score
+          |WHEN NOT MATCHED THEN INSERT (k, v, score)
+          |  VALUES (cdc4.k, cdc4.v, cdc4.score)""".stripMargin,
+        batchId = Some(1L))
+    }
+    val rows = cat.query(spark,
+      "SELECT k, v, score FROM t4 ORDER BY k")
+      .collect().toSeq.map(r =>
+        (r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+    assert(rows == Seq((1L, "a2", Some(7.5)), (2L, "b", None),
+      (5L, "e", Some(8.5))), rows)
+    // conflicting types for the same new column across clauses refuse
+    Seq((9L, "z", 1.0)).toDF("k", "v", "score")
+      .createOrReplaceTempView("cdc4b")
+    withConf(on = true) {
+      val e2 = intercept[IllegalArgumentException] {
+        cat.exec(spark,
+          """MERGE INTO t4 USING cdc4b ON t4.k = cdc4b.k
+            |WHEN MATCHED THEN UPDATE SET other = cdc4b.score
+            |WHEN NOT MATCHED THEN INSERT (k, v, other)
+            |  VALUES (cdc4b.k, cdc4b.v, CAST(1 AS STRING))"""
+            .stripMargin, batchId = Some(2L))
+      }
+      assert(e2.getMessage.contains("conflicting types"), e2.getMessage)
+    }
+    // a NEW column from an untyped NULL refuses with the cast hint
+    withConf(on = true) {
+      val e3 = intercept[IllegalArgumentException] {
+        cat.exec(spark,
+          """MERGE INTO t4 USING cdc4b ON t4.k = cdc4b.k
+            |WHEN NOT MATCHED THEN INSERT (k, v, hollow)
+            |  VALUES (cdc4b.k, cdc4b.v, NULL)""".stripMargin,
+          batchId = Some(3L))
+      }
+      assert(e3.getMessage.contains("untyped NULL"), e3.getMessage)
+    }
+  }
+
+  test("INSERT INTO with a named column list carrying a NEW column " +
+      "evolves under the conf and refuses without it (the non-MERGE " +
+      "half of the explicit-list contract)") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE t5 (k BIGINT, v STRING) USING graft_store")
+    cat.exec(spark, "INSERT INTO t5 VALUES (1, 'a')", batchId = Some(0L))
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "INSERT INTO t5 (k, v, tag) VALUES (2, 'b', 'new')",
+        batchId = Some(1L))
+    }
+    withConf(on = true) {
+      cat.exec(spark,
+        "INSERT INTO t5 (k, v, tag) VALUES (2, 'b', 'new')",
+        batchId = Some(1L))
+    }
+    val rows = cat.query(spark, "SELECT k, v, tag FROM t5 ORDER BY k")
+      .collect().toSeq.map(r => (r.getLong(0), r.getString(1),
+        Option(r.getString(2))))
+    assert(rows == Seq((1L, "a", None), (2L, "b", Some("new"))), rows)
+  }
 }
