@@ -106,6 +106,16 @@ final class StoreCatalog(basePath: String) {
       else f.listStatus(cdir).toSeq.filter(_.isFile)
         .map(_.getPath.getName)
     }
+    // directories renamed AWAY keep the OLD name on disk (pointer-
+    // level rename moves no data) — one listing of the tombstone dir
+    // keeps them out of the by-directory discovery leg
+    val renamedAway = {
+      val rdir = new org.apache.hadoop.fs.Path(
+        s"$basePath/_catalog/_renamed")
+      if (!f.exists(rdir)) Set.empty[String]
+      else f.listStatus(rdir).toSeq.filter(_.isFile)
+        .map(_.getPath.getName).toSet
+    }
     val onDisk =
       if (!f.exists(base)) Nil
       else f.listStatus(base).toSeq
@@ -118,6 +128,7 @@ final class StoreCatalog(basePath: String) {
             "manifest")) ||
             specFiles(f, st.getPath.toString).nonEmpty)
         .map(_.getPath.getName)
+        .filterNot(renamedAway)
     (reg.keys.toSeq ++ pointers ++ onDisk).distinct.sorted
   }
 
@@ -153,6 +164,18 @@ final class StoreCatalog(basePath: String) {
     reg.get(name).orElse {
       if (name == "_catalog" || absent.contains(name)) None
       else {
+        // a RENAMED-away name refuses with the forwarding hint —
+        // without this check the default-path fallback below would
+        // silently RE-ATTACH the renamed table's directory under its
+        // old name (two live names, one manifest chain). Checked
+        // before the pointer so a crash between tombstone and
+        // old-pointer deletion still routes to the hint.
+        renamedTo(spark, name).foreach { nn =>
+          throw new IllegalArgumentException(
+            s"table '$name' was renamed to '$nn'; use '$nn' (the old " +
+              "name stays reserved while the renamed table occupies " +
+              "its directory)")
+        }
         val path = readPointer(spark, name).getOrElse(s"$basePath/$name")
         val attached = loadSpec(spark, path) match {
           case Some((pb, props, meta)) =>
@@ -374,6 +397,41 @@ final class StoreCatalog(basePath: String) {
               rtas.query, batchId)
         }
         spark.emptyDataFrame
+      case Some(rn: org.apache.spark.sql.catalyst.plans.logical
+          .RenameTable) =>
+        // ALTER TABLE old RENAME TO new / ALTER VIEW old RENAME TO new
+        // — dispatched on what the old name actually IS (tables and
+        // views share the namespace; Spark's parser sets isView from
+        // the keyword, but the graft catalog is the source of truth)
+        val oldName = tableNameOf(rn.child, "RENAME")
+        require(rn.newName.size == 1,
+          s"store names are single-part, got ${rn.newName.mkString(".")}")
+        val newName = rn.newName.head
+        if (viewText(spark, oldName).isDefined)
+          renameView(spark, oldName, newName)
+        else
+          renameTable(spark, oldName, newName)
+      case Some(av: org.apache.spark.sql.catalyst.plans.logical
+          .AlterViewAs) =>
+        // ALTER VIEW v AS <query> — redefinition of the TEXT sidecar;
+        // validated to resolve against the live catalog exactly like
+        // CREATE VIEW (a broken redefinition refuses at DDL time)
+        val name = av.child match {
+          case u: org.apache.spark.sql.catalyst.analysis.UnresolvedView
+              if u.multipartIdentifier.size == 1 =>
+            u.multipartIdentifier.head
+          case other => throw new IllegalArgumentException(
+            s"unsupported ALTER VIEW name: $other")
+        }
+        require(viewText(spark, name).isDefined,
+          s"ALTER VIEW: unknown view '$name' (tables alter with " +
+            "ALTER TABLE)")
+        val text = av.originalText
+        org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+          StoreSql.route(spark, tables, spliceViews(spark,
+            attachAndParse(spark, text), depth = 1))).schema
+        publishView(spark, name, text)
+        spark.emptyDataFrame
       case Some(dt: org.apache.spark.sql.catalyst.plans.logical
           .DropTable) =>
         // DROP TABLE [IF EXISTS] — the lifecycle's other end:
@@ -393,6 +451,13 @@ final class StoreCatalog(basePath: String) {
             "table's pointer")
         require(viewText(spark, name).isEmpty,
           s"'$name' is a VIEW — use DROP VIEW")
+        // DROP resolves by pointer/directory, not through [[resolve]]
+        // — without this guard `DROP TABLE old_name` would delete the
+        // RENAMED table's data directory through the stale dir match
+        renamedTo(spark, name).foreach { nn =>
+          throw new IllegalArgumentException(
+            s"table '$name' was renamed to '$nn'; DROP TABLE $nn")
+        }
         val known = reg.get(name).map(_.tablePath)
           .orElse(readPointer(spark, name))
           .orElse {
@@ -913,6 +978,23 @@ final class StoreCatalog(basePath: String) {
       tableSpec: org.apache.spark.sql.catalyst.plans.logical
         .TableSpecBase,
       ignoreIfExists: Boolean): Option[ManifestTableStore] = {
+    // a rename tombstone reserves the old name while its TARGET lives;
+    // once the target is gone (dropped, or itself renamed away and
+    // dropped) the tombstone is dead and a CREATE reclaims the name
+    renamedTo(spark, name).foreach { nn =>
+      val targetLive =
+        try resolve(spark, nn).isDefined ||
+          viewText(spark, nn).isDefined
+        catch { case _: IllegalArgumentException => true } // chained
+      if (targetLive)
+        throw new IllegalArgumentException(
+          s"cannot CREATE '$name': the name is reserved by its " +
+            s"rename to '$nn' (still live); DROP TABLE $nn first")
+      val hp = new org.apache.hadoop.fs.Path(
+        s"$basePath/_catalog/_renamed/$name")
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(hp, false)
+    }
     val present: Option[(ManifestTableStore,
         Option[StoreCatalog.TableMeta])] =
       reg.get(name).map(s => (s, None)).orElse {
@@ -1202,6 +1284,25 @@ final class StoreCatalog(basePath: String) {
   private def readPointer(spark: SparkSession,
       name: String): Option[String] = {
     val hp = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/$name")
+    AtomicCreate.readString(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
+      .map(_.trim)
+  }
+
+  /** The rename tombstone for `name`, if the table was renamed away:
+    * a small file `_catalog/_renamed/<old>` holding the new name. A
+    * SUBDIRECTORY (like `_views`), so [[listTables]]' pointer listing
+    * (files only) never reads one as a table pointer. The tombstone
+    * is what keeps the old name from silently re-attaching via the
+    * default-path fallback — the renamed table's data stays in the
+    * directory named after the OLD name (pointer-level rename moves
+    * no data; at 100 TB that is the only affordable rename).
+    */
+  private def renamedTo(spark: SparkSession,
+      name: String): Option[String] = {
+    if (name.isEmpty || name.contains("/")) return None
+    val hp = new org.apache.hadoop.fs.Path(
+      s"$basePath/_catalog/_renamed/$name")
     AtomicCreate.readString(
       hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp)
       .map(_.trim)
@@ -1658,6 +1759,125 @@ final class StoreCatalog(basePath: String) {
       if (!row.isNullAt(i))
         s.bumpIdentityPast(spark, c, row.getLong(i), st, sp)
     }
+    spark.emptyDataFrame
+  }
+
+  /** Every persisted view whose definition references `name` as a
+    * bare relation (tables and views share the namespace a view text
+    * resolves in). One parse per view — view count, not data, bounded.
+    */
+  private def viewsReferencing(spark: SparkSession,
+      name: String): Seq[String] =
+    listViews(spark).filter { v =>
+      viewText(spark, v).exists { text =>
+        try {
+          val p = spark.sessionState.sqlParser.parsePlan(text)
+          (p +: p.subqueriesAll).exists(_.collectFirst {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedRelation
+                if u.multipartIdentifier.size == 1 &&
+                  u.multipartIdentifier.head.equalsIgnoreCase(name) =>
+              ()
+          }.isDefined)
+        } catch { case _: Exception => false }
+      }
+    }
+
+  /** `ALTER TABLE old RENAME TO new` — POINTER-LEVEL rename: the data
+    * stays where it is (at 100 TB nothing else is affordable), the
+    * NAME moves. The migration set, in crash-safe order:
+    *
+    *  1. new-name pointer published (create-if-absent — a concurrent
+    *     CREATE of `new` wins the race and this rename refuses with
+    *     nothing changed);
+    *  2. tombstone `_catalog/_renamed/old` published (from here the
+    *     old name refuses with the forwarding hint — never a silent
+    *     re-attach of the still-on-disk directory);
+    *  3. old pointer deleted (a crash between 2 and 3 is invisible:
+    *     the tombstone check precedes the pointer read).
+    *
+    * A crash between 1 and 2 leaves BOTH names addressing the same
+    * manifest chain — transitional and safe (commits stay atomic at
+    * the manifest; re-running the rename completes the migration).
+    * Views referencing the old name REFUSE the rename (Delta lets
+    * them break at read time; refusing at the rename is strictly
+    * kinder and the view list is catalog-bounded). Clone refs travel
+    * by PATH and identity ledgers live UNDER the path, so both are
+    * rename-invariant; the in-session registry and column-metadata
+    * entries migrate to the new key. The old name stays reserved
+    * while the tombstone exists; dropping the renamed table frees the
+    * directory, after which CREATE under the old name clears the dead
+    * tombstone (see [[clearStaleSidecars]]).
+    */
+  private def renameTable(spark: SparkSession, oldName: String,
+      newName: String): DataFrame = {
+    Seq(oldName, newName).foreach(n =>
+      require(n != "_catalog" && n != "_views" && n != "_renamed",
+        s"'$n' is reserved"))
+    requireNotView(spark, oldName)
+    require(viewText(spark, newName).isEmpty,
+      s"RENAME TO '$newName': a VIEW holds that name")
+    val src = resolve(spark, oldName).getOrElse(
+      throw new IllegalArgumentException(
+        s"RENAME: unknown table '$oldName' (known: " +
+          s"${listTables(spark).mkString(", ")})"))
+    require(renamedTo(spark, newName).isEmpty,
+      s"RENAME TO '$newName': that name is itself a rename tombstone " +
+        s"(forwarding to '${renamedTo(spark, newName).get}'); pick " +
+        "another name or CREATE over it after dropping the target")
+    val refs = viewsReferencing(spark, oldName)
+    require(refs.isEmpty,
+      s"RENAME '$oldName': view(s) ${refs.mkString(", ")} reference " +
+        "it by name and would break; DROP or redefine them first")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val newPtr = new org.apache.hadoop.fs.Path(
+      s"$basePath/_catalog/$newName")
+    val pf = newPtr.getFileSystem(conf)
+    // idempotent re-run of a crashed rename: the new pointer may
+    // already address exactly this path — continue the migration
+    val existingTarget = readPointer(spark, newName)
+    if (existingTarget.contains(src.tablePath)) ()
+    else {
+      require(existingTarget.isEmpty && resolve(spark, newName).isEmpty,
+        s"RENAME TO '$newName': a table holds that name")
+      require(AtomicCreate.publish(pf, newPtr,
+        src.tablePath.getBytes("UTF-8")),
+        s"RENAME TO '$newName': lost the race to a concurrent CREATE")
+    }
+    AtomicCreate.replacePublish(pf,
+      new org.apache.hadoop.fs.Path(
+        s"$basePath/_catalog/_renamed/$oldName"),
+      newName.getBytes("UTF-8"))
+    pf.delete(new org.apache.hadoop.fs.Path(
+      s"$basePath/_catalog/$oldName"), false)
+    reg.remove(oldName); absent.remove(newName)
+    reg.put(newName, src)
+    metaReg.remove(oldName).foreach(m => metaReg.put(newName, m))
+    spark.emptyDataFrame
+  }
+
+  /** `ALTER VIEW old RENAME TO new` — a view is its TEXT sidecar; the
+    * rename republishes it under the new name and drops the old one.
+    * Views referencing the old view refuse, same as tables. No
+    * tombstone needed: views have no default-path fallback to
+    * resurrect the old name.
+    */
+  private def renameView(spark: SparkSession, oldName: String,
+      newName: String): DataFrame = {
+    val text = viewText(spark, oldName).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER VIEW: unknown view '$oldName'"))
+    require(resolve(spark, newName).isEmpty &&
+      viewText(spark, newName).isEmpty &&
+      renamedTo(spark, newName).isEmpty,
+      s"RENAME TO '$newName': the name is taken")
+    val refs = viewsReferencing(spark, oldName)
+      .filterNot(_.equalsIgnoreCase(oldName))
+    require(refs.isEmpty,
+      s"RENAME VIEW '$oldName': view(s) ${refs.mkString(", ")} " +
+        "reference it by name and would break; redefine them first")
+    publishView(spark, newName, text)
+    dropViewSidecar(spark, oldName)
     spark.emptyDataFrame
   }
 

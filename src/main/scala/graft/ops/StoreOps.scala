@@ -2807,5 +2807,63 @@ object StoreOps {
            |  MIN(id) AS min_id, MAX(id) AS max_id,
            |  COUNT(CASE WHEN id > $maxE THEN 1 END) AS n_after_bump
            |FROM idbd""".stripMargin)
+    },
+
+    // ALTER TABLE ... RENAME TO (the lifecycle verb between CREATE
+    // and DROP, round-13 verdict item 3): POINTER-LEVEL — the data
+    // stays in the directory named after the old name (at 100 TB
+    // nothing else is affordable), a tombstone keeps the old name
+    // from silently re-attaching, and a FRESH catalog discovers the
+    // table under the new name only. Writes keep flowing post-rename
+    // (same manifest chain; batch-id exactly-once intact). The pinned
+    // flags make the name migration itself checkable: the old name
+    // REFUSES with the forwarding hint, the new name serves all rows
+    // from both sides of the rename.
+    QueryDef(
+      "q240_sql_rename_table",
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  1 AS old_refused, 1 AS fresh_discovery
+        |FROM orders WHERE o_orderkey <= 2000
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_rename", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      if (!cat.listTables(s).contains("ren_tgt")) {
+        cat.exec(s,
+          """CREATE TABLE IF NOT EXISTS ren_src (
+            |  o_orderstatus STRING, o_orderkey BIGINT)
+            |USING graft_store""".stripMargin)
+        cat.exec(s,
+          """INSERT INTO ren_src
+            |SELECT o_orderstatus, o_orderkey FROM orders
+            |WHERE o_orderkey <= 1000""".stripMargin,
+          batchId = Some(0L))
+        cat.exec(s, "ALTER TABLE ren_src RENAME TO ren_tgt")
+      }
+      // post-rename write under the NEW name, exactly-once replayable
+      cat.exec(s,
+        """INSERT INTO ren_tgt
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 1000 AND o_orderkey <= 2000"""
+          .stripMargin, batchId = Some(1L))
+      val oldRefused =
+        try { cat.query(s, "SELECT * FROM ren_src").count(); 0 }
+        catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("renamed to 'ren_tgt'") => 1
+          case _: Throwable => 0
+        }
+      // a catalog with no warm registry discovers the new name only
+      val fresh = new graft.engine.StoreCatalog(base)
+      val freshDiscovery =
+        if (fresh.listTables(s).contains("ren_tgt") &&
+          !fresh.listTables(s).contains("ren_src")) 1 else 0
+      fresh.query(s,
+        """SELECT o_orderstatus, COUNT(*) AS n
+          |FROM ren_tgt GROUP BY o_orderstatus
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("old_refused", lit(oldRefused))
+        .withColumn("fresh_discovery", lit(freshDiscovery))
     })
 }
