@@ -93,7 +93,8 @@ object AutoMapper {
       unfilled: Seq[String],
       unmappedSource: Seq[(Seq[String], DataType)],
       uid: Option[UidSpec],
-      floor: Double) {
+      floor: Double,
+      canonical: StructType = CanonicalSchema.schema) {
 
     def ambiguousTargets: Seq[String] =
       suggestions.filter(_.ambiguous).map(_.target)
@@ -156,7 +157,7 @@ object AutoMapper {
           StructField(CanonicalSchema.CorruptCol, StringType) +:
             bronze.fields)
       SourceSpec(sourceName, schema, mapping(acceptAmbiguous), u,
-        jsonOptions)
+        jsonOptions, canonical)
     }
   }
 
@@ -200,7 +201,7 @@ object AutoMapper {
       .filterNot(suggestions.map(_.target).toSet)
     val unmapped = srcLeaves.filterNot(l => mappedPaths.contains(l._1))
     Proposal(sourceName, bronze, suggestions, unfilled, unmapped,
-      suggestUid(sourceName, suggestions), floor)
+      suggestUid(sourceName, suggestions), floor, canonical)
   }
 
   /** Suggest the uid triple from the CONFIDENT, unambiguous targets:
@@ -394,6 +395,10 @@ object AutoMapper {
     val root = mapper.createObjectNode()
     root.put("source", p.sourceName)
     root.put("schemaJson", p.bronze.json)
+    // the canonical model the proposal targeted — a widened canonical
+    // (governed-evolution rollout) must survive the sidecar round-trip
+    // or a fresh session would normalize into the OLD width
+    root.put("canonicalJson", p.canonical.json)
     val uidN = root.putObject("uid")
     uidN.put("hostname", u.hostnameCol)
     uidN.put("ipish", u.ipishCol)
@@ -440,9 +445,13 @@ object AutoMapper {
       c.get("target").asText() -> pathCol(path).cast(dt)
     }.toMap
     val uidN = root.get("uid")
+    val canonical = Option(root.get("canonicalJson"))
+      .map(n => DataType.fromJson(n.asText()).asInstanceOf[StructType])
+      .getOrElse(CanonicalSchema.schema) // pre-r14 sidecars
     Some(SourceSpec(root.get("source").asText(), schema, mapping,
       UidSpec(uidN.get("hostname").asText(), uidN.get("ipish").asText(),
-        uidN.get("id").asText())))
+        uidN.get("id").asText()),
+      canonical = canonical))
   }
 
   private def proposalJson(p: Proposal): String = {

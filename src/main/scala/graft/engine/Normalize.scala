@@ -39,12 +39,15 @@ object Normalize {
     // null ip still gets a stable uid from the remaining parts.
     def canonical(name: String): Column =
       mapped.getOrElse(name,
-        lit(null).cast(CanonicalSchema.schema(name).dataType))
+        lit(null).cast(spec.canonical(name).dataType))
     val uid = sha2(concat_ws("|",
       lower(trim(canonical(spec.uid.hostnameCol))),
       lower(trim(canonical(spec.uid.ipishCol))),
       canonical(spec.uid.idCol)), 256)
-    CanonicalSchema.columns.map { f =>
+    // the spec's own canonical model, not the global constant: a
+    // widened canonical (governed-evolution rollout) projects the
+    // extra columns; the default IS the global model
+    spec.canonical.fields.toSeq.map { f =>
       (if (f.name == "asset_uid") uid else canonical(f.name)).as(f.name)
     }
   }

@@ -24,7 +24,14 @@ final case class SourceSpec(
     schema: StructType,
     mapping: Map[String, Column],
     uid: UidSpec,
-    jsonOptions: Map[String, String] = SourceSpec.JsonOptions)
+    jsonOptions: Map[String, String] = SourceSpec.JsonOptions,
+    /** The silver model this source normalizes INTO — the fixed
+      * organization-wide canonical by default. A WIDENED canonical
+      * (the governed-evolution flow: a new silver column rolls out,
+      * drift re-proposes, approval re-targets) projects here, and the
+      * silver store's governed ADD marker admits the extra column.
+      */
+    canonical: StructType = CanonicalSchema.schema)
 
 final case class UidSpec(hostnameCol: String, ipishCol: String, idCol: String)
 

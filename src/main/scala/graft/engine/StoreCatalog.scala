@@ -270,6 +270,30 @@ final class StoreCatalog(basePath: String) {
           Option(ver).map(_.toLong), ifNotExists = ine != null)
       case StoreCatalog.SyncIdentityStmt(tbl, col) =>
         return syncIdentity(spark, tbl, Option(col))
+      // the MV definition TEXT must come from the comments-only strip
+      // (stripInert also blanks string literals — fine for verb
+      // RECOGNITION, fatal for a definition with a WHERE v = '…');
+      // the structural prefix up to AS contains no literals, so
+      // re-matching the comment-stripped original is loss-free
+      case StoreCatalog.CreateMvStmt(_, _, _) =>
+        StoreSql.stripComments(sql).trim match {
+          case StoreCatalog.CreateMvStmt(ine, name, text) =>
+            return createMaterializedView(spark, name, text.trim,
+              ifNotExists = ine != null, batchId)
+          case other => throw new IllegalStateException(
+            s"unreachable: CREATE MATERIALIZED VIEW re-match failed " +
+              s"on '$other'")
+        }
+      case StoreCatalog.RefreshMvStmt(name) =>
+        return refreshMaterializedView(spark, name)
+      case StoreCatalog.DropMvStmt(ife, name) =>
+        return dropMaterializedView(spark, name, ifExists = ife != null)
+      case StoreCatalog.ShowMvStmt() =>
+        import spark.implicits._
+        return listMaterializedViews(spark)
+          .map(n => (basePath, n,
+            mviewSpec(spark, n).map(_._1).getOrElse("")))
+          .toDF("namespace", "mvName", "definition")
       case _ =>
     }
     val parsed: Option[LogicalPlan] =
@@ -295,6 +319,7 @@ final class StoreCatalog(basePath: String) {
     // assignment guard goes blind). Structural edits of identity
     // columns refuse HERE, before any marker can commit.
     parsed.foreach(guardIdentityStructuralEdit(spark, _))
+    parsed.foreach(guardMvWrite(spark, _))
     parsed match {
       case Some(ct: CreateTable) =>
         val name = identOf(ct.name)
@@ -458,6 +483,12 @@ final class StoreCatalog(basePath: String) {
           throw new IllegalArgumentException(
             s"table '$name' was renamed to '$nn'; DROP TABLE $nn")
         }
+        // (dropMaterializedView deletes the sidecar FIRST, so its own
+        // delegated DROP TABLE passes this guard)
+        require(mviewSpec(spark, name).isEmpty,
+          s"'$name' is a MATERIALIZED VIEW — use DROP MATERIALIZED " +
+            "VIEW (dropping only the backing table would strand the " +
+            "definition sidecar)")
         val known = reg.get(name).map(_.tablePath)
           .orElse(readPointer(spark, name))
           .orElse {
@@ -1367,6 +1398,41 @@ final class StoreCatalog(basePath: String) {
     parts.head
   }
 
+  /** Refuse direct DML into a materialized view's backing table —
+    * MV content is DERIVED state; a hand INSERT would be silently
+    * overwritten by the next full recompute and silently double-
+    * counted by the next incremental fold. (The MV machinery itself
+    * writes through the store handle, not through exec's DML path.)
+    */
+  private def guardMvWrite(spark: SparkSession,
+      plan: LogicalPlan): Unit = {
+    def targetName(rel: LogicalPlan): Option[String] = rel match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 =>
+        Some(u.multipartIdentifier.head)
+      case s: org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias => targetName(s.child)
+      case _ => None
+    }
+    val tgt = plan match {
+      case i: org.apache.spark.sql.catalyst.plans.logical
+          .InsertIntoStatement => targetName(i.table)
+      case u: org.apache.spark.sql.catalyst.plans.logical
+          .UpdateTable => targetName(u.table)
+      case d: org.apache.spark.sql.catalyst.plans.logical
+          .DeleteFromTable => targetName(d.table)
+      case m: org.apache.spark.sql.catalyst.plans.logical
+          .MergeIntoTable => targetName(m.targetTable)
+      case _ => None
+    }
+    tgt.filter(mviewSpec(spark, _).isDefined).foreach { n =>
+      throw new IllegalArgumentException(
+        s"'$n' is a MATERIALIZED VIEW — its content derives from its " +
+          "definition; write to the source tables and REFRESH " +
+          "MATERIALIZED VIEW instead")
+    }
+  }
+
   /** Refuse RENAME/DROP/retype of a GENERATED ALWAYS AS IDENTITY
     * column: its ledger + registry key by the declared name and type,
     * and the structural verbs route through StoreSql, which cannot see
@@ -1812,9 +1878,13 @@ final class StoreCatalog(basePath: String) {
   private def renameTable(spark: SparkSession, oldName: String,
       newName: String): DataFrame = {
     Seq(oldName, newName).foreach(n =>
-      require(n != "_catalog" && n != "_views" && n != "_renamed",
+      require(n != "_catalog" && n != "_views" && n != "_renamed" &&
+        n != "_mviews",
         s"'$n' is reserved"))
     requireNotView(spark, oldName)
+    require(mviewSpec(spark, oldName).isEmpty,
+      s"'$oldName' is a MATERIALIZED VIEW — its definition sidecar " +
+        "keys by name; DROP and re-CREATE it under the new name")
     require(viewText(spark, newName).isEmpty,
       s"RENAME TO '$newName': a VIEW holds that name")
     val src = resolve(spark, oldName).getOrElse(
@@ -1854,6 +1924,316 @@ final class StoreCatalog(basePath: String) {
     reg.put(newName, src)
     metaReg.remove(oldName).foreach(m => metaReg.put(newName, m))
     spark.emptyDataFrame
+  }
+
+  // ------------------------------------------------- materialized views
+
+  /** A materialized view is a real store TABLE (the gold layer's
+    * precomputed aggregate, reference README.md:25) plus a definition
+    * sidecar `_catalog/_mviews/<name>` recording the query text and,
+    * per source table, the version the backing data reflects. Reads
+    * resolve the backing table like any table (BI tools see a table);
+    * REFRESH advances it:
+    *
+    *   - INCREMENTAL when the definition is a single-source
+    *     `GROUP BY <col>` over COUNT/SUM/MIN/MAX (or a pure
+    *     filter/projection) AND the CDF window since the last refresh
+    *     holds only inserts: the refresh reads ONLY
+    *     `readChangeFeed(last, current)` — window-bounded, never the
+    *     100 TB source — aggregates the delta, and combines it into
+    *     the backing table through the keyed merge (count/sum add,
+    *     min/max fold; a pure projection appends). The refresh batch
+    *     id derives from the window's end version in a reserved
+    *     namespace, so a crash between the data commit and the
+    *     sidecar update replays into a no-op.
+    *   - FULL RECOMPUTE otherwise (multi-source, non-decomposable
+    *     aggregates, deletes/updates in the window), reported loudly
+    *     in the returned mode row — never a silent wrong answer.
+    */
+  private def mviewPath(name: String): org.apache.hadoop.fs.Path = {
+    require(name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'),
+      s"materialized view name must be [A-Za-z0-9_-]+, got '$name'")
+    new org.apache.hadoop.fs.Path(s"$basePath/_catalog/_mviews/$name")
+  }
+
+  /** (definition text, source table -> last refreshed version). */
+  private[engine] def mviewSpec(spark: SparkSession,
+      name: String): Option[(String, Map[String, Long])] = {
+    if (!name.forall(c => c.isLetterOrDigit || c == '_' || c == '-'))
+      return None
+    val hp = mviewPath(name)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicCreate.readString(f, hp).map { json =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(json)
+      val text = root.get("text").asText()
+      val lasts = Option(root.get("last")).map { node =>
+        val it = node.fieldNames()
+        Iterator.continually(
+          if (it.hasNext) Some(it.next()) else None)
+          .takeWhile(_.isDefined).flatten
+          .map(k => k -> node.get(k).asLong()).toMap
+      }.getOrElse(Map.empty[String, Long])
+      (text, lasts)
+    }
+  }
+
+  private def publishMviewSpec(spark: SparkSession, name: String,
+      text: String, lasts: Map[String, Long]): Unit = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    root.put("text", text)
+    val l = root.putObject("last")
+    lasts.toSeq.sortBy(_._1).foreach { case (k, v) => l.put(k, v) }
+    val hp = mviewPath(name)
+    AtomicCreate.replacePublish(
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration), hp,
+      mapper.writeValueAsString(root).getBytes("UTF-8"))
+  }
+
+  /** Source tables a definition references, by bare name. */
+  private def mviewSources(spark: SparkSession,
+      text: String): Seq[String] = {
+    val p = spark.sessionState.sqlParser.parsePlan(text)
+    attachReferenced(spark, p)
+    (p +: p.subqueriesAll).flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            resolve(spark, u.multipartIdentifier.head).isDefined =>
+        u.multipartIdentifier.head
+    }).distinct
+  }
+
+  private def createMaterializedView(spark: SparkSession, name: String,
+      text: String, ifNotExists: Boolean,
+      batchId: Option[Long]): DataFrame = {
+    require(name != "_catalog" && name != "_views" &&
+      name != "_renamed" && name != "_mviews", s"'$name' is reserved")
+    if (mviewSpec(spark, name).isDefined) {
+      require(ifNotExists, s"materialized view '$name' already " +
+        "exists (use IF NOT EXISTS, or DROP MATERIALIZED VIEW)")
+      return spark.emptyDataFrame
+    }
+    requireNotView(spark, name)
+    require(resolve(spark, name).isEmpty,
+      s"'$name' is a TABLE (tables, views, and materialized views " +
+        "share the namespace)")
+    val srcs = mviewSources(spark, text)
+    require(srcs.nonEmpty,
+      "CREATE MATERIALIZED VIEW: the definition references no store " +
+        "table — materialize of a constant query is a CTAS")
+    // snapshot the source versions BEFORE the load: rows committed to
+    // a source DURING the CTAS are caught by the next REFRESH (the
+    // window re-covers them) — versions after the load could skip them
+    val lasts = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
+    exec(spark, s"CREATE TABLE $name AS $text", batchId)
+    publishMviewSpec(spark, name, text, lasts)
+    spark.emptyDataFrame
+  }
+
+  private def dropMaterializedView(spark: SparkSession, name: String,
+      ifExists: Boolean): DataFrame = {
+    val hp = mviewPath(name)
+    val f = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(hp)) {
+      require(ifExists, s"unknown materialized view '$name' (use " +
+        "DROP MATERIALIZED VIEW IF EXISTS; tables drop with DROP " +
+        "TABLE)")
+      return spark.emptyDataFrame
+    }
+    // sidecar FIRST: a crash between the two leaves an ordinary table
+    // (drop-able, never a refresh-able orphan claiming MV semantics)
+    f.delete(hp, false)
+    exec(spark, s"DROP TABLE IF EXISTS $name")
+    spark.emptyDataFrame
+  }
+
+  private def listMaterializedViews(spark: SparkSession): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/_mviews")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .map(_.getPath.getName).sorted
+  }
+
+  /** The refresh batch-id namespace: derived from the window's END
+    * version so a crashed refresh replays into a no-op, and reserved
+    * far above any hand-assigned batch id (the backing table is only
+    * ever written by the MV machinery).
+    */
+  private val MvRefreshBidBase = 1L << 40
+
+  /** REFRESH MATERIALIZED VIEW — returns one row
+    * (mode, from_version, to_version) describing what ran:
+    * `current` (nothing to do), `incremental` (CDF window only), or
+    * `full` (recompute, with the reason in the mode string).
+    */
+  private def refreshMaterializedView(spark: SparkSession,
+      name: String): DataFrame = {
+    import spark.implicits._
+    val (text, lasts) = mviewSpec(spark, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown materialized view '$name' (known: " +
+          s"${listMaterializedViews(spark).mkString(", ")})"))
+    val srcs = mviewSources(spark, text)
+    val curs = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
+    if (srcs.forall(t => lasts.get(t).contains(curs(t))))
+      return Seq(("current", 0L, 0L))
+        .toDF("mode", "from_version", "to_version")
+    def full(reason: String): DataFrame = {
+      exec(spark, s"REPLACE TABLE $name AS $text",
+        Some(MvRefreshBidBase + curs.values.sum))
+      publishMviewSpec(spark, name, text, curs)
+      Seq((s"full:$reason", 0L, curs.values.max))
+        .toDF("mode", "from_version", "to_version")
+    }
+    if (srcs.size != 1) return full("multi-source definition")
+    val srcName = srcs.head
+    val (fromV, toV) = (lasts.getOrElse(srcName, 0L), curs(srcName))
+    val shape = mvIncrementalShape(spark, text, srcName).getOrElse {
+      return full("non-decomposable definition")
+    }
+    val src = store(srcName)
+    // ONE window-bounded feed read; deletes/updates in the window
+    // cannot be folded into COUNT/SUM/MIN/MAX — recompute loudly
+    import org.apache.spark.sql.functions.{col => fcol}
+    val feed = src.readChangeFeed(spark, fromV, toV)
+    import Pin.Pinnable
+    val deltaAll = feed.pinned
+    if (deltaAll.filter(fcol("_change_type") =!= "insert")
+        .limit(1).count() > 0)
+      return full("deletes in the CDF window")
+    val delta = deltaAll.filter(fcol("_change_type") === "insert")
+      .drop("_change_type", "batch_id")
+    val bid = MvRefreshBidBase + toV
+    val dApplied = applyOverDelta(spark, text, srcName, delta)
+    shape match {
+      case Left(()) =>
+        // pure row-map: the transformed delta simply appends
+        store(name).append(dApplied, bid)
+      case Right((key, aggCols)) =>
+        // distributive aggregate: fold the delta's partials into the
+        // backing rows — count/sum add, min/max fold (inserts-only
+        // windows make MIN/MAX sound: nothing retracts). The keyed
+        // merge rewrites only dirs whose key range overlaps the
+        // delta's groups — stats-bounded, gold-table-sized, never
+        // source-sized.
+        import org.apache.spark.sql.functions.{
+          coalesce, col => fcol, greatest, least, lit, when}
+        val backing = store(name).read(spark).drop("batch_id")
+        val joined = dApplied.alias("d")
+          .join(backing.alias("b"), Seq(key), "left")
+        val combined = joined.select(fcol(key) +: aggCols.map {
+          case (alias, fn) =>
+            val d = fcol(s"d.$alias"); val b = fcol(s"b.$alias")
+            val zero = lit(0).cast(dApplied.schema(alias).dataType)
+            (fn match {
+              case "count" => d + coalesce(b, zero)
+              case "sum" =>
+                when(d.isNull && b.isNull, lit(null))
+                  .otherwise(coalesce(d, zero) + coalesce(b, zero))
+                  .cast(dApplied.schema(alias).dataType)
+              case "min" => least(d, b)
+              case "max" => greatest(d, b)
+            }).as(alias)
+        }: _*)
+        store(name).merge(spark, combined, key, bid)
+    }
+    publishMviewSpec(spark, name, text, Map(srcName -> toV))
+    Seq(("incremental", fromV, toV))
+      .toDF("mode", "from_version", "to_version")
+  }
+
+  /** The MV definition applied to the DELTA instead of the source:
+    * the parsed text with the source relation substituted by the
+    * (already-analyzed) delta frame — count/sum/min/max over a
+    * row-disjoint union decompose, so the same query over the delta
+    * yields exactly the partial the combine step folds in.
+    */
+  private def applyOverDelta(spark: SparkSession, text: String,
+      srcName: String,
+      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql
+      .DataFrame = {
+    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val sub = parsed.transformWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            u.multipartIdentifier.head.equalsIgnoreCase(srcName) =>
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          srcName, delta.queryExecution.analyzed)
+    }
+    org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+      StoreSql.route(spark, tables, sub))
+  }
+
+  /** The decomposable shape of an MV definition, if it has one:
+    * Left(()) = pure Project/Filter row-map over the single source
+    * (delta rows append through the same map); Right((key, aggs)) =
+    * single-column GROUP BY whose outputs are the key plus aliased
+    * COUNT/SUM/MIN/MAX aggregates (delta partials fold into backing).
+    * Anything else — joins, windows, DISTINCT, subqueries, AVG,
+    * multi-column groups — returns None and REFRESH recomputes fully,
+    * saying so.
+    */
+  private def mvIncrementalShape(spark: SparkSession, text: String,
+      srcName: String)
+      : Option[Either[Unit, (String, Seq[(String, String)])]] = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Filter, Project}
+    val p = spark.sessionState.sqlParser.parsePlan(text)
+    if (p.subqueriesAll.nonEmpty) return None
+    def noWindows(exprs: Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression]): Boolean =
+      !exprs.exists(_.exists {
+        case _: org.apache.spark.sql.catalyst.expressions
+            .WindowExpression => true
+        case _ => false
+      })
+    def isRowMap(pl: LogicalPlan): Boolean = pl match {
+      case u: UnresolvedRelation =>
+        u.multipartIdentifier.size == 1 &&
+          u.multipartIdentifier.head.equalsIgnoreCase(srcName)
+      case f: Filter => noWindows(Seq(f.condition)) && isRowMap(f.child)
+      case pr: Project =>
+        noWindows(pr.projectList) && isRowMap(pr.child)
+      case s: org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias => isRowMap(s.child)
+      case _ => false
+    }
+    p match {
+      case Aggregate(groupExprs, aggExprs, child, _)
+          if isRowMap(child) =>
+        val keyAttr = groupExprs match {
+          case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
+            a.nameParts.head
+          case _ => return None // multi/expr groups → full recompute
+        }
+        var keyOut: Option[String] = None
+        val aggs = aggExprs.flatMap {
+          case a: UnresolvedAttribute
+              if a.nameParts.size == 1 &&
+                a.nameParts.head.equalsIgnoreCase(keyAttr) =>
+            keyOut = Some(a.nameParts.head); Nil
+          case Alias(a: UnresolvedAttribute, out)
+              if a.nameParts.size == 1 &&
+                a.nameParts.head.equalsIgnoreCase(keyAttr) =>
+            keyOut = Some(out); Nil
+          case Alias(uf: UnresolvedFunction, out)
+              if uf.nameParts.size == 1 &&
+                Set("count", "sum", "min", "max")(
+                  uf.nameParts.head.toLowerCase) &&
+                !uf.isDistinct && uf.filter.isEmpty =>
+            Seq(Some(out -> uf.nameParts.head.toLowerCase))
+          case _ => Seq(None)
+        }
+        if (aggs.contains(None) || keyOut.isEmpty || aggs.isEmpty) None
+        else Some(Right((keyOut.get, aggs.flatten)))
+      case other if isRowMap(other) => Some(Left(()))
+      case _ => None
+    }
   }
 
   /** `ALTER VIEW old RENAME TO new` — a view is its TEXT sidecar; the
@@ -2106,4 +2486,16 @@ object StoreCatalog {
     ("(?is)ALTER\\s+TABLE\\s+([A-Za-z0-9_]+)" +
       "(?:\\s+ALTER\\s+COLUMN\\s+([A-Za-z0-9_]+))?" +
       "\\s+SYNC\\s+IDENTITY\\s*").r
+
+  /** Materialized-view verbs — outside Spark's grammar. */
+  private[engine] val CreateMvStmt =
+    ("(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z0-9_]+)\\s+AS\\s+(.+)").r
+  private[engine] val RefreshMvStmt =
+    "(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s*".r
+  private[engine] val DropMvStmt =
+    ("(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
+      "(IF\\s+EXISTS\\s+)?([A-Za-z0-9_]+)\\s*").r
+  private[engine] val ShowMvStmt =
+    "(?is)SHOW\\s+MATERIALIZED\\s+VIEWS\\s*".r
 }

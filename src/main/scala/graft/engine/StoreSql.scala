@@ -729,7 +729,7 @@ object StoreSql {
     * verbs: `OPTIMIZE t -- nightly` routes on `OPTIMIZE t`, and a table
     * name smuggled inside a comment or string cannot confuse a regex.
     */
-  private def stripComments(sql: String): String = sql
+  private[engine] def stripComments(sql: String): String = sql
     .replaceAll("(?s)/\\*.*?\\*/", " ")
     .replaceAll("--[^\r\n]*", " ")
 
@@ -1081,9 +1081,9 @@ object StoreSql {
                 "time travel needs exactly one of VERSION AS OF / " +
                   "TIMESTAMP AS OF")
             }
-            PlanShim.planOf(df)
+            SubqueryAlias(relationName(rel).get, PlanShim.planOf(df))
           case Some(store) =>
-            (ver, ts) match {
+            SubqueryAlias(relationName(rel).get, (ver, ts) match {
               case (Some(v), None) if v.forall(_.isDigit) =>
                 formatRead(store, Map("versionAsOf" -> v))
               case (Some(ref), None) => // tag or branch head
@@ -1104,14 +1104,21 @@ object StoreSql {
               case _ => throw new IllegalArgumentException(
                 "time travel needs exactly one of VERSION AS OF / " +
                   "TIMESTAMP AS OF")
-            }
+            })
         }
       case u: UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
             tables.contains(u.multipartIdentifier.last) =>
-        val store = tables(u.multipartIdentifier.last)
-        if (store.isMainRef) formatRead(store, Map.empty)
-        else PlanShim.planOf(store.read(spark))
+        val name = u.multipartIdentifier.last
+        val store = tables(name)
+        // alias the spliced read under the RELATION NAME — exactly
+        // what the analyzer does for a real catalog table — so
+        // qualified references (`FROM t1 JOIN t2 ON t1.k = t2.k`)
+        // resolve; an explicit `FROM t x` alias sits OUTSIDE this
+        // node and masks it, Spark's own shadowing rule
+        SubqueryAlias(name,
+          if (store.isMainRef) formatRead(store, Map.empty)
+          else PlanShim.planOf(store.read(spark)))
       // Delta's batch-CDF table-valued function: `SELECT ... FROM
       // table_changes('t', startV[, endV])` — inclusive commit range
       // startV..endV (endV defaults to current), served as the state

@@ -1,0 +1,206 @@
+package graft.engine
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Materialized gold views with CDF-incremental REFRESH: a real store
+  * table + a definition sidecar; REFRESH folds the change-data-feed
+  * window into the backing table when the definition decomposes
+  * (single-source GROUP BY over COUNT/SUM/MIN/MAX, or a pure
+  * filter/projection) and the window is insert-only — otherwise it
+  * recomputes fully and SAYS so in the returned mode row.
+  */
+class MaterializedViewSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def freshCat(): (StoreCatalog, String) = {
+    val p = Files.createTempDirectory("mview-")
+    p.toFile.deleteOnExit()
+    (new StoreCatalog(p.toString), p.toString)
+  }
+
+  private def modeOf(df: org.apache.spark.sql.DataFrame): String =
+    df.head().getString(0)
+
+  test("aggregate MV: CREATE materializes, append + REFRESH goes " +
+      "INCREMENTAL and equals the full recompute row-for-row, a " +
+      "second REFRESH is 'current', and a fresh catalog discovers " +
+      "the MV as a queryable table") {
+    val (cat, base) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE ev (k STRING, n BIGINT, w DOUBLE) " +
+        "USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO ev VALUES ('a', 1, 2.0), ('a', 3, 1.0), " +
+        "('b', 5, 9.0)", batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, SUM(n) AS total, " +
+      "MIN(w) AS lo, MAX(w) AS hi FROM ev GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW gold AS $defn",
+      batchId = Some(100L))
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+        .toMap
+    assert(asMap(cat.query(spark,
+      "SELECT k, cnt, total, lo, hi FROM gold")) ==
+      asMap(cat.query(spark, defn)))
+    // append: an existing group grows, a new group appears
+    cat.exec(spark,
+      "INSERT INTO ev VALUES ('a', 10, 0.5), ('c', 7, 4.0)",
+      batchId = Some(1L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW gold")
+    assert(modeOf(r) == "incremental", r.collect().mkString)
+    assert(asMap(cat.query(spark,
+      "SELECT k, cnt, total, lo, hi FROM gold")) ==
+      asMap(cat.query(spark, defn)))
+    assert(asMap(cat.query(spark,
+      "SELECT k, cnt, total, lo, hi FROM gold"))("a") ==
+      ((3L, 14L, 0.5, 2.0)))
+    // nothing moved → current, and a replayed refresh stays correct
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW gold"))
+      == "current")
+    // fresh catalog: discovery via sidecar + backing table
+    val cat2 = new StoreCatalog(base)
+    val shown = cat2.exec(spark, "SHOW MATERIALIZED VIEWS")
+      .select("mvName").as[String].collect().toSet
+    assert(shown == Set("gold"), shown)
+    assert(asMap(cat2.query(spark,
+      "SELECT k, cnt, total, lo, hi FROM gold")) ==
+      asMap(cat2.query(spark, defn)))
+    // and the fresh catalog can refresh incrementally too
+    cat2.exec(spark, "INSERT INTO ev VALUES ('b', 1, 1.0)",
+      batchId = Some(2L))
+    assert(modeOf(cat2.exec(spark, "REFRESH MATERIALIZED VIEW gold"))
+      == "incremental")
+    assert(asMap(cat2.query(spark,
+      "SELECT k, cnt, total, lo, hi FROM gold")) ==
+      asMap(cat2.query(spark, defn)))
+  }
+
+  test("row-map MV (filter/projection): incremental refresh appends " +
+      "the transformed delta only") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE rm (k BIGINT, v STRING) USING graft_store")
+    cat.exec(spark, "INSERT INTO rm VALUES (1, 'keep'), (2, 'drop')",
+      batchId = Some(0L))
+    val defn = "SELECT k, upper(v) AS vu FROM rm WHERE v = 'keep'"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW flt AS $defn",
+      batchId = Some(100L))
+    cat.exec(spark, "INSERT INTO rm VALUES (3, 'keep'), (4, 'drop')",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW flt"))
+      == "incremental")
+    assert(cat.query(spark, "SELECT k, vu FROM flt ORDER BY k")
+      .as[(Long, String)].collect().toSeq ==
+      Seq((1L, "KEEP"), (3L, "KEEP")))
+  }
+
+  test("fallbacks recompute FULLY and say so: deletes in the window, " +
+      "multi-source definitions, non-decomposable aggregates — " +
+      "content always equals the live recompute") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE f1 (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO f1 VALUES ('a', 1), ('a', 2), ('b', 3)",
+      batchId = Some(0L))
+    val defn = "SELECT k, SUM(n) AS total FROM f1 GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW m1 AS $defn",
+      batchId = Some(100L))
+    // a DELETE cannot fold into SUM partials → full, still correct
+    cat.exec(spark, "DELETE FROM f1 WHERE n = 2")
+    val r1 = cat.exec(spark, "REFRESH MATERIALIZED VIEW m1")
+    assert(modeOf(r1).startsWith("full:"), r1.collect().mkString)
+    assert(cat.query(spark, "SELECT k, total FROM m1 ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 3L)))
+    // after a full refresh the window resets — an insert-only window
+    // folds incrementally again
+    cat.exec(spark, "INSERT INTO f1 VALUES ('b', 10)",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW m1"))
+      == "incremental")
+    assert(cat.query(spark, "SELECT total FROM m1 WHERE k = 'b'")
+      .as[Long].head() == 13L)
+    // multi-source: always full
+    cat.exec(spark,
+      "CREATE TABLE f2 (k STRING, tag STRING) USING graft_store")
+    cat.exec(spark, "INSERT INTO f2 VALUES ('a', 'x')",
+      batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW m2 AS SELECT f1.k, SUM(n) AS t " +
+        "FROM f1 JOIN f2 ON f1.k = f2.k GROUP BY f1.k",
+      batchId = Some(101L))
+    cat.exec(spark, "INSERT INTO f2 VALUES ('b', 'y')",
+      batchId = Some(1L))
+    val r2 = cat.exec(spark, "REFRESH MATERIALIZED VIEW m2")
+    assert(modeOf(r2) == "full:multi-source definition",
+      r2.collect().mkString)
+    assert(cat.query(spark, "SELECT k, t FROM m2 ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 13L)))
+    // AVG does not decompose → full, loudly
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW m3 AS SELECT k, AVG(n) AS m " +
+        "FROM f1 GROUP BY k", batchId = Some(102L))
+    cat.exec(spark, "INSERT INTO f1 VALUES ('a', 9)",
+      batchId = Some(2L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW m3"))
+      == "full:non-decomposable definition")
+    assert(cat.query(spark, "SELECT m FROM m3 WHERE k = 'a'")
+      .as[Double].head() == 5.0)
+  }
+
+  test("guards: direct DML refuses, DROP TABLE refuses with the MV " +
+      "verb, RENAME refuses, namespace is shared, DROP MATERIALIZED " +
+      "VIEW removes sidecar + backing, unknown names refuse") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE g1 (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO g1 VALUES ('a', 1)",
+      batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW gm AS SELECT k, COUNT(*) AS c " +
+        "FROM g1 GROUP BY k", batchId = Some(100L))
+    val e1 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "INSERT INTO gm VALUES ('z', 9)",
+        batchId = Some(50L))
+    }
+    assert(e1.getMessage.contains("MATERIALIZED VIEW"), e1.getMessage)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "DELETE FROM gm WHERE k = 'a'")
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "DROP TABLE gm")
+    }
+    assert(e2.getMessage.contains("DROP MATERIALIZED VIEW"),
+      e2.getMessage)
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE gm RENAME TO gm2")
+    }
+    // namespace shared: a table/view/MV name collision refuses
+    intercept[Exception] {
+      cat.exec(spark, "CREATE TABLE gm (x INT) USING graft_store")
+    }
+    intercept[Exception] {
+      cat.exec(spark, "CREATE VIEW gm AS SELECT 1")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE MATERIALIZED VIEW gm AS SELECT k FROM g1")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "REFRESH MATERIALIZED VIEW nosuch")
+    }
+    cat.exec(spark, "DROP MATERIALIZED VIEW gm")
+    assert(cat.exec(spark, "SHOW MATERIALIZED VIEWS").count() == 0L)
+    assert(!cat.listTables(spark).contains("gm"))
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "DROP MATERIALIZED VIEW gm")
+    }
+    cat.exec(spark, "DROP MATERIALIZED VIEW IF EXISTS gm")
+  }
+}

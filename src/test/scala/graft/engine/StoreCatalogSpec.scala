@@ -882,16 +882,9 @@ class StoreCatalogSpec extends SparkSpec {
     assert(cat2.query(spark,
       "SELECT CAST(day AS STRING) AS day FROM g WHERE v = 4")
       .as[String].head() == "2026-02-06")
-    // refusals: BY DEFAULT identity (ALWAYS is implemented — see
-    // IdentitySpec — but explicit inserts bypassing the ledger are
-    // not), generated-referencing-generated, undeclared reference,
-    // constant generation
-    intercept[IllegalArgumentException] {
-      cat2.exec(spark,
-        """CREATE TABLE idt (
-          |  id BIGINT GENERATED BY DEFAULT AS IDENTITY,
-          |  x INT) USING graft_store""".stripMargin)
-    }
+    // refusals: generated-referencing-generated, undeclared reference,
+    // constant generation (BY DEFAULT identity is supported since
+    // round 14 — IdentitySpec covers both flavors)
     intercept[IllegalArgumentException] {
       cat2.exec(spark,
         """CREATE TABLE gg (a INT,
