@@ -557,7 +557,18 @@ object StoreSql {
           // under [[AutoMergeConf]], loud refusal with the remediation
           // without it. Silently writing NULL (or failing deep in the
           // rewrite) is the lost-data/confusing-error failure mode.
-          if (store.currentVersion(spark) > 0) {
+          val hasExplicitAssigns =
+            (m.matchedActions ++ m.notMatchedBySourceActions).exists {
+              case UpdateAction(_, assigns, _) => assigns.nonEmpty
+              case _ => false
+            } || m.notMatchedActions.exists {
+              case InsertAction(_, assigns) => assigns.nonEmpty
+              case _ => false
+            }
+          // cheap clause-shape check first: the star/conditioned-star
+          // forms (the common CDC shapes) carry no explicit
+          // assignments, so they never pay the target-schema read here
+          if (hasExplicitAssigns && store.currentVersion(spark) > 0) {
             val ts0 = store.read(spark).schema
             def isNew(c: String): Boolean = c != "batch_id" &&
               !ts0.fields.exists(_.name.equalsIgnoreCase(c))
