@@ -2076,6 +2076,10 @@ final class StoreCatalog(basePath: String) {
         s"unknown materialized view '$name' (known: " +
           s"${listMaterializedViews(spark).mkString(", ")})"))
     val srcs = mviewSources(spark, text)
+    require(srcs.nonEmpty,
+      s"REFRESH MATERIALIZED VIEW $name: none of the definition's " +
+        "source tables resolve (dropped or renamed?); DROP the MV or " +
+        "recreate the sources")
     val curs = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
     if (srcs.forall(t => lasts.get(t).contains(curs(t))))
       return Seq(("current", 0L, 0L))

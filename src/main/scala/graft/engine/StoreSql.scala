@@ -417,6 +417,36 @@ object StoreSql {
                 s"carry the id column '$c' (clauses map by name; an " +
                 "absent id would write NULL)")
           }
+          // the bump below covers ids drawn FROM THE SOURCE COLUMN —
+          // star actions write exactly those (by name). An explicit
+          // clause could write an ARBITRARY expression into the id
+          // (SET id = …, INSERT (id, …) VALUES (<expr>, …)) that the
+          // source-extremum bump never saw — a silent future
+          // collision — and an explicit insert list OMITTING the id
+          // would write NULL. Both refuse; star forms are the sound
+          // surface (Delta's UPDATE-cannot-assign-identity rule,
+          // extended to the merge clause plan).
+          val idNames = mergeIdentity.keys.map(_.toLowerCase).toSet
+          (m.matchedActions ++ m.notMatchedBySourceActions).foreach {
+            case UpdateAction(_, assigns, _) =>
+              assigns.foreach { case Assignment(k, _) =>
+                require(!idNames(attrName(k).toLowerCase),
+                  s"MERGE clause assigns identity column " +
+                    s"'${attrName(k)}' — identity columns cannot be " +
+                    "assigned; use UPDATE SET * (the source's id " +
+                    "writes by name and the ledger bumps past it)")
+              }
+            case _ =>
+          }
+          m.notMatchedActions.foreach {
+            case InsertAction(_, _) =>
+              throw new IllegalArgumentException(
+                "MERGE into a BY DEFAULT identity table: explicit " +
+                  "INSERT column lists cannot prove the inserted id " +
+                  "is the source's (the watermark bump covers only " +
+                  "the source id column); use INSERT *")
+            case _ =>
+          }
           val aggs = mergeIdentity.toSeq.flatMap {
             case (c, (_, stepV, _)) => Seq(
               (if (stepV > 0) max(fcol(c)) else min(fcol(c)))

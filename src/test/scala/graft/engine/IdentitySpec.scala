@@ -318,6 +318,32 @@ class IdentitySpec extends SparkSpec {
         batchId = Some(3L))
     }
     assert(e.getMessage.contains("carry the id column"), e.getMessage)
+    // the SOUNDNESS edge: explicit clauses could write ids the
+    // source-extremum bump never saw — SET id and explicit INSERT
+    // lists refuse; star forms are the covered surface
+    val e2 = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        """MERGE INTO mbd USING mbd_src ON mbd.id = mbd_src.id
+          |WHEN MATCHED THEN UPDATE SET id = 9999999"""
+          .stripMargin, batchId = Some(4L))
+    }
+    assert(e2.getMessage.contains("cannot be assigned"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        """MERGE INTO mbd USING mbd_src ON mbd.id = mbd_src.id
+          |WHEN NOT MATCHED THEN INSERT (id, v)
+          |  VALUES (9999999, mbd_src.v)""".stripMargin,
+        batchId = Some(5L))
+    }
+    assert(e3.getMessage.contains("INSERT *"), e3.getMessage)
+    // and a general-path clause that touches only NON-identity
+    // columns still merges fine (UPDATE-only CDC shape)
+    cat.exec(spark,
+      """MERGE INTO mbd USING mbd_src ON mbd.id = mbd_src.id
+        |WHEN MATCHED THEN UPDATE SET v = mbd_src.v"""
+        .stripMargin, batchId = Some(6L))
+    assert(cat.query(spark, "SELECT COUNT(DISTINCT id) FROM mbd")
+      .head().getLong(0) == 4L)
   }
 
   test("ALTER TABLE ... SYNC IDENTITY re-derives the watermark from " +
