@@ -290,10 +290,21 @@ final class StoreCatalog(basePath: String) {
         return dropMaterializedView(spark, name, ifExists = ife != null)
       case StoreCatalog.ShowMvStmt() =>
         import spark.implicits._
+        // `stale` = any source moved past the last refreshed version
+        // (metadata-bounded: one sidecar read + one currentVersion
+        // probe per source) — the operator's "which golds need a
+        // REFRESH" answer without running anything
         return listMaterializedViews(spark)
-          .map(n => (basePath, n,
-            mviewSpec(spark, n).map(_._1).getOrElse("")))
-          .toDF("namespace", "mvName", "definition")
+          .map { n =>
+            val (text, lasts) = mviewSpec(spark, n).getOrElse(("", Map
+              .empty[String, Long]))
+            val stale =
+              try !lasts.forall { case (t, v) =>
+                resolve(spark, t).exists(_.currentVersion(spark) == v)
+              } catch { case _: IllegalArgumentException => true }
+            (basePath, n, stale, text)
+          }
+          .toDF("namespace", "mvName", "stale", "definition")
       case _ =>
     }
     val parsed: Option[LogicalPlan] =

@@ -64,16 +64,21 @@ class MaterializedViewSpec extends SparkSpec {
     // fresh catalog: discovery via sidecar + backing table
     val cat2 = new StoreCatalog(base)
     val shown = cat2.exec(spark, "SHOW MATERIALIZED VIEWS")
-      .select("mvName").as[String].collect().toSet
-    assert(shown == Set("gold"), shown)
+      .select("mvName", "stale").as[(String, Boolean)].collect().toSet
+    assert(shown == Set(("gold", false)), shown)
     assert(asMap(cat2.query(spark,
       "SELECT k, cnt, total, lo, hi FROM gold")) ==
       asMap(cat2.query(spark, defn)))
     // and the fresh catalog can refresh incrementally too
     cat2.exec(spark, "INSERT INTO ev VALUES ('b', 1, 1.0)",
       batchId = Some(2L))
+    // a moved source flips the staleness flag until the refresh
+    assert(cat2.exec(spark, "SHOW MATERIALIZED VIEWS")
+      .select("stale").as[Boolean].head())
     assert(modeOf(cat2.exec(spark, "REFRESH MATERIALIZED VIEW gold"))
       == "incremental")
+    assert(!cat2.exec(spark, "SHOW MATERIALIZED VIEWS")
+      .select("stale").as[Boolean].head())
     assert(asMap(cat2.query(spark,
       "SELECT k, cnt, total, lo, hi FROM gold")) ==
       asMap(cat2.query(spark, defn)))
