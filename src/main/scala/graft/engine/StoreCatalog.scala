@@ -1860,6 +1860,28 @@ final class StoreCatalog(basePath: String) {
       }
     }
 
+  /** Materialized views whose definition references `name` as a bare
+    * relation — same hazard as [[viewsReferencing]], checked by raw
+    * name (no resolve: the point is to catch the reference BEFORE the
+    * name stops resolving).
+    */
+  private def mviewsReferencing(spark: SparkSession,
+      name: String): Seq[String] =
+    listMaterializedViews(spark).filter { mv =>
+      mviewSpec(spark, mv).exists { case (text, _) =>
+        try {
+          val p = spark.sessionState.sqlParser.parsePlan(text)
+          (p +: p.subqueriesAll).exists(_.collectFirst {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedRelation
+                if u.multipartIdentifier.size == 1 &&
+                  u.multipartIdentifier.head.equalsIgnoreCase(name) =>
+              ()
+          }.isDefined)
+        } catch { case _: Exception => false }
+      }
+    }
+
   /** `ALTER TABLE old RENAME TO new` — POINTER-LEVEL rename: the data
     * stays where it is (at 100 TB nothing else is affordable), the
     * NAME moves. The migration set, in crash-safe order:
@@ -1910,6 +1932,11 @@ final class StoreCatalog(basePath: String) {
     require(refs.isEmpty,
       s"RENAME '$oldName': view(s) ${refs.mkString(", ")} reference " +
         "it by name and would break; DROP or redefine them first")
+    val mvRefs = mviewsReferencing(spark, oldName)
+    require(mvRefs.isEmpty,
+      s"RENAME '$oldName': materialized view(s) " +
+        s"${mvRefs.mkString(", ")} reference it by name — their " +
+        "REFRESH would break; DROP them first")
     val conf = spark.sparkContext.hadoopConfiguration
     val newPtr = new org.apache.hadoop.fs.Path(
       s"$basePath/_catalog/$newName")
@@ -2002,10 +2029,14 @@ final class StoreCatalog(basePath: String) {
       mapper.writeValueAsString(root).getBytes("UTF-8"))
   }
 
-  /** Source tables a definition references, by bare name. */
+  /** Source tables a definition references, by bare name — views
+    * spliced first, so an MV over a view tracks (and refreshes
+    * against) the view's underlying TABLES.
+    */
   private def mviewSources(spark: SparkSession,
       text: String): Seq[String] = {
-    val p = spark.sessionState.sqlParser.parsePlan(text)
+    val p = spliceViews(spark,
+      spark.sessionState.sqlParser.parsePlan(text))
     attachReferenced(spark, p)
     (p +: p.subqueriesAll).flatMap(_.collect {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -2271,6 +2302,11 @@ final class StoreCatalog(basePath: String) {
     require(refs.isEmpty,
       s"RENAME VIEW '$oldName': view(s) ${refs.mkString(", ")} " +
         "reference it by name and would break; redefine them first")
+    val mvRefs = mviewsReferencing(spark, oldName)
+    require(mvRefs.isEmpty,
+      s"RENAME VIEW '$oldName': materialized view(s) " +
+        s"${mvRefs.mkString(", ")} reference it by name — their " +
+        "REFRESH would break; DROP them first")
     publishView(spark, newName, text)
     dropViewSidecar(spark, oldName)
     spark.emptyDataFrame

@@ -208,4 +208,59 @@ class MaterializedViewSpec extends SparkSpec {
     }
     cat.exec(spark, "DROP MATERIALIZED VIEW IF EXISTS gm")
   }
+
+  test("an MV pins its referenced names: renaming a source table (or " +
+      "a view the definition uses) refuses; an MV OVER a view tracks " +
+      "the view's underlying tables and refreshes (full recompute)") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE src9 (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO src9 VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE VIEW v9 AS SELECT k, n FROM src9 WHERE n > 0")
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW mv9 AS SELECT k, SUM(n) AS t " +
+        "FROM v9 GROUP BY k", batchId = Some(100L))
+    assert(cat.query(spark, "SELECT k, t FROM mv9 ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    // the MV tracks the UNDERLYING table: an append there flips
+    // staleness and REFRESH picks it up (through the view = full)
+    cat.exec(spark, "INSERT INTO src9 VALUES ('a', 10)",
+      batchId = Some(1L))
+    val mode = cat.exec(spark, "REFRESH MATERIALIZED VIEW mv9")
+      .head().getString(0)
+    assert(mode.startsWith("full:"), mode)
+    assert(cat.query(spark, "SELECT t FROM mv9 WHERE k = 'a'")
+      .as[Long].head() == 11L)
+    // renaming the source table refuses (the view guard catches the
+    // transitive reference first — v9 names src9); renaming the view
+    // refuses with the MV hint (the MV names v9 directly)
+    val e1 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE src9 RENAME TO src9x")
+    }
+    assert(e1.getMessage.contains("v9"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER VIEW v9 RENAME TO v9x")
+    }
+    assert(e2.getMessage.contains("mv9"), e2.getMessage)
+    // an MV DIRECTLY over a table pins the table's name too
+    cat.exec(spark,
+      "CREATE TABLE src10 (k STRING) USING graft_store")
+    cat.exec(spark, "INSERT INTO src10 VALUES ('x')",
+      batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW mv10 AS SELECT k, COUNT(*) AS c " +
+        "FROM src10 GROUP BY k", batchId = Some(101L))
+    val e3 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE src10 RENAME TO src10x")
+    }
+    assert(e3.getMessage.contains("mv10"), e3.getMessage)
+    // drop the MVs, the renames proceed
+    cat.exec(spark, "DROP MATERIALIZED VIEW mv9")
+    cat.exec(spark, "ALTER VIEW v9 RENAME TO v9x")
+    cat.exec(spark, "DROP MATERIALIZED VIEW mv10")
+    cat.exec(spark, "ALTER TABLE src10 RENAME TO src10x")
+  }
 }
