@@ -323,6 +323,19 @@ final class StoreCatalog(basePath: String) {
     // column-describe of table `DETAIL`) yet routes as a maintenance
     // verb — its real target must lazy-attach like any other
     StoreSql.maintenanceTarget(sql).foreach(resolve(spark, _))
+    // RESTORE routes through the maintenance regexes (never `parsed`);
+    // restoring an MV's backing table desyncs content from the
+    // refresh sidecar exactly like TRUNCATE — same guard. Content-
+    // preserving maintenance (OPTIMIZE/VACUUM) stays allowed.
+    if (!mvInternalOp.get() &&
+        StoreSql.stripInert(sql).trim.toUpperCase.startsWith("RESTORE"))
+      StoreSql.maintenanceTarget(sql)
+        .filter(mviewSpec(spark, _).isDefined).foreach { n =>
+          throw new IllegalArgumentException(
+            s"'$n' is a MATERIALIZED VIEW — RESTORE would desync its " +
+              "content from the refresh sidecar; DROP and re-CREATE " +
+              "it, or REFRESH after changing the sources")
+        }
     // an IDENTITY column's metadata lives in the CATALOG while
     // rename/drop/retype route through StoreSql — without this guard
     // a rename would strand the identity registry under the old name
@@ -1409,14 +1422,25 @@ final class StoreCatalog(basePath: String) {
     parts.head
   }
 
-  /** Refuse direct DML into a materialized view's backing table —
-    * MV content is DERIVED state; a hand INSERT would be silently
-    * overwritten by the next full recompute and silently double-
-    * counted by the next incremental fold. (The MV machinery itself
-    * writes through the store handle, not through exec's DML path.)
+  /** True while the MV machinery itself drives exec (the full-
+    * recompute RTAS) — its statements bypass [[guardMvWrite]].
+    */
+  private val mvInternalOp = new ThreadLocal[Boolean] {
+    override def initialValue(): Boolean = false
+  }
+
+  /** Refuse direct writes into a materialized view's backing table —
+    * MV content is DERIVED state. DML (a hand INSERT) would be
+    * silently overwritten by the next full recompute and silently
+    * double-counted by the next incremental fold; TRUNCATE / REPLACE
+    * / RESTORE are worse — they change the content while the sidecar
+    * still records the sources as refreshed, so the next REFRESH
+    * reports `current` over wrong data. (The MV machinery's own
+    * writes run under [[mvInternalOp]].)
     */
   private def guardMvWrite(spark: SparkSession,
       plan: LogicalPlan): Unit = {
+    if (mvInternalOp.get()) return
     def targetName(rel: LogicalPlan): Option[String] = rel match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 =>
@@ -1434,6 +1458,23 @@ final class StoreCatalog(basePath: String) {
           .DeleteFromTable => targetName(d.table)
       case m: org.apache.spark.sql.catalyst.plans.logical
           .MergeIntoTable => targetName(m.targetTable)
+      case t: org.apache.spark.sql.catalyst.plans.logical
+          .TruncateTable =>
+        Some(tableNameOf(t.table, "TRUNCATE"))
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTable =>
+        r.name match {
+          case u: UnresolvedIdentifier if u.nameParts.size == 1 =>
+            Some(u.nameParts.head)
+          case _ => None
+        }
+      case r: org.apache.spark.sql.catalyst.plans.logical
+          .ReplaceTableAsSelect =>
+        r.name match {
+          case u: UnresolvedIdentifier if u.nameParts.size == 1 =>
+            Some(u.nameParts.head)
+          case _ => None
+        }
       case _ => None
     }
     tgt.filter(mviewSpec(spark, _).isDefined).foreach { n =>
@@ -2127,8 +2168,10 @@ final class StoreCatalog(basePath: String) {
       return Seq(("current", 0L, 0L))
         .toDF("mode", "from_version", "to_version")
     def full(reason: String): DataFrame = {
-      exec(spark, s"REPLACE TABLE $name AS $text",
+      mvInternalOp.set(true)
+      try exec(spark, s"REPLACE TABLE $name AS $text",
         Some(MvRefreshBidBase + curs.values.sum))
+      finally mvInternalOp.set(false)
       publishMviewSpec(spark, name, text, curs)
       Seq((s"full:$reason", 0L, curs.values.max))
         .toDF("mode", "from_version", "to_version")

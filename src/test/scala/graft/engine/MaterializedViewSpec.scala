@@ -183,6 +183,30 @@ class MaterializedViewSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("DROP MATERIALIZED VIEW"),
       e2.getMessage)
+    // content-DESYNCING verbs refuse too: TRUNCATE / REPLACE /
+    // RESTORE would change the backing while the sidecar still
+    // records the sources as refreshed — the next REFRESH would
+    // report 'current' over wrong data
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "TRUNCATE TABLE gm")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE OR REPLACE TABLE gm (x INT) USING graft_store")
+    }
+    intercept[IllegalArgumentException] {
+      cat.exec(spark, "RESTORE TABLE gm TO VERSION AS OF 1")
+    }
+    // content-preserving maintenance stays allowed
+    cat.exec(spark, "OPTIMIZE gm")
+    // and the MV's own full recompute still runs (internal bypass)
+    cat.exec(spark, "INSERT INTO g1 VALUES ('b', 2)",
+      batchId = Some(1L))
+    cat.exec(spark, "DELETE FROM g1 WHERE k = 'a'")
+    assert(cat.exec(spark, "REFRESH MATERIALIZED VIEW gm")
+      .head().getString(0).startsWith("full:"))
+    assert(cat.query(spark, "SELECT k, c FROM gm")
+      .as[(String, Long)].collect().toSeq == Seq(("b", 1L)))
     intercept[IllegalArgumentException] {
       cat.exec(spark, "ALTER TABLE gm RENAME TO gm2")
     }
