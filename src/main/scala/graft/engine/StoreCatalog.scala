@@ -129,7 +129,13 @@ final class StoreCatalog(basePath: String) {
             specFiles(f, st.getPath.toString).nonEmpty)
         .map(_.getPath.getName)
         .filterNot(renamedAway)
-    (reg.keys.toSeq ++ pointers ++ onDisk).distinct.sorted
+    // the POINTERS leg too: a crash between a rename's tombstone
+    // publish and its old-pointer delete leaves the stale old pointer
+    // on disk — without this filter the phantom old name would list
+    // forever (and resolve(old) refuses with the forwarding hint, so
+    // nothing could ever read it)
+    (reg.keys.toSeq ++ pointers.filterNot(renamedAway) ++ onDisk)
+      .distinct.sorted
   }
 
   /** Names that resolved to NOTHING (no pointer, no spec, no commits)
@@ -315,6 +321,12 @@ final class StoreCatalog(basePath: String) {
     // before dispatch, so a session can operate on tables it never
     // created
     parsed match {
+      // a RENAME resolves its own names — and must TOLERATE a
+      // half-migrated one (tombstone published, old pointer not yet
+      // deleted): attachReferenced's resolve would throw the
+      // forwarding hint and make the crashed rename unrecoverable
+      case Some(_: org.apache.spark.sql.catalyst.plans.logical
+          .RenameTable) => ()
       case Some(p) => attachReferenced(spark, p)
       case None =>
     }
@@ -364,7 +376,7 @@ final class StoreCatalog(basePath: String) {
           case Some(_) =>
           case None =>
             ctasFresh(spark, name, ctas.partitioning, ctas.tableSpec,
-              spliceViews(spark, ctas.query), batchId)
+              mvRewriteQuery(spliceViews(spark, ctas.query)), batchId)
         }
         spark.emptyDataFrame
       case Some(rt: org.apache.spark.sql.catalyst.plans.logical
@@ -419,7 +431,7 @@ final class StoreCatalog(basePath: String) {
             // EXPRESSION plan that bare transform never visits — it
             // would read the already-emptied post-replace state.
             val preV = s.currentVersion(spark).toString
-            val pinned = spliceViews(spark, rtas.query)
+            val pinned = mvRewriteQuery(spliceViews(spark, rtas.query))
               .transformWithSubqueries {
               case u: org.apache.spark.sql.catalyst.analysis
                   .UnresolvedRelation
@@ -943,10 +955,66 @@ final class StoreCatalog(basePath: String) {
         }
         out
       case _ =>
-        StoreSql.exec(spark, tables, sql, batchId, defaults, generated,
-          identityCols, spliceViews(spark, _))
+        mvVacuumAdvisories(spark, sql,
+          StoreSql.exec(spark, tables, sql, batchId, defaults,
+            generated, identityCols, spliceViews(spark, _)))
     }
   }
+
+  /** `VACUUM t ... DRY RUN` reporting, MV-aware: alongside the paths
+    * the vacuum would delete, advisory rows name every materialized
+    * view whose last-refreshed version of `t` falls below the
+    * retention horizon — its next REFRESH will lose its incremental
+    * window and full-recompute (gracefully; the advisory lets the
+    * operator refresh FIRST and keep the cheap path). Mirrors the
+    * clone_refs awareness, as a report rather than a refusal: unlike
+    * a clone, an MV survives the vacuum correct. Metadata-bounded —
+    * one sidecar read per MV plus one manifest-dir listing.
+    */
+  private def mvVacuumAdvisories(spark: SparkSession, sql: String,
+      out: DataFrame): DataFrame =
+    StoreSql.stripInert(sql).trim match {
+      case StoreSql.VacuumStmt(t, hours, dry) if dry != null =>
+        val mvs = mviewsReferencing(spark, t)
+        if (mvs.isEmpty) return out
+        val sOpt = try resolve(spark, t) catch {
+          case _: IllegalArgumentException => None
+        }
+        sOpt.map { s =>
+          // the same horizon arithmetic the vacuum itself applies:
+          // versions COMMITTED inside the retention window survive
+          val retainHours = Option(hours).map(_.toLong).getOrElse(168L)
+          val cutoff =
+            System.currentTimeMillis() - retainHours * 3600000L
+          val mdir = new org.apache.hadoop.fs.Path(
+            s"${s.tablePath}/manifest")
+          val mfs = mdir.getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          val recent =
+            if (!mfs.exists(mdir)) 0
+            else mfs.listStatus(mdir).count(st =>
+              st.getPath.getName.startsWith("v") &&
+                st.getModificationTime >= cutoff)
+          val horizon =
+            math.max(1L, s.currentVersion(spark) - recent)
+          val rows = mvs.flatMap { mv =>
+            mviewSpec(spark, mv).flatMap(_._2.get(t))
+              .filter(_ < horizon).map { last =>
+                s"advisory: materialized view '$mv' last refreshed " +
+                  s"at $t version $last, below the retention " +
+                  s"horizon $horizon — its next REFRESH will " +
+                  "full-recompute; REFRESH before vacuuming to keep " +
+                  "the incremental window"
+              }
+          }
+          if (rows.isEmpty) out
+          else {
+            import spark.implicits._
+            out.unionAll(rows.toDF("path"))
+          }
+        }.getOrElse(out)
+      case _ => out
+    }
 
   /** Shared SET/UNSET TBLPROPERTIES leg: transform the persisted
     * store-knob properties, validate against the live schema, publish
@@ -1961,6 +2029,36 @@ final class StoreCatalog(basePath: String) {
         "keys by name; DROP and re-CREATE it under the new name")
     require(viewText(spark, newName).isEmpty,
       s"RENAME TO '$newName': a VIEW holds that name")
+    // idempotent completion of a rename that crashed between its
+    // tombstone publish (step 2) and its old-pointer delete (step 3):
+    // the tombstone already forwards old→new, so resolve(oldName)
+    // below would THROW the forwarding hint and the re-run could
+    // never finish the migration. When the tombstone names exactly
+    // this target and the new pointer is live, the only step left is
+    // deleting the stale old pointer — do it and return. Fail-safe:
+    // if an old pointer exists but addresses a DIFFERENT path than
+    // the new one, refuse (never delete a pointer we cannot prove is
+    // the crashed rename's leftover).
+    if (renamedTo(spark, oldName).exists(_.equalsIgnoreCase(newName))) {
+      val newTgt = readPointer(spark, newName)
+      require(newTgt.isDefined,
+        s"RENAME '$oldName': a tombstone already forwards to " +
+          s"'$newName' but no pointer holds that name — the catalog " +
+          "is inconsistent; inspect _catalog/_renamed by hand")
+      val oldTgt = readPointer(spark, oldName)
+      require(oldTgt.isEmpty || oldTgt == newTgt,
+        s"RENAME '$oldName': tombstone forwards to '$newName' but " +
+          s"the two pointers address different paths ($oldTgt vs " +
+          s"$newTgt); inspect _catalog by hand")
+      if (oldTgt.isDefined) {
+        val p = new org.apache.hadoop.fs.Path(
+          s"$basePath/_catalog/$oldName")
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, false)
+      }
+      reg.remove(oldName)
+      return spark.emptyDataFrame
+    }
     val src = resolve(spark, oldName).getOrElse(
       throw new IllegalArgumentException(
         s"RENAME: unknown table '$oldName' (known: " +
@@ -2105,13 +2203,65 @@ final class StoreCatalog(basePath: String) {
     require(srcs.nonEmpty,
       "CREATE MATERIALIZED VIEW: the definition references no store " +
         "table — materialize of a constant query is a CTAS")
-    // snapshot the source versions BEFORE the load: rows committed to
-    // a source DURING the CTAS are caught by the next REFRESH (the
-    // window re-covers them) — versions after the load could skip them
+    // the definition's WIDTH must be pinned at create: a naked `*`
+    // (top level, in a subquery, or inside a spliced view — views
+    // here are TEXT, re-parsed per read, so their stars widen too)
+    // silently changes the backing schema when a source evolves, and
+    // neither the backing table nor the refresh decomposition can
+    // follow. COUNT(*) is untouched (its star lives inside the
+    // function, not the projection).
+    require(!mvHasNakedStar(spark, text),
+      "CREATE MATERIALIZED VIEW: the definition selects `*` — its " +
+        "width would silently change when a source evolves; name the " +
+        "columns explicitly")
+    // snapshot the source versions BEFORE the load AND pin the load's
+    // reads AT those versions (mvRewriteQuery): the sidecar then
+    // records exactly what the backing holds — a commit landing
+    // during the CTAS is neither skipped nor double-counted, the next
+    // REFRESH's window covers it once
     val lasts = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
-    exec(spark, s"CREATE TABLE $name AS $text", batchId)
+    mvCtasRewrite.set((lasts, mvAvgExpandFor(spark, text, srcs)))
+    try exec(spark, s"CREATE TABLE $name AS $text", batchId)
+    finally mvCtasRewrite.remove()
     publishMviewSpec(spark, name, text, lasts)
     spark.emptyDataFrame
+  }
+
+  /** Does the decomposer fold this definition's AVGs incrementally?
+    * If so the CTAS/REPLACE load must carry the sum/count pair
+    * columns the fold works on.
+    */
+  private def mvAvgExpandFor(spark: SparkSession, text: String,
+      srcs: Seq[String]): Boolean =
+    srcs.size == 1 && mvIncrementalShape(spark, text, srcs.head)
+      .exists {
+        case Right(sh) => sh.aggs.exists(_._2 == "avg")
+        case _ => false
+      }
+
+  /** A naked `SELECT *` / `t.*` anywhere in the (view-spliced)
+    * definition — stars inside function arguments (COUNT(*)) don't
+    * count.
+    */
+  private def mvHasNakedStar(spark: SparkSession,
+      text: String): Boolean = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedStar
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      Aggregate, Project}
+    def naked(e: Expression): Boolean = e match {
+      case _: UnresolvedStar => true
+      case a: Alias => naked(a.child)
+      case _ => false
+    }
+    val p = spliceViews(spark,
+      spark.sessionState.sqlParser.parsePlan(text))
+    (p +: p.subqueriesAll).exists(_.exists {
+      case pr: Project => pr.projectList.exists(naked)
+      case ag: Aggregate => ag.aggregateExpressions.exists(naked)
+      case _ => false
+    })
   }
 
   private def dropMaterializedView(spark: SparkSession, name: String,
@@ -2146,10 +2296,118 @@ final class StoreCatalog(basePath: String) {
     */
   private val MvRefreshBidBase = 1L << 40
 
+  /** MV-internal CTAS/RTAS load rewrite, applied by [[exec]]'s
+    * CTAS/RTAS branches after view splicing: (source → pin version)
+    * plus whether AVG expands into its fold pair. Empty outside an MV
+    * create / full refresh.
+    */
+  private val mvCtasRewrite =
+    new ThreadLocal[(Map[String, Long], Boolean)] {
+      override def initialValue: (Map[String, Long], Boolean) =
+        (Map.empty, false)
+    }
+
+  /** Pin each MV source at the version the sidecar will record (a
+    * commit landing between the snapshot and the CTAS/REPLACE read
+    * must not be BOTH materialized now and re-folded by the next
+    * incremental refresh — double-counted sums) and, when the
+    * decomposer will fold AVG, widen the top-level aggregate with its
+    * sum/count pair. Identity outside an MV load. A version-0 source
+    * pins as a bare read: nothing is committed, so there is nothing
+    * to travel to (and nothing to double-count).
+    */
+  private def mvRewriteQuery(q: LogicalPlan): LogicalPlan = {
+    val (pins, avgExpand) = mvCtasRewrite.get()
+    val q1 = if (avgExpand) expandAvgAggs(q) else q
+    if (pins.isEmpty) q1
+    else q1.transformWithSubqueries {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 &&
+            pins.exists(_._1.equalsIgnoreCase(
+              u.multipartIdentifier.head)) =>
+        val v = pins.find(_._1.equalsIgnoreCase(
+          u.multipartIdentifier.head)).get._2
+        if (v <= 0) u
+        else new org.apache.spark.sql.catalyst.analysis
+          .RelationTimeTravel(u, None, Some(v.toString))
+    }
+  }
+
+  /** `AVG(x) AS a` additionally materializes `SUM(x) AS a__sum,
+    * COUNT(x) AS a__cnt` — the distributive pair the incremental fold
+    * combines; the served ratio `a` is recomputed from the FOLDED
+    * pair at every refresh, so it always equals the full recompute.
+    */
+  private def expandAvgAggs(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    plan match {
+      case agg @ Aggregate(_, aggExprs, _, _) =>
+        // pairs APPEND after the declared outputs — splicing them
+        // inline would shift the positions `GROUP BY <ordinal>`
+        // resolves against
+        val pairs = aggExprs.flatMap {
+          case Alias(uf: UnresolvedFunction, out)
+              if uf.nameParts.size == 1 &&
+                Set("avg", "mean")(uf.nameParts.head.toLowerCase) &&
+                !uf.isDistinct && uf.filter.isEmpty =>
+            Seq(
+              Alias(uf.copy(nameParts = Seq("sum")),
+                out + "__sum")(),
+              Alias(uf.copy(nameParts = Seq("count")),
+                out + "__cnt")())
+          case _ => Nil
+        }
+        if (pairs.isEmpty) agg
+        else agg.copy(aggregateExpressions = aggExprs ++ pairs)
+      case other => other
+    }
+  }
+
+  /** Crash/vacuum-tolerant refresh bookkeeping: the last CDF window
+    * the backing table ACTUALLY folded, derived from the reserved
+    * refresh batch-id namespace in its own manifest (metadata-bounded,
+    * one read). The sidecar alone is not trustworthy — a crash between
+    * a refresh's data commit and the sidecar publish would otherwise
+    * re-fold the already-applied window under the NEXT window's fresh
+    * batch id, silently doubling counts and sums. A full REPLACE's id
+    * encodes the same source version (single-source: the version sum
+    * IS the version), so recovery spans both refresh modes.
+    */
+  private def mvAppliedTip(spark: SparkSession,
+      name: String): Option[Long] =
+    resolve(spark, name).flatMap(_.committedBatchIds(spark)
+      .filter(_ >= MvRefreshBidBase).map(_ - MvRefreshBidBase)
+      .reduceOption(_ max _))
+
+  /** Did a feed read/evaluation fail because the window's versions
+    * (manifests or data dirs) were vacuumed away? Routine source
+    * maintenance must degrade REFRESH to a full recompute, never a
+    * hard failure.
+    */
+  private def mvWindowVacuumed(e: Throwable): Boolean = {
+    var t: Throwable = e
+    var hops = 0
+    while (t != null && hops < 16) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = t.getMessage
+      if (m != null && (m.contains("is missing or incomplete") ||
+          m.contains("does not exist"))) return true
+      t = if (t.getCause eq t) null else t.getCause
+      hops += 1
+    }
+    false
+  }
+
   /** REFRESH MATERIALIZED VIEW — returns one row
     * (mode, from_version, to_version) describing what ran:
     * `current` (nothing to do), `incremental` (CDF window only), or
-    * `full` (recompute, with the reason in the mode string).
+    * `full:<reason>` (recompute, saying why). Robustness contract: a
+    * vacuumed CDF window, a NULL group key in the delta, and a
+    * backing table predating the AVG pair columns all degrade to the
+    * full recompute LOUDLY — REFRESH never hard-fails on routine
+    * source maintenance and never folds wrong numbers silently.
     */
   private def refreshMaterializedView(spark: SparkSession,
       name: String): DataFrame = {
@@ -2164,69 +2422,125 @@ final class StoreCatalog(basePath: String) {
         "source tables resolve (dropped or renamed?); DROP the MV or " +
         "recreate the sources")
     val curs = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
-    if (srcs.forall(t => lasts.get(t).contains(curs(t))))
-      return Seq(("current", 0L, 0L))
-        .toDF("mode", "from_version", "to_version")
+    val avgExpand = mvAvgExpandFor(spark, text, srcs)
+    def currentRow(): DataFrame = Seq(("current", 0L, 0L))
+      .toDF("mode", "from_version", "to_version")
     def full(reason: String): DataFrame = {
       mvInternalOp.set(true)
+      mvCtasRewrite.set((curs, avgExpand))
       try exec(spark, s"REPLACE TABLE $name AS $text",
         Some(MvRefreshBidBase + curs.values.sum))
-      finally mvInternalOp.set(false)
+      finally { mvInternalOp.set(false); mvCtasRewrite.remove() }
       publishMviewSpec(spark, name, text, curs)
       Seq((s"full:$reason", 0L, curs.values.max))
         .toDF("mode", "from_version", "to_version")
     }
-    if (srcs.size != 1) return full("multi-source definition")
+    if (srcs.size != 1) {
+      if (srcs.forall(t => lasts.get(t).contains(curs(t))))
+        return currentRow()
+      return full("multi-source definition")
+    }
     val srcName = srcs.head
-    val (fromV, toV) = (lasts.getOrElse(srcName, 0L), curs(srcName))
+    val toV = curs(srcName)
+    val sidecarFrom = lasts.getOrElse(srcName, 0L)
+    val fromV = math.max(sidecarFrom,
+      mvAppliedTip(spark, name).getOrElse(0L))
+    if (fromV >= toV) {
+      // the backing already folded everything up to toV; if the
+      // sidecar lags (crash between data commit and publish), heal it
+      if (sidecarFrom < fromV)
+        publishMviewSpec(spark, name, text, Map(srcName -> fromV))
+      return currentRow()
+    }
     val shape = mvIncrementalShape(spark, text, srcName).getOrElse {
       return full("non-decomposable definition")
     }
     val src = store(srcName)
     // ONE window-bounded feed read; deletes/updates in the window
-    // cannot be folded into COUNT/SUM/MIN/MAX — recompute loudly
+    // cannot be folded into COUNT/SUM/MIN/MAX — recompute loudly; a
+    // VACUUMED window (missing manifest or data dir) likewise — a
+    // routine source vacuum must never hard-fail the refresh
     import org.apache.spark.sql.functions.{col => fcol}
-    val feed = src.readChangeFeed(spark, fromV, toV)
     import Pin.Pinnable
-    val deltaAll = feed.pinned
+    val deltaAll =
+      try src.readChangeFeed(spark, fromV, toV).pinned
+      catch {
+        case scala.util.control.NonFatal(e) if mvWindowVacuumed(e) =>
+          return full("cdf window vacuumed")
+      }
     if (deltaAll.filter(fcol("_change_type") =!= "insert")
         .limit(1).count() > 0)
       return full("deletes in the CDF window")
     val delta = deltaAll.filter(fcol("_change_type") === "insert")
       .drop("_change_type", "batch_id")
     val bid = MvRefreshBidBase + toV
-    val dApplied = applyOverDelta(spark, text, srcName, delta)
+    val dApplied = applyOverDelta(spark, text, srcName, delta,
+      avgExpand)
     shape match {
       case Left(()) =>
         // pure row-map: the transformed delta simply appends
         store(name).append(dApplied, bid)
-      case Right((key, aggCols)) =>
+      case Right(MvShape(keys, aggs)) =>
         // distributive aggregate: fold the delta's partials into the
         // backing rows — count/sum add, min/max fold (inserts-only
-        // windows make MIN/MAX sound: nothing retracts). The keyed
-        // merge rewrites only dirs whose key range overlaps the
-        // delta's groups — stats-bounded, gold-table-sized, never
+        // windows make MIN/MAX sound: nothing retracts), avg's pair
+        // folds and the served ratio recomputes. The keyed merge
+        // rewrites only dirs whose key range overlaps the delta's
+        // groups — stats-bounded, gold-table-sized, never
         // source-sized.
         import org.apache.spark.sql.functions.{
           coalesce, col => fcol, greatest, least, lit, when}
+        // a NULL group key never meets the keyed merge's equality —
+        // each refresh would INSERT another null-key row instead of
+        // folding it; recompute loudly (delta-partial-sized probe)
+        if (dApplied.filter(keys.map(fcol(_).isNull)
+            .reduce(_ || _)).limit(1).count() > 0)
+          return full("null group key in the delta")
         val backing = store(name).read(spark).drop("batch_id")
+        // an MV created before AVG decomposition has no pair columns
+        // to fold into — one full recompute upgrades the backing
+        if (aggs.exists { case (a, fn) => fn == "avg" &&
+            !backing.columns.exists(
+              _.equalsIgnoreCase(a + "__sum")) })
+          return full("backing predates avg decomposition")
         val joined = dApplied.alias("d")
-          .join(backing.alias("b"), Seq(key), "left")
-        val combined = joined.select(fcol(key) +: aggCols.map {
-          case (alias, fn) =>
-            val d = fcol(s"d.$alias"); val b = fcol(s"b.$alias")
-            val zero = lit(0).cast(dApplied.schema(alias).dataType)
-            (fn match {
-              case "count" => d + coalesce(b, zero)
-              case "sum" =>
-                when(d.isNull && b.isNull, lit(null))
-                  .otherwise(coalesce(d, zero) + coalesce(b, zero))
-                  .cast(dApplied.schema(alias).dataType)
-              case "min" => least(d, b)
-              case "max" => greatest(d, b)
-            }).as(alias)
+          .join(backing.alias("b"), keys, "left")
+        def fold(alias: String,
+            fn: String): org.apache.spark.sql.Column = {
+          val d = fcol(s"d.$alias"); val b = fcol(s"b.$alias")
+          val zero = lit(0).cast(dApplied.schema(alias).dataType)
+          fn match {
+            case "count" => d + coalesce(b, zero)
+            case "sum" =>
+              when(d.isNull && b.isNull, lit(null))
+                .otherwise(coalesce(d, zero) + coalesce(b, zero))
+                .cast(dApplied.schema(alias).dataType)
+            case "min" => least(d, b)
+            case "max" => greatest(d, b)
+          }
+        }
+        val avgAliases = aggs.collect { case (a, "avg") => a }
+        def isAvg(c: String) = avgAliases.exists(_.equalsIgnoreCase(c))
+        val combined = joined.select(dApplied.columns.toSeq.map { c =>
+          if (keys.exists(_.equalsIgnoreCase(c))) fcol(c)
+          else if (isAvg(c)) {
+            // ratio over the FOLDED pair; guard the division so ANSI
+            // mode never throws on an all-null group (cnt = 0)
+            val s = fold(c + "__sum", "sum")
+            val n = fold(c + "__cnt", "count")
+            when(n === 0, lit(null))
+              .otherwise(s.cast("double") / n)
+              .cast(dApplied.schema(c).dataType).as(c)
+          } else {
+            val fn = aggs.find(_._1.equalsIgnoreCase(c)).map(_._2)
+              .getOrElse(
+                // only the generated pair columns are unmatched
+                if (c.toLowerCase.endsWith("__cnt")) "count"
+                else "sum")
+            fold(c, fn).as(c)
+          }
         }: _*)
-        store(name).merge(spark, combined, key, bid)
+        store(name).merge(spark, combined, keys, bid)
     }
     publishMviewSpec(spark, name, text, Map(srcName -> toV))
     Seq(("incremental", fromV, toV))
@@ -2240,10 +2554,13 @@ final class StoreCatalog(basePath: String) {
     * yields exactly the partial the combine step folds in.
     */
   private def applyOverDelta(spark: SparkSession, text: String,
-      srcName: String,
-      delta: org.apache.spark.sql.DataFrame): org.apache.spark.sql
+      srcName: String, delta: org.apache.spark.sql.DataFrame,
+      avgExpand: Boolean): org.apache.spark.sql
       .DataFrame = {
-    val parsed = spark.sessionState.sqlParser.parsePlan(text)
+    val parsed0 = spark.sessionState.sqlParser.parsePlan(text)
+    // the delta partial must carry the same expanded columns the
+    // backing table holds (avg's sum/count pair)
+    val parsed = if (avgExpand) expandAvgAggs(parsed0) else parsed0
     val sub = parsed.transformWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
@@ -2255,27 +2572,92 @@ final class StoreCatalog(basePath: String) {
       StoreSql.route(spark, tables, sub))
   }
 
+  /** A decomposable GROUP BY shape: the key OUTPUT column names plus
+    * the aliased aggregates (`fn` ∈ count|sum|min|max|avg; avg folds
+    * through its `<alias>__sum`/`<alias>__cnt` pair).
+    */
+  private case class MvShape(keys: Seq[String],
+      aggs: Seq[(String, String)])
+
+  /** Expression GROUP BY keys must be DETERMINISTIC over the source —
+    * the fold re-applies them over the delta and the partials must
+    * land on the same groups a full recompute produces. Probed
+    * through the analyzer against the live source schema
+    * (metadata-only, no job); anything that fails analysis fails the
+    * probe and REFRESH recomputes fully. Time-dependent "constants"
+    * (current_date/current_timestamp) carry deterministic=true yet
+    * evaluate differently per STATEMENT — a delta partial keyed on
+    * refresh-day would never fold into a backing row keyed on
+    * create-day — so they are rejected by class name.
+    */
+  private def mvKeyExprsDeterministic(spark: SparkSession,
+      srcName: String,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean =
+    exprs.isEmpty || (try {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      val timeDependent = Set("CurrentDate", "CurrentTimestamp",
+        "Now", "LocalTimestamp", "CurrentTimeZone",
+        "CurrentBatchTimestamp")
+      val probe = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+        Project(exprs.zipWithIndex.map { case (e, i) =>
+          Alias(e, s"__k$i")() },
+          org.apache.spark.sql.graftshim.PlanShim.planOf(
+            store(srcName).read(spark))))
+      probe.queryExecution.analyzed.expressions.forall { e =>
+        e.deterministic &&
+          !e.exists(x => timeDependent(x.getClass.getSimpleName))
+      }
+    } catch { case scala.util.control.NonFatal(_) => false })
+
+  /** AVG decomposes only when its argument resolves to a NON-decimal
+    * numeric over the source: the fold serves `sum/count` as a double
+    * ratio, bit-exact for long/double partial sums but able to drift
+    * from Spark's exact decimal average. Analysis-only probe, no job.
+    */
+  private def mvAvgArgFoldable(spark: SparkSession, srcName: String,
+      args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean =
+    args.size == 1 && (try {
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Project
+      import org.apache.spark.sql.types.{DecimalType, NumericType}
+      val probe = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+        Project(Seq(Alias(args.head, "__a")()),
+          org.apache.spark.sql.graftshim.PlanShim.planOf(
+            store(srcName).read(spark))))
+      probe.schema.head.dataType match {
+        case _: DecimalType => false
+        case _: NumericType => true
+        case _ => false
+      }
+    } catch { case scala.util.control.NonFatal(_) => false })
+
   /** The decomposable shape of an MV definition, if it has one:
     * Left(()) = pure Project/Filter row-map over the single source
-    * (delta rows append through the same map); Right((key, aggs)) =
-    * single-column GROUP BY whose outputs are the key plus aliased
-    * COUNT/SUM/MIN/MAX aggregates (delta partials fold into backing).
-    * Anything else — joins, windows, DISTINCT, subqueries, AVG,
-    * multi-column groups — returns None and REFRESH recomputes fully,
-    * saying so.
+    * (delta rows append through the same map); Right(MvShape) =
+    * GROUP BY over the source whose outputs are the key columns plus
+    * aliased COUNT/SUM/MIN/MAX/AVG aggregates (delta partials fold
+    * into backing). Keys may be several columns, group-by aliases
+    * (`GROUP BY day`), ordinals (`GROUP BY 1, 2`), or deterministic
+    * scalar expressions (`date_trunc('day', ts)`) — the realistic
+    * gold shapes. Anything else — joins, windows, DISTINCT, FILTER
+    * clauses, subqueries, non-deterministic keys, decimal AVG —
+    * returns None and REFRESH recomputes fully, saying so.
     */
   private def mvIncrementalShape(spark: SparkSession, text: String,
       srcName: String)
-      : Option[Either[Unit, (String, Seq[(String, String)])]] = {
+      : Option[Either[Unit, MvShape]] = {
     import org.apache.spark.sql.catalyst.analysis.{
       UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Expression, Literal, NamedExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{
       Aggregate, Filter, Project}
     val p = spark.sessionState.sqlParser.parsePlan(text)
     if (p.subqueriesAll.nonEmpty) return None
-    def noWindows(exprs: Seq[org.apache.spark.sql.catalyst.expressions
-        .Expression]): Boolean =
+    def noWindows(exprs: Seq[Expression]): Boolean =
       !exprs.exists(_.exists {
         case _: org.apache.spark.sql.catalyst.expressions
             .WindowExpression => true
@@ -2292,34 +2674,104 @@ final class StoreCatalog(basePath: String) {
           .SubqueryAlias => isRowMap(s.child)
       case _ => false
     }
+    val aggFns = Set("count", "sum", "min", "max", "avg", "mean")
+    def hasAggFn(e: Expression): Boolean = e.exists {
+      case uf: UnresolvedFunction =>
+        aggFns(uf.nameParts.last.toLowerCase)
+      case _ => false
+    }
     p match {
       case Aggregate(groupExprs, aggExprs, child, _)
           if isRowMap(child) =>
-        val keyAttr = groupExprs match {
-          case Seq(a: UnresolvedAttribute) if a.nameParts.size == 1 =>
-            a.nameParts.head
-          case _ => return None // multi/expr groups → full recompute
+        val items: Seq[NamedExpression] = aggExprs
+        // map every GROUP BY expression to the OUTPUT item carrying
+        // it: a bare column, an alias of that column, an alias the
+        // group references by NAME, an ordinal, or an alias of the
+        // syntactically identical expression. Yields (item index,
+        // probe expression — None for bare columns, deterministic by
+        // construction).
+        def ordinalOf(g: Expression): Option[Int] = g match {
+          // `GROUP BY 1` parses as UnresolvedOrdinal (Spark 4's
+          // parser resolves group-by-ordinal eagerly); older plans
+          // carry the bare integer literal
+          case o: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedOrdinal => Some(o.ordinal)
+          case Literal(i: Int, _) => Some(i)
+          case _ => None
         }
-        var keyOut: Option[String] = None
-        val aggs = aggExprs.flatMap {
-          case a: UnresolvedAttribute
-              if a.nameParts.size == 1 &&
-                a.nameParts.head.equalsIgnoreCase(keyAttr) =>
-            keyOut = Some(a.nameParts.head); Nil
-          case Alias(a: UnresolvedAttribute, out)
-              if a.nameParts.size == 1 &&
-                a.nameParts.head.equalsIgnoreCase(keyAttr) =>
-            keyOut = Some(out); Nil
-          case Alias(uf: UnresolvedFunction, out)
-              if uf.nameParts.size == 1 &&
-                Set("count", "sum", "min", "max")(
-                  uf.nameParts.head.toLowerCase) &&
-                !uf.isDistinct && uf.filter.isEmpty =>
-            Seq(Some(out -> uf.nameParts.head.toLowerCase))
-          case _ => Seq(None)
+        def keyItemOf(g: Expression)
+            : Option[(Int, Option[Expression])] = g match {
+          case _ if ordinalOf(g).isDefined =>
+            val i = ordinalOf(g).get
+            if (i < 1 || i > items.size) None
+            else items(i - 1) match {
+              case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+                Some((i - 1, None))
+              case Alias(c, _) if !hasAggFn(c) => Some((i - 1, Some(c)))
+              case _ => None
+            }
+          case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+            val n = a.nameParts.head
+            items.zipWithIndex.collectFirst {
+              case (ua: UnresolvedAttribute, i)
+                  if ua.nameParts.size == 1 &&
+                    ua.nameParts.head.equalsIgnoreCase(n) =>
+                (i, None)
+              case (Alias(c: UnresolvedAttribute, _), i)
+                  if c.nameParts.size == 1 &&
+                    c.nameParts.head.equalsIgnoreCase(n) =>
+                (i, None)
+              case (Alias(c, out), i)
+                  if out.equalsIgnoreCase(n) && !hasAggFn(c) =>
+                (i, Some(c))
+            }
+          case e =>
+            items.zipWithIndex.collectFirst {
+              case (Alias(c, _), i) if c == e && !hasAggFn(c) =>
+                (i, Some(c))
+            }
         }
-        if (aggs.contains(None) || keyOut.isEmpty || aggs.isEmpty) None
-        else Some(Right((keyOut.get, aggs.flatten)))
+        val keyHits = groupExprs.map(keyItemOf)
+        if (keyHits.contains(None)) return None
+        val keyIdx = keyHits.flatten.map(_._1)
+        if (keyIdx.distinct.size != keyIdx.size) return None
+        val keyIdxSet = keyIdx.toSet
+        val keys = keyIdx.map(i => items(i) match {
+          case a: UnresolvedAttribute => a.nameParts.head
+          case al: Alias => al.name
+          case _ => return None
+        })
+        // every remaining item must be an aliased foldable aggregate
+        val aggs = items.zipWithIndex
+          .filterNot { case (_, i) => keyIdxSet(i) }
+          .map {
+            case (Alias(uf: UnresolvedFunction, out), _)
+                if uf.nameParts.size == 1 &&
+                  aggFns(uf.nameParts.head.toLowerCase) &&
+                  !uf.isDistinct && uf.filter.isEmpty =>
+              val fn0 = uf.nameParts.head.toLowerCase
+              val fn = if (fn0 == "mean") "avg" else fn0
+              if (fn == "avg" &&
+                  !mvAvgArgFoldable(spark, srcName, uf.arguments))
+                return None
+              out -> fn
+            case _ => return None
+          }
+        if (aggs.isEmpty) return None
+        // avg's generated pair names must not collide with declared
+        // outputs (SUM(x) AS a__sum beside AVG(x) AS a)
+        val outNames = items.collect {
+          case a: Alias => a.name.toLowerCase
+          case a: UnresolvedAttribute => a.nameParts.head.toLowerCase
+        }.toSet
+        if (aggs.exists { case (a, fn) => fn == "avg" &&
+            (outNames((a + "__sum").toLowerCase) ||
+              outNames((a + "__cnt").toLowerCase)) })
+          return None
+        if (!mvKeyExprsDeterministic(spark, srcName,
+            keyHits.flatten.flatMap(_._2)))
+          return None
+        Some(Right(MvShape(keys, aggs)))
       case other if isRowMap(other) => Some(Left(()))
       case _ => None
     }

@@ -370,7 +370,7 @@ object StoreSql {
         // resolver; session views/tables resolve as before. The
         // store's internal batch_id column drops out — a MERGE
         // source's attribution column must never reach SET */INSERT *
-        val srcFrame = tables.get(srcName)
+        val srcFrame0 = tables.get(srcName)
           .map(_.read(spark).drop("batch_id"))
           .getOrElse {
             val rel = org.apache.spark.sql.catalyst.analysis
@@ -408,6 +408,19 @@ object StoreSql {
               "ones instead — or declare GENERATED BY DEFAULT AS " +
               "IDENTITY and carry explicit ids in the source")
         }
+        // PIN the source BEFORE the identity watermark aggregate: the
+        // aggregate and the merge itself are SEPARATE evaluations of
+        // the source plan — a non-deterministic source (a view with
+        // rand()/uuid(), or a source table taking a concurrent
+        // commit) could otherwise write ids the bumped extremum never
+        // saw, a silent future collision (the INSERT path pins for
+        // exactly this reason). Non-identity merges keep the lazy
+        // frame here: merge/mergeClauses pin internally before their
+        // own multi-evaluation, which is enough when no watermark is
+        // derived OUTSIDE that pin.
+        val srcFrame =
+          if (mergeIdentity.isEmpty) srcFrame0
+          else { import Pin.Pinnable; srcFrame0.pinned }
         if (mergeIdentity.nonEmpty) {
           import org.apache.spark.sql.functions.{
             col => fcol, count_if, max, min}
@@ -785,7 +798,7 @@ object StoreSql {
   // still goes through Spark's parser, no dialect drift.
   private val OptimizeStmt =
     """(?is)OPTIMIZE\s+([A-Za-z0-9_\.]+)(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*""".r
-  private val VacuumStmt =
+  private[engine] val VacuumStmt =
     """(?is)VACUUM\s+([A-Za-z0-9_\.]+)\s*(?:RETAIN\s+(\d+)\s+HOURS\s*)?(DRY\s+RUN)?""".r
   private val RestoreStmt =
     """(?is)RESTORE\s+(?:TABLE\s+)?([A-Za-z0-9_\.]+)\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)""".r

@@ -1924,63 +1924,96 @@ final class ManifestTableStore(path: String,
     * `batchId` is refused exactly like [[append]].
     */
   def merge(spark: SparkSession, source: DataFrame, key: String,
+      batchId: Long): Unit = merge(spark, source, Seq(key), batchId)
+
+  /** Composite-key MERGE — the same one-commit copy-on-write upsert
+    * over a MULTI-column key (the shape a gold materialized view with
+    * `GROUP BY source_system, day` folds through): a dir carries
+    * forward untouched when its stats prove it disjoint from the
+    * source's range on ANY key column; touched dirs anti-join on the
+    * full key tuple.
+    */
+  def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
       batchId: Long): Unit = synchronized {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    require(keys.nonEmpty, "merge needs at least one key column")
     val f = fs(spark)
     guardInheritedId(f, batchId)
     val (v, lines) = current(f)
     requireNoDeleteFiles(lines, "merge")
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
-    val touched = mergeTouchedDirs(source, key, lines)
-    val srcKeys = source.select(key).distinct()
+    // PIN before anything reads it (same reason as [[mergeClauses]]):
+    // the bounds aggregate, the anti-join key set, and the insert
+    // write are separate evaluations — a non-deterministic source
+    // would anti-join one set of keys and write another
+    val src = { import Pin.Pinnable; source.pinned }
+    val touched = mergeTouchedDirs(src, keys, lines)
+    val srcKeys = src.select(keys.map(col): _*).distinct()
     val insDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(source.withColumn("batch_id", lit(batchId)), insDir)
+    write(src.withColumn("batch_id", lit(batchId)), insDir)
     val insEntry = Entry(batchId, insDir, collectStats(spark, insDir))
     rewriteDirs(spark, f, v, lines, touched, "merge",
-      _.join(broadcast(srcKeys), Seq(key), "left_anti"),
+      _.join(broadcast(srcKeys), keys, "left_anti"),
       extra = Seq(insEntry))
   }
 
-  /** Data dirs a keyed merge must rewrite: those whose recorded `key`
-    * min/max cannot be proven disjoint from `source`'s key range (no
-    * stats → conservatively touched). The source key range is
-    * normalized exactly like collectStats values so the dir-stats
-    * comparison is representation-free.
-    */
   private def mergeTouchedDirs(source: DataFrame, key: String,
+      lines0: Seq[Entry]): Set[String] =
+    mergeTouchedDirs(source, Seq(key), lines0)
+
+  /** Data dirs a keyed merge must rewrite: those whose recorded key
+    * min/max cannot be proven disjoint from `source`'s key range on
+    * any key column (no stats → conservatively touched). The source
+    * key ranges are normalized exactly like collectStats values so
+    * the dir-stats comparison is representation-free; all bounds come
+    * from ONE aggregate over the source.
+    */
+  private def mergeTouchedDirs(source: DataFrame, keys: Seq[String],
       lines0: Seq[Entry]): Set[String] = {
     import org.apache.spark.sql.types.{NumericType, StringType,
       TimestampNTZType, TimestampType}
     // schema markers are structural, never data: a key join cannot run
     // against their batch_id-only files
     val lines = lines0.filterNot(isSchemaMarker)
-    val kt = source.schema(key).dataType
-    val isTs = kt == TimestampType || kt == TimestampNTZType
-    def norm(c: org.apache.spark.sql.Column) =
-      if (isTs) unix_micros(c.cast(TimestampType)).cast("string")
+    def isTsOf(k: String) = {
+      val kt = source.schema(k).dataType
+      kt == TimestampType || kt == TimestampNTZType
+    }
+    def norm(k: String)(c: org.apache.spark.sql.Column) =
+      if (isTsOf(k)) unix_micros(c.cast(TimestampType)).cast("string")
       else c.cast("string")
-    val bounds = source.agg(norm(min(col(key))), norm(max(col(key)))).head()
-    val srcRange: Option[(SVal, SVal)] =
-      if (bounds.isNullAt(0) || bounds.isNullAt(1)) None
-      else if (isTs)
-        Some((TsV(bounds.getString(0).toLong),
-          TsV(bounds.getString(1).toLong)))
-      else kt match {
-        case _: NumericType =>
-          Some((NumV(new java.math.BigDecimal(bounds.getString(0))),
-            NumV(new java.math.BigDecimal(bounds.getString(1)))))
-        case StringType =>
-          Some((StrV(bounds.getString(0)), StrV(bounds.getString(1))))
-        case _ => None
+    val boundCols = keys.flatMap(k =>
+      Seq(norm(k)(min(col(k))), norm(k)(max(col(k)))))
+    val bounds = source.agg(boundCols.head, boundCols.tail: _*).head()
+    val srcRanges: Seq[(String, Option[(SVal, SVal)])] =
+      keys.zipWithIndex.map { case (k, i) =>
+        val (lo, hi) = (2 * i, 2 * i + 1)
+        val r: Option[(SVal, SVal)] =
+          if (bounds.isNullAt(lo) || bounds.isNullAt(hi)) None
+          else if (isTsOf(k))
+            Some((TsV(bounds.getString(lo).toLong),
+              TsV(bounds.getString(hi).toLong)))
+          else source.schema(k).dataType match {
+            case _: NumericType =>
+              Some((NumV(new java.math.BigDecimal(bounds.getString(lo))),
+                NumV(new java.math.BigDecimal(bounds.getString(hi)))))
+            case StringType =>
+              Some((StrV(bounds.getString(lo)),
+                StrV(bounds.getString(hi))))
+            case _ => None
+          }
+        k -> r
       }
     lines.map(_.dir).distinct.filter { d =>
       val stats = parseStats(
         lines.find(_.dir == d).map(_.statsJson).getOrElse(""))
-      val provablyDisjoint = (srcRange, stats.get(key)) match {
-        case (Some((sMn, sMx)), Some((dMn, dMx))) =>
-          ManifestTableStore.disjoint(">=", sMn, dMn, dMx) ||
-            ManifestTableStore.disjoint("<=", sMx, dMn, dMx)
-        case _ => false
+      val provablyDisjoint = srcRanges.exists { case (k, srcRange) =>
+        (srcRange, stats.get(k)) match {
+          case (Some((sMn, sMx)), Some((dMn, dMx))) =>
+            ManifestTableStore.disjoint(">=", sMn, dMn, dMx) ||
+              ManifestTableStore.disjoint("<=", sMx, dMn, dMx)
+          case _ => false
+        }
       }
       !provablyDisjoint
     }.toSet
@@ -2272,6 +2305,16 @@ final class ManifestTableStore(path: String,
 
   /** Current manifest version (0 = no commits yet). */
   def currentVersion(spark: SparkSession): Long = current(fs(spark))._1
+
+  /** Batch ids committed in the CURRENT version — metadata-bounded
+    * (one manifest read). The MV refresh derives its last-applied CDF
+    * window from the reserved refresh-id namespace here, so a crash
+    * between a refresh's data commit and its sidecar publish is
+    * recoverable from the backing table itself (the sidecar alone
+    * would re-fold the already-applied window under a fresh id).
+    */
+  private[engine] def committedBatchIds(spark: SparkSession): Set[Long] =
+    current(fs(spark))._2.filterNot(isSchemaMarker).map(_.batchId).toSet
 
   /** Commit wall-clock of a version, epoch millis — the version file's
     * modification time (the atomic publish stamps it at commit). The

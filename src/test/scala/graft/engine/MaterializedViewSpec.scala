@@ -147,16 +147,17 @@ class MaterializedViewSpec extends SparkSpec {
     assert(cat.query(spark, "SELECT k, t FROM m2 ORDER BY k")
       .as[(String, Long)].collect().toSeq ==
       Seq(("a", 1L), ("b", 13L)))
-    // AVG does not decompose → full, loudly
+    // COUNT(DISTINCT …) does not decompose → full, loudly
     cat.exec(spark,
-      "CREATE MATERIALIZED VIEW m3 AS SELECT k, AVG(n) AS m " +
-        "FROM f1 GROUP BY k", batchId = Some(102L))
+      "CREATE MATERIALIZED VIEW m3 AS SELECT k, " +
+        "COUNT(DISTINCT n) AS m FROM f1 GROUP BY k",
+      batchId = Some(102L))
     cat.exec(spark, "INSERT INTO f1 VALUES ('a', 9)",
       batchId = Some(2L))
     assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW m3"))
       == "full:non-decomposable definition")
     assert(cat.query(spark, "SELECT m FROM m3 WHERE k = 'a'")
-      .as[Double].head() == 5.0)
+      .as[Long].head() == 2L)
   }
 
   test("guards: direct DML refuses, DROP TABLE refuses with the MV " +
@@ -286,5 +287,285 @@ class MaterializedViewSpec extends SparkSpec {
     cat.exec(spark, "ALTER VIEW v9 RENAME TO v9x")
     cat.exec(spark, "DROP MATERIALIZED VIEW mv10")
     cat.exec(spark, "ALTER TABLE src10 RENAME TO src10x")
+  }
+
+  test("a VACUUMED source CDF window degrades REFRESH to a loud " +
+      "full recompute (never a hard failure), VACUUM DRY RUN reports " +
+      "the at-risk MVs in advance, and the incremental path resumes " +
+      "afterwards") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE vs (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO vs VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, SUM(n) AS total " +
+      "FROM vs GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW vmv AS $defn",
+      batchId = Some(100L))
+    // two more source commits so the vacuum horizon passes the MV's
+    // recorded window start
+    cat.exec(spark, "INSERT INTO vs VALUES ('a', 10)",
+      batchId = Some(1L))
+    cat.exec(spark, "INSERT INTO vs VALUES ('c', 5)",
+      batchId = Some(2L))
+    // the dry run WARNS about the MV before anything is deleted
+    // (sub-default retention needs the explicit Delta-style override)
+    val dry = cat.resolve(spark, "vs").get
+      .vacuum(spark, retainLast = 1, minAgeMs = 0, dryRun = true)
+    spark.conf.set(
+      "spark.graft.vacuum.retentionCheck.enabled", "false")
+    val advisory =
+      try cat.exec(spark, "VACUUM vs RETAIN 0 HOURS DRY RUN")
+      finally spark.conf.unset(
+        "spark.graft.vacuum.retentionCheck.enabled")
+    assert(dry.isEmpty) // every dir still referenced: the vacuum's
+    // work here is retiring the old MANIFESTS (the CDF window)
+    val advRows = advisory.collect().map(_.getString(0))
+      .filter(_.startsWith("advisory"))
+    assert(advRows.exists(r => r.contains("vmv") &&
+      r.contains("full-recompute")), advRows.mkString("\n"))
+    // the retention-check conf guards the SQL verb; the direct API
+    // call expresses the same destructive intent explicitly
+    cat.resolve(spark, "vs").get
+      .vacuum(spark, retainLast = 1, minAgeMs = 0)
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW vmv")
+    assert(modeOf(r) == "full:cdf window vacuumed",
+      r.collect().mkString)
+    def asMap() = cat.query(spark,
+      "SELECT k, cnt, total FROM vmv").collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(asMap() == Map("a" -> ((2L, 11L)), "b" -> ((1L, 2L)),
+      "c" -> ((1L, 5L))))
+    // a fresh insert-only window folds incrementally again
+    cat.exec(spark, "INSERT INTO vs VALUES ('b', 7)",
+      batchId = Some(3L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW vmv"))
+      == "incremental")
+    assert(asMap()("b") == ((2L, 9L)))
+  }
+
+  test("realistic gold shape decomposes: multi-column GROUP BY with " +
+      "a deterministic expression key and AVG — incremental refresh " +
+      "equals the full recompute, the avg serves from its folded " +
+      "sum/count pair, and ordinal/alias group references work") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE gk (src STRING, ts TIMESTAMP, v BIGINT) " +
+        "USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO gk VALUES " +
+        "('app', TIMESTAMP '2026-01-01 03:00:00', 10), " +
+        "('app', TIMESTAMP '2026-01-01 17:00:00', 20), " +
+        "('web', TIMESTAMP '2026-01-02 09:00:00', 7)",
+      batchId = Some(0L))
+    val defn = "SELECT src, date_trunc('DAY', ts) AS day, " +
+      "COUNT(*) AS cnt, SUM(v) AS total, AVG(v) AS m " +
+      "FROM gk GROUP BY src, date_trunc('DAY', ts)"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW gold2 AS $defn",
+      batchId = Some(100L))
+    def served() = cat.query(spark,
+      "SELECT src, day, cnt, total, m FROM gold2")
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    def recomputed() = cat.query(spark, defn)
+      .collect().map(r => (r.getString(0), r.get(1).toString) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(served() == recomputed())
+    // the fold pair is materialized beside the served ratio
+    val cols = cat.query(spark, "SELECT * FROM gold2").columns.toSet
+    assert(cols.contains("m__sum") && cols.contains("m__cnt"), cols)
+    // grow an existing (src, day) group and open a new one
+    cat.exec(spark,
+      "INSERT INTO gk VALUES " +
+        "('app', TIMESTAMP '2026-01-01 23:00:00', 40), " +
+        "('web', TIMESTAMP '2026-01-03 01:00:00', 9)",
+      batchId = Some(1L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW gold2")
+    assert(modeOf(r) == "incremental", r.collect().mkString)
+    assert(served() == recomputed())
+    assert(served()(("app", "2026-01-01 00:00:00.0")) ==
+      ((3L, 70L, 70.0 / 3)))
+    // ordinal + group-by-alias references decompose too
+    cat.exec(spark, "CREATE MATERIALIZED VIEW gold3 AS " +
+      "SELECT src, date_trunc('DAY', ts) AS day, COUNT(*) AS cnt " +
+      "FROM gk GROUP BY 1, day", batchId = Some(101L))
+    cat.exec(spark,
+      "INSERT INTO gk VALUES " +
+        "('app', TIMESTAMP '2026-01-04 05:00:00', 1)",
+      batchId = Some(2L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW gold3"))
+      == "incremental")
+    assert(cat.query(spark,
+      "SELECT SUM(cnt) AS s FROM gold3").head().getLong(0) ==
+      cat.query(spark, "SELECT COUNT(*) AS c FROM gk")
+        .head().getLong(0))
+    // a TIME-DEPENDENT expression key refuses the incremental path
+    // (current_date() analyzes as deterministic but evaluates per
+    // statement — delta partials keyed on refresh-day would never
+    // fold into backing rows keyed on create-day): full, loudly
+    cat.exec(spark, "CREATE MATERIALIZED VIEW gold4 AS " +
+      "SELECT current_date() AS rk, COUNT(*) AS cnt " +
+      "FROM gk GROUP BY current_date()",
+      batchId = Some(102L))
+    cat.exec(spark,
+      "INSERT INTO gk VALUES " +
+        "('web', TIMESTAMP '2026-01-04 06:00:00', 2)",
+      batchId = Some(3L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW gold4"))
+      == "full:non-decomposable definition")
+    // decimal AVG stays on the full path (the double ratio could
+    // drift from the exact decimal average)
+    cat.exec(spark,
+      "CREATE TABLE gd (k STRING, p DECIMAL(18,2)) USING graft_store")
+    cat.exec(spark, "INSERT INTO gd VALUES ('a', 1.50)",
+      batchId = Some(0L))
+    cat.exec(spark, "CREATE MATERIALIZED VIEW gold5 AS " +
+      "SELECT k, AVG(p) AS m FROM gd GROUP BY k",
+      batchId = Some(103L))
+    cat.exec(spark, "INSERT INTO gd VALUES ('a', 2.50)",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW gold5"))
+      == "full:non-decomposable definition")
+    assert(cat.query(spark, "SELECT m FROM gold5").head()
+      .getDecimal(0).doubleValue() == 2.0)
+  }
+
+  test("a NULL group key in the delta degrades to a loud full " +
+      "recompute (plain-equality folds would insert a fresh null row " +
+      "per refresh); null groups in the BACKING alone stay " +
+      "incremental") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE nk (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO nk VALUES ('x', 1), (NULL, 2)", batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, SUM(n) AS total " +
+      "FROM nk GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW nmv AS $defn",
+      batchId = Some(100L))
+    // delta without a null key: incremental, even though the backing
+    // holds a null group (the merge never needs to touch it)
+    cat.exec(spark, "INSERT INTO nk VALUES ('x', 3)",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW nmv"))
+      == "incremental")
+    // delta WITH a null key: full, loudly — and the content matches
+    cat.exec(spark, "INSERT INTO nk VALUES (NULL, 5)",
+      batchId = Some(2L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW nmv")
+    assert(modeOf(r) == "full:null group key in the delta",
+      r.collect().mkString)
+    val got = cat.query(spark,
+      "SELECT COALESCE(k, '<null>') AS k2, cnt, total FROM nmv")
+      .collect().map(x =>
+        x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(got == Map("x" -> ((2L, 4L)), "<null>" -> ((2L, 7L))), got)
+  }
+
+  test("crash between the refresh's data commit and its sidecar " +
+      "publish never double-folds: the applied window recovers from " +
+      "the backing table's reserved batch ids, and a lagging sidecar " +
+      "heals on the next refresh") {
+    val (cat, base) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE cw (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO cw VALUES ('a', 1)",
+      batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, SUM(n) AS total " +
+      "FROM cw GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW cmv AS $defn",
+      batchId = Some(100L))
+    val sidecar = java.nio.file.Paths.get(base, "_catalog",
+      "_mviews", "cmv")
+    val preBytes = java.nio.file.Files.readAllBytes(sidecar)
+    cat.exec(spark, "INSERT INTO cw VALUES ('a', 10)",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW cmv"))
+      == "incremental")
+    // simulate the crash: the data commit survived, the sidecar
+    // publish did not
+    java.nio.file.Files.write(sidecar, preBytes)
+    // no new source commit: the refresh detects the backing already
+    // folded the window, reports 'current', and HEALS the sidecar
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW cmv"))
+      == "current")
+    assert(cat.query(spark, "SELECT total FROM cmv WHERE k = 'a'")
+      .as[Long].head() == 11L)
+    // again, now with a NEW commit after the simulated crash: the
+    // window must start AFTER the already-folded batch (sidecar says
+    // otherwise; the backing's batch ids win)
+    java.nio.file.Files.write(sidecar, preBytes)
+    cat.exec(spark, "INSERT INTO cw VALUES ('a', 100)",
+      batchId = Some(2L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW cmv")
+    assert(modeOf(r) == "incremental", r.collect().mkString)
+    assert(cat.query(spark, "SELECT cnt, total FROM cmv " +
+      "WHERE k = 'a'").as[(Long, Long)].head() == ((3L, 111L)))
+  }
+
+  test("width is pinned at CREATE: a naked SELECT * refuses (top " +
+      "level and through a spliced view); the CTAS load reads the " +
+      "snapshotted source versions") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE sw (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO sw VALUES ('a', 1)",
+      batchId = Some(0L))
+    val e1 = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE MATERIALIZED VIEW swm AS SELECT * FROM sw")
+    }
+    assert(e1.getMessage.contains("`*`"), e1.getMessage)
+    cat.exec(spark, "CREATE VIEW swv AS SELECT * FROM sw")
+    val e2 = intercept[IllegalArgumentException] {
+      cat.exec(spark,
+        "CREATE MATERIALIZED VIEW swm AS SELECT k FROM " +
+          "(SELECT * FROM swv) x")
+    }
+    assert(e2.getMessage.contains("`*`"), e2.getMessage)
+    // COUNT(*) is fine — its star lives inside the function
+    cat.exec(spark, "CREATE MATERIALIZED VIEW swm AS " +
+      "SELECT k, COUNT(*) AS cnt FROM sw GROUP BY k",
+      batchId = Some(100L))
+    assert(cat.query(spark, "SELECT cnt FROM swm").as[Long]
+      .head() == 1L)
+  }
+
+  test("MV refresh across source schema evolution: a governed ADD " +
+      "COLUMNS between refreshes leaves the definition's explicit " +
+      "projection stable — the wider CDF window folds incrementally " +
+      "and equals the full recompute") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE se (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO se VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, SUM(n) AS total " +
+      "FROM se GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW sev AS $defn",
+      batchId = Some(100L))
+    // the source widens AFTER the MV exists
+    cat.exec(spark, "ALTER TABLE se ADD COLUMNS (extra STRING)")
+    cat.exec(spark,
+      "INSERT INTO se VALUES ('a', 10, 'x'), ('c', 5, 'y')",
+      batchId = Some(1L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW sev")
+    assert(modeOf(r) == "incremental", r.collect().mkString)
+    def asMap(q: String) = cat.query(spark, q).collect()
+      .map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(asMap("SELECT k, cnt, total FROM sev") == asMap(defn))
+    assert(asMap("SELECT k, cnt, total FROM sev")("a") == ((2L, 11L)))
+    // the row-map shape survives evolution the same way
+    cat.exec(spark, "CREATE MATERIALIZED VIEW sev2 AS " +
+      "SELECT k, n FROM se WHERE n > 1", batchId = Some(101L))
+    cat.exec(spark, "ALTER TABLE se ADD COLUMNS (extra2 BIGINT)")
+    cat.exec(spark,
+      "INSERT INTO se VALUES ('d', 9, 'z', 42)", batchId = Some(2L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW sev2"))
+      == "incremental")
+    assert(cat.query(spark, "SELECT k, n FROM sev2").collect()
+      .map(x => (x.getString(0), x.getLong(1))).toSet ==
+      cat.query(spark, "SELECT k, n FROM se WHERE n > 1").collect()
+        .map(x => (x.getString(0), x.getLong(1))).toSet)
   }
 }

@@ -208,6 +208,71 @@ class RenameSpec extends SparkSpec {
     assert(e.getMessage.contains("renamed to 'cs2'"), e.getMessage)
     assert(cat2.query(spark, "SELECT COUNT(*) AS c FROM cs2")
       .head().getLong(0) == 1L)
+    // the stale old pointer must not LIST (phantom name, forever),
+    // and re-running the rename COMPLETES the migration — deleting
+    // the leftover pointer — instead of tripping on its own
+    // forwarding hint
+    assert(!cat2.listTables(spark).contains("cs"),
+      cat2.listTables(spark).mkString(", "))
+    cat2.exec(spark, "ALTER TABLE cs RENAME TO cs2")
+    assert(!f.exists(
+      new org.apache.hadoop.fs.Path(s"$base/_catalog/cs")))
+    assert(cat2.query(spark, "SELECT COUNT(*) AS c FROM cs2")
+      .head().getLong(0) == 1L)
+    // and a mismatched pointer pair refuses (fail-safe): forward a
+    // tombstone at a name whose pointer addresses a DIFFERENT path
+    cat2.exec(spark, "CREATE TABLE ct (k BIGINT) USING graft_store")
+    cat2.exec(spark, "CREATE TABLE ct2 (k BIGINT) USING graft_store")
+    AtomicCreate.replacePublish(f,
+      new org.apache.hadoop.fs.Path(s"$base/_catalog/_renamed/ct"),
+      "ct2".getBytes("UTF-8"))
+    AtomicCreate.publish(f,
+      new org.apache.hadoop.fs.Path(s"$base/_catalog/ct"),
+      s"$base/ct".getBytes("UTF-8"))
+    AtomicCreate.publish(f,
+      new org.apache.hadoop.fs.Path(s"$base/_catalog/ct2"),
+      s"$base/ct2".getBytes("UTF-8"))
+    val cat3 = new StoreCatalog(base)
+    val e2 = intercept[IllegalArgumentException] {
+      cat3.exec(spark, "ALTER TABLE ct RENAME TO ct2")
+    }
+    assert(e2.getMessage.contains("different paths"), e2.getMessage)
+  }
+
+  test("rename × dropped MV: a DROPPED materialized view's former " +
+      "reference must not block the source's rename (the sidecar is " +
+      "gone, not tombstoned); renaming BACK over a tombstone refuses") {
+    val (cat, _) = freshCat()
+    cat.exec(spark, "CREATE TABLE rm1 (k STRING, n BIGINT) " +
+      "USING graft_store")
+    cat.exec(spark, "INSERT INTO rm1 VALUES ('a', 1)",
+      batchId = Some(0L))
+    cat.exec(spark, "CREATE MATERIALIZED VIEW rmv AS " +
+      "SELECT k, SUM(n) AS t FROM rm1 GROUP BY k",
+      batchId = Some(100L))
+    // live MV blocks the rename
+    val e0 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE rm1 RENAME TO rm2")
+    }
+    assert(e0.getMessage.contains("rmv"), e0.getMessage)
+    // dropped MV frees it
+    cat.exec(spark, "DROP MATERIALIZED VIEW rmv")
+    cat.exec(spark, "ALTER TABLE rm1 RENAME TO rm2")
+    assert(cat.query(spark, "SELECT COUNT(*) AS c FROM rm2")
+      .head().getLong(0) == 1L)
+    // an MV over the NEW name works; renaming BACK to the
+    // tombstoned old name refuses (no silent re-attach window)
+    cat.exec(spark, "CREATE MATERIALIZED VIEW rmv AS " +
+      "SELECT k, SUM(n) AS t FROM rm2 GROUP BY k",
+      batchId = Some(101L))
+    val shown = cat.exec(spark, "SHOW MATERIALIZED VIEWS")
+      .select("mvName").as[String].collect().toSet
+    assert(shown == Set("rmv"), shown)
+    cat.exec(spark, "DROP MATERIALIZED VIEW rmv")
+    val e1 = intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE rm2 RENAME TO rm1")
+    }
+    assert(e1.getMessage.contains("tombstone"), e1.getMessage)
   }
 
   test("view rename and ALTER VIEW AS: the text sidecar re-publishes; " +
