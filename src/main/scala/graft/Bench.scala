@@ -50,6 +50,35 @@ object Bench {
       samples.collect { case Right(t) => t }.minOption
         .toRight(samples.collectFirst { case Left(m) => m }.get)
     }
+    // VM-drift canary pair (reported, EXCLUDED from total): a raw
+    // scan-count and a small broadcast join, fixed forever, measured
+    // with the same best-of-N discipline BEFORE and AFTER the suite.
+    // Round-over-round comparisons divide the shared-board ratio by
+    // the canary ratio first — a uniform board shift that the canaries
+    // also show is session/VM drift, not a plan change (the
+    // interleaved r8-vs-r11 A/B proved ±9% same-binary swings; the
+    // round-14 driver leg drifted +19% uniformly on untouched
+    // queries). Every future sidecar carries its own normalizer.
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val canaryDefs: Seq[(String, (SparkSession, String) => DataFrame)] =
+      Seq(
+        "canary_scan" -> ((s: SparkSession, dir: String) =>
+          s.read.parquet(s"$dir/lineitem.parquet")
+            .filter(col("l_quantity") > 25)
+            .groupBy("l_returnflag").count()),
+        "canary_join" -> ((s: SparkSession, dir: String) => {
+          val o = s.read.parquet(s"$dir/orders.parquet")
+          val c = s.read.parquet(s"$dir/customer.parquet")
+          o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+            .groupBy("c_mktsegment").count()
+        }))
+    def canaryPass(tag: String): Seq[(String, Double)] =
+      canaryDefs.flatMap { case (n, fn) =>
+        try { fn(spark, sfDir).count() } // warm (plans not in warmDir set)
+        catch { case _: Throwable => }
+        measure(n, fn).toOption.map(t => s"${n}_$tag" -> t)
+      }
+    val canaryPre = canaryPass("pre")
     val firstPass = selected.map { case (name, fn) => name -> measure(name, fn) }
     // Session-pathology guard: a shared VM can degrade for minutes at a
     // time (round-4 charged 11 s to an untouched 0.3 s query), and
@@ -98,7 +127,10 @@ object Bench {
     }
     val ok = outcomes.collect { case (n, Right(t)) => n -> t }
     val failed = outcomes.collect { case (n, Left(m)) => n -> m }
+    val canaries = canaryPre ++ canaryPass("post")
     def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val cs = canaries.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
     val qs = ok.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
     val fs = failed.map { case (k, m) => jstr(k) + ":" + jstr(m) }
       .mkString("{", ",", "}")
@@ -109,7 +141,7 @@ object Bench {
     // HEAD, and a tail-surviving total is the one number every
     // round-over-round comparison needs. The leading "metric" key stays
     // for the driver's grep; the trailing duplicate is the durable copy.
-    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"runs":$runs,"sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"value":$total,"total_sec":$total}"""
+    val line = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"canaries":$cs,"runs":$runs,"sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"value":$total,"total_sec":$total}"""
     println(line)
     System.out.flush()
     // Durable copy: the artifact pipeline has twice truncated the stdout

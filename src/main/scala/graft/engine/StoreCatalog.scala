@@ -2473,6 +2473,15 @@ final class StoreCatalog(basePath: String) {
       return full("deletes in the CDF window")
     val delta = deltaAll.filter(fcol("_change_type") === "insert")
       .drop("_change_type", "batch_id")
+    // a window of pure STRUCTURAL commits (evolution markers,
+    // maintenance rewrites) has an empty feed: folding it would
+    // anti-join every backing dir against an empty key set — a
+    // wasted gold-table rewrite. Advance the sidecar and go.
+    if (delta.limit(1).count() == 0L) {
+      publishMviewSpec(spark, name, text, Map(srcName -> toV))
+      return Seq(("incremental", fromV, toV))
+        .toDF("mode", "from_version", "to_version")
+    }
     val bid = MvRefreshBidBase + toV
     val dApplied = applyOverDelta(spark, text, srcName, delta,
       avgExpand)

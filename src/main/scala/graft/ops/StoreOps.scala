@@ -2926,5 +2926,201 @@ object StoreOps {
           |  CAST(total AS DOUBLE) AS total
           |FROM mv_gold ORDER BY o_orderstatus""".stripMargin)
         .withColumn("refresh_ok", lit(refreshOk))
+    },
+
+    // MV REFRESH SURVIVES SOURCE MAINTENANCE (round-14 verdict lead
+    // item): a routine VACUUM on the source retires the manifests the
+    // last-refreshed CDF window starts from — REFRESH must degrade to
+    // a LOUD full recompute (`full:cdf window vacuumed`), never a
+    // hard failure, and the next insert-only window must fold
+    // incrementally again. Both mode transitions are pinned in-plan;
+    // the content is pinned hash-for-hash against the oracle's
+    // recompute over ALL waves. At 100 TB this is the difference
+    // between "gold layer keeps serving through table maintenance"
+    // and "REFRESH throws until someone re-creates the MV".
+    QueryDef(
+      "q242_sql_mv_vacuum_refresh",
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS cnt,
+        |  SUM(o_orderkey) AS total,
+        |  1 AS vacuum_fallback_ok, 1 AS resumed_incremental
+        |FROM orders WHERE o_orderkey <= 2400
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_vacuum", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS mvv_src (
+          |  o_orderstatus STRING, o_orderkey BIGINT)
+          |USING graft_store""".stripMargin)
+      def wave(lo: Long, hi: Long, bid: Long): Unit = cat.exec(s,
+        s"""INSERT INTO mvv_src
+           |SELECT o_orderstatus, o_orderkey FROM orders
+           |WHERE o_orderkey > $lo AND o_orderkey <= $hi""".stripMargin,
+        batchId = Some(bid))
+      wave(-1L, 1200L, 0L) // orders carries an o_orderkey = 0 row
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS mvv AS
+          |SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  SUM(o_orderkey) AS total
+          |FROM mvv_src GROUP BY o_orderstatus""".stripMargin,
+        batchId = Some(100L))
+      wave(1200L, 1800L, 1L)
+      cat.exec(s, "REFRESH MATERIALIZED VIEW mvv") // incremental
+      // two more commits push the vacuum horizon past the MV's window
+      wave(1800L, 2100L, 2L)
+      wave(2100L, 2400L, 3L)
+      cat.resolve(s, "mvv_src").get
+        .vacuum(s, retainLast = 1, minAgeMs = 0)
+      val m1 = cat.exec(s, "REFRESH MATERIALIZED VIEW mvv")
+        .head().getString(0)
+      // first run: the vacuumed window degrades loudly; replayed
+      // runs: every wave is a no-op, nothing moved → current
+      val fallbackOk =
+        if (m1 == "full:cdf window vacuumed" || m1 == "current") 1
+        else 0
+      // and the NEXT insert-only window folds incrementally again
+      cat.exec(s,
+        """INSERT INTO mvv_src VALUES ('_probe', 0)""",
+        batchId = Some(4L))
+      val m2 = cat.exec(s, "REFRESH MATERIALIZED VIEW mvv")
+        .head().getString(0)
+      val resumed = if (m2 == "incremental" || m2 == "current") 1
+        else 0
+      cat.query(s,
+        """SELECT o_orderstatus, cnt, total FROM mvv
+          |WHERE o_orderstatus <> '_probe'
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("vacuum_fallback_ok", lit(fallbackOk))
+        .withColumn("resumed_incremental", lit(resumed))
+    },
+
+    // REALISTIC GOLD MV SHAPE, INCREMENTALLY FOLDED (round-14 verdict
+    // item 2): `GROUP BY source, date_trunc('MONTH', ts)` with
+    // COUNT/SUM/AVG — the first materialized view a real gold layer
+    // declares (reference README.md:25,42). The refresh folds the
+    // CDF window's partials through the COMPOSITE-key merge
+    // (stats-bounded, gold-sized); AVG serves from its materialized
+    // sum/count pair, recomputed from the folded pair so it always
+    // equals the full recompute — pinned here hash-for-hash against
+    // the oracle over both waves (exact integer sums make the double
+    // ratio bit-identical across engines). The in-plan flag pins the
+    // refresh mode: this MUST be `incremental`, not a silent
+    // full-recompute.
+    QueryDef(
+      "q243_sql_mv_gold_shape",
+      """SELECT o_orderstatus,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
+        |  COUNT(*) AS cnt,
+        |  SUM(o_orderkey) AS total,
+        |  AVG(o_orderkey) AS avg_key,
+        |  1 AS incremental_ok
+        |FROM orders WHERE o_orderkey <= 6000
+        |GROUP BY 1, 2
+        |ORDER BY o_orderstatus, mon""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_gold", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS gsrc (
+          |  o_orderstatus STRING, o_orderdate TIMESTAMP,
+          |  o_orderkey BIGINT)
+          |USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO gsrc
+          |SELECT o_orderstatus, o_orderdate, o_orderkey FROM orders
+          |WHERE o_orderkey <= 3000""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS ggold AS
+          |SELECT o_orderstatus,
+          |  date_trunc('MONTH', o_orderdate) AS mon,
+          |  COUNT(*) AS cnt, SUM(o_orderkey) AS total,
+          |  AVG(o_orderkey) AS avg_key
+          |FROM gsrc
+          |GROUP BY o_orderstatus, date_trunc('MONTH', o_orderdate)"""
+          .stripMargin, batchId = Some(100L))
+      cat.exec(s,
+        """INSERT INTO gsrc
+          |SELECT o_orderstatus, o_orderdate, o_orderkey FROM orders
+          |WHERE o_orderkey > 3000 AND o_orderkey <= 6000"""
+          .stripMargin, batchId = Some(1L))
+      val mode = cat.exec(s, "REFRESH MATERIALIZED VIEW ggold")
+        .head().getString(0)
+      val incOk = if (mode == "incremental" || mode == "current") 1
+        else 0
+      cat.query(s,
+        """SELECT o_orderstatus, CAST(mon AS DATE) AS mon, cnt,
+          |  total, avg_key
+          |FROM ggold ORDER BY o_orderstatus, mon""".stripMargin)
+        .withColumn("incremental_ok", lit(incOk))
+    },
+
+    // MV REFRESH ACROSS SOURCE SCHEMA EVOLUTION (round-14 verdict
+    // item 4): the source takes a governed ADD COLUMNS between
+    // refreshes; the CDF window then speaks the WIDENED schema while
+    // the MV definition and backing predate it. The definition's
+    // explicit projection is stable — the refresh stays INCREMENTAL
+    // (pinned in-plan) and the content equals the oracle's recompute
+    // over both schema generations. (A naked `SELECT *` definition
+    // refuses at CREATE for exactly this reason: unpinned width.)
+    QueryDef(
+      "q244_sql_mv_evolution",
+      """SELECT o_orderstatus,
+        |  COUNT(*) AS cnt, SUM(o_orderkey) AS total,
+        |  1 AS incremental_ok, 1 AS star_refused
+        |FROM orders WHERE o_orderkey <= 2400
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_evolve", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS esrc (
+          |  o_orderstatus STRING, o_orderkey BIGINT)
+          |USING graft_store""".stripMargin)
+      // explicit column list: replay-safe across the evolution below
+      // (a positional insert would change arity once `note` exists)
+      cat.exec(s,
+        """INSERT INTO esrc (o_orderstatus, o_orderkey)
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey <= 1200""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS egold AS
+          |SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  SUM(o_orderkey) AS total
+          |FROM esrc GROUP BY o_orderstatus""".stripMargin,
+        batchId = Some(100L))
+      // unpinned width refuses at CREATE — the contract evolution
+      // relies on
+      val starRefused =
+        try {
+          cat.exec(s,
+            "CREATE MATERIALIZED VIEW estar AS SELECT * FROM esrc")
+          0
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage.contains("`*`") => 1
+          case _: Throwable => 0
+        }
+      // the source WIDENS between refreshes (replay-guarded)
+      if (!cat.query(s, "SELECT * FROM esrc").columns
+          .contains("note"))
+        cat.exec(s, "ALTER TABLE esrc ADD COLUMNS (note STRING)")
+      cat.exec(s,
+        """INSERT INTO esrc
+          |SELECT o_orderstatus, o_orderkey,
+          |  CONCAT('n-', o_orderkey) FROM orders
+          |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
+          .stripMargin, batchId = Some(1L))
+      val mode = cat.exec(s, "REFRESH MATERIALIZED VIEW egold")
+        .head().getString(0)
+      val incOk = if (mode == "incremental" || mode == "current") 1
+        else 0
+      cat.query(s,
+        """SELECT o_orderstatus, cnt, total FROM egold
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("incremental_ok", lit(incOk))
+        .withColumn("star_refused", lit(starRefused))
     })
 }
