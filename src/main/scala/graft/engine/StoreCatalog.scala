@@ -2198,7 +2198,9 @@ final class StoreCatalog(basePath: String) {
     requireNotView(spark, name)
     require(resolve(spark, name).isEmpty,
       s"'$name' is a TABLE (tables, views, and materialized views " +
-        "share the namespace)")
+        "share the namespace; a CREATE MATERIALIZED VIEW that " +
+        "crashed before its sidecar publish leaves exactly such a " +
+        "table — DROP TABLE it to retry)")
     val srcs = mviewSources(spark, text)
     require(srcs.nonEmpty,
       "CREATE MATERIALIZED VIEW: the definition references no store " +
@@ -2220,22 +2222,24 @@ final class StoreCatalog(basePath: String) {
     // during the CTAS is neither skipped nor double-counted, the next
     // REFRESH's window covers it once
     val lasts = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
-    mvCtasRewrite.set((lasts, mvAvgExpandFor(spark, text, srcs)))
+    mvCtasRewrite.set((lasts, mvFoldExpandFor(spark, text, srcs)))
     try exec(spark, s"CREATE TABLE $name AS $text", batchId)
     finally mvCtasRewrite.remove()
     publishMviewSpec(spark, name, text, lasts)
     spark.emptyDataFrame
   }
 
-  /** Does the decomposer fold this definition's AVGs incrementally?
-    * If so the CTAS/REPLACE load must carry the sum/count pair
-    * columns the fold works on.
+  /** Does the decomposer fold this definition incrementally as a
+    * GROUP BY shape? If so the CTAS/REPLACE load must carry the fold
+    * columns the combine works on: a per-group row count (`__rows`,
+    * the emptied-group detector that makes DELETE windows foldable)
+    * plus the sum/count pair per SUM and AVG.
     */
-  private def mvAvgExpandFor(spark: SparkSession, text: String,
+  private def mvFoldExpandFor(spark: SparkSession, text: String,
       srcs: Seq[String]): Boolean =
     srcs.size == 1 && mvIncrementalShape(spark, text, srcs.head)
       .exists {
-        case Right(sh) => sh.aggs.exists(_._2 == "avg")
+        case Right(_) => true
         case _ => false
       }
 
@@ -2318,7 +2322,7 @@ final class StoreCatalog(basePath: String) {
     */
   private def mvRewriteQuery(q: LogicalPlan): LogicalPlan = {
     val (pins, avgExpand) = mvCtasRewrite.get()
-    val q1 = if (avgExpand) expandAvgAggs(q) else q
+    val q1 = if (avgExpand) expandFoldPairs(q) else q
     if (pins.isEmpty) q1
     else q1.transformWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -2333,14 +2337,19 @@ final class StoreCatalog(basePath: String) {
     }
   }
 
-  /** `AVG(x) AS a` additionally materializes `SUM(x) AS a__sum,
-    * COUNT(x) AS a__cnt` — the distributive pair the incremental fold
-    * combines; the served ratio `a` is recomputed from the FOLDED
-    * pair at every refresh, so it always equals the full recompute.
+  /** The fold columns a decomposable GROUP BY materializes beside its
+    * declared outputs: `AVG(x) AS a` → `SUM(x) AS a__sum, COUNT(x) AS
+    * a__cnt` (the distributive pair; the served ratio recomputes from
+    * the FOLDED pair at every refresh, so it always equals the full
+    * recompute); `SUM(x) AS s` → `COUNT(x) AS s__cnt` (retracting the
+    * last non-null value must serve NULL, not 0); plus ONE per-group
+    * `COUNT(1) AS __rows` (the emptied-group detector). These are what
+    * make DELETE windows — and therefore CoW UPDATE/MERGE windows,
+    * which travel as delete+insert pairs — incrementally foldable.
     */
-  private def expandAvgAggs(plan: LogicalPlan): LogicalPlan = {
+  private def expandFoldPairs(plan: LogicalPlan): LogicalPlan = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
-    import org.apache.spark.sql.catalyst.expressions.Alias
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Literal}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     plan match {
       case agg @ Aggregate(_, aggExprs, _, _) =>
@@ -2350,17 +2359,24 @@ final class StoreCatalog(basePath: String) {
         val pairs = aggExprs.flatMap {
           case Alias(uf: UnresolvedFunction, out)
               if uf.nameParts.size == 1 &&
-                Set("avg", "mean")(uf.nameParts.head.toLowerCase) &&
                 !uf.isDistinct && uf.filter.isEmpty =>
-            Seq(
-              Alias(uf.copy(nameParts = Seq("sum")),
-                out + "__sum")(),
-              Alias(uf.copy(nameParts = Seq("count")),
-                out + "__cnt")())
+            uf.nameParts.head.toLowerCase match {
+              case "avg" | "mean" => Seq(
+                Alias(uf.copy(nameParts = Seq("sum")),
+                  out + "__sum")(),
+                Alias(uf.copy(nameParts = Seq("count")),
+                  out + "__cnt")())
+              case "sum" => Seq(
+                Alias(uf.copy(nameParts = Seq("count")),
+                  out + "__cnt")())
+              case _ => Nil
+            }
           case _ => Nil
         }
-        if (pairs.isEmpty) agg
-        else agg.copy(aggregateExpressions = aggExprs ++ pairs)
+        val rows = Alias(
+          UnresolvedFunction(Seq("count"), Seq(Literal(1)),
+            isDistinct = false), "__rows")()
+        agg.copy(aggregateExpressions = aggExprs ++ pairs :+ rows)
       case other => other
     }
   }
@@ -2422,12 +2438,12 @@ final class StoreCatalog(basePath: String) {
         "source tables resolve (dropped or renamed?); DROP the MV or " +
         "recreate the sources")
     val curs = srcs.map(t => t -> store(t).currentVersion(spark)).toMap
-    val avgExpand = mvAvgExpandFor(spark, text, srcs)
+    val foldExpand = mvFoldExpandFor(spark, text, srcs)
     def currentRow(): DataFrame = Seq(("current", 0L, 0L))
       .toDF("mode", "from_version", "to_version")
     def full(reason: String): DataFrame = {
       mvInternalOp.set(true)
-      mvCtasRewrite.set((curs, avgExpand))
+      mvCtasRewrite.set((curs, foldExpand))
       try exec(spark, s"REPLACE TABLE $name AS $text",
         Some(MvRefreshBidBase + curs.values.sum))
       finally { mvInternalOp.set(false); mvCtasRewrite.remove() }
@@ -2455,11 +2471,24 @@ final class StoreCatalog(basePath: String) {
     val shape = mvIncrementalShape(spark, text, srcName).getOrElse {
       return full("non-decomposable definition")
     }
+    // an EMPTY backing with a NON-ZERO window start is a crashed full
+    // refresh (the REPLACE metadata commit landed, the data load did
+    // not): folding only [fromV, toV] into nothing would silently
+    // resurrect a fraction of the view. Recompute. (A legitimately
+    // empty gold table pays a redundant recompute of the same empty
+    // answer — correct, and rare.) Metadata-bounded: manifest row
+    // counts; one limit(1) scan only when stats are absent.
+    val backingStore = store(name)
+    if (fromV > 0 &&
+        backingStore.countRows(spark)
+          .map(_ == 0L)
+          .getOrElse(
+            backingStore.read(spark).limit(1).count() == 0L))
+      return full("backing empty at a non-zero window start")
     val src = store(srcName)
-    // ONE window-bounded feed read; deletes/updates in the window
-    // cannot be folded into COUNT/SUM/MIN/MAX — recompute loudly; a
-    // VACUUMED window (missing manifest or data dir) likewise — a
-    // routine source vacuum must never hard-fail the refresh
+    // ONE window-bounded feed read; a VACUUMED window (missing
+    // manifest or data dir) degrades to the recompute — a routine
+    // source vacuum must never hard-fail the refresh
     import org.apache.spark.sql.functions.{col => fcol}
     import Pin.Pinnable
     val deltaAll =
@@ -2468,69 +2497,105 @@ final class StoreCatalog(basePath: String) {
         case scala.util.control.NonFatal(e) if mvWindowVacuumed(e) =>
           return full("cdf window vacuumed")
       }
-    if (deltaAll.filter(fcol("_change_type") =!= "insert")
-        .limit(1).count() > 0)
-      return full("deletes in the CDF window")
-    val delta = deltaAll.filter(fcol("_change_type") === "insert")
-      .drop("_change_type", "batch_id")
     // a window of pure STRUCTURAL commits (evolution markers,
     // maintenance rewrites) has an empty feed: folding it would
     // anti-join every backing dir against an empty key set — a
     // wasted gold-table rewrite. Advance the sidecar and go.
-    if (delta.limit(1).count() == 0L) {
+    if (deltaAll.limit(1).count() == 0L) {
       publishMviewSpec(spark, name, text, Map(srcName -> toV))
       return Seq(("incremental", fromV, toV))
         .toDF("mode", "from_version", "to_version")
     }
+    val hasDeletes = deltaAll
+      .filter(fcol("_change_type") =!= "insert").limit(1).count() > 0
     val bid = MvRefreshBidBase + toV
-    val dApplied = applyOverDelta(spark, text, srcName, delta,
-      avgExpand)
+    def partial(changeType: String): DataFrame =
+      applyOverDelta(spark, text, srcName,
+        deltaAll.filter(fcol("_change_type") === changeType)
+          .drop("_change_type", "batch_id"), foldExpand)
     shape match {
       case Left(()) =>
-        // pure row-map: the transformed delta simply appends
-        store(name).append(dApplied, bid)
+        // pure row-map: the transformed delta simply appends; a
+        // delete cannot be expressed as an append
+        if (hasDeletes) return full("deletes in the CDF window")
+        store(name).append(partial("insert"), bid)
       case Right(MvShape(keys, aggs)) =>
         // distributive aggregate: fold the delta's partials into the
-        // backing rows — count/sum add, min/max fold (inserts-only
-        // windows make MIN/MAX sound: nothing retracts), avg's pair
-        // folds and the served ratio recomputes. The keyed merge
-        // rewrites only dirs whose key range overlaps the delta's
-        // groups — stats-bounded, gold-table-sized, never
+        // backing rows. Inserts add; with the retractable pair
+        // columns present (COUNT/SUM/AVG shapes), DELETES SUBTRACT —
+        // a CoW UPDATE travels as its delete+insert pair and folds
+        // exactly. MIN/MAX cannot retract, so shapes carrying them
+        // keep the full-recompute fallback on any delete. The keyed
+        // merge rewrites only dirs whose key range overlaps the
+        // delta's groups — stats-bounded, gold-table-sized, never
         // source-sized.
         import org.apache.spark.sql.functions.{
           coalesce, col => fcol, greatest, least, lit, when}
+        val backing = store(name).read(spark).drop("batch_id")
+        val bCols = backing.columns.map(_.toLowerCase).toSet
+        val avgAliases = aggs.collect { case (a, "avg") => a }
+        val sumAliases = aggs.collect { case (a, "sum") => a }
+        val insA = partial("insert")
+        // vintage gate, uniform across rounds: the expanded partial's
+        // columns must all exist in the backing (older MVs predate
+        // __rows and/or the sum/avg pairs). One REPLACE upgrades the
+        // backing; every later window folds incrementally.
+        if (!insA.columns.forall(c => bCols(c.toLowerCase)))
+          return full("backing predates retractable fold pairs")
+        // MIN/MAX cannot retract — deletes recompute, loudly
+        val retractable =
+          !aggs.exists(a => a._2 == "min" || a._2 == "max")
+        if (hasDeletes && !retractable)
+          return full("deletes in the window fold past MIN/MAX")
+        val net0 =
+          if (!hasDeletes) insA
+          else {
+            // net delta: insert partials ⟗ delete partials on the
+            // keys (a group may appear on either side alone)
+            val valCols = insA.columns.filterNot(c =>
+              keys.exists(_.equalsIgnoreCase(c))).toSeq
+            val delA = valCols.foldLeft(partial("delete"))((d, c) =>
+              d.withColumnRenamed(c, s"__del_$c"))
+            insA.join(delA, keys, "full_outer")
+          }
         // a NULL group key never meets the keyed merge's equality —
         // each refresh would INSERT another null-key row instead of
         // folding it; recompute loudly (delta-partial-sized probe)
-        if (dApplied.filter(keys.map(fcol(_).isNull)
+        if (net0.filter(keys.map(fcol(_).isNull)
             .reduce(_ || _)).limit(1).count() > 0)
           return full("null group key in the delta")
-        val backing = store(name).read(spark).drop("batch_id")
-        // an MV created before AVG decomposition has no pair columns
-        // to fold into — one full recompute upgrades the backing
-        if (aggs.exists { case (a, fn) => fn == "avg" &&
-            !backing.columns.exists(
-              _.equalsIgnoreCase(a + "__sum")) })
-          return full("backing predates avg decomposition")
-        val joined = dApplied.alias("d")
-          .join(backing.alias("b"), keys, "left")
+        val joined = net0.alias("d").join(backing.alias("b"), keys,
+          "left")
+        def dl(c: String): org.apache.spark.sql.Column =
+          if (hasDeletes) fcol(s"d.__del_$c")
+          else lit(null).cast(insA.schema(c).dataType)
         def fold(alias: String,
             fn: String): org.apache.spark.sql.Column = {
           val d = fcol(s"d.$alias"); val b = fcol(s"b.$alias")
-          val zero = lit(0).cast(dApplied.schema(alias).dataType)
+          val x = dl(alias)
+          val zero = lit(0).cast(insA.schema(alias).dataType)
           fn match {
-            case "count" => d + coalesce(b, zero)
+            case "count" =>
+              coalesce(b, zero) + coalesce(d, zero) - coalesce(x, zero)
             case "sum" =>
-              when(d.isNull && b.isNull, lit(null))
-                .otherwise(coalesce(d, zero) + coalesce(b, zero))
-                .cast(dApplied.schema(alias).dataType)
-            case "min" => least(d, b)
+              when(d.isNull && b.isNull && x.isNull, lit(null))
+                .otherwise(coalesce(b, zero) + coalesce(d, zero) -
+                  coalesce(x, zero))
+                .cast(insA.schema(alias).dataType)
+            case "min" => least(d, b) // insert-only by construction
             case "max" => greatest(d, b)
           }
         }
-        val avgAliases = aggs.collect { case (a, "avg") => a }
         def isAvg(c: String) = avgAliases.exists(_.equalsIgnoreCase(c))
-        val combined = joined.select(dApplied.columns.toSeq.map { c =>
+        // a SUM serves NULL exactly when its non-null count reaches
+        // zero (retracting the last non-null value must not leave a
+        // spurious 0 where the recompute says NULL); the stored avg
+        // __sum pair gets the same guard for SELECT * consistency
+        def cntColFor(c: String): Option[String] =
+          if (sumAliases.exists(_.equalsIgnoreCase(c))) Some(c + "__cnt")
+          else avgAliases.find(a => c.equalsIgnoreCase(a + "__sum"))
+            .map(_ + "__cnt")
+        val combined = joined.select(insA.columns.toSeq.map { c =>
           if (keys.exists(_.equalsIgnoreCase(c))) fcol(c)
           else if (isAvg(c)) {
             // ratio over the FOLDED pair; guard the division so ANSI
@@ -2539,16 +2604,29 @@ final class StoreCatalog(basePath: String) {
             val n = fold(c + "__cnt", "count")
             when(n === 0, lit(null))
               .otherwise(s.cast("double") / n)
-              .cast(dApplied.schema(c).dataType).as(c)
-          } else {
-            val fn = aggs.find(_._1.equalsIgnoreCase(c)).map(_._2)
-              .getOrElse(
-                // only the generated pair columns are unmatched
-                if (c.toLowerCase.endsWith("__cnt")) "count"
-                else "sum")
-            fold(c, fn).as(c)
+              .cast(insA.schema(c).dataType).as(c)
+          } else cntColFor(c) match {
+            case Some(cc) if retractable =>
+              when(fold(cc, "count") === 0, lit(null))
+                .otherwise(fold(c, "sum"))
+                .cast(insA.schema(c).dataType).as(c)
+            case _ =>
+              val fn = aggs.find(_._1.equalsIgnoreCase(c)).map(_._2)
+                .getOrElse(
+                  // only the generated count columns are unmatched
+                  if (c.toLowerCase.endsWith("__cnt") ||
+                    c.equalsIgnoreCase("__rows")) "count"
+                  else "sum")
+              fold(c, fn).as(c)
           }
-        }: _*)
+        }: _*).pinned
+        // a group whose last row leaves in the window nets to ZERO
+        // rows; the keyed merge can replace and insert but never
+        // DELETE a backing row — recompute (rare: a whole gold group
+        // vanishing in one window)
+        if (retractable && combined.filter(fcol("__rows") === 0)
+            .limit(1).count() > 0)
+          return full("a group emptied in the window")
         store(name).merge(spark, combined, keys, bid)
     }
     publishMviewSpec(spark, name, text, Map(srcName -> toV))
@@ -2569,7 +2647,7 @@ final class StoreCatalog(basePath: String) {
     val parsed0 = spark.sessionState.sqlParser.parsePlan(text)
     // the delta partial must carry the same expanded columns the
     // backing table holds (avg's sum/count pair)
-    val parsed = if (avgExpand) expandAvgAggs(parsed0) else parsed0
+    val parsed = if (avgExpand) expandFoldPairs(parsed0) else parsed0
     val sub = parsed.transformWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
@@ -2767,15 +2845,19 @@ final class StoreCatalog(basePath: String) {
             case _ => return None
           }
         if (aggs.isEmpty) return None
-        // avg's generated pair names must not collide with declared
-        // outputs (SUM(x) AS a__sum beside AVG(x) AS a)
+        // the generated fold-column names must not collide with
+        // declared outputs (SUM(x) AS a__sum beside AVG(x) AS a; a
+        // user column literally named __rows)
         val outNames = items.collect {
           case a: Alias => a.name.toLowerCase
           case a: UnresolvedAttribute => a.nameParts.head.toLowerCase
         }.toSet
-        if (aggs.exists { case (a, fn) => fn == "avg" &&
-            (outNames((a + "__sum").toLowerCase) ||
-              outNames((a + "__cnt").toLowerCase)) })
+        val genNames = aggs.flatMap {
+          case (a, "avg") => Seq(a + "__sum", a + "__cnt")
+          case (a, "sum") => Seq(a + "__cnt")
+          case _ => Nil
+        } :+ "__rows"
+        if (genNames.exists(g => outNames(g.toLowerCase)))
           return None
         if (!mvKeyExprsDeterministic(spark, srcName,
             keyHits.flatten.flatMap(_._2)))

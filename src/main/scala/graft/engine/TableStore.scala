@@ -1879,7 +1879,10 @@ final class ManifestTableStore(path: String,
       val (touched, _) = pruneEntries(spark, predicateSql,
         lines.filterNot(isSchemaMarker))
       if (touched.isEmpty) return // stats prove no row matches: no-op
-      val keep = !expr(predicateSql)
+      // SQL DELETE removes rows where the predicate is TRUE; a NULL
+      // predicate (NULL-valued column in `WHERE c = 3`) KEEPS the row
+      // — a bare `!pred` filter would silently delete it
+      val keep = !(expr(predicateSql) <=> lit(true))
       rewriteDirs(spark, f, v, lines, touched.toSet, "delete",
         _.filter(keep))
     }

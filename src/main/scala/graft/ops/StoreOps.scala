@@ -3122,5 +3122,69 @@ object StoreOps {
           |ORDER BY o_orderstatus""".stripMargin)
         .withColumn("incremental_ok", lit(incOk))
         .withColumn("star_refused", lit(starRefused))
+    },
+
+    // RETRACTABLE MV FOLD: a window carrying CoW DELETEs and UPDATEs
+    // (which travel the change feed as delete+insert pairs) folds
+    // INCREMENTALLY for COUNT/SUM/AVG gold shapes — deletes subtract
+    // through the materialized pair columns (`__rows`, `<sum>__cnt`,
+    // avg's sum/count pair), the served AVG recomputes from the
+    // folded pair, and a SUM whose last non-null value leaves serves
+    // NULL, not 0. Before this tier ANY delete in the window forced
+    // a full recompute — at 100 TB that made routine GDPR deletes or
+    // CDC corrections cost a full gold rebuild. Pinned hash-for-hash
+    // against the oracle's relational recompute of the final state;
+    // the in-plan flag pins the mode (MUST be incremental, not a
+    // silent full).
+    QueryDef(
+      "q245_sql_mv_retraction",
+      """WITH base AS (
+        |  SELECT o_orderstatus,
+        |    CASE WHEN o_orderkey % 100 = 0
+        |      THEN o_orderkey + 1000000 ELSE o_orderkey END AS k
+        |  FROM orders
+        |  WHERE o_orderkey <= 2400 AND o_orderkey % 2 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt, SUM(k) AS total,
+        |  AVG(k) AS avg_key, 1 AS retract_ok
+        |FROM base GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_retract", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS dsrc (
+          |  o_orderstatus STRING, o_orderkey BIGINT)
+          |USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO dsrc
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey <= 1200""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS dgold AS
+          |SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  SUM(o_orderkey) AS total, AVG(o_orderkey) AS avg_key
+          |FROM dsrc GROUP BY o_orderstatus""".stripMargin,
+        batchId = Some(100L))
+      cat.exec(s,
+        """INSERT INTO dsrc
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
+          .stripMargin, batchId = Some(1L))
+      // CoW DELETE + idempotent CoW UPDATE in the same window (the
+      // bumped keys leave the update's own predicate range, so a
+      // replayed statement is a stats-proven no-op)
+      cat.exec(s, "DELETE FROM dsrc WHERE o_orderkey % 2 = 1")
+      cat.exec(s,
+        """UPDATE dsrc SET o_orderkey = o_orderkey + 1000000
+          |WHERE o_orderkey % 100 = 0 AND o_orderkey <= 2400"""
+          .stripMargin)
+      val mode = cat.exec(s, "REFRESH MATERIALIZED VIEW dgold")
+        .head().getString(0)
+      val retractOk =
+        if (mode == "incremental" || mode == "current") 1 else 0
+      cat.query(s,
+        """SELECT o_orderstatus, cnt, total, avg_key FROM dgold
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("retract_ok", lit(retractOk))
     })
 }

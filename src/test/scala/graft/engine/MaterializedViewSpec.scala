@@ -115,21 +115,36 @@ class MaterializedViewSpec extends SparkSpec {
     val defn = "SELECT k, SUM(n) AS total FROM f1 GROUP BY k"
     cat.exec(spark, s"CREATE MATERIALIZED VIEW m1 AS $defn",
       batchId = Some(100L))
-    // a DELETE cannot fold into SUM partials → full, still correct
+    // a DELETE retracts through the SUM's fold pair — incremental,
+    // and the content still equals the recompute
     cat.exec(spark, "DELETE FROM f1 WHERE n = 2")
     val r1 = cat.exec(spark, "REFRESH MATERIALIZED VIEW m1")
-    assert(modeOf(r1).startsWith("full:"), r1.collect().mkString)
+    assert(modeOf(r1) == "incremental", r1.collect().mkString)
     assert(cat.query(spark, "SELECT k, total FROM m1 ORDER BY k")
       .as[(String, Long)].collect().toSeq ==
       Seq(("a", 1L), ("b", 3L)))
-    // after a full refresh the window resets — an insert-only window
-    // folds incrementally again
+    // an insert-only window keeps folding
     cat.exec(spark, "INSERT INTO f1 VALUES ('b', 10)",
       batchId = Some(1L))
     assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW m1"))
       == "incremental")
     assert(cat.query(spark, "SELECT total FROM m1 WHERE k = 'b'")
       .as[Long].head() == 13L)
+    // MIN/MAX cannot retract: a delete window recomputes, loudly
+    // (own table — f1 keeps serving the multi-source case below)
+    cat.exec(spark,
+      "CREATE TABLE f1b (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO f1b VALUES ('a', 1), ('b', 3)", batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW m1b AS SELECT k, MIN(n) AS lo " +
+        "FROM f1b GROUP BY k", batchId = Some(110L))
+    cat.exec(spark, "DELETE FROM f1b WHERE n = 1")
+    val r1b = cat.exec(spark, "REFRESH MATERIALIZED VIEW m1b")
+    assert(modeOf(r1b) == "full:deletes in the window fold past " +
+      "MIN/MAX", r1b.collect().mkString)
+    assert(cat.query(spark, "SELECT k, lo FROM m1b ORDER BY k")
+      .as[(String, Long)].collect().toSeq == Seq(("b", 3L)))
     // multi-source: always full
     cat.exec(spark,
       "CREATE TABLE f2 (k STRING, tag STRING) USING graft_store")
@@ -501,6 +516,109 @@ class MaterializedViewSpec extends SparkSpec {
     assert(modeOf(r) == "incremental", r.collect().mkString)
     assert(cat.query(spark, "SELECT cnt, total FROM cmv " +
       "WHERE k = 'a'").as[(Long, Long)].head() == ((3L, 111L)))
+  }
+
+  test("DELETE and CoW UPDATE windows fold incrementally for " +
+      "COUNT/SUM/AVG shapes: retraction through the pair columns, " +
+      "NULL served when the last non-null value leaves, a fully " +
+      "emptied group recomputes loudly") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE rt (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO rt VALUES ('a', 1), ('a', 3), ('b', 5), " +
+        "('b', NULL)", batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, COUNT(n) AS nn, " +
+      "SUM(n) AS total, AVG(n) AS m FROM rt GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW rmv2 AS $defn",
+      batchId = Some(100L))
+    def served() = cat.query(spark,
+      "SELECT k, cnt, nn, total, m FROM rmv2").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    def recomputed() = cat.query(spark, defn).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3),
+        if (r.isNullAt(4)) null else r.getDouble(4)))).toMap
+    // plain DELETE retracts
+    cat.exec(spark, "DELETE FROM rt WHERE n = 3")
+    val r1 = cat.exec(spark, "REFRESH MATERIALIZED VIEW rmv2")
+    assert(modeOf(r1) == "incremental", r1.collect().mkString)
+    assert(served() == recomputed())
+    assert(served()("a") == ((1L, 1L, 1L, 1.0)))
+    // CoW UPDATE travels as delete+insert and folds exactly
+    cat.exec(spark, "UPDATE rt SET n = 10 WHERE n = 5")
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW rmv2"))
+      == "incremental")
+    assert(served() == recomputed())
+    assert(served()("b") == ((2L, 1L, 10L, 10.0)))
+    // retracting the LAST non-null value serves NULL, not 0 — the
+    // group survives on its null row
+    cat.exec(spark, "DELETE FROM rt WHERE n = 10")
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW rmv2"))
+      == "incremental")
+    assert(served() == recomputed())
+    assert(served()("b") == ((1L, 0L, null, null)))
+    // a group whose LAST row leaves cannot fold (the keyed merge
+    // never deletes a backing row): full, loudly, content exact
+    cat.exec(spark, "DELETE FROM rt WHERE k = 'a'")
+    val r4 = cat.exec(spark, "REFRESH MATERIALIZED VIEW rmv2")
+    assert(modeOf(r4) == "full:a group emptied in the window",
+      r4.collect().mkString)
+    assert(served() == recomputed())
+    assert(!served().contains("a"))
+    // a group inserted AND deleted inside one window is invisible to
+    // the endpoint-diff feed (it exists in neither endpoint version)
+    // — the fold never sees it, stays incremental, content exact
+    cat.exec(spark, "INSERT INTO rt VALUES ('c', 7)",
+      batchId = Some(1L))
+    cat.exec(spark, "DELETE FROM rt WHERE k = 'c'")
+    val r5 = cat.exec(spark, "REFRESH MATERIALIZED VIEW rmv2")
+    assert(modeOf(r5) == "incremental", r5.collect().mkString)
+    assert(served() == recomputed())
+    assert(!served().contains("c"))
+  }
+
+  test("a full refresh crashed between its REPLACE commit and its " +
+      "data load (empty backing, stale sidecar) recovers by FULL " +
+      "recompute — never an incremental fold that would resurrect " +
+      "only the window") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE fr (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO fr VALUES ('a', 1), ('b', 2)", batchId = Some(0L))
+    val defn = "SELECT k, COUNT(*) AS cnt, SUM(n) AS total " +
+      "FROM fr GROUP BY k"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW fmv AS $defn",
+      batchId = Some(100L))
+    // simulate the crash: the REPLACE metadata commit retired every
+    // backing row, the RTAS data load never ran, the sidecar still
+    // claims the old window — exactly the mid-full-refresh failpoint
+    val backing = cat.resolve(spark, "fmv").get
+    backing.replaceSchema(spark,
+      backing.read(spark).drop("batch_id").schema, Nil)
+    assert(backing.countRows(spark).contains(0L))
+    // a new insert-only window arrives; a naive incremental fold
+    // would serve ONLY these rows
+    cat.exec(spark, "INSERT INTO fr VALUES ('a', 10)",
+      batchId = Some(1L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW fmv")
+    assert(modeOf(r) ==
+      "full:backing empty at a non-zero window start",
+      r.collect().mkString)
+    assert(cat.query(spark, "SELECT k, cnt, total FROM fmv")
+      .collect().map(x =>
+        x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap ==
+      Map("a" -> ((2L, 11L)), "b" -> ((1L, 2L))))
+    // and the next window folds incrementally again
+    cat.exec(spark, "INSERT INTO fr VALUES ('b', 5)",
+      batchId = Some(2L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW fmv"))
+      == "incremental")
+    assert(cat.query(spark, "SELECT total FROM fmv WHERE k = 'b'")
+      .as[Long].head() == 7L)
   }
 
   test("width is pinned at CREATE: a naked SELECT * refuses (top " +
