@@ -354,14 +354,29 @@ object StoreSql {
           else store.overwrite(df, bid)
         }
       case m: MergeIntoTable =>
-        val key = m.mergeCondition match {
+        // the ON condition: AND-ed same-named equalities — one key
+        // column or a composite business key (the CDC norm). Each
+        // conjunct must be `target.k = source.k`; anything else
+        // (inequalities, functions, differently-named sides) refuses
+        // with the shape spelled out.
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions
+            .Expression): Seq[org.apache.spark.sql.catalyst.expressions
+            .Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case other => Seq(other)
+        }
+        val keys = conjuncts(m.mergeCondition).map {
           case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
               if a.nameParts.last == b.nameParts.last =>
             a.nameParts.last
           case other => throw new IllegalArgumentException(
-            "MERGE condition must be target.k = source.k on one key " +
-              s"column, got: ${other.sql}")
+            "MERGE condition must be AND-ed target.k = source.k " +
+              s"equalities, got: ${other.sql}")
         }
+        require(keys.map(_.toLowerCase).distinct.size == keys.size,
+          s"MERGE condition repeats a key column: " +
+            keys.mkString(", "))
         val srcName = relationName(m.sourceTable).getOrElse(
           throw new IllegalArgumentException(
             s"MERGE source must be a named view/table, got: ${m.sourceTable}"))
@@ -497,7 +512,7 @@ object StoreSql {
             else None
           val src = reconcileInsert(srcFrame,
             evolveTarget(spark, store, srcFrame, targetSchema))
-          store.merge(spark, src, key, bid)
+          store.merge(spark, src, keys, bid)
         } else {
           // MERGE WITH SCHEMA EVOLUTION on the general clause path
           // (Delta's autoMerge-for-MERGE contract): a SET * / INSERT *
@@ -667,7 +682,7 @@ object StoreSql {
               }
             }
           }
-          store.mergeClauses(spark, srcFrame, key,
+          store.mergeClauses(spark, srcFrame, keys,
             m.matchedActions.map(clauseOf),
             m.notMatchedActions.map(insertOf),
             m.notMatchedBySourceActions.map(clauseOf), bid)

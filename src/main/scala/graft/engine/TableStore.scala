@@ -2050,9 +2050,24 @@ final class ManifestTableStore(path: String,
       matched: Seq[ManifestTableStore.MergeClause],
       notMatched: Seq[ManifestTableStore.InsertClause],
       bySource: Seq[ManifestTableStore.MergeClause],
+      batchId: Long): Unit =
+    mergeClauses(spark, source, Seq(key), matched, notMatched,
+      bySource, batchId)
+
+  /** Composite-key general MERGE — the same clause surface over an
+    * AND-of-equalities key tuple (the CDC shape for tables whose
+    * business key spans columns). Dir pruning stays stats-bounded: a
+    * dir carries forward when provably disjoint on ANY key column.
+    */
+  def mergeClauses(spark: SparkSession, source: DataFrame,
+      keys: Seq[String],
+      matched: Seq[ManifestTableStore.MergeClause],
+      notMatched: Seq[ManifestTableStore.InsertClause],
+      bySource: Seq[ManifestTableStore.MergeClause],
       batchId: Long): Unit = synchronized {
     import ManifestTableStore.{DeleteClause, UpdateClause}
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
+    require(keys.nonEmpty, "MERGE needs at least one key column")
     val f = fs(spark)
     guardInheritedId(f, batchId)
     val (v, lines) = current(f)
@@ -2068,16 +2083,16 @@ final class ManifestTableStore(path: String,
     val src = source.pinned
     // SQL MERGE refuses a target row matching more than one source row
     // (nondeterministic update) — enforced on the small side
-    require(src.groupBy(col(key)).count()
+    require(src.groupBy(keys.map(col): _*).count()
       .filter(col("count") > 1).isEmpty,
-      s"MERGE source has duplicate values of '$key'")
+      s"MERGE source has duplicate values of '${keys.mkString(", ")}'")
     val srcPrefixed = src.columns.foldLeft(src)((d, c) =>
       d.withColumnRenamed(c, s"__src_$c"))
     val touched: Set[String] =
       if (matched.isEmpty && bySource.isEmpty) Set.empty // insert-only
       else if (bySource.nonEmpty)
         lines.filterNot(isSchemaMarker).map(_.dir).toSet
-      else mergeTouchedDirs(src, key, lines)
+      else mergeTouchedDirs(src, keys, lines)
     // index of the first clause (declaration order) whose condition
     // holds, -1 when none does — SQL MERGE's first-match-wins
     def firstClause(clauses: Seq[ManifestTableStore.MergeClause],
@@ -2102,8 +2117,10 @@ final class ManifestTableStore(path: String,
         readDirs(spark, lines.map(_.dir).distinct), lines), lines).schema
     def xform(df: DataFrame): DataFrame = {
       val joined = df.join(broadcast(srcPrefixed),
-        df(key) === col(s"__src_$key"), "left")
-      val isM = col(s"__src_$key").isNotNull
+        keys.map(k => df(k) === col(s"__src_$k")).reduce(_ && _),
+        "left")
+      val isM = keys.map(k => col(s"__src_$k").isNotNull)
+        .reduce(_ && _)
       val staged = joined
         .withColumn("__m", firstClause(matched, isM))
         .withColumn("__b", firstClause(bySource, !isM))
@@ -2175,7 +2192,7 @@ final class ManifestTableStore(path: String,
           if (lines.isEmpty) src
           else src.join(applyWidens(applyRenames(
               readDirs(spark, lines.map(_.dir).distinct), lines), lines)
-            .select(key).distinct(), Seq(key), "left_anti")
+            .select(keys.map(col): _*).distinct(), keys, "left_anti")
         val iIdx = notMatched.zipWithIndex
           .foldRight(lit(-1): org.apache.spark.sql.Column) {
             case ((cl, i), els) =>

@@ -3186,5 +3186,63 @@ object StoreOps {
         """SELECT o_orderstatus, cnt, total, avg_key FROM dgold
           |ORDER BY o_orderstatus""".stripMargin)
         .withColumn("retract_ok", lit(retractOk))
+    },
+
+    // COMPOSITE-KEY MERGE — CDC apply on a multi-column business key
+    // (lineitem's canonical (l_orderkey, l_linenumber)): the ON
+    // condition is AND-ed same-named equalities; matching is on the
+    // TUPLE, so two updates sharing an orderkey but differing in
+    // linenumber are distinct rows, and dir pruning stays
+    // stats-bounded (a dir carries forward when provably disjoint on
+    // ANY key column). Star-form UPDATE SET * / INSERT * rides the
+    // anti-join fast path. Pinned hash-for-hash against the oracle's
+    // relational recompute of the post-CDC state.
+    QueryDef(
+      "q246_sql_merge_composite_key",
+      """WITH fin AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN l_orderkey <= 600
+        |      THEN CAST(l_quantity AS BIGINT) + 100
+        |      ELSE CAST(l_quantity AS BIGINT) END AS q
+        |  FROM lineitem WHERE l_orderkey <= 1800)
+        |SELECT l_returnflag, COUNT(*) AS cnt, SUM(q) AS total
+        |FROM fin GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_merge_ck", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS tkc (
+          |  l_orderkey BIGINT, l_linenumber BIGINT,
+          |  l_returnflag STRING, q BIGINT)
+          |USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO tkc
+          |SELECT l_orderkey, l_linenumber, l_returnflag,
+          |  CAST(l_quantity AS BIGINT)
+          |FROM lineitem WHERE l_orderkey <= 1200""".stripMargin,
+        batchId = Some(0L))
+      // the CDC batch: tuple-keyed updates (+100 on early orders) and
+      // fresh inserts — one composite-key star MERGE applies both
+      s.sql(
+        """SELECT l_orderkey, l_linenumber, l_returnflag,
+          |  CASE WHEN l_orderkey <= 600
+          |    THEN CAST(l_quantity AS BIGINT) + 100
+          |    ELSE CAST(l_quantity AS BIGINT) END AS q
+          |FROM lineitem
+          |WHERE l_orderkey <= 600
+          |   OR (l_orderkey > 1200 AND l_orderkey <= 1800)"""
+          .stripMargin).createOrReplaceTempView("cdc246")
+      cat.exec(s,
+        """MERGE INTO tkc USING cdc246
+          |ON tkc.l_orderkey = cdc246.l_orderkey
+          |  AND tkc.l_linenumber = cdc246.l_linenumber
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
+        batchId = Some(1L))
+      cat.query(s,
+        """SELECT l_returnflag, COUNT(*) AS cnt, SUM(q) AS total
+          |FROM tkc GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
     })
 }

@@ -62,7 +62,8 @@ class StoreSqlSpec extends SparkSpec {
   }
 
   test("star MERGE INTO upserts through the keyed CoW merge; " +
-      "multi-column conditions and a missing batchId are refused") {
+      "composite AND-ed key conditions merge on the tuple; " +
+      "inequality conditions and a missing batchId are refused") {
     val store = freshStore()
     Seq(("b", 20), ("d", 40)).toDF("k", "n")
       .createOrReplaceTempView("src")
@@ -72,11 +73,23 @@ class StoreSqlSpec extends SparkSpec {
         "WHEN NOT MATCHED THEN INSERT *", batchId = Some(1L))
     assert(state(store)
       == Set(("a", 1), ("b", 20), ("c", 3), ("d", 40)))
+    // a COMPOSITE key (AND-ed same-named equalities) merges on the
+    // tuple: ("b", 20) matches, ("b", 99) is a DIFFERENT tuple and
+    // inserts
+    Seq(("b", 20), ("b", 99)).toDF("k", "n")
+      .createOrReplaceTempView("src2")
+    StoreSql.exec(spark, Map("t" -> store),
+      "MERGE INTO t USING src2 ON t.k = src2.k AND t.n = src2.n " +
+        "WHEN MATCHED THEN UPDATE SET * " +
+        "WHEN NOT MATCHED THEN INSERT *", batchId = Some(2L))
+    assert(state(store)
+      == Set(("a", 1), ("b", 20), ("b", 99), ("c", 3), ("d", 40)))
+    // an INEQUALITY conjunct is not a key equality: refused
     intercept[IllegalArgumentException] {
       StoreSql.exec(spark, Map("t" -> store),
-        "MERGE INTO t USING src ON t.k = src.k AND t.n = src.n " +
+        "MERGE INTO t USING src ON t.k = src.k AND t.n > src.n " +
           "WHEN MATCHED THEN UPDATE SET * " +
-          "WHEN NOT MATCHED THEN INSERT *", batchId = Some(2L))
+          "WHEN NOT MATCHED THEN INSERT *", batchId = Some(3L))
     }
     // no explicit batchId: refused BEFORE any table mutation — the
     // implicit default would replay-no-op against batch 0 silently
@@ -88,6 +101,34 @@ class StoreSqlSpec extends SparkSpec {
           "WHEN NOT MATCHED THEN INSERT *")
     }
     assert(store.currentVersion(spark) == v)
+  }
+
+  test("general MERGE on a COMPOSITE key: clauses match on the " +
+      "tuple, a duplicate source TUPLE refuses while distinct tuples " +
+      "sharing one column are fine") {
+    val store = freshStore()
+    Seq(("a", 1, "up"), ("z", 9, "in"), ("c", 99, "in"))
+      .toDF("k", "n", "op").createOrReplaceTempView("csrc")
+    // ("c", 99): same k as an existing row but a DIFFERENT tuple —
+    // must take the NOT MATCHED leg, never update ("c", 3)
+    StoreSql.exec(spark, Map("t" -> store),
+      "MERGE INTO t USING csrc ON t.k = csrc.k AND t.n = csrc.n " +
+        "WHEN MATCHED AND csrc.op = 'up' THEN UPDATE SET " +
+        "n = t.n + 100 " +
+        "WHEN NOT MATCHED AND csrc.op = 'in' THEN INSERT (k, n) " +
+        "VALUES (csrc.k, csrc.n)",
+      batchId = Some(1L))
+    assert(state(store) ==
+      Set(("a", 101), ("b", 2), ("c", 3), ("c", 99), ("z", 9)))
+    // duplicate TUPLES refuse (nondeterministic update);
+    // tuple-distinct rows sharing a column already merged above
+    Seq(("a", 101), ("a", 101)).toDF("k", "n")
+      .createOrReplaceTempView("cdup")
+    intercept[IllegalArgumentException] {
+      StoreSql.exec(spark, Map("t" -> store),
+        "MERGE INTO t USING cdup ON t.k = cdup.k AND t.n = cdup.n " +
+          "WHEN MATCHED THEN DELETE", batchId = Some(2L))
+    }
   }
 
   test("general MERGE: conditional WHEN MATCHED AND, column-level SET " +
