@@ -13,6 +13,13 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // correctness certifies the FIRST-RUN path: inherited keyed state
+      // (written by an older binary with different statements) is
+      // invisible to batch-id-idempotent replay, so the gate clears it
+      // (Materialize fresh-state). SPARK_GRAFT_FRESH_STATE=0 restores
+      // replay-on-warm-state for targeted iteration.
+      .config("graft.state.fresh",
+        sys.env.getOrElse("SPARK_GRAFT_FRESH_STATE", "1"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

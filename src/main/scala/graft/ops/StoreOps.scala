@@ -27,6 +27,17 @@ object StoreOps {
   private def dsum(c: Column): Column =
     sum(c.cast(DecimalType(18, 2))).cast("double")
 
+  /** One REFRESH MATERIALIZED VIEW outcome as an oracle-pinnable
+    * string — `<mode>@<from>..<to>` — so a driver-side hash failure
+    * names the exact statement and window that diverged instead of a
+    * collapsed 0/1 flag (the round-15 observability gap). Verify runs
+    * fresh-state, so the first-run trace is deterministic and exact.
+    */
+  private def refreshTrace(df: DataFrame): String = {
+    val r = df.head()
+    s"${r.getString(0)}@${r.getLong(1)}..${r.getLong(2)}"
+  }
+
   /** The q162/q184 shared store with the delete-then-restore history:
     * versions 1-4 = date-batched appends, 5 = CoW delete of 1998+,
     * 6 = metadata-only restore to version 2. Each append gates on the
@@ -2943,7 +2954,9 @@ object StoreOps {
       """SELECT o_orderstatus,
         |  COUNT(*) AS cnt,
         |  SUM(o_orderkey) AS total,
-        |  1 AS vacuum_fallback_ok, 1 AS resumed_incremental
+        |  'incremental@2..3' AS mode_first,
+        |  'full:cdf window vacuumed@0..5' AS mode_after_vacuum,
+        |  'incremental@5..6' AS mode_resumed
         |FROM orders WHERE o_orderkey <= 2400
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -2967,33 +2980,31 @@ object StoreOps {
           |FROM mvv_src GROUP BY o_orderstatus""".stripMargin,
         batchId = Some(100L))
       wave(1200L, 1800L, 1L)
-      cat.exec(s, "REFRESH MATERIALIZED VIEW mvv") // incremental
+      // every REFRESH pins its FULL outcome — raw mode string plus the
+      // window bounds it folded — as an oracle-compared column. The
+      // round-15 gate collapsed these into 0/1 flags and a driver-side
+      // divergence could not name the statement that took the wrong
+      // path; exact pins make any future divergence self-describing.
+      // (Verify runs fresh-state, so the first-run trace is THE trace.)
+      val m0 = refreshTrace(cat.exec(s, "REFRESH MATERIALIZED VIEW mvv"))
       // two more commits push the vacuum horizon past the MV's window
       wave(1800L, 2100L, 2L)
       wave(2100L, 2400L, 3L)
       cat.resolve(s, "mvv_src").get
         .vacuum(s, retainLast = 1, minAgeMs = 0)
-      val m1 = cat.exec(s, "REFRESH MATERIALIZED VIEW mvv")
-        .head().getString(0)
-      // first run: the vacuumed window degrades loudly; replayed
-      // runs: every wave is a no-op, nothing moved → current
-      val fallbackOk =
-        if (m1 == "full:cdf window vacuumed" || m1 == "current") 1
-        else 0
+      val m1 = refreshTrace(cat.exec(s, "REFRESH MATERIALIZED VIEW mvv"))
       // and the NEXT insert-only window folds incrementally again
       cat.exec(s,
         """INSERT INTO mvv_src VALUES ('_probe', 0)""",
         batchId = Some(4L))
-      val m2 = cat.exec(s, "REFRESH MATERIALIZED VIEW mvv")
-        .head().getString(0)
-      val resumed = if (m2 == "incremental" || m2 == "current") 1
-        else 0
+      val m2 = refreshTrace(cat.exec(s, "REFRESH MATERIALIZED VIEW mvv"))
       cat.query(s,
         """SELECT o_orderstatus, cnt, total FROM mvv
           |WHERE o_orderstatus <> '_probe'
           |ORDER BY o_orderstatus""".stripMargin)
-        .withColumn("vacuum_fallback_ok", lit(fallbackOk))
-        .withColumn("resumed_incremental", lit(resumed))
+        .withColumn("mode_first", lit(m0))
+        .withColumn("mode_after_vacuum", lit(m1))
+        .withColumn("mode_resumed", lit(m2))
     },
 
     // REALISTIC GOLD MV SHAPE, INCREMENTALLY FOLDED (round-14 verdict
@@ -3015,7 +3026,7 @@ object StoreOps {
         |  COUNT(*) AS cnt,
         |  SUM(o_orderkey) AS total,
         |  AVG(o_orderkey) AS avg_key,
-        |  1 AS incremental_ok
+        |  'incremental@2..3' AS refresh_mode
         |FROM orders WHERE o_orderkey <= 6000
         |GROUP BY 1, 2
         |ORDER BY o_orderstatus, mon""".stripMargin) { (s, dir) =>
@@ -3045,15 +3056,13 @@ object StoreOps {
           |SELECT o_orderstatus, o_orderdate, o_orderkey FROM orders
           |WHERE o_orderkey > 3000 AND o_orderkey <= 6000"""
           .stripMargin, batchId = Some(1L))
-      val mode = cat.exec(s, "REFRESH MATERIALIZED VIEW ggold")
-        .head().getString(0)
-      val incOk = if (mode == "incremental" || mode == "current") 1
-        else 0
+      val mode = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW ggold"))
       cat.query(s,
         """SELECT o_orderstatus, CAST(mon AS DATE) AS mon, cnt,
           |  total, avg_key
           |FROM ggold ORDER BY o_orderstatus, mon""".stripMargin)
-        .withColumn("incremental_ok", lit(incOk))
+        .withColumn("refresh_mode", lit(mode))
     },
 
     // MV REFRESH ACROSS SOURCE SCHEMA EVOLUTION (round-14 verdict
@@ -3068,7 +3077,8 @@ object StoreOps {
       "q244_sql_mv_evolution",
       """SELECT o_orderstatus,
         |  COUNT(*) AS cnt, SUM(o_orderkey) AS total,
-        |  1 AS incremental_ok, 1 AS star_refused
+        |  'incremental@2..4' AS refresh_mode,
+        |  'refused' AS star_create
         |FROM orders WHERE o_orderkey <= 2400
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -3093,15 +3103,18 @@ object StoreOps {
         batchId = Some(100L))
       // unpinned width refuses at CREATE — the contract evolution
       // relies on
-      val starRefused =
+      // raw outcome, not a flag: an unexpected acceptance or a
+      // DIFFERENT error both surface verbatim in the driver compare
+      val starCreate =
         try {
           cat.exec(s,
             "CREATE MATERIALIZED VIEW estar AS SELECT * FROM esrc")
-          0
+          "created"
         } catch {
           case e: IllegalArgumentException
-              if e.getMessage.contains("`*`") => 1
-          case _: Throwable => 0
+              if e.getMessage.contains("`*`") => "refused"
+          case e: Throwable =>
+            s"error:${e.getClass.getSimpleName}"
         }
       // the source WIDENS between refreshes (replay-guarded)
       if (!cat.query(s, "SELECT * FROM esrc").columns
@@ -3113,15 +3126,13 @@ object StoreOps {
           |  CONCAT('n-', o_orderkey) FROM orders
           |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
           .stripMargin, batchId = Some(1L))
-      val mode = cat.exec(s, "REFRESH MATERIALIZED VIEW egold")
-        .head().getString(0)
-      val incOk = if (mode == "incremental" || mode == "current") 1
-        else 0
+      val mode = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW egold"))
       cat.query(s,
         """SELECT o_orderstatus, cnt, total FROM egold
           |ORDER BY o_orderstatus""".stripMargin)
-        .withColumn("incremental_ok", lit(incOk))
-        .withColumn("star_refused", lit(starRefused))
+        .withColumn("refresh_mode", lit(mode))
+        .withColumn("star_create", lit(starCreate))
     },
 
     // RETRACTABLE MV FOLD: a window carrying CoW DELETEs and UPDATEs
@@ -3145,7 +3156,7 @@ object StoreOps {
         |  FROM orders
         |  WHERE o_orderkey <= 2400 AND o_orderkey % 2 = 0)
         |SELECT o_orderstatus, COUNT(*) AS cnt, SUM(k) AS total,
-        |  AVG(k) AS avg_key, 1 AS retract_ok
+        |  AVG(k) AS avg_key, 'incremental@2..5' AS refresh_mode
         |FROM base GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
@@ -3178,14 +3189,12 @@ object StoreOps {
         """UPDATE dsrc SET o_orderkey = o_orderkey + 1000000
           |WHERE o_orderkey % 100 = 0 AND o_orderkey <= 2400"""
           .stripMargin)
-      val mode = cat.exec(s, "REFRESH MATERIALIZED VIEW dgold")
-        .head().getString(0)
-      val retractOk =
-        if (mode == "incremental" || mode == "current") 1 else 0
+      val mode = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW dgold"))
       cat.query(s,
         """SELECT o_orderstatus, cnt, total, avg_key FROM dgold
           |ORDER BY o_orderstatus""".stripMargin)
-        .withColumn("retract_ok", lit(retractOk))
+        .withColumn("refresh_mode", lit(mode))
     },
 
     // COMPOSITE-KEY MERGE — CDC apply on a multi-column business key
@@ -3205,7 +3214,8 @@ object StoreOps {
         |      THEN CAST(l_quantity AS BIGINT) + 100
         |      ELSE CAST(l_quantity AS BIGINT) END AS q
         |  FROM lineitem WHERE l_orderkey <= 1800)
-        |SELECT l_returnflag, COUNT(*) AS cnt, SUM(q) AS total
+        |SELECT l_returnflag, COUNT(*) AS cnt, SUM(q) AS total,
+        |  'v3' AS state_version
         |FROM fin GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
@@ -3240,9 +3250,14 @@ object StoreOps {
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *""".stripMargin,
         batchId = Some(1L))
+      // pin the exact commit count (create + insert + merge): inherited or
+      // replayed state — content written by any OTHER statement
+      // history — shows up verbatim instead of as a bare hash mismatch
+      val ver = cat.resolve(s, "tkc").get.currentVersion(s)
       cat.query(s,
         """SELECT l_returnflag, COUNT(*) AS cnt, SUM(q) AS total
           |FROM tkc GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
+        .withColumn("state_version", lit(s"v$ver"))
     })
 }
