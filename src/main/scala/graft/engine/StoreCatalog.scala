@@ -376,7 +376,7 @@ final class StoreCatalog(basePath: String) {
           case Some(_) =>
           case None =>
             ctasFresh(spark, name, ctas.partitioning, ctas.tableSpec,
-              mvRewriteQuery(spliceViews(spark, ctas.query)), batchId)
+              mvRewriteQuery(spark, spliceViews(spark, ctas.query)), batchId)
         }
         spark.emptyDataFrame
       case Some(rt: org.apache.spark.sql.catalyst.plans.logical
@@ -431,7 +431,7 @@ final class StoreCatalog(basePath: String) {
             // EXPRESSION plan that bare transform never visits — it
             // would read the already-emptied post-replace state.
             val preV = s.currentVersion(spark).toString
-            val pinned = mvRewriteQuery(spliceViews(spark, rtas.query))
+            val pinned = mvRewriteQuery(spark, spliceViews(spark, rtas.query))
               .transformWithSubqueries {
               case u: org.apache.spark.sql.catalyst.analysis
                   .UnresolvedRelation
@@ -669,7 +669,17 @@ final class StoreCatalog(basePath: String) {
             s"unknown table '$name' (known: " +
               s"${listTables(spark).mkString(", ")})"))
         val meta = metaOf(name)
-        val cols = s.read(spark).schema.fields.toSeq.map(f =>
+        // an MV's generated fold columns are storage-internal — they
+        // never appear in DESCRIBE, same as in reads
+        val visible: String => Boolean =
+          mvDeclaredProjection(spark, name) match {
+            case Some(declared) => c =>
+              c.equalsIgnoreCase("batch_id") ||
+                declared.exists(_.equalsIgnoreCase(c))
+            case None => _ => true
+          }
+        val cols = s.read(spark).schema.fields.toSeq
+          .filter(f => visible(f.name)).map(f =>
           (f.name, f.dataType.sql.toLowerCase,
             if (f.name == "batch_id")
               "store attribution column (exactly-once commits)"
@@ -998,7 +1008,12 @@ final class StoreCatalog(basePath: String) {
           val horizon =
             math.max(1L, s.currentVersion(spark) - recent)
           val rows = mvs.flatMap { mv =>
-            mviewSpec(spark, mv).flatMap(_._2.get(t))
+            // case-insensitive: the sidecar records the CREATE-time
+            // casing; a differently-cased VACUUM target must still
+            // find it (name handling is case-insensitive everywhere
+            // else in the engine)
+            mviewSpec(spark, mv)
+              .flatMap(_._2.find(_._1.equalsIgnoreCase(t)).map(_._2))
               .filter(_ < horizon).map { last =>
                 s"advisory: materialized view '$mv' last refreshed " +
                   s"at $t version $last, below the retention " +
@@ -1363,6 +1378,59 @@ final class StoreCatalog(basePath: String) {
     * identically); travel the underlying tables inside the view text
     * instead. Depth-capped so a cyclic definition refuses loudly.
     */
+  /** The MV definition's DECLARED output column names, in definition
+    * order — Some only when the backing carries MORE columns than
+    * declared (the generated fold pairs `__rows` / `<a>__cnt` /
+    * `<a>__sum`, appended at CREATE or by a vintage-upgrade REPLACE).
+    * Reads and DESCRIBE serve THROUGH this projection, keeping the
+    * fold columns storage-internal: a REFRESH that upgrades a
+    * pre-pair backing mid-life must never widen a user's `SELECT *` —
+    * exactly the drift the naked-star CREATE refusal exists to
+    * prevent. None for non-MVs, row-map shapes, and vintage backings
+    * of exactly the declared width (nothing to hide).
+    */
+  private def mvDeclaredProjection(spark: SparkSession,
+      name: String): Option[Seq[String]] =
+    mviewSpec(spark, name).flatMap { case (text, _) =>
+      import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+      val parsed = try spark.sessionState.sqlParser.parsePlan(text)
+        catch { case scala.util.control.NonFatal(_) => return None }
+      val items = parsed match {
+        case Aggregate(_, aggExprs, _, _) => aggExprs
+        case _ => return None // only fold shapes generate columns
+      }
+      val names = items.flatMap {
+        case a: Alias => Some(a.name)
+        case a: UnresolvedAttribute if a.nameParts.size == 1 =>
+          Some(a.nameParts.head)
+        case _ => None
+      }
+      if (names.size != items.size || names.isEmpty) return None
+      val backing = resolve(spark, name) match {
+        case Some(st) => st.read(spark).columns.toSeq
+        case None => return None
+      }
+      val extra = backing.exists(c =>
+        !c.equalsIgnoreCase("batch_id") &&
+          !names.exists(_.equalsIgnoreCase(c)))
+      if (extra) Some(names) else None
+    }
+
+  /** Wrap an MV backing read in the declared-output projection when
+    * one applies ([[mvDeclaredProjection]]); identity otherwise.
+    */
+  private def mvProject(spark: SparkSession, name: String,
+      child: LogicalPlan): LogicalPlan =
+    mvDeclaredProjection(spark, name) match {
+      case Some(cols) =>
+        org.apache.spark.sql.catalyst.plans.logical.Project(
+          cols.map(c => org.apache.spark.sql.catalyst.analysis
+            .UnresolvedAttribute(Seq(c))), child)
+      case None => child
+    }
+
   private def spliceViews(spark: SparkSession, plan: LogicalPlan,
       depth: Int = 0): LogicalPlan =
     plan.transformWithSubqueries {
@@ -1378,6 +1446,41 @@ final class StoreCatalog(basePath: String) {
           "time travel on a VIEW is not supported (a view is a " +
             "definition, not data): apply VERSION AS OF / TIMESTAMP " +
             "AS OF to the underlying tables in the view definition")
+      // an MV is a real versioned table: VERSION AS OF / TIMESTAMP AS
+      // OF route to its BACKING (resolved here — the spliced subtree
+      // carries no unresolved MV reference the transform would
+      // revisit), behind the declared-output projection so the fold
+      // pair columns stay storage-internal at every version
+      case tt: org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+          if !mvInternalOp.get() && (tt.relation match {
+            case u: org.apache.spark.sql.catalyst.analysis
+                .UnresolvedRelation =>
+              u.multipartIdentifier.size == 1 &&
+                mviewSpec(spark,
+                  u.multipartIdentifier.head).isDefined
+            case _ => false
+          }) =>
+        val name = tt.relation
+          .asInstanceOf[org.apache.spark.sql.catalyst.analysis
+            .UnresolvedRelation].multipartIdentifier.head
+        val st = resolve(spark, name).getOrElse(
+          throw new IllegalArgumentException(
+            s"materialized view '$name' has no backing table"))
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          name, mvProject(spark, name,
+            StoreSql.travelRead(spark, st, tt.timestamp, tt.version)))
+      // current-state MV read with fold columns present: serve
+      // through the declared projection (resolved splice — same
+      // pushdown-capable format read route would produce)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+          if u.multipartIdentifier.size == 1 && !mvInternalOp.get() &&
+            mvDeclaredProjection(spark,
+              u.multipartIdentifier.head).isDefined =>
+        val name = u.multipartIdentifier.head
+        val st = resolve(spark, name).get
+        org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+          name, mvProject(spark, name,
+            StoreSql.formatRead(spark, st, Map.empty)))
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 =>
         val name = u.multipartIdentifier.head
@@ -2318,9 +2421,14 @@ final class StoreCatalog(basePath: String) {
     * decomposer will fold AVG, widen the top-level aggregate with its
     * sum/count pair. Identity outside an MV load. A version-0 source
     * pins as a bare read: nothing is committed, so there is nothing
-    * to travel to (and nothing to double-count).
+    * to travel to — it pins as an EMPTY relation with the source's
+    * declared schema (version 0 has no manifest to travel to, and a
+    * bare read would let a commit racing the CTAS be BOTH
+    * materialized now and re-folded by the first refresh window
+    * (0, cur] — double-counted sums).
     */
-  private def mvRewriteQuery(q: LogicalPlan): LogicalPlan = {
+  private def mvRewriteQuery(spark: SparkSession,
+      q: LogicalPlan): LogicalPlan = {
     val (pins, avgExpand) = mvCtasRewrite.get()
     val q1 = if (avgExpand) expandFoldPairs(q) else q
     if (pins.isEmpty) q1
@@ -2329,9 +2437,17 @@ final class StoreCatalog(basePath: String) {
           if u.multipartIdentifier.size == 1 &&
             pins.exists(_._1.equalsIgnoreCase(
               u.multipartIdentifier.head)) =>
-        val v = pins.find(_._1.equalsIgnoreCase(
-          u.multipartIdentifier.head)).get._2
-        if (v <= 0) u
+        val name = u.multipartIdentifier.head
+        val v = pins.find(_._1.equalsIgnoreCase(name)).get._2
+        if (v <= 0)
+          resolve(spark, name) match {
+            case Some(st) =>
+              org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
+                name,
+                org.apache.spark.sql.graftshim.PlanShim.planOf(
+                  st.read(spark).limit(0)))
+            case None => u // unresolvable — let the analyzer report it
+          }
         else new org.apache.spark.sql.catalyst.analysis
           .RelationTimeTravel(u, None, Some(v.toString))
     }
@@ -2454,7 +2570,8 @@ final class StoreCatalog(basePath: String) {
     if (srcs.size != 1) {
       if (srcs.forall(t => lasts.get(t).contains(curs(t))))
         return currentRow()
-      return full("multi-source definition")
+      return refreshUnionMv(spark, name, text, srcs, lasts, curs,
+        full, currentRow _)
     }
     val srcName = srcs.head
     val toV = curs(srcName)
@@ -2519,7 +2636,7 @@ final class StoreCatalog(basePath: String) {
         // delete cannot be expressed as an append
         if (hasDeletes) return full("deletes in the CDF window")
         store(name).append(partial("insert"), bid)
-      case Right(MvShape(keys, aggs)) =>
+      case Right(MvShape(keys, keyExprs, aggs)) =>
         // distributive aggregate: fold the delta's partials into the
         // backing rows. Inserts add; with the retractable pair
         // columns present (COUNT/SUM/AVG shapes), DELETES SUBTRACT —
@@ -2542,11 +2659,83 @@ final class StoreCatalog(basePath: String) {
         // backing; every later window folds incrementally.
         if (!insA.columns.forall(c => bCols(c.toLowerCase)))
           return full("backing predates retractable fold pairs")
-        // MIN/MAX cannot retract — deletes recompute, loudly
+        // MIN/MAX cannot retract — but only groups the window TOUCHED
+        // can change. Recompute exactly those groups from the source
+        // PINNED at the window end and merge them over the backing:
+        // a delete-bearing window costs a group-bounded scan
+        // (broadcast semi-join on the delta's key tuples, plus min/max
+        // dir pruning on bare-column keys), never a gold rebuild. A
+        // group the window EMPTIED vanishes from the recompute — the
+        // keyed merge cannot delete a backing row, so that (rare)
+        // case still recomputes fully, loudly.
         val retractable =
           !aggs.exists(a => a._2 == "min" || a._2 == "max")
-        if (hasDeletes && !retractable)
-          return full("deletes in the window fold past MIN/MAX")
+        if (hasDeletes && !retractable) {
+          import org.apache.spark.sql.catalyst.analysis.{
+            UnresolvedAttribute, UnresolvedStar}
+          import org.apache.spark.sql.catalyst.expressions.Alias
+          import org.apache.spark.sql.catalyst.plans.logical.Project
+          import org.apache.spark.sql.functions.{
+            broadcast, lit => flit, max => fmax, min => fmin}
+          import org.apache.spark.sql.graftshim.PlanShim
+          val tmp = keys.indices.map(i => s"__gk$i")
+          val deltaKeys = PlanShim.ofRows(spark, Project(
+            keyExprs.zip(tmp).map { case (e, n) => Alias(e, n)() },
+            PlanShim.planOf(
+              deltaAll.drop("_change_type", "batch_id"))))
+            .distinct().pinned
+          if (deltaKeys.filter(tmp.map(fcol(_).isNull)
+              .reduce(_ || _)).limit(1).count() > 0)
+            return full("null group key in the delta")
+          val affectedN = deltaKeys.count()
+          // the recompute reads the source AS OF the window end — a
+          // commit racing this refresh must not leak rows past toV
+          // into the recomputed groups (they fold in the NEXT window)
+          var srcAt = spark.read.format("graft-store")
+            .option("path", src.tablePath)
+            .option("versionAsOf", toV.toString).load()
+          // bare-column keys prune source dirs by the affected range
+          // BEFORE the join — the manifest's min/max stats make the
+          // bounded scan skip every dir outside the delta's key span
+          val bare = keys.indices.filter(i => keyExprs(i) match {
+            case a: UnresolvedAttribute => a.nameParts.size == 1
+            case _ => false
+          })
+          if (bare.nonEmpty) {
+            val spans = bare.flatMap(i =>
+              Seq(fmin(fcol(tmp(i))), fmax(fcol(tmp(i)))))
+            val mm = deltaKeys.agg(spans.head, spans.tail: _*).head()
+            bare.zipWithIndex.foreach { case (i, j) =>
+              val (lo, hi) = (mm.get(2 * j), mm.get(2 * j + 1))
+              val sc = keyExprs(i)
+                .asInstanceOf[UnresolvedAttribute].nameParts.head
+              if (lo != null && hi != null)
+                srcAt = srcAt.filter(
+                  fcol(sc) >= flit(lo) && fcol(sc) <= flit(hi))
+            }
+          }
+          val srcKeyed = PlanShim.ofRows(spark, Project(
+            UnresolvedStar(None) +:
+              keyExprs.zip(tmp).map { case (e, n) => Alias(e, n)() },
+            PlanShim.planOf(srcAt)))
+          // broadcast only a broadcast-SIZED key set; a delete wave
+          // touching millions of groups semi-joins by shuffle instead
+          // of OOMing the driver
+          val dk = if (affectedN <= 1000000L) broadcast(deltaKeys)
+            else deltaKeys
+          val bounded = srcKeyed
+            .join(dk, tmp, "left_semi")
+            .drop(tmp: _*)
+          val recomputed =
+            applyOverDelta(spark, text, srcName, bounded, foldExpand)
+              .pinned
+          if (recomputed.count() < affectedN)
+            return full("a group emptied in the window")
+          store(name).merge(spark, recomputed, keys, bid)
+          publishMviewSpec(spark, name, text, Map(srcName -> toV))
+          return Seq(("incremental", fromV, toV))
+            .toDF("mode", "from_version", "to_version")
+        }
         val net0 =
           if (!hasDeletes) insA
           else {
@@ -2634,6 +2823,95 @@ final class StoreCatalog(basePath: String) {
       .toDF("mode", "from_version", "to_version")
   }
 
+  /** Incremental refresh of a MULTI-SOURCE materialized view, for the
+    * one multi-source shape that decomposes: UNION ALL of row-map
+    * legs, each over a single source ([[mvUnionLegs]] — the
+    * reference's own silver model). Per-source CDF windows fold
+    * independently: each moved source's insert-only delta transforms
+    * through ITS leg and appends, under ONE batch id derived from the
+    * version SUM (so a crashed refresh replayed over unchanged
+    * sources is an idempotent no-op). If any source advanced between
+    * a crashed data commit and its sidecar publish, the overlap is no
+    * longer provably idempotent — that (rare) case recomputes fully,
+    * loudly. Any delete in any window recomputes fully (appends
+    * cannot retract a row-map). Everything else — non-union
+    * multi-source shapes — keeps the full-recompute fallback.
+    */
+  private def refreshUnionMv(spark: SparkSession, name: String,
+      text: String, srcs: Seq[String], lasts: Map[String, Long],
+      curs: Map[String, Long], full: String => DataFrame,
+      currentRow: () => DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => fcol}
+    import Pin.Pinnable
+    val legs = mvUnionLegs(spark, text).getOrElse {
+      return full("multi-source definition")
+    }
+    // a leg over a VIEW names the view, not a store — only direct
+    // store legs fold (the view body would need its own splice)
+    if (!legs.forall { case (t, _) =>
+        srcs.exists(_.equalsIgnoreCase(t)) })
+      return full("multi-source definition")
+    def curOf(t: String): Long =
+      curs.find(_._1.equalsIgnoreCase(t)).map(_._2).getOrElse(0L)
+    def lastOf(t: String): Long =
+      lasts.find(_._1.equalsIgnoreCase(t)).map(_._2).getOrElse(0L)
+    val sidecarSum = srcs.map(lastOf).sum
+    val cursSum = curs.values.sum
+    val tip = mvAppliedTip(spark, name).getOrElse(0L)
+    if (tip > sidecarSum) {
+      // crash between the union fold's data commit and its sidecar
+      // publish: if NOTHING moved since, the backing already holds
+      // exactly the current windows — heal the sidecar and go; if a
+      // source moved, the already-applied overlap is not recoverable
+      // per source from the version sum — recompute, loudly
+      if (tip == cursSum) {
+        publishMviewSpec(spark, name, text, curs)
+        return currentRow()
+      }
+      return full("recovering a crashed multi-source refresh")
+    }
+    val bid = MvRefreshBidBase + cursSum
+    val parts = legs.flatMap { case (srcT, leg) =>
+      // the leg carries the user-typed casing; the registry and the
+      // sidecar record the resolved one
+      val srcCanon = srcs.find(_.equalsIgnoreCase(srcT)).getOrElse(srcT)
+      val from = lastOf(srcT)
+      val to = curOf(srcT)
+      if (from >= to) None
+      else {
+        val feed =
+          try store(srcCanon).readChangeFeed(spark, from, to).pinned
+          catch {
+            case scala.util.control.NonFatal(e)
+                if mvWindowVacuumed(e) =>
+              return full("cdf window vacuumed")
+          }
+        if (feed.filter(fcol("_change_type") =!= "insert")
+            .limit(1).count() > 0)
+          return full("deletes in a multi-source window")
+        if (feed.limit(1).count() == 0L) None
+        else Some(applyPlanOverDelta(spark, leg, srcT,
+          feed.filter(fcol("_change_type") === "insert")
+            .drop("_change_type", "batch_id")))
+      }
+    }
+    if (parts.nonEmpty) {
+      // positional alignment: a leg's OWN output names (the union's
+      // column names come from the first leg) must land on the
+      // backing's columns by position, exactly as the CTAS did
+      val backCols =
+        store(name).read(spark).drop("batch_id").columns.toSeq
+      val unioned = parts.map(_.toDF(backCols: _*))
+        .reduce(_ union _).pinned
+      if (unioned.limit(1).count() > 0)
+        store(name).append(unioned, bid)
+    }
+    publishMviewSpec(spark, name, text, curs)
+    Seq(("incremental", sidecarSum, cursSum))
+      .toDF("mode", "from_version", "to_version")
+  }
+
   /** The MV definition applied to the DELTA instead of the source:
     * the parsed text with the source relation substituted by the
     * (already-analyzed) delta frame — count/sum/min/max over a
@@ -2648,7 +2926,18 @@ final class StoreCatalog(basePath: String) {
     // the delta partial must carry the same expanded columns the
     // backing table holds (avg's sum/count pair)
     val parsed = if (avgExpand) expandFoldPairs(parsed0) else parsed0
-    val sub = parsed.transformWithSubqueries {
+    applyPlanOverDelta(spark, parsed, srcName, delta)
+  }
+
+  /** One (possibly leg-of-a-union) parsed definition plan applied to
+    * the DELTA instead of its source: the source relation substituted
+    * by the already-analyzed delta frame.
+    */
+  private def applyPlanOverDelta(spark: SparkSession,
+      plan: LogicalPlan, srcName: String,
+      delta: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sub = plan.transformWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
             u.multipartIdentifier.head.equalsIgnoreCase(srcName) =>
@@ -2659,11 +2948,15 @@ final class StoreCatalog(basePath: String) {
       StoreSql.route(spark, tables, sub))
   }
 
-  /** A decomposable GROUP BY shape: the key OUTPUT column names plus
-    * the aliased aggregates (`fn` ∈ count|sum|min|max|avg; avg folds
-    * through its `<alias>__sum`/`<alias>__cnt` pair).
+  /** A decomposable GROUP BY shape: the key OUTPUT column names, the
+    * SOURCE-side expression each key computes (a bare attribute or
+    * the aliased expression — what the group-bounded recompute
+    * re-applies over the source), plus the aliased aggregates
+    * (`fn` ∈ count|sum|min|max|avg; avg folds through its
+    * `<alias>__sum`/`<alias>__cnt` pair).
     */
   private case class MvShape(keys: Seq[String],
+      keyExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
       aggs: Seq[(String, String)])
 
   /** Expression GROUP BY keys must be DETERMINISTIC over the source —
@@ -2721,6 +3014,74 @@ final class StoreCatalog(basePath: String) {
       }
     } catch { case scala.util.control.NonFatal(_) => false })
 
+  /** No window expressions anywhere in `exprs` — windows read across
+    * rows, so a plan carrying one is not a per-row map.
+    */
+  private def mvNoWindows(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Boolean =
+    !exprs.exists(_.exists {
+      case _: org.apache.spark.sql.catalyst.expressions
+          .WindowExpression => true
+      case _ => false
+    })
+
+  /** Is `pl` a pure per-row Project/Filter chain over the single
+    * source `srcName`? Row-disjoint unions commute with per-row maps,
+    * so a delta transformed through the same chain appends exactly.
+    */
+  private def mvIsRowMap(pl: LogicalPlan, srcName: String): Boolean =
+    pl match {
+      case u: org.apache.spark.sql.catalyst.analysis
+          .UnresolvedRelation =>
+        u.multipartIdentifier.size == 1 &&
+          u.multipartIdentifier.head.equalsIgnoreCase(srcName)
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+        mvNoWindows(Seq(f.condition)) && mvIsRowMap(f.child, srcName)
+      case pr: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        mvNoWindows(pr.projectList) && mvIsRowMap(pr.child, srcName)
+      case s: org.apache.spark.sql.catalyst.plans.logical
+          .SubqueryAlias => mvIsRowMap(s.child, srcName)
+      case _ => false
+    }
+
+  /** The UNION ALL decomposition of a multi-source MV definition, if
+    * it has one: each leg a row-map over exactly one source (the
+    * reference's own silver model is a two-source union of per-row
+    * maps — BA:150-162 = BA:256-268). Per-source CDF windows then
+    * fold independently: each leg's insert-only delta transforms
+    * through ITS map and appends. `UNION` (distinct) parses as
+    * Distinct(Union) and correctly fails the probe — dedup does not
+    * commute with appends.
+    */
+  private def mvUnionLegs(spark: SparkSession, text: String)
+      : Option[Seq[(String, LogicalPlan)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.Union
+    val p = try spark.sessionState.sqlParser.parsePlan(text)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (p.subqueriesAll.nonEmpty) return None
+    def flat(pl: LogicalPlan): Seq[LogicalPlan] = pl match {
+      case u: Union if !u.byName => u.children.flatMap(flat)
+      case other => Seq(other)
+    }
+    p match {
+      case u: Union if !u.byName =>
+        val legs = flat(u).map { leg =>
+          leg.collect {
+            case r: UnresolvedRelation
+                if r.multipartIdentifier.size == 1 =>
+              r.multipartIdentifier.head
+          } match {
+            case Seq(one) if mvIsRowMap(leg, one) => Some(one -> leg)
+            case _ => None
+          }
+        }
+        if (legs.exists(_.isEmpty)) None else Some(legs.flatten)
+      case _ => None
+    }
+  }
+
   /** The decomposable shape of an MV definition, if it has one:
     * Left(()) = pure Project/Filter row-map over the single source
     * (delta rows append through the same map); Right(MvShape) =
@@ -2744,23 +3105,7 @@ final class StoreCatalog(basePath: String) {
       Aggregate, Filter, Project}
     val p = spark.sessionState.sqlParser.parsePlan(text)
     if (p.subqueriesAll.nonEmpty) return None
-    def noWindows(exprs: Seq[Expression]): Boolean =
-      !exprs.exists(_.exists {
-        case _: org.apache.spark.sql.catalyst.expressions
-            .WindowExpression => true
-        case _ => false
-      })
-    def isRowMap(pl: LogicalPlan): Boolean = pl match {
-      case u: UnresolvedRelation =>
-        u.multipartIdentifier.size == 1 &&
-          u.multipartIdentifier.head.equalsIgnoreCase(srcName)
-      case f: Filter => noWindows(Seq(f.condition)) && isRowMap(f.child)
-      case pr: Project =>
-        noWindows(pr.projectList) && isRowMap(pr.child)
-      case s: org.apache.spark.sql.catalyst.plans.logical
-          .SubqueryAlias => isRowMap(s.child)
-      case _ => false
-    }
+    def isRowMap(pl: LogicalPlan): Boolean = mvIsRowMap(pl, srcName)
     val aggFns = Set("count", "sum", "min", "max", "avg", "mean")
     def hasAggFn(e: Expression): Boolean = e.exists {
       case uf: UnresolvedFunction =>
@@ -2780,10 +3125,17 @@ final class StoreCatalog(basePath: String) {
         def ordinalOf(g: Expression): Option[Int] = g match {
           // `GROUP BY 1` parses as UnresolvedOrdinal (Spark 4's
           // parser resolves group-by-ordinal eagerly); older plans
-          // carry the bare integer literal
+          // carry the bare integer literal — but a literal is an
+          // ordinal ONLY while spark.sql.groupByOrdinal holds (off,
+          // the executed query groups by the CONSTANT; treating it
+          // as an ordinal here would fold against a backing grouped
+          // differently and report 'incremental' over wrong contents)
           case o: org.apache.spark.sql.catalyst.analysis
-              .UnresolvedOrdinal => Some(o.ordinal)
-          case Literal(i: Int, _) => Some(i)
+              .UnresolvedOrdinal
+              if spark.sessionState.conf.groupByOrdinal =>
+            Some(o.ordinal)
+          case Literal(i: Int, _)
+              if spark.sessionState.conf.groupByOrdinal => Some(i)
           case _ => None
         }
         def keyItemOf(g: Expression)
@@ -2828,6 +3180,12 @@ final class StoreCatalog(basePath: String) {
           case al: Alias => al.name
           case _ => return None
         })
+        val keyExprs: Seq[Expression] = keyIdx.map(i =>
+          items(i) match {
+            case a: UnresolvedAttribute => a
+            case al: Alias => al.child
+            case _ => return None
+          })
         // every remaining item must be an aliased foldable aggregate
         val aggs = items.zipWithIndex
           .filterNot { case (_, i) => keyIdxSet(i) }
@@ -2862,7 +3220,7 @@ final class StoreCatalog(basePath: String) {
         if (!mvKeyExprsDeterministic(spark, srcName,
             keyHits.flatten.flatMap(_._2)))
           return None
-        Some(Right(MvShape(keys, aggs)))
+        Some(Right(MvShape(keys, keyExprs, aggs)))
       case other if isRowMap(other) => Some(Left(()))
       case _ => None
     }

@@ -1107,6 +1107,72 @@ object StoreSql {
     * read would serve main state), so they splice as resolved frames —
     * branch reads are working-copy-sized by design.
     */
+  /** A store format-read plan with the given reader options — the
+    * pushdown-capable splice ([[graft.sources.StoreRelation]]) route
+    * uses for every main-ref reference.
+    */
+  private[engine] def formatRead(spark: SparkSession,
+      store: ManifestTableStore,
+      opts: Map[String, String]): LogicalPlan =
+    org.apache.spark.sql.graftshim.PlanShim.planOf(opts.foldLeft(
+        spark.read.format("graft-store")
+          .option("path", store.tablePath)) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load())
+
+  /** One time-travel read as a logical plan — the shared resolution
+    * for `VERSION AS OF` (numeric version or named ref) and
+    * `TIMESTAMP AS OF` (instant evaluated through Spark itself, then
+    * version-pinned HERE, metadata-only). Main-ref stores splice as
+    * pushdown-capable format reads; branch handles share the main
+    * path (a path-only format read would serve MAIN state) so they
+    * serve resolved frames — correctness over pushdown, branches are
+    * working-copy-sized by design. Also the travel path for a
+    * MATERIALIZED VIEW name ([[StoreCatalog]] splices it over the
+    * backing, behind the declared-output projection).
+    */
+  private[engine] def travelRead(spark: SparkSession,
+      store: ManifestTableStore,
+      ts: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      ver: Option[String]): LogicalPlan = {
+    import org.apache.spark.sql.graftshim.PlanShim
+    def instant(e: org.apache.spark.sql.catalyst.expressions
+        .Expression): Long = {
+      val t = spark.sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()
+      require(!t.isNullAt(0),
+        s"TIMESTAMP AS OF ${e.sql} does not evaluate to a timestamp")
+      t.getTimestamp(0).getTime
+    }
+    if (!store.isMainRef) {
+      val df = (ver, ts) match {
+        case (Some(v), None) if v.forall(_.isDigit) =>
+          store.readVersion(spark, v.toLong)
+        case (Some(ref), None) => throw new IllegalArgumentException(
+          s"VERSION AS OF '$ref': named refs (tags/branches) " +
+            "resolve from the MAIN handle; a branch handle " +
+            "serves its own numeric versions and timestamps")
+        case (None, Some(e)) =>
+          store.readAsOfTimestamp(spark, instant(e))
+        case _ => throw new IllegalArgumentException(
+          "time travel needs exactly one of VERSION AS OF / " +
+            "TIMESTAMP AS OF")
+      }
+      PlanShim.planOf(df)
+    } else (ver, ts) match {
+      case (Some(v), None) if v.forall(_.isDigit) =>
+        formatRead(spark, store, Map("versionAsOf" -> v))
+      case (Some(ref), None) => // tag or branch head
+        formatRead(spark, store, Map("ref" -> ref))
+      case (None, Some(e)) =>
+        formatRead(spark, store,
+          Map("versionAsOf" ->
+            store.versionAsOfTimestamp(spark, instant(e)).toString))
+      case _ => throw new IllegalArgumentException(
+        "time travel needs exactly one of VERSION AS OF / " +
+          "TIMESTAMP AS OF")
+    }
+  }
+
   private[engine] def route(spark: SparkSession,
       tables: Map[String, ManifestTableStore], plan: LogicalPlan)
       : LogicalPlan = {
@@ -1114,11 +1180,7 @@ object StoreSql {
     import org.apache.spark.sql.graftshim.PlanShim
     def formatRead(store: ManifestTableStore,
         opts: Map[String, String]): LogicalPlan =
-      PlanShim.planOf(opts.foldLeft(
-          spark.read.format("graft-store")
-            .option("path", store.tablePath)) {
-          case (r, (k, v)) => r.option(k, v)
-        }.load())
+      StoreSql.formatRead(spark, store, opts)
     // transformWithSubqueries, not transform: a scalar/EXISTS/IN
     // subquery's plan lives inside an EXPRESSION — bare transform
     // never visits it, so `SELECT (SELECT max(n) FROM store_t) ...`
@@ -1127,53 +1189,9 @@ object StoreSql {
       case tt @ RelationTimeTravel(rel, ts, ver) =>
         relationName(rel).flatMap(tables.get) match {
           case None => tt // not a store — let the analyzer report it
-          case Some(store) if !store.isMainRef =>
-            // branch handles share the main path (a path-only format
-            // read would serve MAIN state): serve the branch chain's
-            // own versions as resolved frames — correctness over
-            // pushdown, branches are working-copy-sized by design
-            val df = (ver, ts) match {
-              case (Some(v), None) if v.forall(_.isDigit) =>
-                store.readVersion(spark, v.toLong)
-              case (Some(ref), None) => throw new IllegalArgumentException(
-                s"VERSION AS OF '$ref': named refs (tags/branches) " +
-                  "resolve from the MAIN handle; a branch handle " +
-                  "serves its own numeric versions and timestamps")
-              case (None, Some(e)) =>
-                val t = spark
-                  .sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()
-                require(!t.isNullAt(0),
-                  s"TIMESTAMP AS OF ${e.sql} does not evaluate to a " +
-                    "timestamp")
-                store.readAsOfTimestamp(spark, t.getTimestamp(0).getTime)
-              case _ => throw new IllegalArgumentException(
-                "time travel needs exactly one of VERSION AS OF / " +
-                  "TIMESTAMP AS OF")
-            }
-            SubqueryAlias(relationName(rel).get, PlanShim.planOf(df))
           case Some(store) =>
-            SubqueryAlias(relationName(rel).get, (ver, ts) match {
-              case (Some(v), None) if v.forall(_.isDigit) =>
-                formatRead(store, Map("versionAsOf" -> v))
-              case (Some(ref), None) => // tag or branch head
-                formatRead(store, Map("ref" -> ref))
-              case (None, Some(e)) =>
-                // evaluate the parsed instant through Spark itself —
-                // same literal/expression semantics as any TIMESTAMP —
-                // then resolve the version HERE (metadata-only) so the
-                // spliced relation is version-pinned
-                val t = spark
-                  .sql(s"SELECT CAST(${e.sql} AS TIMESTAMP)").head()
-                require(!t.isNullAt(0),
-                  s"TIMESTAMP AS OF ${e.sql} does not evaluate to a " +
-                    "timestamp")
-                val v = store.versionAsOfTimestamp(spark,
-                  t.getTimestamp(0).getTime)
-                formatRead(store, Map("versionAsOf" -> v.toString))
-              case _ => throw new IllegalArgumentException(
-                "time travel needs exactly one of VERSION AS OF / " +
-                  "TIMESTAMP AS OF")
-            })
+            SubqueryAlias(relationName(rel).get,
+              travelRead(spark, store, ts, ver))
         }
       case u: UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&

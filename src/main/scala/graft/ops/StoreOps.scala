@@ -3259,5 +3259,130 @@ object StoreOps {
           |FROM tkc GROUP BY l_returnflag
           |ORDER BY l_returnflag""".stripMargin)
         .withColumn("state_version", lit(s"v$ver"))
+    },
+
+    // GROUP-BOUNDED MIN/MAX RETRACTION (round-15 verdict item 3):
+    // MIN/MAX cannot retract through pair columns, but a delete
+    // window only changes the groups it TOUCHED — REFRESH recomputes
+    // exactly those from the window-end-pinned source (broadcast
+    // semi-join on the delta's keys + min/max dir pruning) and merges
+    // them over the backing. Before this tier ANY delete over a
+    // MIN/MAX gold shape paid a full rebuild — at 100 TB, a routine
+    // GDPR purge re-aggregating the whole source. The trace pins the
+    // mode: MUST be incremental, not `full:`; content is pinned
+    // hash-for-hash against the oracle's recompute of the final state.
+    QueryDef(
+      "q247_sql_mv_minmax_retraction",
+      """WITH base AS (
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  WHERE o_orderkey <= 2400 AND o_orderkey % 2 = 0)
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+        |  SUM(o_orderkey) AS total,
+        |  'incremental@2..4' AS refresh_mode
+        |FROM base GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_minmax", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      cat.exec(s,
+        """CREATE TABLE IF NOT EXISTS msrc (
+          |  o_orderstatus STRING, o_orderkey BIGINT)
+          |USING graft_store""".stripMargin)
+      cat.exec(s,
+        """INSERT INTO msrc
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey <= 1200""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS mmx AS
+          |SELECT o_orderstatus, COUNT(*) AS cnt,
+          |  MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
+          |  SUM(o_orderkey) AS total
+          |FROM msrc GROUP BY o_orderstatus""".stripMargin,
+        batchId = Some(100L))
+      cat.exec(s,
+        """INSERT INTO msrc
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
+          .stripMargin, batchId = Some(1L))
+      cat.exec(s, "DELETE FROM msrc WHERE o_orderkey % 2 = 1")
+      val mode = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW mmx"))
+      cat.query(s,
+        """SELECT o_orderstatus, cnt, lo, hi, total FROM mmx
+          |ORDER BY o_orderstatus""".stripMargin)
+        .withColumn("refresh_mode", lit(mode))
+    },
+
+    // MULTI-SOURCE MV, INCREMENTALLY (round-15 verdict item 4): the
+    // reference's silver model IS a two-source union of row maps —
+    // two normalized streams appending the same 33-column projection
+    // into one table (bronze_assets_to_silver_assets.py:150-162 =
+    // :256-268, sinks :281-294) — the first multi-source MV a user
+    // declares. Per-source CDF windows fold independently
+    // (each leg's insert-only delta transforms through ITS map and
+    // appends under one version-sum batch id); the legs' differing
+    // output names land positionally, exactly as the CTAS did. The
+    // traces pin both the fold (MUST be incremental, with the
+    // version-sum window) and the no-op re-refresh.
+    QueryDef(
+      "q248_sql_mv_union_sources",
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k FROM orders
+        |  WHERE o_orderkey <= 1200
+        |     OR (o_orderkey > 2400 AND o_orderkey <= 3000)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  WHERE ((o_orderkey > 1200 AND o_orderkey <= 2400)
+        |      OR (o_orderkey > 3000 AND o_orderkey <= 3600))
+        |    AND o_orderkey % 2 = 0)
+        |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+        |  'incremental@4..6' AS refresh_mode,
+        |  'current@0..0' AS refresh_again
+        |FROM base GROUP BY status
+        |ORDER BY status""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_union", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      Seq("u1", "u2").foreach(t => cat.exec(s,
+        s"""CREATE TABLE IF NOT EXISTS $t (
+           |  o_orderstatus STRING, o_orderkey BIGINT)
+           |USING graft_store""".stripMargin))
+      cat.exec(s,
+        """INSERT INTO u1
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey <= 1200""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """INSERT INTO u2
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
+          .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS usil AS
+          |SELECT o_orderstatus AS status, o_orderkey AS k FROM u1
+          |UNION ALL
+          |SELECT o_orderstatus, o_orderkey FROM u2
+          |WHERE o_orderkey % 2 = 0""".stripMargin,
+        batchId = Some(100L))
+      cat.exec(s,
+        """INSERT INTO u1
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 2400 AND o_orderkey <= 3000"""
+          .stripMargin, batchId = Some(1L))
+      cat.exec(s,
+        """INSERT INTO u2
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 3000 AND o_orderkey <= 3600"""
+          .stripMargin, batchId = Some(1L))
+      val m1 = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW usil"))
+      val m2 = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW usil"))
+      cat.query(s,
+        """SELECT status, COUNT(*) AS cnt, SUM(k) AS total
+          |FROM usil GROUP BY status
+          |ORDER BY status""".stripMargin)
+        .withColumn("refresh_mode", lit(m1))
+        .withColumn("refresh_again", lit(m2))
     })
 }

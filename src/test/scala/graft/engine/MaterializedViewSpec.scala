@@ -130,22 +130,35 @@ class MaterializedViewSpec extends SparkSpec {
       == "incremental")
     assert(cat.query(spark, "SELECT total FROM m1 WHERE k = 'b'")
       .as[Long].head() == 13L)
-    // MIN/MAX cannot retract: a delete window recomputes, loudly
-    // (own table — f1 keeps serving the multi-source case below)
+    // MIN/MAX cannot retract through pairs, but a delete window only
+    // changes the groups it TOUCHED: group-bounded recompute, merged
+    // over the backing — INCREMENTAL, not a gold rebuild (own table —
+    // f1 keeps serving the multi-source case below)
     cat.exec(spark,
       "CREATE TABLE f1b (k STRING, n BIGINT) USING graft_store")
     cat.exec(spark,
-      "INSERT INTO f1b VALUES ('a', 1), ('b', 3)", batchId = Some(0L))
+      "INSERT INTO f1b VALUES ('a', 1), ('a', 5), ('b', 3)",
+      batchId = Some(0L))
     cat.exec(spark,
       "CREATE MATERIALIZED VIEW m1b AS SELECT k, MIN(n) AS lo " +
         "FROM f1b GROUP BY k", batchId = Some(110L))
     cat.exec(spark, "DELETE FROM f1b WHERE n = 1")
     val r1b = cat.exec(spark, "REFRESH MATERIALIZED VIEW m1b")
-    assert(modeOf(r1b) == "full:deletes in the window fold past " +
-      "MIN/MAX", r1b.collect().mkString)
+    assert(modeOf(r1b) == "incremental", r1b.collect().mkString)
+    assert(cat.query(spark, "SELECT k, lo FROM m1b ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 5L), ("b", 3L)))
+    // ...but a group the window EMPTIES vanishes from the recompute —
+    // the keyed merge cannot delete a backing row, so that case
+    // recomputes fully, loudly
+    cat.exec(spark, "DELETE FROM f1b WHERE n = 5")
+    val r1c = cat.exec(spark, "REFRESH MATERIALIZED VIEW m1b")
+    assert(modeOf(r1c) == "full:a group emptied in the window",
+      r1c.collect().mkString)
     assert(cat.query(spark, "SELECT k, lo FROM m1b ORDER BY k")
       .as[(String, Long)].collect().toSeq == Seq(("b", 3L)))
-    // multi-source: always full
+    // multi-source JOINs: always full (only UNION ALL row-map legs
+    // decompose)
     cat.exec(spark,
       "CREATE TABLE f2 (k STRING, tag STRING) USING graft_store")
     cat.exec(spark, "INSERT INTO f2 VALUES ('a', 'x')",
@@ -386,9 +399,16 @@ class MaterializedViewSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.get(1).toString) ->
         (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     assert(served() == recomputed())
-    // the fold pair is materialized beside the served ratio
+    // the fold pair is materialized in the BACKING but storage-
+    // internal: SELECT * serves exactly the declared outputs (a
+    // vintage upgrade adding pairs mid-life must never widen a
+    // user's star), while the backing table carries the pairs
     val cols = cat.query(spark, "SELECT * FROM gold2").columns.toSet
-    assert(cols.contains("m__sum") && cols.contains("m__cnt"), cols)
+    assert(cols == Set("src", "day", "cnt", "total", "m"), cols)
+    val backingCols =
+      cat.resolve(spark, "gold2").get.read(spark).columns.toSet
+    assert(backingCols.contains("m__sum") &&
+      backingCols.contains("m__cnt"), backingCols)
     // grow an existing (src, day) group and open a new one
     cat.exec(spark,
       "INSERT INTO gk VALUES " +
@@ -685,5 +705,129 @@ class MaterializedViewSpec extends SparkSpec {
       .map(x => (x.getString(0), x.getLong(1))).toSet ==
       cat.query(spark, "SELECT k, n FROM se WHERE n > 1").collect()
         .map(x => (x.getString(0), x.getLong(1))).toSet)
+  }
+
+  test("time travel reads THROUGH an MV: VERSION AS OF serves the " +
+      "backing's history behind the declared projection (fold pairs " +
+      "hidden at every version); TIMESTAMP AS OF routes the same way") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE tv (k STRING, v BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO tv VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    cat.exec(spark, "CREATE MATERIALIZED VIEW tgold AS " +
+      "SELECT k, COUNT(*) AS cnt, SUM(v) AS total, AVG(v) AS m " +
+      "FROM tv GROUP BY k", batchId = Some(100L))
+    cat.exec(spark, "INSERT INTO tv VALUES ('a', 10)",
+      batchId = Some(1L))
+    cat.exec(spark, "REFRESH MATERIALIZED VIEW tgold")
+    // current state reflects both waves
+    assert(cat.query(spark,
+      "SELECT total FROM tgold WHERE k = 'a'").head().getLong(0) == 11L)
+    // version 1 of the BACKING is the CREATE-time materialization
+    val v1 = cat.query(spark, "SELECT * FROM tgold VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "cnt", "total", "m"),
+      v1.columns.mkString(","))
+    assert(v1.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      == Map("a" -> 1L, "b" -> 2L))
+    // a far-future instant serves the current version, same projection
+    val now = cat.query(spark,
+      "SELECT * FROM tgold TIMESTAMP AS OF '2099-01-01 00:00:00'")
+    assert(now.columns.toSeq == Seq("k", "cnt", "total", "m"))
+    assert(now.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      == Map("a" -> 11L, "b" -> 2L))
+    // DESCRIBE shows the declared outputs only — the fold pairs are
+    // storage-internal
+    val described = cat.exec(spark, "DESCRIBE tgold").collect()
+      .map(_.getString(0)).toSet
+    assert(!described.exists(_.contains("__")), described)
+    assert(Set("k", "cnt", "total", "m").subsetOf(described), described)
+  }
+
+  test("UNION ALL of row-map legs over two sources refreshes " +
+      "INCREMENTALLY: only moved sources' windows fold, the legs' " +
+      "differing output names land positionally, deletes in any " +
+      "window degrade to a loud full recompute, and UNION (distinct) " +
+      "never takes the append path") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE ua (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "CREATE TABLE ub (kk STRING, m BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO ua VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO ub VALUES ('c', 30), ('d', 41)",
+      batchId = Some(0L))
+    val defn = "SELECT k AS key, n AS v FROM ua UNION ALL " +
+      "SELECT kk, m FROM ub WHERE m % 2 = 0"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW uni AS $defn",
+      batchId = Some(100L))
+    def asSet() = cat.query(spark,
+      "SELECT key, v FROM uni").as[(String, Long)].collect().toSet
+    assert(asSet() == Set(("a", 1L), ("b", 2L), ("c", 30L)))
+    // only ONE source moves: its window folds; the other contributes
+    // nothing (and its leg's filter applies to the delta)
+    cat.exec(spark, "INSERT INTO ub VALUES ('e', 50), ('f', 51)",
+      batchId = Some(1L))
+    val r1 = cat.exec(spark, "REFRESH MATERIALIZED VIEW uni")
+    assert(modeOf(r1) == "incremental", r1.collect().mkString)
+    assert(asSet() ==
+      Set(("a", 1L), ("b", 2L), ("c", 30L), ("e", 50L)))
+    // both move
+    cat.exec(spark, "INSERT INTO ua VALUES ('g', 7)",
+      batchId = Some(1L))
+    cat.exec(spark, "INSERT INTO ub VALUES ('h', 80)",
+      batchId = Some(2L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW uni"))
+      == "incremental")
+    assert(asSet() == Set(("a", 1L), ("b", 2L), ("c", 30L),
+      ("e", 50L), ("g", 7L), ("h", 80L)))
+    // re-refresh: nothing moved
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW uni"))
+      == "current")
+    // a delete in EITHER window: full, loudly — appends can't retract
+    cat.exec(spark, "DELETE FROM ua WHERE k = 'a'")
+    val r2 = cat.exec(spark, "REFRESH MATERIALIZED VIEW uni")
+    assert(modeOf(r2) == "full:deletes in a multi-source window",
+      r2.collect().mkString)
+    assert(asSet() == Set(("b", 2L), ("c", 30L),
+      ("e", 50L), ("g", 7L), ("h", 80L)))
+    // UNION (distinct) = Distinct(Union): dedup does not commute
+    // with appends — full recompute path only
+    cat.exec(spark, "CREATE MATERIALIZED VIEW unid AS " +
+      "SELECT k AS key FROM ua UNION SELECT kk FROM ub",
+      batchId = Some(101L))
+    cat.exec(spark, "INSERT INTO ua VALUES ('b', 99)",
+      batchId = Some(2L))
+    val r3 = cat.exec(spark, "REFRESH MATERIALIZED VIEW unid")
+    assert(modeOf(r3) == "full:multi-source definition",
+      r3.collect().mkString)
+    assert(cat.query(spark, "SELECT key FROM unid").as[String]
+      .collect().toSet == Set("b", "c", "d", "e", "f", "g", "h"))
+  }
+
+  test("GROUP BY <literal> with spark.sql.groupByOrdinal OFF is a " +
+      "CONSTANT key, not an ordinal: the decomposer refuses and " +
+      "REFRESH recomputes fully with contents matching the " +
+      "constant-grouped recompute") {
+    val (cat, _) = freshCat()
+    spark.conf.set("spark.sql.groupByOrdinal", "false")
+    try {
+      cat.exec(spark,
+        "CREATE TABLE go (k STRING, v BIGINT) USING graft_store")
+      cat.exec(spark, "INSERT INTO go VALUES ('a', 1), ('b', 2)",
+        batchId = Some(0L))
+      val defn =
+        "SELECT COUNT(*) AS cnt, SUM(v) AS total FROM go GROUP BY 1"
+      cat.exec(spark, s"CREATE MATERIALIZED VIEW cgold AS $defn",
+        batchId = Some(100L))
+      cat.exec(spark, "INSERT INTO go VALUES ('c', 4)",
+        batchId = Some(1L))
+      val mode = modeOf(cat.exec(spark,
+        "REFRESH MATERIALIZED VIEW cgold"))
+      assert(mode.startsWith("full:"), mode)
+      assert(cat.query(spark, "SELECT cnt, total FROM cgold").head()
+        .toSeq == Seq(3L, 7L))
+    } finally spark.conf.set("spark.sql.groupByOrdinal", "true")
   }
 }
