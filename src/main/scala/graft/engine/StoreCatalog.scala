@@ -2340,11 +2340,12 @@ final class StoreCatalog(basePath: String) {
     */
   private def mvFoldExpandFor(spark: SparkSession, text: String,
       srcs: Seq[String]): Boolean =
-    srcs.size == 1 && mvIncrementalShape(spark, text, srcs.head)
+    (srcs.size == 1 && mvIncrementalShape(spark, text, srcs.head)
       .exists {
         case Right(_) => true
         case _ => false
-      }
+      }) ||
+      (srcs.size > 1 && mvUnionAggShape(spark, text).isDefined)
 
   /** A naked `SELECT *` / `t.*` anywhere in the (view-spliced)
     * definition — stars inside function arguments (COUNT(*)) don't
@@ -2641,24 +2642,11 @@ final class StoreCatalog(basePath: String) {
         // backing rows. Inserts add; with the retractable pair
         // columns present (COUNT/SUM/AVG shapes), DELETES SUBTRACT —
         // a CoW UPDATE travels as its delete+insert pair and folds
-        // exactly. MIN/MAX cannot retract, so shapes carrying them
-        // keep the full-recompute fallback on any delete. The keyed
-        // merge rewrites only dirs whose key range overlaps the
-        // delta's groups — stats-bounded, gold-table-sized, never
-        // source-sized.
-        import org.apache.spark.sql.functions.{
-          coalesce, col => fcol, greatest, least, lit, when}
-        val backing = store(name).read(spark).drop("batch_id")
-        val bCols = backing.columns.map(_.toLowerCase).toSet
-        val avgAliases = aggs.collect { case (a, "avg") => a }
-        val sumAliases = aggs.collect { case (a, "sum") => a }
-        val insA = partial("insert")
-        // vintage gate, uniform across rounds: the expanded partial's
-        // columns must all exist in the backing (older MVs predate
-        // __rows and/or the sum/avg pairs). One REPLACE upgrades the
-        // backing; every later window folds incrementally.
-        if (!insA.columns.forall(c => bCols(c.toLowerCase)))
-          return full("backing predates retractable fold pairs")
+        // exactly ([[foldAggPartials]], shared with the union-agg
+        // path). The keyed merge rewrites only dirs whose key range
+        // overlaps the delta's groups — stats-bounded,
+        // gold-table-sized, never source-sized.
+        import org.apache.spark.sql.functions.{col => fcol}
         // MIN/MAX cannot retract — but only groups the window TOUCHED
         // can change. Recompute exactly those groups from the source
         // PINNED at the window end and merge them over the backing:
@@ -2729,6 +2717,13 @@ final class StoreCatalog(basePath: String) {
           val recomputed =
             applyOverDelta(spark, text, srcName, bounded, foldExpand)
               .pinned
+          // vintage gate: the recomputed groups carry the generated
+          // pair columns; a backing that predates them upgrades
+          // through ONE full recompute
+          val bCols = store(name).read(spark).columns
+            .map(_.toLowerCase).toSet
+          if (!recomputed.columns.forall(c => bCols(c.toLowerCase)))
+            return full("backing predates retractable fold pairs")
           if (recomputed.count() < affectedN)
             return full("a group emptied in the window")
           store(name).merge(spark, recomputed, keys, bid)
@@ -2736,106 +2731,156 @@ final class StoreCatalog(basePath: String) {
           return Seq(("incremental", fromV, toV))
             .toDF("mode", "from_version", "to_version")
         }
-        val net0 =
-          if (!hasDeletes) insA
-          else {
-            // net delta: insert partials ⟗ delete partials on the
-            // keys (a group may appear on either side alone)
-            val valCols = insA.columns.filterNot(c =>
-              keys.exists(_.equalsIgnoreCase(c))).toSeq
-            val delA = valCols.foldLeft(partial("delete"))((d, c) =>
-              d.withColumnRenamed(c, s"__del_$c"))
-            insA.join(delA, keys, "full_outer")
-          }
-        // a NULL group key never meets the keyed merge's equality —
-        // each refresh would INSERT another null-key row instead of
-        // folding it; recompute loudly (delta-partial-sized probe)
-        if (net0.filter(keys.map(fcol(_).isNull)
-            .reduce(_ || _)).limit(1).count() > 0)
-          return full("null group key in the delta")
-        val joined = net0.alias("d").join(backing.alias("b"), keys,
-          "left")
-        def dl(c: String): org.apache.spark.sql.Column =
-          if (hasDeletes) fcol(s"d.__del_$c")
-          else lit(null).cast(insA.schema(c).dataType)
-        def fold(alias: String,
-            fn: String): org.apache.spark.sql.Column = {
-          val d = fcol(s"d.$alias"); val b = fcol(s"b.$alias")
-          val x = dl(alias)
-          val zero = lit(0).cast(insA.schema(alias).dataType)
-          fn match {
-            case "count" =>
-              coalesce(b, zero) + coalesce(d, zero) - coalesce(x, zero)
-            case "sum" =>
-              when(d.isNull && b.isNull && x.isNull, lit(null))
-                .otherwise(coalesce(b, zero) + coalesce(d, zero) -
-                  coalesce(x, zero))
-                .cast(insA.schema(alias).dataType)
-            case "min" => least(d, b) // insert-only by construction
-            case "max" => greatest(d, b)
-          }
-        }
-        def isAvg(c: String) = avgAliases.exists(_.equalsIgnoreCase(c))
-        // a SUM serves NULL exactly when its non-null count reaches
-        // zero (retracting the last non-null value must not leave a
-        // spurious 0 where the recompute says NULL); the stored avg
-        // __sum pair gets the same guard for SELECT * consistency
-        def cntColFor(c: String): Option[String] =
-          if (sumAliases.exists(_.equalsIgnoreCase(c))) Some(c + "__cnt")
-          else avgAliases.find(a => c.equalsIgnoreCase(a + "__sum"))
-            .map(_ + "__cnt")
-        val combined = joined.select(insA.columns.toSeq.map { c =>
-          if (keys.exists(_.equalsIgnoreCase(c))) fcol(c)
-          else if (isAvg(c)) {
-            // ratio over the FOLDED pair; guard the division so ANSI
-            // mode never throws on an all-null group (cnt = 0)
-            val s = fold(c + "__sum", "sum")
-            val n = fold(c + "__cnt", "count")
-            when(n === 0, lit(null))
-              .otherwise(s.cast("double") / n)
-              .cast(insA.schema(c).dataType).as(c)
-          } else cntColFor(c) match {
-            case Some(cc) if retractable =>
-              when(fold(cc, "count") === 0, lit(null))
-                .otherwise(fold(c, "sum"))
-                .cast(insA.schema(c).dataType).as(c)
-            case _ =>
-              val fn = aggs.find(_._1.equalsIgnoreCase(c)).map(_._2)
-                .getOrElse(
-                  // only the generated count columns are unmatched
-                  if (c.toLowerCase.endsWith("__cnt") ||
-                    c.equalsIgnoreCase("__rows")) "count"
-                  else "sum")
-              fold(c, fn).as(c)
-          }
-        }: _*).pinned
-        // a group whose last row leaves in the window nets to ZERO
-        // rows; the keyed merge can replace and insert but never
-        // DELETE a backing row — recompute (rare: a whole gold group
-        // vanishing in one window)
-        if (retractable && combined.filter(fcol("__rows") === 0)
-            .limit(1).count() > 0)
-          return full("a group emptied in the window")
-        store(name).merge(spark, combined, keys, bid)
+        val insA = partial("insert")
+        val delA0 =
+          if (hasDeletes) Some(partial("delete")) else None
+        foldAggPartials(spark, name, keys, aggs, insA, delA0, bid)
+          .foreach(reason => return full(reason))
     }
     publishMviewSpec(spark, name, text, Map(srcName -> toV))
     Seq(("incremental", fromV, toV))
       .toDF("mode", "from_version", "to_version")
   }
 
-  /** Incremental refresh of a MULTI-SOURCE materialized view, for the
-    * one multi-source shape that decomposes: UNION ALL of row-map
-    * legs, each over a single source ([[mvUnionLegs]] — the
-    * reference's own silver model). Per-source CDF windows fold
-    * independently: each moved source's insert-only delta transforms
-    * through ITS leg and appends, under ONE batch id derived from the
-    * version SUM (so a crashed refresh replayed over unchanged
-    * sources is an idempotent no-op). If any source advanced between
-    * a crashed data commit and its sidecar publish, the overlap is no
-    * longer provably idempotent — that (rare) case recomputes fully,
-    * loudly. Any delete in any window recomputes fully (appends
-    * cannot retract a row-map). Everything else — non-union
-    * multi-source shapes — keeps the full-recompute fallback.
+  /** Fold one window's aggregate PARTIALS into an MV's backing via
+    * the keyed merge — the combine step shared by the single-source
+    * fold and the aggregate-over-UNION-ALL fold. `insA` / `delA0`
+    * are the definition (pair-expanded) applied to the window's
+    * insert / delete rows. Inserts add; deletes subtract through the
+    * retractable pair columns (`__rows`, `<a>__cnt`, avg's pair),
+    * the served AVG recomputes from the FOLDED pair, and a SUM whose
+    * non-null count reaches zero serves NULL, not 0. Returns
+    * Some(reason) when the fold must degrade to a loud full
+    * recompute (vintage gate, MIN/MAX under deletes, a NULL group
+    * key, an emptied group); None when the merge committed.
+    */
+  private def foldAggPartials(spark: SparkSession, name: String,
+      keys: Seq[String], aggs: Seq[(String, String)],
+      insA: DataFrame, delA0: Option[DataFrame], bid: Long)
+      : Option[String] = {
+    import org.apache.spark.sql.functions.{
+      coalesce, col => fcol, greatest, least, lit, when}
+    import Pin.Pinnable
+    val backing = store(name).read(spark).drop("batch_id")
+    val bCols = backing.columns.map(_.toLowerCase).toSet
+    val avgAliases = aggs.collect { case (a, "avg") => a }
+    val sumAliases = aggs.collect { case (a, "sum") => a }
+    // vintage gate, uniform across rounds: the expanded partial's
+    // columns must all exist in the backing (older MVs predate
+    // __rows and/or the sum/avg pairs). One REPLACE upgrades the
+    // backing; every later window folds incrementally.
+    if (!insA.columns.forall(c => bCols(c.toLowerCase)))
+      return Some("backing predates retractable fold pairs")
+    val retractable =
+      !aggs.exists(a => a._2 == "min" || a._2 == "max")
+    val hasDeletes = delA0.isDefined
+    if (hasDeletes && !retractable)
+      return Some("deletes in the window fold past MIN/MAX")
+    val net0 =
+      if (!hasDeletes) insA
+      else {
+        // net delta: insert partials ⟗ delete partials on the
+        // keys (a group may appear on either side alone)
+        val valCols = insA.columns.filterNot(c =>
+          keys.exists(_.equalsIgnoreCase(c))).toSeq
+        val delA = valCols.foldLeft(delA0.get)((d, c) =>
+          d.withColumnRenamed(c, s"__del_$c"))
+        insA.join(delA, keys, "full_outer")
+      }
+    // a NULL group key never meets the keyed merge's equality —
+    // each refresh would INSERT another null-key row instead of
+    // folding it; recompute loudly (delta-partial-sized probe)
+    if (net0.filter(keys.map(fcol(_).isNull)
+        .reduce(_ || _)).limit(1).count() > 0)
+      return Some("null group key in the delta")
+    val joined = net0.alias("d").join(backing.alias("b"), keys,
+      "left")
+    def dl(c: String): org.apache.spark.sql.Column =
+      if (hasDeletes) fcol(s"d.__del_$c")
+      else lit(null).cast(insA.schema(c).dataType)
+    def fold(alias: String,
+        fn: String): org.apache.spark.sql.Column = {
+      val d = fcol(s"d.$alias"); val b = fcol(s"b.$alias")
+      val x = dl(alias)
+      val zero = lit(0).cast(insA.schema(alias).dataType)
+      fn match {
+        case "count" =>
+          coalesce(b, zero) + coalesce(d, zero) - coalesce(x, zero)
+        case "sum" =>
+          when(d.isNull && b.isNull && x.isNull, lit(null))
+            .otherwise(coalesce(b, zero) + coalesce(d, zero) -
+              coalesce(x, zero))
+            .cast(insA.schema(alias).dataType)
+        case "min" => least(d, b) // insert-only by construction
+        case "max" => greatest(d, b)
+      }
+    }
+    def isAvg(c: String) = avgAliases.exists(_.equalsIgnoreCase(c))
+    // a SUM serves NULL exactly when its non-null count reaches
+    // zero (retracting the last non-null value must not leave a
+    // spurious 0 where the recompute says NULL); the stored avg
+    // __sum pair gets the same guard for SELECT * consistency
+    def cntColFor(c: String): Option[String] =
+      if (sumAliases.exists(_.equalsIgnoreCase(c))) Some(c + "__cnt")
+      else avgAliases.find(a => c.equalsIgnoreCase(a + "__sum"))
+        .map(_ + "__cnt")
+    val combined = joined.select(insA.columns.toSeq.map { c =>
+      if (keys.exists(_.equalsIgnoreCase(c))) fcol(c)
+      else if (isAvg(c)) {
+        // ratio over the FOLDED pair; guard the division so ANSI
+        // mode never throws on an all-null group (cnt = 0)
+        val s = fold(c + "__sum", "sum")
+        val n = fold(c + "__cnt", "count")
+        when(n === 0, lit(null))
+          .otherwise(s.cast("double") / n)
+          .cast(insA.schema(c).dataType).as(c)
+      } else cntColFor(c) match {
+        case Some(cc) if retractable =>
+          when(fold(cc, "count") === 0, lit(null))
+            .otherwise(fold(c, "sum"))
+            .cast(insA.schema(c).dataType).as(c)
+        case _ =>
+          val fn = aggs.find(_._1.equalsIgnoreCase(c)).map(_._2)
+            .getOrElse(
+              // only the generated count columns are unmatched
+              if (c.toLowerCase.endsWith("__cnt") ||
+                c.equalsIgnoreCase("__rows")) "count"
+              else "sum")
+          fold(c, fn).as(c)
+      }
+    }: _*).pinned
+    // a group whose last row leaves in the window nets to ZERO
+    // rows; the keyed merge can replace and insert but never
+    // DELETE a backing row — recompute (rare: a whole gold group
+    // vanishing in one window)
+    if (retractable && combined.filter(fcol("__rows") === 0)
+        .limit(1).count() > 0)
+      return Some("a group emptied in the window")
+    store(name).merge(spark, combined, keys, bid)
+    None
+  }
+
+  /** Incremental refresh of a MULTI-SOURCE materialized view, for
+    * the two multi-source shapes that decompose:
+    *
+    *  - **UNION ALL of row-map legs**, each over a single source
+    *    ([[mvUnionLegs]] — the reference's own silver model): each
+    *    moved source's insert-only delta transforms through ITS leg
+    *    and appends; any delete recomputes fully (appends cannot
+    *    retract a row-map).
+    *  - **An aggregate over such a union** ([[mvUnionAggShape]] —
+    *    gold over silver-union): one pair-expanded partial per
+    *    change type with every source substituted by its window's
+    *    rows at once, folded through [[foldAggPartials]] — deletes
+    *    retract through the pair columns like the single-source path.
+    *
+    * Both commit under ONE batch id derived from the version SUM (a
+    * crashed refresh replayed over unchanged sources is an
+    * idempotent no-op). If any source advanced between a crashed
+    * data commit and its sidecar publish, the overlap is no longer
+    * provably idempotent — that (rare) case recomputes fully,
+    * loudly. Joins and UNION DISTINCT keep the full-recompute
+    * fallback.
     */
   private def refreshUnionMv(spark: SparkSession, name: String,
       text: String, srcs: Seq[String], lasts: Map[String, Long],
@@ -2844,13 +2889,18 @@ final class StoreCatalog(basePath: String) {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => fcol}
     import Pin.Pinnable
-    val legs = mvUnionLegs(spark, text).getOrElse {
-      return full("multi-source definition")
-    }
-    // a leg over a VIEW names the view, not a store — only direct
-    // store legs fold (the view body would need its own splice)
-    if (!legs.forall { case (t, _) =>
-        srcs.exists(_.equalsIgnoreCase(t)) })
+    // the two decomposable multi-source shapes: a bare UNION ALL of
+    // row-map legs (append fold) or an AGGREGATE over one (partial
+    // fold through foldAggPartials). A leg over a VIEW names the
+    // view, not a store — only direct store legs fold.
+    def legsOverStores(ls: Seq[(String, LogicalPlan)]): Boolean =
+      ls.forall { case (t, _) => srcs.exists(_.equalsIgnoreCase(t)) }
+    val rowMapLegs = mvUnionLegs(spark, text).filter(legsOverStores)
+    val aggShape =
+      if (rowMapLegs.isDefined) None
+      else mvUnionAggShape(spark, text)
+        .filter(s => legsOverStores(s._2))
+    if (rowMapLegs.isEmpty && aggShape.isEmpty)
       return full("multi-source definition")
     def curOf(t: String): Long =
       curs.find(_._1.equalsIgnoreCase(t)).map(_._2).getOrElse(0L)
@@ -2872,40 +2922,73 @@ final class StoreCatalog(basePath: String) {
       return full("recovering a crashed multi-source refresh")
     }
     val bid = MvRefreshBidBase + cursSum
-    val parts = legs.flatMap { case (srcT, leg) =>
-      // the leg carries the user-typed casing; the registry and the
-      // sidecar record the resolved one
-      val srcCanon = srcs.find(_.equalsIgnoreCase(srcT)).getOrElse(srcT)
-      val from = lastOf(srcT)
-      val to = curOf(srcT)
+    // per-source windows, each feed read ONCE; vacuumed windows
+    // degrade to the recompute exactly like the single-source path
+    val movedFeeds: Map[String, DataFrame] = srcs.flatMap { t =>
+      val from = lastOf(t)
+      val to = curOf(t)
       if (from >= to) None
       else {
         val feed =
-          try store(srcCanon).readChangeFeed(spark, from, to).pinned
+          try store(t).readChangeFeed(spark, from, to).pinned
           catch {
             case scala.util.control.NonFatal(e)
                 if mvWindowVacuumed(e) =>
               return full("cdf window vacuumed")
           }
-        if (feed.filter(fcol("_change_type") =!= "insert")
-            .limit(1).count() > 0)
-          return full("deletes in a multi-source window")
-        if (feed.limit(1).count() == 0L) None
-        else Some(applyPlanOverDelta(spark, leg, srcT,
-          feed.filter(fcol("_change_type") === "insert")
-            .drop("_change_type", "batch_id")))
+        if (feed.limit(1).count() == 0L) None else Some(t -> feed)
       }
-    }
-    if (parts.nonEmpty) {
-      // positional alignment: a leg's OWN output names (the union's
-      // column names come from the first leg) must land on the
-      // backing's columns by position, exactly as the CTAS did
-      val backCols =
-        store(name).read(spark).drop("batch_id").columns.toSeq
-      val unioned = parts.map(_.toDF(backCols: _*))
-        .reduce(_ union _).pinned
-      if (unioned.limit(1).count() > 0)
-        store(name).append(unioned, bid)
+    }.toMap
+    def feedOf(srcT: String): Option[DataFrame] =
+      movedFeeds.find(_._1.equalsIgnoreCase(srcT)).map(_._2)
+    val hasDeletes = movedFeeds.values.exists(
+      _.filter(fcol("_change_type") =!= "insert").limit(1).count() > 0)
+    rowMapLegs match {
+      case Some(legs) =>
+        if (hasDeletes)
+          return full("deletes in a multi-source window")
+        val parts = legs.flatMap { case (srcT, leg) =>
+          feedOf(srcT).map(feed =>
+            applyPlanOverDelta(spark, leg, srcT,
+              feed.filter(fcol("_change_type") === "insert")
+                .drop("_change_type", "batch_id")))
+        }
+        if (parts.nonEmpty) {
+          // positional alignment: a leg's OWN output names (the
+          // union's column names come from the first leg) must land
+          // on the backing's columns by position, as the CTAS did
+          val backCols =
+            store(name).read(spark).drop("batch_id").columns.toSeq
+          val unioned = parts.map(_.toDF(backCols: _*))
+            .reduce(_ union _).pinned
+          if (unioned.limit(1).count() > 0)
+            store(name).append(unioned, bid)
+        }
+      case None =>
+        // aggregate over the union: ONE partial per change type —
+        // every source substituted at once (its window's rows, or
+        // empty when unmoved), the definition pair-expanded exactly
+        // as the backing was materialized, folded through the shared
+        // combine. Deletes subtract through the retractable pairs;
+        // MIN/MAX under deletes, null keys, emptied groups, and
+        // pre-pair vintages degrade to the loud full recompute.
+        val (shape, _) = aggShape.get
+        val parsed = expandFoldPairs(
+          spark.sessionState.sqlParser.parsePlan(text))
+        def partialU(changeType: String): DataFrame =
+          applyPlanOverDeltas(spark, parsed, srcs.map { t =>
+            t -> feedOf(t)
+              .map(_.filter(fcol("_change_type") === changeType)
+                .drop("_change_type", "batch_id"))
+              .getOrElse(store(t).read(spark).limit(0))
+          }.toMap)
+        if (movedFeeds.nonEmpty) {
+          val delA0 =
+            if (hasDeletes) Some(partialU("delete")) else None
+          foldAggPartials(spark, name, shape.keys, shape.aggs,
+            partialU("insert"), delA0, bid)
+            .foreach(reason => return full(reason))
+        }
     }
     publishMviewSpec(spark, name, text, curs)
     Seq(("incremental", sidecarSum, cursSum))
@@ -2936,13 +3019,26 @@ final class StoreCatalog(basePath: String) {
   private def applyPlanOverDelta(spark: SparkSession,
       plan: LogicalPlan, srcName: String,
       delta: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    applyPlanOverDeltas(spark, plan, Map(srcName -> delta))
+
+  /** [[applyPlanOverDelta]] with SEVERAL sources substituted at once —
+    * the aggregate-over-union fold swaps every source for its window
+    * delta (empty for unmoved sources) in one pass.
+    */
+  private def applyPlanOverDeltas(spark: SparkSession,
+      plan: LogicalPlan,
+      subs: Map[String, org.apache.spark.sql.DataFrame])
       : org.apache.spark.sql.DataFrame = {
     val sub = plan.transformWithSubqueries {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
           if u.multipartIdentifier.size == 1 &&
-            u.multipartIdentifier.head.equalsIgnoreCase(srcName) =>
+            subs.exists(_._1.equalsIgnoreCase(
+              u.multipartIdentifier.head)) =>
+        val name = u.multipartIdentifier.head
         org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias(
-          srcName, delta.queryExecution.analyzed)
+          name, subs.find(_._1.equalsIgnoreCase(name)).get._2
+            .queryExecution.analyzed)
     }
     org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
       StoreSql.route(spark, tables, sub))
@@ -2971,7 +3067,7 @@ final class StoreCatalog(basePath: String) {
     * create-day — so they are rejected by class name.
     */
   private def mvKeyExprsDeterministic(spark: SparkSession,
-      srcName: String,
+      probePlan: => LogicalPlan,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Boolean =
     exprs.isEmpty || (try {
@@ -2982,9 +3078,7 @@ final class StoreCatalog(basePath: String) {
         "CurrentBatchTimestamp")
       val probe = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
         Project(exprs.zipWithIndex.map { case (e, i) =>
-          Alias(e, s"__k$i")() },
-          org.apache.spark.sql.graftshim.PlanShim.planOf(
-            store(srcName).read(spark))))
+          Alias(e, s"__k$i")() }, probePlan))
       probe.queryExecution.analyzed.expressions.forall { e =>
         e.deterministic &&
           !e.exists(x => timeDependent(x.getClass.getSimpleName))
@@ -2996,7 +3090,8 @@ final class StoreCatalog(basePath: String) {
     * ratio, bit-exact for long/double partial sums but able to drift
     * from Spark's exact decimal average. Analysis-only probe, no job.
     */
-  private def mvAvgArgFoldable(spark: SparkSession, srcName: String,
+  private def mvAvgArgFoldable(spark: SparkSession,
+      probePlan: => LogicalPlan,
       args: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Boolean =
     args.size == 1 && (try {
@@ -3004,9 +3099,7 @@ final class StoreCatalog(basePath: String) {
       import org.apache.spark.sql.catalyst.plans.logical.Project
       import org.apache.spark.sql.types.{DecimalType, NumericType}
       val probe = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
-        Project(Seq(Alias(args.head, "__a")()),
-          org.apache.spark.sql.graftshim.PlanShim.planOf(
-            store(srcName).read(spark))))
+        Project(Seq(Alias(args.head, "__a")()), probePlan))
       probe.schema.head.dataType match {
         case _: DecimalType => false
         case _: NumericType => true
@@ -3056,15 +3149,28 @@ final class StoreCatalog(basePath: String) {
     */
   private def mvUnionLegs(spark: SparkSession, text: String)
       : Option[Seq[(String, LogicalPlan)]] = {
-    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-    import org.apache.spark.sql.catalyst.plans.logical.Union
     val p = try spark.sessionState.sqlParser.parsePlan(text)
       catch { case scala.util.control.NonFatal(_) => return None }
     if (p.subqueriesAll.nonEmpty) return None
+    mvUnionLegsOf(p)
+  }
+
+  /** [[mvUnionLegs]] over an already-parsed plan node. */
+  private def mvUnionLegsOf(p0: LogicalPlan)
+      : Option[Seq[(String, LogicalPlan)]] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      SubqueryAlias, Union}
     def flat(pl: LogicalPlan): Seq[LogicalPlan] = pl match {
       case u: Union if !u.byName => u.children.flatMap(flat)
       case other => Seq(other)
     }
+    // `FROM (a UNION ALL b)` wraps the union in a subquery alias
+    def strip(pl: LogicalPlan): LogicalPlan = pl match {
+      case s: SubqueryAlias => strip(s.child)
+      case other => other
+    }
+    val p = strip(p0)
     p match {
       case u: Union if !u.byName =>
         val legs = flat(u).map { leg =>
@@ -3078,6 +3184,34 @@ final class StoreCatalog(basePath: String) {
           }
         }
         if (legs.exists(_.isEmpty)) None else Some(legs.flatten)
+      case _ => None
+    }
+  }
+
+  /** The aggregate-over-UNION-ALL decomposition, if the definition
+    * has one: `SELECT keys, aggs FROM (leg ∪ leg ∪ …) GROUP BY keys`
+    * where every leg is a row-map over one source — the realistic
+    * gold-over-silver-union shape (the reference's silver IS a
+    * two-source union; a gold aggregate over it is the natural next
+    * MV). The union of per-source deltas is row-disjoint from the
+    * backing's inputs, so the SAME distributive fold the
+    * single-source path uses applies: partials from the delta union,
+    * combined through [[foldAggPartials]]. Key/avg analysis probes
+    * resolve against the routed union (legs' output schema).
+    */
+  private def mvUnionAggShape(spark: SparkSession, text: String)
+      : Option[(MvShape, Seq[(String, LogicalPlan)])] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val p = try spark.sessionState.sqlParser.parsePlan(text)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    if (p.subqueriesAll.nonEmpty) return None
+    p match {
+      case Aggregate(groupExprs, aggExprs, child, _) =>
+        for {
+          legs <- mvUnionLegsOf(child)
+          shape <- mvAggShapeOf(spark, groupExprs, aggExprs,
+            StoreSql.route(spark, tables, child))
+        } yield (shape, legs)
       case _ => None
     }
   }
@@ -3097,24 +3231,46 @@ final class StoreCatalog(basePath: String) {
   private def mvIncrementalShape(spark: SparkSession, text: String,
       srcName: String)
       : Option[Either[Unit, MvShape]] = {
-    import org.apache.spark.sql.catalyst.analysis.{
-      UnresolvedAttribute, UnresolvedFunction, UnresolvedRelation}
-    import org.apache.spark.sql.catalyst.expressions.{
-      Alias, Expression, Literal, NamedExpression}
-    import org.apache.spark.sql.catalyst.plans.logical.{
-      Aggregate, Filter, Project}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
     val p = spark.sessionState.sqlParser.parsePlan(text)
     if (p.subqueriesAll.nonEmpty) return None
     def isRowMap(pl: LogicalPlan): Boolean = mvIsRowMap(pl, srcName)
+    p match {
+      case Aggregate(groupExprs, aggExprs, child, _)
+          if isRowMap(child) =>
+        mvAggShapeOf(spark, groupExprs, aggExprs,
+          org.apache.spark.sql.graftshim.PlanShim.planOf(
+            store(srcName).read(spark))).map(Right(_))
+      case other if isRowMap(other) => Some(Left(()))
+      case _ => None
+    }
+  }
+
+  /** The foldable GROUP BY analysis shared by the single-source and
+    * the aggregate-over-UNION-ALL decomposers: map every GROUP BY
+    * expression to its output item, require every remaining item to
+    * be an aliased foldable aggregate, refuse generated-name
+    * collisions and non-deterministic keys. `probePlan` supplies the
+    * relation the key/avg analysis probes resolve against (the
+    * single source's read, or the analyzed union).
+    */
+  private def mvAggShapeOf(spark: SparkSession,
+      groupExprs: Seq[org.apache.spark.sql.catalyst.expressions
+        .Expression],
+      aggExprs: Seq[org.apache.spark.sql.catalyst.expressions
+        .NamedExpression],
+      probePlan: => LogicalPlan): Option[MvShape] = {
+    import org.apache.spark.sql.catalyst.analysis.{
+      UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{
+      Alias, Expression, Literal, NamedExpression}
     val aggFns = Set("count", "sum", "min", "max", "avg", "mean")
     def hasAggFn(e: Expression): Boolean = e.exists {
       case uf: UnresolvedFunction =>
         aggFns(uf.nameParts.last.toLowerCase)
       case _ => false
     }
-    p match {
-      case Aggregate(groupExprs, aggExprs, child, _)
-          if isRowMap(child) =>
+    locally {
         val items: Seq[NamedExpression] = aggExprs
         // map every GROUP BY expression to the OUTPUT item carrying
         // it: a bare column, an alias of that column, an alias the
@@ -3197,7 +3353,7 @@ final class StoreCatalog(basePath: String) {
               val fn0 = uf.nameParts.head.toLowerCase
               val fn = if (fn0 == "mean") "avg" else fn0
               if (fn == "avg" &&
-                  !mvAvgArgFoldable(spark, srcName, uf.arguments))
+                  !mvAvgArgFoldable(spark, probePlan, uf.arguments))
                 return None
               out -> fn
             case _ => return None
@@ -3217,12 +3373,10 @@ final class StoreCatalog(basePath: String) {
         } :+ "__rows"
         if (genNames.exists(g => outNames(g.toLowerCase)))
           return None
-        if (!mvKeyExprsDeterministic(spark, srcName,
+        if (!mvKeyExprsDeterministic(spark, probePlan,
             keyHits.flatten.flatMap(_._2)))
           return None
-        Some(Right(MvShape(keys, keyExprs, aggs)))
-      case other if isRowMap(other) => Some(Left(()))
-      case _ => None
+        Some(MvShape(keys, keyExprs, aggs))
     }
   }
 

@@ -3384,5 +3384,72 @@ object StoreOps {
           |ORDER BY status""".stripMargin)
         .withColumn("refresh_mode", lit(m1))
         .withColumn("refresh_again", lit(m2))
+    },
+
+    // GOLD OVER SILVER-UNION, INCREMENTALLY — the composed shape the
+    // reference's architecture implies (README.md:25: silver = the
+    // two-source union, gold = aggregates over it): an AGGREGATE over
+    // a UNION ALL of row-map legs folds per-source windows as
+    // pair-expanded partials through the same retractable combine the
+    // single-source gold uses — including a DELETE window on one
+    // source subtracting through the pairs while the other source's
+    // inserts add, in ONE refresh. The trace pins the mode (MUST be
+    // incremental over the version-sum window); content is pinned
+    // hash-for-hash against the oracle's recompute.
+    QueryDef(
+      "q249_sql_mv_union_gold",
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k FROM orders
+        |  WHERE o_orderkey <= 1200
+        |     OR (o_orderkey > 2400 AND o_orderkey <= 3000)
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  WHERE o_orderkey > 1200 AND o_orderkey <= 2400
+        |    AND o_orderkey % 4 = 0)
+        |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+        |  AVG(k) AS avg_key,
+        |  'incremental@4..6' AS refresh_mode
+        |FROM base GROUP BY status
+        |ORDER BY status""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.keyedPath(s, "sql_mv_union_gold", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      Seq("gs1", "gs2").foreach(t => cat.exec(s,
+        s"""CREATE TABLE IF NOT EXISTS $t (
+           |  o_orderstatus STRING, o_orderkey BIGINT)
+           |USING graft_store""".stripMargin))
+      cat.exec(s,
+        """INSERT INTO gs1
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey <= 1200""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """INSERT INTO gs2
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
+          .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS ggu AS
+          |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+          |  AVG(k) AS avg_key
+          |FROM (
+          |  SELECT o_orderstatus AS status, o_orderkey AS k FROM gs1
+          |  UNION ALL
+          |  SELECT o_orderstatus, o_orderkey FROM gs2
+          |  WHERE o_orderkey % 2 = 0)
+          |GROUP BY status""".stripMargin, batchId = Some(100L))
+      // one source INSERTS while the other DELETES — both windows
+      // fold in the same refresh (adds + pair-column retraction)
+      cat.exec(s,
+        """INSERT INTO gs1
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 2400 AND o_orderkey <= 3000"""
+          .stripMargin, batchId = Some(1L))
+      cat.exec(s, "DELETE FROM gs2 WHERE o_orderkey % 4 = 2")
+      val mode = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW ggu"))
+      cat.query(s,
+        """SELECT status, cnt, total, avg_key FROM ggu
+          |ORDER BY status""".stripMargin)
+        .withColumn("refresh_mode", lit(mode))
     })
 }

@@ -122,6 +122,57 @@ class MvFoldPropertySpec extends SparkSpec {
       "SELECT k, cnt, lo, hi, total FROM m", seeds = 3)
   }
 
+  test("aggregate-over-UNION-ALL fold == full recompute under random " +
+      "insert/delete/update sequences against EITHER source") {
+    val defn = "SELECT k, COUNT(*) AS cnt, COUNT(v) AS cv, " +
+      "SUM(v) AS total, AVG(v) AS m FROM (" +
+      "SELECT k, v FROM sa UNION ALL " +
+      "SELECT k, v FROM sb WHERE v IS NULL OR v % 2 = 0) GROUP BY k"
+    (0 until 3).foreach { i =>
+      val ops = Gen.listOfN(5, Gen.zip(Gen.oneOf("sa", "sb"), opGen))
+        .apply(Gen.Parameters.default, Seed(1000L + i))
+        .getOrElse(Nil)
+      val cat = freshCat()
+      Seq("sa", "sb").foreach(t => cat.exec(spark,
+        s"CREATE TABLE $t (k STRING, v BIGINT) USING graft_store"))
+      cat.exec(spark,
+        "INSERT INTO sa VALUES ('a', 1), ('b', NULL)",
+        batchId = Some(0L))
+      cat.exec(spark,
+        "INSERT INTO sb VALUES ('a', 4), ('c', 10)",
+        batchId = Some(0L))
+      cat.exec(spark, s"CREATE MATERIALIZED VIEW mu AS $defn",
+        batchId = Some(100L))
+      var bid = 1L
+      ops.foreach { case (t, op) =>
+        op match {
+          case Ins(rows) =>
+            val values = rows
+              .map { case (k, v) => s"(${lit(k)}, ${lit(v)})" }
+              .mkString(", ")
+            cat.exec(spark, s"INSERT INTO $t VALUES $values",
+              batchId = Some(bid))
+            bid += 1
+          case Del(m) =>
+            cat.exec(spark, s"DELETE FROM $t WHERE v % 3 = $m")
+          case DelNull() =>
+            cat.exec(spark, s"DELETE FROM $t WHERE v IS NULL")
+          case Upd(m, d) =>
+            cat.exec(spark,
+              s"UPDATE $t SET v = v + $d WHERE v % 3 = $m")
+        }
+        cat.exec(spark, "REFRESH MATERIALIZED VIEW mu")
+        val got = cat.query(spark,
+          "SELECT k, cnt, cv, total, m FROM mu").collect()
+          .map(_.toSeq.map(Option(_))).toSeq.sortBy(_.toString)
+        val want = cat.query(spark, defn).collect()
+          .map(_.toSeq.map(Option(_))).toSeq.sortBy(_.toString)
+        assert(got == want,
+          s"after $op on $t:\n  served=$got\n  recompute=$want")
+      }
+    }
+  }
+
   test("sum serves NULL (not 0) when the last non-null value leaves") {
     val cat = freshCat()
     cat.exec(spark,
