@@ -861,6 +861,52 @@ class MaterializedViewSpec extends SparkSpec {
     assert(served() == recomputed())
   }
 
+  test("multi-source crash recovery: a union fold's data commit " +
+      "surviving a lost sidecar publish HEALS when nothing moved " +
+      "('current'), and recomputes FULLY when a source moved (the " +
+      "overlap is not provably idempotent from the version sum) — " +
+      "content exact in both cases") {
+    val (cat, base) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE ca (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "CREATE TABLE cb (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO ca VALUES ('a', 1)",
+      batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO cb VALUES ('b', 2)",
+      batchId = Some(0L))
+    val defn = "SELECT k, n FROM ca UNION ALL SELECT k, n FROM cb"
+    cat.exec(spark, s"CREATE MATERIALIZED VIEW cu AS $defn",
+      batchId = Some(100L))
+    val sidecar = java.nio.file.Paths.get(base, "_catalog",
+      "_mviews", "cu")
+    val preBytes = java.nio.file.Files.readAllBytes(sidecar)
+    cat.exec(spark, "INSERT INTO ca VALUES ('a', 10)",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW cu"))
+      == "incremental")
+    def contents() = cat.query(spark, "SELECT k, n FROM cu")
+      .as[(String, Long)].collect().toSeq.sorted
+    val afterFold = contents()
+    // crash A: data commit survived, sidecar publish lost, nothing
+    // moved since → heal and report 'current'; content unchanged
+    java.nio.file.Files.write(sidecar, preBytes)
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW cu"))
+      == "current")
+    assert(contents() == afterFold)
+    // crash B: sidecar lost AND a source moved after the crash — the
+    // already-applied overlap is not recoverable per source from the
+    // version sum: full recompute, loudly, content exact
+    java.nio.file.Files.write(sidecar, preBytes)
+    cat.exec(spark, "INSERT INTO cb VALUES ('b', 20)",
+      batchId = Some(1L))
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW cu")
+    assert(modeOf(r) == "full:recovering a crashed multi-source " +
+      "refresh", r.collect().mkString)
+    assert(contents() ==
+      Seq(("a", 1L), ("a", 10L), ("b", 2L), ("b", 20L)))
+  }
+
   test("GROUP BY <literal> with spark.sql.groupByOrdinal OFF is a " +
       "CONSTANT key, not an ordinal: the decomposer refuses and " +
       "REFRESH recomputes fully with contents matching the " +
