@@ -290,8 +290,9 @@ final class StoreCatalog(basePath: String) {
             s"unreachable: CREATE MATERIALIZED VIEW re-match failed " +
               s"on '$other'")
         }
-      case StoreCatalog.RefreshMvStmt(name) =>
-        return refreshMaterializedView(spark, name)
+      case StoreCatalog.RefreshMvStmt(name, fullKw) =>
+        return refreshMaterializedView(spark, name,
+          forceFull = fullKw != null)
       case StoreCatalog.DropMvStmt(ife, name) =>
         return dropMaterializedView(spark, name, ifExists = ife != null)
       case StoreCatalog.ShowMvStmt() =>
@@ -2533,17 +2534,21 @@ final class StoreCatalog(basePath: String) {
     false
   }
 
-  /** REFRESH MATERIALIZED VIEW — returns one row
+  /** REFRESH MATERIALIZED VIEW [FULL] — returns one row
     * (mode, from_version, to_version) describing what ran:
     * `current` (nothing to do), `incremental` (CDF window only), or
-    * `full:<reason>` (recompute, saying why). Robustness contract: a
-    * vacuumed CDF window, a NULL group key in the delta, and a
-    * backing table predating the AVG pair columns all degrade to the
-    * full recompute LOUDLY — REFRESH never hard-fails on routine
-    * source maintenance and never folds wrong numbers silently.
+    * `full:<reason>` (recompute, saying why). `FULL` forces the
+    * recompute unconditionally — the operator's rebuild verb when a
+    * backing is suspected stale/corrupt, or to re-snapshot after an
+    * out-of-band source repair (mode `full:forced`). Robustness
+    * contract: a vacuumed CDF window, a NULL group key in the delta,
+    * and a backing table predating the AVG pair columns all degrade
+    * to the full recompute LOUDLY — REFRESH never hard-fails on
+    * routine source maintenance and never folds wrong numbers
+    * silently.
     */
   private def refreshMaterializedView(spark: SparkSession,
-      name: String): DataFrame = {
+      name: String, forceFull: Boolean = false): DataFrame = {
     import spark.implicits._
     val (text, lasts) = mviewSpec(spark, name).getOrElse(
       throw new IllegalArgumentException(
@@ -2568,6 +2573,7 @@ final class StoreCatalog(basePath: String) {
       Seq((s"full:$reason", 0L, curs.values.max))
         .toDF("mode", "from_version", "to_version")
     }
+    if (forceFull) return full("forced")
     if (srcs.size != 1) {
       if (srcs.forall(t => lasts.get(t).contains(curs(t))))
         return currentRow()
@@ -3641,7 +3647,7 @@ object StoreCatalog {
     ("(?is)CREATE\\s+MATERIALIZED\\s+VIEW\\s+" +
       "(IF\\s+NOT\\s+EXISTS\\s+)?([A-Za-z0-9_]+)\\s+AS\\s+(.+)").r
   private[engine] val RefreshMvStmt =
-    "(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s*".r
+    "(?is)REFRESH\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s*(FULL)?\\s*".r
   private[engine] val DropMvStmt =
     ("(?is)DROP\\s+MATERIALIZED\\s+VIEW\\s+" +
       "(IF\\s+EXISTS\\s+)?([A-Za-z0-9_]+)\\s*").r

@@ -907,6 +907,42 @@ class MaterializedViewSpec extends SparkSpec {
       Seq(("a", 1L), ("a", 10L), ("b", 2L), ("b", 20L)))
   }
 
+  test("REFRESH MATERIALIZED VIEW ... FULL forces the rebuild " +
+      "(mode full:forced) even when nothing moved, repairs an " +
+      "out-of-band corrupted backing, and the incremental path " +
+      "resumes afterwards") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE fr (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO fr VALUES ('a', 1), ('b', 2)",
+      batchId = Some(0L))
+    cat.exec(spark, "CREATE MATERIALIZED VIEW fmv AS " +
+      "SELECT k, COUNT(*) AS cnt, SUM(n) AS total FROM fr GROUP BY k",
+      batchId = Some(100L))
+    // nothing moved: a plain refresh is 'current', FULL still rebuilds
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW fmv"))
+      == "current")
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW fmv FULL")
+    assert(modeOf(r) == "full:forced", r.collect().mkString)
+    def served() = cat.query(spark,
+      "SELECT k, cnt, total FROM fmv ORDER BY k")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(served() == Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    // out-of-band corruption (direct write bypassing the MV guard —
+    // the scenario the verb exists for): FULL repairs it
+    cat.store("fmv").delete(spark, "k = 'a'")
+    assert(served() == Seq(("b", 1L, 2L))) // corrupted
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW fmv FULL"))
+      == "full:forced")
+    assert(served() == Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+    // and the incremental path resumes on the next window
+    cat.exec(spark, "INSERT INTO fr VALUES ('a', 10)",
+      batchId = Some(1L))
+    assert(modeOf(cat.exec(spark, "REFRESH MATERIALIZED VIEW fmv"))
+      == "incremental")
+    assert(served() == Seq(("a", 2L, 11L), ("b", 1L, 2L)))
+  }
+
   test("GROUP BY <literal> with spark.sql.groupByOrdinal OFF is a " +
       "CONSTANT key, not an ordinal: the decomposer refuses and " +
       "REFRESH recomputes fully with contents matching the " +
