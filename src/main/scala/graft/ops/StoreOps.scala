@@ -49,7 +49,7 @@ object StoreOps {
   private def restoreStore(s: SparkSession,
       dir: String): ManifestTableStore = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_restore", dir),
+      Materialize.freshKeyedPath(s, "orders_store_restore", dir),
       statsColumns = Seq("o_orderdate"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -101,7 +101,7 @@ object StoreOps {
   private def bloomOrdersStore(s: SparkSession,
       dir: String): ManifestTableStore = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_bloom", dir),
+      Materialize.freshKeyedPath(s, "orders_store_bloom", dir),
       statsColumns = Seq("o_orderdate", "o_orderkey"),
       bloomColumns = Seq("o_orderkey"))
     val orders = Tables(s, dir, "orders")
@@ -167,7 +167,7 @@ object StoreOps {
   def registerDmlSqlView(s: SparkSession,
       dir: String): ManifestTableStore = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_sqldml", dir),
+      Materialize.freshKeyedPath(s, "orders_store_sqldml", dir),
       statsColumns = Seq("o_orderdate"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -198,7 +198,7 @@ object StoreOps {
     */
   def registerMergeSqlView(s: SparkSession, dir: String): Unit = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_sqlmerge", dir),
+      Materialize.freshKeyedPath(s, "orders_store_sqlmerge", dir),
       statsColumns = Seq("o_orderkey"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -229,7 +229,7 @@ object StoreOps {
     */
   def registerMorSqlView(s: SparkSession, dir: String): ManifestTableStore = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_sqlmor", dir),
+      Materialize.freshKeyedPath(s, "orders_store_sqlmor", dir),
       statsColumns = Seq("o_orderdate"),
       morDeleteKey = Some("o_orderkey"))
     val orders = Tables(s, dir, "orders")
@@ -259,7 +259,7 @@ object StoreOps {
     */
   def registerCdcMergeSqlView(s: SparkSession, dir: String): Unit = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_sqlcdc", dir),
+      Materialize.freshKeyedPath(s, "orders_store_sqlcdc", dir),
       statsColumns = Seq("o_orderkey"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -293,7 +293,7 @@ object StoreOps {
     */
   def registerSyncMergeSqlView(s: SparkSession, dir: String): Unit = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_sqlsync", dir),
+      Materialize.freshKeyedPath(s, "orders_store_sqlsync", dir),
       statsColumns = Seq("o_orderkey"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -328,7 +328,7 @@ object StoreOps {
     */
   def registerInsertSqlView(s: SparkSession, dir: String): Unit = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_sqlins", dir),
+      Materialize.freshKeyedPath(s, "orders_store_sqlins", dir),
       statsColumns = Seq("o_orderdate"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -362,7 +362,7 @@ object StoreOps {
   def registerOverwriteSqlView(s: SparkSession,
       dir: String): ManifestTableStore = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_ovw", dir),
+      Materialize.freshKeyedPath(s, "orders_store_ovw", dir),
       partitionBy = Seq("o_orderpriority"),
       statsColumns = Seq("o_orderdate"))
     val orders = Tables(s, dir, "orders")
@@ -405,7 +405,7 @@ object StoreOps {
   def registerBranchSqlView(s: SparkSession, dir: String)
       : ManifestTableStore = {
     val store = new ManifestTableStore(
-      Materialize.keyedPath(s, "orders_store_branch2", dir),
+      Materialize.freshKeyedPath(s, "orders_store_branch2", dir),
       statsColumns = Seq("o_orderdate"))
     val orders = Tables(s, dir, "orders")
     def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -488,7 +488,7 @@ object StoreOps {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_compacted", dir),
+        Materialize.freshKeyedPath(s, "orders_store_compacted", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       val cut = col("o_orderdate") < lit("1998-07-01").cast("timestamp")
@@ -520,7 +520,7 @@ object StoreOps {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_clustered", dir),
+        Materialize.freshKeyedPath(s, "orders_store_clustered", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       store.append(orders.filter(col("o_orderkey") % 2 === 0), 0L)
@@ -562,7 +562,7 @@ object StoreOps {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_dml", dir),
+        Materialize.freshKeyedPath(s, "orders_store_dml", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -613,7 +613,7 @@ object StoreOps {
         |FROM merged GROUP BY 1 ORDER BY c_mktsegment""".stripMargin) {
       (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "customer_store_merge", dir),
+        Materialize.freshKeyedPath(s, "customer_store_merge", dir),
         statsColumns = Seq("c_custkey"))
       val c = Tables(s, dir, "customer")
       store.append(c.filter(col("c_custkey") <= 300), 0L)
@@ -725,7 +725,7 @@ object StoreOps {
             sum(col("o_totalprice").cast(DecimalType(18, 2)))
               .cast(DecimalType(28, 2)).as("total_dec"))
       val mv = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_mv_incremental", dir))
+        Materialize.freshKeyedPath(s, "orders_mv_incremental", dir))
       if (mv.currentVersion(s) == 0L)
         mv.append(partials(base.readVersion(s, 2)), 0L)
       if (mv.currentVersion(s) == 1L) {
@@ -812,7 +812,7 @@ object StoreOps {
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_wap", dir),
+        Materialize.freshKeyedPath(s, "orders_store_wap", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       val cut = col("o_orderdate") < lit("1998-01-01").cast("timestamp")
@@ -855,7 +855,7 @@ object StoreOps {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_zorder", dir),
+        Materialize.freshKeyedPath(s, "orders_store_zorder", dir),
         statsColumns = Seq("o_orderdate", "o_custkey"))
       val orders = Tables(s, dir, "orders")
       store.append(orders.filter(col("o_orderkey") % 2 === 0), 0L)
@@ -883,7 +883,7 @@ object StoreOps {
         |    AS total_bal
         |FROM m GROUP BY 1 ORDER BY segment""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "customer_store_evolved", dir))
+        Materialize.freshKeyedPath(s, "customer_store_evolved", dir))
       val c = Tables(s, dir, "customer")
       store.append(c.filter(col("c_custkey") < 750)
         .select("c_custkey", "c_name", "c_acctbal"), 0L)
@@ -954,7 +954,7 @@ object StoreOps {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_mor", dir),
+        Materialize.freshKeyedPath(s, "orders_store_mor", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -1163,7 +1163,7 @@ object StoreOps {
         |FROM t GROUP BY priority_flag
         |ORDER BY priority_flag""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_ddl", dir),
+        Materialize.freshKeyedPath(s, "orders_store_ddl", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -1216,7 +1216,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_dropcol", dir),
+        Materialize.freshKeyedPath(s, "orders_store_dropcol", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       if (store.currentVersion(s) == 0L)
@@ -1264,7 +1264,7 @@ object StoreOps {
         |FROM t GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_rename", dir),
+        Materialize.freshKeyedPath(s, "orders_store_rename", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -1316,7 +1316,7 @@ object StoreOps {
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) {
       (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_sqlmaint", dir),
+        Materialize.freshKeyedPath(s, "orders_store_sqlmaint", dir),
         statsColumns = Seq("o_orderdate", "o_custkey"))
       val orders = Tables(s, dir, "orders")
       store.append(orders.filter(col("o_orderkey") % 2 === 0), 0L)
@@ -1374,7 +1374,7 @@ object StoreOps {
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
       val cat = new graft.engine.StoreCatalog(
-        Materialize.keyedPath(s, "sql_catalog", dir))
+        Materialize.freshKeyedPath(s, "sql_catalog", dir))
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS orders_silver (
           |  o_orderstatus STRING, o_orderpriority STRING,
@@ -1435,7 +1435,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_sqlrestore", dir),
+        Materialize.freshKeyedPath(s, "orders_store_sqlrestore", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -1487,7 +1487,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_checked", dir),
+        Materialize.freshKeyedPath(s, "orders_store_checked", dir),
         statsColumns = Seq("o_orderdate"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -1579,7 +1579,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_delfold", dir),
+        Materialize.freshKeyedPath(s, "orders_store_delfold", dir),
         statsColumns = Seq("o_orderkey"),
         morDeleteKey = Some("o_orderkey"))
       val orders = Tables(s, dir, "orders")
@@ -1673,7 +1673,7 @@ object StoreOps {
         |FROM t GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       val store = new ManifestTableStore(
-        Materialize.keyedPath(s, "orders_store_widen", dir),
+        Materialize.freshKeyedPath(s, "orders_store_widen", dir),
         statsColumns = Seq("o_orderdate", "ckey"))
       val orders = Tables(s, dir, "orders")
       def upTo(d: String) = col("o_orderdate") < lit(d).cast("timestamp")
@@ -1726,7 +1726,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_catalog_disc", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_catalog_disc", dir)
       val writer = new graft.engine.StoreCatalog(base)
       writer.exec(s,
         """CREATE TABLE IF NOT EXISTS disc_orders (
@@ -1780,7 +1780,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_catalog_props", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_catalog_props", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS tuned_orders (
@@ -1855,7 +1855,7 @@ object StoreOps {
       (s, dir) =>
       import graft.engine.{CanonicalSchema, Fixtures, Normalize,
         SchemaRegistry, SourceSpec, StoreCatalog, StreamRunner}
-      val base = Materialize.keyedPath(s, "sql_onboarding_v2", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_onboarding_v2", dir)
       val conf = s.sparkContext.hadoopConfiguration
       val f = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
       // bronze landing, one document per file (multiLine contract);
@@ -1951,7 +1951,7 @@ object StoreOps {
         |FROM t GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_auto_evolve", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_auto_evolve", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS evo_orders (
@@ -2035,7 +2035,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_truncate_parts", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_truncate_parts", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS part_orders (
@@ -2105,7 +2105,7 @@ object StoreOps {
         |FROM t GROUP BY o_orderstatus, route
         |ORDER BY o_orderstatus, route""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_col_defaults_v2", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_col_defaults_v2", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS dfl_orders (
@@ -2181,7 +2181,7 @@ object StoreOps {
         |FROM t GROUP BY _change_type, o_orderstatus
         |ORDER BY _change_type, o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_table_changes", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_table_changes", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS cdc_orders (
@@ -2246,7 +2246,7 @@ object StoreOps {
         |GROUP BY o_orderstatus, o_year
         |ORDER BY o_orderstatus, o_year""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_replace_table", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_replace_table", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS rep_orders (
@@ -2303,7 +2303,7 @@ object StoreOps {
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_describe_detail", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_describe_detail", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS det_orders (
@@ -2356,7 +2356,7 @@ object StoreOps {
         |FROM orders GROUP BY o_month
         |ORDER BY o_month""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_generated_cols", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_generated_cols", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS gen_orders (
@@ -2416,7 +2416,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_shallow_clone", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_shallow_clone", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS src_cl (
@@ -2483,7 +2483,7 @@ object StoreOps {
         |ORDER BY asset_uid, asset_name""".stripMargin) { (s, dir) =>
       import graft.engine.{AutoMapper, Fixtures, Normalize,
         SchemaRegistry}
-      val base = Materialize.keyedPath(s, "auto_mapping_v1", dir)
+      val base = Materialize.freshKeyedPath(s, "auto_mapping_v1", dir)
       val conf = s.sparkContext.hadoopConfiguration
       val f = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
       Fixtures.rapid7Records.zipWithIndex.foreach { case (r, i) =>
@@ -2541,7 +2541,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_views_v1", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_views_v1", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS vorders (
@@ -2609,7 +2609,7 @@ object StoreOps {
         |FROM merged GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_merge_evolve_v1", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_merge_evolve_v1", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS mt_evo (
@@ -2676,7 +2676,7 @@ object StoreOps {
         |  100 * cnt + 5 * cnt * (cnt - 1) AS sum_id
         |FROM n""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_identity_v1", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_identity_v1", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS idl (
@@ -2721,7 +2721,7 @@ object StoreOps {
         |  c2 AS n_above_watermark
         |FROM a, b""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_clone_identity", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_clone_identity", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS ids_src (
@@ -2784,7 +2784,7 @@ object StoreOps {
         |  c3 AS n_after_bump
         |FROM a, b, c""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_identity_bd", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_identity_bd", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS idbd (
@@ -2838,7 +2838,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_rename", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_rename", dir)
       val cat = new graft.engine.StoreCatalog(base)
       if (!cat.listTables(s).contains("ren_tgt")) {
         cat.exec(s,
@@ -2901,7 +2901,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mview", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mview", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS mv_src (
@@ -2961,7 +2961,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_vacuum", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_vacuum", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS mvv_src (
@@ -3031,7 +3031,7 @@ object StoreOps {
         |GROUP BY 1, 2
         |ORDER BY o_orderstatus, mon""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_gold", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_gold", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS gsrc (
@@ -3083,7 +3083,7 @@ object StoreOps {
         |GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_evolve", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_evolve", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS esrc (
@@ -3160,7 +3160,7 @@ object StoreOps {
         |FROM base GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_retract", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_retract", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS dsrc (
@@ -3219,7 +3219,7 @@ object StoreOps {
         |FROM fin GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_merge_ck", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_merge_ck", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS tkc (
@@ -3283,7 +3283,7 @@ object StoreOps {
         |FROM base GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_minmax", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_minmax", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS msrc (
@@ -3342,7 +3342,7 @@ object StoreOps {
         |FROM base GROUP BY status
         |ORDER BY status""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_union", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_union", dir)
       val cat = new graft.engine.StoreCatalog(base)
       Seq("u1", "u2").foreach(t => cat.exec(s,
         s"""CREATE TABLE IF NOT EXISTS $t (
@@ -3412,7 +3412,7 @@ object StoreOps {
         |FROM base GROUP BY status
         |ORDER BY status""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_union_gold", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_union_gold", dir)
       val cat = new graft.engine.StoreCatalog(base)
       Seq("gs1", "gs2").foreach(t => cat.exec(s,
         s"""CREATE TABLE IF NOT EXISTS $t (
@@ -3482,7 +3482,7 @@ object StoreOps {
         |FROM w1 GROUP BY o_orderstatus
         |ORDER BY slice, o_orderstatus""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.keyedPath(s, "sql_mv_travel", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_travel", dir)
       val cat = new graft.engine.StoreCatalog(base)
       cat.exec(s,
         """CREATE TABLE IF NOT EXISTS tsrc (
