@@ -295,6 +295,8 @@ final class StoreCatalog(basePath: String) {
           forceFull = fullKw != null)
       case StoreCatalog.DropMvStmt(ife, name) =>
         return dropMaterializedView(spark, name, ifExists = ife != null)
+      case StoreCatalog.RenameMvStmt(oldName, newName) =>
+        return renameMaterializedView(spark, oldName, newName)
       case StoreCatalog.ShowMvStmt() =>
         import spark.implicits._
         // `stale` = any source moved past the last refreshed version
@@ -671,12 +673,15 @@ final class StoreCatalog(basePath: String) {
               s"${listTables(spark).mkString(", ")})"))
         val meta = metaOf(name)
         // an MV's generated fold columns are storage-internal — they
-        // never appear in DESCRIBE, same as in reads
+        // never appear in DESCRIBE, same as in reads. batch_id is
+        // hidden too when the declared projection applies: reads
+        // serve EXACTLY the declared columns there ([[mvProject]]),
+        // and DESCRIBE must never advertise a column the read path
+        // cannot serve
         val visible: String => Boolean =
           mvDeclaredProjection(spark, name) match {
             case Some(declared) => c =>
-              c.equalsIgnoreCase("batch_id") ||
-                declared.exists(_.equalsIgnoreCase(c))
+              declared.exists(_.equalsIgnoreCase(c))
             case None => _ => true
           }
         val cols = s.read(spark).schema.fields.toSeq
@@ -2130,7 +2135,8 @@ final class StoreCatalog(basePath: String) {
     requireNotView(spark, oldName)
     require(mviewSpec(spark, oldName).isEmpty,
       s"'$oldName' is a MATERIALIZED VIEW — its definition sidecar " +
-        "keys by name; DROP and re-CREATE it under the new name")
+        "keys by name; use ALTER MATERIALIZED VIEW " +
+        s"$oldName RENAME TO <new>")
     require(viewText(spark, newName).isEmpty,
       s"RENAME TO '$newName': a VIEW holds that name")
     // idempotent completion of a rename that crashed between its
@@ -2390,6 +2396,37 @@ final class StoreCatalog(basePath: String) {
     spark.emptyDataFrame
   }
 
+  /** `ALTER MATERIALIZED VIEW old RENAME TO new` — parity with table
+    * rename: the backing renames at the POINTER level (data stays
+    * put, history/tags/identity travel with the path) and the
+    * definition sidecar republishes under the new name with its
+    * refresh watermarks intact, so the first post-rename REFRESH
+    * still folds incrementally from where the old name left off.
+    *
+    * Crash-safe by the same contract as [[dropMaterializedView]]:
+    * the old sidecar deletes FIRST, so every intermediate state is an
+    * ordinary renamable/droppable table — never a refresh-able orphan
+    * claiming MV semantics under a half-moved name. A crash between
+    * steps costs the operator a re-CREATE, never silent wrong data.
+    */
+  private def renameMaterializedView(spark: SparkSession,
+      oldName: String, newName: String): DataFrame = {
+    val (text, lasts) = mviewSpec(spark, oldName).getOrElse(
+      throw new IllegalArgumentException(
+        s"unknown materialized view '$oldName' (tables rename with " +
+          "ALTER TABLE)"))
+    require(mviewSpec(spark, newName).isEmpty &&
+      viewText(spark, newName).isEmpty &&
+      resolve(spark, newName).isEmpty,
+      s"RENAME TO '$newName': the name is taken")
+    val hp = mviewPath(oldName)
+    hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(hp, false)
+    renameTable(spark, oldName, newName)
+    publishMviewSpec(spark, newName, text, lasts)
+    spark.emptyDataFrame
+  }
+
   private def listMaterializedViews(spark: SparkSession): Seq[String] = {
     val dir = new org.apache.hadoop.fs.Path(s"$basePath/_catalog/_mviews")
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -2547,7 +2584,29 @@ final class StoreCatalog(basePath: String) {
     * routine source maintenance and never folds wrong numbers
     * silently.
     */
+  /** Per-(catalog, MV) refresh locks: two streaming feeds driving the
+    * same gold MV (the silver→gold topology runs one change stream per
+    * silver source, each calling REFRESH per trigger) must not
+    * interleave sidecar-read → fold → sidecar-publish. Concurrent
+    * refreshes over the SAME windows are already idempotent (the fold
+    * bid derives from the source version sum), but a source commit
+    * landing between two refreshes' sidecar reads would let the later
+    * fold re-cover the earlier one's window under a NEW bid — a
+    * double-fold. In-JVM serialization closes that for the streaming
+    * topology; cross-process racers still converge through the
+    * applied-tip guard's loud full recompute. JVM-wide (companion
+    * object), keyed by catalog base path + MV name, so two catalog
+    * handles over the same store serialize too.
+    */
   private def refreshMaterializedView(spark: SparkSession,
+      name: String, forceFull: Boolean = false): DataFrame =
+    StoreCatalog.mvRefreshLocks
+      .computeIfAbsent(s"$basePath#$name", _ => new Object)
+      .synchronized {
+        refreshMaterializedViewLocked(spark, name, forceFull)
+      }
+
+  private def refreshMaterializedViewLocked(spark: SparkSession,
       name: String, forceFull: Boolean = false): DataFrame = {
     import spark.implicits._
     val (text, lasts) = mviewSpec(spark, name).getOrElse(
@@ -2668,15 +2727,46 @@ final class StoreCatalog(basePath: String) {
           import org.apache.spark.sql.catalyst.analysis.{
             UnresolvedAttribute, UnresolvedStar}
           import org.apache.spark.sql.catalyst.expressions.Alias
-          import org.apache.spark.sql.catalyst.plans.logical.Project
+          import org.apache.spark.sql.catalyst.plans.logical.{
+            Aggregate, Project, SubqueryAlias}
           import org.apache.spark.sql.functions.{
             broadcast, lit => flit, max => fmax, min => fmin}
           import org.apache.spark.sql.graftshim.PlanShim
+          // the shape's keyExprs/aggExprs name the ROW-MAP's outputs
+          // (the aggregate's child may be a renaming/filtering
+          // subselect: `FROM (SELECT upper(s) AS k, v FROM src)`), so
+          // key extraction and the bounded recompute must compose
+          // THROUGH the row-map — applying keyExprs to the raw delta
+          // would hard-fail on renamed keys or, worse, read a raw
+          // column that shares a declared key's name and bound the
+          // wrong groups
+          val parsedAgg = spark.sessionState.sqlParser
+            .parsePlan(text) match {
+            case a: Aggregate => a
+            case _ => return full("deletes in the window fold past " +
+              "MIN/MAX")
+          }
+          def stripAlias(pl: LogicalPlan): LogicalPlan = pl match {
+            case sa: SubqueryAlias => stripAlias(sa.child)
+            case other => other
+          }
+          val childIsBare = stripAlias(parsedAgg.child) match {
+            case _: org.apache.spark.sql.catalyst.analysis
+              .UnresolvedRelation => true
+            case _ => false
+          }
+          def throughRowMap(df: DataFrame): DataFrame =
+            if (childIsBare) df
+            else applyPlanOverDelta(spark, parsedAgg.child, srcName, df)
           val tmp = keys.indices.map(i => s"__gk$i")
+          // row-map FIRST: a delete touching only rows the MV's WHERE
+          // clause excludes contributes no never-visible groups here,
+          // so it folds incrementally instead of tripping the
+          // emptied-group full rebuild
           val deltaKeys = PlanShim.ofRows(spark, Project(
             keyExprs.zip(tmp).map { case (e, n) => Alias(e, n)() },
-            PlanShim.planOf(
-              deltaAll.drop("_change_type", "batch_id"))))
+            PlanShim.planOf(throughRowMap(
+              deltaAll.drop("_change_type", "batch_id")))))
             .distinct().pinned
           if (deltaKeys.filter(tmp.map(fcol(_).isNull)
               .reduce(_ || _)).limit(1).count() > 0)
@@ -2690,8 +2780,12 @@ final class StoreCatalog(basePath: String) {
             .option("versionAsOf", toV.toString).load()
           // bare-column keys prune source dirs by the affected range
           // BEFORE the join — the manifest's min/max stats make the
-          // bounded scan skip every dir outside the delta's key span
-          val bare = keys.indices.filter(i => keyExprs(i) match {
+          // bounded scan skip every dir outside the delta's key span.
+          // Only valid when the aggregate reads the bare relation: a
+          // row-map child means a keyExpr attribute names the MAP's
+          // output, not a raw source column
+          val bare = if (!childIsBare) Seq.empty[Int]
+          else keys.indices.filter(i => keyExprs(i) match {
             case a: UnresolvedAttribute => a.nameParts.size == 1
             case _ => false
           })
@@ -2711,7 +2805,7 @@ final class StoreCatalog(basePath: String) {
           val srcKeyed = PlanShim.ofRows(spark, Project(
             UnresolvedStar(None) +:
               keyExprs.zip(tmp).map { case (e, n) => Alias(e, n)() },
-            PlanShim.planOf(srcAt)))
+            PlanShim.planOf(throughRowMap(srcAt))))
           // broadcast only a broadcast-SIZED key set; a delete wave
           // touching millions of groups semi-joins by shuffle instead
           // of OOMing the driver
@@ -2720,9 +2814,24 @@ final class StoreCatalog(basePath: String) {
           val bounded = srcKeyed
             .join(dk, tmp, "left_semi")
             .drop(tmp: _*)
-          val recomputed =
+          // bare child: re-apply the full definition over the bounded
+          // raw rows. Row-map child: `bounded` already passed through
+          // the map, so apply only the (pair-expanded) AGGREGATE —
+          // re-applying the full text would run the map twice
+          val recomputed = (if (childIsBare)
             applyOverDelta(spark, text, srcName, bounded, foldExpand)
-              .pinned
+          else {
+            val expanded =
+              if (foldExpand) expandFoldPairs(parsedAgg)
+              else parsedAgg
+            val agg = expanded match {
+              case a: Aggregate => a
+              case _ => return full("deletes in the window fold " +
+                "past MIN/MAX")
+            }
+            PlanShim.ofRows(spark,
+              agg.copy(child = PlanShim.planOf(bounded)))
+          }).pinned
           // vintage gate: the recomputed groups carry the generated
           // pair columns; a backing that predates them upgrades
           // through ONE full recompute
@@ -3653,4 +3762,11 @@ object StoreCatalog {
       "(IF\\s+EXISTS\\s+)?([A-Za-z0-9_]+)\\s*").r
   private[engine] val ShowMvStmt =
     "(?is)SHOW\\s+MATERIALIZED\\s+VIEWS\\s*".r
+  private[engine] val RenameMvStmt =
+    ("(?is)ALTER\\s+MATERIALIZED\\s+VIEW\\s+([A-Za-z0-9_]+)\\s+" +
+      "RENAME\\s+TO\\s+([A-Za-z0-9_]+)\\s*").r
+
+  /** See [[StoreCatalog.refreshMaterializedView]]. */
+  private[engine] val mvRefreshLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
 }

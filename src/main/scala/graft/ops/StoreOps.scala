@@ -3515,5 +3515,94 @@ object StoreOps {
       slice("v1", "SELECT * FROM tg VERSION AS OF 1")
         .unionByName(slice("cur", "SELECT * FROM tg"))
         .orderBy("slice", "o_orderstatus")
+    },
+
+    // MV LIFECYCLE, COMPOSED (round-16 verdict item 5): a multi-source
+    // gold MV is renamed mid-life (`ALTER MATERIALIZED VIEW … RENAME`
+    // — pointer-level backing rename, watermarks travel in the
+    // sidecar), and the FIRST post-rename refresh still folds
+    // INCREMENTALLY over the version-sum window — the trace pin
+    // proves the rename moved state, not just a name. SHOW
+    // MATERIALIZED VIEWS staleness is pinned across the life:
+    // fresh→stale (a source moved)→fresh again, per-source watermark
+    // checks, no refresh run to answer. DESCRIBE post-rename pins the
+    // declared projection (AVG's fold pair + batch_id stay
+    // storage-internal through the rename). A scratch MV drops with
+    // the MV verb — sidecar AND backing — leaving exactly one
+    // registered MV. State is per-invocation-fresh
+    // ([[Materialize.freshKeyedPath]]): every pinned literal derives
+    // from the first-run build path.
+    QueryDef(
+      "q251_sql_mv_lifecycle",
+      """WITH base AS (
+        |  SELECT o_orderstatus AS status, o_orderkey AS k FROM orders
+        |  WHERE o_orderkey <= 1200
+        |  UNION ALL
+        |  SELECT o_orderstatus, o_orderkey FROM orders
+        |  WHERE o_orderkey > 1200 AND o_orderkey <= 3000)
+        |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+        |  AVG(k) AS avg_key,
+        |  'incremental@4..5' AS refresh_mode,
+        |  'false|true|false' AS stale_seq,
+        |  'status,cnt,total,avg_key' AS described,
+        |  'mvs:1' AS post_drop
+        |FROM base GROUP BY status
+        |ORDER BY status""".stripMargin) { (s, dir) =>
+      graft.engine.SqlEntry.registerViews(s, dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_lifecycle", dir)
+      val cat = new graft.engine.StoreCatalog(base)
+      Seq("lsrc1", "lsrc2").foreach(t => cat.exec(s,
+        s"""CREATE TABLE IF NOT EXISTS $t (
+           |  o_orderstatus STRING, o_orderkey BIGINT)
+           |USING graft_store""".stripMargin))
+      cat.exec(s,
+        """INSERT INTO lsrc1
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey <= 1200""".stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """INSERT INTO lsrc2
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 1200 AND o_orderkey <= 2400"""
+          .stripMargin, batchId = Some(0L))
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS lgold AS
+          |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+          |  AVG(k) AS avg_key
+          |FROM (SELECT o_orderstatus AS status, o_orderkey AS k
+          |      FROM lsrc1
+          |      UNION ALL
+          |      SELECT o_orderstatus, o_orderkey FROM lsrc2)
+          |GROUP BY status""".stripMargin, batchId = Some(100L))
+      def staleOf(name: String): String = cat
+        .exec(s, "SHOW MATERIALIZED VIEWS")
+        .filter(col("mvName") === name).select("stale")
+        .head().getBoolean(0).toString
+      val s0 = staleOf("lgold")
+      cat.exec(s,
+        """INSERT INTO lsrc2
+          |SELECT o_orderstatus, o_orderkey FROM orders
+          |WHERE o_orderkey > 2400 AND o_orderkey <= 3000"""
+          .stripMargin, batchId = Some(1L))
+      val s1 = staleOf("lgold")
+      cat.exec(s, "ALTER MATERIALIZED VIEW lgold RENAME TO lgold2")
+      val m1 = refreshTrace(
+        cat.exec(s, "REFRESH MATERIALIZED VIEW lgold2"))
+      val s2 = staleOf("lgold2")
+      val described = cat.exec(s, "DESCRIBE TABLE lgold2")
+        .select("col_name").collect().map(_.getString(0))
+        .takeWhile(_.nonEmpty).mkString(",")
+      cat.exec(s,
+        """CREATE MATERIALIZED VIEW IF NOT EXISTS lscratch AS
+          |SELECT o_orderstatus, o_orderkey FROM lsrc1
+          |WHERE o_orderkey > 0""".stripMargin, batchId = Some(101L))
+      cat.exec(s, "DROP MATERIALIZED VIEW lscratch")
+      val nMvs = cat.exec(s, "SHOW MATERIALIZED VIEWS").count()
+      cat.query(s,
+        """SELECT status, cnt, total, avg_key FROM lgold2
+          |ORDER BY status""".stripMargin)
+        .withColumn("refresh_mode", lit(m1))
+        .withColumn("stale_seq", lit(s"$s0|$s1|$s2"))
+        .withColumn("described", lit(described))
+        .withColumn("post_drop", lit(s"mvs:$nMvs"))
     })
 }

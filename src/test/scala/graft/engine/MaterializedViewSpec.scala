@@ -967,4 +967,166 @@ class MaterializedViewSpec extends SparkSpec {
         .toSeq == Seq(3L, 7L))
     } finally spark.conf.set("spark.sql.groupByOrdinal", "true")
   }
+
+  test("group-bounded MIN/MAX retraction composes through a row-map " +
+      "child: renaming subselects fold incrementally on the MAP's " +
+      "key space (incl. a key name that shadows a raw column with " +
+      "different content), and deletes the MV's WHERE clause " +
+      "excludes stay incremental instead of tripping the " +
+      "emptied-group rebuild") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE rm (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO rm VALUES ('a', 1), ('a', 5), ('b', 3)",
+      batchId = Some(0L))
+    // renamed + computed key: keyExprs name the SUBSELECT's outputs
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW rmv AS SELECT kk, MIN(v) AS lo " +
+        "FROM (SELECT upper(k) AS kk, n AS v FROM rm) GROUP BY kk",
+      batchId = Some(100L))
+    cat.exec(spark, "DELETE FROM rm WHERE n = 1")
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW rmv")
+    assert(modeOf(r) == "incremental", r.collect().mkString)
+    assert(cat.query(spark, "SELECT kk, lo FROM rmv ORDER BY kk")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("A", 5L), ("B", 3L)))
+
+    // adversarial shadowing: the MAP's `k` is the raw `v` column and
+    // vice versa — touched groups must come from the MAPPED key (the
+    // numeric-as-string), never the raw column that shares its name
+    cat.exec(spark,
+      "CREATE TABLE sh (k STRING, v BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO sh VALUES ('x', 1), ('x', 2), ('y', 2)",
+      batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW shv AS SELECT k, MIN(v) AS lo " +
+        "FROM (SELECT CAST(v AS STRING) AS k, " +
+        "CAST(length(k) AS BIGINT) AS v FROM sh) GROUP BY k",
+      batchId = Some(100L))
+    // delete one of the two v=2 rows: mapped group '2' is touched and
+    // must be RECOMPUTED (still one '2' row left), group '1' untouched
+    cat.exec(spark, "DELETE FROM sh WHERE k = 'y'")
+    val r2 = cat.exec(spark, "REFRESH MATERIALIZED VIEW shv")
+    assert(modeOf(r2) == "incremental", r2.collect().mkString)
+    assert(cat.query(spark, "SELECT k, lo FROM shv ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("1", 1L), ("2", 1L)))
+
+    // a delete entirely OUTSIDE the MV's WHERE clause touches no
+    // visible group: incremental, and the backing is unchanged
+    cat.exec(spark,
+      "CREATE TABLE fw (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "INSERT INTO fw VALUES ('a', 1), ('a', 50), ('b', 60)",
+      batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW fwv AS SELECT k, MAX(n) AS hi " +
+        "FROM (SELECT k, n FROM fw WHERE n >= 10) GROUP BY k",
+      batchId = Some(100L))
+    cat.exec(spark, "DELETE FROM fw WHERE n = 1")
+    val r3 = cat.exec(spark, "REFRESH MATERIALIZED VIEW fwv")
+    assert(modeOf(r3) == "incremental", r3.collect().mkString)
+    assert(cat.query(spark, "SELECT k, hi FROM fwv ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 50L), ("b", 60L)))
+    // ...and a delete of a filtered MV's visible row still recomputes
+    // its group correctly through the map
+    cat.exec(spark, "DELETE FROM fw WHERE n = 60")
+    val r4 = cat.exec(spark, "REFRESH MATERIALIZED VIEW fwv")
+    assert(modeOf(r4) == "full:a group emptied in the window",
+      r4.collect().mkString)
+    assert(cat.query(spark, "SELECT k, hi FROM fwv ORDER BY k")
+      .as[(String, Long)].collect().toSeq == Seq(("a", 50L)))
+  }
+
+  test("DESCRIBE and the read path agree on batch_id: hidden for " +
+      "fold-pair MVs (reads serve exactly the declared projection), " +
+      "served for row-map MVs") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE dsrc (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO dsrc VALUES ('a', 1)",
+      batchId = Some(0L))
+    // AVG generates fold pairs → declared projection applies
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW dagg AS SELECT k, AVG(n) AS m " +
+        "FROM dsrc GROUP BY k", batchId = Some(100L))
+    val aggCols = cat.exec(spark, "DESCRIBE TABLE dagg")
+      .select("col_name").as[String].collect()
+      .takeWhile(_.nonEmpty)
+    assert(aggCols.toSeq == Seq("k", "m"), aggCols.mkString(","))
+    assert(cat.query(spark, "SELECT * FROM dagg").columns.toSeq ==
+      Seq("k", "m"))
+    // every DESCRIBEd column is selectable; batch_id is neither
+    intercept[Exception] {
+      cat.query(spark, "SELECT batch_id FROM dagg").collect()
+    }
+    // row-map MV: no generated columns, batch_id serves and DESCRIBEs
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW drow AS SELECT k, n FROM dsrc " +
+        "WHERE n > 0", batchId = Some(101L))
+    val rowCols = cat.exec(spark, "DESCRIBE TABLE drow")
+      .select("col_name").as[String].collect()
+      .takeWhile(_.nonEmpty)
+    assert(rowCols.contains("batch_id"), rowCols.mkString(","))
+    assert(cat.query(spark, "SELECT batch_id FROM drow").count() == 1L)
+  }
+
+  test("ALTER MATERIALIZED VIEW ... RENAME TO: backing renames at the " +
+      "pointer level, refresh watermarks travel, the first " +
+      "post-rename REFRESH folds incrementally; SHOW MATERIALIZED " +
+      "VIEWS tracks staleness per source for multi-source MVs") {
+    val (cat, _) = freshCat()
+    cat.exec(spark,
+      "CREATE TABLE ra (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark,
+      "CREATE TABLE rb (k STRING, n BIGINT) USING graft_store")
+    cat.exec(spark, "INSERT INTO ra VALUES ('a', 1)", batchId = Some(0L))
+    cat.exec(spark, "INSERT INTO rb VALUES ('b', 2)", batchId = Some(0L))
+    cat.exec(spark,
+      "CREATE MATERIALIZED VIEW u0 AS SELECT k, SUM(n) AS total " +
+        "FROM (SELECT k, n FROM ra UNION ALL SELECT k, n FROM rb) " +
+        "GROUP BY k", batchId = Some(100L))
+    // rename; the sidecar's per-source watermarks must survive
+    cat.exec(spark, "ALTER MATERIALIZED VIEW u0 RENAME TO u1")
+    assert(cat.query(spark, "SELECT k, total FROM u1 ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 2L)))
+    intercept[Exception] {
+      cat.query(spark, "SELECT * FROM u0").collect()
+    }
+    // fresh after CREATE: not stale; one source moves: stale
+    def staleOf(): Map[String, Boolean] =
+      cat.exec(spark, "SHOW MATERIALIZED VIEWS")
+        .select("mvName", "stale").as[(String, Boolean)]
+        .collect().toMap
+    assert(staleOf() == Map("u1" -> false), staleOf().toString)
+    cat.exec(spark, "INSERT INTO rb VALUES ('b', 10)",
+      batchId = Some(1L))
+    assert(staleOf() == Map("u1" -> true))
+    // the post-rename refresh is INCREMENTAL — watermarks traveled
+    val r = cat.exec(spark, "REFRESH MATERIALIZED VIEW u1")
+    assert(r.head().getString(0) == "incremental",
+      r.collect().mkString)
+    assert(cat.query(spark, "SELECT total FROM u1 WHERE k = 'b'")
+      .as[Long].head() == 12L)
+    assert(staleOf() == Map("u1" -> false))
+    // plain ALTER TABLE rename still refuses, pointing at the MV verb
+    val e = intercept[IllegalArgumentException] {
+      cat.exec(spark, "ALTER TABLE u1 RENAME TO u2")
+    }
+    assert(e.getMessage.contains("ALTER MATERIALIZED VIEW"))
+    // the old name is reserved by the rename tombstone until dropped
+    intercept[Exception] {
+      cat.exec(spark, "ALTER MATERIALIZED VIEW u1 RENAME TO u0")
+    }
+    cat.exec(spark, "ALTER MATERIALIZED VIEW u1 RENAME TO u3")
+    assert(cat.query(spark, "SELECT k, total FROM u3 ORDER BY k")
+      .as[(String, Long)].collect().toSeq ==
+      Seq(("a", 1L), ("b", 12L)))
+    cat.exec(spark, "DROP MATERIALIZED VIEW u3")
+    assert(cat.exec(spark, "SHOW MATERIALIZED VIEWS").count() == 0L)
+  }
 }
