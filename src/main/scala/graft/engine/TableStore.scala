@@ -1879,6 +1879,17 @@ final class ManifestTableStore(path: String,
       val (touched, _) = pruneEntries(spark, predicateSql,
         lines.filterNot(isSchemaMarker))
       if (touched.isEmpty) return // stats prove no row matches: no-op
+      // row probe (Delta's find-files phase): stats admit these dirs,
+      // but only a dir holding an ACTUAL match justifies a rewrite.
+      // A no-match DELETE must not rewrite admitted dirs or mint a
+      // version — at 100 TB a `%`-shaped predicate admits every dir,
+      // and an idempotent re-run (orchestrator retry, replayed batch
+      // script) would otherwise pay a full CoW pass per replay and
+      // push every MV into a spurious refresh window. The probe
+      // short-circuits on the first matching row (LocalLimit), so the
+      // matching path pays ~one partition read, the no-match path a
+      // read-only scan instead of a rewrite+commit.
+      if (probeNoMatch(spark, touched, lines, predicateSql)) return
       // SQL DELETE removes rows where the predicate is TRUE; a NULL
       // predicate (NULL-valued column in `WHERE c = 3`) KEEPS the row
       // — a bare `!pred` filter would silently delete it
@@ -1886,6 +1897,22 @@ final class ManifestTableStore(path: String,
       rewriteDirs(spark, f, v, lines, touched.toSet, "delete",
         _.filter(keep))
     }
+
+  /** True iff NO row in `touched`'s dirs satisfies `predicateSql` —
+    * the row-level confirmation behind the stats prune (see
+    * [[delete]]). One short-circuiting job over the admitted dirs.
+    * The pending rename/widen chain projects onto the raw read first,
+    * exactly as [[rewriteDirs]] does before its transform: the
+    * predicate speaks CURRENT names/types while old-generation dirs
+    * still hold the old physical column.
+    */
+  private def probeNoMatch(spark: SparkSession, touched: Seq[String],
+      lines: Seq[Entry], predicateSql: String): Boolean =
+    applyWidens(applyRenames(
+      spark.read.option("mergeSchema", "true")
+        .parquet(touched.distinct: _*), lines), lines)
+      .filter(expr(predicateSql) <=> lit(true))
+      .limit(1).count() == 0L
 
   /** Copy-on-write row-level UPDATE: rows matching `predicateSql` get
     * each column in `set` re-assigned; all other rows (and every data
@@ -1905,6 +1932,9 @@ final class ManifestTableStore(path: String,
       val (touched, _) = pruneEntries(spark, predicateSql,
         lines.filterNot(isSchemaMarker))
       if (touched.isEmpty) return
+      // same row probe as [[delete]]: an UPDATE matching no row must
+      // not rewrite dirs or mint a version
+      if (probeNoMatch(spark, touched, lines, predicateSql)) return
       val hit = expr(predicateSql)
       rewriteDirs(spark, f, v, lines, touched.toSet, "update", { df =>
         set.foldLeft(df) { case (d, (c, value)) =>

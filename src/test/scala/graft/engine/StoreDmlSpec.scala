@@ -66,6 +66,36 @@ class StoreDmlSpec extends SparkSpec {
     assert(store.read(spark).count() == 200L)
   }
 
+  test("delete/update whose predicate stats ADMIT but no row MATCHES " +
+      "is a row-probed no-op: no dir rewritten, no version minted — " +
+      "an idempotent DML replay leaves versions (and every downstream " +
+      "MV window) untouched") {
+    val store = seeded(tmp("dml-probe-noop-"))
+    // `% 2 = 1` admits every dir (stats cannot reason about modulo);
+    // first run deletes the odd rows and commits ONE version
+    store.delete(spark, "n % 2 = 1")
+    assert(store.currentVersion(spark) == 3L)
+    assert(store.read(spark).count() == 100L)
+    val dirs = currentDirs(store)
+    // replayed statement: stats still admit every dir, but no odd row
+    // remains — the probe stops the rewrite AND the commit
+    store.delete(spark, "n % 2 = 1")
+    assert(store.currentVersion(spark) == 3L, "no-match delete minted")
+    assert(currentDirs(store) == dirs, "no-match delete rewrote dirs")
+    // same for update: first run hits, replay no-ops (the shifted
+    // rows left the predicate range)
+    store.update(spark, "n % 100 = 0 AND n < 1000",
+      Map("n" -> (col("n") + 1000)))
+    assert(store.currentVersion(spark) == 4L)
+    val dirs2 = currentDirs(store)
+    store.update(spark, "n % 100 = 0 AND n < 1000",
+      Map("n" -> (col("n") + 1000)))
+    assert(store.currentVersion(spark) == 4L, "no-match update minted")
+    assert(currentDirs(store) == dirs2)
+    assert(store.read(spark).select("n").as[Int].collect().sorted
+      .toSeq == (2 to 98 by 2) ++ (102 to 198 by 2) ++ Seq(1000, 1100))
+  }
+
   test("update reassigns only matching rows, rewrites only admitting " +
       "dirs, and recomputes stats so the updated column stays prunable") {
     val store = seeded(tmp("dml-update-"))
