@@ -125,11 +125,18 @@ object Materialize {
     * `graft.state.warm=1` (set only by [[graft.Bench]]): perf measures
     * the warm engine, and bench content is never oracle-compared.
     */
-  def freshKeyedPath(s: SparkSession, name: String, corpusDir: String)
-      : String = {
+  def freshKeyedPath(s: SparkSession, name: String, corpusDir: String,
+      warmReplayable: Boolean = true): String = {
     val p = new HPath(root(s),
       s"$name-${sha8(corpusDir)}-${corpusFingerprint(s, corpusDir)}").toString
-    if (!warmMode(s)) fs(s, p).delete(new HPath(p), true)
+    // warmReplayable=false: boards whose statements can NEVER converge
+    // over surviving state (lifecycle verbs — a rename reserves the old
+    // name, so a replayed CREATE of it correctly refuses) reset even in
+    // Bench's warm mode; their benchmark number IS the first-run build.
+    // Without this, warm reruns throw and best-of-N silently times only
+    // the first sample.
+    if (!warmReplayable || !warmMode(s))
+      fs(s, p).delete(new HPath(p), true)
     p
   }
 

@@ -2666,7 +2666,7 @@ final class StoreCatalog(basePath: String) {
         backingStore.countRows(spark)
           .map(_ == 0L)
           .getOrElse(
-            backingStore.read(spark).limit(1).count() == 0L))
+            backingStore.read(spark).isEmpty))
       return full("backing empty at a non-zero window start")
     val src = store(srcName)
     // ONE window-bounded feed read; a VACUUMED window (missing
@@ -2684,13 +2684,13 @@ final class StoreCatalog(basePath: String) {
     // maintenance rewrites) has an empty feed: folding it would
     // anti-join every backing dir against an empty key set — a
     // wasted gold-table rewrite. Advance the sidecar and go.
-    if (deltaAll.limit(1).count() == 0L) {
+    if (deltaAll.isEmpty) {
       publishMviewSpec(spark, name, text, Map(srcName -> toV))
       return Seq(("incremental", fromV, toV))
         .toDF("mode", "from_version", "to_version")
     }
-    val hasDeletes = deltaAll
-      .filter(fcol("_change_type") =!= "insert").limit(1).count() > 0
+    val hasDeletes =
+      !deltaAll.filter(fcol("_change_type") =!= "insert").isEmpty
     val bid = MvRefreshBidBase + toV
     def partial(changeType: String): DataFrame =
       applyOverDelta(spark, text, srcName,
@@ -2768,8 +2768,8 @@ final class StoreCatalog(basePath: String) {
             PlanShim.planOf(throughRowMap(
               deltaAll.drop("_change_type", "batch_id")))))
             .distinct().pinned
-          if (deltaKeys.filter(tmp.map(fcol(_).isNull)
-              .reduce(_ || _)).limit(1).count() > 0)
+          if (!deltaKeys.filter(tmp.map(fcol(_).isNull)
+              .reduce(_ || _)).isEmpty)
             return full("null group key in the delta")
           val affectedN = deltaKeys.count()
           // the recompute reads the source AS OF the window end — a
@@ -2905,8 +2905,8 @@ final class StoreCatalog(basePath: String) {
     // a NULL group key never meets the keyed merge's equality —
     // each refresh would INSERT another null-key row instead of
     // folding it; recompute loudly (delta-partial-sized probe)
-    if (net0.filter(keys.map(fcol(_).isNull)
-        .reduce(_ || _)).limit(1).count() > 0)
+    if (!net0.filter(keys.map(fcol(_).isNull)
+        .reduce(_ || _)).isEmpty)
       return Some("null group key in the delta")
     val joined = net0.alias("d").join(backing.alias("b"), keys,
       "left")
@@ -2968,8 +2968,8 @@ final class StoreCatalog(basePath: String) {
     // rows; the keyed merge can replace and insert but never
     // DELETE a backing row — recompute (rare: a whole gold group
     // vanishing in one window)
-    if (retractable && combined.filter(fcol("__rows") === 0)
-        .limit(1).count() > 0)
+    if (retractable &&
+        !combined.filter(fcol("__rows") === 0).isEmpty)
       return Some("a group emptied in the window")
     store(name).merge(spark, combined, keys, bid)
     None
@@ -3051,13 +3051,13 @@ final class StoreCatalog(basePath: String) {
                 if mvWindowVacuumed(e) =>
               return full("cdf window vacuumed")
           }
-        if (feed.limit(1).count() == 0L) None else Some(t -> feed)
+        if (feed.isEmpty) None else Some(t -> feed)
       }
     }.toMap
     def feedOf(srcT: String): Option[DataFrame] =
       movedFeeds.find(_._1.equalsIgnoreCase(srcT)).map(_._2)
     val hasDeletes = movedFeeds.values.exists(
-      _.filter(fcol("_change_type") =!= "insert").limit(1).count() > 0)
+      f => !f.filter(fcol("_change_type") =!= "insert").isEmpty)
     rowMapLegs match {
       case Some(legs) =>
         if (hasDeletes)
@@ -3076,7 +3076,7 @@ final class StoreCatalog(basePath: String) {
             store(name).read(spark).drop("batch_id").columns.toSeq
           val unioned = parts.map(_.toDF(backCols: _*))
             .reduce(_ union _).pinned
-          if (unioned.limit(1).count() > 0)
+          if (!unioned.isEmpty)
             store(name).append(unioned, bid)
         }
       case None =>

@@ -249,7 +249,7 @@ final class ManifestTableStore(path: String,
     * yields no stats — pruning stays conservative.
     */
   private def collectStats(spark: SparkSession, dir: String): String =
-    collectStatsOf(spark.read.parquet(dir))
+    collectStatsOf(ManifestTableStore.DirSchemas.read(spark, dir))
 
   /** [[collectStats]] over an arbitrary frame — the shared core, also
     * used by [[refreshStats]] to recompute a dir's stats through the
@@ -519,7 +519,7 @@ final class ManifestTableStore(path: String,
   private def enforceChecks(spark: SparkSession, dir: String): Unit = {
     val checks = listChecks(spark)
     if (checks.isEmpty) return
-    lazy val df = spark.read.parquet(dir)
+    lazy val df = ManifestTableStore.DirSchemas.read(spark, dir)
     checks.foreach { case (name, pred) =>
       val violations = df.filter(!expr(pred)).count()
       if (violations > 0) {
@@ -1545,8 +1545,7 @@ final class ManifestTableStore(path: String,
       .map(_.dir).distinct
     val fresh: Map[String, String] = dataDirs.map { d =>
       d -> collectStatsOf(applyWidens(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(d), lines),
-        lines))
+        ManifestTableStore.DirSchemas.read(spark, d), lines), lines))
     }.toMap
     commitRewrite(f, v + 1, lines, snap => snap.map { e =>
       if (isDeleteEntry(e) || isSchemaMarker(e)) e
@@ -1584,7 +1583,7 @@ final class ManifestTableStore(path: String,
     * make visible.
     */
   def readStaged(spark: SparkSession, stagedDir: String): DataFrame =
-    spark.read.parquet(stagedDir)
+    ManifestTableStore.DirSchemas.read(spark, stagedDir)
 
   /** Commit a staged dir as the next version (idempotent per batch id;
     * optimistic retry like [[append]]). The staged files themselves
@@ -1909,10 +1908,9 @@ final class ManifestTableStore(path: String,
   private def probeNoMatch(spark: SparkSession, touched: Seq[String],
       lines: Seq[Entry], predicateSql: String): Boolean =
     applyWidens(applyRenames(
-      spark.read.option("mergeSchema", "true")
-        .parquet(touched.distinct: _*), lines), lines)
+      readDirs(spark, touched.distinct), lines), lines)
       .filter(expr(predicateSql) <=> lit(true))
-      .limit(1).count() == 0L
+      .isEmpty
 
   /** Copy-on-write row-level UPDATE: rows matching `predicateSql` get
     * each column in `set` re-assigned; all other rows (and every data
@@ -2286,7 +2284,7 @@ final class ManifestTableStore(path: String,
       // new name/type (with fresh stats), so DML incrementally
       // completes a metadata-only rename or widen
       write(xform(applyWidens(applyRenames(
-        spark.read.option("mergeSchema", "true").parquet(d), lines),
+        ManifestTableStore.DirSchemas.read(spark, d), lines),
         lines)), nd)
       d -> (nd, collectStats(spark, nd))
     }.toMap
@@ -3250,7 +3248,7 @@ final class ManifestTableStore(path: String,
   private def applyDeletes(spark: SparkSession, base: DataFrame,
       dels: Seq[Entry]): DataFrame =
     dels.distinctBy(_.dir).foldLeft(base) { (df, d) =>
-      val keys = spark.read.parquet(d.dir)
+      val keys = ManifestTableStore.DirSchemas.read(spark, d.dir)
       val kc = keys.schema.fields.head.name
       // Each delete entry is SCOPED to the data batch ids present when
       // it committed (Iceberg's equality-delete sequence-number
@@ -3289,7 +3287,7 @@ final class ManifestTableStore(path: String,
         .filter(expr(predicateSql)).select(keyCol).distinct()
       val delDir = s"$path/deletes/del-${java.util.UUID.randomUUID()}"
       keys.write.mode("overwrite").parquet(delDir)
-      if (spark.read.parquet(delDir).isEmpty) {
+      if (ManifestTableStore.DirSchemas.read(spark, delDir).isEmpty) {
         f.delete(new HPath(delDir), true); return
       }
       val applies = lines.filterNot(isDeleteEntry)
@@ -3328,7 +3326,7 @@ final class ManifestTableStore(path: String,
     val (dels, datas) = lines.partition(isDeleteEntry)
     if (dels.isEmpty) return
     val touched: Set[String] = dels.distinctBy(_.dir).flatMap { d =>
-      val keys = spark.read.parquet(d.dir)
+      val keys = ManifestTableStore.DirSchemas.read(spark, d.dir)
       val kc = keys.schema.fields.head.name
       val candidates = ManifestTableStore.parseApplies(d.statsJson) match {
         case Some(ids) => datas.filter(e => ids.contains(e.batchId))
@@ -3339,7 +3337,7 @@ final class ManifestTableStore(path: String,
     val rewritten: Map[String, (String, String)] = touched.map { dir =>
       val nd = s"$path/data/delfold-${java.util.UUID.randomUUID()}"
       write(applyDeletes(spark,
-        spark.read.option("mergeSchema", "true").parquet(dir), dels), nd)
+        ManifestTableStore.DirSchemas.read(spark, dir), dels), nd)
       dir -> (nd, collectStats(spark, nd))
     }.toMap
     beforeDmlCommit()
@@ -3391,7 +3389,7 @@ final class ManifestTableStore(path: String,
         "first to fold them into data")
 
   private def readDirs(spark: SparkSession, dirs: Seq[String]): DataFrame =
-    dirs.map(d => spark.read.option("mergeSchema", "true").parquet(d))
+    dirs.map(d => ManifestTableStore.DirSchemas.read(spark, d))
       .reduce(_.unionByName(_, allowMissingColumns = true))
 
   /** Read with manifest-stats data skipping: data dirs whose recorded
@@ -3433,9 +3431,7 @@ final class ManifestTableStore(path: String,
     val base =
       if (kept.isEmpty) readEntries(spark, lines) // footers skip the rest
       else dropsOf(lines).foldLeft(applyWidens(applyRenames(
-        applyDeletes(spark, (kept ++ markerDirs)
-          .map(d => spark.read.option("mergeSchema", "true").parquet(d))
-          .reduce(_.unionByName(_, allowMissingColumns = true)), dels),
+        applyDeletes(spark, readDirs(spark, kept ++ markerDirs), dels),
         lines), lines))(_.drop(_))
     base.filter(expr(predicateSql))
   }
@@ -3574,6 +3570,38 @@ object ManifestTableStore {
     * its dirs (accepting Delta's documented break-the-clone caveat).
     */
   val VacuumIgnoreClonesConf = "spark.graft.vacuum.ignoreClones.enabled"
+
+  /** Per-dir parquet schema cache for committed store dirs.
+    *
+    * Every writer targets a fresh UUID-stamped dir and a dir is written
+    * by exactly ONE Spark write, so (a) a committed dir's schema never
+    * changes and (b) all its part files share one schema — schema
+    * inference per read is pure waste. Without this cache every
+    * `spark.read.parquet(dir)` re-lists the dir and re-reads a footer,
+    * and the previous `mergeSchema=true` per-dir reads each launched a
+    * DISTRIBUTED footer-merge job — a multi-statement DML/MV board paid
+    * tens of footer jobs per invocation, and at 100 TB a footer storm
+    * per statement is exactly the metadata cost manifest formats exist
+    * to avoid (the manifest, not the files, is the schema authority —
+    * Iceberg's contract). Serving the cached schema via
+    * `spark.read.schema(...)` skips inference entirely; the miss path
+    * reads one footer driver-side (single-write dirs make
+    * merge-vs-single-footer equivalent). Entries for vacuumed dirs
+    * simply go cold — UUID names are never reused.
+    */
+  private[engine] object DirSchemas {
+    private val cache = new java.util.concurrent.ConcurrentHashMap[
+      String, org.apache.spark.sql.types.StructType]()
+    def read(spark: SparkSession, dir: String): DataFrame = {
+      val hit = cache.get(dir)
+      if (hit ne null) spark.read.schema(hit).parquet(dir)
+      else {
+        val df = spark.read.parquet(dir)
+        cache.put(dir, df.schema)
+        df
+      }
+    }
+  }
 
   /** Session conf overriding the data-dir count above which SHOW
     * PARTITIONS / DESCRIBE DETAIL switch to a distributed listing

@@ -3549,7 +3549,8 @@ object StoreOps {
         |FROM base GROUP BY status
         |ORDER BY status""".stripMargin) { (s, dir) =>
       graft.engine.SqlEntry.registerViews(s, dir)
-      val base = Materialize.freshKeyedPath(s, "sql_mv_lifecycle", dir)
+      val base = Materialize.freshKeyedPath(s, "sql_mv_lifecycle", dir,
+        warmReplayable = false)
       val cat = new graft.engine.StoreCatalog(base)
       Seq("lsrc1", "lsrc2").foreach(t => cat.exec(s,
         s"""CREATE TABLE IF NOT EXISTS $t (
