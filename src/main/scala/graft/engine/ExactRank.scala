@@ -45,6 +45,63 @@ object ExactRank {
     */
   def ranked(df: DataFrame, valueCol: String): DataFrame = {
     val s = df.sparkSession
+    val (local, counts) = sortedWithOffsets(df, valueCol)
+    val offsets = counts.map(_._1)
+      .zip(counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
+    import s.implicits._
+    val offDf = offsets.toSeq.toDF("__pid", "__off")
+    local
+      .withColumn("__pid", shiftright(col("__mid"), 33))
+      .join(broadcast(offDf), "__pid")
+      .select(col("v"),
+        (col("__off") + (col("__mid") % (1L << 33)) + 1L).as("pos"))
+  }
+
+  /** The LONG values at specific 1-based global ascending ranks — the
+    * quantile-edge form of [[ranked]] for consumers that need a handful
+    * of positions (percentile thresholds, histogram edges), not every
+    * row's rank. [[ranked]] projects a position onto EVERY row through
+    * a broadcast join and the caller then filters back down to k rows;
+    * here the per-partition offsets metadata inverts the arithmetic
+    * driver-side — each requested rank maps to one (partition, local
+    * offset) pair, i.e. one `__mid` value — so a single pinpoint filter
+    * on the materialized sort serves all edges with no join and no
+    * full-frame projection. Same sort, same (v, pos) pairs, identical
+    * values at every position (ties are interchangeable at a rank,
+    * exactly [[ranked]]'s contract).
+    *
+    * `positions(n)` receives the exact row count and returns the
+    * 1-based ranks wanted; out-of-range ranks are absent from the
+    * result map (callers coalesce an interpolation upper edge back to
+    * the lower one, as the SQL form's LEFT JOIN does). Returns
+    * (n, rank -> value).
+    */
+  def valuesAt(df: DataFrame, valueCol: String,
+      positions: Long => Seq[Long]): (Long, Map[Long, Long]) = {
+    val (local, offsets) = sortedWithOffsets(df, valueCol)
+    val n = offsets.map(_._2).sum
+    val wanted = positions(n).distinct.filter(p => p >= 1 && p <= n)
+    // rank -> __mid: walk the cumulative offsets to the owning
+    // partition, local index = rank - partitions-before - 1
+    val bounds = offsets.scanLeft(0L)(_ + _._2).zip(offsets.map(_._1))
+    val midOf: Map[Long, Long] = wanted.map { p =>
+      val (before, pid) = bounds.takeWhile(_._1 < p).last
+      p -> ((pid << 33) + (p - before - 1))
+    }.toMap
+    val rows = local
+      .filter(col("__mid").isInCollection(midOf.values.toSeq))
+      .collect().map(r => r.getLong(1) -> r.getLong(0)).toMap
+    (n, midOf.map { case (p, mid) => p -> rows(mid) })
+  }
+
+  /** The shared core: the value column range-partitioned and sorted,
+    * tagged with `monotonically_increasing_id` (pid in the high bits,
+    * record number in the low 33) and materialized once, plus the
+    * per-partition (pid, count) offsets metadata in pid order.
+    */
+  private def sortedWithOffsets(df: DataFrame, valueCol: String)
+      : (DataFrame, Seq[(Long, Long)]) = {
+    val s = df.sparkSession
     val n = s.sessionState.conf.numShufflePartitions
     val local = df.select(col(valueCol).as("v"))
       .repartitionByRange(n, col("v"))
@@ -56,14 +113,6 @@ object ExactRank {
       .agg(count(lit(1)).as("__cnt"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
       .sortBy(_._1)
-    val offsets = counts.map(_._1)
-      .zip(counts.scanLeft(0L) { case (acc, (_, c)) => acc + c })
-    import s.implicits._
-    val offDf = offsets.toSeq.toDF("__pid", "__off")
-    local
-      .withColumn("__pid", shiftright(col("__mid"), 33))
-      .join(broadcast(offDf), "__pid")
-      .select(col("v"),
-        (col("__off") + (col("__mid") % (1L << 33)) + 1L).as("pos"))
+    (local, counts.toSeq)
   }
 }

@@ -17,10 +17,34 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Resolved-relation cache: the driver's corpus tables are immutable
+    * for the life of a run, yet every `Tables(...)` call built a fresh
+    * relation — one directory listing plus one footer schema read per
+    * call, times several calls per query across the whole board. Reusing
+    * the resolved DataFrame (an immutable logical plan) reuses its file
+    * index and schema, exactly the metadata reuse a catalog table gets
+    * from Spark's own FileStatusCache — at 100 TB that is the
+    * difference between one listing per table and one per operator.
+    * Keyed per session (weakly — a stopped session must not pin its
+    * plans) so cloned/new sessions never share analysis state.
+    */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    val perSession = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        cache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet", path => {
+      val df = spark.read.parquet(path)
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    })
   }
 }

@@ -1211,9 +1211,12 @@ object CurationOps {
         |ORDER BY phrase, doc_id""".stripMargin) { (s, dir) =>
       graft.functions.VectorExpressions.register(s)
       val post = positionalPostings(s, dir)
-      val top = Tables(s, dir, "documents")
-        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
-        .groupBy("sh").agg(count(lit(1)).as("n"))
+      // the 3-shingle frequency table is corpus-derived and
+      // query-independent — a materialized index like [[postings]]:
+      // build once per corpus version, so the per-query cost is the
+      // top-3 selection over the (vocabulary-sized) artifact plus the
+      // positional adjacency joins, never a corpus re-shingling pass.
+      val top = shingle3Freq(s, dir)
         .orderBy(col("n").desc, col("sh")).limit(3)
         .select(col("sh").as("phrase"),
           element_at(split(col("sh"), " "), 1).as("w1"),
@@ -1395,12 +1398,16 @@ object CurationOps {
         |FROM dot JOIN nd USING (doc_id), nq
         |ORDER BY cos_sim DESC, doc_id LIMIT 20""".stripMargin) {
       (s, dir) =>
-      val words = "split(text, ' ')"
-      val tf = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(expr(words)).as("term"))
-        .filter(col("term") =!= "")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val nDocs = Tables(s, dir, "documents").count()
+      // (doc, term, tf) is exactly the frequency tier of the
+      // materialized inverted index — read [[postings]] instead of
+      // re-tokenizing the corpus (the artifact keeps empty tokens to
+      // stay offset-aligned; this query's vocabulary excludes them),
+      // and n_docs from the 1-row [[corpusStats]] artifact instead of
+      // a corpus count. Steady state: ZERO corpus passes — the same
+      // index-read shape BM25 (q102) already has.
+      val tf = postings(s, dir).filter(col("term") =!= "")
+        .select(col("doc_id"), col("term"), col("tf"))
+      val nDocs = corpusStats(s, dir).head().getLong(0)
       val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val x = tf.join(df, "term")
         .select(col("doc_id"), col("term"),
@@ -1617,6 +1624,19 @@ object CurationOps {
     graft.engine.Materialize.table(s, "bm25_stats", dir) {
       Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"),
         avg(size(expr(words))).as("avgdl"))
+    }
+
+  /** Materialized 3-shingle frequency table (sh, n) — the phrase-level
+    * sibling of [[postings]]: one shingle-generator pass per corpus
+    * version, consumed by phrase-frequency queries (q160's top-phrase
+    * derivation) as an artifact read instead of a corpus re-shingling.
+    */
+  private def shingle3Freq(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "shingle3_freq", dir) {
+      graft.functions.VectorExpressions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
+        .groupBy("sh").agg(count(lit(1)).as("n"))
     }
 
   /** Materialized segment-frequency table over [[segments]]: per

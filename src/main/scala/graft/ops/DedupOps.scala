@@ -1233,7 +1233,11 @@ object DedupOps {
         lshPairsSql("r") + ",\n  " +
         "dup_edges AS (SELECT a_id, b_id FROM pairs),\n" +
         reachRecursionSql) { (s, dir) =>
-      lshCandidates(s, dir).select("a_id", "b_id")
+      // the recursion re-reads dup_edges EVERY iteration (seed + 6
+      // depth steps) — pin the artifact read once so each step scans
+      // executor-local blocks instead of re-opening the parquet scan
+      import graft.engine.Pin.Pinnable
+      lshCandidates(s, dir).select("a_id", "b_id").pinned
         .createOrReplaceTempView("dup_edges")
       s.sql("WITH RECURSIVE " + reachRecursionSql)
     },
@@ -1252,7 +1256,10 @@ object DedupOps {
         lshPairsSql("r") + ",\n  " +
         "dup_edges AS (SELECT a_id, b_id FROM pairs),\n" +
         triangleSql) { (s, dir) =>
-      lshCandidates(s, dir).select("a_id", "b_id")
+      // the triangle census scans dup_edges three ways (two wedge legs
+      // + the closure probe) — pin the artifact read once (see q171)
+      import graft.engine.Pin.Pinnable
+      lshCandidates(s, dir).select("a_id", "b_id").pinned
         .createOrReplaceTempView("dup_edges")
       s.sql("WITH " + triangleSql)
     },

@@ -682,23 +682,24 @@ object EventOps {
         .withColumn("um", round(col("mean_loglik") * 1000000)
           .cast("long"))
         .pinned
-      // exact 5th-percentile edge ranks via the distributed rank-select
-      // ([[ExactRank]]): same (v, pos) pairs as a global row_number
-      // window, none of its move-every-user-into-one-task funnel
-      val ru = graft.engine.ExactRank.ranked(u.select(col("um")), "um")
-      val kt = u.agg(count(lit(1)).as("n"))
-        .select(expr("(n - 1) div 20 + 1").as("lo"),
-          expr("(n - 1) % 20").as("rem"))
-      val th = kt
-        .join(ru.toDF("va", "pos"), col("pos") === col("lo"))
-        .join(ru.toDF("vb", "posb"), col("posb") === col("lo") + 1,
-          "left")
-        .select((col("va") * 20 +
-          (coalesce(col("vb"), col("va")) - col("va")) * col("rem"))
-          .as("thr20"))
-      u.crossJoin(broadcast(th))
-        .select(col("user_id"), col("n_trans"), col("mean_loglik"),
-          (col("um") * 20 < col("thr20")).as("anomalous"))
+      // exact 5th-percentile edge via the distributed rank-select
+      // ([[ExactRank.valuesAt]]): the threshold needs TWO positions of
+      // the sorted per-user means, so read exactly those off the
+      // range-partitioned sort (pinpoint filter) instead of projecting
+      // a rank onto every user and joining back down — same (v, pos)
+      // pairs as a global row_number window, none of its
+      // move-every-user-into-one-task funnel, and the ×20
+      // interpolation is the oracle's exact integer arithmetic on the
+      // collected longs, entering the final pass as a literal.
+      val (nU, vals) = graft.engine.ExactRank.valuesAt(
+        u.select(col("um")), "um",
+        n => { val lo = (n - 1) / 20 + 1; Seq(lo, lo + 1) })
+      val lo = (nU - 1) / 20 + 1
+      val rem = (nU - 1) % 20
+      val va = vals(lo)
+      val thr20 = va * 20 + (vals.getOrElse(lo + 1, va) - va) * rem
+      u.select(col("user_id"), col("n_trans"), col("mean_loglik"),
+          (col("um") * 20 < lit(thr20)).as("anomalous"))
         .orderBy("user_id")
     },
 

@@ -582,35 +582,38 @@ object ProfileOps {
           s"cast(size(filter($words, w -> w in ('the','a'))) as double)" +
           s" / size($words)) * 1000000) as bigint)").as("qm"))
         .pinned
-      // exact rank WITHOUT the single-partition window funnel: the
-      // range-partitioned rank-select (distributed sort + per-partition
-      // offsets) — see [[ExactRank]]. (v, pos) pairs are identical to
-      // the window's (ties share v), so the oracle hash is unchanged.
-      def ranked(c: String) = graft.engine.ExactRank.ranked(d.select(col(c)), c)
-      val ke = d.agg(count(lit(1)).as("n"))
-        .select(explode(sequence(lit(1), lit(4))).as("k"), col("n"))
-        .select(col("k"), expr("(n - 1) * 2 * k div 10 + 1").as("lo"),
-          expr("(n - 1) * 2 * k % 10").as("rem"))
-      def edges(r: DataFrame, pfx: String): DataFrame = {
-        val a = r.toDF("va", "pos")
-        val b = r.toDF("vb", "posb")
-        val e1 = ke.join(a, col("pos") === col("lo"))
-          .join(b, col("posb") === col("lo") + 1, "left")
-          .select(col("k"), (col("va") * 10 +
-            (coalesce(col("vb"), col("va")) - col("va")) * col("rem"))
-            .as("e10"))
-        val aggs = (1 to 4).map(k =>
-          max(when(col("k") === k, col("e10"))).as(s"$pfx$k"))
-        e1.agg(aggs.head, aggs.tail: _*)
+      // exact quintile edges WITHOUT the single-partition window funnel
+      // AND without projecting a rank onto every row: the distributed
+      // rank-select ([[ExactRank.valuesAt]]) reads just the 8 edge
+      // positions per column off the range-partitioned sort — one
+      // pinpoint filter instead of the former broadcast-join rank
+      // projection + ke/edge join chain. The e10 interpolation is exact
+      // integer arithmetic on the collected longs (identical to the
+      // oracle's a·10 + (b−a)·rem), and the bin thresholds enter the
+      // final corpus pass as literals — zero joins. (v, pos) pairs
+      // match the window's (ties share v): the oracle hash is
+      // unchanged.
+      def edgeLits(c: String): IndexedSeq[Long] = {
+        val (n, vals) = graft.engine.ExactRank.valuesAt(
+          d.select(col(c)), c,
+          n => (1 to 4).flatMap { k =>
+            val lo = (n - 1) * 2 * k / 10 + 1; Seq(lo, lo + 1)
+          })
+        (1 to 4).map { k =>
+          val lo = (n - 1) * 2 * k / 10 + 1
+          val rem = (n - 1) * 2 * k % 10
+          val a = vals(lo)
+          val b = vals.getOrElse(lo + 1, a)
+          a * 10 + (b - a) * rem
+        }
       }
-      val e = broadcast(edges(ranked("lv"), "l")
-        .crossJoin(edges(ranked("qm"), "m")))
+      val le = edgeLits("lv")
+      val me = edgeLits("qm")
       val lenBin = (1 to 4).map(k =>
-        (col("lv") * 10 > col(s"l$k")).cast("int")).reduce(_ + _) + 1
+        (col("lv") * 10 > lit(le(k - 1))).cast("int")).reduce(_ + _) + 1
       val qBin = (1 to 4).map(k =>
-        (col("qm") * 10 > col(s"m$k")).cast("int")).reduce(_ + _) + 1
-      d.crossJoin(e)
-        .select(lenBin.as("len_bin"), qBin.as("q_bin"))
+        (col("qm") * 10 > lit(me(k - 1))).cast("int")).reduce(_ + _) + 1
+      d.select(lenBin.as("len_bin"), qBin.as("q_bin"))
         .groupBy("len_bin", "q_bin").agg(count(lit(1)).as("n"))
         .orderBy("len_bin", "q_bin")
     })

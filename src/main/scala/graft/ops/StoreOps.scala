@@ -2206,22 +2206,25 @@ object StoreOps {
       if (store.currentVersion(s) == 3L) // v4: CoW delete of status F
         cat.exec(s, "DELETE FROM cdc_orders WHERE o_orderstatus = 'F'")
       // the 2-arg form (end defaults to CURRENT = 4) must serve the
-      // same window as the explicit 3..4
-      val explicitN = cat.query(s,
-        "SELECT COUNT(*) AS n FROM table_changes('cdc_orders', 3, 4)")
-        .head().getLong(0)
+      // same window as the explicit 3..4. The explicit window's change
+      // set (a CoW-delete diff of every rewritten dir) is pinned ONCE
+      // and serves both its count pin and the grouped aggregate —
+      // previously two separate table_changes evaluations re-diffed
+      // the rewritten dirs twice.
+      import graft.engine.Pin.Pinnable
+      val changes34 = cat.query(s,
+        """SELECT _change_type, o_orderstatus, o_totalprice
+          |FROM table_changes('cdc_orders', 3, 4)""".stripMargin).pinned
+      val explicitN = changes34.count()
       val defaultN = cat.query(s,
         "SELECT COUNT(*) AS n FROM table_changes('cdc_orders', 3)")
         .head().getLong(0)
-      cat.query(s,
-        """SELECT _change_type, o_orderstatus, COUNT(*) AS n,
-          |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-          |    AS total
-          |FROM table_changes('cdc_orders', 3, 4)
-          |GROUP BY _change_type, o_orderstatus
-          |ORDER BY _change_type, o_orderstatus""".stripMargin)
+      changes34
+        .groupBy("_change_type", "o_orderstatus")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .withColumn("default_window_match",
           lit(if (explicitN == defaultN) 1 else 0))
+        .orderBy("_change_type", "o_orderstatus")
     },
 
     // CREATE OR REPLACE TABLE: the replace is ONE metadata commit in

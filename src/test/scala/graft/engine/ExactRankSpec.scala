@@ -51,6 +51,23 @@ class ExactRankSpec extends SparkSpec {
     assert(byPos.zip(byPos.tail).forall { case (a, b) => a <= b })
   }
 
+  test("valuesAt agrees with ranked at every requested position, " +
+      "drops out-of-range ranks, and reports the exact count") {
+    val rnd = new scala.util.Random(99)
+    val vals = Seq.fill(3000)(rnd.nextInt(200).toLong) // heavy ties
+    val byPos = ExactRank.ranked(vals.toDF("x"), "x")
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toMap
+    val wanted = Seq(1L, 2L, 149L, 150L, 151L, 2999L, 3000L)
+    val (n, got) = ExactRank.valuesAt(vals.toDF("x"), "x",
+      n => wanted ++ Seq(0L, n + 1))
+    assert(n == 3000L)
+    assert(got.keySet == wanted.toSet) // 0 and n+1 absent
+    // ties are interchangeable at a rank: compare VALUES, which both
+    // forms define identically (the value at the sorted position)
+    wanted.foreach(p => assert(got(p) == byPos(p),
+      s"position $p: valuesAt=${got(p)} ranked=${byPos(p)}"))
+  }
+
   test("the sort is distributed: no single-partition Exchange feeds " +
       "the rank (the plan has no Window at all)") {
     val df = ExactRank.ranked(
