@@ -2956,7 +2956,7 @@ object StoreOps {
       "q242_sql_mv_vacuum_refresh",
       """SELECT o_orderstatus,
         |  COUNT(*) AS cnt,
-        |  SUM(o_orderkey) AS total,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS total,
         |  'incremental@2..3' AS mode_first,
         |  'full:cdf window vacuumed@0..5' AS mode_after_vacuum,
         |  'incremental@5..6' AS mode_resumed
@@ -3027,7 +3027,7 @@ object StoreOps {
       """SELECT o_orderstatus,
         |  CAST(date_trunc('month', o_orderdate) AS DATE) AS mon,
         |  COUNT(*) AS cnt,
-        |  SUM(o_orderkey) AS total,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS total,
         |  AVG(o_orderkey) AS avg_key,
         |  'incremental@2..3' AS refresh_mode
         |FROM orders WHERE o_orderkey <= 6000
@@ -3079,7 +3079,7 @@ object StoreOps {
     QueryDef(
       "q244_sql_mv_evolution",
       """SELECT o_orderstatus,
-        |  COUNT(*) AS cnt, SUM(o_orderkey) AS total,
+        |  COUNT(*) AS cnt, CAST(SUM(o_orderkey) AS BIGINT) AS total,
         |  'incremental@2..4' AS refresh_mode,
         |  'refused' AS star_create
         |FROM orders WHERE o_orderkey <= 2400
@@ -3158,7 +3158,8 @@ object StoreOps {
         |      THEN o_orderkey + 1000000 ELSE o_orderkey END AS k
         |  FROM orders
         |  WHERE o_orderkey <= 2400 AND o_orderkey % 2 = 0)
-        |SELECT o_orderstatus, COUNT(*) AS cnt, SUM(k) AS total,
+        |SELECT o_orderstatus, COUNT(*) AS cnt,
+        |  CAST(SUM(k) AS BIGINT) AS total,
         |  AVG(k) AS avg_key, 'incremental@2..5' AS refresh_mode
         |FROM base GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -3217,7 +3218,8 @@ object StoreOps {
         |      THEN CAST(l_quantity AS BIGINT) + 100
         |      ELSE CAST(l_quantity AS BIGINT) END AS q
         |  FROM lineitem WHERE l_orderkey <= 1800)
-        |SELECT l_returnflag, COUNT(*) AS cnt, SUM(q) AS total,
+        |SELECT l_returnflag, COUNT(*) AS cnt,
+        |  CAST(SUM(q) AS BIGINT) AS total,
         |  'v3' AS state_version
         |FROM fin GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
@@ -3281,7 +3283,7 @@ object StoreOps {
         |  WHERE o_orderkey <= 2400 AND o_orderkey % 2 = 0)
         |SELECT o_orderstatus, COUNT(*) AS cnt,
         |  MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,
-        |  SUM(o_orderkey) AS total,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS total,
         |  'incremental@2..4' AS refresh_mode
         |FROM base GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (s, dir) =>
@@ -3339,7 +3341,8 @@ object StoreOps {
         |  WHERE ((o_orderkey > 1200 AND o_orderkey <= 2400)
         |      OR (o_orderkey > 3000 AND o_orderkey <= 3600))
         |    AND o_orderkey % 2 = 0)
-        |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+        |SELECT status, COUNT(*) AS cnt,
+        |  CAST(SUM(k) AS BIGINT) AS total,
         |  'incremental@4..6' AS refresh_mode,
         |  'current@0..0' AS refresh_again
         |FROM base GROUP BY status
@@ -3409,7 +3412,8 @@ object StoreOps {
         |  SELECT o_orderstatus, o_orderkey FROM orders
         |  WHERE o_orderkey > 1200 AND o_orderkey <= 2400
         |    AND o_orderkey % 4 = 0)
-        |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+        |SELECT status, COUNT(*) AS cnt,
+        |  CAST(SUM(k) AS BIGINT) AS total,
         |  AVG(k) AS avg_key,
         |  'incremental@4..6' AS refresh_mode
         |FROM base GROUP BY status
@@ -3475,12 +3479,14 @@ object StoreOps {
         |  SELECT o_orderstatus, o_orderkey FROM orders
         |  WHERE o_orderkey <= 2400)
         |SELECT 'v1' AS slice, o_orderstatus, COUNT(*) AS cnt,
-        |  SUM(o_orderkey) AS total, AVG(o_orderkey) AS avg_key,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS total,
+        |  AVG(o_orderkey) AS avg_key,
         |  'incremental@2..3' AS refresh_mode
         |FROM w0 GROUP BY o_orderstatus
         |UNION ALL
         |SELECT 'cur' AS slice, o_orderstatus, COUNT(*) AS cnt,
-        |  SUM(o_orderkey) AS total, AVG(o_orderkey) AS avg_key,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS total,
+        |  AVG(o_orderkey) AS avg_key,
         |  'incremental@2..3' AS refresh_mode
         |FROM w1 GROUP BY o_orderstatus
         |ORDER BY slice, o_orderstatus""".stripMargin) { (s, dir) =>
@@ -3543,7 +3549,8 @@ object StoreOps {
         |  UNION ALL
         |  SELECT o_orderstatus, o_orderkey FROM orders
         |  WHERE o_orderkey > 1200 AND o_orderkey <= 3000)
-        |SELECT status, COUNT(*) AS cnt, SUM(k) AS total,
+        |SELECT status, COUNT(*) AS cnt,
+        |  CAST(SUM(k) AS BIGINT) AS total,
         |  AVG(k) AS avg_key,
         |  'incremental@4..5' AS refresh_mode,
         |  'false|true|false' AS stale_seq,

@@ -32,6 +32,21 @@ def main():
             n_bad += 1; continue
         if len(got) != len(want):
             print(f"FAIL {name}: rows {len(got)} vs {len(want)}"); n_bad += 1; continue
+        # dtype-strict, like the driver's hash: int-family widths may
+        # normalize (int32 == int64), but int vs float is a FAIL even
+        # when the values compare equal (1002248 == 1002248.0). DuckDB
+        # types bare SUM(BIGINT) as HUGEINT -> pandas float64; the
+        # declared oracle SQL must CAST so dtypes agree with the dump.
+        def kind(d):
+            k = d.kind
+            return "i" if k in ("i", "u") else k
+        dbad = [(c, str(got[c].dtype), str(want[c].dtype))
+                for c in got.columns
+                if kind(got[c].dtype) != kind(want[c].dtype)]
+        if dbad:
+            c, dg, dw = dbad[0]
+            print(f"FAIL {name}: dtype col={c} spark={dg} oracle={dw}")
+            n_bad += 1; continue
         bad = None
         for c in got.columns:
             a, b = got[c].tolist(), want[c].tolist()
