@@ -147,8 +147,6 @@ object Bench {
     // round-over-round comparison needs. The leading "metric" key stays
     // for the driver's grep; the trailing duplicate is the durable copy.
     val line = s"""{"metric":"total","unit":"sec","queries":$qs,"failed":$fs,"rechecked":$rech,"canaries":$cs,"runs":$runs,"sf":"$sfDir","n_ok":${ok.size},"n_failed":${failed.size},"value":$total,"total_sec":$total}"""
-    println(line)
-    System.out.flush()
     // Durable copy: the artifact pipeline has twice truncated the stdout
     // line (round-6 verdict, "What's wrong" 3); the full per-query map
     // always survives in this sidecar file (overwritten per run,
@@ -158,7 +156,13 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_QUERIES_LAST.json")),
       line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // stop the session BEFORE printing so the JSON line is the last
+    // stdout payload — no Spark shutdown logging can interleave after
+    // it (the round-16 artifact tail was unparseable for exactly this
+    // class of reason)
     spark.stop()
+    println(line)
+    System.out.flush()
     if (failed.nonEmpty) {
       failed.foreach { case (n, m) => System.err.println(s"BENCH FAILURE $n: $m") }
       sys.exit(1)

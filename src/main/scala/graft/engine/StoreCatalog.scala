@@ -2672,7 +2672,8 @@ final class StoreCatalog(basePath: String) {
     // ONE window-bounded feed read; a VACUUMED window (missing
     // manifest or data dir) degrades to the recompute — a routine
     // source vacuum must never hard-fail the refresh
-    import org.apache.spark.sql.functions.{col => fcol}
+    import org.apache.spark.sql.functions.{col => fcol,
+      count => fcount, lit => flit, when => fwhen}
     import Pin.Pinnable
     val deltaAll =
       try src.readChangeFeed(spark, fromV, toV).pinned
@@ -2680,17 +2681,23 @@ final class StoreCatalog(basePath: String) {
         case scala.util.control.NonFatal(e) if mvWindowVacuumed(e) =>
           return full("cdf window vacuumed")
       }
+    // ONE probe job for both window gates over the pinned feed
+    // (guide §2.4: the emptiness and delete probes fuse into a single
+    // aggregate instead of two executeTake passes)
+    val winProbe = deltaAll.agg(
+      fcount(flit(1)).as("n"),
+      fcount(fwhen(fcol("_change_type") =!= "insert", 1)).as("d"))
+      .head()
     // a window of pure STRUCTURAL commits (evolution markers,
     // maintenance rewrites) has an empty feed: folding it would
     // anti-join every backing dir against an empty key set — a
     // wasted gold-table rewrite. Advance the sidecar and go.
-    if (deltaAll.isEmpty) {
+    if (winProbe.getLong(0) == 0L) {
       publishMviewSpec(spark, name, text, Map(srcName -> toV))
       return Seq(("incremental", fromV, toV))
         .toDF("mode", "from_version", "to_version")
     }
-    val hasDeletes =
-      !deltaAll.filter(fcol("_change_type") =!= "insert").isEmpty
+    val hasDeletes = winProbe.getLong(1) > 0L
     val bid = MvRefreshBidBase + toV
     def partial(changeType: String): DataFrame =
       applyOverDelta(spark, text, srcName,
@@ -2874,7 +2881,7 @@ final class StoreCatalog(basePath: String) {
       insA: DataFrame, delA0: Option[DataFrame], bid: Long)
       : Option[String] = {
     import org.apache.spark.sql.functions.{
-      coalesce, col => fcol, greatest, least, lit, when}
+      coalesce, col => fcol, count => fcount, greatest, least, lit, when}
     import Pin.Pinnable
     val backing = store(name).read(spark).drop("batch_id")
     val bCols = backing.columns.map(_.toLowerCase).toSet
@@ -2902,12 +2909,6 @@ final class StoreCatalog(basePath: String) {
           d.withColumnRenamed(c, s"__del_$c"))
         insA.join(delA, keys, "full_outer")
       }
-    // a NULL group key never meets the keyed merge's equality —
-    // each refresh would INSERT another null-key row instead of
-    // folding it; recompute loudly (delta-partial-sized probe)
-    if (!net0.filter(keys.map(fcol(_).isNull)
-        .reduce(_ || _)).isEmpty)
-      return Some("null group key in the delta")
     val joined = net0.alias("d").join(backing.alias("b"), keys,
       "left")
     def dl(c: String): org.apache.spark.sql.Column =
@@ -2964,14 +2965,31 @@ final class StoreCatalog(basePath: String) {
           fold(c, fn).as(c)
       }
     }: _*).pinned
-    // a group whose last row leaves in the window nets to ZERO
-    // rows; the keyed merge can replace and insert but never
-    // DELETE a backing row — recompute (rare: a whole gold group
-    // vanishing in one window)
-    if (retractable &&
-        !combined.filter(fcol("__rows") === 0).isEmpty)
+    // ONE probe job over the pinned fold result (guide §2.4), fusing
+    // two gates that each used to evaluate the partial-aggregate plan:
+    //  - a NULL group key never meets the keyed merge's equality —
+    //    each refresh would INSERT another null-key row instead of
+    //    folding it (nulls pass from the net delta through the left
+    //    join unchanged, so probing the pinned fold equals probing
+    //    net0 and skips re-running its aggregate);
+    //  - a group whose last row leaves in the window nets to ZERO
+    //    rows; the keyed merge can replace and insert but never
+    //    DELETE a backing row (rare: a whole gold group vanishing in
+    //    one window).
+    // Both degrade to the loud full recompute; reason precedence is
+    // preserved.
+    val nullkC = fcount(when(keys.map(fcol(_).isNull)
+      .reduce(_ || _), 1)).as("nullk")
+    val probeCols =
+      if (retractable)
+        Seq(nullkC, fcount(when(fcol("__rows") === 0, 1)).as("empt"))
+      else Seq(nullkC)
+    val probe = combined.agg(probeCols.head, probeCols.tail: _*).head()
+    if (probe.getLong(0) > 0L)
+      return Some("null group key in the delta")
+    if (retractable && probe.getLong(1) > 0L)
       return Some("a group emptied in the window")
-    store(name).merge(spark, combined, keys, bid)
+    store(name).mergePinned(spark, combined, keys, bid)
     None
   }
 
@@ -3039,7 +3057,7 @@ final class StoreCatalog(basePath: String) {
     val bid = MvRefreshBidBase + cursSum
     // per-source windows, each feed read ONCE; vacuumed windows
     // degrade to the recompute exactly like the single-source path
-    val movedFeeds: Map[String, DataFrame] = srcs.flatMap { t =>
+    val pinnedFeeds: Seq[(String, DataFrame)] = srcs.flatMap { t =>
       val from = lastOf(t)
       val to = curOf(t)
       if (from >= to) None
@@ -3051,13 +3069,31 @@ final class StoreCatalog(basePath: String) {
                 if mvWindowVacuumed(e) =>
               return full("cdf window vacuumed")
           }
-        if (feed.isEmpty) None else Some(t -> feed)
+        Some(t -> feed)
       }
+    }
+    // ONE probe job across EVERY window (guide §2.4): per-feed row and
+    // non-insert counts over the already-pinned blocks, replacing an
+    // emptiness probe plus a delete probe per moved source
+    import org.apache.spark.sql.functions.{count => fcount,
+      lit => flit, when => fwhen}
+    val feedCounts: Map[String, (Long, Long)] =
+      if (pinnedFeeds.isEmpty) Map.empty
+      else pinnedFeeds.map { case (t, f) =>
+        f.select(flit(t).as("__t"), fcol("_change_type"))
+      }.reduce(_ union _)
+        .groupBy("__t")
+        .agg(fcount(flit(1)).as("n"),
+          fcount(fwhen(fcol("_change_type") =!= "insert", 1)).as("d"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+    val movedFeeds: Map[String, DataFrame] = pinnedFeeds.filter {
+      case (t, _) => feedCounts.get(t).exists(_._1 > 0L)
     }.toMap
     def feedOf(srcT: String): Option[DataFrame] =
       movedFeeds.find(_._1.equalsIgnoreCase(srcT)).map(_._2)
-    val hasDeletes = movedFeeds.values.exists(
-      f => !f.filter(fcol("_change_type") =!= "insert").isEmpty)
+    val hasDeletes = feedCounts.values.exists(_._2 > 0L)
     rowMapLegs match {
       case Some(legs) =>
         if (hasDeletes)

@@ -98,7 +98,7 @@ trait TableStore {
   * scanning a day and scanning the table); `bloomColumns` adds the
   * fourth: per-dir membership filters so EQUALITY lookups on
   * high-cardinality keys prune dirs whose min/max ranges always overlap
-  * (see [[collectBloom]]). The commit/visibility/
+  * (see [[collectBloomInto]]). The commit/visibility/
   * idempotence/concurrency semantics — the parts the reference pipeline
   * actually relies on from Iceberg — are faithful.
   */
@@ -122,7 +122,8 @@ final class ManifestTableStore(path: String,
     private val refDir: String = "manifest") extends TableStore {
   import org.apache.hadoop.fs.{FileSystem, Path => HPath}
   import org.apache.spark.sql.functions._
-  import ManifestTableStore.{EndMarker, Entry, NumV, StrV, SVal, TsV}
+  import ManifestTableStore.{EndMarker, Entry, NumV, StagedStatsFile,
+    StrV, SVal, TsV}
 
   private def isMain: Boolean = refDir == "manifest"
 
@@ -246,49 +247,102 @@ final class ManifestTableStore(path: String,
     * the read-back (rather than re-running the upstream batch plan)
     * guarantees stats describe exactly the bytes committed. Numeric and
     * string columns only; anything else (or an all-null dir) simply
-    * yields no stats — pruning stays conservative.
+    * yields no stats — pruning stays conservative. Unpartitioned
+    * writes no longer reach this: [[write]] folds the same aggregates
+    * into the write job itself (observe), so only partitioned dirs and
+    * staged publishes without a stashed sidecar read back.
     */
   private def collectStats(spark: SparkSession, dir: String): String =
     collectStatsOf(ManifestTableStore.DirSchemas.read(spark, dir))
+
+  private def statsIsTs(dt: org.apache.spark.sql.types.DataType) = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    dt == TimestampType || dt == TimestampNTZType
+  }
+
+  /** Stats columns eligible in `schema` (numeric/string/timestamp). */
+  private def statsEligibleIn(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.types.{NumericType, StringType}
+    statsColumns.filter(c => schema.fields.exists(f =>
+      f.name == c && (f.dataType.isInstanceOf[NumericType] ||
+        f.dataType == StringType || statsIsTs(f.dataType))))
+  }
+
+  // timestamps travel as epoch micros so prune-time comparison is
+  // representation-free (no lexical date-string edge cases). NTZ
+  // columns (parquet timestamps without timezone — the common
+  // pandas/arrow output) cast through TimestampType first: sessions
+  // pin UTC, so the local value IS the UTC instant, matching how
+  // prune-time literals are parsed.
+  private def statsNorm(c: org.apache.spark.sql.Column,
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column =
+    if (statsIsTs(dt))
+      unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+        .cast("string")
+    else c.cast("string")
 
   /** [[collectStats]] over an arbitrary frame — the shared core, also
     * used by [[refreshStats]] to recompute a dir's stats through the
     * snapshot's rename projection.
     */
-  private def collectStatsOf(df: DataFrame): String = {
-    import org.apache.spark.sql.types.{NumericType, StringType,
-      TimestampNTZType, TimestampType}
-    def isTs(dt: org.apache.spark.sql.types.DataType) =
-      dt == TimestampType || dt == TimestampNTZType
-    val present = statsColumns.filter(c => df.schema.fields.exists(f =>
-      f.name == c && (f.dataType.isInstanceOf[NumericType] ||
-        f.dataType == StringType || isTs(f.dataType))))
-    // timestamps travel as epoch micros so prune-time comparison is
-    // representation-free (no lexical date-string edge cases). NTZ
-    // columns (parquet timestamps without timezone — the common
-    // pandas/arrow output) cast through TimestampType first: sessions
-    // pin UTC, so the local value IS the UTC instant, matching how
-    // prune-time literals are parsed.
-    def norm(c: org.apache.spark.sql.Column,
-        dt: org.apache.spark.sql.types.DataType) =
-      if (isTs(dt)) unix_micros(c.cast(TimestampType)).cast("string")
-      else c.cast("string")
-    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    val root = mapper.createObjectNode()
-    val row =
-      if (present.isEmpty) null
+  private def collectStatsOf(df: DataFrame): String =
+    // per-dir row count (Iceberg records this in every manifest entry):
+    // a parquet footer-metadata count on EVERY commit, so [[countRows]]
+    // and [[history]] answer without touching data regardless of stats
+    // configuration.
+    collectStatsOfCounted(df, df.count())
+
+  /** [[collectStatsOf]] with the row count supplied by the caller
+    * (the write job's observation) — partitioned writes read back for
+    * min/max and bloom but never re-count.
+    */
+  private def collectStatsOfCounted(df: DataFrame, count: Long)
+      : String = {
+    val present = statsEligibleIn(df.schema)
+    val minMax =
+      if (present.isEmpty) Nil
       else {
         val aggs = present.flatMap { c =>
           val dt = df.schema(c).dataType
-          Seq(norm(min(col(c)), dt), norm(max(col(c)), dt))
+          Seq(statsNorm(min(col(c)), dt), statsNorm(max(col(c)), dt))
         }
-        df.agg(aggs.head, aggs.tail: _*).head()
+        val row = df.agg(aggs.head, aggs.tail: _*).head()
+        present.indices.map(i =>
+          (row.getString(2 * i), row.getString(2 * i + 1)))
       }
-    if (present.nonEmpty) present.zipWithIndex.foreach { case (c, i) =>
-      val (mn, mx) = (row.getString(2 * i), row.getString(2 * i + 1))
+    statsJsonFrom(df.schema, present, minMax, count, Some(() => df))
+  }
+
+  /** Stats for a dir KNOWN to hold zero rows (schema markers,
+    * truncate): byte-identical to what [[collectStatsOf]] emits over
+    * the empty frame — no min/max entries, all-zero bloom bitsets,
+    * count 0 — with ZERO Spark jobs (guide §1.2: don't compute what
+    * is known by construction).
+    */
+  private def emptyStats(
+      schema: org.apache.spark.sql.types.StructType): String =
+    statsJsonFrom(schema, Nil, Nil, 0L, None)
+
+  /** Shared serializer behind the read-back, observe-based and
+    * zero-row stats collectors. `minMax` aligns with `present`
+    * (normalized strings, null when the column was all-null);
+    * `bloomDf` is only forced when a bloom column is eligible in
+    * `schema` — None means "provably empty", which serializes the
+    * all-zero bitsets without a job.
+    */
+  private def statsJsonFrom(
+      schema: org.apache.spark.sql.types.StructType,
+      present: Seq[String], minMax: Seq[(String, String)], count: Long,
+      bloomDf: Option[() => DataFrame]): String = {
+    import org.apache.spark.sql.types.NumericType
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = mapper.createObjectNode()
+    present.zip(minMax).foreach { case (c, (mn, mx)) =>
       if (mn != null && mx != null) {
-        df.schema(c).dataType match {
-          case dt if isTs(dt) =>
+        schema(c).dataType match {
+          case dt if statsIsTs(dt) =>
             val node = root.putObject(c)
             node.put("t", "ts")
             node.put("min", mn.toLong); node.put("max", mx.toLong)
@@ -308,12 +362,24 @@ final class ManifestTableStore(path: String,
         }
       }
     }
-    collectBloom(df, root)
-    // per-dir row count (Iceberg records this in every manifest entry):
-    // a parquet footer-metadata count on EVERY commit, so [[countRows]]
-    // and [[history]] answer without touching data regardless of stats
-    // configuration.
-    root.put(ManifestTableStore.CountKey, df.count())
+    val eligible = bloomEligibleIn(schema)
+    if (eligible.nonEmpty) {
+      require(bloomBits >= 64 && bloomBits % 64 == 0,
+        s"bloomBits must be a positive multiple of 64, got $bloomBits")
+      bloomDf match {
+        case Some(mk) => collectBloomInto(mk(), eligible, root)
+        case None => // zero rows: the all-zero bitset, no job
+          val node = root.putObject(ManifestTableStore.BloomKey)
+          eligible.foreach { case (c, t) =>
+            val buf = java.nio.ByteBuffer.allocate(bloomBits / 8)
+            val cn = node.putObject(c)
+            cn.put("t", t); cn.put("m", bloomBits)
+            cn.put("b",
+              java.util.Base64.getEncoder.encodeToString(buf.array()))
+          }
+      }
+    }
+    root.put(ManifestTableStore.CountKey, count)
     mapper.writeValueAsString(root)
   }
 
@@ -351,19 +417,22 @@ final class ManifestTableStore(path: String,
     * sidecar files (puffin) rather than inline JSON — at manifest sizes
     * this store commits, inline base64 is fine.
     */
-  private def collectBloom(df: DataFrame,
-      root: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
+  private def bloomEligibleIn(
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, String)] = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
       ShortType, StringType}
-    val eligible = bloomColumns.flatMap(c =>
-      df.schema.fields.collectFirst {
+    bloomColumns.flatMap(c =>
+      schema.fields.collectFirst {
         case f if f.name == c && f.dataType == StringType => c -> "s"
         case f if f.name == c && Seq(ByteType, ShortType, IntegerType,
             LongType).contains(f.dataType) => c -> "i"
       })
-    if (eligible.isEmpty) return
-    require(bloomBits >= 64 && bloomBits % 64 == 0,
-      s"bloomBits must be a positive multiple of 64, got $bloomBits")
+  }
+
+  private def collectBloomInto(df: DataFrame,
+      eligible: Seq[(String, String)],
+      root: com.fasterxml.jackson.databind.node.ObjectNode): Unit = {
     val m = bloomBits.toLong
     val k = ManifestTableStore.BloomK
     val node = root.putObject(ManifestTableStore.BloomKey)
@@ -510,28 +579,23 @@ final class ManifestTableStore(path: String,
     require(fs(spark).delete(checkPath(name), false),
       s"unknown check '$name' on $path")
 
-  /** Enforcement at the write choke point: the freshly-written dir is
-    * verified against every registered check BEFORE any commit can
-    * reference it; a violation deletes the dir and throws — the batch
-    * never existed. One filter-aggregate per check over just-written
-    * bytes (columnar, predicate-pruned).
-    */
-  private def enforceChecks(spark: SparkSession, dir: String): Unit = {
-    val checks = listChecks(spark)
-    if (checks.isEmpty) return
-    lazy val df = ManifestTableStore.DirSchemas.read(spark, dir)
-    checks.foreach { case (name, pred) =>
-      val violations = df.filter(!expr(pred)).count()
-      if (violations > 0) {
-        fs(spark).delete(new HPath(dir), true)
-        throw new IllegalArgumentException(
-          s"check constraint '$name' ($pred) violated by $violations " +
-            s"row(s); the batch was not committed")
-      }
-    }
-  }
+  // check enforcement lives inside [[write]]: violation counts ride
+  // the write job's observation (one aggregate per check over the
+  // rows being written), a violation deletes the dir and throws —
+  // the batch never existed.
 
-  private def write(df0: DataFrame, dir: String): Unit = {
+  /** Write one data dir and return its manifest stats JSON. For
+    * unpartitioned dirs the count and min/max aggregates ride the
+    * write job itself (`observe`, guide §1.2/§6): commit stats
+    * describe exactly the rows the write streamed out with no second
+    * read of the dir — at 100 TB ingest this removes a full re-read
+    * of every committed stats column. Bloom bitsets (a grouped
+    * aggregation observe cannot express) still read the written dir,
+    * so only bloom-indexed tables pay any post-write read at all.
+    * Partitioned dirs keep the read-back path: their subdir layout and
+    * re-inferred partition-column types must be reflected exactly.
+    */
+  private def write(df0: DataFrame, dir: String): String = {
     // a rewrite of a dir whose partition column held ONLY nulls reads
     // back VOID-typed (hive inference over a lone
     // __HIVE_DEFAULT_PARTITION__ dir name carries no type) and a void
@@ -544,18 +608,51 @@ final class ManifestTableStore(path: String,
         d.withColumn(c, col(c).cast("string"))
       else d
     }
-    val w = df.write.mode("overwrite")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(dir)
-    // a PARTITIONED write of zero rows lays down no part files at all
-    // (there are no partition values to create dirs for), leaving a
-    // dir whose schema cannot be inferred — re-write inline so every
-    // committed dir is a readable (possibly empty) table. Reached when
-    // a rewrite empties a whole dir (e.g. dynamic partition overwrite
-    // replacing every partition a dir held).
-    if (partitionBy.nonEmpty) {
+    val spark = df.sparkSession
+    // the row count and every check-constraint violation count ride
+    // the write job itself in BOTH branches (observe): the observed
+    // rows ARE the rows written, and a violation deletes the dir and
+    // throws exactly like the read-back gate did. Unpartitioned dirs
+    // additionally fold their min/max stats in; partitioned dirs keep
+    // min/max and bloom on the read-back path — partition-column
+    // types re-infer from dir names and the recorded stats node types
+    // must follow what readers will see.
+    val checks = listChecks(spark)
+    val present =
+      if (partitionBy.isEmpty) statsEligibleIn(df.schema) else Nil
+    val obs = org.apache.spark.sql.Observation()
+    val aggs = (count(lit(1)).as("__cnt") +: present.flatMap { c =>
+      val dt = df.schema(c).dataType
+      Seq(statsNorm(min(col(c)), dt).as(s"__mn_$c"),
+        statsNorm(max(col(c)), dt).as(s"__mx_$c"))
+    }) ++ checks.zipWithIndex.map { case ((_, pred), i) =>
+      count(when(!expr(pred), 1)).as(s"__chk_$i")
+    }
+    val observed = df.observe(obs, aggs.head, aggs.tail: _*)
+    if (partitionBy.isEmpty) {
+      observed.write.mode("overwrite").parquet(dir)
+      ManifestTableStore.DirSchemas.put(dir, df.schema)
+    } else {
+      // cluster rows by their partition values before the hive write
+      // (guide §6 small-files; Iceberg's hash distribution-mode):
+      // each partition dir then receives files from one task instead
+      // of one file per (input task × partition value) — at 100 TB
+      // that is the difference between file counts scaling with data
+      // and with tasks×values. AQE coalesces the exchange to the data
+      // size; a single enormous partition value is the documented
+      // trade-off of hash mode (same as Iceberg's).
+      observed.repartition(partitionBy.map(col): _*)
+        .write.mode("overwrite").partitionBy(partitionBy: _*)
+        .parquet(dir)
+      // a PARTITIONED write of zero rows lays down no part files at
+      // all (there are no partition values to create dirs for),
+      // leaving a dir whose schema cannot be inferred — re-write
+      // inline so every committed dir is a readable (possibly empty)
+      // table. Reached when a rewrite empties a whole dir (e.g.
+      // dynamic partition overwrite replacing every partition a dir
+      // held).
       val f = new HPath(dir).getFileSystem(
-        df.sparkSession.sparkContext.hadoopConfiguration)
+        spark.sparkContext.hadoopConfiguration)
       val it = f.listFiles(new HPath(dir), true)
       var hasData = false
       while (!hasData && it.hasNext)
@@ -563,7 +660,42 @@ final class ManifestTableStore(path: String,
       if (!hasData)
         df.limit(0).write.mode("overwrite").parquet(dir)
     }
-    enforceChecks(df.sparkSession, dir)
+    val m = obs.get
+    // a PROVABLY-empty write (e.g. a rewrite whose predicate
+    // constant-folds false over a void-typed partition column)
+    // collapses to an empty local relation and the CollectMetrics
+    // node folds away with it — no metrics arrive. That is the only
+    // way the node disappears; verify with one footer count rather
+    // than trusting the inference, then serve the empty-write metrics.
+    val lost = !m.contains("__cnt")
+    if (lost) {
+      val n = ManifestTableStore.DirSchemas.read(spark, dir).count()
+      require(n == 0L,
+        s"write observation lost for a non-empty dir ($n rows): $dir")
+    }
+    def mLong(k: String): Long =
+      if (lost) 0L else m(k).asInstanceOf[Long]
+    def mStr(k: String): String =
+      if (lost) null else m(k).asInstanceOf[String]
+    checks.zipWithIndex.foreach { case ((cname, pred), i) =>
+      val violations = mLong(s"__chk_$i")
+      if (violations > 0) {
+        fs(spark).delete(new HPath(dir), true)
+        throw new IllegalArgumentException(
+          s"check constraint '$cname' ($pred) violated by " +
+            s"$violations row(s); the batch was not committed")
+      }
+    }
+    val cnt = mLong("__cnt")
+    if (partitionBy.isEmpty) {
+      val minMax = present.map(c => (mStr(s"__mn_$c"), mStr(s"__mx_$c")))
+      statsJsonFrom(df.schema, present, minMax, cnt,
+        Some(() => ManifestTableStore.DirSchemas.read(spark, dir)))
+    } else if (statsColumns.nonEmpty || bloomColumns.nonEmpty)
+      collectStatsOfCounted(
+        ManifestTableStore.DirSchemas.read(spark, dir), cnt)
+    else
+      statsJsonFrom(df.schema, Nil, Nil, cnt, None)
   }
 
   override def append(df: DataFrame, batchId: Long): Unit = synchronized {
@@ -574,9 +706,8 @@ final class ManifestTableStore(path: String,
     var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return // replay → idempotent no-op
     val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(df.withColumn("batch_id", lit(batchId)), dataDir)
     val entry = Entry(batchId, dataDir,
-      collectStats(df.sparkSession, dataDir))
+      write(df.withColumn("batch_id", lit(batchId)), dataDir))
     var next = v + 1
     while (!tryCommit(f, next, lines :+ entry)) {
       // lost the race: the occupant is complete by construction
@@ -619,8 +750,8 @@ final class ManifestTableStore(path: String,
     val (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return // replay → no-op
     val dataDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(df.withColumn("batch_id", lit(batchId)), dataDir)
-    val entry = Entry(batchId, dataDir, collectStats(spark, dataDir))
+    val entry = Entry(batchId, dataDir,
+      write(df.withColumn("batch_id", lit(batchId)), dataDir))
     beforeDmlCommit()
     if (!tryCommit(f, v + 1, Seq(entry))) {
       val (_, nlines) = current(f)
@@ -658,8 +789,9 @@ final class ManifestTableStore(path: String,
     spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .write.mode("overwrite").parquet(dir)
+    ManifestTableStore.DirSchemas.put(dir, schema)
     val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
-      collectStats(spark, dir))
+      emptyStats(schema))
     beforeDmlCommit()
     if (!tryCommit(f, v + 1, Seq(entry))) {
       f.delete(new HPath(dir), true)
@@ -1047,8 +1179,8 @@ final class ManifestTableStore(path: String,
       if (lines.exists(_.batchId == batchId)) return // replay → no-op
       val dataDir =
         s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-      write(df.withColumn("batch_id", lit(batchId)), dataDir)
-      val entry = Entry(batchId, dataDir, collectStats(spark, dataDir))
+      val entry = Entry(batchId, dataDir,
+        write(df.withColumn("batch_id", lit(batchId)), dataDir))
       val touchedTuples = partitionTuples(f, dataDir)
       require(touchedTuples.nonEmpty,
         "dynamic partition overwrite with an EMPTY batch is refused " +
@@ -1159,8 +1291,11 @@ final class ManifestTableStore(path: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .withColumn("batch_id", lit(ManifestTableStore.SchemaBatchId))
         .write.mode("overwrite").parquet(dir)
+      ManifestTableStore.DirSchemas.put(dir, schema.add("batch_id",
+        org.apache.spark.sql.types.LongType))
       val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
-        collectStats(spark, dir))
+        emptyStats(schema.add("batch_id",
+          org.apache.spark.sql.types.LongType)))
       var next = v + 1
       while (!tryCommit(f, next, lines :+ entry)) {
         val (nv, nlines) = current(f)
@@ -1280,8 +1415,11 @@ final class ManifestTableStore(path: String,
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .withColumn("batch_id", lit(ManifestTableStore.SchemaBatchId))
         .write.mode("overwrite").parquet(dir)
+      ManifestTableStore.DirSchemas.put(dir, schema.add("batch_id",
+        org.apache.spark.sql.types.LongType))
       val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
-        collectStats(spark, dir))
+        emptyStats(schema.add("batch_id",
+          org.apache.spark.sql.types.LongType)))
       if (!tryCommit(f, 1L, Seq(entry))) {
         f.delete(new HPath(dir), true)
         throw new java.util.ConcurrentModificationException(
@@ -1325,8 +1463,11 @@ final class ManifestTableStore(path: String,
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       .withColumn("batch_id", lit(ManifestTableStore.SchemaBatchId))
       .write.mode("overwrite").parquet(dir)
+    ManifestTableStore.DirSchemas.put(dir, schema.add("batch_id",
+      org.apache.spark.sql.types.LongType))
     val entry = Entry(ManifestTableStore.SchemaBatchId, dir,
-      collectStats(spark, dir))
+      emptyStats(schema.add("batch_id",
+        org.apache.spark.sql.types.LongType)))
     beforeDmlCommit()
     if (!tryCommit(f, v + 1, Seq(entry))) {
       f.delete(new HPath(dir), true)
@@ -1575,7 +1716,14 @@ final class ManifestTableStore(path: String,
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     val dataDir =
       s"$path/staged/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(df.withColumn("batch_id", lit(batchId)), dataDir)
+    val stats = write(df.withColumn("batch_id", lit(batchId)), dataDir)
+    // stash the stats the write job already computed beside the staged
+    // files (underscore name: invisible to parquet readers, so the
+    // audit sees exactly the bytes publish would commit) — publish then
+    // commits without re-reading the audited dir
+    val f = fs(df.sparkSession)
+    val out = f.create(new HPath(dataDir, StagedStatsFile), true)
+    try out.write(stats.getBytes("UTF-8")) finally out.close()
     dataDir
   }
 
@@ -1596,7 +1744,17 @@ final class ManifestTableStore(path: String,
     guardInheritedId(f, batchId)
     var (v, lines) = current(f)
     if (lines.exists(_.batchId == batchId)) return
-    val entry = Entry(batchId, stagedDir, collectStats(spark, stagedDir))
+    val sp = new HPath(stagedDir, StagedStatsFile)
+    val stats =
+      if (f.exists(sp)) {
+        val st = f.getFileStatus(sp)
+        val in = f.open(sp)
+        try {
+          val buf = new Array[Byte](st.getLen.toInt)
+          in.readFully(buf); new String(buf, "UTF-8")
+        } finally in.close()
+      } else collectStats(spark, stagedDir)
+    val entry = Entry(batchId, stagedDir, stats)
     var next = v + 1
     while (!tryCommit(f, next, lines :+ entry)) {
       val (nv, nlines) = current(f)
@@ -1609,8 +1767,10 @@ final class ManifestTableStore(path: String,
   /** Drop a staged batch that failed its audit — the table never
     * referenced it, so this is pure file deletion, no manifest change.
     */
-  def abortStaged(spark: SparkSession, stagedDir: String): Unit =
+  def abortStaged(spark: SparkSession, stagedDir: String): Unit = {
     fs(spark).delete(new HPath(stagedDir), true)
+    ManifestTableStore.DirSchemas.evictUnder(stagedDir)
+  }
 
   /** Rewrite every committed row into ONE data dir and commit it as the
     * next version, carrying all batch ids forward (replay detection and
@@ -1629,8 +1789,7 @@ final class ManifestTableStore(path: String,
     // the delete-applied state and the delete entries drop out of the
     // committed manifest (Iceberg's rewrite_data_files + rewrite of
     // delete files in one step).
-    write(readEntries(spark, lines), dataDir)
-    val stats = collectStats(spark, dataDir) // stats follow the rewrite
+    val stats = write(readEntries(spark, lines), dataDir)
     commitRewrite(f, v + 1, lines,
       _.filterNot(isDeleteEntry).map(e => Entry(e.batchId, dataDir, stats)))
   }
@@ -1681,8 +1840,7 @@ final class ManifestTableStore(path: String,
       }
       if (small.size < 2) return
       val dataDir = s"$path/data/compact-${java.util.UUID.randomUUID()}"
-      write(readDirs(spark, small), dataDir)
-      val stats = collectStats(spark, dataDir)
+      val stats = write(readDirs(spark, small), dataDir)
       val smallSet = small.toSet
       commitRewrite(f, v + 1, lines, snap => snap.map { e =>
         if (smallSet.contains(e.dir)) Entry(e.batchId, dataDir, stats)
@@ -1965,7 +2123,21 @@ final class ManifestTableStore(path: String,
     * full key tuple.
     */
   def merge(spark: SparkSession, source: DataFrame, keys: Seq[String],
-      batchId: Long): Unit = synchronized {
+      batchId: Long): Unit =
+    mergeImpl(spark, source, keys, batchId, sourcePinned = false)
+
+  /** [[merge]] whose source the CALLER already pinned — the MV fold
+    * probes its pinned combine result before merging, and re-pinning
+    * here would run a full re-materialization job and copy every
+    * block for nothing.
+    */
+  private[engine] def mergePinned(spark: SparkSession,
+      source: DataFrame, keys: Seq[String], batchId: Long): Unit =
+    mergeImpl(spark, source, keys, batchId, sourcePinned = true)
+
+  private def mergeImpl(spark: SparkSession, source: DataFrame,
+      keys: Seq[String], batchId: Long,
+      sourcePinned: Boolean): Unit = synchronized {
     require(batchId >= 0, s"batchId must be >= 0, got $batchId")
     require(keys.nonEmpty, "merge needs at least one key column")
     val f = fs(spark)
@@ -1977,12 +2149,14 @@ final class ManifestTableStore(path: String,
     // the bounds aggregate, the anti-join key set, and the insert
     // write are separate evaluations — a non-deterministic source
     // would anti-join one set of keys and write another
-    val src = { import Pin.Pinnable; source.pinned }
+    val src =
+      if (sourcePinned) source
+      else { import Pin.Pinnable; source.pinned }
     val touched = mergeTouchedDirs(src, keys, lines)
     val srcKeys = src.select(keys.map(col): _*).distinct()
     val insDir = s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(src.withColumn("batch_id", lit(batchId)), insDir)
-    val insEntry = Entry(batchId, insDir, collectStats(spark, insDir))
+    val insEntry = Entry(batchId, insDir,
+      write(src.withColumn("batch_id", lit(batchId)), insDir))
     rewriteDirs(spark, f, v, lines, touched, "merge",
       _.join(broadcast(srcKeys), keys, "left_anti"),
       extra = Seq(insEntry))
@@ -2255,8 +2429,7 @@ final class ManifestTableStore(path: String,
       }
     val insDir =
       s"$path/data/batch-$batchId-${java.util.UUID.randomUUID()}"
-    write(insRows, insDir)
-    val extra = Seq(Entry(batchId, insDir, collectStats(spark, insDir)))
+    val extra = Seq(Entry(batchId, insDir, write(insRows, insDir)))
     rewriteDirs(spark, f, v, lines, touched, "merge", xform,
       extra = extra)
   }
@@ -2283,10 +2456,9 @@ final class ManifestTableStore(path: String,
       // the old physical column — the rewrite also materializes the
       // new name/type (with fresh stats), so DML incrementally
       // completes a metadata-only rename or widen
-      write(xform(applyWidens(applyRenames(
+      d -> (nd, write(xform(applyWidens(applyRenames(
         ManifestTableStore.DirSchemas.read(spark, d), lines),
-        lines)), nd)
-      d -> (nd, collectStats(spark, nd))
+        lines)), nd))
     }.toMap
     beforeDmlCommit()
     val committed = commitRewrite(f, v + 1, lines, snap => snap.map { e =>
@@ -3045,7 +3217,11 @@ final class ManifestTableStore(path: String,
       if (f.exists(dataRoot)) f.listStatus(dataRoot).foreach { st =>
         if (!referenced.contains(st.getPath.getName) &&
             st.getModificationTime < cutoff) {
-          if (!dryRun) f.delete(st.getPath, true)
+          if (!dryRun) {
+            f.delete(st.getPath, true)
+            ManifestTableStore.DirSchemas.evictUnder(
+              st.getPath.toString)
+          }
           deleted += st.getPath.toString
         }
       }
@@ -3063,7 +3239,11 @@ final class ManifestTableStore(path: String,
       if (f.exists(delRoot)) f.listStatus(delRoot).foreach { st =>
         if (!referencedDel.contains(st.getPath.getName) &&
             st.getModificationTime < cutoff) {
-          if (!dryRun) f.delete(st.getPath, true)
+          if (!dryRun) {
+            f.delete(st.getPath, true)
+            ManifestTableStore.DirSchemas.evictUnder(
+              st.getPath.toString)
+          }
           deleted += st.getPath.toString
         }
       }
@@ -3336,9 +3516,8 @@ final class ManifestTableStore(path: String,
     }.toSet
     val rewritten: Map[String, (String, String)] = touched.map { dir =>
       val nd = s"$path/data/delfold-${java.util.UUID.randomUUID()}"
-      write(applyDeletes(spark,
-        ManifestTableStore.DirSchemas.read(spark, dir), dels), nd)
-      dir -> (nd, collectStats(spark, nd))
+      dir -> (nd, write(applyDeletes(spark,
+        ManifestTableStore.DirSchemas.read(spark, dir), dels), nd))
     }.toMap
     beforeDmlCommit()
     val committed = commitRewrite(f, v + 1, lines, snap =>
@@ -3592,14 +3771,60 @@ object ManifestTableStore {
   private[engine] object DirSchemas {
     private val cache = new java.util.concurrent.ConcurrentHashMap[
       String, org.apache.spark.sql.types.StructType]()
+    // growth bound for a long-lived driver: entries are (path,
+    // schema) pairs — tiny — but a process hosting millions of
+    // commits should not grow without limit; a full clear is safe
+    // (pure cache) and effectively never hit in a single session.
+    // Schemas are inferred under the writing session's parquet
+    // configs; every session in this engine shares the
+    // parquet-affecting ones (Sessions pins them), which is what
+    // makes the process-wide key sound.
+    private val MaxEntries = 100000
     def read(spark: SparkSession, dir: String): DataFrame = {
       val hit = cache.get(dir)
       if (hit ne null) spark.read.schema(hit).parquet(dir)
       else {
         val df = spark.read.parquet(dir)
-        cache.put(dir, df.schema)
+        put(dir, df.schema)
         df
       }
+    }
+    /** Pre-fill from the WRITER (unpartitioned dirs only — their
+      * read-back schema is the written schema modulo nullability):
+      * the first read of a fresh dir then skips the one-task footer
+      * inference job Spark runs per uncached parquet scan — at 100 TB
+      * ingest, one job per committed dir.
+      */
+    def put(dir: String,
+        schema: org.apache.spark.sql.types.StructType): Unit = {
+      if (cache.size >= MaxEntries) cache.clear()
+      cache.put(dir, allNullable(schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    }
+    // parquet read-back reports every field nullable — the cached
+    // writer schema must match what inference would have returned
+    private def allNullable(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = {
+      import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+      dt match {
+        case st: StructType => StructType(st.fields.map(f => f.copy(
+          dataType = allNullable(f.dataType), nullable = true)))
+        case at: ArrayType => at.copy(
+          elementType = allNullable(at.elementType), containsNull = true)
+        case mt: MapType => mt.copy(
+          keyType = allNullable(mt.keyType),
+          valueType = allNullable(mt.valueType),
+          valueContainsNull = true)
+        case other => other
+      }
+    }
+    /** Drop entries for a deleted dir tree (vacuum/abortStaged): the
+      * UUID-stamped dirs never come back, so this is pure reclamation.
+      */
+    def evictUnder(dir: String): Unit = {
+      val p = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+      cache.keySet.removeIf(k =>
+        new org.apache.hadoop.fs.Path(k).toUri.getPath.startsWith(p))
     }
   }
 
@@ -3640,6 +3865,11 @@ object ManifestTableStore {
     * is an in-flight or dead writer, never table state.
     */
   private[engine] val EndMarker = "#END"
+
+  /** Sidecar carrying a staged dir's write-time stats (underscore
+    * prefix: parquet readers ignore it, so audits see only data).
+    */
+  private[engine] val StagedStatsFile = "_graft_stats.json"
 
   private[engine] sealed trait SVal
   private[engine] final case class NumV(v: java.math.BigDecimal) extends SVal

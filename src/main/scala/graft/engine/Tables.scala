@@ -25,18 +25,24 @@ object Tables {
     * index and schema, exactly the metadata reuse a catalog table gets
     * from Spark's own FileStatusCache — at 100 TB that is the
     * difference between one listing per table and one per operator.
-    * Keyed per session (weakly — a stopped session must not pin its
-    * plans) so cloned/new sessions never share analysis state.
+    * Keyed per session (weakly) so cloned/new sessions never share
+    * analysis state. The per-session map sits behind a SoftReference:
+    * a cached DataFrame strongly references its session (via its query
+    * execution), so holding it directly would pin the weak key forever
+    * — softly-held plans are collectable under memory pressure, after
+    * which a stopped session's entry is reclaimed like any weak key.
     */
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private val cache = new java.util.WeakHashMap[SparkSession,
+    java.lang.ref.SoftReference[
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]]()
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val perSession = cache.synchronized {
-      var m = cache.get(spark)
+      val ref = cache.get(spark)
+      var m = if (ref == null) null else ref.get()
       if (m == null) {
         m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        cache.put(spark, m)
+        cache.put(spark, new java.lang.ref.SoftReference(m))
       }
       m
     }

@@ -1216,23 +1216,54 @@ object CurationOps {
       // build once per corpus version, so the per-query cost is the
       // top-3 selection over the (vocabulary-sized) artifact plus the
       // positional adjacency joins, never a corpus re-shingling pass.
-      val top = shingle3Freq(s, dir)
+      // The phrase head is bounded by construction (LIMIT 3): collect
+      // it once (guide §5 — a bounded driver read, not a data collect)
+      // so (a) the top-3 derivation runs once instead of once per
+      // adjacency leg, and (b) the queried words reach the postings
+      // scan as an In() literal — PushedFilters prunes the artifact to
+      // the 3 phrases' lists at the parquet reader (guide §6), where
+      // the former per-leg broadcast join re-scanned the full
+      // token-scale artifact three times. The pruned lists pin once
+      // and all three legs read executor-local blocks.
+      val topLocal: Seq[String] = shingle3Freq(s, dir)
         .orderBy(col("n").desc, col("sh")).limit(3)
-        .select(col("sh").as("phrase"),
-          element_at(split(col("sh"), " "), 1).as("w1"),
-          element_at(split(col("sh"), " "), 2).as("w2"),
-          element_at(split(col("sh"), " "), 3).as("w3"))
-      def term(w: String, off: Int) =
-        post.join(broadcast(top.select(col("phrase"), col(w))),
-            post("term") === col(w))
-          .select(col("phrase"), col("doc_id"),
-            (col("pos") - off).as("pos"))
-      term("w1", 0)
-        .join(term("w2", 1), Seq("phrase", "doc_id", "pos"))
-        .join(term("w3", 2), Seq("phrase", "doc_id", "pos"))
-        .groupBy("phrase", "doc_id")
-        .agg(count(lit(1)).as("n_occ"))
-        .orderBy("phrase", "doc_id")
+        .select(col("sh")).collect().toSeq.map(_.getString(0))
+      if (topLocal.isEmpty)
+        post.select(lit("").as("phrase"), col("doc_id"),
+          lit(0L).as("n_occ")).limit(0)
+      else {
+        val words = topLocal.flatMap(_.split(" ")).distinct
+        val lists = post.filter(col("term").isin(words: _*))
+        // adjacency WITHOUT self-joins (§2.4 — remove shuffles
+        // outright): each posting row contributes, per (phrase, leg)
+        // whose word it matches, one (phrase, doc, base-position, leg)
+        // row where base = pos - leg offset; a phrase occurs at a base
+        // exactly when ALL THREE legs land there (positions are unique
+        // per doc, so each leg contributes at most one row per base
+        // and count == 3 ⇔ w1@base ∧ w2@base+1 ∧ w3@base+2 — the same
+        // predicate the former w1 ⋈ w2 ⋈ w3 equi-join chain computed
+        // with three pruned scans and two shuffles). One pruned scan,
+        // two aggregates, zero joins; the 9 (phrase, word, offset)
+        // match arms are literals from the bounded head.
+        val arms = topLocal.flatMap { p =>
+          p.split(" ", 3).zipWithIndex.map { case (w, i) =>
+            when(col("term") === lit(w),
+              struct(lit(p).as("phrase"),
+                (col("pos") - i).as("base"), lit(i).as("leg")))
+          }
+        }
+        lists
+          .select(col("doc_id"),
+            explode(filter(array(arms: _*), x => x.isNotNull)).as("c"))
+          .select(col("c.phrase").as("phrase"), col("doc_id"),
+            col("c.base").as("base"))
+          .groupBy("phrase", "doc_id", "base")
+          .agg(count(lit(1)).as("nl"))
+          .filter(col("nl") === 3)
+          .groupBy("phrase", "doc_id")
+          .agg(count(lit(1)).as("n_occ"))
+          .orderBy("phrase", "doc_id")
+      }
     },
 
     // EXACT AUC of a classifier score at corpus scale — the
@@ -1611,7 +1642,7 @@ object CurationOps {
     * instead of the corpus; bucketing it by term makes each query a
     * pruned scan of the queried terms' lists.
     */
-  private def positionalPostings(s: SparkSession, dir: String): DataFrame =
+  private[ops] def positionalPostings(s: SparkSession, dir: String): DataFrame =
     graft.engine.Materialize.table(s, "positional_postings", dir) {
       Tables(s, dir, "documents")
         .select(col("doc_id"), posexplode(expr(words)))
@@ -1631,7 +1662,7 @@ object CurationOps {
     * version, consumed by phrase-frequency queries (q160's top-phrase
     * derivation) as an artifact read instead of a corpus re-shingling.
     */
-  private def shingle3Freq(s: SparkSession, dir: String): DataFrame =
+  private[ops] def shingle3Freq(s: SparkSession, dir: String): DataFrame =
     graft.engine.Materialize.table(s, "shingle3_freq", dir) {
       graft.functions.VectorExpressions.register(s)
       Tables(s, dir, "documents")

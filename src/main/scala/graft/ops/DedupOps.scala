@@ -1239,7 +1239,23 @@ object DedupOps {
       import graft.engine.Pin.Pinnable
       lshCandidates(s, dir).select("a_id", "b_id").pinned
         .createOrReplaceTempView("dup_edges")
-      s.sql("WITH RECURSIVE " + reachRecursionSql)
+      // the recursion's frontier is cluster-sized by construction
+      // (exact dedup precedes LSH), so each of the ~7 iteration steps
+      // shuffles a handful of rows: a fixed tiny partition count and
+      // no per-step AQE re-planning beat machine-wide exchanges
+      // (guide §2.2 — partition counts sized to the step's
+      // CARDINALITY, not to the machine; scale-independent because
+      // the frontier, not the corpus, sets that cardinality). Confs
+      // are lazily read at execution: force the recursion inside the
+      // window (pin — the reach set is frontier-sized) and restore.
+      val conf = s.conf
+      val prev = Seq("spark.sql.shuffle.partitions",
+        "spark.sql.adaptive.enabled").map(k => k -> conf.get(k))
+      try {
+        conf.set("spark.sql.shuffle.partitions", "4")
+        conf.set("spark.sql.adaptive.enabled", "false")
+        s.sql("WITH RECURSIVE " + reachRecursionSql).pinned
+      } finally prev.foreach { case (k, v) => conf.set(k, v) }
     },
 
     // Triangle census of the near-dup graph — see [[triangleSql]]: both

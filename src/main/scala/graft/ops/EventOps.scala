@@ -696,7 +696,10 @@ object EventOps {
         n => { val lo = (n - 1) / 20 + 1; Seq(lo, lo + 1) })
       val lo = (nU - 1) / 20 + 1
       val rem = (nU - 1) % 20
-      val va = vals(lo)
+      // empty input: no positions collected — any literal serves, the
+      // final select over the empty frame is empty either way (the
+      // former join-based edge computation also yielded empty)
+      val va = vals.getOrElse(lo, 0L)
       val thr20 = va * 20 + (vals.getOrElse(lo + 1, va) - va) * rem
       u.select(col("user_id"), col("n_trans"), col("mean_loglik"),
           (col("um") * 20 < lit(thr20)).as("anomalous"))

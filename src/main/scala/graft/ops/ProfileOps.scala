@@ -602,7 +602,10 @@ object ProfileOps {
         (1 to 4).map { k =>
           val lo = (n - 1) * 2 * k / 10 + 1
           val rem = (n - 1) * 2 * k % 10
-          val a = vals(lo)
+          // empty corpus: no positions collected — any literal serves,
+          // the final aggregate over the empty frame is empty either
+          // way (the former LEFT-JOIN edges also yielded empty)
+          val a = vals.getOrElse(lo, 0L)
           val b = vals.getOrElse(lo + 1, a)
           a * 10 + (b - a) * rem
         }

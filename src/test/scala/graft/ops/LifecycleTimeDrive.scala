@@ -19,9 +19,22 @@ object LifecycleTimeDrive {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1L << 22).selectExpr("sum(id)").collect()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val trace = new java.util.concurrent.atomic.AtomicBoolean(false)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet()
+          if (trace.get()) println("TIMEQ   job stages=" +
+            js.stageInfos.map(si =>
+              si.name.take(60) + "#" + si.numTasks).mkString(" <- "))
+        }
+      })
     def t[A](tag: String)(f: => A): A = {
-      val t0 = System.nanoTime(); val r = f
-      println(f"TIMEQ $tag ${(System.nanoTime() - t0) / 1e9}%.3f s"); r
+      val t0 = System.nanoTime(); val j0 = jobs.get(); val r = f
+      println(f"TIMEQ $tag ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+        s"jobs=${jobs.get() - j0}"); r
     }
     (1 to 3).foreach { round =>
       println(s"TIMEQ -- round $round --")
@@ -65,8 +78,12 @@ object LifecycleTimeDrive {
         t("show2")(staleOf("lgold"))
         t("rename")(cat.exec(spark,
           "ALTER MATERIALIZED VIEW lgold RENAME TO lgold2"))
-        t("refresh")(cat.exec(spark,
-          "REFRESH MATERIALIZED VIEW lgold2").collect())
+        t("refresh") {
+          trace.set(true)
+          try cat.exec(spark, "REFRESH MATERIALIZED VIEW lgold2")
+            .collect()
+          finally trace.set(false)
+        }
         t("show3")(staleOf("lgold2"))
         t("describe")(cat.exec(spark, "DESCRIBE TABLE lgold2")
           .select("col_name").collect())

@@ -45,11 +45,21 @@ object TimeQDrive {
           .groupBy(col("cluster").as("keep_id"))
           .agg(count(lit(1)).as("n"), sum(col("n_exact")).as("nd")).count())
       }
-    } else names.foreach { n =>
-      (1 to 3).foreach { i =>
-        val t0 = System.nanoTime()
-        val c = SparkEntry.queries(n)(spark, sfDir).count()
-        println(f"TIMEQ $n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s rows=$c")
+    } else {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              js: org.apache.spark.scheduler.SparkListenerJobStart)
+              : Unit = jobs.incrementAndGet()
+        })
+      names.foreach { n =>
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime(); val j0 = jobs.get()
+          val c = SparkEntry.queries(n)(spark, sfDir).count()
+          println(f"TIMEQ $n run$i ${(System.nanoTime() - t0) / 1e9}%.3f s " +
+            s"rows=$c jobs=${jobs.get() - j0}")
+        }
       }
     }
     spark.stop()
