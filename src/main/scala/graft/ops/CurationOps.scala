@@ -1670,6 +1670,22 @@ object CurationOps {
         .groupBy("sh").agg(count(lit(1)).as("n"))
     }
 
+  /** Materialized 3-shingle DOCUMENT frequency (sh, df) — the
+    * boilerplate-detector tier beside [[shingle3Freq]] (occurrence
+    * counts): one shingle pass per corpus version, consumed by the
+    * heavy-hitter query (q65) as a vocabulary-sized artifact read
+    * instead of a corpus re-shingle + distinct aggregation per
+    * invocation — the same index-serves-the-query design as
+    * [[postings]]/[[segmentFreq]].
+    */
+  private[ops] def shingle3Df(s: SparkSession, dir: String): DataFrame =
+    graft.engine.Materialize.table(s, "shingle3_df", dir) {
+      graft.functions.VectorExpressions.register(s)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), expr("shingle_strings(text, 3)"))
+        .groupBy("sh").agg(countDistinct(col("doc_id")).as("df"))
+    }
+
   /** Materialized segment-frequency table over [[segments]]: per
     * distinct 10-word segment, its distinct-document count and sorted
     * source set — the index behind q99 (boilerplate set) and q100
